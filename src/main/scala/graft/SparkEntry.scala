@@ -1,13 +1,359 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.cellfunctions._
+import graft.model.{CfSpec, TableDesc}
+import graft.operators.{AsOfJoin, PercolatorRead, Resolve}
+import graft.sources.{CellLogs, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Driver contract — one entry per implemented operator of SURVEY.md §2,
+  * each with a DuckDB-equivalent oracle over the same parquet tables.
+  *
+  * Conventions for oracle parity (driver hash-compares values):
+  *  - every query is totally ordered by its output columns;
+  *  - aggregates over doubles are cast to DECIMAL before summing
+  *    (exact + associative, so Spark's partial aggregation order can't
+  *    change the result) or reduced to exact integers first;
+  *  - timestamps are compared at microsecond precision (both engines
+  *    truncate the parquet ns values to µs);
+  *  - cell values decode to strings before output.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** TTL fixture clock: 2024-02-01T00:00:00Z (µs). */
+  private val ttlNowUs = 1706745600000000L
+  private val ttl30dSec = 30L * 86400
+
+  /** Flagship query on sf0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_agg_tpch_q1")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- P: projections / filters / predicates (SURVEY §2.2) ----
+    "q_p1_scan_projection" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_orderkey").between(100, 5000))
+        .select(col("l_orderkey"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_quantity"))
+    }),
+    "q_p7_value_filter" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_quantity") >= 25 && col("l_discount") < 0.05)
+        .agg(count(lit(1)).as("cnt"))
+    }),
+    "q_p10_filter_list" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where((col("l_returnflag") === "R" || col("l_linestatus") === "F") &&
+          col("l_quantity") >= 30)
+        .select(col("l_orderkey"))
+        .orderBy(col("l_orderkey"))
+        .limit(100)
+    }),
+
+    // ---- S: scans / sources (SURVEY §2.1) ----
+    "q_s5_batch_get" -> ((s, dir) => {
+      // batch get = key-list left-semi join; key list is broadcast
+      val keys = t(s, dir, "orders").where(col("o_custkey") < 50)
+        .select(col("o_orderkey"))
+      t(s, dir, "lineitem")
+        .join(broadcast(keys), col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "q_s6_kv_scan" -> ((s, dir) => {
+      // KV mode: 2-column model, binary-lexicographic key range scan
+      t(s, dir, "part")
+        .select(col("p_partkey").cast("string").as("key"), col("p_name").as("value"))
+        .where(col("key") >= "1000" && col("key") < "2000")
+        .orderBy(col("key"), col("value"))
+    }),
+
+    // ---- J: joins (SURVEY §2.3) ----
+    "q_j1_equi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      t(s, dir, "orders")
+        .join(broadcast(c), col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"))
+        .orderBy(col("c_custkey"), col("o_orderkey"))
+        .limit(100)
+    }),
+    "q_j2_anti_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+    "q_j3_asof_join" -> ((s, dir) => {
+      // for each purchase, the newest signup of the same user at-or-before it
+      val e = t(s, dir, "events").select(
+        col("user_id"), col("event_type"),
+        Tables.eventTsUs.as("ts_us"), col("event_id"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      val signups = e.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts_us").as("signup_ts"))
+      AsOfJoin.join(purchases, signups, "user_id", "ts_us", "signup_ts",
+          Seq("signup_ts"))
+        .where(col("signup_ts").isNotNull)
+        .select(col("event_id"), col("signup_ts").as("asof_ts"))
+        .orderBy(col("event_id"))
+    }),
+    "q_j4_range_join" -> ((s, dir) => {
+      // theta self-join over a bounded key window (StockLevel shape)
+      val o1 = t(s, dir, "orders").where(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey").as("k1"))
+      val o2 = t(s, dir, "orders").select(col("o_orderkey").as("k2"))
+      o2.join(broadcast(o1), col("k2") >= col("k1") - 5 && col("k2") < col("k1"))
+        .groupBy(col("k1")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("k1"))
+    }),
+
+    // ---- R: resolve semantics — the engine core (SURVEY §2.4) ----
+    "q_r1_version_resolve" -> ((s, dir) => {
+      Resolve.resolve(CellLogs.eventsLog(s, dir))
+        .select(col("row_key"), col("qualifier"),
+          decode(col("value"), "UTF-8").as("value"))
+        .orderBy(col("row_key"), col("qualifier"))
+    }),
+    "q_r2_ttl" -> ((s, dir) => {
+      Resolve.resolve(
+          CellLogs.eventsLog(s, dir),
+          TableDesc(CfSpec(maxVersions = Int.MaxValue, ttlSec = ttl30dSec)),
+          nowUs = ttlNowUs)
+        .groupBy(col("row_key"), col("qualifier"))
+        .agg(count(lit(1)).as("n"), max(col("ts")).as("max_ts"))
+        .orderBy(col("row_key"), col("qualifier"))
+    }),
+    "q_r3_tombstones" -> ((s, dir) => {
+      Resolve.resolve(CellLogs.tombstoneLog(s, dir), TableDesc(CfSpec(maxVersions = 3)))
+        .select(col("row_key"), col("qualifier"), col("ts"),
+          decode(col("value"), "UTF-8").as("value"))
+        .orderBy(col("row_key"), col("qualifier"), col("ts"))
+    }),
+    "q_r4_counter_fold" -> ((s, dir) => {
+      Resolve.resolve(CellLogs.counterLog(s, dir))
+        .select(col("row_key"), col("qualifier"),
+          be64_decode(col("value")).as("counter"))
+        .orderBy(col("row_key"), col("qualifier"))
+    }),
+    "q_r6_append_fold" -> ((s, dir) => {
+      Resolve.resolve(CellLogs.appendLog(s, dir))
+        .select(col("row_key"), col("qualifier"),
+          decode(col("value"), "UTF-8").as("value"))
+        .orderBy(col("row_key"), col("qualifier"))
+    }),
+    "q_r7_put_if_absent" -> ((s, dir) => {
+      Resolve.resolve(CellLogs.putIfAbsentLog(s, dir))
+        .select(col("row_key"), col("qualifier"),
+          decode(col("value"), "UTF-8").as("value"))
+        .orderBy(col("row_key"), col("qualifier"))
+    }),
+
+    // ---- T: MVCC / transactions, batch read side (SURVEY §2.7) ----
+    "q_t1_snapshot" -> ((s, dir) => {
+      Resolve.resolve(CellLogs.eventsLog(s, dir), snapshotSeq = Some(500L))
+        .select(col("row_key"), col("qualifier"),
+          decode(col("value"), "UTF-8").as("value"))
+        .orderBy(col("row_key"), col("qualifier"))
+    }),
+    "q_t3_percolator_read" -> ((s, dir) => {
+      PercolatorRead.resolve(CellLogs.percolatorLog(s, dir), snapshotTs = 25L)
+        .select(col("row_key"), decode(col("value"), "UTF-8").as("status"))
+        .orderBy(col("row_key"))
+    }),
+
+    // ---- AGG / W / O / U: SQL analytics layer (SURVEY §2.4-2.5) ----
+    "q_agg_tpch_q1" -> ((s, dir) => {
+      val dec = DecimalType(18, 2)
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(dec)).cast(DecimalType(28, 2)).as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast(DecimalType(28, 2)).as("sum_price"),
+          sum((col("l_extendedprice").cast(dec) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec))).cast(DecimalType(28, 4)))
+            .cast(DecimalType(28, 4)).as("sum_disc_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    "q_w1_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+        .limit(200)
+    }),
+    "q_o3_topk" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+    "q_u1_set_ops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.where(col("o_orderstatus") === "F").select(col("o_custkey"))
+        .except(o.where(col("o_orderstatus") === "O").select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+        .limit(200)
+    }),
+
+    // ---- N: event-time windows, batch-checked (SURVEY §2.8 N6) ----
+    "q_n6_event_windows" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(Tables.tsUsToTimestamp(Tables.eventTsUs).as("ts"), col("event_type"))
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("cnt"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // ---- X: training-data pipeline operators (north star) ----
+    "q_x_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(md5(encode(col("text"), "UTF-8")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .orderBy(col("fp"))
+    }),
+    "q_x_text_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ", -1)).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_x_text_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(encode(lower(col("text")), "UTF-8")).as("fp"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_p1_scan_projection" ->
+      """SELECT l_orderkey, l_quantity FROM lineitem
+        |WHERE l_orderkey BETWEEN 100 AND 5000 ORDER BY 1, 2""".stripMargin,
+    "q_p7_value_filter" ->
+      "SELECT count(*) AS cnt FROM lineitem WHERE l_quantity >= 25 AND l_discount < 0.05",
+    "q_p10_filter_list" ->
+      """SELECT l_orderkey FROM lineitem
+        |WHERE (l_returnflag = 'R' OR l_linestatus = 'F') AND l_quantity >= 30
+        |ORDER BY 1 LIMIT 100""".stripMargin,
+    "q_s5_batch_get" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_custkey < 50)
+        |ORDER BY 1, 2""".stripMargin,
+    "q_s6_kv_scan" ->
+      """SELECT CAST(p_partkey AS VARCHAR) AS key, p_name AS value FROM part
+        |WHERE CAST(p_partkey AS VARCHAR) >= '1000' AND CAST(p_partkey AS VARCHAR) < '2000'
+        |ORDER BY 1, 2""".stripMargin,
+    "q_j1_equi_join" ->
+      """SELECT c_custkey, o_orderkey FROM customer JOIN orders ON c_custkey = o_custkey
+        |WHERE c_mktsegment = 'BUILDING' ORDER BY 1, 2 LIMIT 100""".stripMargin,
+    "q_j2_anti_join" ->
+      """SELECT count(*) AS cnt FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_j3_asof_join" ->
+      """SELECT p.event_id, max(epoch_us(s.ts)) AS asof_ts FROM events p
+        |JOIN events s ON s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts
+        |WHERE p.event_type = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_j4_range_join" ->
+      """SELECT o1.o_orderkey AS k1, count(*) AS cnt FROM orders o1
+        |JOIN orders o2 ON o2.o_orderkey >= o1.o_orderkey - 5 AND o2.o_orderkey < o1.o_orderkey
+        |WHERE o1.o_orderkey <= 2000 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_r1_version_resolve" ->
+      """WITH ranked AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS row_key, event_type AS qualifier, props,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT row_key, qualifier, props AS value FROM ranked WHERE rn = 1
+        |ORDER BY 1, 2""".stripMargin,
+    "q_r2_ttl" ->
+      """SELECT CAST(user_id AS VARCHAR) AS row_key, event_type AS qualifier,
+        |       count(*) AS n, max(epoch_us(ts)) AS max_ts
+        |FROM events WHERE epoch_us(ts) + 2592000000000 > 1706745600000000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_r3_tombstones" ->
+      """WITH cells AS (
+        |  SELECT l_orderkey AS k, CAST(l_linenumber AS BIGINT) AS q, t.ts
+        |  FROM lineitem CROSS JOIN range(1, 6) t(ts)),
+        |vis AS (
+        |  SELECT k, q, ts FROM cells
+        |  WHERE NOT (k % 2 = 1 AND ts <= 4) AND NOT (k % 100 = 0 AND ts <= 4)),
+        |ranked AS (
+        |  SELECT k, q, ts, row_number() OVER (PARTITION BY k, q ORDER BY ts DESC) AS rn
+        |  FROM vis)
+        |SELECT CAST(k AS VARCHAR) AS row_key, CAST(q AS VARCHAR) AS qualifier, ts,
+        |       CAST(k AS VARCHAR) || ':' || CAST(q AS VARCHAR) || ':' || CAST(ts AS VARCHAR) AS value
+        |FROM ranked WHERE rn <= 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_r4_counter_fold" ->
+      """SELECT CAST(user_id AS VARCHAR) AS row_key, event_type AS qualifier,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS counter
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_r6_append_fold" ->
+      """SELECT CAST(user_id AS VARCHAR) AS row_key, event_type AS qualifier,
+        |       string_agg(props, '' ORDER BY ts, event_id) AS value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_r7_put_if_absent" ->
+      """WITH ranked AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS row_key, event_type AS qualifier, props,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM events)
+        |SELECT row_key, qualifier, props AS value FROM ranked WHERE rn = 1
+        |ORDER BY 1, 2""".stripMargin,
+    "q_t1_snapshot" ->
+      """WITH ranked AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS row_key, event_type AS qualifier, props,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE event_id <= 500)
+        |SELECT row_key, qualifier, props AS value FROM ranked WHERE rn = 1
+        |ORDER BY 1, 2""".stripMargin,
+    "q_t3_percolator_read" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS row_key, o_orderstatus AS status
+        |FROM orders WHERE o_orderkey % 2 = 0 ORDER BY 1""".stripMargin,
+    "q_agg_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4)))
+        |       AS DECIMAL(28,4)) AS sum_disc_price,
+        |  count(*) AS cnt
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_w1_window_topk" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn <= 2
+        |ORDER BY o_custkey, rn LIMIT 200""".stripMargin,
+    "q_o3_topk" ->
+      """SELECT l_orderkey, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_u1_set_ops" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY 1 LIMIT 200""".stripMargin,
+    "q_n6_event_windows" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_x_dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_x_text_tokens" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |FROM documents ORDER BY 1""".stripMargin,
+    "q_x_text_fingerprint" ->
+      "SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY 1"
+  )
 }

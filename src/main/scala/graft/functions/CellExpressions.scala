@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graft.Shim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the cell-model codecs.
+  *
+  * These run inside whole-stage codegen (via `defineCodeGen` calling the
+  * static [[Codecs]] methods), so codec application in scans/folds stays
+  * on the codegen'd hot path — no Scala UDF boxing.
+  */
+abstract class CodecExpression extends UnaryExpression {
+  /** Java code: fully-qualified static call on Codecs. */
+  protected def staticCall(input: String): String
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, staticCall)
+  override def nullable: Boolean = true
+}
+
+case class Be64Decode(child: Expression) extends CodecExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    Codecs.decodeBE64(v.asInstanceOf[Array[Byte]])
+  protected def staticCall(c: String): String =
+    s"graft.functions.Codecs.decodeBE64($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class Be64Encode(child: Expression) extends CodecExpression {
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(v: Any): Any =
+    Codecs.encodeBE64(v.asInstanceOf[Long])
+  protected def staticCall(c: String): String =
+    s"graft.functions.Codecs.encodeBE64($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class Le64Decode(child: Expression) extends CodecExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    Codecs.decodeLE64(v.asInstanceOf[Array[Byte]])
+  protected def staticCall(c: String): String =
+    s"graft.functions.Codecs.decodeLE64($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class Le64Encode(child: Expression) extends CodecExpression {
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(v: Any): Any =
+    Codecs.encodeLE64(v.asInstanceOf[Long])
+  protected def staticCall(c: String): String =
+    s"graft.functions.Codecs.encodeLE64($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class F64Decode(child: Expression) extends CodecExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(v: Any): Any =
+    Codecs.decodeF64(v.asInstanceOf[Array[Byte]])
+  protected def staticCall(c: String): String =
+    s"graft.functions.Codecs.decodeF64($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class F64Encode(child: Expression) extends CodecExpression {
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(v: Any): Any =
+    Codecs.encodeF64(v.asInstanceOf[Double])
+  protected def staticCall(c: String): String =
+    s"graft.functions.Codecs.encodeF64($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** MurmurHash64A over binary or string input (hash-sharding key prefix). */
+case class Murmur64A(child: Expression, seed: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override protected def nullSafeEval(v: Any): Any = v match {
+    case b: Array[Byte] => Codecs.murmur64a(b, seed)
+    case s: UTF8String  => Codecs.murmur64a(s.getBytes, seed)
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    child.dataType match {
+      case BinaryType =>
+        defineCodeGen(ctx, ev, c => s"graft.functions.Codecs.murmur64a($c, ${seed}L)")
+      case _ =>
+        defineCodeGen(ctx, ev, c => s"graft.functions.Codecs.murmur64a($c.getBytes(), ${seed}L)")
+    }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Binary successor: key ++ 0x00 (scan pagination resume point). */
+case class KeySuccessor(child: Expression) extends CodecExpression {
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(v: Any): Any =
+    Codecs.successor(v.asInstanceOf[Array[Byte]])
+  protected def staticCall(c: String): String =
+    s"graft.functions.Codecs.successor($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column-API surface of the codec expressions. */
+object cellfunctions {
+  private def c(e: Expression): Column = Shim.column(e)
+  private def e(col: Column): Expression = Shim.expression(col)
+
+  def be64_decode(col: Column): Column = c(Be64Decode(e(col)))
+  def be64_encode(col: Column): Column = c(Be64Encode(e(col)))
+  def le64_decode(col: Column): Column = c(Le64Decode(e(col)))
+  def le64_encode(col: Column): Column = c(Le64Encode(e(col)))
+  def f64_decode(col: Column): Column = c(F64Decode(e(col)))
+  def f64_encode(col: Column): Column = c(F64Encode(e(col)))
+  def murmur64a(col: Column, seed: Long = 0L): Column = c(Murmur64A(e(col), seed))
+  def key_successor(col: Column): Column = c(KeySuccessor(e(col)))
+}

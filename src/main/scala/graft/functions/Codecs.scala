@@ -1,0 +1,88 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Pure-Scala byte codecs used by the cell model.
+  *
+  * Semantics reproduce the reference's value encodings (tera counter
+  * `Add` operands are int64 big-endian, `AddInt64` operands are
+  * host-endian int64 — src/io/atomic_merge_strategy.cc:39,43; typed
+  * filter comparators encode fixed-width integers/doubles —
+  * include/tera/filter_comparator.h:92-142). Implementations are
+  * written fresh against public format descriptions.
+  */
+object Codecs {
+
+  // ---- int64 big-endian (counter Add operand) ----
+  def encodeBE64(v: Long): Array[Byte] =
+    ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN).putLong(v).array()
+
+  def decodeBE64(b: Array[Byte]): Long =
+    ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN).getLong
+
+  // ---- int64 little-endian (AddInt64 operand; x86 host order) ----
+  def encodeLE64(v: Long): Array[Byte] =
+    ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+
+  def decodeLE64(b: Array[Byte]): Long =
+    ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getLong
+
+  // ---- double (typed decimal comparator operand) ----
+  def encodeF64(v: Double): Array[Byte] = encodeBE64(java.lang.Double.doubleToLongBits(v))
+  def decodeF64(b: Array[Byte]): Double = java.lang.Double.longBitsToDouble(decodeBE64(b))
+
+  /** MurmurHash64A (MurmurHash2, 64-bit variant for 64-bit platforms).
+    *
+    * Public-domain algorithm by Austin Appleby
+    * (https://github.com/aappleby/smhasher). The reference engine uses
+    * this hash to prefix row keys for hash sharding
+    * (tera: src/sdk/murmur_hash_impl.cc:14-66, table_impl.cc:98); an
+    * independent implementation is required for key compatibility since
+    * Spark's `hash`/`xxhash64` are different algorithms.
+    */
+  def murmur64a(data: Array[Byte], seed: Long = 0L): Long = {
+    val m = 0xc6a4a7935bd1e995L
+    val r = 47
+    val len = data.length
+    var h = seed ^ (len * m)
+    val n = len & ~7
+    var i = 0
+    while (i < n) {
+      var k =
+        (data(i) & 0xffL) |
+        ((data(i + 1) & 0xffL) << 8) |
+        ((data(i + 2) & 0xffL) << 16) |
+        ((data(i + 3) & 0xffL) << 24) |
+        ((data(i + 4) & 0xffL) << 32) |
+        ((data(i + 5) & 0xffL) << 40) |
+        ((data(i + 6) & 0xffL) << 48) |
+        ((data(i + 7) & 0xffL) << 56)
+      k *= m
+      k ^= k >>> r
+      k *= m
+      h ^= k
+      h *= m
+      i += 8
+    }
+    var rem = len & 7
+    if (rem != 0) {
+      var k = 0L
+      while (rem > 0) {
+        rem -= 1
+        k = (k << 8) | (data(n + rem) & 0xffL)
+      }
+      h ^= k
+      h *= m
+    }
+    h ^= h >>> r
+    h *= m
+    h ^= h >>> r
+    h
+  }
+
+  /** Smallest byte string strictly greater than every string with prefix
+    * `key` of the same length — the scan-pagination successor
+    * (tera appends `\x00` to resume after a key, src/sdk/scan_impl.cc:84-89).
+    */
+  def successor(key: Array[Byte]): Array[Byte] = key :+ 0.toByte
+}

@@ -1,0 +1,82 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/** Mutation type tags of the cell log.
+  *
+  * Mirrors the reference engine's key-embedded type tags
+  * (tera: src/leveldb/include/leveldb/tera_key.h:14-27): a cell's logical
+  * value is the fold of a tagged, append-only mutation log, resolved
+  * lazily at read time (tera resolves at scan/compaction).
+  */
+object OpType {
+  val Value: Int = 0
+  /** Deletes the whole row for cells with ts <= tombstone ts. */
+  val DelRow: Int = 1
+  /** Deletes one column family of a row, ts-bounded. */
+  val DelColumn: Int = 2
+  /** Deletes all versions of one (cf, qualifier), ts-bounded. */
+  val DelQualifiers: Int = 3
+  /** Deletes exactly one version: same (row, cf, qualifier, ts). */
+  val DelQualifier: Int = 4
+  /** Counter add, int64 big-endian operand (tera `Add`). */
+  val Add: Int = 5
+  /** Counter add, int64 little-endian ("native") operand (tera `AddInt64`). */
+  val AddInt64: Int = 6
+  /** Write only if no visible value exists (oldest such write wins). */
+  val PutIfAbsent: Int = 7
+  /** Byte-concat in chronological order. */
+  val Append: Int = 8
+
+  val deletes: Seq[Int] = Seq(DelRow, DelColumn, DelQualifiers, DelQualifier)
+  val atomics: Seq[Int] = Seq(Add, AddInt64, PutIfAbsent, Append)
+  val dataOps: Seq[Int] = Value +: atomics
+}
+
+/** One mutation in the cell log — the engine's source of truth.
+  *
+  * @param row_key   row identifier; the unit of atomicity
+  * @param cf        column family
+  * @param qualifier dynamic column qualifier (schemaless)
+  * @param ts        cell timestamp, microseconds
+  * @param op        [[OpType]] tag
+  * @param value     operand bytes (delete ops: null)
+  * @param seq       arrival order, unique; tie-break for same-ts ops
+  *                  (tera: the LevelDB sequence number)
+  */
+case class CellOp(
+    row_key: String,
+    cf: String,
+    qualifier: String,
+    ts: Long,
+    op: Int,
+    value: Array[Byte],
+    seq: Long)
+
+object CellOp {
+  val schema: StructType = StructType(Seq(
+    StructField("row_key", StringType, nullable = false),
+    StructField("cf", StringType, nullable = false),
+    StructField("qualifier", StringType, nullable = false),
+    StructField("ts", LongType, nullable = false),
+    StructField("op", IntegerType, nullable = false),
+    StructField("value", BinaryType, nullable = true),
+    StructField("seq", LongType, nullable = false)))
+}
+
+/** Per-column-family resolve knobs (tera table_schema.proto:31-44). */
+case class CfSpec(
+    maxVersions: Int = 1,
+    minVersions: Int = 0,
+    ttlSec: Long = 0L)
+
+/** Table metadata driving the resolve pipeline.
+  *
+  * Locality groups are not modelled physically: Parquet column pruning
+  * plays the role tera's LGs play (SURVEY.md §1.3).
+  */
+case class TableDesc(
+    default: CfSpec = CfSpec(),
+    cfs: Map[String, CfSpec] = Map.empty) {
+  def spec(cf: String): CfSpec = cfs.getOrElse(cf, default)
+}

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.functions.cellfunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Batch read-side resolution of Percolator-style transactions
+  * (tera global transactions, src/sdk/global_txn.cc; column layout
+  * `qual` = data, `!Lqual` = prewrite lock, `!Wqual` = commit pointer —
+  * src/sdk/global_txn_internal.h:47-53).
+  *
+  * A data version is committed iff a `!W` pointer exists whose decoded
+  * value equals the data cell's ts and whose own ts (the commit ts) is
+  * within the snapshot. The write-side 2PC is OLTP and out of scope;
+  * this reproduces what a snapshot reader observes.
+  *
+  * Scale: the pointer table and the data table shuffle once on
+  * (row_key, cf, qualifier); the join is a plain equi sort-merge /
+  * broadcast join that Catalyst plans like any other.
+  */
+object PercolatorRead {
+
+  /** Resolve committed cells visible at `snapshotTs`. */
+  def resolve(log: DataFrame, snapshotTs: Long): DataFrame = {
+    val writes = log
+      .where(col("qualifier").startsWith("!W") && col("ts") <= snapshotTs)
+      .select(
+        col("row_key"), col("cf"),
+        expr("substring(qualifier, 3)").as("qualifier"),
+        be64_decode(col("value")).as("data_ts"),
+        col("ts").as("commit_ts"))
+    // newest commit pointer per column within the snapshot
+    val latest = writes
+      .groupBy(col("row_key"), col("cf"), col("qualifier"))
+      .agg(max_by(col("data_ts"), col("commit_ts")).as("data_ts"))
+    val data = log.where(
+      !col("qualifier").startsWith("!W") && !col("qualifier").startsWith("!L"))
+    data.join(latest, Seq("row_key", "cf", "qualifier"))
+      .where(col("ts") === col("data_ts"))
+      .select(col("row_key"), col("cf"), col("qualifier"), col("ts"),
+        col("value"), col("seq"))
+  }
+}

@@ -1,0 +1,118 @@
+package graft.sources
+
+import graft.functions.cellfunctions._
+import graft.model.OpType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic cell-log fixtures derived from the driver test tables
+  * (FIXTURES.md §2). These reshape relational rows into the tagged
+  * mutation log the resolve pipeline consumes; the DuckDB oracles in
+  * [[graft.SparkEntry.oracleSql]] recompute the expected visible state
+  * directly from the base tables.
+  */
+object CellLogs {
+  import OpType._
+
+  private def events(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "events")
+
+  /** events → VALUE cells: row=user, qualifier=event_type, payload=props.
+    * seq = event_id (unique, arrival-ordered). */
+  def eventsLog(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir).select(
+      col("user_id").cast("string").as("row_key"),
+      lit("ev").as("cf"),
+      col("event_type").as("qualifier"),
+      Tables.eventTsUs.as("ts"),
+      lit(Value).as("op"),
+      encode(col("props"), "UTF-8").as("value"),
+      col("event_id").as("seq"))
+
+  /** events → counter ADD ops (big-endian int64 delta = floor(value*100),
+    * an exact integer so Spark and DuckDB agree bit-for-bit). */
+  def counterLog(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir).select(
+      col("user_id").cast("string").as("row_key"),
+      lit("ev").as("cf"),
+      col("event_type").as("qualifier"),
+      Tables.eventTsUs.as("ts"),
+      lit(Add).as("op"),
+      be64_encode(floor(col("value") * 100).cast("long")).as("value"),
+      col("event_id").as("seq"))
+
+  /** events → APPEND ops over the props payload (chronological concat). */
+  def appendLog(spark: SparkSession, sfDir: String): DataFrame =
+    eventsLog(spark, sfDir).withColumn("op", lit(Append))
+
+  /** events → PUT_IF_ABSENT ops (oldest write per column wins). */
+  def putIfAbsentLog(spark: SparkSession, sfDir: String): DataFrame =
+    eventsLog(spark, sfDir).withColumn("op", lit(PutIfAbsent))
+
+  /** Tombstone/version fixture from lineitem (FIXTURES.md §2.3, mirroring
+    * the reference OverWrite/Compact tests, src/io/test/tablet_io_test.cc:215,241):
+    * per (orderkey, linenumber): VALUE at ts=1..5; odd orderkeys get
+    * DEL_QUALIFIERS at ts=4; orderkeys %100==0 get DEL_ROW at ts=4.
+    * seq encodes arrival order: all deletes after all values.
+    */
+  def tombstoneLog(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_linenumber").cast("long").as("q"))
+    val values = li
+      .crossJoin(spark.range(1, 6).select(col("id").as("ts")))
+      .select(
+        col("k").cast("string").as("row_key"),
+        lit("lg0").as("cf"),
+        col("q").cast("string").as("qualifier"),
+        col("ts"),
+        lit(Value).as("op"),
+        encode(concat_ws(":", col("k"), col("q"), col("ts")), "UTF-8").as("value"),
+        (col("k") * 1000 + col("q") * 10 + col("ts")).as("seq"))
+    val delQuals = li.where(col("k") % 2 === 1)
+      .select(
+        col("k").cast("string").as("row_key"),
+        lit("lg0").as("cf"),
+        col("q").cast("string").as("qualifier"),
+        lit(4L).as("ts"),
+        lit(DelQualifiers).as("op"),
+        lit(null).cast("binary").as("value"),
+        (col("k") * 1000 + col("q") * 10 + 6).as("seq"))
+    val delRows = li.where(col("k") % 100 === 0).select(col("k")).distinct()
+      .select(
+        col("k").cast("string").as("row_key"),
+        lit("lg0").as("cf"),
+        lit("").as("qualifier"),
+        lit(4L).as("ts"),
+        lit(DelRow).as("op"),
+        lit(null).cast("binary").as("value"),
+        (col("k") * 1000 + 999).as("seq"))
+    values.unionAll(delQuals).unionAll(delRows)
+  }
+
+  /** Percolator committed-state fixture from orders (FIXTURES.md §2.4):
+    * every order writes data at ts=10; even orderkeys also carry a
+    * commit pointer `!Wq` at commit_ts=20 whose value encodes the data
+    * ts (big-endian int64, as in tera src/sdk/global_txn_internal.h:68-71).
+    * Odd orderkeys are uncommitted — invisible to a snapshot read.
+    */
+  def percolatorLog(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+    val data = o.select(
+      col("o_orderkey").cast("string").as("row_key"),
+      lit("cf").as("cf"),
+      lit("q").as("qualifier"),
+      lit(10L).as("ts"),
+      lit(Value).as("op"),
+      encode(col("o_orderstatus"), "UTF-8").as("value"),
+      (col("o_orderkey") * 10 + 1).as("seq"))
+    val writePtrs = o.where(col("o_orderkey") % 2 === 0).select(
+      col("o_orderkey").cast("string").as("row_key"),
+      lit("cf").as("cf"),
+      lit("!Wq").as("qualifier"),
+      lit(20L).as("ts"),
+      lit(Value).as("op"),
+      be64_encode(lit(10L)).as("value"),
+      (col("o_orderkey") * 10 + 2).as("seq"))
+    data.unionAll(writePtrs)
+  }
+}

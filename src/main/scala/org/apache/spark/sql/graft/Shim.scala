@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between Catalyst `Expression`s and the public `Column` API.
+  *
+  * Spark 4 made `Column` API-agnostic (backed by `ColumnNode`); the
+  * classic-session conversion helpers are `private[sql]`, so this shim
+  * lives inside the `org.apache.spark.sql` package tree.
+  */
+object Shim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
