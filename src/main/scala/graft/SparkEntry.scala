@@ -2,7 +2,8 @@ package graft
 
 import graft.functions.cellfunctions._
 import graft.model.{CfSpec, TableDesc}
-import graft.operators.{AsOfJoin, PercolatorRead, Resolve}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, PercolatorRead, Resolve,
+  ScanFilter, ScanQuery, Similarity, TextAnalysis, TypedValue}
 import graft.sources.{CellLogs, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -53,6 +54,68 @@ object SparkEntry {
           col("l_quantity") >= 30)
         .select(col("l_orderkey"))
         .orderBy(col("l_orderkey"))
+        .limit(100)
+    }),
+    "q_p2_scan_columns" -> ((s, dir) => {
+      ScanQuery(CellLogs.eventsLog(s, dir))
+        .withStart("2").withStop("5")
+        .addColumn("ev", "purchase").addColumn("ev", "signup")
+        .run()
+        .select(col("row_key"), col("qualifier"),
+          decode(col("value"), "UTF-8").as("value"))
+        .orderBy(col("row_key"), col("qualifier"))
+    }),
+    "q_p4_time_range" -> ((s, dir) => {
+      ScanQuery(CellLogs.eventsLog(s, dir),
+          TableDesc(CfSpec(maxVersions = Int.MaxValue)))
+        .withTimeRange(1704844800000000L, 1705708800000000L)  // 2024-01-10..01-20
+        .run()
+        .select(col("row_key"), col("qualifier"), col("ts"))
+        .orderBy(col("row_key"), col("qualifier"), col("ts"))
+    }),
+    "q_p5_max_versions" -> ((s, dir) => {
+      Resolve.resolve(CellLogs.eventsLog(s, dir), TableDesc(CfSpec(maxVersions = 2)))
+        .select(col("row_key"), col("qualifier"), col("ts"))
+        .orderBy(col("row_key"), col("qualifier"), col("ts"))
+    }),
+    "q_p6_max_qualifiers" -> ((s, dir) => {
+      ScanQuery(CellLogs.eventsLog(s, dir))
+        .withMaxQualifiers(2)
+        .run()
+        .select(col("row_key"), col("qualifier"),
+          decode(col("value"), "UTF-8").as("value"))
+        .orderBy(col("row_key"), col("qualifier"))
+    }),
+    "q_p8_filter_if_missing" -> ((s, dir) => {
+      ScanQuery(CellLogs.lineitemLog(s, dir))
+        .withFilter(ScanFilter.ValueFilter("li", "7", ">=",
+          TypedValue.Int64BE(3000000L), filterIfMissing = true))
+        .run()
+        .select(col("row_key"), col("qualifier"),
+          be64_decode(col("value")).as("price"))
+        .orderBy(col("row_key"), col("qualifier"))
+    }),
+    "q_p9_filter_or_tree" -> ((s, dir) => {
+      ScanQuery(CellLogs.lineitemLog(s, dir))
+        .withFilter(ScanFilter.or(
+          ScanFilter.ValueFilter("li", "7", ">=",
+            TypedValue.Int64BE(3000000L), filterIfMissing = true),
+          ScanFilter.ValueFilter("li", "6", "<",
+            TypedValue.Int64BE(1000000L), filterIfMissing = false)))
+        .run()
+        .select(col("row_key"), col("qualifier"),
+          be64_decode(col("value")).as("price"))
+        .orderBy(col("row_key"), col("qualifier"))
+    }),
+    "q_o2_pagination" -> ((s, dir) => {
+      // resumable scan: page 2 resumes strictly after page 1's last key
+      // (tera next_start_point, src/sdk/scan_impl.cc:84-89)
+      val kv = t(s, dir, "part")
+        .select(col("p_partkey").cast("string").as("key"), col("p_name").as("value"))
+      val page1 = kv.orderBy(col("key"), col("value")).limit(100)
+      val resumeAfter = page1.agg(max(col("key"))).collect()(0).getString(0)
+      kv.where(col("key") > resumeAfter)
+        .orderBy(col("key"), col("value"))
         .limit(100)
     }),
 
@@ -230,7 +293,45 @@ object SparkEntry {
     }),
     "q_x_text_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("doc_id"), md5(encode(lower(col("text")), "UTF-8")).as("fp"))
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_x_text_quality" -> ((s, dir) => {
+      TextAnalysis.qualityTable(t(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
+    "q_x_text_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_x_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashNearDuplicates(t(s, dir, "documents"), threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_x_dedup_ngram" -> ((s, dir) => {
+      Dedup.consecutivePairJaccard(t(s, dir, "documents"))
+        .orderBy(col("id_a"))
+    }),
+    "q_x_dedup_simhash" -> ((s, dir) => {
+      // no SQL oracle (simhash needs murmur64a); covered by DedupSpec
+      Dedup.consecutiveSimhashPairs(t(s, dir, "documents"), maxDistance = 16)
+        .orderBy(col("id_a"))
+    }),
+    "q_x_sim_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e.where(col("vec_id") < 10), e, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+    "q_x_sim_lsh_topk" -> ((s, dir) => {
+      // approximate scale path; recall vs brute force covered by tests
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e.where(col("vec_id") < 10), e, k = 5, dim = 64)
+        .orderBy(col("qid"), col("rank"))
+    }),
+    "q_x_multimodal_features" -> ((s, dir) => {
+      Multimodal.extractFeatures(s, Multimodal.mediaTable(t(s, dir, "documents")))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_bytes"), col("first_byte"))
         .orderBy(col("doc_id"))
     })
   )
@@ -245,6 +346,74 @@ object SparkEntry {
       """SELECT l_orderkey FROM lineitem
         |WHERE (l_returnflag = 'R' OR l_linestatus = 'F') AND l_quantity >= 30
         |ORDER BY 1 LIMIT 100""".stripMargin,
+    "q_p2_scan_columns" ->
+      """WITH ranked AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS row_key, event_type AS qualifier, props,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE CAST(user_id AS VARCHAR) >= '2' AND CAST(user_id AS VARCHAR) < '5'
+        |    AND event_type IN ('purchase', 'signup'))
+        |SELECT row_key, qualifier, props AS value FROM ranked WHERE rn = 1
+        |ORDER BY 1, 2""".stripMargin,
+    "q_p4_time_range" ->
+      """SELECT CAST(user_id AS VARCHAR) AS row_key, event_type AS qualifier,
+        |       epoch_us(ts) AS ts
+        |FROM events
+        |WHERE epoch_us(ts) BETWEEN 1704844800000000 AND 1705708800000000
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q_p5_max_versions" ->
+      """WITH ranked AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS row_key, event_type AS qualifier,
+        |         epoch_us(ts) AS ts,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT row_key, qualifier, ts FROM ranked WHERE rn <= 2
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q_p6_max_qualifiers" ->
+      """WITH latest AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS row_key, event_type AS qualifier, props,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |capped AS (
+        |  SELECT row_key, qualifier, props,
+        |         dense_rank() OVER (PARTITION BY row_key ORDER BY qualifier) AS qr
+        |  FROM latest WHERE rn = 1)
+        |SELECT row_key, qualifier, props AS value FROM capped WHERE qr <= 2
+        |ORDER BY 1, 2""".stripMargin,
+    "q_p8_filter_if_missing" ->
+      """WITH cells AS (
+        |  SELECT CAST(l_orderkey AS VARCHAR) AS row_key,
+        |         CAST(l_linenumber AS VARCHAR) AS qualifier,
+        |         max(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS price
+        |  FROM lineitem GROUP BY 1, 2),
+        |pass AS (SELECT row_key FROM cells WHERE qualifier = '7' AND price >= 3000000)
+        |SELECT c.row_key, c.qualifier, c.price FROM cells c JOIN pass p USING (row_key)
+        |ORDER BY 1, 2""".stripMargin,
+    "q_p9_filter_or_tree" ->
+      """WITH cells AS (
+        |  SELECT CAST(l_orderkey AS VARCHAR) AS row_key,
+        |         CAST(l_linenumber AS VARCHAR) AS qualifier,
+        |         max(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS price
+        |  FROM lineitem GROUP BY 1, 2),
+        |rv AS (
+        |  SELECT row_key,
+        |         max(CASE WHEN qualifier = '7' THEN 1 ELSE 0 END) AS has7,
+        |         max(CASE WHEN qualifier = '7' AND price >= 3000000 THEN 1 ELSE 0 END) AS ok7,
+        |         max(CASE WHEN qualifier = '6' THEN 1 ELSE 0 END) AS has6,
+        |         max(CASE WHEN qualifier = '6' AND price < 1000000 THEN 1 ELSE 0 END) AS ok6
+        |  FROM cells GROUP BY 1),
+        |pass AS (
+        |  SELECT row_key FROM rv
+        |  WHERE (CASE WHEN has7 = 1 THEN ok7 = 1 ELSE false END)
+        |     OR (CASE WHEN has6 = 1 THEN ok6 = 1 ELSE true END))
+        |SELECT c.row_key, c.qualifier, c.price FROM cells c JOIN pass p USING (row_key)
+        |ORDER BY 1, 2""".stripMargin,
+    "q_o2_pagination" ->
+      """SELECT CAST(p_partkey AS VARCHAR) AS key, p_name AS value FROM part
+        |ORDER BY 1, 2 LIMIT 100 OFFSET 100""".stripMargin,
     "q_s5_batch_get" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_custkey < 50)
@@ -354,6 +523,70 @@ object SparkEntry {
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
         |FROM documents ORDER BY 1""".stripMargin,
     "q_x_text_fingerprint" ->
-      "SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY 1"
+      "SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY 1",
+    "q_x_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS avg_token_len,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS punct_ratio,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |       t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS stopword_ratio
+        |FROM documents ORDER BY 1""".stripMargin,
+    "q_x_text_langid" ->
+      """WITH s AS (SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','is'))) AS s_en,
+        |  len(list_filter(string_split(text, ' '), t -> t IN ('el','la','de','que','y'))) AS s_es,
+        |  len(list_filter(string_split(text, ' '), t -> t IN ('der','die','das','und','ist'))) AS s_de
+        | FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en > 0 THEN 'en'
+        |       WHEN s_es >= s_de AND s_es > 0 THEN 'es'
+        |       WHEN s_de > 0 THEN 'de' ELSE 'und' END AS lang
+        |FROM s ORDER BY 1""".stripMargin,
+    "q_x_dedup_minhash" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |       FROM tok WHERE len(toks) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |           / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
+        |ORDER BY 1, 2""".stripMargin,
+    "q_x_dedup_ngram" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |       FROM tok WHERE len(toks) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |         / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |ORDER BY 1""".stripMargin,
+    "q_x_sim_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |pairs AS (
+        |  SELECT q.qid, e.vec_id,
+        |    list_sum(list_transform(list_zip(q.qv, e.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+        |  FROM q, embeddings e WHERE e.vec_id <> q.qid)
+        |SELECT qid, rn AS rank, vec_id FROM (
+        |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+        |  FROM pairs) WHERE rn <= 5
+        |ORDER BY 1, 2""".stripMargin,
+    "q_x_multimodal_features" ->
+      """SELECT doc_id,
+        |  CAST(n_chars % 640 AS INT) AS width,
+        |  CAST((doc_id * 37) % 480 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  ascii(text) AS first_byte
+        |FROM documents ORDER BY 1""".stripMargin
   )
 }

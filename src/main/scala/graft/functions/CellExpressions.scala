@@ -93,6 +93,27 @@ case class Murmur64A(child: Expression, seed: Long) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** 64-bit SimHash of an array<string> of tokens (murmur64a per token,
+  * ±1 bit votes, sign fingerprint). A custom expression because the
+  * per-bit fold is awkward and slow as DSL lambdas.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val hashes = new Array[Long](arr.numElements())
+    var i = 0
+    while (i < hashes.length) {
+      hashes(i) = Codecs.murmur64a(arr.getUTF8String(i).getBytes)
+      i += 1
+    }
+    Codecs.simhash64(hashes)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Binary successor: key ++ 0x00 (scan pagination resume point). */
 case class KeySuccessor(child: Expression) extends CodecExpression {
   override def dataType: DataType = BinaryType
@@ -116,4 +137,5 @@ object cellfunctions {
   def f64_encode(col: Column): Column = c(F64Encode(e(col)))
   def murmur64a(col: Column, seed: Long = 0L): Column = c(Murmur64A(e(col), seed))
   def key_successor(col: Column): Column = c(KeySuccessor(e(col)))
+  def simhash64(col: Column): Column = c(SimHash64(e(col)))
 }

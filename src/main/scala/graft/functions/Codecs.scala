@@ -80,6 +80,31 @@ object Codecs {
     h
   }
 
+  /** 64-bit SimHash over pre-hashed token values: each hash bit votes
+    * ±1 per token; the fingerprint takes the sign of each bit total
+    * (Charikar's similarity-preserving hash, public algorithm).
+    */
+  def simhash64(tokenHashes: Array[Long]): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < tokenHashes.length) {
+      val h = tokenHashes(i)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+
   /** Smallest byte string strictly greater than every string with prefix
     * `key` of the same length — the scan-pagination successor
     * (tera appends `\x00` to resume after a key, src/sdk/scan_impl.cc:84-89).

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.functions.Codecs
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One media object: opaque binary payload + typed metadata — the
+  * multimodal column convention (image/audio/video bytes ride as
+  * `binary`, metadata as plain columns so pruning/filtering stays
+  * columnar).
+  */
+case class MediaRecord(
+    doc_id: Long,
+    payload: Array[Byte],
+    width: Int,
+    height: Int,
+    format: String)
+
+/** Features produced by the per-partition decode stage. */
+case class MediaFeatures(
+    doc_id: Long,
+    width: Int,
+    height: Int,
+    n_bytes: Long,
+    first_byte: Int,
+    checksum: Long)
+
+/** Multimodal-column plumbing: schema, partition-wise batch decode,
+  * feature extraction. The decode itself is a STUB (this container has
+  * no image/audio codecs) — deterministic byte-level features stand in
+  * for pixel decoding — but the Spark-side shape is real: binary
+  * payloads partition-pruned by metadata, decoded inside
+  * `mapPartitions` so a real codec would amortize per-partition init
+  * (model load, JNI context) exactly here.
+  */
+object Multimodal {
+
+  /** Derive a deterministic media table from `documents` (payload =
+    * text bytes standing in for encoded media). */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      (col("n_chars") % 640).cast("int").as("width"),
+      ((col("doc_id") * 37) % 480).cast("int").as("height"),
+      when(col("source") === "src0", "png").otherwise("jpeg").as("format"))
+
+  /** STUB decoder: in production this is the image/audio codec call.
+    * Deterministic byte-level features keep the pipeline testable.
+    */
+  private def decodeStub(r: MediaRecord): MediaFeatures =
+    MediaFeatures(
+      doc_id = r.doc_id,
+      width = r.width,
+      height = r.height,
+      n_bytes = r.payload.length.toLong,
+      first_byte = if (r.payload.nonEmpty) r.payload(0) & 0xff else -1,
+      checksum = Codecs.murmur64a(r.payload))
+
+  /** Partition-wise decode + feature extraction. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      // per-partition init for a real codec would go here
+      it.map(decodeStub)
+    }
+  }
+}

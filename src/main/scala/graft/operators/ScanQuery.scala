@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.functions.cellfunctions._
+import graft.model.TableDesc
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Typed constants for value filters — the engine-side equivalent of the
+  * reference's typed comparators (tera include/tera/filter_comparator.h:
+  * IntegerComparator/DecimalComparator/BinaryComparator, 8 integer widths
+  * + double + memcmp bytes). Cell bytes decode through the codec
+  * expressions; comparison happens on the decoded type.
+  */
+sealed trait TypedValue {
+  def decode(cell: Column): Column
+  def literal: Column
+}
+object TypedValue {
+  /** Big-endian int64 (counter cells). */
+  case class Int64BE(v: Long) extends TypedValue {
+    def decode(c: Column): Column = be64_decode(c)
+    def literal: Column = lit(v)
+  }
+  /** Host-endian int64 (`AddInt64` cells). */
+  case class Int64LE(v: Long) extends TypedValue {
+    def decode(c: Column): Column = le64_decode(c)
+    def literal: Column = lit(v)
+  }
+  /** 8-byte double. */
+  case class Float64(v: Double) extends TypedValue {
+    def decode(c: Column): Column = f64_decode(c)
+    def literal: Column = lit(v)
+  }
+  /** UTF-8 text compare. */
+  case class Utf8(v: String) extends TypedValue {
+    def decode(c: Column): Column = org.apache.spark.sql.functions.decode(c, "UTF-8")
+    def literal: Column = lit(v)
+  }
+  /** Raw bytes, unsigned lexicographic (memcmp ≙ Spark BinaryType order). */
+  case class Bytes(v: Array[Byte]) extends TypedValue {
+    def decode(c: Column): Column = c
+    def literal: Column = lit(v)
+  }
+}
+
+/** Boolean filter tree over row contents — tera's `FilterList` AND/OR of
+  * `ValueFilter`s (include/tera/filter_list.h:23-66,
+  * include/tera/value_filter.h:28-99). The verdict is ROW-level: a filter
+  * inspects the row's resolved cells and accepts or drops the whole row
+  * (include/tera/filter.h:48-53).
+  */
+sealed trait ScanFilter
+object ScanFilter {
+  case class And(children: Seq[ScanFilter]) extends ScanFilter
+  case class Or(children: Seq[ScanFilter]) extends ScanFilter
+
+  /** @param cmp one of `< <= == != >= >`
+    * @param filterIfMissing when the row has no (cf, qualifier) cell:
+    *        `true` drops the row, `false` (reference default) passes it
+    *        (include/tera/value_filter.h:51-58)
+    */
+  case class ValueFilter(
+      cf: String,
+      qualifier: String,
+      cmp: String,
+      value: TypedValue,
+      filterIfMissing: Boolean = false) extends ScanFilter
+
+  def and(fs: ScanFilter*): ScanFilter = And(fs)
+  def or(fs: ScanFilter*): ScanFilter = Or(fs)
+}
+
+/** Scan builder — the engine's `ScanDescriptor` equivalent
+  * (tera include/tera/scan.h:71-127). Declaratively composes onto the
+  * resolve pipeline; everything stays one Catalyst plan, so predicate
+  * pushdown and column pruning reach the parquet scan.
+  *
+  * Evaluation order mirrors the reference scan loop
+  * (`TabletIO::LowLevelScan` src/io/tablet_io.cc:939-1137 →
+  * `ProcessRowBuffer` :2287-2329): resolve (tombstones/TTL/version cap) →
+  * row-level filter verdict → cf/column projection → time-range
+  * post-filter → max_qualifiers → limit.
+  */
+case class ScanQuery(
+    log: DataFrame,
+    desc: TableDesc = TableDesc(),
+    startKey: Option[String] = None,
+    stopKey: Option[String] = None,
+    cfSet: Seq[String] = Nil,
+    columnSet: Seq[(String, String)] = Nil,
+    tsRange: Option[(Long, Long)] = None,
+    maxQualifiers: Option[Int] = None,
+    rowFilter: Option[ScanFilter] = None,
+    snapshotSeq: Option[Long] = None,
+    nowUs: Long = Long.MaxValue,
+    limitRows: Option[Int] = None) {
+
+  def withStart(k: String): ScanQuery = copy(startKey = Some(k))
+  def withStop(k: String): ScanQuery = copy(stopKey = Some(k))
+  def addColumnFamily(cf: String): ScanQuery = copy(cfSet = cfSet :+ cf)
+  def addColumn(cf: String, qual: String): ScanQuery =
+    copy(columnSet = columnSet :+ (cf, qual))
+  def withTimeRange(from: Long, to: Long): ScanQuery = copy(tsRange = Some((from, to)))
+  def withMaxQualifiers(k: Int): ScanQuery = copy(maxQualifiers = Some(k))
+  def withFilter(f: ScanFilter): ScanQuery = copy(rowFilter = Some(f))
+  def withSnapshot(seq: Long): ScanQuery = copy(snapshotSeq = Some(seq))
+  def withNow(us: Long): ScanQuery = copy(nowUs = us)
+  def withLimit(n: Int): ScanQuery = copy(limitRows = Some(n))
+
+  /** Execute; result is key-ordered like a reference scan (O1). */
+  def run(): DataFrame = {
+    // row-range predicates prune BEFORE resolve: every op of a row shares
+    // its row_key, so the bound commutes with resolution and reaches the
+    // parquet scan as a pushed filter.
+    var pruned = log
+    startKey.foreach(k => pruned = pruned.where(col("row_key") >= k))
+    stopKey.foreach(k => pruned = pruned.where(col("row_key") < k))
+
+    val resolved = Resolve.resolve(pruned, desc, nowUs, snapshotSeq)
+
+    // row-level verdict: leaf states aggregate over the whole row
+    val filtered = rowFilter match {
+      case None => resolved
+      case Some(f) =>
+        val wRow = Window.partitionBy(col("row_key"))
+        def verdict(node: ScanFilter): Column = node match {
+          case ScanFilter.And(cs) => cs.map(verdict).reduce(_ && _)
+          case ScanFilter.Or(cs)  => cs.map(verdict).reduce(_ || _)
+          case ScanFilter.ValueFilter(cf, q, cmp, tv, ifMissing) =>
+            val isTarget = col("cf") === cf && col("qualifier") === q
+            val decoded = tv.decode(col("value"))
+            val pred = cmp match {
+              case "<"  => decoded < tv.literal
+              case "<=" => decoded <= tv.literal
+              case "==" => decoded === tv.literal
+              case "!=" => decoded =!= tv.literal
+              case ">=" => decoded >= tv.literal
+              case ">"  => decoded > tv.literal
+            }
+            val present = max(when(isTarget, 1).otherwise(0)).over(wRow) === 1
+            val ok = max(when(isTarget && pred, 1).otherwise(0)).over(wRow) === 1
+            when(present, ok).otherwise(lit(!ifMissing))
+        }
+        resolved.withColumn("_pass", verdict(f)).where(col("_pass")).drop("_pass")
+    }
+
+    // projection AFTER the verdict: the filter saw the whole row
+    val projected = (cfSet, columnSet) match {
+      case (Nil, Nil) => filtered
+      case (cfs, cols) =>
+        val cfPred = if (cfs.isEmpty) lit(false) else col("cf").isin(cfs: _*)
+        val colPred =
+          if (cols.isEmpty) lit(false)
+          else cols.map { case (cf, q) => col("cf") === cf && col("qualifier") === q }
+            .reduce(_ || _)
+        filtered.where(cfPred || colPred)
+    }
+
+    val timed = tsRange.fold(projected) { case (from, to) =>
+      projected.where(col("ts").between(from, to))
+    }
+
+    val qualCapped = maxQualifiers.fold(timed) { k =>
+      val wq = Window.partitionBy(col("row_key"), col("cf")).orderBy(col("qualifier"))
+      timed.withColumn("_qrank", dense_rank().over(wq))
+        .where(col("_qrank") <= k)
+        .drop("_qrank")
+    }
+
+    val ordered = qualCapped.orderBy(col("row_key"), col("cf"), col("qualifier"),
+      col("ts").desc)
+    limitRows.fold(ordered)(ordered.limit)
+  }
+}

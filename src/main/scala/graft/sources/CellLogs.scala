@@ -49,6 +49,25 @@ object CellLogs {
   def putIfAbsentLog(spark: SparkSession, sfDir: String): DataFrame =
     eventsLog(spark, sfDir).withColumn("op", lit(PutIfAbsent))
 
+  /** lineitem → one VALUE cell per (orderkey, linenumber): row=orderkey,
+    * qualifier=linenumber, payload=price cents (big-endian int64). Orders
+    * have 1-7 lines, so high line-number qualifiers are naturally MISSING
+    * on most rows — the filter_if_missing fixture. */
+  def lineitemLog(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      // the synthetic data has duplicate (orderkey, linenumber) pairs;
+      // collapse deterministically so cell identity is unique
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(max(floor(col("l_extendedprice") * 100).cast("long")).as("price"))
+      .select(
+        col("l_orderkey").cast("string").as("row_key"),
+        lit("li").as("cf"),
+        col("l_linenumber").cast("string").as("qualifier"),
+        lit(1L).as("ts"),
+        lit(Value).as("op"),
+        be64_encode(col("price")).as("value"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("seq"))
+
   /** Tombstone/version fixture from lineitem (FIXTURES.md §2.3, mirroring
     * the reference OverWrite/Compact tests, src/io/test/tablet_io_test.cc:215,241):
     * per (orderkey, linenumber): VALUE at ts=1..5; odd orderkeys get

@@ -1,0 +1,103 @@
+package graft
+
+import graft.model.CellOp
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-data pipeline operators + scan builder, on sf0.001. */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+  private lazy val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+
+  test("minhash LSH finds every exact-Jaccard near-duplicate pair (recall 1.0 here)") {
+    // ground truth: exact all-pairs jaccard >= 0.8
+    val sh = Dedup.shingleTable(docs)
+    val a = sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("j", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .where(col("j") >= 0.8)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDuplicates(docs, threshold = 0.8)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical texts distance 0, near-dups closer than random pairs") {
+    import spark.implicits._
+    val fp = docs.select(col("doc_id"),
+      Dedup.simhash64(Dedup.tokens(col("text"))).as("fp"))
+    // self-join identical text -> identical fingerprint
+    val dup = docs.select(col("doc_id"), col("text"))
+      .withColumn("fp1", Dedup.simhash64(Dedup.tokens(col("text"))))
+      .withColumn("fp2", Dedup.simhash64(Dedup.tokens(col("text"))))
+    assert(dup.where(col("fp1") =!= col("fp2")).count() == 0)
+    // near-dup pairs (exact J >= 0.9) should have smaller mean hamming
+    // distance than the global mean of consecutive pairs
+    val sh = Dedup.shingleTable(docs)
+    val pairs = sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")),
+        col("id_a") < col("id_b"))
+      .withColumn("j", Dedup.jaccard(col("sh_a"), col("sh_b")))
+    val f1 = fp.select(col("doc_id").as("id_a"), col("fp").as("fp_a"))
+    val f2 = fp.select(col("doc_id").as("id_b"), col("fp").as("fp_b"))
+    val withD = pairs.join(f1, "id_a").join(f2, "id_b")
+      .withColumn("d", Dedup.hamming64(col("fp_a"), col("fp_b")))
+    val nearMean = withD.where(col("j") >= 0.9).agg(avg("d")).collect()(0).getDouble(0)
+    val farMean = withD.where(col("j") < 0.1).agg(avg("d")).collect()(0).getDouble(0)
+    assert(nearMean < farMean / 2)
+  }
+
+  test("LSH top-k recall vs brute force is usable (> 0.4 at 8 planes)") {
+    val q = emb.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(q, emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.lshTopK(q, emb, 5, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.4, s"recall=$recall")
+  }
+
+  test("scan builder: projection sees row filter over full row") {
+    import spark.implicits._
+    val log = Seq(
+      CellOp("r1", "cf", "flag", 1, 0, "yes".getBytes, 1),
+      CellOp("r1", "cf", "data", 1, 0, "d1".getBytes, 2),
+      CellOp("r2", "cf", "data", 1, 0, "d2".getBytes, 3)).toDF()
+    // filter on 'flag' column, project only 'data': r1 passes (flag=yes),
+    // r2 dropped (missing flag, filterIfMissing=true)
+    val out = ScanQuery(log)
+      .addColumn("cf", "data")
+      .withFilter(ScanFilter.ValueFilter("cf", "flag", "==",
+        TypedValue.Utf8("yes"), filterIfMissing = true))
+      .run()
+      .select("row_key", "qualifier").as[(String, String)].collect().toSet
+    assert(out == Set(("r1", "data")))
+  }
+
+  test("scan builder: time range is a post-filter after version cap") {
+    import spark.implicits._
+    val log = Seq(
+      CellOp("r1", "cf", "q", 10, 0, "a".getBytes, 1),
+      CellOp("r1", "cf", "q", 20, 0, "b".getBytes, 2),
+      CellOp("r1", "cf", "q", 30, 0, "c".getBytes, 3)).toDF()
+    // maxVersions=1 keeps only ts=30; time range [5,25] then drops it:
+    // result empty (not ts=20, which a pre-filter would have kept)
+    val out = ScanQuery(log).withTimeRange(5, 25).run()
+    assert(out.count() == 0)
+  }
+}
