@@ -57,7 +57,7 @@ object SparkEntry {
         .limit(100)
     }),
     "q_p2_scan_columns" -> ((s, dir) => {
-      ScanQuery(CellLogs.eventsLog(s, dir))
+      ScanQuery(CellLogs.eventsLog(s, dir), opsPresent = CellLogs.valueOnly)
         .withStart("2").withStop("5")
         .addColumn("ev", "purchase").addColumn("ev", "signup")
         .run()
@@ -67,19 +67,21 @@ object SparkEntry {
     }),
     "q_p4_time_range" -> ((s, dir) => {
       ScanQuery(CellLogs.eventsLog(s, dir),
-          TableDesc(CfSpec(maxVersions = Int.MaxValue)))
+          TableDesc(CfSpec(maxVersions = Int.MaxValue)),
+          opsPresent = CellLogs.valueOnly)
         .withTimeRange(1704844800000000L, 1705708800000000L)  // 2024-01-10..01-20
         .run()
         .select(col("row_key"), col("qualifier"), col("ts"))
         .orderBy(col("row_key"), col("qualifier"), col("ts"))
     }),
     "q_p5_max_versions" -> ((s, dir) => {
-      Resolve.resolve(CellLogs.eventsLog(s, dir), TableDesc(CfSpec(maxVersions = 2)))
+      Resolve.resolve(CellLogs.eventsLog(s, dir), TableDesc(CfSpec(maxVersions = 2)),
+          opsPresent = CellLogs.valueOnly)
         .select(col("row_key"), col("qualifier"), col("ts"))
         .orderBy(col("row_key"), col("qualifier"), col("ts"))
     }),
     "q_p6_max_qualifiers" -> ((s, dir) => {
-      ScanQuery(CellLogs.eventsLog(s, dir))
+      ScanQuery(CellLogs.eventsLog(s, dir), opsPresent = CellLogs.valueOnly)
         .withMaxQualifiers(2)
         .run()
         .select(col("row_key"), col("qualifier"),
@@ -87,7 +89,7 @@ object SparkEntry {
         .orderBy(col("row_key"), col("qualifier"))
     }),
     "q_p8_filter_if_missing" -> ((s, dir) => {
-      ScanQuery(CellLogs.lineitemLog(s, dir))
+      ScanQuery(CellLogs.lineitemLog(s, dir), opsPresent = CellLogs.valueOnly)
         .withFilter(ScanFilter.ValueFilter("li", "7", ">=",
           TypedValue.Int64BE(3000000L), filterIfMissing = true))
         .run()
@@ -96,7 +98,7 @@ object SparkEntry {
         .orderBy(col("row_key"), col("qualifier"))
     }),
     "q_p9_filter_or_tree" -> ((s, dir) => {
-      ScanQuery(CellLogs.lineitemLog(s, dir))
+      ScanQuery(CellLogs.lineitemLog(s, dir), opsPresent = CellLogs.valueOnly)
         .withFilter(ScanFilter.or(
           ScanFilter.ValueFilter("li", "7", ">=",
             TypedValue.Int64BE(3000000L), filterIfMissing = true),
@@ -178,7 +180,7 @@ object SparkEntry {
 
     // ---- R: resolve semantics — the engine core (SURVEY §2.4) ----
     "q_r1_version_resolve" -> ((s, dir) => {
-      Resolve.resolve(CellLogs.eventsLog(s, dir))
+      Resolve.resolve(CellLogs.eventsLog(s, dir), opsPresent = CellLogs.valueOnly)
         .select(col("row_key"), col("qualifier"),
           decode(col("value"), "UTF-8").as("value"))
         .orderBy(col("row_key"), col("qualifier"))
@@ -187,31 +189,32 @@ object SparkEntry {
       Resolve.resolve(
           CellLogs.eventsLog(s, dir),
           TableDesc(CfSpec(maxVersions = Int.MaxValue, ttlSec = ttl30dSec)),
-          nowUs = ttlNowUs)
+          nowUs = ttlNowUs, opsPresent = CellLogs.valueOnly)
         .groupBy(col("row_key"), col("qualifier"))
         .agg(count(lit(1)).as("n"), max(col("ts")).as("max_ts"))
         .orderBy(col("row_key"), col("qualifier"))
     }),
     "q_r3_tombstones" -> ((s, dir) => {
-      Resolve.resolve(CellLogs.tombstoneLog(s, dir), TableDesc(CfSpec(maxVersions = 3)))
+      Resolve.resolve(CellLogs.tombstoneLog(s, dir), TableDesc(CfSpec(maxVersions = 3)),
+          opsPresent = CellLogs.tombstoneOps)
         .select(col("row_key"), col("qualifier"), col("ts"),
           decode(col("value"), "UTF-8").as("value"))
         .orderBy(col("row_key"), col("qualifier"), col("ts"))
     }),
     "q_r4_counter_fold" -> ((s, dir) => {
-      Resolve.resolve(CellLogs.counterLog(s, dir))
+      Resolve.resolve(CellLogs.counterLog(s, dir), opsPresent = CellLogs.counterOps)
         .select(col("row_key"), col("qualifier"),
           be64_decode(col("value")).as("counter"))
         .orderBy(col("row_key"), col("qualifier"))
     }),
     "q_r6_append_fold" -> ((s, dir) => {
-      Resolve.resolve(CellLogs.appendLog(s, dir))
+      Resolve.resolve(CellLogs.appendLog(s, dir), opsPresent = CellLogs.appendOps)
         .select(col("row_key"), col("qualifier"),
           decode(col("value"), "UTF-8").as("value"))
         .orderBy(col("row_key"), col("qualifier"))
     }),
     "q_r7_put_if_absent" -> ((s, dir) => {
-      Resolve.resolve(CellLogs.putIfAbsentLog(s, dir))
+      Resolve.resolve(CellLogs.putIfAbsentLog(s, dir), opsPresent = CellLogs.putIfAbsentOps)
         .select(col("row_key"), col("qualifier"),
           decode(col("value"), "UTF-8").as("value"))
         .orderBy(col("row_key"), col("qualifier"))
@@ -219,7 +222,8 @@ object SparkEntry {
 
     // ---- T: MVCC / transactions, batch read side (SURVEY §2.7) ----
     "q_t1_snapshot" -> ((s, dir) => {
-      Resolve.resolve(CellLogs.eventsLog(s, dir), snapshotSeq = Some(500L))
+      Resolve.resolve(CellLogs.eventsLog(s, dir), snapshotSeq = Some(500L),
+          opsPresent = CellLogs.valueOnly)
         .select(col("row_key"), col("qualifier"),
           decode(col("value"), "UTF-8").as("value"))
         .orderBy(col("row_key"), col("qualifier"))

@@ -30,22 +30,67 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
-  /** doc_id + distinct shingle set per document. */
+  /** doc_id + distinct shingle set per document (array form — test/
+    * small-data use; the scale path is [[shingleRows]]). */
   def shingleTable(docs: DataFrame, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol).as("doc_id"),
       shingles(tokens(col(textCol)), n).as("shingles"))
       .where(size(col("shingles")) > 0)
 
-  /** MinHash signatures: `numHashes` independent hash functions per
-    * shingle (xxhash64 seeded by the function index — overflow-free
-    * under ANSI arithmetic), taking the min per function.
+  /** Distinct (doc_id, shingle) ROWS — the scale representation.
+    * `array_distinct`/`array_intersect` are O(n²) per document in
+    * Spark; row-level distinct is a hash shuffle, and set sizes /
+    * intersections become counting aggregations.
     */
-  def minhashSignatures(shingled: DataFrame, numHashes: Int = 128): DataFrame = {
-    val sigCols: Seq[Column] = (0 until numHashes).map { i =>
-      array_min(transform(col("shingles"), s => xxhash64(lit(i), s)))
-    }
-    shingled.select(col("doc_id"), col("shingles"), array(sigCols: _*).as("sig"))
+  def shingleRows(docs: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs
+      .where(size(toks) >= n)
+      .select(col(idCol).as("doc_id"),
+        explode(transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))).as("s"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for given candidate pairs, from shingle rows:
+    * |A∩B| by shingle equi-join restricted to candidate docs,
+    * |A∪B| = |A|+|B|-|A∩B|. Pairs sharing no shingle get jaccard 0.
+    */
+  def jaccardForPairs(pairs: DataFrame, rows: DataFrame): DataFrame = {
+    // |A∩B| without materializing candidate-doc sets: fan pairs out to
+    // the left side's shingles, then match the right side on (id, s)
+    val inter = pairs
+      .join(rows.select(col("doc_id").as("id_a"), col("s")), "id_a")
+      .join(rows.select(col("doc_id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("_inter"))
+    val counts = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("_n"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(counts.select(col("doc_id").as("id_a"), col("_n").as("_na")), "id_a")
+      .join(counts.select(col("doc_id").as("id_b"), col("_n").as("_nb")), "id_b")
+      .withColumn("jaccard",
+        coalesce(col("_inter"), lit(0L)).cast("double") /
+          (col("_na") + col("_nb") - coalesce(col("_inter"), lit(0L))).cast("double"))
+      .drop("_inter", "_na", "_nb")
+  }
+
+  /** MinHash signatures via explode + hash aggregation: each shingle
+    * hashes to a long once; the `numHashes` family members re-hash the
+    * 8-byte long with a per-function seed (xxhash64 — overflow-free
+    * under ANSI arithmetic) inside `min()` aggregates. This shape is
+    * deliberate for scale: a flat codegen'd aggregation with map-side
+    * partial mins, instead of 128 array-lambda expressions that codegen
+    * would inline per signature slot.
+    */
+  def minhashSignatures(shingleRows: DataFrame, numHashes: Int = 64): DataFrame = {
+    val hashed = shingleRows.select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"_m$i"))
+    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
   }
 
   /** LSH band buckets: signature split into `bands` bands of `rowsPerBand`
@@ -68,24 +113,25 @@ object Dedup {
   }
 
   /** Near-duplicate pairs: MinHash-LSH candidates, exact-Jaccard verified.
-    * With (numHashes=128, bands=32, rows=4) recall at J >= 0.8 is
-    * 1-(1-0.8^4)^32 ≈ 1-5e-8 — the candidate step prunes, the verify step
-    * decides, so output pairs are exactly the >= threshold pairs LSH
-    * surfaced.
+    * With (numHashes=64, bands=16, rows=4) recall at J >= 0.8 is
+    * 1-(1-0.8^4)^16 ≈ 0.9998 (≈ 1-1e-7 at J >= 0.95) — the candidate
+    * step prunes, the verify step decides, so output pairs are exactly
+    * the >= threshold pairs LSH surfaced.
     */
   def minhashNearDuplicates(
       docs: DataFrame,
       threshold: Double = 0.8,
       shingleLen: Int = 3,
-      numHashes: Int = 128,
-      bands: Int = 32): DataFrame = {
-    val sh = shingleTable(docs, shingleLen)
-    val signed = minhashSignatures(sh, numHashes)
+      numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    // deliberately NOT persisted: the shingle rows recompute per
+    // consumer, but caching here measurably loses (it blocks AQE and
+    // whole-stage pipelining, and columnar cache encoding costs more
+    // than the recompute — verified empirically at sf0.1)
+    val rows = shingleRows(docs, shingleLen)
+    val signed = minhashSignatures(rows, numHashes)
     val cands = lshCandidatePairs(signed, bands, numHashes / bands)
-    val shA = sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
-    val shB = sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
-    cands.join(shA, "id_a").join(shB, "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+    jaccardForPairs(cands, rows)
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -93,12 +139,11 @@ object Dedup {
   /** Exact n-gram Jaccard between consecutive doc ids (a bounded,
     * oracle-checkable instance of pairwise similarity). */
   def consecutivePairJaccard(docs: DataFrame, shingleLen: Int = 3): DataFrame = {
-    val sh = shingleTable(docs, shingleLen)
-    val a = sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
-    val b = sh.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
-      col("shingles").as("sh_b"))
-    a.join(b, "id_a")
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    val rows = shingleRows(docs, shingleLen)
+    val ids = rows.select("doc_id").distinct()
+    val pairs = ids.select(col("doc_id").as("id_a"))
+      .join(ids.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b")), "id_a")
+    jaccardForPairs(pairs, rows).select("id_a", "id_b", "jaccard")
   }
 
   /** 64-bit SimHash of a token array (custom Catalyst expression: per

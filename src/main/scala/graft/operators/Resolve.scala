@@ -19,12 +19,17 @@ import org.apache.spark.sql.functions._
   * (src/io/tablet_io.cc:939-1137): snapshot bound → tombstones → TTL
   * (with min_versions survivors) → version cap → atomic-op fold.
   *
-  * Scale design: every step is a window over partitions keyed on
-  * `row_key` (or a superset). Spark hash-partitions once on `row_key`;
-  * the finer-keyed windows reuse that exchange (HashPartitioning on a
-  * subset of the cluster keys satisfies the ClusteredDistribution
-  * requirement), so the whole pipeline costs ONE shuffle plus
-  * within-partition sorts — no per-step reshuffle, no driver-side state.
+  * Scale design:
+  *  - every windowed step partitions on `row_key` or a superset, so the
+  *    whole pipeline costs ONE shuffle plus within-partition sorts;
+  *  - the pipeline is ADAPTIVE: each step materializes only if the op
+  *    types / schema knobs that require it are present (`opsPresent`,
+  *    statically known for engine-written logs). A delete-free,
+  *    atomic-free, max_versions=1 table — the reference default
+  *    (table_schema.proto:37) and the dominant analytical case —
+  *    resolves as a single `max_by` hash aggregation: partial
+  *    (map-side) + final, no window sort at all, the cheapest shape
+  *    Spark can execute at 100 TB.
   */
 object Resolve {
   import OpType._
@@ -41,83 +46,121 @@ object Resolve {
     * @param snapshotSeq time-travel bound: only ops with seq <= snapshot
     *                    are visible (tera snapshot reads bound the
     *                    LevelDB sequence, src/io/tablet_io.cc:2331-2345)
+    * @param opsPresent  the op tags the log may contain, when known
+    *                    statically; `None` probes with a cheap
+    *                    distinct-scan of the op column. Drives the
+    *                    adaptive step elision.
     * @return visible cells (row_key, cf, qualifier, ts, value, seq)
     */
   def resolve(
       log: DataFrame,
       desc: TableDesc = TableDesc(),
       nowUs: Long = Long.MaxValue,
-      snapshotSeq: Option[Long] = None): DataFrame = {
+      snapshotSeq: Option[Long] = None,
+      opsPresent: Option[Set[Int]] = None): DataFrame = {
 
     val bounded = snapshotSeq.fold(log)(s => log.where(col("seq") <= s))
+
+    val present: Set[Int] = opsPresent.getOrElse(
+      bounded.select(col("op")).distinct().collect().map(_.getInt(0)).toSet)
+    val hasAtomic = present.exists(atomics.contains)
+    val hasValue = present.contains(Value)
+
+    def cfKnob(f: graft.model.CfSpec => Long): Column =
+      desc.cfs.foldLeft(lit(f(desc.default)): Column) { case (acc, (cf, spec)) =>
+        when(col("cf") === cf, lit(f(spec))).otherwise(acc)
+      }
+    val allSpecs = desc.default +: desc.cfs.values.toSeq
+    val anyTtl = allSpecs.exists(_.ttlSec > 0)
+    val anyMinVersions = allSpecs.exists(_.minVersions > 0)
+    val uncapped = allSpecs.forall(_.maxVersions == Int.MaxValue)
+    val allSingleVersion = allSpecs.forall(_.maxVersions == 1)
 
     // --- tombstones ---------------------------------------------------
     // A delete with (ts_d, seq_d) kills data cells in its scope with
     // cell.ts <= ts_d written before it (cell.seq < seq_d). Running max
     // of delete-ts over strictly-later-seq ops gives, per data cell, the
     // strongest tombstone that can apply — one ordered window pass per
-    // delete granularity, all sharing the row_key exchange.
+    // delete granularity PRESENT in the log, all sharing the row_key
+    // exchange.
     val laterOps = Window.orderBy(col("seq").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wRow  = laterOps.partitionBy(col("row_key"))
-    val wCf   = laterOps.partitionBy(col("row_key"), col("cf"))
-    val wQual = laterOps.partitionBy(col("row_key"), col("cf"), col("qualifier"))
-    val wVer  = laterOps.partitionBy(col("row_key"), col("cf"), col("qualifier"), col("ts"))
+    def delScope(opTag: Int, parts: Seq[String]): Option[Column] =
+      if (!present.contains(opTag)) None
+      else Some(coalesce(
+        max(when(col("op") === opTag, col("ts")))
+          .over(laterOps.partitionBy(parts.map(col): _*)),
+        lit(minTs)))
 
-    def delTs(opTag: Int, w: org.apache.spark.sql.expressions.WindowSpec): Column =
-      coalesce(max(when(col("op") === opTag, col("ts"))).over(w), lit(minTs))
+    val delCols: Seq[(String, Column, Column => Column)] = Seq(
+      delScope(DelRow, Seq("row_key")).map(("_del_row_ts", _,
+        (c: Column) => col("ts") > c)),
+      delScope(DelColumn, Seq("row_key", "cf")).map(("_del_cf_ts", _,
+        (c: Column) => col("ts") > c)),
+      delScope(DelQualifiers, Seq("row_key", "cf", "qualifier")).map(("_del_qual_ts", _,
+        (c: Column) => col("ts") > c)),
+      (if (!present.contains(DelQualifier)) None
+       else Some(("_del_ver",
+        coalesce(
+          max(when(col("op") === DelQualifier, lit(1)))
+            .over(laterOps.partitionBy(col("row_key"), col("cf"),
+              col("qualifier"), col("ts"))),
+          lit(0)),
+        (c: Column) => c === 0)))).flatten
 
-    val withDels = bounded
-      .withColumn("_del_row_ts", delTs(DelRow, wRow))
-      .withColumn("_del_cf_ts", delTs(DelColumn, wCf))
-      .withColumn("_del_qual_ts", delTs(DelQualifiers, wQual))
-      .withColumn("_del_ver",
-        coalesce(max(when(col("op") === DelQualifier, lit(1))).over(wVer), lit(0)))
-
-    val alive = withDels
-      .where(col("op").isin(dataOps: _*) &&
-        col("ts") > col("_del_row_ts") &&
-        col("ts") > col("_del_cf_ts") &&
-        col("ts") > col("_del_qual_ts") &&
-        col("_del_ver") === 0)
-      .drop("_del_row_ts", "_del_cf_ts", "_del_qual_ts", "_del_ver")
-
-    // --- TTL + version caps -------------------------------------------
-    // Per-CF knobs become a tiny when-chain (the CF set is schema-scale,
-    // not data-scale). min_versions newest cells survive expiry; after
-    // the TTL drop, the newest max_versions remain.
-    def cfKnob(f: graft.model.CfSpec => Long): Column =
-      desc.cfs.foldLeft(lit(f(desc.default)): Column) { case (acc, (cf, spec)) =>
-        when(col("cf") === cf, lit(f(spec))).otherwise(acc)
+    val keepData = col("op").isin(dataOps.filter(present.contains): _*)
+    val alive =
+      if (delCols.isEmpty) bounded.where(keepData)
+      else {
+        val withDels = delCols.foldLeft(bounded) { case (df, (name, c, _)) =>
+          df.withColumn(name, c)
+        }
+        val pred = delCols.map { case (name, _, test) => test(col(name)) }
+          .foldLeft(keepData)(_ && _)
+        withDels.where(pred).drop(delCols.map(_._1): _*)
       }
 
+    // --- TTL + min_versions survivors ---------------------------------
     val versionOrder = Window
       .partitionBy(col("row_key"), col("cf"), col("qualifier"))
       .orderBy(col("ts").desc, col("seq").desc)
 
-    val ttlUs = cfKnob(_.ttlSec) * lit(1000000L)
-    val surviving = alive
-      .withColumn("_vrank0", row_number().over(versionOrder))
-      .where(ttlUs === 0L || (col("ts") + ttlUs) > lit(nowUs) ||
-        col("_vrank0") <= cfKnob(_.minVersions.toLong))
-      .drop("_vrank0")
+    val surviving =
+      if (!anyTtl) alive
+      else {
+        val ttlUs = cfKnob(_.ttlSec) * lit(1000000L)
+        val fresh = ttlUs === 0L || (col("ts") + ttlUs) > lit(nowUs)
+        if (!anyMinVersions) alive.where(fresh)
+        else alive
+          .withColumn("_vrank0", row_number().over(versionOrder))
+          .where(fresh || col("_vrank0") <= cfKnob(_.minVersions.toLong))
+          .drop("_vrank0")
+      }
 
-    val capped = surviving
-      .withColumn("_vrank", row_number().over(versionOrder))
-      .withColumn("_has_atomic",
-        max(when(col("op").isin(atomics: _*), 1).otherwise(0))
-          .over(Window.partitionBy(col("row_key"), col("cf"), col("qualifier"))))
-
-    // --- atomic fold --------------------------------------------------
+    // --- version cap + atomic fold ------------------------------------
     // Columns written only with plain VALUEs keep their newest
     // max_versions versions. Columns touched by atomic ops collapse to a
     // single merged cell: the chronological fold of the surviving ops
     // (VALUE resets the state; ADD/ADDINT64 sum onto it; PUT_IF_ABSENT
     // writes only into emptiness; APPEND concatenates) — the batch
     // equivalent of tera's AtomicMergeStrategy.
-    val plain = capped
-      .where(col("_has_atomic") === 0 && col("_vrank") <= cfKnob(_.maxVersions.toLong))
-      .select("row_key", "cf", "qualifier", "ts", "value", "seq")
+    val outCols = Seq("row_key", "cf", "qualifier", "ts", "value", "seq").map(col)
+
+    def cappedPlain(df: DataFrame): DataFrame =
+      if (uncapped) df.select(outCols: _*)
+      else if (allSingleVersion)
+        // max_versions=1 fast path: hash aggregation with map-side
+        // partial combine — no window sort (SURVEY §4 optional strategy)
+        df.groupBy(col("row_key"), col("cf"), col("qualifier"))
+          .agg(max_by(struct(col("ts"), col("seq"), col("value")),
+            struct(col("ts"), col("seq"))).as("_c"))
+          .select(col("row_key"), col("cf"), col("qualifier"),
+            col("_c.ts").as("ts"), col("_c.value").as("value"),
+            col("_c.seq").as("seq"))
+      else df
+        .withColumn("_vrank", row_number().over(versionOrder))
+        .where(col("_vrank") <= cfKnob(_.maxVersions.toLong))
+        .select(outCols: _*)
 
     val foldMerge = (s: Column, x: Column) =>
       when(x.getField("op") === Value, x.getField("value"))
@@ -130,8 +173,7 @@ object Resolve {
           concat(coalesce(s, lit(Array.emptyByteArray)), x.getField("value")))
         .otherwise(s)
 
-    val folded = capped
-      .where(col("_has_atomic") === 1)
+    def folded(df: DataFrame): DataFrame = df
       .groupBy(col("row_key"), col("cf"), col("qualifier"))
       .agg(
         max(col("ts")).as("ts"),
@@ -140,9 +182,18 @@ object Resolve {
           lit(null).cast("binary"),
           foldMerge).as("value"),
         max(col("seq")).as("seq"))
-      .select("row_key", "cf", "qualifier", "ts", "value", "seq")
+      .select(outCols: _*)
 
-    plain.unionAll(folded)
+    if (!hasAtomic) cappedPlain(surviving)
+    else if (!hasValue) folded(surviving)
+    else {
+      // mixed log: split per column by whether atomic ops touched it
+      val marked = surviving.withColumn("_has_atomic",
+        max(when(col("op").isin(atomics.filter(present.contains): _*), 1).otherwise(0))
+          .over(Window.partitionBy(col("row_key"), col("cf"), col("qualifier"))))
+      cappedPlain(marked.where(col("_has_atomic") === 0).drop("_has_atomic"))
+        .unionAll(folded(marked.where(col("_has_atomic") === 1).drop("_has_atomic")))
+    }
   }
 
   /** Wide row view — `RowReader::ToMap` equivalent

@@ -94,7 +94,8 @@ case class ScanQuery(
     rowFilter: Option[ScanFilter] = None,
     snapshotSeq: Option[Long] = None,
     nowUs: Long = Long.MaxValue,
-    limitRows: Option[Int] = None) {
+    limitRows: Option[Int] = None,
+    opsPresent: Option[Set[Int]] = None) {
 
   def withStart(k: String): ScanQuery = copy(startKey = Some(k))
   def withStop(k: String): ScanQuery = copy(stopKey = Some(k))
@@ -117,7 +118,7 @@ case class ScanQuery(
     startKey.foreach(k => pruned = pruned.where(col("row_key") >= k))
     stopKey.foreach(k => pruned = pruned.where(col("row_key") < k))
 
-    val resolved = Resolve.resolve(pruned, desc, nowUs, snapshotSeq)
+    val resolved = Resolve.resolve(pruned, desc, nowUs, snapshotSeq, opsPresent)
 
     // row-level verdict: leaf states aggregate over the whole row
     val filtered = rowFilter match {

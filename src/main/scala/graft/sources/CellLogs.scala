@@ -14,6 +14,13 @@ import org.apache.spark.sql.functions._
 object CellLogs {
   import OpType._
 
+  // statically-known op sets per fixture, for Resolve's adaptive paths
+  val valueOnly: Option[Set[Int]] = Some(Set(Value))
+  val counterOps: Option[Set[Int]] = Some(Set(Add))
+  val appendOps: Option[Set[Int]] = Some(Set(Append))
+  val putIfAbsentOps: Option[Set[Int]] = Some(Set(PutIfAbsent))
+  val tombstoneOps: Option[Set[Int]] = Some(Set(Value, DelQualifiers, DelRow))
+
   private def events(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "events")
 

@@ -1,0 +1,124 @@
+package graft
+
+import graft.model.{CellOp, OpType, TableDesc}
+import graft.operators.Resolve
+import graft.sources.CellLogStore
+import graft.streaming.Observers
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Observer/notification pipeline (SURVEY §2.8) + write/compaction path. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def ops(n: Int): Seq[CellOp] =
+    (0 until n).map { i =>
+      CellOp(s"r${i % 7}", if (i % 2 == 0) "cf1" else "cf2",
+        s"q${i % 3}", 1000L + i, OpType.Value, s"v$i".getBytes, i.toLong)
+    }
+
+  test("observer sees only observed columns, exactly once, bucketed") {
+    import spark.implicits._
+    val logDir = tmp("celllog")
+    val ckpt = tmp("ckpt")
+    CellLogStore.append(ops(60).toDF(), logDir)
+
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    val q = Observers.observe(
+      Observers.cellLogStream(spark, logDir),
+      columns = Seq(("cf1", "q0"), ("cf1", "q1")),
+      checkpointDir = ckpt,
+      buckets = 4) { (batch, _) =>
+      collected ++= batch.select("row_key", "cf", "qualifier")
+        .as[(String, String, String)].collect()
+      val buckets = batch.select("bucket").distinct().as[Int].collect()
+      assert(buckets.forall(b => b >= 0 && b < 4))
+    }
+    q.awaitTermination()
+
+    val expected = ops(60)
+      .filter(c => c.cf == "cf1" && (c.qualifier == "q0" || c.qualifier == "q1"))
+      .map(c => (c.row_key, c.cf, c.qualifier))
+    assert(collected.sorted == expected.sorted)
+
+    // restart with same checkpoint: no new files -> no redelivery (the ack)
+    val before = collected.size
+    val q2 = Observers.observe(
+      Observers.cellLogStream(spark, logDir),
+      Seq(("cf1", "q0"), ("cf1", "q1")), ckpt, 4) { (batch, _) =>
+      collected ++= batch.select("row_key", "cf", "qualifier")
+        .as[(String, String, String)].collect()
+    }
+    q2.awaitTermination()
+    assert(collected.size == before)
+  }
+
+  test("event-time windows with watermark over the change feed") {
+    import spark.implicits._
+    val logDir = tmp("celllog-win")
+    // two one-hour buckets of VALUE cells
+    val hour = 3600L * 1000000L
+    val cells = (0 until 20).map { i =>
+      CellOp("r1", "ev", "click", (if (i < 12) 0L else hour) + i * 1000L,
+        OpType.Value, Array[Byte](1), i.toLong)
+    }
+    CellLogStore.append(cells.toDF(), logDir)
+
+    val agg = Observers.windowedCounts(
+      Observers.cellLogStream(spark, logDir),
+      window_ = "1 hour", slide = None, watermark = "10 minutes")
+    val q = agg.writeStream
+      .format("memory").queryName("win_counts")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val res = spark.sql("SELECT cnt FROM win_counts ORDER BY window_start")
+      .as[Long].collect().toSeq
+    assert(res == Seq(12L, 8L))
+  }
+
+  test("compaction preserves resolved state and drops folded history") {
+    import spark.implicits._
+    val logDir = tmp("celllog-compact")
+    val log = Seq(
+      CellOp("r1", "cf", "q", 10, OpType.Value, "old".getBytes, 1),
+      CellOp("r1", "cf", "q", 20, OpType.Value, "new".getBytes, 2),
+      CellOp("r2", "cf", "q", 10, OpType.Add,
+        graft.functions.Codecs.encodeBE64(5), 3),
+      CellOp("r2", "cf", "q", 20, OpType.Add,
+        graft.functions.Codecs.encodeBE64(7), 4),
+      CellOp("r3", "cf", "q", 10, OpType.Value, "dead".getBytes, 5),
+      CellOp("r3", "cf", "q", 50, OpType.DelRow, null, 6))
+    CellLogStore.append(log.toDF(), logDir)
+
+    val outDir = tmp("celllog-compacted")
+    CellLogStore.compact(spark, logDir, outDir)
+
+    def state(dir: String): Set[(String, Long, String)] =
+      Resolve.resolve(CellLogStore.read(spark, dir)).collect().map { r =>
+        val v = r.getAs[Array[Byte]]("value")
+        val decoded = if (r.getString(0) == "r2")
+          graft.functions.Codecs.decodeBE64(v).toString
+        else new String(v, "UTF-8")
+        (r.getString(0), r.getAs[Long]("ts"), decoded)
+      }.toSet
+
+    assert(state(outDir) == state(logDir))
+    assert(state(outDir) == Set(("r1", 20L, "new"), ("r2", 20L, "12")))
+    // history physically gone: compacted log has exactly the live cells
+    assert(CellLogStore.read(spark, outDir).count() == 2)
+  }
+}
