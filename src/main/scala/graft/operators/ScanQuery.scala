@@ -67,6 +67,17 @@ object ScanFilter {
       value: TypedValue,
       filterIfMissing: Boolean = false) extends ScanFilter
 
+  /** Legacy filter shapes (tera old-proto filters, still accepted:
+    * src/proto/tabletnode_rpc.proto:169-204 — Regex / SubStr / Prefix /
+    * BinComp over row/value fields; server conversion
+    * `TabletIO::TransFilter` src/io/tablet_io.cc:1957+).
+    */
+  case class RowKeyPrefix(prefix: String) extends ScanFilter
+  case class ValueRegex(cf: String, qualifier: String, pattern: String,
+      filterIfMissing: Boolean = false) extends ScanFilter
+  case class ValueSubstring(cf: String, qualifier: String, substr: String,
+      filterIfMissing: Boolean = false) extends ScanFilter
+
   def and(fs: ScanFilter*): ScanFilter = And(fs)
   def or(fs: ScanFilter*): ScanFilter = Or(fs)
 }
@@ -125,11 +136,19 @@ case class ScanQuery(
       case None => resolved
       case Some(f) =>
         val wRow = Window.partitionBy(col("row_key"))
+        def columnVerdict(cf: String, q: String, pred: Column,
+            ifMissing: Boolean): Column = {
+          val isTarget = col("cf") === cf && col("qualifier") === q
+          val present = max(when(isTarget, 1).otherwise(0)).over(wRow) === 1
+          val ok = max(when(isTarget && pred, 1).otherwise(0)).over(wRow) === 1
+          when(present, ok).otherwise(lit(!ifMissing))
+        }
+        def utf8(c: Column): Column =
+          org.apache.spark.sql.functions.decode(c, "UTF-8")
         def verdict(node: ScanFilter): Column = node match {
           case ScanFilter.And(cs) => cs.map(verdict).reduce(_ && _)
           case ScanFilter.Or(cs)  => cs.map(verdict).reduce(_ || _)
           case ScanFilter.ValueFilter(cf, q, cmp, tv, ifMissing) =>
-            val isTarget = col("cf") === cf && col("qualifier") === q
             val decoded = tv.decode(col("value"))
             val pred = cmp match {
               case "<"  => decoded < tv.literal
@@ -139,9 +158,12 @@ case class ScanQuery(
               case ">=" => decoded >= tv.literal
               case ">"  => decoded > tv.literal
             }
-            val present = max(when(isTarget, 1).otherwise(0)).over(wRow) === 1
-            val ok = max(when(isTarget && pred, 1).otherwise(0)).over(wRow) === 1
-            when(present, ok).otherwise(lit(!ifMissing))
+            columnVerdict(cf, q, pred, ifMissing)
+          case ScanFilter.RowKeyPrefix(p) => col("row_key").startsWith(p)
+          case ScanFilter.ValueRegex(cf, q, pat, ifMissing) =>
+            columnVerdict(cf, q, utf8(col("value")).rlike(pat), ifMissing)
+          case ScanFilter.ValueSubstring(cf, q, sub, ifMissing) =>
+            columnVerdict(cf, q, utf8(col("value")).contains(sub), ifMissing)
         }
         resolved.withColumn("_pass", verdict(f)).where(col("_pass")).drop("_pass")
     }

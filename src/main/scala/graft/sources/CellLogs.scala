@@ -115,6 +115,38 @@ object CellLogs {
     values.unionAll(delQuals).unionAll(delRows)
   }
 
+  /** orders → a multi-CF wide table: cf 'meta' holds status/priority
+    * strings, cf 'amt' holds the price cents counter — exercises
+    * locality-group-style CF projection (P1) and point gets (S3/S4). */
+  def ordersWideLog(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+    def cell(cf: String, qual: String, value: org.apache.spark.sql.Column, slot: Int) =
+      o.select(
+        col("o_orderkey").cast("string").as("row_key"),
+        lit(cf).as("cf"),
+        lit(qual).as("qualifier"),
+        lit(1L).as("ts"),
+        lit(Value).as("op"),
+        value.as("value"),
+        (col("o_orderkey") * 10 + slot).as("seq"))
+    cell("meta", "status", encode(col("o_orderstatus"), "UTF-8"), 1)
+      .unionAll(cell("meta", "priority", encode(col("o_orderpriority"), "UTF-8"), 2))
+      .unionAll(cell("amt", "price",
+        be64_encode(floor(col("o_totalprice") * 100).cast("long")), 3))
+  }
+
+  /** events → VALUE cells with f64-encoded numeric payload (typed
+    * comparator fixture, P11). */
+  def eventsF64Log(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir).select(
+      col("user_id").cast("string").as("row_key"),
+      lit("ev").as("cf"),
+      col("event_type").as("qualifier"),
+      Tables.eventTsUs.as("ts"),
+      lit(Value).as("op"),
+      f64_encode(col("value")).as("value"),
+      col("event_id").as("seq"))
+
   /** Percolator committed-state fixture from orders (FIXTURES.md §2.4):
     * every order writes data at ts=10; even orderkeys also carry a
     * commit pointer `!Wq` at commit_ts=20 whose value encodes the data
