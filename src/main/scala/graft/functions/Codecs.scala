@@ -13,19 +13,27 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object Codecs {
 
+  // Decoders are TOTAL: a buffer that is not exactly 8 bytes decodes to
+  // 0 — a counter fold hitting a malformed/non-counter base treats it as
+  // an empty base rather than failing mid-job (the reference assumes
+  // well-formed 8-byte operands and would read garbage; at engine scale
+  // a poison cell must not kill a scan).
+
   // ---- int64 big-endian (counter Add operand) ----
   def encodeBE64(v: Long): Array[Byte] =
     ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN).putLong(v).array()
 
   def decodeBE64(b: Array[Byte]): Long =
-    ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN).getLong
+    if (b.length != 8) 0L
+    else ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN).getLong
 
   // ---- int64 little-endian (AddInt64 operand; x86 host order) ----
   def encodeLE64(v: Long): Array[Byte] =
     ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v).array()
 
   def decodeLE64(b: Array[Byte]): Long =
-    ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getLong
+    if (b.length != 8) 0L
+    else ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getLong
 
   // ---- double (typed decimal comparator operand) ----
   def encodeF64(v: Double): Array[Byte] = encodeBE64(java.lang.Double.doubleToLongBits(v))

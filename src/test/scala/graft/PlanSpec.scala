@@ -1,0 +1,91 @@
+package graft
+
+import graft.model.{CellOp, OpType, TableDesc}
+import graft.operators.{Resolve, ScanQuery}
+import graft.sources.{CellLogStore, Tables}
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the scale claims are plan properties, so they
+  * are asserted as plan properties — filters reach the parquet scan,
+  * the resolve fast path has no window sort, small-side joins broadcast.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("relational range predicate is pushed to the parquet scan") {
+    val df = SparkEntry.queries("q_p1_scan_projection")(spark, sfDir)
+    val scan = df.queryExecution.executedPlan.collectLeaves().mkString("\n")
+    assert(scan.contains("PushedFilters") &&
+      scan.contains("GreaterThanOrEqual(l_orderkey,100)"), scan)
+    // column pruning: only the two projected columns are read
+    assert(scan.contains("ReadSchema") && !scan.contains("l_shipdate"), scan)
+  }
+
+  test("row-range scan over a stored cell log pushes key bounds to parquet") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("plan-log").toString
+    val ops = (0 until 100).map(i =>
+      CellOp(f"r$i%03d", "cf", "q", 1L, OpType.Value, s"v$i".getBytes, i.toLong))
+    CellLogStore.append(ops.toDF(), dir)
+    val scan = ScanQuery(CellLogStore.read(spark, dir),
+        opsPresent = Some(Set(OpType.Value)))
+      .withStart("r010").withStop("r020")
+      .run()
+    val leaves = scan.queryExecution.executedPlan.collectLeaves().mkString("\n")
+    assert(leaves.contains("GreaterThanOrEqual(row_key,r010)") &&
+      leaves.contains("LessThan(row_key,r020)"), leaves)
+  }
+
+  test("resolve fast path (max_versions=1, no atomics) plans without Window") {
+    import spark.implicits._
+    val log = Seq(CellOp("r", "cf", "q", 1, OpType.Value, "v".getBytes, 1)).toDF()
+    val plan = planOf(Resolve.resolve(log, opsPresent = Some(Set(OpType.Value))))
+    assert(!plan.contains("Window"), plan)
+    // max_by over a binary-carrying struct plans as SortAggregate; the
+    // scale property that matters is the partial (map-side) combine
+    assert(plan.contains("partial_max_by"), plan)
+  }
+
+  test("uncapped version resolve plans without Window or aggregation") {
+    import spark.implicits._
+    val log = Seq(CellOp("r", "cf", "q", 1, OpType.Value, "v".getBytes, 1)).toDF()
+    val plan = planOf(Resolve.resolve(log,
+      TableDesc(graft.model.CfSpec(maxVersions = Int.MaxValue)),
+      opsPresent = Some(Set(OpType.Value))))
+    assert(!plan.contains("Window") && !plan.contains("Aggregate"), plan)
+  }
+
+  test("batch get broadcasts the key list") {
+    val df = SparkEntry.queries("q_s5_batch_get")(spark, sfDir)
+    assert(planOf(df).contains("BroadcastHashJoin"), planOf(df))
+  }
+
+  test("full resolve pipeline shuffles once on row_key for all windows") {
+    import spark.implicits._
+    val log = (0 until 50).map(i =>
+      CellOp(s"r${i % 5}", "cf", s"q${i % 3}", i.toLong,
+        if (i % 10 == 0) OpType.DelRow
+        else if (i % 7 == 0) OpType.DelQualifiers
+        else OpType.Value,
+        if (i % 10 == 0 || i % 7 == 0) null else s"v$i".getBytes, i.toLong)).toDF()
+    val plan = planOf(Resolve.resolve(log, TableDesc(graft.model.CfSpec(maxVersions = 2)),
+      opsPresent = Some(Set(OpType.Value, OpType.DelRow, OpType.DelQualifiers))))
+    // one exchange for the local relation input: the row_key hash
+    // partitioning satisfies every finer-keyed window downstream
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
+  }
+}

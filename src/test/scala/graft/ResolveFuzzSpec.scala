@@ -1,0 +1,138 @@
+package graft
+
+import graft.functions.Codecs
+import graft.model._
+import graft.operators.Resolve
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential fuzz: Spark resolve vs an independent in-memory
+  * reference resolver, over seeded-random logs mixing every op type,
+  * delete granularity, ttl/min/max-version knobs and snapshots
+  * (the property-test plan of SURVEY.md §5).
+  */
+class ResolveFuzzSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import OpType._
+
+  /** Straight-line reimplementation of the documented resolve semantics
+    * (SURVEY.md §2.4) — no Spark, no sharing with the production code.
+    */
+  private def refResolve(
+      ops: Seq[CellOp],
+      desc: TableDesc,
+      nowUs: Long,
+      snapshot: Option[Long]): Set[(String, String, String, Long, Seq[Byte])] = {
+
+    val bounded = ops.filter(o => snapshot.forall(o.seq <= _))
+    def killed(c: CellOp): Boolean = bounded.exists { d =>
+      d.seq > c.seq && (d.op match {
+        case DelRow => d.row_key == c.row_key && c.ts <= d.ts
+        case DelColumn => d.row_key == c.row_key && d.cf == c.cf && c.ts <= d.ts
+        case DelQualifiers => d.row_key == c.row_key && d.cf == c.cf &&
+          d.qualifier == c.qualifier && c.ts <= d.ts
+        case DelQualifier => d.row_key == c.row_key && d.cf == c.cf &&
+          d.qualifier == c.qualifier && d.ts == c.ts
+        case _ => false
+      })
+    }
+    val alive = bounded.filter(c => dataOps.contains(c.op) && !killed(c))
+
+    alive.groupBy(c => (c.row_key, c.cf, c.qualifier)).flatMap {
+      case ((row, cf, qual), cells) =>
+        val spec = desc.spec(cf)
+        val newestFirst = cells.sortBy(c => (-c.ts, -c.seq))
+        val ttlUs = spec.ttlSec * 1000000L
+        val surviving = newestFirst.zipWithIndex.filter { case (c, i) =>
+          ttlUs == 0L || c.ts + ttlUs > nowUs || i < spec.minVersions
+        }.map(_._1)
+        if (surviving.isEmpty) Nil
+        else if (surviving.exists(c => atomics.contains(c.op))) {
+          // chronological fold into one merged cell
+          // decodeBE64/decodeLE64 are total (non-8-byte buffers -> 0),
+          // so a fold over a mixed-type column treats a malformed base
+          // as empty — mirrored here
+          var state: Array[Byte] = null
+          surviving.sortBy(c => (c.ts, c.seq)).foreach { c =>
+            c.op match {
+              case Value => state = c.value
+              case Add => state = Codecs.encodeBE64(
+                (if (state == null) 0L else Codecs.decodeBE64(state)) +
+                  Codecs.decodeBE64(c.value))
+              case AddInt64 => state = Codecs.encodeLE64(
+                (if (state == null) 0L else Codecs.decodeLE64(state)) +
+                  Codecs.decodeLE64(c.value))
+              case PutIfAbsent => if (state == null) state = c.value
+              case Append => state =
+                (if (state == null) Array.emptyByteArray else state) ++ c.value
+            }
+          }
+          Seq((row, cf, qual, surviving.map(_.ts).max, state.toSeq))
+        } else {
+          surviving.take(spec.maxVersions)
+            .map(c => (row, cf, qual, c.ts, c.value.toSeq))
+        }
+    }.toSet
+  }
+
+  private def randomLog(rng: scala.util.Random, n: Int): Seq[CellOp] = {
+    val seqs = rng.shuffle((1L to n.toLong).toList)
+    (0 until n).map { i =>
+      val row = s"r${rng.nextInt(3)}"
+      val cf = s"cf${rng.nextInt(2)}"
+      val qual = s"q${rng.nextInt(2)}"
+      val ts = (rng.nextInt(5) + 1).toLong * 1000000L
+      val op = rng.nextInt(100) match {
+        case x if x < 40 => Value
+        case x if x < 50 => DelRow
+        case x if x < 58 => DelColumn
+        case x if x < 66 => DelQualifiers
+        case x if x < 72 => DelQualifier
+        case x if x < 82 => Add
+        case x if x < 88 => AddInt64
+        case x if x < 94 => PutIfAbsent
+        case _           => Append
+      }
+      val value: Array[Byte] = op match {
+        case Value | PutIfAbsent | Append => s"v$i".getBytes("UTF-8")
+        case Add => Codecs.encodeBE64(rng.nextInt(100).toLong - 50)
+        case AddInt64 => Codecs.encodeLE64(rng.nextInt(100).toLong - 50)
+        case _ => null
+      }
+      CellOp(row, cf, qual, ts, op, value, seqs(i))
+    }
+  }
+
+  test("spark resolve == reference resolver on 40 random logs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260812L)
+    (1 to 40).foreach { trial =>
+      val n = 10 + rng.nextInt(40)
+      val log = randomLog(rng, n)
+      val desc = TableDesc(
+        CfSpec(
+          maxVersions = 1 + rng.nextInt(3),
+          minVersions = rng.nextInt(2),
+          ttlSec = if (rng.nextBoolean()) 0L else 3L),
+        cfs = if (rng.nextBoolean()) Map("cf1" -> CfSpec(maxVersions = 2)) else Map.empty)
+      val nowUs = 6000000L
+      val snapshot = if (rng.nextInt(4) == 0) Some(n.toLong / 2) else None
+
+      val got = Resolve.resolve(log.toDF(), desc, nowUs, snapshot)
+        .collect().map { r =>
+          (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
+            r.getAs[Array[Byte]]("value").toSeq)
+        }.toSet
+      val want = refResolve(log, desc, nowUs, snapshot)
+      assert(got == want,
+        s"trial $trial mismatch (n=$n desc=$desc snap=$snapshot)\n" +
+          s"only-spark: ${got -- want}\nonly-ref: ${want -- got}")
+    }
+  }
+}
