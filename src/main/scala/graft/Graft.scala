@@ -1,0 +1,92 @@
+package graft
+
+import graft.model.{CellOp, OpType, TableDesc}
+import graft.operators.{Resolve, ScanFilter, ScanQuery}
+import graft.sources.{CellLogStore, Tables}
+import graft.streaming.Observers
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The user-facing SDK surface — what `tera::Client`/`tera::Table`
+  * offer (include/tera/table.h:43-163), re-expressed over Spark. A user
+  * of the reference maps their calls 1:1:
+  *
+  *   - `Table::Scan(ScanDescriptor)` → [[GraftTable.scan]] builder
+  *   - `Table::Get(RowReader)`       → [[GraftTable.get]]
+  *   - `Table::Put/ApplyMutation`    → [[GraftTable.put]] of CellOp batches
+  *   - `RowMutation::Add/Append/PutIfAbsent/Delete*` → tagged [[CellOp]]s
+  *   - `Table::Observe`              → [[GraftTable.observe]]
+  *   - snapshot reads                → [[GraftTable.snapshot]]
+  *   - `teracli compact`             → [[GraftTable.compact]]
+  */
+class GraftTable(
+    val spark: SparkSession,
+    val logDir: String,
+    val desc: TableDesc = TableDesc()) {
+
+  /** The raw tagged mutation log. */
+  def log: DataFrame = CellLogStore.read(spark, logDir)
+
+  /** Resolved visible cells (versions/TTL/tombstones/folds applied). */
+  def cells(nowUs: Long = Long.MaxValue): DataFrame =
+    Resolve.resolve(log, desc, nowUs)
+
+  /** Scan builder over this table. */
+  def scan: ScanQuery = ScanQuery(log, desc)
+
+  /** Point get: all visible cells of one row. */
+  def get(rowKey: String): DataFrame =
+    cells().where(col("row_key") === rowKey)
+
+  /** Wide-row view of a point get (`RowReader::ToMap`). */
+  def getRow(rowKey: String): DataFrame =
+    Resolve.toWideRows(get(rowKey))
+
+  /** Group-commit a mutation batch (any mix of puts/deletes/atomics). */
+  def put(batch: DataFrame): Unit = CellLogStore.append(batch, logDir)
+
+  def put(ops: Seq[CellOp]): Unit = {
+    val session = spark
+    import session.implicits._
+    put(ops.toDF())
+  }
+
+  /** Time-travel read bound by sequence number (tera snapshots). */
+  def snapshot(seq: Long): DataFrame =
+    Resolve.resolve(log, desc, snapshotSeq = Some(seq))
+
+  /** Background compaction into `outDir` (physically applies folds,
+    * drops dead versions — keeps read amplification bounded). */
+  def compact(outDir: String, nowUs: Long = Long.MaxValue): Unit =
+    CellLogStore.compact(spark, logDir, outDir, desc, nowUs)
+
+  /** Observe columns: streaming callback over new appends. */
+  def observe(columns: Seq[(String, String)], checkpointDir: String,
+      buckets: Int = 16)(onNotify: (DataFrame, Long) => Unit): StreamingQuery =
+    Observers.observe(Observers.cellLogStream(spark, logDir), columns,
+      checkpointDir, buckets)(onNotify)
+}
+
+/** Entry points + the SQL façade (tera's MySQL handler analogue,
+  * sql/src/ha_tera.cc: full SQL over stored tables — here the catalog
+  * registration that makes `spark.sql` work over resolved cell views).
+  */
+object Graft {
+
+  def openTable(spark: SparkSession, logDir: String,
+      desc: TableDesc = TableDesc()): GraftTable =
+    new GraftTable(spark, logDir, desc)
+
+  /** Register the driver test tables plus resolved cell-log views in
+    * the session catalog, making `spark.sql(...)` the query façade.
+    */
+  def registerSqlCatalog(spark: SparkSession, sfDir: String): Unit = {
+    Tables.registerAll(spark, sfDir)
+    graft.sources.CellLogs.eventsLog(spark, sfDir)
+      .createOrReplaceTempView("events_log")
+    Resolve.resolve(graft.sources.CellLogs.eventsLog(spark, sfDir),
+        opsPresent = graft.sources.CellLogs.valueOnly)
+      .createOrReplaceTempView("events_cells")
+  }
+}

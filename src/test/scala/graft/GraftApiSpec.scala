@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions.Codecs
+import graft.model.{CellOp, OpType}
+import graft.operators.{ScanFilter, TypedValue}
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end SDK surface: open table, put mutations, scan/get,
+  * snapshot, compact, SQL façade — the reference user's workflow.
+  */
+class GraftApiSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("put / get / delete / counter / scan / snapshot lifecycle") {
+    val dir = Files.createTempDirectory("graft-table").toString
+    val t = Graft.openTable(spark, dir)
+
+    // batch 1: two rows, a counter, then batch 2: overwrite + delete
+    t.put(Seq(
+      CellOp("alice", "prof", "name", 100, OpType.Value, "Alice".getBytes, 1),
+      CellOp("alice", "stats", "visits", 100, OpType.Add, Codecs.encodeBE64(1), 2),
+      CellOp("bob", "prof", "name", 100, OpType.Value, "Bob".getBytes, 3)))
+    t.put(Seq(
+      CellOp("alice", "stats", "visits", 200, OpType.Add, Codecs.encodeBE64(4), 4),
+      CellOp("bob", "prof", "name", 150, OpType.DelQualifiers, null, 5)))
+
+    // get: alice has name + folded counter 5
+    val alice = t.get("alice").collect()
+      .map(r => (r.getString(2), r.getAs[Array[Byte]]("value"))).toMap
+    assert(new String(alice("name")) == "Alice")
+    assert(Codecs.decodeBE64(alice("visits")) == 5L)
+    // bob's name deleted
+    assert(t.get("bob").count() == 0)
+
+    // scan with a typed filter on the counter
+    val rows = t.scan
+      .withFilter(ScanFilter.ValueFilter("stats", "visits", ">=",
+        TypedValue.Int64BE(5L), filterIfMissing = true))
+      .run().select("row_key").distinct().collect().map(_.getString(0)).toSet
+    assert(rows == Set("alice"))
+
+    // snapshot before the delete still sees bob
+    val snap = t.snapshot(4).where(col("row_key") === "bob").count()
+    assert(snap == 1)
+
+    // compaction keeps exactly the live cells
+    val cdir = Files.createTempDirectory("graft-compact").toString
+    t.compact(cdir)
+    val compacted = Graft.openTable(spark, cdir)
+    assert(compacted.log.count() == 2)
+    assert(Codecs.decodeBE64(
+      compacted.get("alice").where(col("qualifier") === "visits")
+        .collect()(0).getAs[Array[Byte]]("value")) == 5L)
+  }
+
+  test("sql facade answers over resolved cell views") {
+    Graft.registerSqlCatalog(spark, "/root/testdata/sf0.001")
+    val n = spark.sql(
+      """SELECT count(*) FROM events_cells c
+        |JOIN customer ON CAST(c_custkey AS STRING) = c.row_key
+        |WHERE c.qualifier = 'purchase'""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(n > 0)
+  }
+}
