@@ -32,7 +32,11 @@ object CellLogStore {
       .repartitionByRange(n, col("row_key"), col("cf"), col("qualifier"))
       .sortWithinPartitions(col("row_key"), col("cf"), col("qualifier"),
         col("ts"), col("seq"))
-      .write.mode(SaveMode.Append).parquet(logDir)
+      .write.mode(SaveMode.Append)
+      // row-key bloom filters per file ≙ tera's per-SST blooms
+      // (table_schema.proto:62): point gets skip files cheaply
+      .option("parquet.bloom.filter.enabled#row_key", "true")
+      .parquet(logDir)
   }
 
   def read(spark: SparkSession, logDir: String): DataFrame =

@@ -85,4 +85,34 @@ object Observers {
       .select(col("window.start").as("window_start"), col("cf"),
         col("qualifier"), col("cnt"))
   }
+
+  /** N6: session windows — activity sessions per row key closed after
+    * `gap` of silence. */
+  def sessionCounts(feed: DataFrame, gap: String, watermark: String): DataFrame = {
+    val ts = feed.withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", watermark)
+    ts.groupBy(session_window(col("event_time"), gap), col("row_key"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("row_key"), col("cnt"))
+  }
+
+  /** Custom keyed state (tera observers keep per-row processing state via
+    * row locks; here arbitrary state via flatMapGroupsWithState):
+    * running per-row cell counter emitted on every update.
+    */
+  def runningCellCounts(spark: SparkSession, feed: DataFrame)
+      : org.apache.spark.sql.Dataset[(String, Long)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    feed.select(col("row_key")).as[String]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, (String, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[String], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          Iterator((key, total))
+      }
+  }
 }

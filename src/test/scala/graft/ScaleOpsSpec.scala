@@ -1,0 +1,107 @@
+package graft
+
+import graft.model.{CellOp, OpType}
+import graft.operators.Skew
+import graft.sources.CellLogStore
+import graft.streaming.Observers
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale mechanics: salting, bucketed co-located joins, session windows,
+  * custom keyed state.
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  test("salted join matches plain join on a skewed key") {
+    import spark.implicits._
+    // 10k rows of one hot key + a tail
+    val fact = ((1 to 10000).map(i => ("hot", i)) ++
+      (1 to 100).map(i => (s"k$i", i))).toDF("key", "v")
+    val dim = (Seq(("hot", "H")) ++ (1 to 100).map(i => (s"k$i", s"d$i")))
+      .toDF("key", "name")
+    val plain = fact.join(dim, "key").groupBy("key").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val salted = Skew.saltedJoin(fact, dim, "key", salts = 8)
+      .groupBy("key").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(salted == plain)
+  }
+
+  test("salted two-phase aggregation matches direct aggregation") {
+    import spark.implicits._
+    val df = ((1 to 5000).map(_ => ("hot", 1L)) ++
+      (1 to 50).map(i => (s"k$i", i.toLong))).toDF("key", "v")
+    val direct = df.groupBy("key").agg(sum("v").as("s"), count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Skew.saltedAgg(df, col("key"), salts = 8,
+        partialAggs = Seq(sum("v").as("ps"), count(lit(1)).as("pc")),
+        finalAggs = Seq(sum("ps").as("s"), sum("pc").as("c")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == direct)
+  }
+
+  test("bucketed tables join without an exchange (co-located join)") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "a")
+        .write.mode("overwrite").bucketBy(4, "k").sortBy("k")
+        .saveAsTable("bucketed_a")
+      (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "b")
+        .write.mode("overwrite").bucketBy(4, "k").sortBy("k")
+        .saveAsTable("bucketed_b")
+      val joined = spark.table("bucketed_a").join(spark.table("bucketed_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(joined.count() == 1000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS bucketed_a")
+      spark.sql("DROP TABLE IF EXISTS bucketed_b")
+    }
+  }
+
+  test("session windows close after the gap; keyed state counts run") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sess-log").toString
+    val min = 60L * 1000000L
+    // r1: two sessions (burst at 0-2min, burst at 30min); r2: one
+    val cells = Seq(0L, min, 2 * min, 30 * min).zipWithIndex.map { case (ts, i) =>
+      CellOp("r1", "ev", "q", ts, OpType.Value, Array[Byte](1), i.toLong)
+    } ++ Seq(CellOp("r2", "ev", "q", 5 * min, OpType.Value, Array[Byte](1), 10L))
+    CellLogStore.append(cells.toDF(), dir)
+
+    val q = Observers.sessionCounts(
+        Observers.cellLogStream(spark, dir), gap = "10 minutes",
+        watermark = "1 minute")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sessions = spark.sql("SELECT row_key, cnt FROM sessions ORDER BY session_start")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sessions == Seq(("r1", 3L), ("r2", 1L), ("r1", 1L)))
+
+    val q2 = Observers.runningCellCounts(spark,
+        Observers.cellLogStream(spark, dir))
+      .writeStream.format("memory").queryName("running")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val counts = spark.sql("SELECT * FROM running").collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).max).toMap
+    assert(counts == Map("r1" -> 4L, "r2" -> 1L))
+  }
+}
