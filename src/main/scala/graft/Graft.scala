@@ -1,6 +1,7 @@
 package graft
 
 import graft.model.{CellOp, OpType, TableDesc}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import graft.operators.{Resolve, ScanFilter, ScanQuery}
 import graft.sources.{CellLogStore, Tables}
 import graft.streaming.Observers
@@ -83,10 +84,32 @@ object Graft {
     */
   def registerSqlCatalog(spark: SparkSession, sfDir: String): Unit = {
     Tables.registerAll(spark, sfDir)
+    registerFunctions(spark)
     graft.sources.CellLogs.eventsLog(spark, sfDir)
       .createOrReplaceTempView("events_log")
     Resolve.resolve(graft.sources.CellLogs.eventsLog(spark, sfDir),
         opsPresent = graft.sources.CellLogs.valueOnly)
       .createOrReplaceTempView("events_cells")
+  }
+
+  /** Register the engine's codec/hash expressions as SQL functions, so
+    * `spark.sql("SELECT murmur64a(...)")` works (the extension-point
+    * path of SURVEY §2.9 — these are native codegen'd expressions, not
+    * UDFs).
+    */
+  def registerFunctions(spark: SparkSession): Unit = {
+    import graft.functions._
+    val reg = spark.sessionState.functionRegistry
+    def one(name: String, f: Expression => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, es => f(es.head), "built-in")
+    one("murmur64a", e => Murmur64A(e, 0L))
+    one("be64_decode", Be64Decode)
+    one("be64_encode", Be64Encode)
+    one("le64_decode", Le64Decode)
+    one("le64_encode", Le64Encode)
+    one("f64_decode", F64Decode)
+    one("f64_encode", F64Encode)
+    one("key_successor", KeySuccessor)
+    one("simhash64", SimHash64)
   }
 }

@@ -70,4 +70,14 @@ class GraftApiSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(n > 0)
   }
+
+  test("engine expressions are callable from SQL") {
+    Graft.registerFunctions(spark)
+    val r = spark.sql(
+      """SELECT murmur64a(CAST('hello-tera' AS BINARY)) AS h,
+        |       be64_decode(be64_encode(42L)) AS rt,
+        |       f64_decode(f64_encode(2.5D)) AS d""".stripMargin).collect()(0)
+    assert(r.getLong(0) == Codecs.murmur64a("hello-tera".getBytes("UTF-8")))
+    assert(r.getLong(1) == 42L && r.getDouble(2) == 2.5)
+  }
 }
