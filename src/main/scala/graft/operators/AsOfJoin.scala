@@ -21,7 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** @param left      driving rows
+  /** NOTE: `carried` columns are each carried by an independent
+    * last-non-null window; when a right row can hold nulls in some
+    * carried columns, values from different right rows may combine.
+    * Carry a single struct column when row-atomic carry is required.
+    *
+    * @param left      driving rows
     * @param right     lookup rows
     * @param key       join key column name (same name both sides)
     * @param leftTs    event-time column in `left`

@@ -40,4 +40,27 @@ object PercolatorRead {
       .select(col("row_key"), col("cf"), col("qualifier"), col("ts"),
         col("value"), col("seq"))
   }
+
+  /** Unresolved prewrite locks visible at `snapshotTs` — the cells an
+    * interactive reader would back off on / clean up (tera readers
+    * resolve `!L` locks by rollback or roll-forward,
+    * src/sdk/global_txn.cc). A batch reader surfaces them for a cleanup
+    * pass: a lock is PENDING if no commit pointer at-or-after it exists
+    * for the same column.
+    */
+  def pendingLocks(log: DataFrame, snapshotTs: Long): DataFrame = {
+    val locks = log
+      .where(col("qualifier").startsWith("!L") && col("ts") <= snapshotTs)
+      .select(col("row_key"), col("cf"),
+        expr("substring(qualifier, 3)").as("qualifier"),
+        col("ts").as("lock_ts"))
+    val commits = log
+      .where(col("qualifier").startsWith("!W") && col("ts") <= snapshotTs)
+      .groupBy(col("row_key"), col("cf"),
+        expr("substring(qualifier, 3)").as("qualifier"))
+      .agg(max(col("ts")).as("commit_ts"))
+    locks.join(commits, Seq("row_key", "cf", "qualifier"), "left")
+      .where(col("commit_ts").isNull || col("commit_ts") < col("lock_ts"))
+      .select(col("row_key"), col("cf"), col("qualifier"), col("lock_ts"))
+  }
 }

@@ -71,6 +71,24 @@ class GraftApiSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("percolator pending locks surface uncommitted transactions") {
+    import spark.implicits._
+    val log = Seq(
+      // committed column: lock at 10 superseded by commit at 20
+      CellOp("r1", "cf", "!Lq", 10, OpType.Value, Array[Byte](0), 1),
+      CellOp("r1", "cf", "q", 10, OpType.Value, "v".getBytes, 2),
+      CellOp("r1", "cf", "!Wq", 20, OpType.Value, Codecs.encodeBE64(10), 3),
+      // dangling lock: never committed
+      CellOp("r2", "cf", "!Lq", 15, OpType.Value, Array[Byte](0), 4),
+      CellOp("r2", "cf", "q", 15, OpType.Value, "w".getBytes, 5)).toDF()
+    val pending = graft.operators.PercolatorRead.pendingLocks(log, snapshotTs = 25)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSet
+    assert(pending == Set(("r2", 15L)))
+    val committed = graft.operators.PercolatorRead.resolve(log, snapshotTs = 25)
+      .collect().map(_.getString(0)).toSet
+    assert(committed == Set("r1"))
+  }
+
   test("engine expressions are callable from SQL") {
     Graft.registerFunctions(spark)
     val r = spark.sql(
