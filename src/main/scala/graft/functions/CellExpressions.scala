@@ -114,6 +114,53 @@ case class SimHash64(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Element-wise float/double vector helpers behind [[VecDot]]. */
+object VecOps {
+  /** Sequential left-to-right dot product in double — same fold order
+    * and widening as SQL `aggregate(zip_with(...))` and DuckDB's
+    * `list_sum(list_transform(list_zip(...)))`, bit-identical results.
+    */
+  def dot(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData,
+      aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
+  }
+}
+
+/** Dot product of two numeric array columns (float or double elements),
+  * evaluated as a tight loop. A custom expression because the DSL
+  * equivalent — `aggregate(zip_with(..))` — is a CodegenFallback
+  * higher-order function interpreting two lambdas per element: orders
+  * of magnitude slower on a 12M-pair similarity join.
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dot(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      isFloat(left), isFloat(right))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecOps.dot($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
 /** Binary successor: key ++ 0x00 (scan pagination resume point). */
 case class KeySuccessor(child: Expression) extends CodecExpression {
   override def dataType: DataType = BinaryType
@@ -138,4 +185,5 @@ object cellfunctions {
   def murmur64a(col: Column, seed: Long = 0L): Column = c(Murmur64A(e(col), seed))
   def key_successor(col: Column): Column = c(KeySuccessor(e(col)))
   def simhash64(col: Column): Column = c(SimHash64(e(col)))
+  def vec_dot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
 }

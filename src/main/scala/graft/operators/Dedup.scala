@@ -146,6 +146,41 @@ object Dedup {
     jaccardForPairs(pairs, rows).select("id_a", "id_b", "jaccard")
   }
 
+  /** Embedding-cosine near-duplicate pairs, exact all-pairs (the
+    * verification-grade baseline; [[Similarity.lshTopK]]'s hyperplane
+    * bucketing is the approximate scale path for corpora where
+    * near-dups actually cluster). Norms precompute per row before the
+    * join; output is id pairs only.
+    */
+  def embeddingNearDuplicates(emb: DataFrame, threshold: Double): DataFrame = {
+    val n = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    val a = n.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .where(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))
+        >= threshold)
+      .select("id_a", "id_b")
+  }
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
+    * local-sampling algorithm, public): murmur64a over character
+    * k-grams; each length-`w` window contributes its minimum hash.
+    * Identical documents share all fingerprints; near-duplicates share
+    * most — robust to edits unlike a whole-document hash.
+    */
+  def winnowedFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val grams = transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => murmur64a(text.substr(i, lit(k))))
+    val windows = transform(
+      sequence(lit(0), greatest(size(grams) - w, lit(0))),
+      j => array_min(slice(grams, j + 1, lit(w))))
+    array_distinct(windows)
+  }
+
   /** 64-bit SimHash of a token array (custom Catalyst expression: per
     * token a murmur64a; each hash bit votes ±1; the sign of each
     * bit-position total forms the fingerprint). Near-duplicates land

@@ -19,10 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float-array columns, in double. */
+  /** Sequential-fold dot product in double (native codegen'd
+    * expression; fold order matches DuckDB's list_sum for oracle
+    * bit-parity). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (s, x) => s + x)
+    graft.functions.cellfunctions.vec_dot(a, b)
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 

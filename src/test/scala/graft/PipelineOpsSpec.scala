@@ -72,6 +72,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall > 0.4, s"recall=$recall")
   }
 
+  test("winnowed fingerprints: identical docs share all, near-dups most") {
+    import spark.implicits._
+    val fp = docs.select(col("doc_id"),
+      Dedup.winnowedFingerprints(col("text")).as("fp"))
+    // a doc compared to itself: identical fingerprint sets
+    val self = docs.limit(5)
+      .withColumn("fp1", Dedup.winnowedFingerprints(col("text")))
+      .withColumn("fp2", Dedup.winnowedFingerprints(col("text")))
+      .where(size(array_except(col("fp1"), col("fp2"))) > 0).count()
+    assert(self == 0)
+    // near-dup pairs (exact J >= 0.95 on shingles) share > 60% fingerprints
+    val sh = Dedup.shingleTable(docs)
+    val near = sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")),
+        col("id_a") < col("id_b"))
+      .where(Dedup.jaccard(col("sh_a"), col("sh_b")) >= 0.95)
+      .select("id_a", "id_b")
+    val shared = near
+      .join(fp.select(col("doc_id").as("id_a"), col("fp").as("fp_a")), "id_a")
+      .join(fp.select(col("doc_id").as("id_b"), col("fp").as("fp_b")), "id_b")
+      .withColumn("overlap",
+        size(array_intersect(col("fp_a"), col("fp_b"))).cast("double") /
+          size(array_union(col("fp_a"), col("fp_b"))).cast("double"))
+    val minOverlap = shared.agg(min("overlap")).collect()(0).getDouble(0)
+    assert(minOverlap > 0.6, s"min fingerprint overlap $minOverlap")
+  }
+
   test("scan builder: projection sees row filter over full row") {
     import spark.implicits._
     val log = Seq(
