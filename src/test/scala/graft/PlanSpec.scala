@@ -68,6 +68,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window") && !plan.contains("Aggregate"), plan)
   }
 
+  test("post-resolve row-key filter pushes through windows/aggregates to parquet") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("plan-get").toString
+    val ops = (0 until 100).map(i =>
+      CellOp(f"r$i%03d", "cf", "q", 1L, OpType.Value, s"v$i".getBytes, i.toLong))
+    CellLogStore.append(ops.toDF(), dir)
+    // GraftTable.get filters AFTER resolve; Catalyst must push the
+    // row_key predicate through the resolve aggregation into the scan
+    val got = Graft.openTable(spark, dir).get("r042")
+    val leaves = got.queryExecution.executedPlan.collectLeaves().mkString("\n")
+    assert(leaves.contains("EqualTo(row_key,r042)"), leaves)
+    assert(got.count() == 1)
+  }
+
   test("batch get broadcasts the key list") {
     val df = SparkEntry.queries("q_s5_batch_get")(spark, sfDir)
     assert(planOf(df).contains("BroadcastHashJoin"), planOf(df))
