@@ -64,6 +64,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(collected.size == before)
   }
 
+  test("observer discovers only newly-appended mutations on resume (N2)") {
+    import spark.implicits._
+    val logDir = tmp("celllog-incr")
+    val ckpt = tmp("ckpt-incr")
+    CellLogStore.append(Seq(
+      CellOp("r1", "cf1", "q0", 1, OpType.Value, "old".getBytes, 1)).toDF(), logDir)
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def drain(): Unit = {
+      val q = Observers.observe(Observers.cellLogStream(spark, logDir),
+        Seq(("cf1", "q0")), ckpt, 4) { (batch, _) =>
+        seen ++= batch.select("seq").as[Long].collect()
+      }
+      q.awaitTermination()
+    }
+    drain()
+    assert(seen.sorted == Seq(1L))
+
+    // a second group commit lands; resume sees exactly the new ops
+    CellLogStore.append(Seq(
+      CellOp("r2", "cf1", "q0", 2, OpType.Value, "new".getBytes, 2),
+      CellOp("r3", "cf2", "q0", 2, OpType.Value, "other-cf".getBytes, 3)).toDF(), logDir)
+    drain()
+    assert(seen.sorted == Seq(1L, 2L))
+  }
+
   test("event-time windows with watermark over the change feed") {
     import spark.implicits._
     val logDir = tmp("celllog-win")
