@@ -58,7 +58,8 @@ object Resolve {
       nowUs: Long = Long.MaxValue,
       snapshotSeq: Option[Long] = None,
       opsPresent: Option[Set[Int]] = None,
-      useTopKAggregate: Boolean = false): DataFrame = {
+      useTopKAggregate: Boolean = false,
+      deleteStrategy: String = "auto"): DataFrame = {
 
     val bounded = snapshotSeq.fold(log)(s => log.where(col("seq") <= s))
 
@@ -79,47 +80,88 @@ object Resolve {
 
     // --- tombstones ---------------------------------------------------
     // A delete with (ts_d, seq_d) kills data cells in its scope with
-    // cell.ts <= ts_d written before it (cell.seq < seq_d). Running max
-    // of delete-ts over strictly-later-seq ops gives, per data cell, the
-    // strongest tombstone that can apply — one ordered window pass per
-    // delete granularity PRESENT in the log, all sharing the row_key
-    // exchange.
-    val laterOps = Window.orderBy(col("seq").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    def delScope(opTag: Int, parts: Seq[String]): Option[Column] =
-      if (!present.contains(opTag)) None
-      else Some(coalesce(
-        max(when(col("op") === opTag, col("ts")))
-          .over(laterOps.partitionBy(parts.map(col): _*)),
-        lit(minTs)))
-
-    val delCols: Seq[(String, Column, Column => Column)] = Seq(
-      delScope(DelRow, Seq("row_key")).map(("_del_row_ts", _,
-        (c: Column) => col("ts") > c)),
-      delScope(DelColumn, Seq("row_key", "cf")).map(("_del_cf_ts", _,
-        (c: Column) => col("ts") > c)),
-      delScope(DelQualifiers, Seq("row_key", "cf", "qualifier")).map(("_del_qual_ts", _,
-        (c: Column) => col("ts") > c)),
-      (if (!present.contains(DelQualifier)) None
-       else Some(("_del_ver",
-        coalesce(
-          max(when(col("op") === DelQualifier, lit(1)))
-            .over(laterOps.partitionBy(col("row_key"), col("cf"),
-              col("qualifier"), col("ts"))),
-          lit(0)),
-        (c: Column) => c === 0)))).flatten
-
+    // cell.ts <= ts_d written before it (cell.seq < seq_d). Two
+    // physical strategies:
+    //  - "window": running max of delete-ts over strictly-later-seq ops,
+    //    one ordered window pass per delete granularity present, all
+    //    sharing the row_key exchange. Robust for ANY delete density
+    //    (O((n+m) log) via sort, spills like any sort).
+    //  - "join": collect the (few) tombstones per scope into arrays and
+    //    left-join them to the data cells — no sort at all; the dels
+    //    side is usually broadcast-sized. Wins when deletes are sparse,
+    //    which is the realistic shape of a mutation log.
+    // "auto" counts the deletes (a pushed-filter scan of the op column)
+    // and picks join only when the tombstone side is broadcast-sized —
+    // then every per-granularity join is a broadcast and the data side
+    // never re-sorts or re-shuffles for deletes at all.
+    val presentDels = deletes.filter(present.contains)
     val keepData = col("op").isin(dataOps.filter(present.contains): _*)
-    val alive =
-      if (delCols.isEmpty) bounded.where(keepData)
-      else {
+
+    val strategy =
+      if (presentDels.isEmpty) "none"
+      else deleteStrategy match {
+        case "auto" =>
+          val n = bounded.where(col("op").isin(presentDels: _*)).count()
+          if (n <= 100000L) "join" else "window"
+        case s => s
+      }
+
+    val alive = strategy match {
+      case "none" => bounded.where(keepData)
+
+      case "join" =>
+        var cur = bounded.where(keepData)
+        def applyDel(tag: Int, scope: Seq[String], tsScoped: Boolean): Unit =
+          if (present.contains(tag)) {
+            val dname = s"_dels_$tag"
+            val dels = bounded.where(col("op") === tag)
+              .groupBy(scope.map(col): _*)
+              .agg(collect_list(struct(col("seq").as("dseq"),
+                col("ts").as("dts"))).as(dname))
+            val killed = exists(col(dname), d =>
+              d.getField("dseq") > col("seq") &&
+                (if (tsScoped) lit(true) else d.getField("dts") >= col("ts")))
+            cur = cur.join(dels, scope, "left")
+              .where(col(dname).isNull || !killed)
+              .drop(dname)
+          }
+        applyDel(DelRow, Seq("row_key"), tsScoped = false)
+        applyDel(DelColumn, Seq("row_key", "cf"), tsScoped = false)
+        applyDel(DelQualifiers, Seq("row_key", "cf", "qualifier"), tsScoped = false)
+        applyDel(DelQualifier, Seq("row_key", "cf", "qualifier", "ts"), tsScoped = true)
+        cur
+
+      case _ =>  // "window"
+        val laterOps = Window.orderBy(col("seq").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        def delScope(opTag: Int, parts: Seq[String]): Option[Column] =
+          if (!present.contains(opTag)) None
+          else Some(coalesce(
+            max(when(col("op") === opTag, col("ts")))
+              .over(laterOps.partitionBy(parts.map(col): _*)),
+            lit(minTs)))
+        val delCols: Seq[(String, Column, Column => Column)] = Seq(
+          delScope(DelRow, Seq("row_key")).map(("_del_row_ts", _,
+            (c: Column) => col("ts") > c)),
+          delScope(DelColumn, Seq("row_key", "cf")).map(("_del_cf_ts", _,
+            (c: Column) => col("ts") > c)),
+          delScope(DelQualifiers, Seq("row_key", "cf", "qualifier"))
+            .map(("_del_qual_ts", _, (c: Column) => col("ts") > c)),
+          (if (!present.contains(DelQualifier)) None
+           else Some(("_del_ver",
+            coalesce(
+              max(when(col("op") === DelQualifier, lit(1)))
+                .over(laterOps.partitionBy(col("row_key"), col("cf"),
+                  col("qualifier"), col("ts"))),
+              lit(0)),
+            (c: Column) => c === 0)))).flatten
         val withDels = delCols.foldLeft(bounded) { case (df, (name, c, _)) =>
           df.withColumn(name, c)
         }
         val pred = delCols.map { case (name, _, test) => test(col(name)) }
           .foldLeft(keepData)(_ && _)
         withDels.where(pred).drop(delCols.map(_._1): _*)
-      }
+    }
 
     // --- TTL + min_versions survivors ---------------------------------
     val versionOrder = Window

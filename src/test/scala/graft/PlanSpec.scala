@@ -96,10 +96,24 @@ class PlanSpec extends AnyFunSuite {
         else OpType.Value,
         if (i % 10 == 0 || i % 7 == 0) null else s"v$i".getBytes, i.toLong)).toDF()
     val plan = planOf(Resolve.resolve(log, TableDesc(graft.model.CfSpec(maxVersions = 2)),
-      opsPresent = Some(Set(OpType.Value, OpType.DelRow, OpType.DelQualifiers))))
+      opsPresent = Some(Set(OpType.Value, OpType.DelRow, OpType.DelQualifiers)),
+      deleteStrategy = "window"))
     // one exchange for the local relation input: the row_key hash
     // partitioning satisfies every finer-keyed window downstream
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
+  }
+
+  test("sparse-delete join strategy broadcasts the tombstones") {
+    import spark.implicits._
+    val log = ((0 until 500).map(i =>
+      CellOp(s"r${i % 50}", "cf", s"q${i % 3}", i.toLong, OpType.Value,
+        s"v$i".getBytes, i.toLong)) :+
+      CellOp("r1", "cf", "", 1000, OpType.DelRow, null, 1000L)).toDF()
+    val plan = planOf(Resolve.resolve(log,
+      opsPresent = Some(Set(OpType.Value, OpType.DelRow)),
+      deleteStrategy = "join"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      plan)
   }
 }
