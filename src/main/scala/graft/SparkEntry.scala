@@ -255,10 +255,42 @@ object SparkEntry {
           decode(col("value"), "UTF-8").as("value"))
         .orderBy(col("row_key"), col("qualifier"), col("ts"))
     }),
+    "q_r2b_min_versions" -> ((s, dir) => {
+      // TTL expiry with min_versions survivors: expired cells stay
+      // visible while they are among the newest N of their column
+      // (tera ScanDrop, src/io/default_compact_strategy.cc:275-330)
+      Resolve.resolve(
+          CellLogs.eventsLog(s, dir),
+          TableDesc(CfSpec(maxVersions = Int.MaxValue, minVersions = 2,
+            ttlSec = ttl30dSec)),
+          nowUs = ttlNowUs, opsPresent = CellLogs.valueOnly)
+        .groupBy(col("row_key"), col("qualifier"))
+        .agg(count(lit(1)).as("n"), max(col("ts")).as("max_ts"))
+        .orderBy(col("row_key"), col("qualifier"))
+    }),
+    "q_r3b_del_granularities" -> ((s, dir) => {
+      // the two delete granularities q_r3 doesn't cover: DEL_COLUMN
+      // (whole CF, ts-bounded) + DEL_QUALIFIER (exactly one version);
+      // deletes here are sparse (k%3 / k%5) → broadcast-join strategy
+      Resolve.resolve(CellLogs.delGranularityLog(s, dir),
+          TableDesc(CfSpec(maxVersions = Int.MaxValue)),
+          opsPresent = CellLogs.delGranularityOps, deleteStrategy = "join")
+        .select(col("row_key"), col("cf"), col("qualifier"), col("ts"),
+          decode(col("value"), "UTF-8").as("value"))
+        .orderBy(col("row_key"), col("cf"), col("qualifier"), col("ts"))
+    }),
     "q_r4_counter_fold" -> ((s, dir) => {
       Resolve.resolve(CellLogs.counterLog(s, dir), opsPresent = CellLogs.counterOps)
         .select(col("row_key"), col("qualifier"),
           be64_decode(col("value")).as("counter"))
+        .orderBy(col("row_key"), col("qualifier"))
+    }),
+    "q_r5_addint64" -> ((s, dir) => {
+      // AddInt64: little-endian operand fold (tera
+      // src/io/atomic_merge_strategy.cc:41-43), the LE twin of q_r4
+      Resolve.resolve(CellLogs.addInt64Log(s, dir), opsPresent = CellLogs.addInt64Ops)
+        .select(col("row_key"), col("qualifier"),
+          le64_decode(col("value")).as("counter"))
         .orderBy(col("row_key"), col("qualifier"))
     }),
     "q_r6_append_fold" -> ((s, dir) => {
@@ -689,6 +721,33 @@ object SparkEntry {
         |       count(*) AS n, max(epoch_us(ts)) AS max_ts
         |FROM events WHERE epoch_us(ts) + 2592000000000 > 1706745600000000
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_r2b_min_versions" ->
+      """WITH ranked AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS row_key, event_type AS qualifier,
+        |         epoch_us(ts) AS ts,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT row_key, qualifier, count(*) AS n, max(ts) AS max_ts
+        |FROM ranked
+        |WHERE ts + 2592000000000 > 1706745600000000 OR rn <= 2
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_r3b_del_granularities" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS k, CAST(l_linenumber AS BIGINT) AS q
+        |  FROM lineitem),
+        |cells AS (
+        |  SELECT k, q, c.cf, t.ts
+        |  FROM li CROSS JOIN (VALUES ('a'), ('b')) c(cf)
+        |          CROSS JOIN range(1, 4) t(ts)),
+        |vis AS (
+        |  SELECT * FROM cells
+        |  WHERE NOT (cf = 'a' AND k % 3 = 0 AND ts <= 2)
+        |    AND NOT (cf = 'b' AND k % 5 = 0 AND ts = 2))
+        |SELECT CAST(k AS VARCHAR) AS row_key, cf, CAST(q AS VARCHAR) AS qualifier, ts,
+        |       CAST(k AS VARCHAR) || ':' || cf || ':' || CAST(q AS VARCHAR) ||
+        |         ':' || CAST(ts AS VARCHAR) AS value
+        |FROM vis ORDER BY 1, 2, 3, 4""".stripMargin,
     "q_r3_tombstones" ->
       """WITH cells AS (
         |  SELECT l_orderkey AS k, CAST(l_linenumber AS BIGINT) AS q, t.ts
@@ -703,6 +762,10 @@ object SparkEntry {
         |       CAST(k AS VARCHAR) || ':' || CAST(q AS VARCHAR) || ':' || CAST(ts AS VARCHAR) AS value
         |FROM ranked WHERE rn <= 3 ORDER BY 1, 2, 3""".stripMargin,
     "q_r4_counter_fold" ->
+      """SELECT CAST(user_id AS VARCHAR) AS row_key, event_type AS qualifier,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS counter
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_r5_addint64" ->
       """SELECT CAST(user_id AS VARCHAR) AS row_key, event_type AS qualifier,
         |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS counter
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

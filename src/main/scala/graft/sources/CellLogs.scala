@@ -17,9 +17,11 @@ object CellLogs {
   // statically-known op sets per fixture, for Resolve's adaptive paths
   val valueOnly: Option[Set[Int]] = Some(Set(Value))
   val counterOps: Option[Set[Int]] = Some(Set(Add))
+  val addInt64Ops: Option[Set[Int]] = Some(Set(AddInt64))
   val appendOps: Option[Set[Int]] = Some(Set(Append))
   val putIfAbsentOps: Option[Set[Int]] = Some(Set(PutIfAbsent))
   val tombstoneOps: Option[Set[Int]] = Some(Set(Value, DelQualifiers, DelRow))
+  val delGranularityOps: Option[Set[Int]] = Some(Set(Value, DelColumn, DelQualifier))
 
   private def events(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "events")
@@ -47,6 +49,64 @@ object CellLogs {
       lit(Add).as("op"),
       be64_encode(floor(col("value") * 100).cast("long")).as("value"),
       col("event_id").as("seq"))
+
+  /** events → ADDINT64 ops (little-endian host-order int64 delta, tera
+    * src/io/atomic_merge_strategy.cc:41-43; same exact-integer payload as
+    * [[counterLog]] so the DuckDB oracle is a plain sum). */
+  def addInt64Log(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir).select(
+      col("user_id").cast("string").as("row_key"),
+      lit("ev").as("cf"),
+      col("event_type").as("qualifier"),
+      Tables.eventTsUs.as("ts"),
+      lit(AddInt64).as("op"),
+      le64_encode(floor(col("value") * 100).cast("long")).as("value"),
+      col("event_id").as("seq"))
+
+  /** DelColumn + DelQualifier fixture (the two delete granularities the
+    * tombstoneLog doesn't cover; tera tera_key.h:14-27, drop logic
+    * src/io/default_compact_strategy.cc:59-120): per distinct
+    * (orderkey k, linenumber q), VALUE cells at ts=1..3 in CFs 'a' and
+    * 'b'; k%3==0 gets DEL_COLUMN on cf 'a' at ts=2 (kills ts<=2 of the
+    * whole CF); k%5==0 gets DEL_QUALIFIER (single version) on cf 'b' at
+    * exactly ts=2. seq: deletes arrive after all values of their row.
+    */
+  def delGranularityLog(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_linenumber").cast("long").as("q"))
+      .distinct()
+    def valueCells(cf: String, tsOff: Int) = li
+      .crossJoin(spark.range(1, 4).select(col("id").as("ts")))
+      .select(
+        col("k").cast("string").as("row_key"),
+        lit(cf).as("cf"),
+        col("q").cast("string").as("qualifier"),
+        col("ts"),
+        lit(Value).as("op"),
+        encode(concat_ws(":", col("k"), lit(cf), col("q"), col("ts")), "UTF-8")
+          .as("value"),
+        (col("k") * 1000 + col("q") * 10 + col("ts") + tsOff).as("seq"))
+    val delCf = li.where(col("k") % 3 === 0).select(col("k")).distinct()
+      .select(
+        col("k").cast("string").as("row_key"),
+        lit("a").as("cf"),
+        lit("").as("qualifier"),
+        lit(2L).as("ts"),
+        lit(DelColumn).as("op"),
+        lit(null).cast("binary").as("value"),
+        (col("k") * 1000 + 999).as("seq"))
+    val delVer = li.where(col("k") % 5 === 0)
+      .select(
+        col("k").cast("string").as("row_key"),
+        lit("b").as("cf"),
+        col("q").cast("string").as("qualifier"),
+        lit(2L).as("ts"),
+        lit(DelQualifier).as("op"),
+        lit(null).cast("binary").as("value"),
+        (col("k") * 1000 + col("q") * 10 + 8).as("seq"))
+    valueCells("a", 0).unionAll(valueCells("b", 3))
+      .unionAll(delCf).unionAll(delVer)
+  }
 
   /** events → APPEND ops over the props payload (chronological concat). */
   def appendLog(spark: SparkSession, sfDir: String): DataFrame =
