@@ -528,7 +528,16 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
     "q_x_dedup_cosine" -> ((s, dir) => {
+      // exact all-pairs — verification-grade baseline for the LSH twin
       Dedup.embeddingNearDuplicates(t(s, dir, "embeddings"), threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_x_dedup_cosine_lsh" -> ((s, dir) => {
+      // the shipped scale path: hyperplane-bucket candidates + exact
+      // cosine verify; recall ≈ 1-8e-5 at these params, so it
+      // hash-matches the same all-pairs oracle as q_x_dedup_cosine
+      Dedup.embeddingNearDuplicatesLsh(t(s, dir, "embeddings"),
+          threshold = 0.5, dim = 64)
         .orderBy(col("id_a"), col("id_b"))
     }),
     "q_x_text_winnow" -> ((s, dir) => {
@@ -915,6 +924,17 @@ object SparkEntry {
         |  FROM pairs) WHERE rn <= 5
         |ORDER BY 1, 2""".stripMargin,
     "q_x_dedup_cosine" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm) >= 0.5
+        |ORDER BY 1, 2""".stripMargin,
+    "q_x_dedup_cosine_lsh" ->
       """WITH n AS (
         |  SELECT vec_id, embedding,
         |    sqrt(list_sum(list_transform(embedding,

@@ -146,11 +146,10 @@ object Dedup {
     jaccardForPairs(pairs, rows).select("id_a", "id_b", "jaccard")
   }
 
-  /** Embedding-cosine near-duplicate pairs, exact all-pairs (the
-    * verification-grade baseline; [[Similarity.lshTopK]]'s hyperplane
-    * bucketing is the approximate scale path for corpora where
-    * near-dups actually cluster). Norms precompute per row before the
-    * join; output is id pairs only.
+  /** Embedding-cosine near-duplicate pairs, exact all-pairs — the
+    * verification-grade baseline ONLY (quadratic; do not ship at scale).
+    * [[embeddingNearDuplicatesLsh]] is the bucketed production path.
+    * Norms precompute per row before the join; output is id pairs only.
     */
   def embeddingNearDuplicates(emb: DataFrame, threshold: Double): DataFrame = {
     val n = emb.select(col("vec_id"), col("embedding"))
@@ -160,6 +159,43 @@ object Dedup {
     val b = n.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
       col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
+      .where(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))
+        >= threshold)
+      .select("id_a", "id_b")
+  }
+
+  /** Embedding-cosine near-duplicates via hyperplane LSH — the 100 TB
+    * path (same candidates→verify shape as [[minhashNearDuplicates]]):
+    * vectors bucket by sign signature in `tables` hash tables
+    * ([[Similarity.hyperplaneBucket]]); same-bucket pairs are the
+    * candidates (an equi-join on (table, bucket) — no cross product);
+    * candidates are verified with exact cosine, so output pairs are
+    * exactly the >= threshold pairs LSH surfaced.
+    *
+    * Recall for a pair at angle θ = 1-(1-(1-θ/π)^planes)^tables; the
+    * defaults (2 planes × 16 tables) give ≈ 1-8e-5 even at cosine 0.5
+    * (θ=60°) — chosen so the all-pairs oracle stays hash-matchable.
+    * At cluster scale raise `planes` to shrink candidate sets
+    * (candidates/vector ≈ tables * N / 2^planes).
+    */
+  def embeddingNearDuplicatesLsh(emb: DataFrame, threshold: Double, dim: Int,
+      planes: Int = 2, tables: Int = 16): DataFrame = {
+    val n = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    val bucketed = Similarity
+      .withBuckets(emb.select(col("vec_id"), col("embedding")),
+        "embedding", dim, planes, tables)
+      .select(col("table"), col("bucket"), col("vec_id"))
+    val cands = bucketed.select(col("table"), col("bucket"), col("vec_id").as("id_a"))
+      .join(bucketed.select(col("table"), col("bucket"), col("vec_id").as("id_b")),
+        Seq("table", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(n.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        col("nrm").as("na")), "id_a")
+      .join(n.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        col("nrm").as("nb")), "id_b")
       .where(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))
         >= threshold)
       .select("id_a", "id_b")

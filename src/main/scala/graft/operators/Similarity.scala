@@ -58,7 +58,7 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  private def withBuckets(df: DataFrame, vecCol: String, dim: Int,
+  private[operators] def withBuckets(df: DataFrame, vecCol: String, dim: Int,
       planes: Int, tables: Int): DataFrame = {
     val entries = (0 until tables).map { t =>
       struct(lit(t).as("table"),

@@ -116,4 +116,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       plan)
   }
+
+  test("LSH embedding near-dup plans with no cartesian product") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val plan = planOf(graft.operators.Dedup.embeddingNearDuplicatesLsh(
+      emb, threshold = 0.5, dim = 64))
+    // the candidate step must be a (table, bucket) equi-join; the exact
+    // all-pairs baseline would show CartesianProduct / nested-loop here
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
