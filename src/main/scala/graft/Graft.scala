@@ -36,16 +36,32 @@ class GraftTable(
   /** Scan builder over this table. */
   def scan: ScanQuery = ScanQuery(log, desc)
 
-  /** Point get: all visible cells of one row. */
+  /** Storage form of a logical row key: murmur-hex-prefixed on a
+    * hash-sharded table (tera `hash_method_`, src/sdk/table_impl.cc:98),
+    * the key itself otherwise. */
+  def storageKey(rowKey: String): String =
+    if (desc.hashKeys) graft.functions.Codecs.hashedKey(rowKey) else rowKey
+
+  /** Point get: all visible cells of one row (routed by hashed key on a
+    * hash table, like the reference reader — table_impl.cc:1417). */
   def get(rowKey: String): DataFrame =
-    cells().where(col("row_key") === rowKey)
+    cells().where(col("row_key") === storageKey(rowKey))
 
   /** Wide-row view of a point get (`RowReader::ToMap`). */
   def getRow(rowKey: String): DataFrame =
     Resolve.toWideRows(get(rowKey))
 
-  /** Group-commit a mutation batch (any mix of puts/deletes/atomics). */
-  def put(batch: DataFrame): Unit = CellLogStore.append(batch, logDir)
+  /** Group-commit a mutation batch (any mix of puts/deletes/atomics).
+    * On a hash-sharded table the batch carries LOGICAL keys and the
+    * write path prefixes them (reference mutations hash at apply time). */
+  def put(batch: DataFrame): Unit = {
+    val stored =
+      if (desc.hashKeys)
+        batch.withColumn("row_key",
+          graft.functions.cellfunctions.hashed_key(col("row_key")))
+      else batch
+    CellLogStore.append(stored, logDir)
+  }
 
   def put(ops: Seq[CellOp]): Unit = {
     val session = spark

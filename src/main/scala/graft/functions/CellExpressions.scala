@@ -183,6 +183,15 @@ object cellfunctions {
   def f64_decode(col: Column): Column = c(F64Decode(e(col)))
   def f64_encode(col: Column): Column = c(F64Encode(e(col)))
   def murmur64a(col: Column, seed: Long = 0L): Column = c(Murmur64A(e(col), seed))
+
+  /** Hash-table storage key (tera `EnableHash` sharding,
+    * src/sdk/table_impl.cc:98): hex16(murmur64a(key, 823)) ++ key.
+    * Composed from codegen'd built-ins — stays in whole-stage codegen.
+    */
+  def hashed_key(col: Column): Column = {
+    import org.apache.spark.sql.functions.{concat, hex, lower, lpad}
+    concat(lpad(lower(hex(murmur64a(col, Codecs.KeyHashSeed))), 16, "0"), col)
+  }
   def key_successor(col: Column): Column = c(KeySuccessor(e(col)))
   def simhash64(col: Column): Column = c(SimHash64(e(col)))
   def vec_dot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))

@@ -118,4 +118,22 @@ object Codecs {
     * (tera appends `\x00` to resume after a key, src/sdk/scan_impl.cc:84-89).
     */
   def successor(key: Array[Byte]): Array[Byte] = key :+ 0.toByte
+
+  /** Seed of the reference's row-key sharding hash
+    * (tera src/sdk/murmur_hash_impl.cc:62 `kSeed = 823`). */
+  val KeyHashSeed: Long = 823L
+
+  /** Hash-table storage key: 16-char zero-padded lowercase hex of
+    * murmur64a(key, 823) prepended to the key — byte-identical to the
+    * reference's `hash_method_` (tera src/sdk/table_impl.cc:98,
+    * src/sdk/murmur_hash_impl.cc:61-67), so keys written by either
+    * engine shard and sort the same way.
+    */
+  def hashedKey(key: String): String = {
+    val bytes = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    f"${murmur64a(bytes, KeyHashSeed)}%016x" + key
+  }
+
+  /** Inverse of [[hashedKey]]: drop the 16-hex-char shard prefix. */
+  def logicalKey(storedKey: String): String = storedKey.substring(16)
 }

@@ -77,6 +77,14 @@ case class CfSpec(
   */
 case class TableDesc(
     default: CfSpec = CfSpec(),
-    cfs: Map[String, CfSpec] = Map.empty) {
+    cfs: Map[String, CfSpec] = Map.empty,
+    /** Hash-sharded row keys (tera `EnableHash`,
+      * include/tera/table_descriptor.h:217-218): storage keys carry a
+      * murmur hex prefix ([[graft.functions.Codecs.hashedKey]]), so rows
+      * spread uniformly across shards. Scans observe HASHED order, not
+      * logical order, and a start/stop range only makes sense as a point
+      * range — exactly the reference's behavior (table_impl.cc:398-405).
+      */
+    hashKeys: Boolean = false) {
   def spec(cf: String): CfSpec = cfs.getOrElse(cf, default)
 }

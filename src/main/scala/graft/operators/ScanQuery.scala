@@ -102,6 +102,7 @@ case class ScanQuery(
     columnSet: Seq[(String, String)] = Nil,
     tsRange: Option[(Long, Long)] = None,
     maxQualifiers: Option[Int] = None,
+    pointKey: Option[String] = None,
     rowFilter: Option[ScanFilter] = None,
     snapshotSeq: Option[Long] = None,
     nowUs: Long = Long.MaxValue,
@@ -110,6 +111,14 @@ case class ScanQuery(
 
   def withStart(k: String): ScanQuery = copy(startKey = Some(k))
   def withStop(k: String): ScanQuery = copy(stopKey = Some(k))
+
+  /** Point scan of exactly one logical row: [k, successor(k)) — with the
+    * successor taken in STORAGE space, so it is also correct on a
+    * hash-sharded table (where successor-then-hash would address an
+    * unrelated shard; the reference SDK shares that trap and routes
+    * point reads by hashed key instead, table_impl.cc:1417).
+    */
+  def forRow(k: String): ScanQuery = copy(pointKey = Some(k))
   def addColumnFamily(cf: String): ScanQuery = copy(cfSet = cfSet :+ cf)
   def addColumn(cf: String, qual: String): ScanQuery =
     copy(columnSet = columnSet :+ (cf, qual))
@@ -120,14 +129,30 @@ case class ScanQuery(
   def withNow(us: Long): ScanQuery = copy(nowUs = us)
   def withLimit(n: Int): ScanQuery = copy(limitRows = Some(n))
 
-  /** Execute; result is key-ordered like a reference scan (O1). */
+  /** Execute; result is key-ordered like a reference scan (O1).
+    *
+    * On a hash-sharded table (`desc.hashKeys`) the caller supplies
+    * LOGICAL start/stop keys and the scan prefixes them with the murmur
+    * shard hash at plan time, exactly like the reference SDK
+    * (tera src/sdk/table_impl.cc:398-405) — and with the same
+    * consequence: the key order observed is hashed order, and a
+    * non-point [start, stop) range selects a hashed-space range, not a
+    * logical one. For exact single-row reads use [[forRow]], which
+    * takes the successor in storage space.
+    */
   def run(): DataFrame = {
     // row-range predicates prune BEFORE resolve: every op of a row shares
     // its row_key, so the bound commutes with resolution and reaches the
     // parquet scan as a pushed filter.
+    val bound: String => String =
+      if (desc.hashKeys) graft.functions.Codecs.hashedKey else identity
     var pruned = log
-    startKey.foreach(k => pruned = pruned.where(col("row_key") >= k))
-    stopKey.foreach(k => pruned = pruned.where(col("row_key") < k))
+    startKey.foreach(k => pruned = pruned.where(col("row_key") >= bound(k)))
+    stopKey.foreach(k => pruned = pruned.where(col("row_key") < bound(k)))
+    pointKey.foreach { k =>
+      pruned = pruned.where(col("row_key") >= bound(k) &&
+        col("row_key") < bound(k) + "\u0000")
+    }
 
     val resolved = Resolve.resolve(pruned, desc, nowUs, snapshotSeq, opsPresent)
 

@@ -61,6 +61,37 @@ class GraftApiSpec extends AnyFunSuite {
         .collect()(0).getAs[Array[Byte]]("value")) == 5L)
   }
 
+  test("hash-sharded table lifecycle: put / get / point scan round-trip") {
+    import graft.model.TableDesc
+    val dir = Files.createTempDirectory("graft-hash").toString
+    val t = Graft.openTable(spark, dir, TableDesc(hashKeys = true))
+
+    t.put(Seq(
+      CellOp("user#1", "cf", "q", 100, OpType.Value, "v1".getBytes, 1),
+      CellOp("user#2", "cf", "q", 100, OpType.Value, "v2".getBytes, 2),
+      CellOp("user#11", "cf", "q", 100, OpType.Value, "v11".getBytes, 3)))
+
+    // storage keys carry the reference's 16-hex murmur(seed 823) prefix
+    val stored = t.log.select("row_key").collect().map(_.getString(0)).toSet
+    assert(stored == Set("user#1", "user#2", "user#11").map(Codecs.hashedKey))
+    assert(Codecs.hashedKey("user#1").take(16).forall(
+      c => c.isDigit || ('a' to 'f').contains(c)))
+    assert(Codecs.logicalKey(Codecs.hashedKey("user#1")) == "user#1")
+
+    // point get routes by hashed key; "user#1" must not match "user#11"
+    val got = t.get("user#1").collect()
+    assert(got.length == 1 && new String(got(0).getAs[Array[Byte]]("value")) == "v1")
+
+    // point scan via forRow: storage-space successor, exactly one row
+    val scanned = t.scan.forRow("user#1").run()
+      .collect().map(r => new String(r.getAs[Array[Byte]]("value")))
+    assert(scanned.toSeq == Seq("v1"))
+
+    // full scan sees all rows, in hashed (storage) order
+    val all = t.scan.run().select("row_key").collect().map(_.getString(0))
+    assert(all.length == 3 && all.sorted.sameElements(all))
+  }
+
   test("sql facade answers over resolved cell views") {
     Graft.registerSqlCatalog(spark, "/root/testdata/sf0.001")
     val n = spark.sql(
