@@ -28,6 +28,72 @@ object Observers {
   /** Notify column family constant (tera src/types.h:53). */
   val NotifyCf = "_N_"
 
+  // ---- T4/N5: notify-cell round trip as data ------------------------
+  // The reference writes a `_N_:<cf>:<qual>` cell in-txn when an
+  // observed column mutates (NotificationImpl::Notify,
+  // src/observer/executor/notification_impl.cc:83-110, qualifier packing
+  // PackNotifyName src/sdk/global_txn_internal.h:84-86), and Ack deletes
+  // the notify versions <= the observer's start timestamp
+  // (NotificationImpl::Ack :43-67). Here both are mutation batches over
+  // the same cell log, so a Percolator-style incremental pipeline
+  // round-trips notify -> observe -> ack entirely as data.
+
+  /** Notify mutations for a batch of observed-column writes: one
+    * `_N_:cf:qual` VALUE cell per distinct (row, cf, qualifier), carrying
+    * the notify timestamp as its payload (reference writes
+    * NumberToString(ts)). `seqBase` places the batch in arrival order;
+    * bases of successive eras must be spaced wider than the id range
+    * (`monotonically_increasing_id` uses partition#<<33, so space bases
+    * by >= 2^40).
+    */
+  def notifyOps(mutations: DataFrame, notifyTs: Long, seqBase: Long): DataFrame =
+    mutations
+      .select(col("row_key"), col("cf"), col("qualifier")).distinct()
+      .select(
+        col("row_key"),
+        lit(NotifyCf).as("cf"),
+        concat(col("cf"), lit(":"), col("qualifier")).as("qualifier"),
+        lit(notifyTs).as("ts"),
+        lit(graft.model.OpType.Value).as("op"),
+        encode(lit(notifyTs.toString), "UTF-8").as("value"),
+        (lit(seqBase) + monotonically_increasing_id()).as("seq"))
+
+  /** Ack mutations: a ts-bounded DEL_QUALIFIERS tombstone per pending
+    * notification, killing notify versions <= `startTs` (exactly the
+    * reference's DeleteColumns(_N_, qual, start_timestamp_)). A
+    * re-notification written with a later timestamp survives the ack.
+    */
+  def ackOps(notifications: DataFrame, startTs: Long, seqBase: Long): DataFrame =
+    notifications
+      .select(col("row_key"), col("qualifier")).distinct()
+      .select(
+        col("row_key"),
+        lit(NotifyCf).as("cf"),
+        col("qualifier"),
+        lit(startTs).as("ts"),
+        lit(graft.model.OpType.DelQualifiers).as("op"),
+        lit(null).cast("binary").as("value"),
+        (lit(seqBase) + monotonically_increasing_id()).as("seq"))
+
+  /** Pending notifications: resolve the `_N_` column family of the log
+    * (the cf restriction is a pushed parquet filter — the analogue of
+    * the reference scanner reading only the notify CF,
+    * src/observer/executor/scanner_impl.cc:257). Output: one row per
+    * live notification with the observed column unpacked.
+    */
+  def pendingNotifications(log: DataFrame): DataFrame =
+    Resolve.resolve(
+        log.where(col("cf") === NotifyCf),
+        TableDesc(graft.model.CfSpec(maxVersions = 1)),
+        opsPresent = Some(Set(graft.model.OpType.Value,
+          graft.model.OpType.DelQualifiers)))
+      .select(
+        col("row_key"),
+        substring_index(col("qualifier"), ":", 1).as("observed_cf"),
+        substring_index(col("qualifier"), ":", -1).as("observed_qualifier"),
+        col("qualifier"),
+        col("ts"))
+
   /** Tail a cell-log parquet directory as a change-feed stream. */
   def cellLogStream(spark: SparkSession, logDir: String): DataFrame =
     spark.readStream

@@ -90,6 +90,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(seen.sorted == Seq(1L, 2L))
   }
 
+  test("notify-cell round trip: notify -> observe -> ack -> re-observe sees nothing") {
+    import spark.implicits._
+    val logDir = tmp("notifylog")
+    val t = Graft.openTable(spark, logDir)
+
+    // era 1: observed-column mutations + their in-txn notify cells
+    val writes = Seq(
+      CellOp("r1", "data", "url", 100, OpType.Value, "a".getBytes, 1),
+      CellOp("r2", "data", "url", 101, OpType.Value, "b".getBytes, 2)).toDF()
+    t.put(writes)
+    t.put(Observers.notifyOps(writes, notifyTs = 100L, seqBase = 1L << 40))
+
+    // observe: both rows pending, observed column unpacked
+    val pending1 = Observers.pendingNotifications(t.log)
+    assert(pending1.count() == 2)
+    val row = pending1.where(col("row_key") === "r1").collect()(0)
+    assert(row.getAs[String]("observed_cf") == "data" &&
+      row.getAs[String]("observed_qualifier") == "url" &&
+      row.getAs[String]("qualifier") == "data:url")
+
+    // ack at the observer's start ts: tombstones all pending versions
+    t.put(Observers.ackOps(pending1, startTs = 150L, seqBase = 2L << 40))
+    assert(Observers.pendingNotifications(t.log).count() == 0)
+
+    // a LATER re-notification survives acks bounded at 150
+    t.put(Observers.notifyOps(
+      writes.where(col("row_key") === "r1"), notifyTs = 200L, seqBase = 3L << 40))
+    val pending2 = Observers.pendingNotifications(t.log).collect()
+    assert(pending2.length == 1 && pending2(0).getAs[String]("row_key") == "r1"
+      && pending2(0).getAs[Long]("ts") == 200L)
+  }
+
   test("event-time windows with watermark over the change feed") {
     import spark.implicits._
     val logDir = tmp("celllog-win")
