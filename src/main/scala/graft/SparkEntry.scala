@@ -140,6 +140,19 @@ object SparkEntry {
         .select(col("row_key"), f64_decode(col("value")).as("value"))
         .orderBy(col("row_key"))
     }),
+    "q_p11b_unsigned_compare" -> ((s, dir) => {
+      // kUint64-style comparator: cells hold cents | 2^63 (negative as
+      // signed), so the filter only selects correctly under the biased
+      // unsigned compare; output unmasks to logical cents
+      ScanQuery(CellLogs.eventsUintLog(s, dir), opsPresent = CellLogs.valueOnly)
+        .withFilter(ScanFilter.ValueFilter("ev", "purchase", ">=",
+          TypedValue.UintW(Long.MinValue | 10000L, 8), filterIfMissing = true))
+        .addColumn("ev", "purchase")
+        .run()
+        .select(col("row_key"),
+          le64_decode(col("value")).bitwiseAND(Long.MaxValue).as("cents"))
+        .orderBy(col("row_key"))
+    }),
     "q_p12_legacy_filters" -> ((s, dir) => {
       // legacy Prefix + Regex filter shapes
       ScanQuery(CellLogs.eventsLog(s, dir), opsPresent = CellLogs.valueOnly)
@@ -641,6 +654,15 @@ object SparkEntry {
         |                            ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events WHERE event_type = 'purchase')
         |SELECT row_key, value FROM latest WHERE rn = 1 AND value > 100.0
+        |ORDER BY 1""".stripMargin,
+    "q_p11b_unsigned_compare" ->
+      """WITH latest AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS row_key,
+        |         CAST(floor(value * 100) AS BIGINT) AS cents,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT row_key, cents FROM latest WHERE rn = 1 AND cents >= 10000
         |ORDER BY 1""".stripMargin,
     "q_p12_legacy_filters" ->
       """WITH latest AS (

@@ -75,6 +75,18 @@ case class F64Encode(child: Expression) extends CodecExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Fixed-width little-endian integer decode (typed comparator widths,
+  * tera filter_comparator.cc:22-100). */
+case class LeIntDecode(child: Expression, width: Int, signed: Boolean)
+    extends CodecExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    Codecs.decodeLEInt(v.asInstanceOf[Array[Byte]], width, signed)
+  protected def staticCall(c: String): String =
+    s"graft.functions.Codecs.decodeLEInt($c, $width, $signed)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** MurmurHash64A over binary or string input (hash-sharding key prefix). */
 case class Murmur64A(child: Expression, seed: Long) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -182,6 +194,8 @@ object cellfunctions {
   def le64_encode(col: Column): Column = c(Le64Encode(e(col)))
   def f64_decode(col: Column): Column = c(F64Decode(e(col)))
   def f64_encode(col: Column): Column = c(F64Encode(e(col)))
+  def le_int_decode(col: Column, width: Int, signed: Boolean): Column =
+    c(LeIntDecode(e(col), width, signed))
   def murmur64a(col: Column, seed: Long = 0L): Column = c(Murmur64A(e(col), seed))
 
   /** Hash-table storage key (tera `EnableHash` sharding,

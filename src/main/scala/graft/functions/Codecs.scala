@@ -35,6 +35,33 @@ object Codecs {
     if (b.length != 8) 0L
     else ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getLong
 
+  // ---- fixed-width little-endian integers (typed comparator operands,
+  // tera IntegerComparator::EncodeInteger/DecodeInteger,
+  // src/sdk/filter_comparator.cc:22-100: the value's low `width` bytes
+  // in host (little-endian) order, plus one trailing padding byte; the
+  // decoder reads only the first `width` bytes, so it tolerates both
+  // padded and exact-width buffers) ----
+  def encodeLEInt(v: Long, width: Int): Array[Byte] = {
+    val b = new Array[Byte](width + 1) // trailing pad, like the reference
+    var i = 0
+    while (i < width) { b(i) = ((v >>> (8 * i)) & 0xffL).toByte; i += 1 }
+    b
+  }
+
+  /** Decode the first `width` bytes little-endian; `signed` sign-extends
+    * (kInt8..kInt64), otherwise zero-extends (kUint8..kUint32; kUint64
+    * needs the caller to bias for unsigned ORDER, the bits are exact). */
+  def decodeLEInt(b: Array[Byte], width: Int, signed: Boolean): Long = {
+    if (b.length < width) return 0L
+    var v = 0L
+    var i = width - 1
+    while (i >= 0) { v = (v << 8) | (b(i) & 0xffL); i -= 1 }
+    if (signed && width < 8) {
+      val shift = 64 - 8 * width
+      (v << shift) >> shift
+    } else v
+  }
+
   // ---- double (typed decimal comparator operand) ----
   def encodeF64(v: Double): Array[Byte] = encodeBE64(java.lang.Double.doubleToLongBits(v))
   def decodeF64(b: Array[Byte]): Double = java.lang.Double.longBitsToDouble(decodeBE64(b))

@@ -42,6 +42,35 @@ object TypedValue {
     def decode(c: Column): Column = c
     def literal: Column = lit(v)
   }
+
+  /** Fixed-width SIGNED little-endian integer — tera kInt8/16/32/64
+    * (filter_comparator.h:40-50; wire format filter_comparator.cc:22-54:
+    * low `width` bytes host-endian). Decodes sign-extended to long.
+    */
+  case class IntW(v: Long, width: Int) extends TypedValue {
+    require(Set(1, 2, 4, 8).contains(width), s"bad width $width")
+    def decode(c: Column): Column = le_int_decode(c, width, signed = true)
+    def literal: Column = lit(v)
+  }
+
+  /** Fixed-width UNSIGNED little-endian integer — tera kUint8/16/32/64.
+    * Widths < 8 zero-extend into a long (widening compare). Width 8
+    * cannot widen, so both sides are biased by flipping the sign bit —
+    * an order ISOMORPHISM from uint64 onto signed long, making plain
+    * column comparisons implement unsigned compare
+    * (CompareWith's uint64_t cast, filter_comparator.cc:111-113).
+    * `v` holds the unsigned value's raw 64 bits.
+    */
+  case class UintW(v: Long, width: Int) extends TypedValue {
+    require(Set(1, 2, 4, 8).contains(width), s"bad width $width")
+    def decode(c: Column): Column = {
+      val raw = le_int_decode(c, width, signed = false)
+      if (width == 8) raw.bitwiseXOR(lit(Long.MinValue)) else raw
+    }
+    def literal: Column =
+      if (width == 8) lit(v ^ Long.MinValue)
+      else lit(v & ((1L << (8 * width)) - 1))
+  }
 }
 
 /** Boolean filter tree over row contents — tera's `FilterList` AND/OR of

@@ -207,6 +207,21 @@ object CellLogs {
       f64_encode(col("value")).as("value"),
       col("event_id").as("seq"))
 
+  /** events → VALUE cells carrying uint64 LE payloads with the SIGN BIT
+    * SET (logical cents | 2^63) — the unsigned-comparator fixture (P11b):
+    * as signed int64 every value is negative, so only a genuinely
+    * unsigned compare orders them correctly. */
+  def eventsUintLog(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir).select(
+      col("user_id").cast("string").as("row_key"),
+      lit("ev").as("cf"),
+      col("event_type").as("qualifier"),
+      Tables.eventTsUs.as("ts"),
+      lit(Value).as("op"),
+      le64_encode(floor(col("value") * 100).cast("long")
+        .bitwiseOR(Long.MinValue)).as("value"),
+      col("event_id").as("seq"))
+
   /** Percolator committed-state fixture from orders (FIXTURES.md §2.4):
     * every order writes data at ts=10; even orderkeys also carry a
     * commit pointer `!Wq` at commit_ts=20 whose value encodes the data

@@ -49,4 +49,30 @@ class CodecSpec extends AnyFunSuite {
     val s = Codecs.successor(k)
     assert(s.length == k.length + 1 && s.last == 0.toByte)
   }
+
+  test("fixed-width LE integers: round-trips, sign/zero extension, padding") {
+    for (width <- Seq(1, 2, 4, 8); v <- longs) {
+      val enc = Codecs.encodeLEInt(v, width)
+      assert(enc.length == width + 1, "reference pads one byte")
+      val mask = if (width == 8) -1L else (1L << (8 * width)) - 1
+      assert(Codecs.decodeLEInt(enc, width, signed = false) == (v & mask))
+      // signed decode sign-extends the width's top bit
+      val shift = 64 - 8 * width
+      assert(Codecs.decodeLEInt(enc, width, signed = true) == ((v & mask) << shift >> shift))
+    }
+    // 0xff: as uint8 = 255 (> 1), as int8 = -1 (< 1)
+    val ff = Codecs.encodeLEInt(0xffL, 1)
+    assert(Codecs.decodeLEInt(ff, 1, signed = false) == 255L)
+    assert(Codecs.decodeLEInt(ff, 1, signed = true) == -1L)
+    // width-8 buffers without the pad byte decode too (engine-written LE64)
+    assert(Codecs.decodeLEInt(Codecs.encodeLE64(-2L), 8, signed = true) == -2L)
+    // short buffer is total: decodes to 0 like the other codecs
+    assert(Codecs.decodeLEInt(Array[Byte](1, 2), 4, signed = false) == 0L)
+    // uint64 order via sign-bit bias: the biased signed compare agrees
+    // with true unsigned compare on every pair
+    for (a <- longs; b <- longs.take(20)) {
+      assert(((a ^ Long.MinValue) < (b ^ Long.MinValue)) ==
+        (java.lang.Long.compareUnsigned(a, b) < 0))
+    }
+  }
 }
