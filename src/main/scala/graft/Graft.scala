@@ -24,17 +24,21 @@ import org.apache.spark.sql.streaming.StreamingQuery
 class GraftTable(
     val spark: SparkSession,
     val logDir: String,
-    val desc: TableDesc = TableDesc()) {
+    val desc: TableDesc = TableDesc(),
+    /** Op tags this table's log may contain, when declared
+      * ([[Graft.createTable]]) or read back from the stored descriptor —
+      * lets every resolve skip its op-distribution probe. */
+    val opsPresent: Option[Set[Int]] = None) {
 
   /** The raw tagged mutation log. */
   def log: DataFrame = CellLogStore.read(spark, logDir)
 
   /** Resolved visible cells (versions/TTL/tombstones/folds applied). */
   def cells(nowUs: Long = Long.MaxValue): DataFrame =
-    Resolve.resolve(log, desc, nowUs)
+    Resolve.resolve(log, desc, nowUs, opsPresent = opsPresent)
 
   /** Scan builder over this table. */
-  def scan: ScanQuery = ScanQuery(log, desc)
+  def scan: ScanQuery = ScanQuery(log, desc, opsPresent = opsPresent)
 
   /** Storage form of a logical row key: murmur-hex-prefixed on a
     * hash-sharded table (tera `hash_method_`, src/sdk/table_impl.cc:98),
@@ -71,7 +75,7 @@ class GraftTable(
 
   /** Time-travel read bound by sequence number (tera snapshots). */
   def snapshot(seq: Long): DataFrame =
-    Resolve.resolve(log, desc, snapshotSeq = Some(seq))
+    Resolve.resolve(log, desc, snapshotSeq = Some(seq), opsPresent = opsPresent)
 
   /** Background compaction into `outDir` (physically applies folds,
     * drops dead versions — keeps read amplification bounded). */
@@ -91,9 +95,26 @@ class GraftTable(
   */
 object Graft {
 
+  /** Create a table: persist the descriptor (+ declared op-set) next to
+    * the log (the master-meta analogue, table_schema.proto:31-64) so a
+    * later [[openTable]] anywhere recovers it.
+    */
+  def createTable(spark: SparkSession, logDir: String,
+      desc: TableDesc = TableDesc(), ops: Option[Set[Int]] = None): GraftTable = {
+    CellLogStore.writeDesc(spark, logDir, desc, ops)
+    new GraftTable(spark, logDir, desc, ops)
+  }
+
+  /** Open a table. A descriptor stored next to the log is authoritative
+    * (like the reference's master-held schema); `desc` is the fallback
+    * for bare log directories.
+    */
   def openTable(spark: SparkSession, logDir: String,
       desc: TableDesc = TableDesc()): GraftTable =
-    new GraftTable(spark, logDir, desc)
+    CellLogStore.readDesc(spark, logDir) match {
+      case Some((stored, ops)) => new GraftTable(spark, logDir, stored, ops)
+      case None                => new GraftTable(spark, logDir, desc)
+    }
 
   /** Register the driver test tables plus resolved cell-log views in
     * the session catalog, making `spark.sql(...)` the query façade.

@@ -2,8 +2,8 @@ package graft
 
 import graft.functions.cellfunctions._
 import graft.model.{CfSpec, TableDesc}
-import graft.operators.{AsOfJoin, Dedup, Multimodal, PercolatorRead, Resolve,
-  ScanFilter, ScanQuery, Similarity, TextAnalysis, TypedValue}
+import graft.operators.{AsOfJoin, Dedup, KvStore, Multimodal, PercolatorRead,
+  Resolve, ScanFilter, ScanQuery, Similarity, TextAnalysis, TypedValue}
 import graft.sources.{CellLogs, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -201,6 +201,13 @@ object SparkEntry {
       t(s, dir, "part")
         .select(col("p_partkey").cast("string").as("key"), col("p_name").as("value"))
         .where(col("key") >= "1000" && col("key") < "2000")
+        .orderBy(col("key"), col("value"))
+    }),
+
+    "q_s6b_kv_ttl" -> ((s, dir) => {
+      // TTLKv: per-KV baked expiry resolved at scan time; latest write
+      // per key wins first (KvStore.resolve)
+      KvStore.resolve(CellLogs.kvTtlLog(s, dir), nowUs = 1700000050000000L)
         .orderBy(col("key"), col("value"))
     }),
 
@@ -720,6 +727,13 @@ object SparkEntry {
     "q_s5_batch_get" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_custkey < 50)
+        |ORDER BY 1, 2""".stripMargin,
+    "q_s6b_kv_ttl" ->
+      """SELECT CAST(p_partkey AS VARCHAR) AS key,
+        |       CASE WHEN p_partkey % 5 = 0 THEN p_name || '+v2' ELSE p_name END AS value
+        |FROM part
+        |WHERE p_partkey % 4 = 0
+        |   OR 1700000000000000 + p_partkey * 1000000 > 1700000050000000
         |ORDER BY 1, 2""".stripMargin,
     "q_s6_kv_scan" ->
       """SELECT CAST(p_partkey AS VARCHAR) AS key, p_name AS value FROM part

@@ -1,6 +1,6 @@
 package graft.sources
 
-import graft.model.TableDesc
+import graft.model.{CfSpec, TableDesc}
 import graft.operators.Resolve
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -41,6 +41,56 @@ object CellLogStore {
 
   def read(spark: SparkSession, logDir: String): DataFrame =
     spark.read.schema(graft.model.CellOp.schema).parquet(logDir)
+
+  // ---- durable table metadata -------------------------------------
+  // The reference persists schema knobs in the master's meta table
+  // (table_schema.proto:31-64, master_rpc.proto:207-216); here the
+  // descriptor lives NEXT TO the data as an underscore-prefixed
+  // properties file (Spark's file listing ignores `_*`), so a table
+  // reopened elsewhere keeps max_versions/TTL/hash mode, and the
+  // declared op-set lets resolve skip its op probe.
+
+  private val DescFile = "_graft_desc.properties"
+
+  def writeDesc(spark: SparkSession, logDir: String, desc: TableDesc,
+      ops: Option[Set[Int]] = None): Unit = {
+    val p = new java.util.Properties()
+    def put(key: String, s: CfSpec): Unit =
+      p.setProperty(key, s"${s.maxVersions},${s.minVersions},${s.ttlSec}")
+    put("cf.default", desc.default)
+    desc.cfs.foreach { case (name, s) => put(s"cf.named.$name", s) }
+    p.setProperty("hashKeys", desc.hashKeys.toString)
+    ops.foreach(o => p.setProperty("ops", o.toSeq.sorted.mkString(",")))
+    val path = new org.apache.hadoop.fs.Path(logDir, DescFile)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(path, true)
+    try p.store(out, "graft table descriptor") finally out.close()
+  }
+
+  def readDesc(spark: SparkSession, logDir: String)
+      : Option[(TableDesc, Option[Set[Int]])] = {
+    val path = new org.apache.hadoop.fs.Path(logDir, DescFile)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) None
+    else {
+      val p = new java.util.Properties()
+      val in = fs.open(path)
+      try p.load(in) finally in.close()
+      def spec(s: String): CfSpec = s.split(",") match {
+        case Array(mx, mn, ttl) => CfSpec(mx.toInt, mn.toInt, ttl.toLong)
+      }
+      import scala.jdk.CollectionConverters._
+      val cfs = p.stringPropertyNames().asScala.toSeq
+        .filter(_.startsWith("cf.named."))
+        .map(k => k.stripPrefix("cf.named.") -> spec(p.getProperty(k)))
+        .toMap
+      val desc = TableDesc(spec(p.getProperty("cf.default")), cfs,
+        p.getProperty("hashKeys", "false").toBoolean)
+      val ops = Option(p.getProperty("ops"))
+        .map(_.split(",").iterator.filter(_.nonEmpty).map(_.toInt).toSet)
+      Some((desc, ops))
+    }
+  }
 
   /** Background compaction: rewrite the log as its resolved state.
     * Resolved cells re-enter the log as plain VALUE ops (their folds and

@@ -222,6 +222,26 @@ object CellLogs {
         .bitwiseOR(Long.MinValue)).as("value"),
       col("event_id").as("seq"))
 
+  /** TTLKv fixture from part: one KV per partkey with a baked expiry
+    * (expire_ts_us = epoch + partkey seconds; every 4th key never
+    * expires), and every 5th key rewritten at seq=2 — latest wins.
+    */
+  def kvTtlLog(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.load(spark, sfDir, "part").select(
+      col("p_partkey").cast("string").as("key"),
+      col("p_name").as("value"),
+      when(col("p_partkey") % 4 === 0, 0L)
+        .otherwise(lit(1700000000000000L) + col("p_partkey") * 1000000L)
+        .as("expire_ts_us"),
+      col("p_partkey").as("pk"))
+    val v1 = base.select(col("key"), col("value"), col("expire_ts_us"),
+      lit(1L).as("seq"))
+    val v2 = base.where(col("pk") % 5 === 0)
+      .select(col("key"), concat(col("value"), lit("+v2")).as("value"),
+        col("expire_ts_us"), lit(2L).as("seq"))
+    v1.unionAll(v2)
+  }
+
   /** Percolator committed-state fixture from orders (FIXTURES.md §2.4):
     * every order writes data at ts=10; even orderkeys also carry a
     * commit pointer `!Wq` at commit_ts=20 whose value encodes the data

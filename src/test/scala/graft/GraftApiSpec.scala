@@ -92,6 +92,25 @@ class GraftApiSpec extends AnyFunSuite {
     assert(all.length == 3 && all.sorted.sameElements(all))
   }
 
+  test("stored descriptor survives reopen: TTL/max_versions/hash/ops") {
+    import graft.model.{CfSpec, TableDesc}
+    val dir = Files.createTempDirectory("graft-desc").toString
+    val desc = TableDesc(
+      default = CfSpec(maxVersions = 3, minVersions = 1, ttlSec = 86400),
+      cfs = Map("meta" -> CfSpec(maxVersions = 1)),
+      hashKeys = true)
+    val ops = Some(Set(OpType.Value, OpType.Add))
+    val t = Graft.createTable(spark, dir, desc, ops)
+    t.put(Seq(CellOp("k", "meta", "q", 100, OpType.Value, "v".getBytes, 1)))
+
+    // reopen WITHOUT passing a descriptor: the stored one is recovered,
+    // including the op-set (so resolve skips its probe) and hash mode
+    val t2 = Graft.openTable(spark, dir)
+    assert(t2.desc == desc)
+    assert(t2.opsPresent == ops)
+    assert(t2.get("k").count() == 1) // hashKeys round-trips through reopen
+  }
+
   test("sql facade answers over resolved cell views") {
     Graft.registerSqlCatalog(spark, "/root/testdata/sf0.001")
     val n = spark.sql(
