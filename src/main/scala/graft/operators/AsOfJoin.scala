@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
   * join: both sides shuffle once on the key, tagged rows interleave in
   * (ts, tag) order, and `last(right_value, ignoreNulls)` over the
   * running frame carries the as-of match to each left row. Cost is one
-  * shuffle + sort — no quadratic key-range explosion, skew-safe under
-  * AQE, and it survives a 100× scale-up where a theta join would not.
+  * shuffle + sort — no quadratic key-range explosion, and it survives a
+  * 100× scale-up where a theta join would not. Caveat: AQE does NOT
+  * split window partitions, so one hot key still lands on one task;
+  * when a key is pathologically hot, pre-salt it (range-bucket the ts
+  * domain per salt) — the design itself stays the right one.
   */
 object AsOfJoin {
 

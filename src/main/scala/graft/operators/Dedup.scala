@@ -93,17 +93,39 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
   }
 
+  /** A bucket of B members yields B²/2 candidate pairs, so one
+    * degenerate bucket (empty/boilerplate documents sharing a
+    * signature, zero vectors) can go quadratic and sink the job. Drop
+    * buckets above `maxSize` — the windowed count partitions exactly
+    * like the self-join that follows, so the guard rides the same
+    * shuffle. Members of a dropped bucket can still pair through their
+    * OTHER bands/tables; content trivial enough to mega-bucket is exact
+    * dedup's job, not near-dup's.
+    */
+  private[operators] def capBuckets(buckets: DataFrame, keys: Seq[String],
+      maxSize: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    buckets.withColumn("_bsize", count(lit(1)).over(w))
+      .where(col("_bsize") <= maxSize).drop("_bsize")
+  }
+
   /** LSH band buckets: signature split into `bands` bands of `rowsPerBand`
     * hashes; docs sharing any (band, bucket) become candidate pairs.
+    * `maxBucketSize` bounds the quadratic blowup of degenerate buckets
+    * (see [[capBuckets]]).
     */
-  def lshCandidatePairs(signed: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  def lshCandidatePairs(signed: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucketSize: Int = 10000): DataFrame = {
     val bandCols = (0 until bands).map { bi =>
       struct(lit(bi).as("band"),
         hash(slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand)).as("bucket"))
     }
-    val buckets = signed
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val buckets = capBuckets(
+      signed
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")),
+      Seq("band", "bucket"), maxBucketSize)
     val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
     val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
     a.join(b, Seq("band", "bucket"))
@@ -179,13 +201,16 @@ object Dedup {
     * (candidates/vector ≈ tables * N / 2^planes).
     */
   def embeddingNearDuplicatesLsh(emb: DataFrame, threshold: Double, dim: Int,
-      planes: Int = 2, tables: Int = 16): DataFrame = {
+      planes: Int = 2, tables: Int = 16,
+      maxBucketSize: Int = 10000): DataFrame = {
     val n = emb.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", Similarity.norm(col("embedding")))
-    val bucketed = Similarity
-      .withBuckets(emb.select(col("vec_id"), col("embedding")),
-        "embedding", dim, planes, tables)
-      .select(col("table"), col("bucket"), col("vec_id"))
+    val bucketed = capBuckets(
+      Similarity
+        .withBuckets(emb.select(col("vec_id"), col("embedding")),
+          "embedding", dim, planes, tables)
+        .select(col("table"), col("bucket"), col("vec_id")),
+      Seq("table", "bucket"), maxBucketSize)
     val cands = bucketed.select(col("table"), col("bucket"), col("vec_id").as("id_a"))
       .join(bucketed.select(col("table"), col("bucket"), col("vec_id").as("id_b")),
         Seq("table", "bucket"))

@@ -11,21 +11,48 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Aggregations that decompose correctly into per-salt partials plus a
+    * final merge. A closed set BY DESIGN: a free-form partial/final
+    * column pair lets a non-decomposable aggregate (avg, distinct
+    * count, ...) silently produce wrong results; these four compose the
+    * rest (avg = Sum/Count at the call site).
+    */
+  sealed trait SaltableAgg { def as: String }
+  object SaltableAgg {
+    case class Sum(column: String, as: String) extends SaltableAgg
+    case class Count(as: String) extends SaltableAgg
+    case class Min(column: String, as: String) extends SaltableAgg
+    case class Max(column: String, as: String) extends SaltableAgg
+  }
+
   /** Two-phase aggregation over a skewed key: per-(key, salt) partials
-    * then a final merge per key. `partialAggs`/`finalAggs` must compose
-    * (sum/sum, count/sum, min/min, ...).
+    * then a final merge per key — the partial/final pair for each
+    * aggregate is derived internally so they always compose.
     */
   def saltedAgg(
       df: DataFrame,
       key: Column,
       salts: Int,
-      partialAggs: Seq[Column],
-      finalAggs: Seq[Column]): DataFrame =
+      aggs: Seq[SaltableAgg]): DataFrame = {
+    import SaltableAgg._
+    val partials = aggs.map {
+      case Sum(c, as)  => sum(c).as(as)
+      case Count(as)   => count(lit(1)).as(as)
+      case Min(c, as)  => min(c).as(as)
+      case Max(c, as)  => max(c).as(as)
+    }
+    val finals = aggs.map {
+      case Sum(_, as) => sum(as).as(as)
+      case Count(as)  => sum(as).as(as)
+      case Min(_, as) => min(as).as(as)
+      case Max(_, as) => max(as).as(as)
+    }
     df.withColumn("_salt", pmod(monotonically_increasing_id(), lit(salts)))
       .groupBy(key.as("_key"), col("_salt"))
-      .agg(partialAggs.head, partialAggs.tail: _*)
+      .agg(partials.head, partials.tail: _*)
       .groupBy(col("_key"))
-      .agg(finalAggs.head, finalAggs.tail: _*)
+      .agg(finals.head, finals.tail: _*)
+  }
 
   /** Salted join of a skewed fact side against a small-ish dim side:
     * the fact side gets a random salt in [0, salts); the dim side is

@@ -37,6 +37,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("degenerate LSH buckets are capped: candidate counts stay bounded") {
+    import spark.implicits._
+    // skewed corpus: 200 identical docs (one signature -> one bucket per
+    // band) + 20 distinct docs
+    val skewed = ((0 until 200).map(i =>
+        (i.toLong, "the same boilerplate text repeated over and over again here")) ++
+      (200 until 220).map(i =>
+        (i.toLong, s"unique document number $i with its own words ${i * 7} ${i * 13}")))
+      .toDF("doc_id", "text")
+    val rows = Dedup.shingleRows(skewed, n = 3)
+    val signed = Dedup.minhashSignatures(rows)
+    // uncapped: the identical cluster alone yields 200*199/2 pairs
+    val uncapped = Dedup.lshCandidatePairs(signed, bands = 16, rowsPerBand = 4,
+      maxBucketSize = Int.MaxValue).count()
+    assert(uncapped >= 199L * 100)
+    // capped at 50: the mega-bucket is dropped, candidates stay bounded
+    val capped = Dedup.lshCandidatePairs(signed, bands = 16, rowsPerBand = 4,
+      maxBucketSize = 50).count()
+    assert(capped < 1000, s"capped candidate count $capped")
+    // embedding variant: 100 identical vectors all land in one bucket
+    val vecs = ((0 until 100).map(i => (i.toLong, Array.fill(8)(1.0f))) ++
+      (100 until 110).map(i => (i.toLong, Array.tabulate(8)(j => (i * (j + 1)).toFloat))))
+      .toDF("vec_id", "embedding")
+    val cappedVecs = Dedup.embeddingNearDuplicatesLsh(vecs, threshold = 0.99,
+      dim = 8, maxBucketSize = 20).count()
+    val uncappedVecs = Dedup.embeddingNearDuplicatesLsh(vecs, threshold = 0.99,
+      dim = 8, maxBucketSize = Int.MaxValue).count()
+    assert(uncappedVecs >= 99L * 50 && cappedVecs < uncappedVecs / 10,
+      s"capped $cappedVecs vs uncapped $uncappedVecs")
+  }
+
   test("simhash: identical texts distance 0, near-dups closer than random pairs") {
     import spark.implicits._
     val fp = docs.select(col("doc_id"),

@@ -43,8 +43,7 @@ class ScaleOpsSpec extends AnyFunSuite {
     val direct = df.groupBy("key").agg(sum("v").as("s"), count(lit(1)).as("c"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     val salted = Skew.saltedAgg(df, col("key"), salts = 8,
-        partialAggs = Seq(sum("v").as("ps"), count(lit(1)).as("pc")),
-        finalAggs = Seq(sum("ps").as("s"), sum("pc").as("c")))
+        Seq(Skew.SaltableAgg.Sum("v", "s"), Skew.SaltableAgg.Count("c")))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(salted == direct)
   }
