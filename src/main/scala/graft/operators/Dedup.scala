@@ -211,11 +211,15 @@ object Dedup {
           "embedding", dim, planes, tables)
         .select(col("table"), col("bucket"), col("vec_id")),
       Seq("table", "bucket"), maxBucketSize)
+    // candidates keep their multiplicity (a pair sharing k buckets
+    // appears k times): deduping BEFORE the verify would shuffle the
+    // whole candidate set to save re-running a cheap codegen'd dot
+    // product — distinct only the (rare) survivors instead
     val cands = bucketed.select(col("table"), col("bucket"), col("vec_id").as("id_a"))
       .join(bucketed.select(col("table"), col("bucket"), col("vec_id").as("id_b")),
         Seq("table", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
     cands
       .join(n.select(col("vec_id").as("id_a"), col("embedding").as("va"),
         col("nrm").as("na")), "id_a")
@@ -223,7 +227,7 @@ object Dedup {
         col("nrm").as("nb")), "id_b")
       .where(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))
         >= threshold)
-      .select("id_a", "id_b")
+      .select("id_a", "id_b").distinct()
   }
 
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
