@@ -2,8 +2,9 @@ package graft
 
 import graft.functions.cellfunctions._
 import graft.model.{CfSpec, TableDesc}
-import graft.operators.{AsOfJoin, Dedup, KvStore, Multimodal, PercolatorRead,
-  Resolve, ScanFilter, ScanQuery, Similarity, TextAnalysis, TypedValue}
+import graft.operators.{AsOfJoin, BatchTxn, Dedup, KvStore, Multimodal,
+  PercolatorRead, Resolve, ScanFilter, ScanQuery, Similarity, TextAnalysis,
+  TypedValue}
 import graft.sources.{CellLogs, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -337,6 +338,25 @@ object SparkEntry {
     "q_t3_percolator_read" -> ((s, dir) => {
       PercolatorRead.resolve(CellLogs.percolatorLog(s, dir), snapshotTs = 25L)
         .select(col("row_key"), decode(col("value"), "UTF-8").as("status"))
+        .orderBy(col("row_key"))
+    }),
+
+    "q_r8_check_and_apply" -> ((s, dir) => {
+      // batch CheckAndApply (R8's batch form): condition against the
+      // CURRENT visible value decides whether each intent applies
+      val current = Resolve.resolve(CellLogs.ordersWideLog(s, dir),
+        opsPresent = CellLogs.valueOnly)
+      val intents = t(s, dir, "orders").select(
+        col("o_orderkey").cast("string").as("row_key"),
+        lit("meta").as("cf"), lit("status").as("qualifier"),
+        lit(2L).as("ts"), lit(graft.model.OpType.Value).as("op"),
+        encode(lit("X"), "UTF-8").as("value"),
+        (col("o_orderkey") * 10 + 9).as("seq"),
+        lit("meta").as("check_cf"), lit("status").as("check_qualifier"),
+        encode(lit("F"), "UTF-8").as("expected"))
+      BatchTxn.checkAndApply(current, intents)
+        .where(col("applied"))
+        .select(col("row_key"))
         .orderBy(col("row_key"))
     }),
 
@@ -837,6 +857,9 @@ object SparkEntry {
     "q_t3_percolator_read" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS row_key, o_orderstatus AS status
         |FROM orders WHERE o_orderkey % 2 = 0 ORDER BY 1""".stripMargin,
+    "q_r8_check_and_apply" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS row_key
+        |FROM orders WHERE o_orderstatus = 'F' ORDER BY 1""".stripMargin,
     "q_agg_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,

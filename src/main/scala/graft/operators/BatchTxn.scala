@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.functions.cellfunctions._
+import graft.model.OpType
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Batch forms of the reference's conditional-write surface.
+  *
+  * The reference offers interactive CAS (`Table::CheckAndApply`,
+  * include/tera/table.h:140-142) and Percolator-style global
+  * transactions (prewrite lock `!L<qual>` / commit pointer `!W<qual>`
+  * cells, src/sdk/global_txn.cc, naming global_txn_internal.h:47-53).
+  * Interactive per-row RPC latency is OLTP and stays out of scope; what
+  * a batch engine CAN reproduce exactly is the data contract: condition
+  * checks against the current visible state, and the 2PC cell protocol
+  * as mutation batches — so a reader of either engine sees the same
+  * cells.
+  *
+  * Scale: every step is an equi-join or aggregation keyed by
+  * (row_key[, cf, qualifier]) — one hash shuffle each, no driver-side
+  * loops; conflict checks ride the same key partitioning as the writes
+  * they guard.
+  */
+object BatchTxn {
+
+  /** Batch CheckAndApply: each intent row carries its mutation (the
+    * CellOp columns) plus a condition — `check_cf`, `check_qualifier`,
+    * `expected` (bytes). The intent applies iff the CURRENT visible
+    * value of (row_key, check_cf, check_qualifier) in `current` equals
+    * `expected` (absent column => fails, like the reference's
+    * string-compare against a read value).
+    *
+    * Returns the intents annotated with a boolean `applied`; the caller
+    * writes `.where($"applied")`'s CellOp columns and can route the
+    * rejects to a retry/report path.
+    */
+  def checkAndApply(current: DataFrame, intents: DataFrame): DataFrame = {
+    val cur = current.select(
+      col("row_key"),
+      col("cf").as("check_cf"),
+      col("qualifier").as("check_qualifier"),
+      col("value").as("_cur"))
+    intents
+      .join(cur, Seq("row_key", "check_cf", "check_qualifier"), "left")
+      .withColumn("applied", col("_cur").isNotNull && col("_cur") === col("expected"))
+      .drop("_cur")
+  }
+
+  /** Percolator prewrite: stage `mutations` (row_key, cf, qualifier,
+    * value) at `startTs`. A mutation conflicts when its column holds a
+    * pending lock (any ts) or a commit pointer at-or-after `startTs`
+    * (write-write conflict) — Percolator's two prewrite checks. The
+    * returned frame annotates each mutation with `conflict`; accepted
+    * rows expand to their data cell + `!L` lock cell (lock payload =
+    * the txn's primary row, `primaryKey`) via [[prewriteOps]].
+    */
+  def prewrite(log: DataFrame, mutations: DataFrame, startTs: Long): DataFrame = {
+    val locks = PercolatorRead.pendingLocks(log, snapshotTs = Long.MaxValue)
+      .select(col("row_key"), col("cf"), col("qualifier"), lit(true).as("_locked"))
+    val laterWrites = log
+      .where(col("qualifier").startsWith("!W") && col("ts") >= startTs)
+      .select(col("row_key"), col("cf"),
+        expr("substring(qualifier, 3)").as("qualifier"), lit(true).as("_written"))
+      .distinct()
+    mutations
+      .join(locks, Seq("row_key", "cf", "qualifier"), "left")
+      .join(laterWrites, Seq("row_key", "cf", "qualifier"), "left")
+      .withColumn("conflict",
+        coalesce(col("_locked"), lit(false)) || coalesce(col("_written"), lit(false)))
+      .drop("_locked", "_written")
+  }
+
+  /** Expand accepted prewrites into their cell-log ops: the data cell at
+    * `startTs` plus the `!L` lock cell pointing at the primary row.
+    * `seqBase` spacing as in [[graft.streaming.Observers.notifyOps]].
+    */
+  def prewriteOps(accepted: DataFrame, startTs: Long, primaryKey: String,
+      seqBase: Long): DataFrame = {
+    val base = accepted.where(!col("conflict"))
+      .select(col("row_key"), col("cf"), col("qualifier"), col("value"))
+    val data = base.select(
+      col("row_key"), col("cf"), col("qualifier"),
+      lit(startTs).as("ts"), lit(OpType.Value).as("op"), col("value"),
+      (lit(seqBase) + monotonically_increasing_id() * 2).as("seq"))
+    val lock = base.select(
+      col("row_key"), col("cf"),
+      concat(lit("!L"), col("qualifier")).as("qualifier"),
+      lit(startTs).as("ts"), lit(OpType.Value).as("op"),
+      encode(lit(primaryKey), "UTF-8").as("value"),
+      (lit(seqBase) + monotonically_increasing_id() * 2 + 1).as("seq"))
+    data.unionAll(lock)
+  }
+
+  /** Percolator commit: for every column still locked at `startTs`,
+    * write the `!W` commit pointer at `commitTs` (payload = BE64 of the
+    * data ts, exactly what [[PercolatorRead.resolve]] reads back) and
+    * delete the lock with a ts-bounded tombstone — the second phase of
+    * 2PC as one mutation batch.
+    */
+  def commitOps(log: DataFrame, startTs: Long, commitTs: Long,
+      seqBase: Long): DataFrame = {
+    val locked = PercolatorRead.pendingLocks(log, snapshotTs = Long.MaxValue)
+      .where(col("lock_ts") === startTs)
+      .select(col("row_key"), col("cf"), col("qualifier"))
+    val writes = locked.select(
+      col("row_key"), col("cf"),
+      concat(lit("!W"), col("qualifier")).as("qualifier"),
+      lit(commitTs).as("ts"), lit(OpType.Value).as("op"),
+      be64_encode(lit(startTs)).as("value"),
+      (lit(seqBase) + monotonically_increasing_id() * 2).as("seq"))
+    val unlocks = locked.select(
+      col("row_key"), col("cf"),
+      concat(lit("!L"), col("qualifier")).as("qualifier"),
+      lit(startTs).as("ts"), lit(OpType.DelQualifiers).as("op"),
+      lit(null).cast("binary").as("value"),
+      (lit(seqBase) + monotonically_increasing_id() * 2 + 1).as("seq"))
+    writes.unionAll(unlocks)
+  }
+}

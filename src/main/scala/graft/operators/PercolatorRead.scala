@@ -50,12 +50,14 @@ object PercolatorRead {
     */
   def pendingLocks(log: DataFrame, snapshotTs: Long): DataFrame = {
     val locks = log
-      .where(col("qualifier").startsWith("!L") && col("ts") <= snapshotTs)
+      .where(col("qualifier").startsWith("!L") && col("ts") <= snapshotTs &&
+        col("op") === graft.model.OpType.Value)
       .select(col("row_key"), col("cf"),
         expr("substring(qualifier, 3)").as("qualifier"),
         col("ts").as("lock_ts"))
     val commits = log
-      .where(col("qualifier").startsWith("!W") && col("ts") <= snapshotTs)
+      .where(col("qualifier").startsWith("!W") && col("ts") <= snapshotTs &&
+        col("op") === graft.model.OpType.Value)
       .groupBy(col("row_key"), col("cf"),
         expr("substring(qualifier, 3)").as("qualifier"))
       .agg(max(col("ts")).as("commit_ts"))
