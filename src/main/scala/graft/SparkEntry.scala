@@ -567,6 +567,13 @@ object SparkEntry {
       Similarity.lshTopK(e.where(col("vec_id") < 10), e, k = 5, dim = 64)
         .orderBy(col("qid"), col("rank"))
     }),
+    "q_x_sim_ivf_topk" -> ((s, dir) => {
+      // IVF coarse-quantizer ANN — approximate by definition (no SQL
+      // oracle); recall vs brute force covered by PipelineOpsSpec
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e.where(col("vec_id") < 10), e, k = 5, dim = 64)
+        .orderBy(col("qid"), col("rank"))
+    }),
     "q_x_dedup_cosine" -> ((s, dir) => {
       // exact all-pairs — verification-grade baseline for the LSH twin
       Dedup.embeddingNearDuplicates(t(s, dir, "embeddings"), threshold = 0.5)

@@ -70,6 +70,89 @@ object Similarity {
       .drop("_tb")
   }
 
+  /** Train `nlist` coarse centroids with `iters` Lloyd iterations of
+    * spherical k-means (cosine assignment, mean update). Centroids live
+    * on the driver between iterations — nlist × dim doubles, a few KB —
+    * while every data pass is a distributed job: assignment is an
+    * argmax over codegen'd dot products, the update one
+    * posexplode + (cluster, pos) average. Deterministic: seeds pick the
+    * initial centers by hashed vec_id order, no RNG at runtime.
+    */
+  def trainCentroids(corpus: DataFrame, dim: Int, nlist: Int,
+      iters: Int = 3, seed: Long = 7L): Array[Array[Double]] = {
+    val base = corpus.select(col("vec_id"), col("embedding"))
+    var centroids: Array[Array[Double]] = base
+      .orderBy(xxhash64(col("vec_id"), lit(seed)))
+      .limit(nlist)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    for (_ <- 0 until iters) {
+      val assigned = base.withColumn("cluster",
+        assignCluster(col("embedding"), centroids))
+      val means = assigned
+        .select(col("cluster"), posexplode(col("embedding")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+      val next = Array.fill(centroids.length)(new Array[Double](dim))
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      // empty clusters keep their previous center
+      val counts = means.map(_.getInt(0)).toSet
+      centroids = centroids.indices
+        .map(i => if (counts(i)) next(i) else centroids(i)).toArray
+    }
+    centroids
+  }
+
+  /** Argmax-cosine cluster id for a vector column against fixed
+    * centroids (norms of the centroids divide out per-centroid; the
+    * vector's own norm is constant across the argmax). */
+  private def assignCluster(v: Column, centroids: Array[Array[Double]]): Column = {
+    val scores = centroids.map { c =>
+      val nrm = math.sqrt(c.map(x => x * x).sum)
+      dot(v, array(c.map(lit): _*)) / lit(if (nrm == 0) 1.0 else nrm)
+    }
+    val arr = array(scores: _*)
+    (array_position(arr, array_max(arr)) - 1).cast("int")
+  }
+
+  /** Per-row top-`nprobe` cluster ids (for the query side of IVF). */
+  private def probeClusters(v: Column, centroids: Array[Array[Double]],
+      nprobe: Int): Column = {
+    val scores = centroids.zipWithIndex.map { case (c, i) =>
+      val nrm = math.sqrt(c.map(x => x * x).sum)
+      struct((dot(v, array(c.map(lit): _*)) / lit(if (nrm == 0) 1.0 else nrm))
+        .as("s"), lit(i).as("i"))
+    }
+    slice(reverse(array_sort(array(scores: _*))), 1, nprobe).getField("i")
+  }
+
+  /** IVF (inverted-file) cosine top-k — the coarse-quantizer ANN path:
+    * the corpus is assigned once to its nearest of `nlist` centroids
+    * (the inverted lists); each query probes only its `nprobe` closest
+    * lists, so the scored candidates are ≈ nprobe/nlist of the corpus —
+    * real pruning even at low similarity thresholds, where sign-bucket
+    * LSH degrades. Candidates are scored exactly; recall measured vs
+    * [[bruteForceTopK]] in tests. Index build cost = `iters` passes.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    val centroids = trainCentroids(corpus, dim, nlist, iters)
+    val c = corpus.select(col("vec_id"), col("embedding").as("cv"))
+      .withColumn("cnorm", norm(col("cv")))
+      .withColumn("cluster", assignCluster(col("cv"), centroids))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("qnorm", norm(col("qv")))
+      .withColumn("cluster", explode(probeClusters(col("qv"), centroids, nprobe)))
+    val pairs = c.join(broadcast(q), Seq("cluster"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"))
+  }
+
   /** LSH-bucketed cosine top-k — multiple hash tables of few planes;
     * candidates are the union of same-bucket vectors across tables,
     * scored exactly once. Approximate — recall measured against

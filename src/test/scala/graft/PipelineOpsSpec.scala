@@ -103,6 +103,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall > 0.4, s"recall=$recall")
   }
 
+  test("IVF top-k recall vs brute force is usable; full probe is exact") {
+    val queries = emb.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(queries, emb, k = 5, dim = 64,
+        nlist = 16, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall > 0.4, s"recall $recall")
+    // probing every list degenerates to exact brute force
+    val full = Similarity.ivfTopK(queries, emb, k = 5, dim = 64,
+        nlist = 16, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(full == exact)
+  }
+
   test("winnowed fingerprints: identical docs share all, near-dups most") {
     import spark.implicits._
     val fp = docs.select(col("doc_id"),
