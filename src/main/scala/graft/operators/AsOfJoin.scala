@@ -18,9 +18,9 @@ import org.apache.spark.sql.functions._
   * running frame carries the as-of match to each left row. Cost is one
   * shuffle + sort — no quadratic key-range explosion, and it survives a
   * 100× scale-up where a theta join would not. Caveat: AQE does NOT
-  * split window partitions, so one hot key still lands on one task;
-  * when a key is pathologically hot, pre-salt it (range-bucket the ts
-  * domain per salt) — the design itself stays the right one.
+  * split window partitions, so one hot key still lands on one task —
+  * [[joinSalted]] is the mitigation (range-buckets the ts domain per
+  * key), exactness-tested against this implementation.
   */
 object AsOfJoin {
 
@@ -70,5 +70,83 @@ object AsOfJoin {
         leftCols.filterNot(_ == key).map(c => col(c)) ++ carriedCols: _*)
       .where(col("_tag") === 1)
       .drop("_tag")
+  }
+
+  /** Hot-key-safe as-of join: same result as [[join]], but the ts
+    * domain is range-bucketed so ONE pathologically hot key spreads
+    * over up to `buckets` tasks instead of landing on one.
+    *
+    * Two passes: (1) the usual last-value carry within each
+    * (key, ts-bucket) window partition; (2) left rows whose bucket has
+    * no earlier right row back-fill from the newest right row of any
+    * EARLIER bucket — a fan-out join against the per-(key, bucket)
+    * last-rights, which holds at most `buckets` rows per key, so the
+    * fan-out is bounded and the backfill side is small by construction.
+    * Carried columns travel as one struct (row-atomic, unlike [[join]]'s
+    * independent per-column windows — see its NOTE).
+    *
+    * Cost when keys are NOT hot: one extra small aggregation + a join
+    * over the (usually few) carry-miss rows — prefer [[join]] unless a
+    * key is hot enough to dominate a stage.
+    */
+  def joinSalted(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      carried: Seq[String],
+      buckets: Int = 32): DataFrame = {
+
+    val leftCols = left.columns
+    val st = org.apache.spark.sql.types.StructType(carried.map(right.schema(_)))
+
+    // ts bounds: one tiny aggregation, two driver scalars (the same
+    // scalar-handshake class as pagination's resume key)
+    val bounds = left.select(col(leftTs).cast("long").as("t"))
+      .unionAll(right.select(col(rightTs).cast("long").as("t")))
+      .agg(min(col("t")).as("lo"), max(col("t")).as("hi")).collect()(0)
+    if (bounds.isNullAt(0)) return join(left, right, key, leftTs, rightTs, carried)
+    val lo = bounds.getLong(0)
+    val width = math.max((bounds.getLong(1) - lo + 1) / buckets, 1L)
+    def bucketOf(ts: Column): Column =
+      least((ts - lo) / width, lit(buckets - 1L)).cast("int")
+
+    val lU = left.withColumn("_ts", col(leftTs).cast("long"))
+      .select(Seq(col(key), col("_ts"), lit(1).as("_tag"),
+        monotonically_increasing_id().as("_rid")) ++
+        leftCols.filterNot(_ == key).map(col) :+
+        lit(null).cast(st).as("_rv"): _*)
+    val rU = right.withColumn("_ts", col(rightTs).cast("long"))
+      .select(Seq(col(key), col("_ts"), lit(0).as("_tag"), lit(-1L).as("_rid")) ++
+        leftCols.filterNot(_ == key)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(carried.map(col): _*).as("_rv"): _*)
+
+    val u = lU.unionAll(rU).withColumn("_bkt", bucketOf(col("_ts")))
+    val w1 = Window.partitionBy(col(key), col("_bkt"))
+      .orderBy(col("_ts"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pass1 = u
+      .withColumn("_c1", last(col("_rv"), ignoreNulls = true).over(w1))
+      .where(col("_tag") === 1)
+
+    // newest right row per (key, bucket) — ≤ `buckets` rows per key
+    val bucketLast = rU.withColumn("_bkt", bucketOf(col("_ts")))
+      .groupBy(col(key), col("_bkt"))
+      .agg(max_by(col("_rv"), struct(col("_ts"), col("_tag"))).as("_blast"))
+      .select(col(key).as("_blk"), col("_bkt").as("_blb"), col("_blast"))
+
+    val haveCarry = pass1.where(col("_c1").isNotNull)
+    val needFill = pass1.where(col("_c1").isNull)
+    val fills = needFill.select(col("_rid"), col(key), col("_bkt"))
+      .join(bucketLast, col(key) === col("_blk") && col("_blb") < col("_bkt"))
+      .groupBy(col("_rid"))
+      .agg(max_by(col("_blast"), col("_blb")).as("_c1"))
+    val filled = needFill.drop("_c1").join(fills, Seq("_rid"), "left")
+
+    haveCarry.unionByName(filled, allowMissingColumns = false)
+      .select(Seq(col(key)) ++ leftCols.filterNot(_ == key).map(col) ++
+        carried.map(c => col("_c1").getField(c).as(c)): _*)
   }
 }

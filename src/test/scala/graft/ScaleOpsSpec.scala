@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.{CellOp, OpType}
-import graft.operators.Skew
+import graft.operators.{AsOfJoin, Skew}
 import graft.sources.CellLogStore
 import graft.streaming.Observers
 import java.nio.file.Files
@@ -34,6 +34,31 @@ class ScaleOpsSpec extends AnyFunSuite {
       .groupBy("key").count()
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(salted == plain)
+  }
+
+  test("salted as-of join is exact: matches the single-window join on a hot key") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // one hot key carrying most rows + normal keys + a right-less key
+    val left = ((1 to 4000).map(_ => ("hot", rng.nextInt(100000).toLong * 2)) ++
+      (1 to 200).map(i => (s"k${i % 20}", rng.nextInt(100000).toLong * 2)) ++
+      (1 to 10).map(i => ("nomatch", i.toLong * 2)))
+      .toDF("key", "ts")
+    val right = ((1 to 1500).map(_ => ("hot", rng.nextInt(100000).toLong * 2 + 1,
+        rng.nextInt(1000))) ++
+      (1 to 100).map(i => (s"k${i % 20}", rng.nextInt(100000).toLong * 2 + 1,
+        rng.nextInt(1000))))
+      .toDF("key", "rts", "rv")
+      .groupBy("key", "rts").agg(max("rv").as("rv")) // unique (key, ts)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("key", "ts", "rv")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2))).sorted
+    val plain = canon(AsOfJoin.join(left, right, "key", "ts", "rts", Seq("rv")))
+    val salted = canon(AsOfJoin.joinSalted(left, right, "key", "ts", "rts",
+      Seq("rv"), buckets = 16))
+    assert(plain.length == left.count())
+    assert(salted.sameElements(plain))
   }
 
   test("salted two-phase aggregation matches direct aggregation") {
