@@ -148,5 +148,14 @@ object Graft {
     one("f64_encode", F64Encode)
     one("key_successor", KeySuccessor)
     one("simhash64", SimHash64)
+    reg.createOrReplaceTempFunction("vec_dot",
+      es => VecDot(es(0), es(1)), "built-in")
+    // le_int_decode(bytes, width, signed) — width/signed are literals
+    reg.createOrReplaceTempFunction("le_int_decode", es => {
+      def litOf(e: Expression): Any =
+        e.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal].value
+      LeIntDecode(es.head, litOf(es(1)).asInstanceOf[Number].intValue(),
+        litOf(es(2)).asInstanceOf[Boolean])
+    }, "built-in")
   }
 }

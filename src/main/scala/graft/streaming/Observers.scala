@@ -134,6 +134,18 @@ object Observers {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming exact dedup over the change feed: drop re-deliveries of
+    * the same document (by content fingerprint) within the watermark
+    * horizon — the incremental twin of the batch exact-dedup operator,
+    * for pipelines that ingest continuously. State is bounded by the
+    * watermark (Spark evicts seen keys older than it).
+    */
+  def streamingDedup(feed: DataFrame, fingerprintCols: Seq[String],
+      watermark: String): DataFrame =
+    feed.withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(fingerprintCols)
+
   /** N6: event-time tumbling/sliding window aggregation with watermark
     * over the change feed (capability absent in the reference, required
     * for the events north star).

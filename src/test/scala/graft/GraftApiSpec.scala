@@ -147,5 +147,11 @@ class GraftApiSpec extends AnyFunSuite {
         |       f64_decode(f64_encode(2.5D)) AS d""".stripMargin).collect()(0)
     assert(r.getLong(0) == Codecs.murmur64a("hello-tera".getBytes("UTF-8")))
     assert(r.getLong(1) == 42L && r.getDouble(2) == 2.5)
+    val r2 = spark.sql(
+      """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
+        |       le_int_decode(le64_encode(-7L), 8, true) AS li,
+        |       le_int_decode(le64_encode(255L), 1, false) AS u8""".stripMargin)
+      .collect()(0)
+    assert(r2.getDouble(0) == 11.0 && r2.getLong(1) == -7L && r2.getLong(2) == 255L)
   }
 }

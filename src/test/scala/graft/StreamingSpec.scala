@@ -148,6 +148,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(res == Seq(12L, 8L))
   }
 
+  test("streaming dedup drops re-delivered duplicates within the watermark") {
+    import spark.implicits._
+    val logDir = tmp("deduplog")
+    // 30 distinct cells, each delivered twice (re-delivery ts +1s)
+    val once = (0 until 30).map(i =>
+      CellOp(s"r$i", "cf", "q", 1000000L * i, OpType.Value, s"v$i".getBytes, i.toLong))
+    val dups = once.map(c => c.copy(ts = c.ts + 1000000L, seq = c.seq + 100))
+    CellLogStore.append((once ++ dups).toDF(), logDir)
+
+    val q = Observers.streamingDedup(
+        Observers.cellLogStream(spark, logDir),
+        fingerprintCols = Seq("row_key", "cf", "qualifier", "value"),
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("deduped")
+      .option("checkpointLocation", tmp("dedup-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val out = spark.sql("SELECT row_key FROM deduped").collect().map(_.getString(0))
+    assert(out.length == 30 && out.toSet.size == 30)
+  }
+
   test("compaction preserves resolved state and drops folded history") {
     import spark.implicits._
     val logDir = tmp("celllog-compact")
