@@ -109,5 +109,8 @@ object CellLogStore {
       .sortWithinPartitions(col("row_key"), col("cf"), col("qualifier"),
         col("ts"), col("seq"))
       .write.mode(SaveMode.Overwrite).parquet(outDir)
+    // the compacted table keeps its descriptor; its log is now VALUE-only
+    // (folds and tombstones physically applied), so declare that op-set
+    writeDesc(spark, outDir, desc, Some(Set(graft.model.OpType.Value)))
   }
 }

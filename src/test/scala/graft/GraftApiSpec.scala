@@ -109,6 +109,14 @@ class GraftApiSpec extends AnyFunSuite {
     assert(t2.desc == desc)
     assert(t2.opsPresent == ops)
     assert(t2.get("k").count() == 1) // hashKeys round-trips through reopen
+
+    // compaction carries the descriptor to the output table, with a
+    // VALUE-only op-set (folds/tombstones are physically applied)
+    val cdir = Files.createTempDirectory("graft-desc-compact").toString
+    t2.compact(cdir)
+    val t3 = Graft.openTable(spark, cdir)
+    assert(t3.desc == desc)
+    assert(t3.opsPresent == Some(Set(OpType.Value)))
   }
 
   test("sql facade answers over resolved cell views") {

@@ -117,6 +117,13 @@ class PlanSpec extends AnyFunSuite {
       plan)
   }
 
+  test("KV-TTL resolve plans as hash aggregation with map-side combine") {
+    val plan = planOf(graft.operators.KvStore.resolve(
+      graft.sources.CellLogs.kvTtlLog(spark, sfDir), nowUs = 1700000050000000L))
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_max_by"), plan)
+  }
+
   test("LSH embedding near-dup plans with no cartesian product") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val plan = planOf(graft.operators.Dedup.embeddingNearDuplicatesLsh(
