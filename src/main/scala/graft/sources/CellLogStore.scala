@@ -42,6 +42,19 @@ object CellLogStore {
   def read(spark: SparkSession, logDir: String): DataFrame =
     spark.read.schema(graft.model.CellOp.schema).parquet(logDir)
 
+  /** Next free seq era for generated mutation batches (notify/ack,
+    * prewrite/commit): the stored max seq rounded UP to a 2^40 boundary.
+    * Ops built with `seqBase + monotonically_increasing_id()` (id <
+    * partition# << 33) then stay above every existing seq and below the
+    * next era — the arrival-order contract CellOp.seq requires. One
+    * pushed max-aggregation over the seq column; empty log → era 1.
+    */
+  def nextSeqEra(spark: SparkSession, logDir: String): Long = {
+    val era = 1L << 40
+    val row = read(spark, logDir).agg(max(col("seq"))).collect()(0)
+    if (row.isNullAt(0)) era else ((row.getLong(0) >> 40) + 1) * era
+  }
+
   // ---- durable table metadata -------------------------------------
   // The reference persists schema knobs in the master's meta table
   // (table_schema.proto:31-64, master_rpc.proto:207-216); here the

@@ -86,5 +86,11 @@ class BatchTxnSpec extends AnyFunSuite {
     // ...but a txn starting after the commit proceeds
     val p4 = BatchTxn.prewrite(t.log, m3, startTs = 30)
     assert(p4.where(col("conflict")).count() == 0)
+
+    // seq-era allocation: each era clears everything already stored
+    val era = graft.sources.CellLogStore.nextSeqEra(spark, t.logDir)
+    assert(era % (1L << 40) == 0)
+    val maxSeq = t.log.agg(max(col("seq"))).collect()(0).getLong(0)
+    assert(era > maxSeq)
   }
 }
