@@ -124,6 +124,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_max_by"), plan)
   }
 
+  test("curate gates evaluate in the scan; dedup keep is the only exchange") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = planOf(graft.operators.TextAnalysis.curate(docs))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("LSH embedding near-dup plans with no cartesian product") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val plan = planOf(graft.operators.Dedup.embeddingNearDuplicatesLsh(
