@@ -44,7 +44,8 @@ object Observers {
     * NumberToString(ts)). `seqBase` places the batch in arrival order;
     * bases of successive eras must be spaced wider than the id range
     * (`monotonically_increasing_id` uses partition#<<33, so space bases
-    * by >= 2^40).
+    * by >= 2^40 — [[graft.sources.CellLogStore.nextSeqEra]] allocates
+    * them safely against a stored log).
     */
   def notifyOps(mutations: DataFrame, notifyTs: Long, seqBase: Long): DataFrame =
     mutations
@@ -74,6 +75,44 @@ object Observers {
         lit(graft.model.OpType.DelQualifiers).as("op"),
         lit(null).cast("binary").as("value"),
         (lit(seqBase) + monotonically_increasing_id()).as("seq"))
+
+  /** The full reference observer loop — discover pending `_N_` cells,
+    * deliver, Ack — as one self-contained streaming query (tera
+    * ScannerImpl's scan→OnNotify→Ack cycle,
+    * src/observer/executor/scanner_impl.cc:244-295): tail the notify CF
+    * of the change feed, hand each micro-batch to `onNotify`, then
+    * append the ack tombstones bounded at the batch's newest notify ts.
+    * Ack rows are DEL ops, so the stream's own `op == VALUE` filter
+    * never re-delivers them; re-notifications written later than the
+    * ack survive, exactly like the reference. Seq allocation per batch
+    * comes from [[graft.sources.CellLogStore.nextSeqEra]].
+    */
+  def observeNotifications(table: graft.GraftTable, checkpointDir: String)
+      (onNotify: DataFrame => Unit): StreamingQuery =
+    cellLogStream(table.spark, table.logDir)
+      .where(col("cf") === NotifyCf &&
+        col("op") === graft.model.OpType.Value)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // deliver only notifications still LIVE after resolution: the
+        // feed is the raw log, so an observer starting from a fresh
+        // checkpoint re-reads already-acked notify cells — the semi-join
+        // against the resolved pending set drops them (the reference
+        // scanner gets this from the LSM applying its tombstones)
+        val live = batch.join(
+          pendingNotifications(table.log)
+            .select(col("row_key"), col("qualifier"), col("ts")),
+          Seq("row_key", "qualifier", "ts"), "left_semi")
+        if (!live.isEmpty) {
+          onNotify(live)
+          val startTs = live.agg(max(col("ts"))).collect()(0).getLong(0)
+          val era = graft.sources.CellLogStore.nextSeqEra(table.spark, table.logDir)
+          table.put(ackOps(live, startTs, era))
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
 
   /** Pending notifications: resolve the `_N_` column family of the log
     * (the cf restriction is a pushed parquet filter — the analogue of

@@ -122,6 +122,34 @@ class StreamingSpec extends AnyFunSuite {
       && pending2(0).getAs[Long]("ts") == 200L)
   }
 
+  test("observeNotifications runs the full discover -> deliver -> ack loop") {
+    import spark.implicits._
+    val logDir = tmp("autoack")
+    val t = Graft.openTable(spark, logDir)
+    val writes = Seq(
+      CellOp("r1", "data", "url", 100, OpType.Value, "a".getBytes, 1),
+      CellOp("r2", "data", "url", 101, OpType.Value, "b".getBytes, 2)).toDF()
+    t.put(writes)
+    t.put(Observers.notifyOps(writes, notifyTs = 100L,
+      seqBase = graft.sources.CellLogStore.nextSeqEra(spark, logDir)))
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = Observers.observeNotifications(t, tmp("autoack-ckpt")) { batch =>
+      seen ++= batch.collect().map(_.getString(0))
+    }
+    q.awaitTermination(60000)
+    assert(seen.sorted == Seq("r1", "r2"))
+    // the loop acked: nothing pending, no explicit ackOps call needed
+    assert(Observers.pendingNotifications(t.log).count() == 0)
+    // a fresh observer run re-delivers nothing (acks are DEL ops)
+    val seen2 = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q2 = Observers.observeNotifications(t, tmp("autoack-ckpt2")) { batch =>
+      seen2 ++= batch.collect().map(_.getString(0))
+    }
+    q2.awaitTermination(60000)
+    assert(seen2.isEmpty)
+  }
+
   test("event-time windows with watermark over the change feed") {
     import spark.implicits._
     val logDir = tmp("celllog-win")
