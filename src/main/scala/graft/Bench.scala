@@ -20,7 +20,11 @@ object Bench {
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
     val selected =
       if (args.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+      else {
+        val unknown = args.filterNot(SparkEntry.queries.contains)
+        require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+        SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+      }
     val results = selected.map { case (name, fn) =>
       val best = (0 until repeat).map { _ =>
         val t0 = System.nanoTime()

@@ -67,6 +67,13 @@ class GraftTable(
     CellLogStore.append(stored, logDir)
   }
 
+  /** Group-commit ops whose row keys are ALREADY in storage space —
+    * required for batches derived FROM this table's log (acks, 2PC
+    * commit ops): on a hash-sharded table those keys carry the shard
+    * prefix, and [[put]] would prefix them a second time, targeting
+    * nonexistent rows. */
+  def putStored(batch: DataFrame): Unit = CellLogStore.append(batch, logDir)
+
   def put(ops: Seq[CellOp]): Unit = {
     val session = spark
     import session.implicits._
@@ -101,6 +108,11 @@ object Graft {
     */
   def createTable(spark: SparkSession, logDir: String,
       desc: TableDesc = TableDesc(), ops: Option[Set[Int]] = None): GraftTable = {
+    // like the reference master, creating over an existing table is an
+    // error — silently replacing the descriptor of a non-empty log could
+    // flip key hashing or TTL semantics under stored data
+    require(CellLogStore.readDesc(spark, logDir).isEmpty,
+      s"table already exists at $logDir (use openTable)")
     CellLogStore.writeDesc(spark, logDir, desc, ops)
     new GraftTable(spark, logDir, desc, ops)
   }

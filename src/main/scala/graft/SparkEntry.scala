@@ -586,10 +586,11 @@ object SparkEntry {
     }),
     "q_x_dedup_cosine_lsh" -> ((s, dir) => {
       // the shipped scale path: hyperplane-bucket candidates + exact
-      // cosine verify; recall ≈ 1-8e-5 at these params, so it
-      // hash-matches the same all-pairs oracle as q_x_dedup_cosine
+      // cosine verify; (2 planes, 16 tables) gives recall ≈ 1-8e-5 at
+      // this corpus's low 0.5 threshold, so it hash-matches the same
+      // all-pairs oracle as q_x_dedup_cosine
       Dedup.embeddingNearDuplicatesLsh(t(s, dir, "embeddings"),
-          threshold = 0.5, dim = 64)
+          threshold = 0.5, dim = 64, planes = 2, tables = 16)
         .orderBy(col("id_a"), col("id_b"))
     }),
     "q_x_text_winnow" -> ((s, dir) => {

@@ -137,8 +137,13 @@ object AsOfJoin {
       .agg(max_by(col("_rv"), struct(col("_ts"), col("_tag"))).as("_blast"))
       .select(col(key).as("_blk"), col("_bkt").as("_blb"), col("_blast"))
 
+    // pinned: `fills` and `filled` both branch off this frame, and the
+    // _rid they join on is monotonically_increasing_id — recomputing the
+    // lineage per branch could re-assign ids if the upstream source is
+    // order-unstable (sample, task retry). The carry-miss set is small,
+    // so the materialization is cheap.
     val haveCarry = pass1.where(col("_c1").isNotNull)
-    val needFill = pass1.where(col("_c1").isNull)
+    val needFill = pass1.where(col("_c1").isNull).localCheckpoint()
     val fills = needFill.select(col("_rid"), col(key), col("_bkt"))
       .join(bucketLast, col(key) === col("_blk") && col("_blb") < col("_bkt"))
       .groupBy(col("_rid"))

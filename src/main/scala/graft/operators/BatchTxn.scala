@@ -36,11 +36,14 @@ object BatchTxn {
     * rejects to a retry/report path.
     */
   def checkAndApply(current: DataFrame, intents: DataFrame): DataFrame = {
-    val cur = current.select(
-      col("row_key"),
-      col("cf").as("check_cf"),
-      col("qualifier").as("check_qualifier"),
-      col("value").as("_cur"))
+    // the condition is against the NEWEST visible version only —
+    // `current` may expose multiple versions (max_versions > 1), and a
+    // CAS matching a stale version (or fanning one intent out per
+    // version) would be wrong
+    val cur = current
+      .groupBy(col("row_key"), col("cf").as("check_cf"),
+        col("qualifier").as("check_qualifier"))
+      .agg(max_by(col("value"), struct(col("ts"), col("seq"))).as("_cur"))
     intents
       .join(cur, Seq("row_key", "check_cf", "check_qualifier"), "left")
       .withColumn("applied", col("_cur").isNotNull && col("_cur") === col("expected"))
@@ -59,7 +62,8 @@ object BatchTxn {
     val locks = PercolatorRead.pendingLocks(log, snapshotTs = Long.MaxValue)
       .select(col("row_key"), col("cf"), col("qualifier"), lit(true).as("_locked"))
     val laterWrites = log
-      .where(col("qualifier").startsWith("!W") && col("ts") >= startTs)
+      .where(col("qualifier").startsWith("!W") && col("ts") >= startTs &&
+        col("op") === OpType.Value)
       .select(col("row_key"), col("cf"),
         expr("substring(qualifier, 3)").as("qualifier"), lit(true).as("_written"))
       .distinct()
@@ -79,16 +83,17 @@ object BatchTxn {
       seqBase: Long): DataFrame = {
     val base = accepted.where(!col("conflict"))
       .select(col("row_key"), col("cf"), col("qualifier"), col("value"))
+    val sub = graft.sources.CellLogStore.SeqSubEra
     val data = base.select(
       col("row_key"), col("cf"), col("qualifier"),
       lit(startTs).as("ts"), lit(OpType.Value).as("op"), col("value"),
-      (lit(seqBase) + monotonically_increasing_id() * 2).as("seq"))
+      (lit(seqBase) + monotonically_increasing_id()).as("seq"))
     val lock = base.select(
       col("row_key"), col("cf"),
       concat(lit("!L"), col("qualifier")).as("qualifier"),
       lit(startTs).as("ts"), lit(OpType.Value).as("op"),
       encode(lit(primaryKey), "UTF-8").as("value"),
-      (lit(seqBase) + monotonically_increasing_id() * 2 + 1).as("seq"))
+      (lit(seqBase + sub) + monotonically_increasing_id()).as("seq"))
     data.unionAll(lock)
   }
 
@@ -103,18 +108,19 @@ object BatchTxn {
     val locked = PercolatorRead.pendingLocks(log, snapshotTs = Long.MaxValue)
       .where(col("lock_ts") === startTs)
       .select(col("row_key"), col("cf"), col("qualifier"))
+    val sub = graft.sources.CellLogStore.SeqSubEra
     val writes = locked.select(
       col("row_key"), col("cf"),
       concat(lit("!W"), col("qualifier")).as("qualifier"),
       lit(commitTs).as("ts"), lit(OpType.Value).as("op"),
       be64_encode(lit(startTs)).as("value"),
-      (lit(seqBase) + monotonically_increasing_id() * 2).as("seq"))
+      (lit(seqBase) + monotonically_increasing_id()).as("seq"))
     val unlocks = locked.select(
       col("row_key"), col("cf"),
       concat(lit("!L"), col("qualifier")).as("qualifier"),
       lit(startTs).as("ts"), lit(OpType.DelQualifiers).as("op"),
       lit(null).cast("binary").as("value"),
-      (lit(seqBase) + monotonically_increasing_id() * 2 + 1).as("seq"))
+      (lit(seqBase + sub) + monotonically_increasing_id()).as("seq"))
     writes.unionAll(unlocks)
   }
 }

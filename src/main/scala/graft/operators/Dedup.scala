@@ -194,14 +194,20 @@ object Dedup {
     * candidates are verified with exact cosine, so output pairs are
     * exactly the >= threshold pairs LSH surfaced.
     *
-    * Recall for a pair at angle θ = 1-(1-(1-θ/π)^planes)^tables; the
-    * defaults (2 planes × 16 tables) give ≈ 1-8e-5 even at cosine 0.5
-    * (θ=60°) — chosen so the all-pairs oracle stays hash-matchable.
-    * At cluster scale raise `planes` to shrink candidate sets
-    * (candidates/vector ≈ tables * N / 2^planes).
+    * Recall for a pair at angle θ = 1-(1-(1-θ/π)^planes)^tables.
+    * SIZE `planes` TO THE CORPUS: expected bucket population is
+    * N / 2^planes, and buckets above `maxBucketSize` are dropped — with
+    * too few planes for the corpus EVERY bucket busts the cap and the
+    * result silently empties. Keep 2^planes ≥ ~10 · N / maxBucketSize.
+    * The default (8 planes × 8 tables) is sane for large corpora at
+    * near-dup thresholds (cosine ≥ 0.8: recall ≈ 1-(1-0.16)^8 ≈ 0.75
+    * per the formula; raise `tables` for more). Small corpora chasing
+    * low thresholds want fewer planes / more tables — e.g. the gate
+    * query uses (2, 16) where recall at cosine 0.5 is ≈ 1-8e-5, making
+    * the all-pairs oracle hash-matchable.
     */
   def embeddingNearDuplicatesLsh(emb: DataFrame, threshold: Double, dim: Int,
-      planes: Int = 2, tables: Int = 16,
+      planes: Int = 8, tables: Int = 8,
       maxBucketSize: Int = 10000): DataFrame = {
     val n = emb.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", Similarity.norm(col("embedding")))

@@ -42,17 +42,25 @@ object CellLogStore {
   def read(spark: SparkSession, logDir: String): DataFrame =
     spark.read.schema(graft.model.CellOp.schema).parquet(logDir)
 
+  /** Seq-era width for generated mutation batches:
+    * `monotonically_increasing_id` is partitionId << 33 + offset, so ids
+    * reach P·2^33 — 2^49 holds up to 65,536 partitions. */
+  val SeqEra: Long = 1L << 50
+
+  /** Second id channel inside one era (e.g. a prewrite's lock cells
+    * alongside its data cells). */
+  val SeqSubEra: Long = 1L << 49
+
   /** Next free seq era for generated mutation batches (notify/ack,
-    * prewrite/commit): the stored max seq rounded UP to a 2^40 boundary.
-    * Ops built with `seqBase + monotonically_increasing_id()` (id <
-    * partition# << 33) then stay above every existing seq and below the
-    * next era — the arrival-order contract CellOp.seq requires. One
-    * pushed max-aggregation over the seq column; empty log → era 1.
+    * prewrite/commit): the stored max seq rounded UP to a [[SeqEra]]
+    * boundary. Ops built with `seqBase + monotonically_increasing_id()`
+    * then stay above every existing seq and below the next era — the
+    * arrival-order contract CellOp.seq requires. One pushed
+    * max-aggregation over the seq column; empty log → era 1.
     */
   def nextSeqEra(spark: SparkSession, logDir: String): Long = {
-    val era = 1L << 40
     val row = read(spark, logDir).agg(max(col("seq"))).collect()(0)
-    if (row.isNullAt(0)) era else ((row.getLong(0) >> 40) + 1) * era
+    if (row.isNullAt(0)) SeqEra else ((row.getLong(0) >> 50) + 1) * SeqEra
   }
 
   // ---- durable table metadata -------------------------------------

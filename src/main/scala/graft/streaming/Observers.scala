@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.model.{CellOp, TableDesc}
 import graft.operators.Resolve
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.Row
@@ -42,10 +42,10 @@ object Observers {
     * `_N_:cf:qual` VALUE cell per distinct (row, cf, qualifier), carrying
     * the notify timestamp as its payload (reference writes
     * NumberToString(ts)). `seqBase` places the batch in arrival order;
-    * bases of successive eras must be spaced wider than the id range
-    * (`monotonically_increasing_id` uses partition#<<33, so space bases
-    * by >= 2^40 — [[graft.sources.CellLogStore.nextSeqEra]] allocates
-    * them safely against a stored log).
+    * allocate successive bases with
+    * [[graft.sources.CellLogStore.nextSeqEra]] (ids from
+    * `monotonically_increasing_id` reach partition#<<33, so eras are
+    * 2^50 apart).
     */
   def notifyOps(mutations: DataFrame, notifyTs: Long, seqBase: Long): DataFrame =
     mutations
@@ -65,13 +65,27 @@ object Observers {
     * re-notification written with a later timestamp survives the ack.
     */
   def ackOps(notifications: DataFrame, startTs: Long, seqBase: Long): DataFrame =
+    ackBound(notifications, lit(startTs), seqBase)
+
+  /** Ack each notification at ITS OWN delivered timestamp instead of a
+    * batch-global bound: a concurrent re-notification of a DIFFERENT
+    * row with a lower ts then survives (a global max-ts bound would
+    * tombstone it before it was ever delivered).
+    */
+  def ackOpsDelivered(notifications: DataFrame, seqBase: Long): DataFrame =
+    ackBound(notifications, col("ts"), seqBase)
+
+  private def ackBound(notifications: DataFrame, bound: Column,
+      seqBase: Long): DataFrame =
     notifications
-      .select(col("row_key"), col("qualifier")).distinct()
+      .select(col("row_key"), col("qualifier"), bound.as("ts"))
+      .groupBy(col("row_key"), col("qualifier"))
+      .agg(max(col("ts")).as("ts"))
       .select(
         col("row_key"),
         lit(NotifyCf).as("cf"),
         col("qualifier"),
-        lit(startTs).as("ts"),
+        col("ts"),
         lit(graft.model.OpType.DelQualifiers).as("op"),
         lit(null).cast("binary").as("value"),
         (lit(seqBase) + monotonically_increasing_id()).as("seq"))
@@ -99,16 +113,22 @@ object Observers {
         // feed is the raw log, so an observer starting from a fresh
         // checkpoint re-reads already-acked notify cells — the semi-join
         // against the resolved pending set drops them (the reference
-        // scanner gets this from the LSM applying its tombstones)
+        // scanner gets this from the LSM applying its tombstones).
+        // Materialized once (localCheckpoint — the live set is small by
+        // construction): isEmpty, delivery, and the ack write would
+        // otherwise each re-run the full-log resolve.
         val live = batch.join(
           pendingNotifications(table.log)
             .select(col("row_key"), col("qualifier"), col("ts")),
           Seq("row_key", "qualifier", "ts"), "left_semi")
+          .localCheckpoint()
         if (!live.isEmpty) {
           onNotify(live)
-          val startTs = live.agg(max(col("ts"))).collect()(0).getLong(0)
           val era = graft.sources.CellLogStore.nextSeqEra(table.spark, table.logDir)
-          table.put(ackOps(live, startTs, era))
+          // keys came FROM the log (storage space) — putStored, and ack
+          // each row at its own delivered ts so a concurrent lower-ts
+          // re-notification of another row is not swallowed
+          table.putStored(ackOpsDelivered(live, era))
         }
       }
       .trigger(Trigger.AvailableNow())

@@ -89,7 +89,7 @@ class BatchTxnSpec extends AnyFunSuite {
 
     // seq-era allocation: each era clears everything already stored
     val era = graft.sources.CellLogStore.nextSeqEra(spark, t.logDir)
-    assert(era % (1L << 40) == 0)
+    assert(era % graft.sources.CellLogStore.SeqEra == 0)
     val maxSeq = t.log.agg(max(col("seq"))).collect()(0).getLong(0)
     assert(era > maxSeq)
   }

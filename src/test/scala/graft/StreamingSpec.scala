@@ -110,8 +110,10 @@ class StreamingSpec extends AnyFunSuite {
       row.getAs[String]("observed_qualifier") == "url" &&
       row.getAs[String]("qualifier") == "data:url")
 
-    // ack at the observer's start ts: tombstones all pending versions
-    t.put(Observers.ackOps(pending1, startTs = 150L, seqBase = 2L << 40))
+    // ack at the observer's start ts: tombstones all pending versions.
+    // pending1 came FROM the log, so its keys are storage-space ->
+    // putStored (put would re-hash them on a hashKeys table)
+    t.putStored(Observers.ackOps(pending1, startTs = 150L, seqBase = 2L << 40))
     assert(Observers.pendingNotifications(t.log).count() == 0)
 
     // a LATER re-notification survives acks bounded at 150
@@ -125,7 +127,9 @@ class StreamingSpec extends AnyFunSuite {
   test("observeNotifications runs the full discover -> deliver -> ack loop") {
     import spark.implicits._
     val logDir = tmp("autoack")
-    val t = Graft.openTable(spark, logDir)
+    // a HASHED table: regression for acks double-prefixing storage keys
+    val t = Graft.createTable(spark, logDir,
+      graft.model.TableDesc(hashKeys = true))
     val writes = Seq(
       CellOp("r1", "data", "url", 100, OpType.Value, "a".getBytes, 1),
       CellOp("r2", "data", "url", 101, OpType.Value, "b".getBytes, 2)).toDF()
@@ -135,7 +139,10 @@ class StreamingSpec extends AnyFunSuite {
 
     val seen = scala.collection.mutable.ArrayBuffer.empty[String]
     val q = Observers.observeNotifications(t, tmp("autoack-ckpt")) { batch =>
-      seen ++= batch.collect().map(_.getString(0))
+      // observers see STORAGE keys (the reference scanner reads the
+      // stored, hash-prefixed row key too); unhash for the assertion
+      seen ++= batch.collect().map(r =>
+        graft.functions.Codecs.logicalKey(r.getString(0)))
     }
     q.awaitTermination(60000)
     assert(seen.sorted == Seq("r1", "r2"))
