@@ -236,26 +236,86 @@ object Resolve {
           concat(coalesce(s, lit(Array.emptyByteArray)), x.getField("value")))
         .otherwise(s)
 
-    def folded(df: DataFrame): DataFrame = df
-      .groupBy(col("row_key"), col("cf"), col("qualifier"))
-      .agg(
-        max(col("ts")).as("ts"),
-        aggregate(
-          array_sort(collect_list(struct(col("ts"), col("seq"), col("op"), col("value")))),
-          lit(null).cast("binary"),
-          foldMerge).as("value"),
-        max(col("seq")).as("seq"))
-      .select(outCols: _*)
+    // Counter fast paths. The general fold below buffers a column's whole
+    // surviving history in one aggregation buffer (collect_list) and folds
+    // it with a CodegenFallback higher-order function — correct, but a hot
+    // counter column with millions of ADDs between compactions would OOM
+    // the buffer. The reference never buffers: it folds incrementally in
+    // the scan loop (tera src/io/atomic_merge_strategy.cc:36-103). For the
+    // dominant counter shapes the fold is expressible as plain associative
+    // aggregation, which Spark executes as a partial (map-side) + final
+    // hash aggregate with O(1) state per column:
+    //  - ops ⊆ {Add} (or {AddInt64}): the fold IS the sum of the decoded
+    //    operands — no sort, no window, no history buffer;
+    //  - ops ⊆ {Value, Add}: a VALUE resets the fold, so the result is the
+    //    newest VALUE (by (ts, seq), the fold order) plus the sum of ADDs
+    //    after it. One partition-only window (sorts by the grouping key,
+    //    spills like any sort, never buffers a column in memory) finds the
+    //    newest-VALUE bound; a hash aggregate does the rest.
+    // Only genuinely mixed columns (PutIfAbsent/Append/both Add kinds)
+    // still pay the buffered fold.
+    def pureSum(df: DataFrame, dec: Column => Column, enc: Column => Column): DataFrame =
+      df.groupBy(col("row_key"), col("cf"), col("qualifier"))
+        .agg(max(col("ts")).as("ts"),
+          enc(sum(dec(col("value")))).as("value"),
+          max(col("seq")).as("seq"))
+        .select(outCols: _*)
 
+    def seededSum(df: DataFrame, addOp: Int,
+        dec: Column => Column, enc: Column => Column): DataFrame = {
+      val colWin = Window.partitionBy(col("row_key"), col("cf"), col("qualifier"))
+      val tsSeq = struct(col("ts"), col("seq"))
+      val isVal = col("op") === Value
+      df
+        .withColumn("_vmax", max(when(isVal, tsSeq)).over(colWin))
+        .withColumn("_mts", max(col("ts")).over(colWin))
+        .withColumn("_mseq", max(col("seq")).over(colWin))
+        // keep the newest VALUE and the ADDs after it (fold order (ts, seq))
+        .where((isVal && tsSeq === col("_vmax")) ||
+          (col("op") === addOp && (col("_vmax").isNull || tsSeq > col("_vmax"))))
+        .groupBy(col("row_key"), col("cf"), col("qualifier"))
+        .agg(
+          max(col("_mts")).as("ts"),
+          max(when(isVal, col("value"))).as("_seed"),
+          sum(when(col("op") === addOp, dec(col("value")))).as("_dsum"),
+          count(when(col("op") === addOp, lit(1))).as("_nadds"),
+          max(col("_mseq")).as("seq"))
+        // no trailing ADDs → the newest VALUE's bytes pass through verbatim
+        // (exactly the general fold's behavior, even for non-canonical bytes)
+        .withColumn("value", when(col("_nadds") === 0, col("_seed"))
+          .otherwise(enc(coalesce(dec(col("_seed")), lit(0L)) + col("_dsum"))))
+        .select(outCols: _*)
+    }
+
+    def folded(df: DataFrame, ops: Set[Int]): DataFrame =
+      if (ops.subsetOf(Set(Add))) pureSum(df, be64_decode, be64_encode)
+      else if (ops.subsetOf(Set(AddInt64))) pureSum(df, le64_decode, le64_encode)
+      else if (ops.subsetOf(Set(Value, Add)))
+        seededSum(df, Add, be64_decode, be64_encode)
+      else if (ops.subsetOf(Set(Value, AddInt64)))
+        seededSum(df, AddInt64, le64_decode, le64_encode)
+      else df
+        .groupBy(col("row_key"), col("cf"), col("qualifier"))
+        .agg(
+          max(col("ts")).as("ts"),
+          aggregate(
+            array_sort(collect_list(struct(col("ts"), col("seq"), col("op"), col("value")))),
+            lit(null).cast("binary"),
+            foldMerge).as("value"),
+          max(col("seq")).as("seq"))
+        .select(outCols: _*)
+
+    val presentData = present.intersect(dataOps.toSet)
     if (!hasAtomic) cappedPlain(surviving)
-    else if (!hasValue) folded(surviving)
+    else if (!hasValue) folded(surviving, presentData)
     else {
       // mixed log: split per column by whether atomic ops touched it
       val marked = surviving.withColumn("_has_atomic",
         max(when(col("op").isin(atomics.filter(present.contains): _*), 1).otherwise(0))
           .over(Window.partitionBy(col("row_key"), col("cf"), col("qualifier"))))
       cappedPlain(marked.where(col("_has_atomic") === 0).drop("_has_atomic"))
-        .unionAll(folded(marked.where(col("_has_atomic") === 1).drop("_has_atomic")))
+        .unionAll(folded(marked.where(col("_has_atomic") === 1).drop("_has_atomic"),
+          presentData))
     }
   }
 

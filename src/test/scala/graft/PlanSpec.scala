@@ -132,6 +132,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("pure-counter fold plans as a hash-aggregate sum: no collect_list, no Window") {
+    // an Add-only log folds as sum() with a map-side partial — no history
+    // buffering (the collect_list fold would OOM a hot counter column)
+    val plan = planOf(SparkEntry.queries("q_r4_counter_fold")(spark, sfDir))
+    assert(!plan.contains("collect_list"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_sum"), plan)
+  }
+
+  test("seeded counter fold (VALUE+ADD) plans without collect_list") {
+    import spark.implicits._
+    val log = Seq(
+      CellOp("r", "cf", "q", 1, OpType.Value,
+        graft.functions.Codecs.encodeBE64(7L), 1),
+      CellOp("r", "cf", "q", 2, OpType.Add,
+        graft.functions.Codecs.encodeBE64(3L), 2)).toDF()
+    val plan = planOf(Resolve.resolve(log,
+      opsPresent = Some(Set(OpType.Value, OpType.Add))))
+    assert(!plan.contains("collect_list"), plan)
+  }
+
   test("LSH embedding near-dup plans with no cartesian product") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val plan = planOf(graft.operators.Dedup.embeddingNearDuplicatesLsh(

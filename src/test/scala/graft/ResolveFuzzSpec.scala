@@ -140,4 +140,55 @@ class ResolveFuzzSpec extends AnyFunSuite {
           s"only-spark: ${got -- want}\nonly-ref: ${want -- got}")
     }
   }
+
+  /** Restricted-op generator exercising the counter fold fast paths
+    * (pure sum / seeded sum): mixes of {Add}, {AddInt64}, {Value, Add},
+    * {Value, AddInt64}, optionally with deletes, and VALUE seeds that are
+    * canonical 8-byte ints half the time and arbitrary strings the other
+    * half (the general fold passes a trailing VALUE's bytes through
+    * verbatim — the fast path must too).
+    */
+  private def counterMixLog(rng: scala.util.Random, n: Int,
+      mix: Seq[Int]): Seq[CellOp] = {
+    val seqs = rng.shuffle((1L to n.toLong).toList)
+    (0 until n).map { i =>
+      val op = mix(rng.nextInt(mix.size))
+      val value: Array[Byte] = op match {
+        case Value =>
+          if (rng.nextBoolean()) Codecs.encodeBE64(rng.nextInt(1000).toLong)
+          else s"seed$i".getBytes("UTF-8")
+        case Add => Codecs.encodeBE64(rng.nextInt(100).toLong - 50)
+        case AddInt64 => Codecs.encodeLE64(rng.nextInt(100).toLong - 50)
+        case _ => null
+      }
+      CellOp(s"r${rng.nextInt(3)}", s"cf${rng.nextInt(2)}", s"q${rng.nextInt(2)}",
+        (rng.nextInt(5) + 1).toLong * 1000000L, op, value, seqs(i))
+    }
+  }
+
+  test("counter fast paths == reference resolver on restricted-op logs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(826L)
+    val mixes: Seq[Seq[Int]] = Seq(
+      Seq(Add), Seq(AddInt64),
+      Seq(Value, Add), Seq(Value, AddInt64),
+      Seq(Value, Add, DelRow), Seq(Value, AddInt64, DelQualifiers))
+    (1 to 30).foreach { trial =>
+      val mix = mixes(trial % mixes.size)
+      val n = 10 + rng.nextInt(40)
+      val log = counterMixLog(rng, n, mix)
+      val desc = TableDesc(CfSpec(maxVersions = 1 + rng.nextInt(3)))
+      val snapshot = if (trial % 4 == 0) Some(n.toLong / 2) else None
+      val got = Resolve.resolve(log.toDF(), desc, snapshotSeq = snapshot,
+          opsPresent = Some(mix.toSet))
+        .collect().map { r =>
+          (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
+            r.getAs[Array[Byte]]("value").toSeq)
+        }.toSet
+      val want = refResolve(log, desc, Long.MaxValue, snapshot)
+      assert(got == want,
+        s"trial $trial mix=$mix mismatch (n=$n snap=$snapshot)\n" +
+          s"only-spark: ${got -- want}\nonly-ref: ${want -- got}")
+    }
+  }
 }

@@ -21,6 +21,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .getOrCreate()
 
+  test("counter fold completes on a deep history: 1M ADDs on one column") {
+    // the pre-fast-path fold would collect_list a 1M-element array into a
+    // single aggregation buffer; the sum path streams it through a hash
+    // aggregate with O(1) state
+    val log = spark.range(1000000L).select(
+      lit("hot").as("row_key"), lit("cf").as("cf"), lit("c").as("qualifier"),
+      (col("id") % 1000L).as("ts"), lit(OpType.Add).as("op"),
+      graft.functions.cellfunctions.be64_encode(lit(1L)).as("value"),
+      col("id").as("seq"))
+    val out = graft.operators.Resolve.resolve(log,
+      opsPresent = Some(Set(OpType.Add))).collect()
+    assert(out.length == 1)
+    assert(graft.functions.Codecs.decodeBE64(out(0).getAs[Array[Byte]]("value"))
+      == 1000000L)
+  }
+
   test("salted join matches plain join on a skewed key") {
     import spark.implicits._
     // 10k rows of one hot key + a tail
