@@ -173,6 +173,138 @@ case class VecDot(left: Expression, right: Expression)
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** Vector-vs-matrix helpers behind [[NearestCentroid]] / [[TopCentroids]] /
+  * [[HyperplaneBucketExpr]]. The matrix travels to executors as a codegen
+  * reference object (`ctx.addReferenceObj`), NOT as inlined literals — a
+  * realistic IVF index (nlist 2^14-2^16 × dim 64+) inlined as literals is a
+  * megabyte-scale generated expression that fails to compile; a reference
+  * object is O(1) generated code at any nlist.
+  */
+object CentroidOps {
+  /** Rows scaled to unit norm (zero rows kept), so argmax over plain dot
+    * products == argmax over cosine. */
+  def normalizeRows(m: Array[Array[Double]]): Array[Array[Double]] =
+    m.map { row =>
+      var s = 0.0; var i = 0
+      while (i < row.length) { s += row(i) * row(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0) row.clone() else row.map(_ / n)
+    }
+
+  private def dotRow(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      c: Array[Double], vFloat: Boolean): Double = {
+    val n = math.min(v.numElements(), c.length)
+    var s = 0.0; var j = 0
+    while (j < n) {
+      s += (if (vFloat) v.getFloat(j).toDouble else v.getDouble(j)) * c(j)
+      j += 1
+    }
+    s
+  }
+
+  /** Index of the max-dot row; ties keep the FIRST row (the behavior of
+    * the former `array_position(arr, array_max(arr))` literal form). */
+  def argmax(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      m: Array[Array[Double]], vFloat: Boolean): Int = {
+    var best = Double.NegativeInfinity; var bi = 0; var i = 0
+    while (i < m.length) {
+      val s = dotRow(v, m(i), vFloat)
+      if (s > best) { best = s; bi = i }
+      i += 1
+    }
+    bi
+  }
+
+  /** Top-k row indices by (dot, index) descending — score ties prefer the
+    * LARGER index, matching the former `reverse(array_sort(...))` form. */
+  def topk(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      m: Array[Array[Double]], vFloat: Boolean, k: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val kk = math.min(k, m.length)
+    val scores = new Array[Double](kk)
+    val idx = new Array[Int](kk)
+    java.util.Arrays.fill(scores, Double.NegativeInfinity)
+    var i = 0
+    while (i < m.length) {
+      val s = dotRow(v, m(i), vFloat)
+      var p = kk
+      while (p > 0 && (scores(p - 1) < s || (scores(p - 1) == s && idx(p - 1) < i)))
+        p -= 1
+      if (p < kk) {
+        var q = kk - 1
+        while (q > p) { scores(q) = scores(q - 1); idx(q) = idx(q - 1); q -= 1 }
+        scores(p) = s; idx(p) = i
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(idx)
+  }
+
+  /** Sign-bit bucket: bit i set iff dot(v, m(i)) >= 0. */
+  def signBucket(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      m: Array[Array[Double]], vFloat: Boolean): Int = {
+    var bucket = 0; var i = 0
+    while (i < m.length) {
+      if (dotRow(v, m(i), vFloat) >= 0) bucket |= (1 << i)
+      i += 1
+    }
+    bucket
+  }
+}
+
+/** Base for expressions scoring a vector column against a fixed matrix
+  * shipped as a codegen reference object. */
+abstract class MatrixExpression extends UnaryExpression {
+  protected def matrix: Array[Array[Double]]
+  protected def vFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  /** Java call on [[CentroidOps]]; `v` = input array, `m` = matrix ref. */
+  protected def staticCall(v: String, m: String): String
+  override def nullable: Boolean = true
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("matrix", matrix, "double[][]")
+    defineCodeGen(ctx, ev, v => staticCall(v, m))
+  }
+}
+
+/** Argmax-dot cluster id against pre-normalized centroids (IVF assign). */
+case class NearestCentroid(child: Expression, matrix: Array[Array[Double]])
+    extends MatrixExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(v: Any): Any =
+    CentroidOps.argmax(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      matrix, vFloat)
+  protected def staticCall(v: String, m: String): String =
+    s"graft.functions.CentroidOps.argmax($v, $m, $vFloat)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Top-k nearest cluster ids (IVF probe side). */
+case class TopCentroids(child: Expression, matrix: Array[Array[Double]], k: Int)
+    extends MatrixExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    CentroidOps.topk(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      matrix, vFloat, k)
+  protected def staticCall(v: String, m: String): String =
+    s"graft.functions.CentroidOps.topk($v, $m, $vFloat, $k)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Random-hyperplane sign bucket (LSH); planes as a reference object. */
+case class HyperplaneBucketExpr(child: Expression, matrix: Array[Array[Double]])
+    extends MatrixExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(v: Any): Any =
+    CentroidOps.signBucket(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      matrix, vFloat)
+  protected def staticCall(v: String, m: String): String =
+    s"graft.functions.CentroidOps.signBucket($v, $m, $vFloat)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Binary successor: key ++ 0x00 (scan pagination resume point). */
 case class KeySuccessor(child: Expression) extends CodecExpression {
   override def dataType: DataType = BinaryType
@@ -209,4 +341,10 @@ object cellfunctions {
   def key_successor(col: Column): Column = c(KeySuccessor(e(col)))
   def simhash64(col: Column): Column = c(SimHash64(e(col)))
   def vec_dot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
+  def nearest_centroid(v: Column, m: Array[Array[Double]]): Column =
+    c(NearestCentroid(e(v), m))
+  def top_centroids(v: Column, m: Array[Array[Double]], k: Int): Column =
+    c(TopCentroids(e(v), m, k))
+  def hyperplane_bucket(v: Column, planes: Array[Array[Double]]): Column =
+    c(HyperplaneBucketExpr(e(v), planes))
 }

@@ -45,17 +45,15 @@ object Similarity {
   }
 
   /** Random-hyperplane sign bucket (deterministic per-table seed).
-    * `planes` bits -> int bucket id.
+    * `planes` bits -> int bucket id. The plane matrix ships to executors
+    * as a codegen reference object, not inlined literals, so high
+    * `planes × tables × dim` stays O(1) generated code.
     */
   def hyperplaneBucket(v: Column, dim: Int, planes: Int, seed: Long): Column = {
     val rng = new scala.util.Random(seed)
-    val hyper: Seq[Seq[Double]] =
-      Seq.fill(planes)(Seq.fill(dim)(rng.nextGaussian()))
-    val bits = hyper.zipWithIndex.map { case (h, i) =>
-      val hv = array(h.map(lit): _*)
-      when(dot(v, hv) >= 0, lit(1 << i)).otherwise(lit(0))
-    }
-    bits.reduce(_ + _)
+    val hyper: Array[Array[Double]] =
+      Array.fill(planes)(Array.fill(dim)(rng.nextGaussian()))
+    graft.functions.cellfunctions.hyperplane_bucket(v, hyper)
   }
 
   private[operators] def withBuckets(df: DataFrame, vecCol: String, dim: Int,
@@ -105,26 +103,72 @@ object Similarity {
   }
 
   /** Argmax-cosine cluster id for a vector column against fixed
-    * centroids (norms of the centroids divide out per-centroid; the
-    * vector's own norm is constant across the argmax). */
-  private def assignCluster(v: Column, centroids: Array[Array[Double]]): Column = {
-    val scores = centroids.map { c =>
-      val nrm = math.sqrt(c.map(x => x * x).sum)
-      dot(v, array(c.map(lit): _*)) / lit(if (nrm == 0) 1.0 else nrm)
-    }
-    val arr = array(scores: _*)
-    (array_position(arr, array_max(arr)) - 1).cast("int")
-  }
+    * centroids. Centroids are pre-normalized (cosine == dot after that;
+    * the vector's own norm is constant across the argmax) and travel as
+    * a codegen reference object — O(1) generated code at any nlist,
+    * where inlined literals stop compiling around nlist ≈ thousands.
+    */
+  private def assignCluster(v: Column, centroids: Array[Array[Double]]): Column =
+    graft.functions.cellfunctions.nearest_centroid(v,
+      graft.functions.CentroidOps.normalizeRows(centroids))
 
   /** Per-row top-`nprobe` cluster ids (for the query side of IVF). */
   private def probeClusters(v: Column, centroids: Array[Array[Double]],
-      nprobe: Int): Column = {
-    val scores = centroids.zipWithIndex.map { case (c, i) =>
-      val nrm = math.sqrt(c.map(x => x * x).sum)
-      struct((dot(v, array(c.map(lit): _*)) / lit(if (nrm == 0) 1.0 else nrm))
-        .as("s"), lit(i).as("i"))
+      nprobe: Int): Column =
+    graft.functions.cellfunctions.top_centroids(v,
+      graft.functions.CentroidOps.normalizeRows(centroids), nprobe)
+
+  // ---- IVF index persistence --------------------------------------
+  // Centroids are nlist × dim doubles — a few KB to a few MB — and the
+  // expensive part of the index is the `iters` full training passes, so
+  // they persist NEXT TO the data like the table descriptor does
+  // (CellLogStore.writeDesc; the reference's analogue: schema knobs
+  // persist in master meta, tera table_schema.proto:31-64). A reopened
+  // table probes without retraining.
+
+  private val CentroidsFile = "_graft_ivf_centroids.txt"
+
+  /** Persist centroids under `dir` (one row per line, exact-round-trip
+    * doubles via Double.toString/parseDouble). */
+  def writeCentroids(spark: org.apache.spark.sql.SparkSession, dir: String,
+      centroids: Array[Array[Double]]): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir, CentroidsFile)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(path, true)
+    try {
+      val w = new java.io.PrintWriter(out)
+      centroids.foreach(row => w.println(row.mkString(",")))
+      w.flush()
+    } finally out.close()
+  }
+
+  def readCentroids(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[Array[Array[Double]]] = {
+    val path = new org.apache.hadoop.fs.Path(dir, CentroidsFile)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) None
+    else {
+      val in = fs.open(path)
+      try {
+        val src = scala.io.Source.fromInputStream(in, "UTF-8")
+        Some(src.getLines().filter(_.nonEmpty)
+          .map(_.split(",").map(java.lang.Double.parseDouble)).toArray)
+      } finally in.close()
     }
-    slice(reverse(array_sort(array(scores: _*))), 1, nprobe).getField("i")
+  }
+
+  /** Load persisted centroids from `indexDir`, or train and persist them
+    * there. Loading is a driver-side file read — no Spark jobs, no
+    * training passes.
+    */
+  def loadOrTrainCentroids(corpus: DataFrame, dim: Int, nlist: Int,
+      iters: Int, indexDir: String): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    readCentroids(spark, indexDir).getOrElse {
+      val c = trainCentroids(corpus, dim, nlist, iters)
+      writeCentroids(spark, indexDir, c)
+      c
+    }
   }
 
   /** IVF (inverted-file) cosine top-k — the coarse-quantizer ANN path:
@@ -133,11 +177,16 @@ object Similarity {
     * lists, so the scored candidates are ≈ nprobe/nlist of the corpus —
     * real pruning even at low similarity thresholds, where sign-bucket
     * LSH degrades. Candidates are scored exactly; recall measured vs
-    * [[bruteForceTopK]] in tests. Index build cost = `iters` passes.
+    * [[bruteForceTopK]] in tests. Index build cost = `iters` passes —
+    * paid once when `indexDir` is given (centroids persist there and a
+    * reopened table skips retraining).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
-      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
-    val centroids = trainCentroids(corpus, dim, nlist, iters)
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
+      indexDir: Option[String] = None): DataFrame = {
+    val centroids = indexDir
+      .map(loadOrTrainCentroids(corpus, dim, nlist, iters, _))
+      .getOrElse(trainCentroids(corpus, dim, nlist, iters))
     val c = corpus.select(col("vec_id"), col("embedding").as("cv"))
       .withColumn("cnorm", norm(col("cv")))
       .withColumn("cluster", assignCluster(col("cv"), centroids))

@@ -119,6 +119,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("IVF index persists: reopen loads centroids with zero Spark jobs") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-idx").toString
+    val queries = emb.where(col("vec_id") < 10)
+    val first = Similarity.ivfTopK(queries, emb, k = 5, dim = 64,
+        nlist = 16, nprobe = 8, indexDir = Some(dir))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val trained = Similarity.readCentroids(spark, dir)
+    assert(trained.nonEmpty && trained.get.length == 16)
+
+    // reopening runs NO jobs to acquire centroids (training would run
+    // several collect passes) and returns bit-identical rows
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val reloaded = Similarity.loadOrTrainCentroids(emb, dim = 64,
+        nlist = 16, iters = 3, indexDir = dir)
+      Thread.sleep(1000)  // let listener-bus events drain
+      assert(jobs.get() == 0, s"reopen ran ${jobs.get()} Spark jobs")
+      assert(reloaded.map(_.toSeq).toSeq == trained.get.map(_.toSeq).toSeq)
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    val second = Similarity.ivfTopK(queries, emb, k = 5, dim = 64,
+        nlist = 16, nprobe = 8, indexDir = Some(dir))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(second == first)
+  }
+
+  test("IVF smoke at nlist=4096: reference-object centroids compile and run") {
+    // 4096 lists × 64 dims inlined as expression literals would be a
+    // ~megabyte generated expression; the reference-object path is O(1)
+    // generated code. Synthetic deterministic corpus, bigger than nlist.
+    val corpus = spark.range(5000).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        j => (pmod(hash(col("id") * 64 + j), lit(1000)).cast("double") / 1000.0)
+          .cast("float")).as("embedding"))
+    val out = Similarity.ivfTopK(corpus.where(col("vec_id") < 5), corpus,
+        k = 3, dim = 64, nlist = 4096, nprobe = 4, iters = 1)
+      .collect()
+    assert(out.length == 15, s"expected 5 queries × k=3, got ${out.length}")
+  }
+
   test("winnowed fingerprints: identical docs share all, near-dups most") {
     import spark.implicits._
     val fp = docs.select(col("doc_id"),
