@@ -123,4 +123,82 @@ object BatchTxn {
       (lit(seqBase + sub) + monotonically_increasing_id()).as("seq"))
     writes.unionAll(unlocks)
   }
+
+  // ---- dangling-lock resolution (the read side's missing half) ------
+  // A crashed transaction leaves `!L` locks behind. Reference readers
+  // resolve them by consulting the txn's PRIMARY lock: a committed
+  // primary rolls the stragglers forward, anything else rolls them back
+  // (tera lock-resolution paths in src/sdk/global_txn.cc; the primary
+  // row is the lock payload, global_txn_internal.h:47-53).
+
+  /** Roll back the txn that prewrote at `startTs`: erase its pending
+    * locks (ts-bounded tombstone, like commit's unlock) and remove the
+    * staged data cells (exact-version delete at `startTs`), leaving the
+    * log as if the prewrite never happened.
+    */
+  def rollbackOps(log: DataFrame, startTs: Long, seqBase: Long): DataFrame = {
+    val pend = PercolatorRead.pendingLocks(log, snapshotTs = Long.MaxValue)
+      .where(col("lock_ts") === startTs)
+      .select(col("row_key"), col("cf"), col("qualifier"))
+    val sub = graft.sources.CellLogStore.SeqSubEra
+    val unlocks = pend.select(
+      col("row_key"), col("cf"),
+      concat(lit("!L"), col("qualifier")).as("qualifier"),
+      lit(startTs).as("ts"), lit(OpType.DelQualifiers).as("op"),
+      lit(null).cast("binary").as("value"),
+      (lit(seqBase) + monotonically_increasing_id()).as("seq"))
+    val dataDels = pend.select(
+      col("row_key"), col("cf"), col("qualifier"),
+      lit(startTs).as("ts"), lit(OpType.DelQualifier).as("op"),
+      lit(null).cast("binary").as("value"),
+      (lit(seqBase + sub) + monotonically_increasing_id()).as("seq"))
+    unlocks.unionAll(dataDels)
+  }
+
+  /** Roll forward the txn that prewrote at `startTs` after its primary
+    * committed: identical to the commit's second phase, re-run for the
+    * columns a partial commit missed.
+    */
+  def rollForwardOps(log: DataFrame, startTs: Long, commitTs: Long,
+      seqBase: Long): DataFrame =
+    commitOps(log, startTs, commitTs, seqBase)
+
+  /** Resolve ALL dangling locks in one batch, the decision made per lock
+    * as data: each pending lock consults its primary row (the lock
+    * payload); locks whose primary shows a commit pointer for their
+    * start ts roll FORWARD (commit pointer written at the primary's
+    * commit ts, lock released); every other lock rolls BACK (lock erased,
+    * staged data removed). One pass cleans any number of crashed
+    * transactions; afterwards `resolve` and `pendingLocks` agree with a
+    * log those transactions never touched.
+    */
+  def resolveLockOps(log: DataFrame, seqBase: Long): DataFrame = {
+    val pend = PercolatorRead.pendingLocks(log, snapshotTs = Long.MaxValue)
+    val primCommits = log
+      .where(col("qualifier").startsWith("!W") && col("op") === OpType.Value)
+      .select(col("row_key").as("primary"),
+        be64_decode(col("value")).as("lock_ts"), col("ts").as("commit_ts"))
+      .groupBy(col("primary"), col("lock_ts"))
+      .agg(max(col("commit_ts")).as("commit_ts"))
+    val decided = pend.join(primCommits, Seq("primary", "lock_ts"), "left")
+    val sub = graft.sources.CellLogStore.SeqSubEra
+    val fwdWrites = decided.where(col("commit_ts").isNotNull).select(
+      col("row_key"), col("cf"),
+      concat(lit("!W"), col("qualifier")).as("qualifier"),
+      col("commit_ts").as("ts"), lit(OpType.Value).as("op"),
+      be64_encode(col("lock_ts")).as("value"),
+      (lit(seqBase) + monotonically_increasing_id()).as("seq"))
+    val unlocks = decided.select(
+      col("row_key"), col("cf"),
+      concat(lit("!L"), col("qualifier")).as("qualifier"),
+      col("lock_ts").as("ts"), lit(OpType.DelQualifiers).as("op"),
+      lit(null).cast("binary").as("value"),
+      (lit(seqBase + sub) + monotonically_increasing_id()).as("seq"))
+    val dataDels = decided.where(col("commit_ts").isNull).select(
+      col("row_key"), col("cf"), col("qualifier"),
+      col("lock_ts").as("ts"), lit(OpType.DelQualifier).as("op"),
+      lit(null).cast("binary").as("value"),
+      (lit(seqBase + 2 * sub) + monotonically_increasing_id()).as("seq"))
+    fwdWrites.unionAll(unlocks).unionAll(dataDels)
+  }
 }

@@ -45,16 +45,25 @@ object PercolatorRead {
     * interactive reader would back off on / clean up (tera readers
     * resolve `!L` locks by rollback or roll-forward,
     * src/sdk/global_txn.cc). A batch reader surfaces them for a cleanup
-    * pass: a lock is PENDING if no commit pointer at-or-after it exists
-    * for the same column.
+    * pass ([[BatchTxn.resolveLockOps]]): a lock is PENDING if it is not
+    * tombstoned (commit and rollback both erase locks with ts-bounded
+    * deletes — applied here through the engine's own resolve) and no
+    * commit pointer at-or-after it exists for the same column.
+    *
+    * Output: (row_key, cf, qualifier, lock_ts, primary) — `primary` is
+    * the lock payload, the txn's primary row (global_txn_internal.h:47-53).
     */
   def pendingLocks(log: DataFrame, snapshotTs: Long): DataFrame = {
-    val locks = log
-      .where(col("qualifier").startsWith("!L") && col("ts") <= snapshotTs &&
-        col("op") === graft.model.OpType.Value)
-      .select(col("row_key"), col("cf"),
-        expr("substring(qualifier, 3)").as("qualifier"),
-        col("ts").as("lock_ts"))
+    val lockLog = log.where(col("qualifier").startsWith("!L") &&
+      col("ts") <= snapshotTs)
+    val visible = Resolve.resolve(lockLog,
+      graft.model.TableDesc(graft.model.CfSpec(maxVersions = Int.MaxValue)),
+      opsPresent = Some(Set(graft.model.OpType.Value,
+        graft.model.OpType.DelQualifiers, graft.model.OpType.DelQualifier)))
+    val locks = visible.select(col("row_key"), col("cf"),
+      expr("substring(qualifier, 3)").as("qualifier"),
+      col("ts").as("lock_ts"),
+      decode(col("value"), "UTF-8").as("primary"))
     val commits = log
       .where(col("qualifier").startsWith("!W") && col("ts") <= snapshotTs &&
         col("op") === graft.model.OpType.Value)
@@ -63,6 +72,7 @@ object PercolatorRead {
       .agg(max(col("ts")).as("commit_ts"))
     locks.join(commits, Seq("row_key", "cf", "qualifier"), "left")
       .where(col("commit_ts").isNull || col("commit_ts") < col("lock_ts"))
-      .select(col("row_key"), col("cf"), col("qualifier"), col("lock_ts"))
+      .select(col("row_key"), col("cf"), col("qualifier"), col("lock_ts"),
+        col("primary"))
   }
 }

@@ -93,4 +93,71 @@ class BatchTxnSpec extends AnyFunSuite {
     val maxSeq = t.log.agg(max(col("seq"))).collect()(0).getLong(0)
     assert(era > maxSeq)
   }
+
+  private def committedSet(log: org.apache.spark.sql.DataFrame): Set[(String, String)] =
+    PercolatorRead.resolve(log, snapshotTs = Long.MaxValue)
+      .collect().map(r => (r.getString(0), new String(r.getAs[Array[Byte]]("value"))))
+      .toSet
+
+  test("crashed prewrite rolls back: log behaves as if never prewritten") {
+    import spark.implicits._
+    val t = Graft.openTable(spark, Files.createTempDirectory("graft-rb").toString)
+    val twin = Graft.openTable(spark, Files.createTempDirectory("graft-rb2").toString)
+
+    // txn0 commits (a, b) on both tables via full 2PC
+    val m0 = Seq(("r1", "cf", "q", "a".getBytes), ("r2", "cf", "q", "b".getBytes))
+      .toDF("row_key", "cf", "qualifier", "value")
+    for (tab <- Seq(t, twin)) {
+      val p0 = BatchTxn.prewrite(tab.log, m0, startTs = 10)
+      tab.put(BatchTxn.prewriteOps(p0, startTs = 10, primaryKey = "r1", seqBase = 1L << 40))
+      tab.put(BatchTxn.commitOps(tab.log, startTs = 10, commitTs = 20, seqBase = 2L << 40))
+    }
+
+    // txn1 prewrites on t at startTs=30 (primary r1) and CRASHES before commit
+    val m1 = Seq(("r1", "cf", "q", "x".getBytes), ("r3", "cf", "q", "y".getBytes))
+      .toDF("row_key", "cf", "qualifier", "value")
+    val p1 = BatchTxn.prewrite(t.log, m1, startTs = 30)
+    assert(p1.where(col("conflict")).count() == 0)
+    t.put(BatchTxn.prewriteOps(p1, startTs = 30, primaryKey = "r1", seqBase = 3L << 40))
+    assert(PercolatorRead.pendingLocks(t.log, Long.MaxValue).count() == 2)
+
+    // cleanup: primary never committed -> both locks roll back
+    t.put(BatchTxn.resolveLockOps(t.log, seqBase = 4L << 40))
+
+    // the cleaned log agrees with the never-prewritten twin
+    assert(committedSet(t.log) == committedSet(twin.log))
+    assert(committedSet(t.log) == Set(("r1", "a"), ("r2", "b")))
+    assert(PercolatorRead.pendingLocks(t.log, Long.MaxValue).count() == 0)
+    assert(PercolatorRead.pendingLocks(twin.log, Long.MaxValue).count() == 0)
+    // and the same columns prewrite cleanly again on both
+    assert(BatchTxn.prewrite(t.log, m1, startTs = 50)
+      .where(col("conflict")).count() == 0)
+    assert(BatchTxn.prewrite(twin.log, m1, startTs = 50)
+      .where(col("conflict")).count() == 0)
+  }
+
+  test("partially committed txn rolls forward: secondaries become visible") {
+    import spark.implicits._
+    val t = Graft.openTable(spark, Files.createTempDirectory("graft-rf").toString)
+
+    val m = Seq(("r1", "cf", "q", "a".getBytes), ("r2", "cf", "q", "b".getBytes))
+      .toDF("row_key", "cf", "qualifier", "value")
+    val p = BatchTxn.prewrite(t.log, m, startTs = 10)
+    t.put(BatchTxn.prewriteOps(p, startTs = 10, primaryKey = "r1", seqBase = 1L << 40))
+
+    // the commit batch half-lands: only the PRIMARY's ops reach the log
+    val full = BatchTxn.commitOps(t.log, startTs = 10, commitTs = 20, seqBase = 2L << 40)
+    t.put(full.where(col("row_key") === "r1"))
+    assert(committedSet(t.log) == Set(("r1", "a")))
+    assert(PercolatorRead.pendingLocks(t.log, Long.MaxValue)
+      .collect().map(_.getString(0)).toSet == Set("r2"))
+
+    // cleanup: the primary's commit pointer rolls r2 forward at the
+    // primary's commit ts
+    t.put(BatchTxn.resolveLockOps(t.log, seqBase = 3L << 40))
+    assert(committedSet(t.log) == Set(("r1", "a"), ("r2", "b")))
+    assert(PercolatorRead.resolve(t.log, snapshotTs = 20)
+      .collect().map(_.getString(0)).toSet == Set("r1", "r2"))
+    assert(PercolatorRead.pendingLocks(t.log, Long.MaxValue).count() == 0)
+  }
 }
