@@ -96,6 +96,62 @@ class GraftTable(
       checkpointDir, buckets)(onNotify)
 }
 
+/** KV-mode table (tera's key-value table flavor: 2-column model, single
+  * version per key, optional per-KV TTL baked at write time — the TTLKv
+  * strategy, src/io/ttlkv_compact_strategy.h:18-49; KV write path
+  * src/io/tablet_io.cc:731). Log schema is [[graft.model.KvEntry]].
+  */
+class GraftKvTable(val spark: SparkSession, val logDir: String) {
+  import graft.operators.KvStore
+
+  /** The raw KV write log. */
+  def log: DataFrame = KvStore.read(spark, logDir)
+
+  /** Visible (key, value) pairs at `nowUs`: newest write per key wins,
+    * then the winner's own baked expiry is checked. */
+  def kvs(nowUs: Long = Long.MaxValue): DataFrame = KvStore.resolve(log, nowUs)
+
+  /** Visible entries with their expiry and seq (the compaction shape). */
+  def entries(nowUs: Long = Long.MaxValue): DataFrame =
+    KvStore.resolveEntries(log, nowUs)
+
+  def get(key: String, nowUs: Long = Long.MaxValue): DataFrame =
+    kvs(nowUs).where(col("key") === key)
+
+  /** Group-commit (key, value[, ttl_sec]) rows. Expiry is baked at
+    * WRITE time — `expire_ts_us = nowUs + ttl_sec` (a missing or
+    * non-positive `ttl_sec` never expires), exactly the reference's
+    * TTLKv write path. `nowUs` is explicit for determinism. Seqs are
+    * auto-allocated in a fresh era above everything stored.
+    */
+  def put(batch: DataFrame, nowUs: Long): Unit = {
+    val withTtl =
+      if (batch.columns.contains("ttl_sec")) batch
+      else batch.withColumn("ttl_sec", lit(0L))
+    val seqBase = KvStore.nextSeqEra(spark, logDir)
+    KvStore.append(withTtl.select(
+      col("key"), col("value"),
+      when(col("ttl_sec") <= 0L, lit(0L))
+        .otherwise(lit(nowUs) + col("ttl_sec") * 1000000L).as("expire_ts_us"),
+      (lit(seqBase) + monotonically_increasing_id()).as("seq")), logDir)
+  }
+
+  def put(kvs: Seq[(String, Array[Byte], Long)], nowUs: Long): Unit = {
+    val session = spark
+    import session.implicits._
+    put(kvs.toDF("key", "value", "ttl_sec"), nowUs)
+  }
+
+  /** Append entries that already carry `expire_ts_us` (and `seq`) —
+    * for replicating an existing KV log verbatim. */
+  def putEntries(batch: DataFrame): Unit = KvStore.append(batch, logDir)
+
+  /** Compaction: physically drop dead KVs (expired at `nowUs`,
+    * superseded writes); live KVs keep their baked expiry. */
+  def compact(outDir: String, nowUs: Long = Long.MaxValue): Unit =
+    KvStore.compact(spark, logDir, outDir, nowUs)
+}
+
 /** Entry points + the SQL façade (tera's MySQL handler analogue,
   * sql/src/ha_tera.cc: full SQL over stored tables — here the catalog
   * registration that makes `spark.sql` work over resolved cell views).
@@ -113,6 +169,7 @@ object Graft {
     // flip key hashing or TTL semantics under stored data
     require(CellLogStore.readDesc(spark, logDir).isEmpty,
       s"table already exists at $logDir (use openTable)")
+    require(!desc.kvMode, s"use createKvTable for a KV-mode table")
     CellLogStore.writeDesc(spark, logDir, desc, ops)
     new GraftTable(spark, logDir, desc, ops)
   }
@@ -124,9 +181,30 @@ object Graft {
   def openTable(spark: SparkSession, logDir: String,
       desc: TableDesc = TableDesc()): GraftTable =
     CellLogStore.readDesc(spark, logDir) match {
-      case Some((stored, ops)) => new GraftTable(spark, logDir, stored, ops)
-      case None                => new GraftTable(spark, logDir, desc)
+      case Some((stored, ops)) =>
+        require(!stored.kvMode, s"$logDir is a KV-mode table (use openKvTable)")
+        new GraftTable(spark, logDir, stored, ops)
+      case None => new GraftTable(spark, logDir, desc)
     }
+
+  /** Create a KV-mode table: the kv flag persists in the descriptor so
+    * any later open recovers the mode (tera `kv_only`,
+    * table_schema.proto). */
+  def createKvTable(spark: SparkSession, logDir: String): GraftKvTable = {
+    require(CellLogStore.readDesc(spark, logDir).isEmpty,
+      s"table already exists at $logDir (use openKvTable)")
+    CellLogStore.writeDesc(spark, logDir, TableDesc(kvMode = true))
+    new GraftKvTable(spark, logDir)
+  }
+
+  /** Open a KV-mode table (a stored descriptor must agree on the mode;
+    * a bare directory of KvEntry parquet also opens). */
+  def openKvTable(spark: SparkSession, logDir: String): GraftKvTable = {
+    CellLogStore.readDesc(spark, logDir).foreach { case (stored, _) =>
+      require(stored.kvMode, s"$logDir is not a KV-mode table (use openTable)")
+    }
+    new GraftKvTable(spark, logDir)
+  }
 
   /** Register the driver test tables plus resolved cell-log views in
     * the session catalog, making `spark.sql(...)` the query façade.

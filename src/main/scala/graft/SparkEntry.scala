@@ -207,8 +207,14 @@ object SparkEntry {
 
     "q_s6b_kv_ttl" -> ((s, dir) => {
       // TTLKv: per-KV baked expiry resolved at scan time; latest write
-      // per key wins first (KvStore.resolve)
-      KvStore.resolve(CellLogs.kvTtlLog(s, dir), nowUs = 1700000050000000L)
+      // per key wins first. Routed through the STORE path: the fixture
+      // lands in a real descriptor-persisted KV table and is read back.
+      val tmp = java.nio.file.Files.createTempDirectory("graft-kv-q").toString
+      val kt = Graft.createKvTable(s, tmp)
+      kt.putEntries(CellLogs.kvTtlLog(s, dir)
+        .withColumn("value", encode(col("value"), "UTF-8")))
+      kt.kvs(nowUs = 1700000050000000L)
+        .select(col("key"), decode(col("value"), "UTF-8").as("value"))
         .orderBy(col("key"), col("value"))
     }),
 

@@ -85,6 +85,31 @@ case class TableDesc(
       * logical order, and a start/stop range only makes sense as a point
       * range — exactly the reference's behavior (table_impl.cc:398-405).
       */
-    hashKeys: Boolean = false) {
+    hashKeys: Boolean = false,
+    /** KV-mode table (tera's key-value flavor, `kv_only` in
+      * table_schema.proto): 2-column model, one version per key,
+      * per-KV expiry baked at write time. The log schema is
+      * [[KvEntry.schema]], not [[CellOp.schema]]. */
+    kvMode: Boolean = false) {
   def spec(cf: String): CfSpec = cfs.getOrElse(cf, default)
+}
+
+/** One write in a KV-mode table's log.
+  *
+  * @param key          the KV key
+  * @param value        value bytes
+  * @param expire_ts_us absolute expiry baked at write time
+  *                     (tera src/io/ttlkv_compact_strategy.h:18-49:
+  *                     <= 0 never expires, else dead once
+  *                     expire_ts_us <= now)
+  * @param seq          arrival order, unique; newest write per key wins
+  */
+case class KvEntry(key: String, value: Array[Byte], expire_ts_us: Long, seq: Long)
+
+object KvEntry {
+  val schema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("value", BinaryType, nullable = true),
+    StructField("expire_ts_us", LongType, nullable = false),
+    StructField("seq", LongType, nullable = false)))
 }

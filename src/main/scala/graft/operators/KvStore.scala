@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** KV-mode table operations (tera's key-value table flavor: 2-column
@@ -19,15 +19,69 @@ import org.apache.spark.sql.functions._
   */
 object KvStore {
 
-  /** Resolve a KV log (key, value, expire_ts_us, seq) to its visible
-    * state at `nowUs`: newest write per key wins (KV mode keeps one
-    * version), then the winner's own expiry is checked.
+  /** Resolve a KV log (key, value, expire_ts_us, seq) to its full
+    * visible state at `nowUs` — the winning write per key with its
+    * expiry and seq kept (the shape compaction rewrites).
+    */
+  def resolveEntries(kv: DataFrame, nowUs: Long): DataFrame =
+    kv.groupBy(col("key"))
+      .agg(max_by(struct(col("value"), col("expire_ts_us"), col("seq")),
+        col("seq")).as("_c"))
+      .select(col("key"), col("_c.value").as("value"),
+        col("_c.expire_ts_us").as("expire_ts_us"), col("_c.seq").as("seq"))
+      .where(col("expire_ts_us") <= 0L || col("expire_ts_us") > nowUs)
+
+  /** Resolve a KV log to its visible (key, value) state at `nowUs`:
+    * newest write per key wins (KV mode keeps one version), then the
+    * winner's own expiry is checked.
     */
   def resolve(kv: DataFrame, nowUs: Long): DataFrame =
-    kv.groupBy(col("key"))
-      .agg(max_by(struct(col("value"), col("expire_ts_us")), col("seq")).as("_c"))
-      .select(col("key"), col("_c.value").as("value"),
-        col("_c.expire_ts_us").as("expire_ts_us"))
-      .where(col("expire_ts_us") <= 0L || col("expire_ts_us") > nowUs)
-      .select(col("key"), col("value"))
+    resolveEntries(kv, nowUs).select(col("key"), col("value"))
+
+  // ---- durable KV log storage -------------------------------------
+  // Same posture as CellLogStore for the cell model: append-only
+  // parquet, range-clustered by key (row-group min/max stats give
+  // range scans pruning; per-file key blooms serve point gets), the
+  // descriptor persisted next to the data.
+
+  /** Group-commit a KV batch (key, value, expire_ts_us, seq). */
+  def append(batch: DataFrame, logDir: String): Unit = {
+    val n = batch.sparkSession.sessionState.conf.numShufflePartitions
+    batch
+      .repartitionByRange(n, col("key"))
+      .sortWithinPartitions(col("key"), col("seq"))
+      .write.mode(SaveMode.Append)
+      .option("parquet.bloom.filter.enabled#key", "true")
+      .parquet(logDir)
+  }
+
+  def read(spark: SparkSession, logDir: String): DataFrame =
+    spark.read.schema(graft.model.KvEntry.schema).parquet(logDir)
+
+  /** Next free seq era for KV batches (see CellLogStore.nextSeqEra). */
+  def nextSeqEra(spark: SparkSession, logDir: String): Long = {
+    val row = read(spark, logDir).agg(max(col("seq"))).collect()(0)
+    if (row.isNullAt(0)) graft.sources.CellLogStore.SeqEra
+    else ((row.getLong(0) >> 50) + 1) * graft.sources.CellLogStore.SeqEra
+  }
+
+  /** Compaction: rewrite the log as its resolved entries — dead KVs
+    * (expired at `nowUs`, superseded writes) are physically dropped
+    * (tera KvCompactStrategy::Drop, src/io/ttlkv_compact_strategy.cc:
+    * 40-70); live KVs KEEP their baked expiry so later reads still
+    * expire them.
+    */
+  def compact(spark: SparkSession, logDir: String, outDir: String,
+      nowUs: Long): Unit = {
+    val n = spark.sessionState.conf.numShufflePartitions
+    resolveEntries(read(spark, logDir), nowUs)
+      .repartitionByRange(n, col("key"))
+      .sortWithinPartitions(col("key"))
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.bloom.filter.enabled#key", "true")
+      .parquet(outDir)
+    graft.sources.CellLogStore.readDesc(spark, logDir).foreach {
+      case (desc, _) => graft.sources.CellLogStore.writeDesc(spark, outDir, desc)
+    }
+  }
 }

@@ -81,6 +81,7 @@ object CellLogStore {
     put("cf.default", desc.default)
     desc.cfs.foreach { case (name, s) => put(s"cf.named.$name", s) }
     p.setProperty("hashKeys", desc.hashKeys.toString)
+    p.setProperty("kvMode", desc.kvMode.toString)
     ops.foreach(o => p.setProperty("ops", o.toSeq.sorted.mkString(",")))
     val path = new org.apache.hadoop.fs.Path(logDir, DescFile)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
@@ -106,7 +107,8 @@ object CellLogStore {
         .map(k => k.stripPrefix("cf.named.") -> spec(p.getProperty(k)))
         .toMap
       val desc = TableDesc(spec(p.getProperty("cf.default")), cfs,
-        p.getProperty("hashKeys", "false").toBoolean)
+        p.getProperty("hashKeys", "false").toBoolean,
+        p.getProperty("kvMode", "false").toBoolean)
       val ops = Option(p.getProperty("ops"))
         .map(_.split(",").iterator.filter(_.nonEmpty).map(_.toInt).toSet)
       Some((desc, ops))

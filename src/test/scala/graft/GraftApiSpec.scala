@@ -119,6 +119,51 @@ class GraftApiSpec extends AnyFunSuite {
     assert(t3.opsPresent == Some(Set(OpType.Value)))
   }
 
+  test("KV table lifecycle: put / overwrite / expire / compact / reopen") {
+    val dir = Files.createTempDirectory("graft-kv").toString
+    val t = Graft.createKvTable(spark, dir)
+
+    // write at t=1s: a never expires, b carries a 10s TTL baked as
+    // expire_ts_us = 11s
+    t.put(Seq(("a", "1".getBytes, 0L), ("b", "2".getBytes, 10L)),
+      nowUs = 1000000L)
+    // overwrite a at t=2s
+    t.put(Seq(("a", "1b".getBytes, 0L)), nowUs = 2000000L)
+
+    def kvSet(tab: GraftKvTable, nowUs: Long): Set[(String, String)] =
+      tab.kvs(nowUs).collect()
+        .map(r => (r.getString(0), new String(r.getAs[Array[Byte]]("value"))))
+        .toSet
+
+    // before b's expiry: newest a + live b; after: b is dead
+    assert(kvSet(t, 5000000L) == Set(("a", "1b"), ("b", "2")))
+    assert(kvSet(t, 20000000L) == Set(("a", "1b")))
+    assert(t.get("a", 5000000L).collect().length == 1)
+
+    // the persisted kv flag guards the open paths
+    val reopened = Graft.openKvTable(spark, dir)
+    assert(kvSet(reopened, 5000000L) == Set(("a", "1b"), ("b", "2")))
+    intercept[IllegalArgumentException](Graft.openTable(spark, dir))
+    intercept[IllegalArgumentException](Graft.createKvTable(spark, dir))
+
+    // compact after b died: dead KV and a's superseded write are
+    // physically gone; the live KV keeps its (empty) expiry
+    val cdir = Files.createTempDirectory("graft-kv-compact").toString
+    t.compact(cdir, nowUs = 20000000L)
+    val c = Graft.openKvTable(spark, cdir)
+    assert(c.log.count() == 1)
+    assert(kvSet(c, Long.MaxValue) == Set(("a", "1b")))
+
+    // a TTL'd KV compacted BEFORE its expiry keeps the baked expiry:
+    // it still dies later
+    t.put(Seq(("c", "3".getBytes, 10L)), nowUs = 20000000L) // expires at 30s
+    val cdir2 = Files.createTempDirectory("graft-kv-compact2").toString
+    t.compact(cdir2, nowUs = 25000000L)
+    val c2 = Graft.openKvTable(spark, cdir2)
+    assert(kvSet(c2, 25000000L) == Set(("a", "1b"), ("c", "3")))
+    assert(kvSet(c2, 35000000L) == Set(("a", "1b")))
+  }
+
   test("sql facade answers over resolved cell views") {
     Graft.registerSqlCatalog(spark, "/root/testdata/sf0.001")
     val n = spark.sql(
