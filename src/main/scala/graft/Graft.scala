@@ -187,6 +187,20 @@ object Graft {
       case None => new GraftTable(spark, logDir, desc)
     }
 
+  /** Bulk-load a relational DataFrame as a new cell table (the
+    * `terautil dump` analogue): create the table with a declared
+    * VALUE-only op-set (so every resolve skips its probe), reshape the
+    * rows via [[graft.sources.RelationalLoader.toCellLog]], and
+    * group-commit them.
+    */
+  def loadRelational(spark: SparkSession, logDir: String, df: DataFrame,
+      keyCol: String, cfMap: Map[String, Seq[String]],
+      ts: Column = lit(0L), desc: TableDesc = TableDesc()): GraftTable = {
+    val t = createTable(spark, logDir, desc, ops = Some(Set(OpType.Value)))
+    t.put(graft.sources.RelationalLoader.toCellLog(df, keyCol, cfMap, ts))
+    t
+  }
+
   /** Create a KV-mode table: the kv flag persists in the descriptor so
     * any later open recovers the mode (tera `kv_only`,
     * table_schema.proto). */

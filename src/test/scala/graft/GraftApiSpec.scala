@@ -164,6 +164,46 @@ class GraftApiSpec extends AnyFunSuite {
     assert(kvSet(c2, 35000000L) == Set(("a", "1b")))
   }
 
+  test("relational bulk load round-trips: resolve == source projection") {
+    val sfDir = "/root/testdata/sf0.001"
+    def cellSet(t: GraftTable): Set[(String, String, String, String)] =
+      t.cells().select(col("row_key"), col("cf"), col("qualifier"),
+          decode(col("value"), "UTF-8").as("v")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+        .toSet
+
+    // shape 1: lineitem (dup (orderkey, linenumber) keys in the synthetic
+    // data -> aggregate first, the loader's documented contract), two CFs
+    val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(max("l_quantity").as("qty"), max("l_returnflag").as("rf"))
+      .withColumn("k", concat_ws(":", col("l_orderkey"), col("l_linenumber")))
+    val dir1 = Files.createTempDirectory("graft-load1").toString
+    val t1 = Graft.loadRelational(spark, dir1, li, "k",
+      Map("m" -> Seq("qty"), "f" -> Seq("rf")))
+    val want1 = li.select(col("k"),
+        col("qty").cast("string").as("qty"), col("rf")).collect()
+      .flatMap(r => Seq((r.getString(0), "m", "qty", r.getString(1)),
+        (r.getString(0), "f", "rf", r.getString(2)))).toSet
+    assert(cellSet(t1) == want1)
+    // the declared VALUE-only op-set survives reopen
+    assert(Graft.openTable(spark, dir1).opsPresent
+      == Some(Set(graft.model.OpType.Value)))
+
+    // shape 2: nation, one CF, string + int columns
+    val nation = graft.sources.Tables.load(spark, sfDir, "nation")
+    val dir2 = Files.createTempDirectory("graft-load2").toString
+    val t2 = Graft.loadRelational(spark, dir2, nation, "n_nationkey",
+      Map("n" -> Seq("n_name", "n_regionkey")))
+    val want2 = nation.collect().flatMap(r => Seq(
+      (r.getAs[Any]("n_nationkey").toString, "n", "n_name", r.getAs[String]("n_name")),
+      (r.getAs[Any]("n_nationkey").toString, "n", "n_regionkey",
+        r.getAs[Any]("n_regionkey").toString)))
+      .toSet
+    assert(cellSet(t2) == want2)
+    assert(t2.cells().count() == nation.count() * 2)
+  }
+
   test("sql facade answers over resolved cell views") {
     Graft.registerSqlCatalog(spark, "/root/testdata/sf0.001")
     val n = spark.sql(
