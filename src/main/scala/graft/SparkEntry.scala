@@ -178,6 +178,24 @@ object SparkEntry {
             .otherwise(decode(col("value"), "UTF-8")).as("value"))
         .orderBy(col("cf"), col("qualifier"))
     }),
+    "q_s3b_wide_row" -> ((s, dir) => {
+      // wide-row view (RowReader::ToMap): the nested
+      // cf -> qualifier -> versions map, exploded back to flat rows so
+      // DuckDB can reproduce it — vidx proves the newest-first version
+      // ordering inside the arrays, not just membership
+      val resolved = Resolve.resolve(CellLogs.eventsLog(s, dir),
+        TableDesc(CfSpec(maxVersions = Int.MaxValue)),
+        opsPresent = CellLogs.valueOnly)
+      Resolve.toWideRows(resolved)
+        .select(col("row_key"), explode(col("cells")).as(Seq("cf", "quals")))
+        .select(col("row_key"), col("cf"),
+          explode(col("quals")).as(Seq("qualifier", "versions")))
+        .select(col("row_key"), col("cf"), col("qualifier"),
+          posexplode(col("versions")).as(Seq("vidx", "ver")))
+        .select(col("row_key"), col("cf"), col("qualifier"), col("vidx"),
+          col("ver.ts").as("ts"), decode(col("ver.value"), "UTF-8").as("value"))
+        .orderBy(col("row_key"), col("cf"), col("qualifier"), col("vidx"))
+    }),
     "q_s4_cf_projection" -> ((s, dir) => {
       // LG-style projection: only the 'meta' column family is read
       ScanQuery(CellLogs.ordersWideLog(s, dir), opsPresent = CellLogs.valueOnly)
@@ -731,6 +749,14 @@ object SparkEntry {
         |SELECT CAST(o_orderkey AS VARCHAR), 'meta', 'status', o_orderstatus
         |FROM orders WHERE o_orderkey = 100
         |ORDER BY 2, 3""".stripMargin,
+    "q_s3b_wide_row" ->
+      """SELECT CAST(user_id AS VARCHAR) AS row_key, 'ev' AS cf,
+        |       event_type AS qualifier,
+        |       CAST(row_number() OVER (PARTITION BY user_id, event_type
+        |                               ORDER BY epoch_us(ts) DESC, props DESC)
+        |            - 1 AS INT) AS vidx,
+        |       epoch_us(ts) AS ts, props AS value
+        |FROM events ORDER BY 1, 2, 3, 4""".stripMargin,
     "q_s4_cf_projection" ->
       """WITH keys AS (
         |  SELECT CAST(o_orderkey AS VARCHAR) AS k, o_orderstatus, o_orderpriority
