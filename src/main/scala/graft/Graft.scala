@@ -33,12 +33,21 @@ class GraftTable(
   /** The raw tagged mutation log. */
   def log: DataFrame = CellLogStore.read(spark, logDir)
 
+  /** The stored tombstone count, when the descriptor carries one — read
+    * per call (a driver-side file read, no Spark job) so it tracks
+    * appends; lets resolve's "auto" delete strategy size itself without
+    * a count job. */
+  private def deleteHint: Option[Long] =
+    CellLogStore.readDeleteCount(spark, logDir)
+
   /** Resolved visible cells (versions/TTL/tombstones/folds applied). */
   def cells(nowUs: Long = Long.MaxValue): DataFrame =
-    Resolve.resolve(log, desc, nowUs, opsPresent = opsPresent)
+    Resolve.resolve(log, desc, nowUs, opsPresent = opsPresent,
+      deleteCountHint = deleteHint)
 
   /** Scan builder over this table. */
-  def scan: ScanQuery = ScanQuery(log, desc, opsPresent = opsPresent)
+  def scan: ScanQuery = ScanQuery(log, desc, opsPresent = opsPresent,
+    deleteCountHint = deleteHint)
 
   /** Storage form of a logical row key: murmur-hex-prefixed on a
     * hash-sharded table (tera `hash_method_`, src/sdk/table_impl.cc:98),
@@ -65,6 +74,7 @@ class GraftTable(
           graft.functions.cellfunctions.hashed_key(col("row_key")))
       else batch
     CellLogStore.append(stored, logDir)
+    bumpDeleteHint(batch)
   }
 
   /** Group-commit ops whose row keys are ALREADY in storage space —
@@ -72,7 +82,20 @@ class GraftTable(
     * commit ops): on a hash-sharded table those keys carry the shard
     * prefix, and [[put]] would prefix them a second time, targeting
     * nonexistent rows. */
-  def putStored(batch: DataFrame): Unit = CellLogStore.append(batch, logDir)
+  def putStored(batch: DataFrame): Unit = {
+    CellLogStore.append(batch, logDir)
+    bumpDeleteHint(batch)
+  }
+
+  /** Maintain the descriptor-carried tombstone count on the write path
+    * (the side that materializes the batch anyway). Skipped entirely —
+    * no job — when the declared op-set rules deletes out. */
+  private def bumpDeleteHint(batch: DataFrame): Unit =
+    if (CellLogStore.readDesc(spark, logDir).isDefined &&
+        opsPresent.forall(ops => OpType.deletes.exists(ops.contains))) {
+      val n = batch.where(col("op").isin(OpType.deletes: _*)).count()
+      CellLogStore.bumpDeleteCount(spark, logDir, n)
+    }
 
   def put(ops: Seq[CellOp]): Unit = {
     val session = spark
@@ -82,7 +105,8 @@ class GraftTable(
 
   /** Time-travel read bound by sequence number (tera snapshots). */
   def snapshot(seq: Long): DataFrame =
-    Resolve.resolve(log, desc, snapshotSeq = Some(seq), opsPresent = opsPresent)
+    Resolve.resolve(log, desc, snapshotSeq = Some(seq), opsPresent = opsPresent,
+      deleteCountHint = deleteHint)
 
   /** Background compaction into `outDir` (physically applies folds,
     * drops dead versions — keeps read amplification bounded). */
@@ -171,6 +195,7 @@ object Graft {
       s"table already exists at $logDir (use openTable)")
     require(!desc.kvMode, s"use createKvTable for a KV-mode table")
     CellLogStore.writeDesc(spark, logDir, desc, ops)
+    CellLogStore.setDeleteCount(spark, logDir, 0L)
     new GraftTable(spark, logDir, desc, ops)
   }
 

@@ -59,7 +59,12 @@ object Resolve {
       snapshotSeq: Option[Long] = None,
       opsPresent: Option[Set[Int]] = None,
       useTopKAggregate: Boolean = false,
-      deleteStrategy: String = "auto"): DataFrame = {
+      deleteStrategy: String = "auto",
+      /** Known tombstone count of the log, when carried by a stored
+        * table's descriptor — lets "auto" pick its strategy without
+        * running a count job. A strategy HINT only: both strategies are
+        * exact, so a stale count cannot affect correctness. */
+      deleteCountHint: Option[Long] = None): DataFrame = {
 
     val bounded = snapshotSeq.fold(log)(s => log.where(col("seq") <= s))
 
@@ -101,7 +106,8 @@ object Resolve {
       if (presentDels.isEmpty) "none"
       else deleteStrategy match {
         case "auto" =>
-          val n = bounded.where(col("op").isin(presentDels: _*)).count()
+          val n = deleteCountHint.getOrElse(
+            bounded.where(col("op").isin(presentDels: _*)).count())
           if (n <= 100000L) "join" else "window"
         case s => s
       }

@@ -136,7 +136,8 @@ case class ScanQuery(
     snapshotSeq: Option[Long] = None,
     nowUs: Long = Long.MaxValue,
     limitRows: Option[Int] = None,
-    opsPresent: Option[Set[Int]] = None) {
+    opsPresent: Option[Set[Int]] = None,
+    deleteCountHint: Option[Long] = None) {
 
   def withStart(k: String): ScanQuery = copy(startKey = Some(k))
   def withStop(k: String): ScanQuery = copy(stopKey = Some(k))
@@ -183,7 +184,8 @@ case class ScanQuery(
         col("row_key") < bound(k) + "\u0000")
     }
 
-    val resolved = Resolve.resolve(pruned, desc, nowUs, snapshotSeq, opsPresent)
+    val resolved = Resolve.resolve(pruned, desc, nowUs, snapshotSeq, opsPresent,
+      deleteCountHint = deleteCountHint)
 
     // row-level verdict: leaf states aggregate over the whole row
     val filtered = rowFilter match {

@@ -115,6 +115,51 @@ object CellLogStore {
     }
   }
 
+  // ---- descriptor-carried delete hint ------------------------------
+  // Resolve's "auto" tombstone strategy sizes itself on the delete
+  // count; for a stored table that count rides the descriptor file —
+  // maintained by the write path (the side that materializes the batch
+  // anyway) — so reopening and resolving never runs a count job. The
+  // count is a strategy hint only: both strategies are exact, so a
+  // stale value cannot affect correctness.
+
+  private def loadProps(spark: SparkSession, logDir: String)
+      : Option[java.util.Properties] = {
+    val path = new org.apache.hadoop.fs.Path(logDir, DescFile)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) None
+    else {
+      val p = new java.util.Properties()
+      val in = fs.open(path)
+      try p.load(in) finally in.close()
+      Some(p)
+    }
+  }
+
+  private def storeProps(spark: SparkSession, logDir: String,
+      p: java.util.Properties): Unit = {
+    val path = new org.apache.hadoop.fs.Path(logDir, DescFile)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(path, true)
+    try p.store(out, "graft table descriptor") finally out.close()
+  }
+
+  def readDeleteCount(spark: SparkSession, logDir: String): Option[Long] =
+    loadProps(spark, logDir)
+      .flatMap(p => Option(p.getProperty("deleteCount")))
+      .map(_.toLong)
+
+  def setDeleteCount(spark: SparkSession, logDir: String, n: Long): Unit =
+    loadProps(spark, logDir).foreach { p =>
+      p.setProperty("deleteCount", n.toString)
+      storeProps(spark, logDir, p)
+    }
+
+  def bumpDeleteCount(spark: SparkSession, logDir: String, delta: Long): Unit =
+    if (delta != 0)
+      setDeleteCount(spark, logDir,
+        readDeleteCount(spark, logDir).getOrElse(0L) + delta)
+
   /** Background compaction: rewrite the log as its resolved state.
     * Resolved cells re-enter the log as plain VALUE ops (their folds and
     * tombstones applied), preserving `ts` and `seq` so later appends
@@ -134,6 +179,8 @@ object CellLogStore {
       .write.mode(SaveMode.Overwrite).parquet(outDir)
     // the compacted table keeps its descriptor; its log is now VALUE-only
     // (folds and tombstones physically applied), so declare that op-set
+    // and a zero delete count
     writeDesc(spark, outDir, desc, Some(Set(graft.model.OpType.Value)))
+    setDeleteCount(spark, outDir, 0L)
   }
 }

@@ -119,6 +119,40 @@ class GraftApiSpec extends AnyFunSuite {
     assert(t3.opsPresent == Some(Set(OpType.Value)))
   }
 
+  test("stored delete hint: reopened table plans resolve with zero jobs") {
+    import graft.model.{CfSpec, TableDesc}
+    val dir = Files.createTempDirectory("graft-delhint").toString
+    val ops = Some(Set(OpType.Value, OpType.DelRow))
+    val t = Graft.createTable(spark, dir,
+      TableDesc(CfSpec(maxVersions = Int.MaxValue)), ops)
+    t.put(Seq(
+      CellOp("r1", "cf", "q", 100, OpType.Value, "a".getBytes, 1),
+      CellOp("r2", "cf", "q", 100, OpType.Value, "b".getBytes, 2),
+      CellOp("r1", "cf", "q", 100, OpType.DelRow, null, 3)))
+    // the write path maintained the count
+    assert(graft.sources.CellLogStore.readDeleteCount(spark, dir) == Some(1L))
+
+    // reopen: building the resolve plan runs NO jobs — no op probe (the
+    // stored op-set) and no tombstone count (the stored hint)
+    val t2 = Graft.openTable(spark, dir)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val df =
+      try {
+        val planned = t2.cells()
+        Thread.sleep(1000) // let listener-bus events drain
+        assert(jobs.get() == 0, s"plan construction ran ${jobs.get()} jobs")
+        planned
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // and the plan is still correct: r1 is tombstoned
+    assert(df.collect().map(_.getString(0)).toSet == Set("r2"))
+  }
+
   test("KV table lifecycle: put / overwrite / expire / compact / reopen") {
     val dir = Files.createTempDirectory("graft-kv").toString
     val t = Graft.createKvTable(spark, dir)
