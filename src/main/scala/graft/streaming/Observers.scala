@@ -101,14 +101,17 @@ object Observers {
     * ack survive, exactly like the reference. Seq allocation per batch
     * comes from [[graft.sources.CellLogStore.nextSeqEra]].
     */
-  def observeNotifications(table: graft.GraftTable, checkpointDir: String)
+  def observeNotifications(table: graft.GraftTable, checkpointDir: String,
+      hook: Option[ScanHook] = None)
       (onNotify: DataFrame => Unit): StreamingQuery =
     cellLogStream(table.spark, table.logDir)
       .where(col("cf") === NotifyCf &&
         col("op") === graft.model.OpType.Value)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        hook.foreach(_.before(id))
+        val t0 = System.nanoTime()
         // deliver only notifications still LIVE after resolution: the
         // feed is the raw log, so an observer starting from a fresh
         // checkpoint re-reads already-acked notify cells — the semi-join
@@ -122,6 +125,7 @@ object Observers {
             .select(col("row_key"), col("qualifier"), col("ts")),
           Seq("row_key", "qualifier", "ts"), "left_semi")
           .localCheckpoint()
+        var delivered = 0L
         if (!live.isEmpty) {
           onNotify(live)
           val era = graft.sources.CellLogStore.nextSeqEra(table.spark, table.logDir)
@@ -129,7 +133,10 @@ object Observers {
           // each row at its own delivered ts so a concurrent lower-ts
           // re-notification of another row is not swallowed
           table.putStored(ackOpsDelivered(live, era))
+          if (hook.isDefined) delivered = live.count()
         }
+        hook.foreach(_.after(id, delivered,
+          (System.nanoTime() - t0) / 1000000L))
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -178,20 +185,86 @@ object Observers {
       .withColumn("bucket", pmod(hash(col("row_key")), lit(buckets)).cast("int"))
   }
 
+  /** Before/after callbacks around each observer scan round — the
+    * ScanHook analogue (tera `ScanHook`: user callbacks the scanner
+    * invokes around every scan session, include/observer/scanner.h:
+    * 28-43). Invoked by the observer loop itself, like the reference —
+    * NOT scraped from engine metrics: with a foreachBatch sink the
+    * engine never executes the batch plan, so listener-side
+    * numInputRows is structurally zero there.
+    */
+  trait ScanHook extends Serializable {
+    def before(batchId: Long): Unit = ()
+    def after(batchId: Long, deliveredRows: Long, durationMs: Long): Unit = ()
+  }
+
   /** N1: run an observer callback per micro-batch. The callback receives
     * the batch of notifications; offset commit on return is the Ack.
+    * An attached [[ScanHook]] sees each round's delivered-row count and
+    * wall time (counting costs one extra pass over the already-pinned
+    * batch — zero cost when no hook is attached).
     */
   def observe(
       feed: DataFrame,
       columns: Seq[(String, String)],
       checkpointDir: String,
-      buckets: Int = 16)(onNotify: (DataFrame, Long) => Unit): StreamingQuery =
+      buckets: Int = 16,
+      hook: Option[ScanHook] = None)(
+      onNotify: (DataFrame, Long) => Unit): StreamingQuery =
     observed(feed, columns, buckets).writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, id: Long) => onNotify(batch, id) }
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        hook.foreach(_.before(id))
+        val t0 = System.nanoTime()
+        val pinned = if (hook.isDefined) batch.localCheckpoint() else batch
+        onNotify(pinned, id)
+        hook.foreach(_.after(id, pinned.count(),
+          (System.nanoTime() - t0) / 1000000L))
+      }
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** One observer scan round's metrics — what a ScanHook sees. */
+  case class ScanRound(
+      queryId: java.util.UUID,
+      batchId: Long,
+      numInputRows: Long,
+      triggerMs: Long,
+      timestamp: String)
+
+  /** Engine-level companion to [[ScanHook]]: adapts
+    * StreamingQueryListener progress events to per-round callbacks with
+    * the trigger metrics (batch id, trigger duration, timestamp).
+    * Caveat: with a foreachBatch sink (the observer loop's shape) the
+    * engine itself never executes the batch plan, so `numInputRows` is
+    * structurally 0 there — row counts come from [[ScanHook]], which
+    * the loop invokes directly. Returns the registered listener — pass
+    * it to [[removeScanHook]] when done.
+    */
+  def addScanHook(spark: SparkSession,
+      onRound: ScanRound => Unit,
+      onStart: java.util.UUID => Unit = _ => (),
+      onStop: java.util.UUID => Unit = _ => ())
+      : org.apache.spark.sql.streaming.StreamingQueryListener = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val l = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = onStart(e.id)
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        onRound(ScanRound(e.progress.id, e.progress.batchId,
+          e.progress.numInputRows,
+          Option(e.progress.durationMs.get("triggerExecution"))
+            .map(_.longValue()).getOrElse(0L),
+          e.progress.timestamp))
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = onStop(e.id)
+    }
+    spark.streams.addListener(l)
+    l
+  }
+
+  def removeScanHook(spark: SparkSession,
+      l: org.apache.spark.sql.streaming.StreamingQueryListener): Unit =
+    spark.streams.removeListener(l)
 
   /** Streaming exact dedup over the change feed: drop re-deliveries of
     * the same document (by content fingerprint) within the watermark

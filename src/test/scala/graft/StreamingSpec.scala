@@ -64,6 +64,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(collected.size == before)
   }
 
+  test("scan hook sees before/after per round with delivered counts") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val logDir = tmp("celllog-hook")
+    val ckpt = tmp("ckpt-hook")
+    CellLogStore.append(ops(60).toDF(), logDir)
+
+    val befores = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val afters = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val hook = new Observers.ScanHook {
+      override def before(batchId: Long): Unit = befores.add(batchId)
+      override def after(batchId: Long, rows: Long, ms: Long): Unit =
+        afters.add((batchId, rows, ms))
+    }
+    val rounds = new java.util.concurrent.ConcurrentLinkedQueue[Observers.ScanRound]()
+    val started = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stopped = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = Observers.addScanHook(spark,
+      onRound = rounds.add(_),
+      onStart = _ => started.incrementAndGet(),
+      onStop = _ => stopped.incrementAndGet())
+    try {
+      val q = Observers.observe(
+        Observers.cellLogStream(spark, logDir),
+        columns = Seq(("cf1", "q0")), checkpointDir = ckpt,
+        hook = Some(hook))((_, _) => ())
+      q.awaitTermination()
+
+      // the loop invoked the hook synchronously: every round paired,
+      // delivered == the observed-column subset (cf1 ∧ q0 → i % 6 == 0)
+      assert(befores.size() > 0 && befores.size() == afters.size())
+      assert(befores.asScala.toSet == afters.asScala.map(_._1).toSet)
+      assert(afters.asScala.map(_._2).sum == 10)
+      assert(afters.asScala.forall(_._3 >= 0))
+
+      // engine-level rounds arrive async with trigger metrics
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while ((stopped.get() == 0 || rounds.isEmpty) &&
+          System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(started.get() >= 1 && stopped.get() >= 1)
+      val rs = rounds.asScala.toSeq
+      assert(rs.nonEmpty)
+      assert(rs.forall(r => r.batchId >= 0 && r.timestamp.nonEmpty))
+    } finally Observers.removeScanHook(spark, listener)
+  }
+
   test("observer discovers only newly-appended mutations on resume (N2)") {
     import spark.implicits._
     val logDir = tmp("celllog-incr")
