@@ -87,15 +87,23 @@ class GraftTable(
     bumpDeleteHint(batch)
   }
 
-  /** Maintain the descriptor-carried tombstone count on the write path
-    * (the side that materializes the batch anyway). Skipped entirely —
-    * no job — when the declared op-set rules deletes out. */
-  private def bumpDeleteHint(batch: DataFrame): Unit =
-    if (CellLogStore.readDesc(spark, logDir).isDefined &&
-        opsPresent.forall(ops => OpType.deletes.exists(ops.contains))) {
+  /** Maintain the descriptor-carried tombstone count on the write path.
+    * Three regimes, each paying the least it can:
+    *  - declared op-set WITHOUT deletes: nothing to do — no job, no IO;
+    *  - declared WITH deletes: count the batch's tombstones (one job on
+    *    the batch the caller just materialized — the declared-deletes
+    *    table accepts that write-side cost to keep reads probe-free);
+    *  - UNDECLARED ops: don't guess — clear the stored hint (a file
+    *    touch, no job), and resolve falls back to its own count. A
+    *    wrong low hint would defeat the window strategy's OOM guard.
+    */
+  private def bumpDeleteHint(batch: DataFrame): Unit = opsPresent match {
+    case Some(ops) if !OpType.deletes.exists(ops.contains) => ()
+    case Some(_) =>
       val n = batch.where(col("op").isin(OpType.deletes: _*)).count()
       CellLogStore.bumpDeleteCount(spark, logDir, n)
-    }
+    case None => CellLogStore.clearDeleteCount(spark, logDir)
+  }
 
   def put(ops: Seq[CellOp]): Unit = {
     val session = spark

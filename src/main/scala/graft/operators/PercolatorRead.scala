@@ -56,10 +56,15 @@ object PercolatorRead {
   def pendingLocks(log: DataFrame, snapshotTs: Long): DataFrame = {
     val lockLog = log.where(col("qualifier").startsWith("!L") &&
       col("ts") <= snapshotTs)
+    // deleteStrategy pinned to "join": lock tombstones are one per
+    // released lock by construction (sparse), and "auto"'s sizing count
+    // would run an eager job at PLAN time for every prewrite/commit/
+    // cleanup that merely builds on this frame
     val visible = Resolve.resolve(lockLog,
       graft.model.TableDesc(graft.model.CfSpec(maxVersions = Int.MaxValue)),
       opsPresent = Some(Set(graft.model.OpType.Value,
-        graft.model.OpType.DelQualifiers, graft.model.OpType.DelQualifier)))
+        graft.model.OpType.DelQualifiers, graft.model.OpType.DelQualifier)),
+      deleteStrategy = "join")
     val locks = visible.select(col("row_key"), col("cf"),
       expr("substring(qualifier, 3)").as("qualifier"),
       col("ts").as("lock_ts"),

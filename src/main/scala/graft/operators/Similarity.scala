@@ -129,17 +129,24 @@ object Similarity {
   private val CentroidsFile = "_graft_ivf_centroids.txt"
 
   /** Persist centroids under `dir` (one row per line, exact-round-trip
-    * doubles via Double.toString/parseDouble). */
+    * doubles via Double.toString/parseDouble). Write-then-rename, and
+    * raw stream writes rather than a PrintWriter (which swallows
+    * IOExceptions into an internal flag): a failed write must THROW,
+    * never persist a truncated index, and never expose a half-written
+    * file to a concurrent reader. */
   def writeCentroids(spark: org.apache.spark.sql.SparkSession, dir: String,
       centroids: Array[Array[Double]]): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
     val path = new org.apache.hadoop.fs.Path(dir, CentroidsFile)
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(path, true)
-    try {
-      val w = new java.io.PrintWriter(out)
-      centroids.foreach(row => w.println(row.mkString(",")))
-      w.flush()
-    } finally out.close()
+    val tmp = new org.apache.hadoop.fs.Path(dir, CentroidsFile + ".tmp")
+    val fs = path.getFileSystem(conf)
+    val bytes = centroids.map(_.mkString(",")).mkString("", "\n", "\n")
+      .getBytes("UTF-8")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    fs.delete(path, false)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"failed to move $tmp to $path")
   }
 
   def readCentroids(spark: org.apache.spark.sql.SparkSession,
@@ -159,15 +166,25 @@ object Similarity {
 
   /** Load persisted centroids from `indexDir`, or train and persist them
     * there. Loading is a driver-side file read — no Spark jobs, no
-    * training passes.
+    * training passes. The stored index must MATCH the request: a dim
+    * mismatch throws (dotRow would silently truncate to the shorter
+    * length and assign plausibly-wrong clusters), and an nlist mismatch
+    * retrains and overwrites (the stored index answers a different
+    * pruning granularity than the caller asked for).
     */
   def loadOrTrainCentroids(corpus: DataFrame, dim: Int, nlist: Int,
       iters: Int, indexDir: String): Array[Array[Double]] = {
     val spark = corpus.sparkSession
-    readCentroids(spark, indexDir).getOrElse {
-      val c = trainCentroids(corpus, dim, nlist, iters)
-      writeCentroids(spark, indexDir, c)
-      c
+    readCentroids(spark, indexDir) match {
+      case Some(c) if c.exists(_.length != dim) =>
+        throw new IllegalArgumentException(
+          s"stored IVF index at $indexDir has dim ${c.head.length}, " +
+            s"requested $dim — delete the index or fix the request")
+      case Some(c) if c.length == nlist => c
+      case _ =>
+        val c = trainCentroids(corpus, dim, nlist, iters)
+        writeCentroids(spark, indexDir, c)
+        c
     }
   }
 

@@ -90,14 +90,8 @@ object CellLogStore {
   }
 
   def readDesc(spark: SparkSession, logDir: String)
-      : Option[(TableDesc, Option[Set[Int]])] = {
-    val path = new org.apache.hadoop.fs.Path(logDir, DescFile)
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(path)) None
-    else {
-      val p = new java.util.Properties()
-      val in = fs.open(path)
-      try p.load(in) finally in.close()
+      : Option[(TableDesc, Option[Set[Int]])] =
+    loadProps(spark, logDir).map { p =>
       def spec(s: String): CfSpec = s.split(",") match {
         case Array(mx, mn, ttl) => CfSpec(mx.toInt, mn.toInt, ttl.toLong)
       }
@@ -111,9 +105,8 @@ object CellLogStore {
         p.getProperty("kvMode", "false").toBoolean)
       val ops = Option(p.getProperty("ops"))
         .map(_.split(",").iterator.filter(_.nonEmpty).map(_.toInt).toSet)
-      Some((desc, ops))
+      (desc, ops)
     }
-  }
 
   // ---- descriptor-carried delete hint ------------------------------
   // Resolve's "auto" tombstone strategy sizes itself on the delete
@@ -155,10 +148,27 @@ object CellLogStore {
       storeProps(spark, logDir, p)
     }
 
+  /** Add `delta` to the stored count — ONLY when a count is already
+    * present (created/compacted tables initialize one). A table whose
+    * descriptor predates the hint must stay hint-less: seeding it with
+    * 0+delta would ignore every tombstone already in the log and could
+    * steer "auto" to the broadcast-join strategy against a log that
+    * needs the window sort. Single-writer, like the append path itself.
+    */
   def bumpDeleteCount(spark: SparkSession, logDir: String, delta: Long): Unit =
     if (delta != 0)
-      setDeleteCount(spark, logDir,
-        readDeleteCount(spark, logDir).getOrElse(0L) + delta)
+      readDeleteCount(spark, logDir)
+        .foreach(cur => setDeleteCount(spark, logDir, cur + delta))
+
+  /** Drop the stored count — for writes whose tombstone content is
+    * unknown; resolve then falls back to its count job. */
+  def clearDeleteCount(spark: SparkSession, logDir: String): Unit =
+    loadProps(spark, logDir).foreach { p =>
+      if (p.getProperty("deleteCount") != null) {
+        p.remove("deleteCount")
+        storeProps(spark, logDir, p)
+      }
+    }
 
   /** Background compaction: rewrite the log as its resolved state.
     * Resolved cells re-enter the log as plain VALUE ops (their folds and

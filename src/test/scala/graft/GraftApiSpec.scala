@@ -151,6 +151,19 @@ class GraftApiSpec extends AnyFunSuite {
       } finally spark.sparkContext.removeSparkListener(listener)
     // and the plan is still correct: r1 is tombstoned
     assert(df.collect().map(_.getString(0)).toSet == Set("r2"))
+
+    // a table whose descriptor PREDATES the hint must stay hint-less:
+    // seeding 0+delta would ignore tombstones already in the log and
+    // could steer auto to the join strategy against a window-sized log
+    val oldDir = Files.createTempDirectory("graft-delhint-old").toString
+    graft.sources.CellLogStore.writeDesc(spark, oldDir,
+      TableDesc(CfSpec(maxVersions = Int.MaxValue)), ops)
+    val told = Graft.openTable(spark, oldDir)
+    told.put(Seq(
+      CellOp("r1", "cf", "q", 100, OpType.Value, "a".getBytes, 1),
+      CellOp("r1", "cf", "q", 100, OpType.DelRow, null, 2)))
+    assert(graft.sources.CellLogStore.readDeleteCount(spark, oldDir).isEmpty)
+    assert(told.cells().collect().isEmpty) // fallback count still correct
   }
 
   test("KV table lifecycle: put / overwrite / expire / compact / reopen") {
