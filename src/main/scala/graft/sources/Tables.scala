@@ -12,8 +12,10 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
     // default; read it as a nanosecond long — exact, and trivially
-    // truncated to the µs precision DuckDB also reads at.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // truncated to the µs precision DuckDB also reads at. Set once per
+    // session, not per call (conf writes invalidate cached plans).
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
