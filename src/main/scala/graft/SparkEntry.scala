@@ -3,8 +3,8 @@ package graft
 import graft.functions.cellfunctions._
 import graft.model.{CfSpec, TableDesc}
 import graft.operators.{AsOfJoin, BatchTxn, Dedup, KvStore, Multimodal,
-  PercolatorRead, Resolve, ScanFilter, ScanQuery, Similarity, TextAnalysis,
-  TypedValue}
+  PercolatorRead, Resolve, Sampling, ScanFilter, ScanQuery, Similarity,
+  TextAnalysis, TypedValue}
 import graft.sources.{CellLogs, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -581,6 +581,21 @@ object SparkEntry {
       // in one scan + one shuffle
       TextAnalysis.curate(t(s, dir, "documents")).orderBy(col("doc_id"))
     }),
+    "q_x_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: every 50th document plays the
+      // heldout set; corpus docs sharing any trigram with it are dropped
+      val docs = t(s, dir, "documents")
+      TextAnalysis.decontaminate(docs, docs.where(col("doc_id") % 50 === 0))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_x_sample_stratified" -> ((s, dir) => {
+      // deterministic 1-in-7 systematic sample per source domain
+      Sampling.systematic(t(s, dir, "documents"),
+          col("source"), col("doc_id"), k = 7)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
     "q_x_dedup_minhash" -> ((s, dir) => {
       Dedup.minhashNearDuplicates(t(s, dir, "documents"), threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
@@ -1001,6 +1016,23 @@ object SparkEntry {
         |       WHEN s_es >= s_de AND s_es > 0 THEN 'es'
         |       WHEN s_de > 0 THEN 'de' ELSE 'und' END AS lang
         |FROM s ORDER BY 1""".stripMargin,
+    "q_x_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        |       FROM tok WHERE len(toks) >= 3),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+        |bad AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (s))
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY 1""".stripMargin,
+    "q_x_sample_stratified" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, doc_id FROM ranked WHERE (rn - 1) % 7 = 0
+        |ORDER BY 1, 2""".stripMargin,
     "q_x_curate" ->
       """WITH s AS (
         |  SELECT doc_id, text,

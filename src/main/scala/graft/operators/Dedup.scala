@@ -44,15 +44,19 @@ object Dedup {
     * intersections become counting aggregations.
     */
   def shingleRows(docs: DataFrame, n: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      /** false skips the per-(doc, shingle) distinct — for consumers
+        * that only need membership (e.g. a contamination semi-join)
+        * and would pay the gram-set shuffle for nothing. */
+      distinctRows: Boolean = true): DataFrame = {
     val toks = tokens(col(textCol))
-    docs
+    val rows = docs
       .where(size(toks) >= n)
       .select(col(idCol).as("doc_id"),
         explode(transform(
           sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))).as("s"))
-      .distinct()
+    if (distinctRows) rows.distinct() else rows
   }
 
   /** Exact Jaccard for given candidate pairs, from shingle rows:

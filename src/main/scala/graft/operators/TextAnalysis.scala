@@ -84,4 +84,29 @@ object TextAnalysis {
       .groupBy(fingerprint(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
+
+  /** Benchmark decontamination: drop corpus documents sharing ANY
+    * word n-gram with a benchmark/heldout set — the standard guard
+    * against test-set leakage in training data (documents too short to
+    * hold an n-gram cannot leak and are kept).
+    *
+    * Scale shape: a benchmark is small by definition, so its distinct
+    * gram set BROADCASTS; the corpus side is one n-gram explode
+    * streamed through the broadcast semi-join (no gram-set shuffle —
+    * the explode is not deduped, membership is all that matters). The
+    * only exchanges are the contaminated-id distinct (bounded by the
+    * corpus DOC count, not its gram count) and the final broadcast
+    * anti-join.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 3): DataFrame = {
+    val benchGrams = Dedup.shingleRows(benchmark, n).select(col("s")).distinct()
+    val contaminated = Dedup.shingleRows(corpus, n, distinctRows = false)
+      .join(broadcast(benchGrams), "s")
+      .select(col("doc_id"))
+      .distinct()
+    // the anti-join is left to AQE: contaminated is usually broadcast-
+    // sized, but a heavily leaked corpus shouldn't be forced through one
+    corpus.join(contaminated, Seq("doc_id"), "left_anti")
+  }
 }

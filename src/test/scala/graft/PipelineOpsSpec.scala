@@ -165,6 +165,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.length == 15, s"expected 5 queries × k=3, got ${out.length}")
   }
 
+  test("decontaminate drops gram-sharing docs, keeps clean and too-short ones") {
+    import spark.implicits._
+    val bench = Seq((1L, "the secret benchmark phrase here"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "contains the secret benchmark phrase inside"), // shares a trigram
+      (11L, "totally unrelated text entirely"),             // clean
+      (12L, "too short"))                                   // < n tokens: cannot leak
+      .toDF("doc_id", "text")
+    val kept = TextAnalysis.decontaminate(corpus, bench, n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 12L))
+    // plan audit: the benchmark gram set broadcasts (no gram shuffle join)
+    val plan = TextAnalysis.decontaminate(corpus, bench, n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("stratified sampling is exact, deterministic, and per-stratum") {
+    val bySource = docs.groupBy("source").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val sys = Sampling.systematic(docs, col("source"), col("doc_id"), k = 7)
+    val sysCounts = sys.groupBy("source").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // ceil(n/7) per stratum, every stratum represented
+    assert(sysCounts == bySource.map { case (s, n) => s -> (n + 6) / 7 })
+    // deterministic: a second run selects the identical rows
+    val ids1 = sys.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.systematic(docs, col("source"), col("doc_id"), k = 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+
+    val quota = Sampling.takePerStratum(docs, col("source"), col("doc_id"), n = 3)
+      .groupBy("source").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(quota == bySource.map { case (s, n) => s -> math.min(3L, n) })
+  }
+
   test("winnowed fingerprints: identical docs share all, near-dups most") {
     import spark.implicits._
     val fp = docs.select(col("doc_id"),
