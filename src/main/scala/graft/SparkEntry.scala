@@ -590,9 +590,12 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "q_x_sample_stratified" -> ((s, dir) => {
-      // deterministic 1-in-7 systematic sample per source domain
+      // deterministic 1-in-7 systematic sample per source domain,
+      // sub-stratified by doc_id % 64 so the rank window keeps full
+      // parallelism at any corpus size (few strata = few tasks otherwise)
       Sampling.systematic(t(s, dir, "documents"),
-          col("source"), col("doc_id"), k = 7)
+          col("source"), col("doc_id"), k = 7,
+          subStratum = Some(col("doc_id") % 64))
         .select(col("source"), col("doc_id"))
         .orderBy(col("source"), col("doc_id"))
     }),
@@ -1029,7 +1032,8 @@ object SparkEntry {
     "q_x_sample_stratified" ->
       """WITH ranked AS (
         |  SELECT source, doc_id,
-        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |         row_number() OVER (PARTITION BY source, doc_id % 64
+        |                            ORDER BY doc_id) AS rn
         |  FROM documents)
         |SELECT source, doc_id FROM ranked WHERE (rn - 1) % 7 = 0
         |ORDER BY 1, 2""".stripMargin,

@@ -197,6 +197,19 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids1 == ids2)
 
+    // sub-stratified (the scale shape): rate holds within +1 per
+    // sub-stratum, and selection is still deterministic
+    def subbed() = Sampling.systematic(docs, col("source"), col("doc_id"),
+      k = 7, subStratum = Some(col("doc_id") % 16))
+    val subCounts = subbed().groupBy("source").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    bySource.foreach { case (s, n) =>
+      val got = subCounts.getOrElse(s, 0L)
+      assert(got >= n / 7 && got <= n / 7 + 16, s"stratum $s: $got of $n")
+    }
+    assert(subbed().select("doc_id").collect().toSeq
+      == subbed().select("doc_id").collect().toSeq)
+
     val quota = Sampling.takePerStratum(docs, col("source"), col("doc_id"), n = 3)
       .groupBy("source").count()
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
