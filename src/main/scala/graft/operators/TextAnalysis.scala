@@ -100,7 +100,8 @@ object TextAnalysis {
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
       n: Int = 3): DataFrame = {
-    val benchGrams = Dedup.shingleRows(benchmark, n).select(col("s")).distinct()
+    val benchGrams = Dedup.shingleRows(benchmark, n, distinctRows = false)
+      .select(col("s")).distinct()
     val contaminated = Dedup.shingleRows(corpus, n, distinctRows = false)
       .join(broadcast(benchGrams), "s")
       .select(col("doc_id"))
