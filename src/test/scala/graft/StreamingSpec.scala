@@ -185,7 +185,13 @@ class StreamingSpec extends AnyFunSuite {
       seqBase = graft.sources.CellLogStore.nextSeqEra(spark, logDir)))
 
     val seen = scala.collection.mutable.ArrayBuffer.empty[String]
-    val q = Observers.observeNotifications(t, tmp("autoack-ckpt")) { batch =>
+    val afters = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val hook = new Observers.ScanHook {
+      override def after(batchId: Long, rows: Long, ms: Long): Unit =
+        afters.add((batchId, rows))
+    }
+    val q = Observers.observeNotifications(t, tmp("autoack-ckpt"),
+        hook = Some(hook)) { batch =>
       // observers see STORAGE keys (the reference scanner reads the
       // stored, hash-prefixed row key too); unhash for the assertion
       seen ++= batch.collect().map(r =>
@@ -193,6 +199,9 @@ class StreamingSpec extends AnyFunSuite {
     }
     q.awaitTermination(60000)
     assert(seen.sorted == Seq("r1", "r2"))
+    // the hook saw the delivered round
+    import scala.jdk.CollectionConverters._
+    assert(afters.asScala.map(_._2).sum == 2)
     // the loop acked: nothing pending, no explicit ackOps call needed
     assert(Observers.pendingNotifications(t.log).count() == 0)
     // a fresh observer run re-delivers nothing (acks are DEL ops)
