@@ -603,6 +603,14 @@ object SparkEntry {
       Dedup.minhashNearDuplicates(t(s, dir, "documents"), threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_x_dedup_groups" -> ((s, dir) => {
+      // transitive duplicate groups: minhash near-dup pairs collapsed by
+      // connected components (large-star/small-star); singletons keep
+      // their own id — the keep/drop decision a dedup pipeline acts on
+      val docs = t(s, dir, "documents")
+      Dedup.duplicateGroups(docs, Dedup.minhashNearDuplicates(docs, threshold = 0.8))
+        .orderBy(col("doc_id"))
+    }),
     "q_x_dedup_ngram" -> ((s, dir) => {
       Dedup.consecutivePairJaccard(t(s, dir, "documents"))
         .orderBy(col("id_a"))
@@ -1068,6 +1076,26 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
         |ORDER BY 1, 2""".stripMargin,
+    "q_x_dedup_groups" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |       FROM tok WHERE len(toks) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+        |grp AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY 1)
+        |SELECT d.doc_id, least(d.doc_id, coalesce(g.mn, d.doc_id)) AS group_id
+        |FROM documents d LEFT JOIN grp g USING (doc_id)
+        |ORDER BY 1""".stripMargin,
     "q_x_dedup_ngram" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),

@@ -266,6 +266,96 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Connected components over an undirected near-duplicate pair list,
+    * via alternating large-star / small-star rounds (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", 2014): converges in
+    * O(log n) rounds to stars rooted at each component's minimum id.
+    *
+    * This is THE missing step between near-dup pairs and an actionable
+    * keep/drop decision: transitive duplicates (A~B, B~C) must collapse
+    * into one group even when A and C never pair directly.
+    *
+    * Scale shape: each round is a min-aggregation plus an equi-join on
+    * node id — adjacency lists are never materialized, so a mega-degree
+    * node (boilerplate duplicated millions of times) costs what any
+    * other hot key costs (AQE skew handling applies), not an O(degree)
+    * array in one task. Rounds are localCheckpoint'ed to cut lineage;
+    * on a real cluster with flaky executors, swap in reliable
+    * `checkpoint` against a DFS dir. The only driver-side values are a
+    * per-round (count, hash) fingerprint pair for convergence detection.
+    *
+    * Input: pairs (id_a, id_b). Output: (node, group_id) for every node
+    * that appears in some pair, group_id = min id of its component.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    // canonical orientation: u > v, no self-loops, no multi-edges
+    var edges = pairs
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+
+    // large-star: every neighbor v > u re-attaches to the minimum of
+    // u's closed neighborhood; emitted (v, m) keeps the u > v invariant
+    // because m <= u < v
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // small-star: u's smaller neighbors (and u itself) re-attach to the
+    // minimum among them; v >= m keeps the orientation invariant
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+      e.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent and overflow-free under ANSI mode
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var fp = fingerprint(edges)
+    var round = 0
+    var converged = edges.isEmpty
+    while (!converged && round < maxRounds) {
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val next = fingerprint(edges)
+      converged = next == fp
+      fp = next
+      round += 1
+    }
+    // at the fixpoint every edge points a node at its component's root
+    // (the min id); roots themselves appear only on the v side
+    edges.select(col("u").as("node"), col("v").as("group_id"))
+      .union(edges.select(col("v").as("node"), col("v").as("group_id")))
+      .groupBy("node").agg(min(col("group_id")).as("group_id"))
+  }
+
+  /** Per-document duplicate-group assignment: near-dup pairs collapse
+    * transitively into components; documents in no pair are their own
+    * group. The standard downstream keep-rule ("keep the lowest doc_id
+    * per group") is then `where(doc_id === group_id)`.
+    */
+  def duplicateGroups(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol))
+      .join(connectedComponents(pairs).withColumnRenamed("node", idCol),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("group_id"), col(idCol)).as("group_id"))
+
   /** SimHash near-duplicates between consecutive doc ids. */
   def consecutiveSimhashPairs(docs: DataFrame, maxDistance: Int = 8): DataFrame = {
     val fp = docs.select(col("doc_id"), simhash64(tokens(col("text"))).as("fp"))

@@ -165,6 +165,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.length == 15, s"expected 5 queries × k=3, got ${out.length}")
   }
 
+  test("connected components match union-find on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val n = 300
+    val edges = (0 until 250).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // ground truth: plain union-find with min-id roots
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+    }
+    val expected = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      .map(v => (v, find(v.toInt).toLong)).toMap
+    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected)
+  }
+
+  test("duplicate groups: transitive collapse, singletons keep their own id") {
+    import spark.implicits._
+    val d = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    // 1~2, 2~3 collapse transitively; 4, 5 are singletons
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateGroups(d, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L))
+  }
+
   test("decontaminate drops gram-sharing docs, keeps clean and too-short ones") {
     import spark.implicits._
     val bench = Seq((1L, "the secret benchmark phrase here"))
