@@ -576,6 +576,23 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
         .orderBy(col("doc_id"))
     }),
+    "q_x_text_repetition" -> ((s, dir) => {
+      // Gopher-style repetition signals: unique-token ratio, top token /
+      // bigram fractions — exploded hash aggregation, no per-row O(n²)
+      TextAnalysis.repetitionTable(t(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
+    "q_x_pii_redact" -> ((s, dir) => {
+      // PII redaction over synthetic PII built from real columns (the
+      // corpus itself is clean word-soup, so redaction must be SHOWN to
+      // fire: email + phone + ip are spliced in deterministically)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.redactPii(concat(
+            lit("contact "), col("source"), lit("_"), col("doc_id").cast("string"),
+            lit("@mail.example.com say 555-867-5309 or 10.0.0.1 "), col("text")))
+            .as("clean"))
+        .orderBy(col("doc_id"))
+    }),
     "q_x_curate" -> ((s, dir) => {
       // composed curation front: quality + language + exact-dedup keep
       // in one scan + one shuffle
@@ -1027,6 +1044,32 @@ object SparkEntry {
         |       WHEN s_es >= s_de AND s_es > 0 THEN 'es'
         |       WHEN s_de > 0 THEN 'de' ELSE 'und' END AS lang
         |FROM s ORDER BY 1""".stripMargin,
+    "q_x_text_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |t AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tk FROM tok),
+        |tc AS (SELECT doc_id, n, tk, count(*) AS cnt FROM t GROUP BY 1, 2, 3),
+        |ts AS (SELECT doc_id, n, count(*) AS nd, max(cnt) AS maxc FROM tc GROUP BY 1, 2),
+        |bg AS (SELECT doc_id, len(toks) - 1 AS nb,
+        |         unnest(list_transform(range(1, len(toks)),
+        |           i -> toks[i] || ' ' || toks[i+1])) AS b
+        |       FROM tok WHERE len(toks) >= 2),
+        |bc AS (SELECT doc_id, nb, b, count(*) AS cnt FROM bg GROUP BY 1, 2, 3),
+        |bs AS (SELECT doc_id, nb, max(cnt) AS maxb FROM bc GROUP BY 1, 2)
+        |SELECT ts.doc_id,
+        |  CAST(nd AS DOUBLE) / n AS uniq_token_ratio,
+        |  CAST(maxc AS DOUBLE) / n AS top_token_frac,
+        |  coalesce(CAST(maxb AS DOUBLE) / nb, 0.0) AS top_bigram_frac
+        |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+        |ORDER BY 1""".stripMargin,
+    "q_x_pii_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    'contact ' || source || '_' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.com say 555-867-5309 or 10.0.0.1 ' || text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |    '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS clean
+        |FROM documents ORDER BY 1""".stripMargin,
     "q_x_decontaminate" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),

@@ -85,6 +85,53 @@ object TextAnalysis {
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
 
+  /** Repetition quality signals (the Gopher/MassiveText repetition
+    * filters, Rae et al. 2021 §A1.1 — public): excessive within-document
+    * repetition marks low-quality machine-generated or boilerplate text.
+    * Per document: unique-token ratio, most-frequent-token fraction,
+    * most-frequent-bigram fraction.
+    *
+    * Scale shape: explode + hash-aggregate on (doc_id, gram) — per-row
+    * array lambdas would be O(len²) per document, and a mega-document
+    * would pin one task; the exploded aggregation is codegen'd,
+    * map-side-combined, and skew rides AQE like any hot key.
+    */
+  def repetitionTable(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val base = docs.select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+    val tokenStats = base
+      .select(col("doc_id"), col("n"), explode(col("toks")).as("tk"))
+      .groupBy(col("doc_id"), col("n"), col("tk")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(count(lit(1)).as("nd"), max(col("cnt")).as("maxc"))
+    val bigrams = base.where(col("n") >= 2)
+      .select(col("doc_id"), (col("n") - 1).as("nb"),
+        explode(transform(sequence(lit(0), col("n") - 2),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(2))))).as("bg"))
+      .groupBy(col("doc_id"), col("nb"), col("bg")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("nb")).agg(max(col("cnt")).as("maxb"))
+    tokenStats.join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("nd").cast("double") / col("n").cast("double")).as("uniq_token_ratio"),
+        (col("maxc").cast("double") / col("n").cast("double")).as("top_token_frac"),
+        coalesce(col("maxb").cast("double") / col("nb").cast("double"), lit(0.0))
+          .as("top_bigram_frac"))
+  }
+
+  /** PII redaction: emails, phone numbers, IPv4 addresses → typed
+    * placeholders. Regexes are conservative (RE2-compatible — no
+    * lookarounds/backrefs) so the same patterns run in any engine; the
+    * chain order matters (emails first — they can contain digits and
+    * dots that the later patterns would chew on).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"),
+      "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
+
   /** Benchmark decontamination: drop corpus documents sharing ANY
     * word n-gram with a benchmark/heldout set — the standard guard
     * against test-set leakage in training data (documents too short to

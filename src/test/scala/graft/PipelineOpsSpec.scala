@@ -195,6 +195,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L))
   }
 
+  test("repetition signals: crafted docs get exact ratios") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a a b"),          // uniq 2/4, top token 3/4, top bigram "a a" 2/3
+      (2L, "x y z w"),          // no repetition
+      (3L, "solo")              // single token: no bigrams
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionTable(d)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((0.5, 0.75, 2.0 / 3.0)))
+    assert(got(2L) == ((1.0, 0.25, 1.0 / 3.0)))
+    assert(got(3L) == ((1.0, 1.0, 0.0)))
+  }
+
+  test("PII redaction: email, phone, ip replaced; clean text untouched") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "call 555-867-5309 or 555.123.4567 today"),
+      (3L, "host 192.168.1.254 up"),
+      (4L, "nothing sensitive here 12 34")
+    ).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "mail <EMAIL> now")
+    assert(got(2L) == "call <PHONE> or <PHONE> today")
+    assert(got(3L) == "host <IP> up")
+    assert(got(4L) == "nothing sensitive here 12 34")
+  }
+
   test("decontaminate drops gram-sharing docs, keeps clean and too-short ones") {
     import spark.implicits._
     val bench = Seq((1L, "the secret benchmark phrase here"))
