@@ -121,6 +121,26 @@ class GraftTable(
   def compact(outDir: String, nowUs: Long = Long.MaxValue): Unit =
     CellLogStore.compact(spark, logDir, outDir, desc, nowUs)
 
+  /** Build (or rebuild) a secondary index table over one (cf,
+    * qualifier) — the reference's index-table pattern
+    * ([[graft.operators.SecondaryIndex]]). Keep it fresh by appending
+    * [[graft.operators.SecondaryIndex.opsForBatch]] alongside every
+    * [[put]]; lookups verify against the base, so a lapse costs
+    * candidates, not correctness. */
+  def buildIndex(indexLogDir: String, cf: String, qualifier: String): GraftTable = {
+    val idx = Graft.createTable(spark, indexLogDir,
+      ops = Some(Set(graft.model.OpType.Value)))
+    idx.put(graft.operators.SecondaryIndex.buildOps(cells(), cf, qualifier))
+    idx
+  }
+
+  /** Verified equality lookup through an index table: index prefix
+    * range scan narrows, base resolved cells decide. Returns base row
+    * keys. */
+  def lookupViaIndex(index: GraftTable, cf: String, qualifier: String,
+      value: String): DataFrame =
+    graft.operators.SecondaryIndex.lookup(cells(), index.cells(), cf, qualifier, value)
+
   /** Observe columns: streaming callback over new appends. */
   def observe(columns: Seq[(String, String)], checkpointDir: String,
       buckets: Int = 16)(onNotify: (DataFrame, Long) => Unit): StreamingQuery =

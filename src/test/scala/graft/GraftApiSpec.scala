@@ -92,6 +92,42 @@ class GraftApiSpec extends AnyFunSuite {
     assert(all.length == 3 && all.sorted.sameElements(all))
   }
 
+  test("secondary index: build, incremental maintain, stale-entry-safe lookup") {
+    val dir = Files.createTempDirectory("graft-ix-base").toString
+    val ixDir = Files.createTempDirectory("graft-ix").toString
+    val t = Graft.openTable(spark, dir)
+    t.put(Seq(
+      CellOp("r1", "c", "seg", 100, OpType.Value, "A".getBytes, 1),
+      CellOp("r2", "c", "seg", 100, OpType.Value, "B".getBytes, 2),
+      CellOp("r3", "c", "seg", 100, OpType.Value, "A".getBytes, 3)))
+    val ix = t.buildIndex(ixDir, "c", "seg")
+
+    def keys(v: String): Set[String] =
+      t.lookupViaIndex(ix, "c", "seg", v).collect().map(_.getString(0)).toSet
+    assert(keys("A") == Set("r1", "r3"))
+    assert(keys("B") == Set("r2"))
+
+    // overwrite r1 A->B, maintaining the index like the reference's
+    // transactional writers do (new entry appended; old entry left
+    // stale — the verify-on-lookup rule makes it harmless)
+    val batch = Seq(CellOp("r1", "c", "seg", 200, OpType.Value, "B".getBytes, 4))
+    t.put(batch)
+    val session = spark
+    import session.implicits._
+    ix.put(graft.operators.SecondaryIndex.opsForBatch(batch.toDF(), "c", "seg"))
+    assert(keys("A") == Set("r3"))          // stale A->r1 entry verified away
+    assert(keys("B") == Set("r1", "r2"))
+
+    // base-side delete: index untouched, lookup still correct
+    t.put(Seq(CellOp("r3", "c", "seg", 300, OpType.DelQualifiers, null, 5)))
+    assert(keys("A") == Set.empty)
+
+    // index entries are range keys: a value prefix is one contiguous scan
+    val cand = graft.operators.SecondaryIndex
+      .candidatesEq(ix.cells(), "B").collect().map(_.getString(0)).toSet
+    assert(cand == Set("r1", "r2"))
+  }
+
   test("stored descriptor survives reopen: TTL/max_versions/hash/ops") {
     import graft.model.{CfSpec, TableDesc}
     val dir = Files.createTempDirectory("graft-desc").toString
