@@ -37,6 +37,49 @@ class ScaleOpsSpec extends AnyFunSuite {
       == 1000000L)
   }
 
+  test("store layout is tablet-style: disjoint per-file key ranges, blooms present") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft-layout").toString
+    val batch = spark.range(100000L).select(
+      format_string("user%08d", col("id")).as("row_key"),
+      lit("cf").as("cf"), lit("q").as("qualifier"),
+      lit(0L).as("ts"), lit(OpType.Value).as("op"),
+      encode(col("id").cast("string"), "UTF-8").as("value"),
+      col("id").as("seq"))
+    CellLogStore.append(batch, dir, numFiles = 8)
+
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    assert(files.length == 8)
+    val ranges = files.map { f =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+      try {
+        val cols = rd.getFooter.getBlocks.asScala.map(_.getColumns.asScala
+          .find(_.getPath.toDotString == "row_key").get)
+        // the bloom-filter write option must have taken effect
+        assert(cols.forall(_.getBloomFilterOffset >= 0),
+          s"${f.getPath.getName}: no bloom filter on row_key")
+        val stats = cols.map(_.getStatistics)
+        (stats.map(s => new String(s.getMinBytes, "UTF-8")).min,
+          stats.map(s => new String(s.getMaxBytes, "UTF-8")).max)
+      } finally rd.close()
+    }.sortBy(_._1)
+    // range-clustered layout: per-file key ranges must not interleave —
+    // this is what makes parquet min/max stats behave like tablet ranges
+    ranges.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) => assert(hiA <= loB,
+        s"file ranges overlap: $hiA > $loB")
+      case _ =>
+    }
+    // a 5%-of-keyspace scan must touch few files, not all of them
+    val (lo, hi) = ("user00010000", "user00015000")
+    val touched = ranges.count { case (mn, mx) => mx >= lo && mn < hi }
+    assert(touched <= 2, s"5% range scan touches $touched of 8 files")
+  }
+
   test("salted join matches plain join on a skewed key") {
     import spark.implicits._
     // 10k rows of one hot key + a tail
