@@ -121,17 +121,38 @@ class GraftTable(
   def compact(outDir: String, nowUs: Long = Long.MaxValue): Unit =
     CellLogStore.compact(spark, logDir, outDir, desc, nowUs)
 
-  /** Build (or rebuild) a secondary index table over one (cf,
+  /** Build (or REBUILD) a secondary index table over one (cf,
     * qualifier) — the reference's index-table pattern
-    * ([[graft.operators.SecondaryIndex]]). Keep it fresh by appending
-    * [[graft.operators.SecondaryIndex.opsForBatch]] alongside every
-    * [[put]]; lookups verify against the base, so a lapse costs
-    * candidates, not correctness. */
+    * ([[graft.operators.SecondaryIndex]]). Rebuilding an existing index
+    * replaces its log wholesale (repairing stale/missing entries). Keep
+    * it fresh between rebuilds by appending [[indexOpsForBatch]]
+    * alongside every [[put]]; lookups verify against the base, so a
+    * lapse costs candidates, not correctness. */
   def buildIndex(indexLogDir: String, cf: String, qualifier: String): GraftTable = {
-    val idx = Graft.createTable(spark, indexLogDir,
-      ops = Some(Set(graft.model.OpType.Value)))
-    idx.put(graft.operators.SecondaryIndex.buildOps(cells(), cf, qualifier))
-    idx
+    val valueOnly = Some(Set(graft.model.OpType.Value))
+    val idxOps = graft.operators.SecondaryIndex.buildOps(cells(), cf, qualifier)
+    if (CellLogStore.readDesc(spark, indexLogDir).isEmpty) {
+      val idx = Graft.createTable(spark, indexLogDir, ops = valueOnly)
+      idx.put(idxOps)
+      idx
+    } else {
+      CellLogStore.replace(idxOps, indexLogDir, TableDesc(), valueOnly)
+      Graft.openTable(spark, indexLogDir)
+    }
+  }
+
+  /** Index mutations for a put batch of THIS table, in the index's key
+    * space: on a hash-sharded table the batch carries LOGICAL keys but
+    * [[buildIndex]] indexed STORAGE keys, so the keys are prefixed here
+    * first — [[graft.operators.SecondaryIndex.opsForBatch]] alone would
+    * emit entries the lookup verify can never match. */
+  def indexOpsForBatch(batch: DataFrame, cf: String, qualifier: String): DataFrame = {
+    val stored =
+      if (desc.hashKeys)
+        batch.withColumn("row_key",
+          graft.functions.cellfunctions.hashed_key(col("row_key")))
+      else batch
+    graft.operators.SecondaryIndex.opsForBatch(stored, cf, qualifier)
   }
 
   /** Verified equality lookup through an index table: index prefix

@@ -287,7 +287,7 @@ object Dedup {
     * Input: pairs (id_a, id_b). Output: (node, group_id) for every node
     * that appears in some pair, group_id = min id of its component.
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     // canonical orientation: u > v, no self-loops, no multi-edges
     var edges = pairs
       .select(col("id_a").as("a"), col("id_b").as("b"))
@@ -327,16 +327,33 @@ object Dedup {
       (r.getLong(0), r.getLong(1))
     }
 
+    // free a superseded round's checkpoint blocks: the returned frame
+    // depends only on the FINAL checkpoint, and localCheckpoint blocks
+    // pinned across 50 rounds would pressure executor storage (a lost
+    // truncated-lineage block fails the job, so don't let eviction pick)
+    def unpersistEdges(df: DataFrame): Unit =
+      df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+
     var fp = fingerprint(edges)
     var round = 0
     var converged = edges.isEmpty
     while (!converged && round < maxRounds) {
+      val prev = edges
       edges = smallStar(largeStar(edges)).localCheckpoint()
+      unpersistEdges(prev)
       val next = fingerprint(edges)
       converged = next == fp
       fp = next
       round += 1
     }
+    // silent mid-state output would split duplicate groups and corrupt
+    // the downstream keep/drop decision — refuse instead
+    require(converged,
+      s"connectedComponents did not converge in $maxRounds rounds; raise maxRounds")
     // at the fixpoint every edge points a node at its component's root
     // (the min id); roots themselves appear only on the v side
     edges.select(col("u").as("node"), col("v").as("group_id"))

@@ -39,6 +39,24 @@ object CellLogStore {
       .parquet(logDir)
   }
 
+  /** Replace a log's content wholesale (index rebuilds, imports).
+    * Parquet Overwrite clears the directory INCLUDING the metadata
+    * files, so the descriptor is rewritten after the data lands. */
+  def replace(batch: DataFrame, logDir: String, desc: TableDesc,
+      ops: Option[Set[Int]] = None): Unit = {
+    val spark = batch.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    batch
+      .repartitionByRange(n, col("row_key"), col("cf"), col("qualifier"))
+      .sortWithinPartitions(col("row_key"), col("cf"), col("qualifier"),
+        col("ts"), col("seq"))
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.bloom.filter.enabled#row_key", "true")
+      .parquet(logDir)
+    writeDesc(spark, logDir, desc, ops)
+    setDeleteCount(spark, logDir, 0L)
+  }
+
   def read(spark: SparkSession, logDir: String): DataFrame =
     spark.read.schema(graft.model.CellOp.schema).parquet(logDir)
 

@@ -126,6 +126,32 @@ class GraftApiSpec extends AnyFunSuite {
     val cand = graft.operators.SecondaryIndex
       .candidatesEq(ix.cells(), "B").collect().map(_.getString(0)).toSet
     assert(cand == Set("r1", "r2"))
+
+    // rebuild IS allowed on an existing index dir, and repairs drift:
+    // the stale A->r1 entry disappears from the candidates
+    val ix2 = t.buildIndex(ixDir, "c", "seg")
+    assert(graft.operators.SecondaryIndex
+      .candidatesEq(ix2.cells(), "A").count() == 0)
+    assert(keys("B") == Set("r1", "r2"))
+  }
+
+  test("secondary index on a hash-sharded base: incremental ops match storage keys") {
+    val dir = Files.createTempDirectory("graft-ix-hash-base").toString
+    val ixDir = Files.createTempDirectory("graft-ix-hash").toString
+    val t = Graft.createTable(spark, dir,
+      graft.model.TableDesc(hashKeys = true))
+    t.put(Seq(CellOp("r1", "c", "seg", 100, OpType.Value, "A".getBytes, 1)))
+    val ix = t.buildIndex(ixDir, "c", "seg")
+    // incremental maintenance must index the STORAGE key, or the verify
+    // semi-join can never match it
+    val batch = Seq(CellOp("r2", "c", "seg", 100, OpType.Value, "A".getBytes, 2))
+    t.put(batch)
+    val session = spark
+    import session.implicits._
+    ix.put(t.indexOpsForBatch(batch.toDF(), "c", "seg"))
+    val got = t.lookupViaIndex(ix, "c", "seg", "A")
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set(t.storageKey("r1"), t.storageKey("r2")))
   }
 
   test("stored descriptor survives reopen: TTL/max_versions/hash/ops") {
