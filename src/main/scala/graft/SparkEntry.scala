@@ -638,6 +638,24 @@ object SparkEntry {
         .select(col("source"), col("doc_id"))
         .orderBy(col("source"), col("doc_id"))
     }),
+    "q_x_pack_sequences" -> ((s, dir) => {
+      // concat-then-chunk sequence packing: per (source, shard) running
+      // token total cut at a 512-token budget; docs can straddle cuts
+      Sampling.packSequences(
+          t(s, dir, "documents").select(col("doc_id"), col("source"),
+            size(split(col("text"), " ", -1)).as("n_tokens")),
+          col("n_tokens"), budget = 512,
+          stratum = col("source"), order = col("doc_id"),
+          subStratum = Some(col("doc_id") % 8))
+        .select(col("doc_id"), col("seq_id"), col("seq_offset"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_x_shuffle_key" -> ((s, dir) => {
+      // deterministic epoch shuffle: portable seed-keyed permutation key
+      Sampling.shuffleKey(t(s, dir, "documents").select(col("doc_id")),
+          col("doc_id"), "epoch0")
+        .orderBy(col("shuffle_key"))
+    }),
     "q_x_dedup_minhash" -> ((s, dir) => {
       Dedup.minhashNearDuplicates(t(s, dir, "documents"), threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
@@ -1144,6 +1162,19 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
         |ORDER BY 1, 2""".stripMargin,
+    "q_x_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n
+        |           FROM documents),
+        |c AS (SELECT doc_id,
+        |        sum(n) OVER (PARTITION BY source, doc_id % 8 ORDER BY doc_id
+        |                     ROWS UNBOUNDED PRECEDING) - n AS cum
+        |      FROM t)
+        |SELECT doc_id, CAST(cum // 512 AS BIGINT) AS seq_id,
+        |       CAST(cum % 512 AS BIGINT) AS seq_offset
+        |FROM c ORDER BY 1""".stripMargin,
+    "q_x_shuffle_key" ->
+      """SELECT doc_id, md5('epoch0' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |FROM documents ORDER BY 2""".stripMargin,
     "q_x_dedup_groups" ->
       """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),

@@ -14,9 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  private def ranked(df: DataFrame, parts: Seq[Column], order: Column): DataFrame =
-    df.withColumn("_rn",
-      row_number().over(Window.partitionBy(parts: _*).orderBy(order)))
+  /** Rank rows within (parts, order) and keep those whose rank passes
+    * `keep` — under a rank column name that cannot collide with (and
+    * silently drop) a caller's own column. */
+  private def ranked(df: DataFrame, parts: Seq[Column], order: Column)
+      (keep: Column => Column): DataFrame = {
+    val rn = Iterator.from(0).map(i => s"_rn$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(rn,
+        row_number().over(Window.partitionBy(parts: _*).orderBy(order)))
+      .where(keep(col(rn)))
+      .drop(rn)
+  }
 
   /** Systematic 1-in-`k` sample per stratum: keeps ranks 1, k+1, 2k+1, …
     * of the stratum's `order`-sorted rows — every stratum is sampled at
@@ -36,10 +45,43 @@ object Sampling {
   def systematic(df: DataFrame, stratum: Column, order: Column,
       k: Int, subStratum: Option[Column] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    ranked(df, stratum +: subStratum.toSeq, order)
-      .where((col("_rn") - 1) % k === 0)
-      .drop("_rn")
+    ranked(df, stratum +: subStratum.toSeq, order)(rn => (rn - 1) % k === 0)
   }
+
+  /** Sequence packing for training-data assembly (the concat-then-chunk
+    * shape: documents are concatenated in a deterministic order and cut
+    * into fixed token-budget sequences, so a document can straddle a
+    * boundary). Emits each row's sequence id and starting offset within
+    * it: `seq_id = floor(exclusive-cumulative-tokens / budget)` over the
+    * stratum's `order`.
+    *
+    * Scale: same sub-stratification lever as [[systematic]] — a corpus
+    * has few strata, so pass `subStratum` (e.g. a shard id) to keep the
+    * cumulative-sum window parallel; each (stratum, sub-stratum) packs
+    * independently, which is exactly how a multi-worker tokenizer run
+    * behaves anyway.
+    */
+  def packSequences(df: DataFrame, tokenCount: Column, budget: Long,
+      stratum: Column, order: Column,
+      subStratum: Option[Column] = None): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val w = Window.partitionBy((stratum +: subStratum.toSeq): _*).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumul = sum(tokenCount).over(w) - tokenCount
+    df.withColumn("seq_id", floor(cumul / budget))
+      .withColumn("seq_offset", cumul % budget)
+  }
+
+  /** Deterministic corpus shuffle for epoch ordering: a content-free,
+    * seed-keyed permutation key (md5 of seed + id — portable across
+    * engines, unlike partition-dependent `rand`). Consumers sort or
+    * range-partition by `shuffle_key`; materializing a global ordinal
+    * is deliberately left out (a global row_number is a single-task
+    * window — the key itself IS the order, and a range-partitioned
+    * write by it scales).
+    */
+  def shuffleKey(df: DataFrame, id: Column, seed: String): DataFrame =
+    df.withColumn("shuffle_key", md5(concat(lit(seed), id.cast("string"))))
 
   /** Exactly the first `n` rows of each stratum in `order` — fixed
     * per-domain quotas (the balancing counterpart of [[systematic]]'s
@@ -50,8 +92,6 @@ object Sampling {
   def takePerStratum(df: DataFrame, stratum: Column, order: Column,
       n: Int): DataFrame = {
     require(n >= 0, s"n must be >= 0, got $n")
-    ranked(df, Seq(stratum), order)
-      .where(col("_rn") <= n)
-      .drop("_rn")
+    ranked(df, Seq(stratum), order)(rn => rn <= n)
   }
 }

@@ -268,13 +268,42 @@ class PipelineOpsSpec extends AnyFunSuite {
       val got = subCounts.getOrElse(s, 0L)
       assert(got >= n / 7 && got <= n / 7 + 16, s"stratum $s: $got of $n")
     }
-    assert(subbed().select("doc_id").collect().toSeq
-      == subbed().select("doc_id").collect().toSeq)
+    assert(subbed().select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == subbed().select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
 
     val quota = Sampling.takePerStratum(docs, col("source"), col("doc_id"), n = 3)
       .groupBy("source").count()
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(quota == bySource.map { case (s, n) => s -> math.min(3L, n) })
+  }
+
+  test("sequence packing: budget cuts with straddle, independent strata") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "s1", 4L), (2L, "s1", 4L), (3L, "s1", 4L), (4L, "s1", 7L),
+      (5L, "s2", 12L), (6L, "s2", 3L)
+    ).toDF("doc_id", "source", "n_tokens")
+    val got = Sampling.packSequences(d, col("n_tokens"), budget = 10,
+        stratum = col("source"), order = col("doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(r.fieldIndex("seq_id")), r.getLong(r.fieldIndex("seq_offset"))))).toMap
+    // s1 cumsums (exclusive): 0, 4, 8, 12 -> seqs 0,0,0,1; offsets 0,4,8,2
+    assert(got(1L) == ((0L, 0L)) && got(2L) == ((0L, 4L)))
+    assert(got(3L) == ((0L, 8L)) && got(4L) == ((1L, 2L)))
+    // s2 packs independently: 0, 12 -> seqs 0, 1; offsets 0, 2
+    assert(got(5L) == ((0L, 0L)) && got(6L) == ((1L, 2L)))
+  }
+
+  test("shuffle key: deterministic, seed-sensitive, a real permutation") {
+    val ids = docs.select(col("doc_id"))
+    def order(seed: String): Seq[Long] =
+      Sampling.shuffleKey(ids, col("doc_id"), seed)
+        .orderBy(col("shuffle_key")).collect().map(_.getLong(0)).toSeq
+    val e0 = order("epoch0")
+    assert(e0 == order("epoch0"))                 // deterministic
+    assert(e0 != order("epoch1"))                 // seed changes the order
+    assert(e0.sorted != e0)                       // not the identity order
+    assert(e0.toSet == ids.collect().map(_.getLong(0)).toSet)  // a permutation
   }
 
   test("winnowed fingerprints: identical docs share all, near-dups most") {
