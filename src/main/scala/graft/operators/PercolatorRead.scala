@@ -41,6 +41,23 @@ object PercolatorRead {
         col("value"), col("seq"))
   }
 
+  /** Strict snapshot read. An interactive Percolator reader must NOT
+    * return a column while a prewrite lock at-or-before its snapshot is
+    * outstanding — the writing txn may yet commit with a ts inside the
+    * snapshot, so the reader backs off and resolves the lock first
+    * (tera readers, src/sdk/global_txn.cc lock-resolution paths;
+    * isolation levels include/tera/transaction.h:23-26). The batch
+    * analogue of "back off": EXCLUDE those columns from this pass —
+    * run the cleanup ([[BatchTxn.resolveLockOps]] over [[pendingLocks]])
+    * and re-read; [[resolve]] alone is the read-committed-style view
+    * that ignores in-flight writers.
+    */
+  def resolveStrict(log: DataFrame, snapshotTs: Long): DataFrame =
+    resolve(log, snapshotTs).join(
+      pendingLocks(log, snapshotTs)
+        .select(col("row_key"), col("cf"), col("qualifier")),
+      Seq("row_key", "cf", "qualifier"), "left_anti")
+
   /** Unresolved prewrite locks visible at `snapshotTs` — the cells an
     * interactive reader would back off on / clean up (tera readers
     * resolve `!L` locks by rollback or roll-forward,

@@ -136,6 +136,35 @@ class BatchTxnSpec extends AnyFunSuite {
       .where(col("conflict")).count() == 0)
   }
 
+  test("strict snapshot read excludes locked columns until cleanup") {
+    import spark.implicits._
+    val t = Graft.openTable(spark, Files.createTempDirectory("graft-strict").toString)
+
+    // txn0 commits (r1 -> a)
+    val m0 = Seq(("r1", "cf", "q", "a".getBytes)).toDF("row_key", "cf", "qualifier", "value")
+    val p0 = BatchTxn.prewrite(t.log, m0, startTs = 10)
+    t.put(BatchTxn.prewriteOps(p0, startTs = 10, primaryKey = "r1", seqBase = 1L << 40))
+    t.put(BatchTxn.commitOps(t.log, startTs = 10, commitTs = 20, seqBase = 2L << 40))
+
+    // txn1 prewrites r1 at startTs=30 and stalls
+    val m1 = Seq(("r1", "cf", "q", "x".getBytes)).toDF("row_key", "cf", "qualifier", "value")
+    t.put(BatchTxn.prewriteOps(BatchTxn.prewrite(t.log, m1, startTs = 30),
+      startTs = 30, primaryKey = "r1", seqBase = 3L << 40))
+
+    // plain resolve (read-committed-style) still shows the old value;
+    // the strict snapshot reader backs off the whole locked column
+    assert(committedSet(t.log) == Set(("r1", "a")))
+    assert(PercolatorRead.resolveStrict(t.log, Long.MaxValue).count() == 0)
+    // a snapshot BEFORE the lock is unaffected
+    assert(PercolatorRead.resolveStrict(t.log, 25).collect()
+      .map(r => new String(r.getAs[Array[Byte]]("value"))).toSeq == Seq("a"))
+
+    // cleanup rolls the crashed txn back -> strict view returns
+    t.put(BatchTxn.resolveLockOps(t.log, seqBase = 4L << 40))
+    assert(PercolatorRead.resolveStrict(t.log, Long.MaxValue).collect()
+      .map(r => new String(r.getAs[Array[Byte]]("value"))).toSeq == Seq("a"))
+  }
+
   test("partially committed txn rolls forward: secondaries become visible") {
     import spark.implicits._
     val t = Graft.openTable(spark, Files.createTempDirectory("graft-rf").toString)
