@@ -68,8 +68,12 @@ object Sampling {
     val w = Window.partitionBy((stratum +: subStratum.toSeq): _*).orderBy(order)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cumul = sum(tokenCount).over(w) - tokenCount
-    df.withColumn("seq_id", floor(cumul / budget))
-      .withColumn("seq_offset", cumul % budget)
+    // both outputs in ONE select so Catalyst plans a single Window node
+    // (chained withColumn re-instantiates the partition expression and
+    // plans a second window + shuffle)
+    df.select(col("*"),
+      floor(cumul / budget).as("seq_id"),
+      (cumul % budget).as("seq_offset"))
   }
 
   /** Deterministic corpus shuffle for epoch ordering: a content-free,

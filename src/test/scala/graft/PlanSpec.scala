@@ -153,6 +153,63 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("collect_list"), plan)
   }
 
+  test("decontaminate broadcasts the benchmark grams; corpus grams never hash-shuffle") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val df = graft.operators.TextAnalysis.decontaminate(
+      docs, docs.where(col("doc_id") % 50 === 0))
+    val plan = planOf(df)
+    // the contamination probe must be a broadcast join against the
+    // (small) benchmark gram set, and the final anti-join broadcasts too
+    assert("BroadcastHashJoin \\[s#".r.findFirstIn(plan).isDefined, plan)
+    assert(plan.contains("LeftAnti"), plan)
+    // both hash exchanges move BOUNDED sets — the benchmark gram distinct
+    // and the contaminated-id distinct (doc count); the corpus gram
+    // stream itself flows map-side through the broadcast probe
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <=2 hash shuffles, got $exchanges:\n$plan")
+  }
+
+  test("sequence packing plans one window shuffle on (stratum, sub-stratum)") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val df = graft.operators.Sampling.packSequences(
+      docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ", -1)).as("n_tokens")),
+      col("n_tokens"), budget = 512,
+      stratum = col("source"), order = col("doc_id"),
+      subStratum = Some(col("doc_id") % 8))
+    val plan = planOf(df)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
+  }
+
+  test("repetition signals aggregate with map-side partial combine") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = planOf(graft.operators.TextAnalysis.repetitionTable(docs))
+    // exploded gram counting must partially aggregate before the
+    // exchange — shuffling raw exploded grams would move the whole
+    // token stream of the corpus
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("secondary-index lookup pushes the prefix range into the index scan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("plan-ix-base").toString
+    val ixDir = Files.createTempDirectory("plan-ix").toString
+    val t = Graft.openTable(spark, dir)
+    t.put((0 until 50).map(i =>
+      CellOp(f"r$i%03d", "c", "seg", 1L, OpType.Value,
+        s"v${i % 5}".getBytes, i.toLong)))
+    val ix = t.buildIndex(ixDir, "c", "seg")
+    val got = t.lookupViaIndex(ix, "c", "seg", "v3")
+    val leaves = got.queryExecution.executedPlan.collectLeaves().mkString("\n")
+    // the index side must scan only the value's contiguous key range
+    // (the rendered PushedFilters list truncates, so match the pieces)
+    assert(leaves.contains("EqualTo(cf,i)") &&
+      leaves.contains("GreaterThanOrEqu"), leaves)
+    assert(got.count() == 10)
+  }
+
   test("LSH embedding near-dup plans with no cartesian product") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val plan = planOf(graft.operators.Dedup.embeddingNearDuplicatesLsh(
