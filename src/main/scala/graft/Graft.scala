@@ -261,6 +261,31 @@ object Graft {
       case None => new GraftTable(spark, logDir, desc)
     }
 
+  /** Online schema change (tera `UpdateTable`, master_rpc.proto:207-216;
+    * README.md:20 "online schema change"): replace the stored
+    * descriptor's resolve knobs — max_versions / min_versions / TTL per
+    * CF take effect on the NEXT read, exactly like the reference where
+    * schema lives in master meta and the data files are untouched.
+    * Physical-layout modes cannot change under stored data: flipping
+    * `hashKeys` would re-address every row, flipping `kvMode` changes
+    * the log schema — both refused.
+    */
+  def alterTable(spark: SparkSession, logDir: String, desc: TableDesc): GraftTable = {
+    val (stored, ops) = CellLogStore.readDesc(spark, logDir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no table descriptor at $logDir (create the table first)"))
+    require(stored.hashKeys == desc.hashKeys,
+      "cannot change hashKeys under stored data (keys are physically prefixed)")
+    require(stored.kvMode == desc.kvMode,
+      "cannot change kvMode (the log schema differs)")
+    // writeDesc rewrites the whole properties file — carry the delete
+    // hint across the swap
+    val hint = CellLogStore.readDeleteCount(spark, logDir)
+    CellLogStore.writeDesc(spark, logDir, desc, ops)
+    hint.foreach(n => CellLogStore.setDeleteCount(spark, logDir, n))
+    new GraftTable(spark, logDir, desc, ops)
+  }
+
   /** Bulk-load a relational DataFrame as a new cell table (the
     * `terautil dump` analogue): create the table with a declared
     * VALUE-only op-set (so every resolve skips its probe), reshape the

@@ -154,6 +154,32 @@ class GraftApiSpec extends AnyFunSuite {
     assert(got == Set(t.storageKey("r1"), t.storageKey("r2")))
   }
 
+  test("online schema change: resolve knobs flip on next read, modes refuse") {
+    import graft.model.{CfSpec, TableDesc}
+    val dir = Files.createTempDirectory("graft-alter").toString
+    val t = Graft.createTable(spark, dir, ops = Some(Set(OpType.Value)))
+    t.put(Seq(
+      CellOp("r", "cf", "q", 100, OpType.Value, "v1".getBytes, 1),
+      CellOp("r", "cf", "q", 200, OpType.Value, "v2".getBytes, 2)))
+    assert(t.cells().count() == 1)             // default max_versions = 1
+
+    // raise max_versions online: same data, next read sees both versions
+    val t2 = Graft.alterTable(spark, dir, TableDesc(CfSpec(maxVersions = 2)))
+    assert(t2.cells().count() == 2)
+    // and the stored descriptor is authoritative for a fresh open
+    assert(Graft.openTable(spark, dir).cells().count() == 2)
+    // the delete hint survived the descriptor rewrite
+    assert(graft.sources.CellLogStore.readDeleteCount(spark, dir).contains(0L))
+
+    // physical modes refuse to change under stored data
+    intercept[IllegalArgumentException] {
+      Graft.alterTable(spark, dir, TableDesc(hashKeys = true))
+    }
+    intercept[IllegalArgumentException] {
+      Graft.alterTable(spark, dir, TableDesc(kvMode = true))
+    }
+  }
+
   test("stored descriptor survives reopen: TTL/max_versions/hash/ops") {
     import graft.model.{CfSpec, TableDesc}
     val dir = Files.createTempDirectory("graft-desc").toString
