@@ -353,6 +353,9 @@ object Graft {
     one("simhash64", SimHash64)
     reg.createOrReplaceTempFunction("vec_dot",
       es => VecDot(es(0), es(1)), "built-in")
+    one("vec_quant_i8", VecQuantI8)
+    reg.createOrReplaceTempFunction("vec_dot_i8",
+      es => VecDotI8(es(0), es(1)), "built-in")
     // le_int_decode(bytes, width, signed) — width/signed are literals
     reg.createOrReplaceTempFunction("le_int_decode", es => {
       def litOf(e: Expression): Any =

@@ -682,6 +682,13 @@ object SparkEntry {
       Similarity.bruteForceTopK(e.where(col("vec_id") < 10), e, k = 5)
         .orderBy(col("qid"), col("rank"))
     }),
+    "q_x_sim_quantized_topk" -> ((s, dir) => {
+      // int8-quantized cosine top-k: packed bytes + exact integer dots
+      // (scales cancel in cosine) — deterministic, so oracle-checkable
+      val e = t(s, dir, "embeddings")
+      Similarity.quantizedTopK(e.where(col("vec_id") < 10), e, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
     "q_x_sim_lsh_topk" -> ((s, dir) => {
       // approximate scale path; recall vs brute force covered by tests
       val e = t(s, dir, "embeddings")
@@ -1214,6 +1221,27 @@ object SparkEntry {
         |    (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
         |     sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
         |  FROM q, embeddings e WHERE e.vec_id <> q.qid)
+        |SELECT qid, rn AS rank, vec_id FROM (
+        |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+        |  FROM pairs) WHERE rn <= 5
+        |ORDER BY 1, 2""".stripMargin,
+    "q_x_sim_quantized_topk" ->
+      """WITH n AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) /
+        |      (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127))
+        |      AS BIGINT)) AS q
+        |  FROM embeddings),
+        |qn AS (SELECT vec_id, q,
+        |         sqrt(CAST(list_sum(list_transform(list_zip(q, q),
+        |           p -> p[1] * p[2])) AS DOUBLE)) AS nrm
+        |       FROM n),
+        |pairs AS (
+        |  SELECT a.vec_id AS qid, b.vec_id,
+        |    CAST(list_sum(list_transform(list_zip(a.q, b.q),
+        |      p -> p[1] * p[2])) AS DOUBLE) / (a.nrm * b.nrm) AS sim
+        |  FROM qn a JOIN qn b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 10)
         |SELECT qid, rn AS rank, vec_id FROM (
         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
         |  FROM pairs) WHERE rn <= 5

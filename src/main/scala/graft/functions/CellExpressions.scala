@@ -173,6 +173,78 @@ case class VecDot(left: Expression, right: Expression)
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** Symmetric per-vector int8 quantization + exact integer dot — the 4×
+  * memory lever for embedding search at corpus scale (float32 → 1 byte
+  * per element as a packed BinaryType). Rounding is half-AWAY-FROM-ZERO
+  * explicitly (`floor(x+0.5)` / `ceil(x-0.5)`) so any engine's
+  * `round()` (DuckDB, ANSI SQL) reproduces the bytes bit-for-bit —
+  * `Math.round`'s half-up and `rint`'s half-even both diverge on .5.
+  * Quantized COSINE needs no scale at all: per-vector scales cancel,
+  * so the similarity is pure integer arithmetic + two sqrts.
+  */
+object VecQuantOps {
+  def quantI8(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      aFloat: Boolean): Array[Byte] = {
+    val n = a.numElements()
+    val out = new Array[Byte](n)
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(if (aFloat) a.getFloat(i).toDouble else a.getDouble(i))
+      if (x > mx) mx = x
+      i += 1
+    }
+    if (mx == 0.0) return out
+    val scale = mx / 127.0
+    i = 0
+    while (i < n) {
+      val x = (if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)) / scale
+      val r = if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)
+      out(i) = r.toLong.toByte // |r| <= 127 by construction
+      i += 1
+    }
+    out
+  }
+
+  def dotI8(a: Array[Byte], b: Array[Byte]): Long = {
+    val n = math.min(a.length, b.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a(i).toLong * b(i).toLong; i += 1 }
+    s
+  }
+}
+
+/** Quantize a float/double array column to packed signed int8 bytes. */
+case class VecQuantI8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override protected def nullSafeEval(a: Any): Any =
+    VecQuantOps.quantI8(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], isFloat)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VecQuantOps.quantI8($a, $isFloat)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Exact integer dot product of two packed-int8 binary columns. */
+case class VecDotI8(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecQuantOps.dotI8(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecQuantOps.dotI8($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
 /** Vector-vs-matrix helpers behind [[NearestCentroid]] / [[TopCentroids]] /
   * [[HyperplaneBucketExpr]]. The matrix travels to executors as a codegen
   * reference object (`ctx.addReferenceObj`), NOT as inlined literals — a
@@ -341,6 +413,8 @@ object cellfunctions {
   def key_successor(col: Column): Column = c(KeySuccessor(e(col)))
   def simhash64(col: Column): Column = c(SimHash64(e(col)))
   def vec_dot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
+  def vec_quant_i8(v: Column): Column = c(VecQuantI8(e(v)))
+  def vec_dot_i8(a: Column, b: Column): Column = c(VecDotI8(e(a), e(b)))
   def nearest_centroid(v: Column, m: Array[Array[Double]]): Column =
     c(NearestCentroid(e(v), m))
   def top_centroids(v: Column, m: Array[Array[Double]], k: Int): Column =

@@ -44,6 +44,33 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id"))
   }
 
+  /** Int8-quantized cosine top-k — the 4× memory lever for corpus-scale
+    * search (float32 embeddings → 1 packed byte per element, so a 100 TB
+    * embedding store scans and shuffles a quarter of the bytes, and a
+    * broadcast query set carries 4× more vectors under the same budget).
+    * Per-vector symmetric quantization; scales CANCEL in cosine, so the
+    * similarity is an exact integer dot over packed bytes (codegen'd
+    * [[graft.functions.VecDotI8]]) normalized by integer self-norms —
+    * deterministic and engine-reproducible (round half-away-from-zero).
+    * Rank error vs exact float cosine is the quantization error only
+    * (recall asserted in PipelineOpsSpec).
+    */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    import graft.functions.cellfunctions.{vec_dot_i8, vec_quant_i8}
+    def quantized(df: DataFrame, id: String, q: String, nrm: String): DataFrame =
+      df.select(col("vec_id").as(id), vec_quant_i8(col("embedding")).as(q))
+        .withColumn(nrm, sqrt(vec_dot_i8(col(q), col(q)).cast("double")))
+    val qs = quantized(queries, "qid", "qq", "qnorm")
+    val cs = quantized(corpus, "vec_id", "cq", "cnorm")
+    val pairs = cs.join(broadcast(qs), col("vec_id") =!= col("qid"))
+      .withColumn("sim", vec_dot_i8(col("qq"), col("cq")).cast("double") /
+        (col("qnorm") * col("cnorm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"))
+  }
+
   /** Random-hyperplane sign bucket (deterministic per-table seed).
     * `planes` bits -> int bucket id. The plane matrix ships to executors
     * as a codegen reference object, not inlined literals, so high

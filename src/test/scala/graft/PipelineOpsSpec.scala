@@ -103,6 +103,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall > 0.4, s"recall=$recall")
   }
 
+  test("int8-quantized cosine top-k: high recall vs exact float cosine") {
+    import graft.functions.cellfunctions.{vec_dot_i8, vec_quant_i8}
+    val queries = emb.where(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, emb, k = 5))
+    val quant = pairs(Similarity.quantizedTopK(queries, emb, k = 5))
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+
+    // quantization invariants: max|element| maps to ±127; self-dot > 0
+    val q = emb.limit(10).select(vec_quant_i8(col("embedding")).as("q"),
+      vec_dot_i8(vec_quant_i8(col("embedding")), vec_quant_i8(col("embedding"))).as("sd"))
+      .collect()
+    q.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("q")
+      assert(bytes.map(b => math.abs(b.toInt)).max == 127)
+      assert(r.getLong(1) > 0L)
+    }
+  }
+
   test("IVF top-k recall vs brute force is usable; full probe is exact") {
     val queries = emb.where(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
