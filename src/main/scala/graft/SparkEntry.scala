@@ -451,6 +451,33 @@ object SparkEntry {
         .select(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd")
           .as("o_date"), col("revenue"))
     }),
+    "q_agg_tpch_q5" -> ((s, dir) => {
+      // local-supplier-volume shape: the full join palette in one plan —
+      // region/nation/supplier broadcast down the chain, orders filtered
+      // before the fact join, customer equi+nation-match; AQE sizes the
+      // rest. Exact decimal revenue as in q_agg_tpch_q1/q3.
+      val dec = DecimalType(18, 2)
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1997-01-01").cast("timestamp")
+      val r = t(s, dir, "region").where(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      t(s, dir, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast(dec))).cast(DecimalType(28, 4)))
+          .cast(DecimalType(28, 4)).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
     "q_agg_rollup" -> ((s, dir) => {
       // integer-cents sum (see q_agg_tpch_q1 for why no decimal cast)
       t(s, dir, "lineitem")
@@ -1029,6 +1056,19 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
         |GROUP BY 1, 2
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_agg_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |       AS DECIMAL(28,4))) AS DECIMAL(28,4)) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
     "q_agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
