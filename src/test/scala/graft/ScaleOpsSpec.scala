@@ -37,6 +37,17 @@ class ScaleOpsSpec extends AnyFunSuite {
       == 1000000L)
   }
 
+  test("connected components converge on a 1000-node path in O(log n) rounds") {
+    import spark.implicits._
+    // a path graph is the slow case for naive propagation (diameter n);
+    // large-star/small-star must still converge inside the round bound
+    val edges = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val groups = graft.operators.Dedup.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(groups.length == 1000)
+    assert(groups.forall(_._2 == 0L))
+  }
+
   test("store layout is tablet-style: disjoint per-file key ranges, blooms present") {
     import scala.jdk.CollectionConverters._
     val dir = Files.createTempDirectory("graft-layout").toString

@@ -64,6 +64,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(collected.size == before)
   }
 
+  test("observer maintains a secondary index incrementally (tera's canonical use)") {
+    // the reference's flagship observer pattern: a trigger watches a
+    // column and keeps an index table in sync (tpcc index tables +
+    // observer framework). Observed batches carry STORAGE-space keys,
+    // so SecondaryIndex.opsForBatch applies directly.
+    val baseDir = tmp("obs-ix-base")
+    val ixDir = tmp("obs-ix-idx")
+    val ckpt = tmp("obs-ix-ckpt")
+    val t = Graft.openTable(spark, baseDir)
+    t.put(Seq(
+      CellOp("r1", "c", "seg", 100, OpType.Value, "A".getBytes, 1),
+      CellOp("r2", "c", "seg", 100, OpType.Value, "B".getBytes, 2)))
+    val ix = Graft.createTable(spark, ixDir,
+      ops = Some(Set(OpType.Value)))
+
+    // second append lands BEFORE the observer run; the stream delivers
+    // both files and the index materializes from the callbacks alone
+    t.put(Seq(CellOp("r3", "c", "seg", 200, OpType.Value, "A".getBytes, 3)))
+
+    val q = Observers.observe(
+      Observers.cellLogStream(spark, baseDir),
+      columns = Seq(("c", "seg")), checkpointDir = ckpt) { (batch, _) =>
+      ix.put(graft.operators.SecondaryIndex.opsForBatch(
+        batch.select("row_key", "cf", "qualifier", "ts", "op", "value", "seq"),
+        "c", "seg"))
+    }
+    q.awaitTermination()
+
+    def keys(v: String): Set[String] =
+      t.lookupViaIndex(ix, "c", "seg", v).collect().map(_.getString(0)).toSet
+    assert(keys("A") == Set("r1", "r3"))
+    assert(keys("B") == Set("r2"))
+  }
+
   test("scan hook sees before/after per round with delivered counts") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
