@@ -339,6 +339,26 @@ class GraftApiSpec extends AnyFunSuite {
     assert(t2.cells().count() == nation.count() * 2)
   }
 
+  test("any Spark source loads as a cell table: CSV round-trip") {
+    // the loader is source-agnostic by construction — anything
+    // spark.read produces becomes a cell table (terautil-load analogue
+    // for arbitrary formats)
+    val csvDir = Files.createTempDirectory("graft-csv").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(csvDir, "in.csv"),
+      "id,seg,score\n10,alpha,3\n11,beta,5\n")
+    val src = spark.read.option("header", "true").csv(csvDir)
+    val dir = Files.createTempDirectory("graft-csv-table").toString
+    val t = Graft.loadRelational(spark, dir, src, "id",
+      Map("c" -> Seq("seg", "score")))
+    val cells = t.cells().collect()
+      .map(r => (r.getString(0), r.getString(2),
+        new String(r.getAs[Array[Byte]]("value")))).toSet
+    assert(cells == Set(
+      ("10", "seg", "alpha"), ("10", "score", "3"),
+      ("11", "seg", "beta"), ("11", "score", "5")))
+  }
+
   test("sql facade answers over resolved cell views") {
     Graft.registerSqlCatalog(spark, "/root/testdata/sf0.001")
     val n = spark.sql(

@@ -210,6 +210,13 @@ class PlanSpec extends AnyFunSuite {
     assert(got.count() == 10)
   }
 
+  test("TPC-H Q5 shape: dimension chain broadcasts, no cartesian") {
+    val plan = planOf(SparkEntry.queries("q_agg_tpch_q5")(spark, sfDir))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 2, s"expected >=2 broadcast joins, got $broadcasts:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("LSH embedding near-dup plans with no cartesian product") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val plan = planOf(graft.operators.Dedup.embeddingNearDuplicatesLsh(
