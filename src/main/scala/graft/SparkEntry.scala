@@ -665,6 +665,14 @@ object SparkEntry {
         .select(col("source"), col("doc_id"))
         .orderBy(col("source"), col("doc_id"))
     }),
+    "q_x_sample_quotas" -> ((s, dir) => {
+      // domain mixing: per-source document quotas (unlisted sources get
+      // the default 2) — deterministic lowest-doc_id-first selection
+      Sampling.takeQuotas(t(s, dir, "documents"), col("source"), col("doc_id"),
+          Map("src0" -> 10L, "src1" -> 5L, "src2" -> 0L), defaultQuota = 2L)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
     "q_x_pack_sequences" -> ((s, dir) => {
       // concat-then-chunk sequence packing: per (source, shard) running
       // token total cut at a 512-token budget; docs can straddle cuts
@@ -1208,6 +1216,16 @@ object SparkEntry {
         |           / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
+        |ORDER BY 1, 2""".stripMargin,
+    "q_x_sample_quotas" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, doc_id FROM ranked
+        |WHERE rn <= CASE WHEN source = 'src0' THEN 10
+        |                 WHEN source = 'src1' THEN 5
+        |                 WHEN source = 'src2' THEN 0 ELSE 2 END
         |ORDER BY 1, 2""".stripMargin,
     "q_x_pack_sequences" ->
       """WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n

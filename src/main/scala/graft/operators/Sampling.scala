@@ -98,4 +98,21 @@ object Sampling {
     require(n >= 0, s"n must be >= 0, got $n")
     ranked(df, Seq(stratum), order)(rn => rn <= n)
   }
+
+  /** Per-stratum quota MAP — the domain-mixing form: each stratum gets
+    * its own document budget (e.g. derived from target mixture weights),
+    * strata absent from the map contribute `defaultQuota` (default 0 =
+    * dropped). Deterministic like [[takePerStratum]]; the quota lookup
+    * is a literal CASE expression, not a join, so the plan stays one
+    * window shuffle.
+    */
+  def takeQuotas(df: DataFrame, stratum: Column, order: Column,
+      quotas: Map[String, Long], defaultQuota: Long = 0L): DataFrame = {
+    require(quotas.values.forall(_ >= 0) && defaultQuota >= 0,
+      "quotas must be >= 0")
+    val quota = quotas.foldRight(lit(defaultQuota): Column) {
+      case ((s, n), acc) => when(stratum === s, lit(n)).otherwise(acc)
+    }
+    ranked(df, Seq(stratum), order)(rn => rn <= quota)
+  }
 }

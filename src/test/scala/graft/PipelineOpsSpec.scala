@@ -296,6 +296,16 @@ class PipelineOpsSpec extends AnyFunSuite {
       .groupBy("source").count()
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(quota == bySource.map { case (s, n) => s -> math.min(3L, n) })
+
+    // quota MAP: per-stratum budgets, zero drops, default applies
+    val mixed = Sampling.takeQuotas(docs, col("source"), col("doc_id"),
+        Map("src0" -> 4L, "src1" -> 0L), defaultQuota = 1L)
+      .groupBy("source").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(mixed.get("src0").contains(4L))
+    assert(!mixed.contains("src1"))
+    assert(bySource.keySet.filterNot(Set("src0", "src1"))
+      .forall(s => mixed.get(s).contains(1L)))
   }
 
   test("sequence packing: budget cuts with straddle, independent strata") {
