@@ -68,6 +68,11 @@ class GraftTable(
     * On a hash-sharded table the batch carries LOGICAL keys and the
     * write path prefixes them (reference mutations hash at apply time). */
   def put(batch: DataFrame): Unit = {
+    val missing = graft.model.CellOp.schema.fieldNames
+      .filterNot(batch.columns.contains)
+    require(missing.isEmpty,
+      s"put batch is missing cell-log columns: ${missing.mkString(", ")} " +
+        s"(need ${graft.model.CellOp.schema.fieldNames.mkString(", ")})")
     val stored =
       if (desc.hashKeys)
         batch.withColumn("row_key",

@@ -42,10 +42,15 @@ class ScaleOpsSpec extends AnyFunSuite {
     // a path graph is the slow case for naive propagation (diameter n);
     // large-star/small-star must still converge inside the round bound
     val edges = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val before = spark.sparkContext.getPersistentRDDs.size
     val groups = graft.operators.Dedup.connectedComponents(edges)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(groups.length == 1000)
     assert(groups.forall(_._2 == 0L))
+    // superseded rounds must unpersist their checkpoint blocks — a dead
+    // unpersist would leave ~1 pinned edge-set per round here
+    val leaked = spark.sparkContext.getPersistentRDDs.size - before
+    assert(leaked <= 2, s"$leaked checkpointed edge sets still pinned")
   }
 
   test("store layout is tablet-style: disjoint per-file key ranges, blooms present") {
