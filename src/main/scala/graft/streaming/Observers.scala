@@ -278,6 +278,30 @@ object Observers {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark(fingerprintCols)
 
+  /** Streaming curation gate: the batch [[graft.operators.TextAnalysis]]
+    * quality + language expressions applied to a document stream
+    * (`doc_id`, `text`, `ts` µs), then watermarked exact dedup on the
+    * content fingerprint — continuous ingest with the same gates the
+    * batch `curate` applies. Every gate is a stateless per-row
+    * expression; the fingerprint dedup is the only state, bounded by the
+    * watermark. (The batch `curate`'s min-doc_id keep rule is a global
+    * aggregate, meaningless on an unbounded stream — first-arrival-wins
+    * is the streaming analogue.)
+    */
+  def streamingCurate(docs: DataFrame, lang: String = "en",
+      minTokens: Int = 5, maxPunctRatio: Double = 0.2,
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.operators.TextAnalysis
+    docs
+      .where(TextAnalysis.tokenCount(col("text")) >= minTokens &&
+        TextAnalysis.punctRatio(col("text")) <= maxPunctRatio &&
+        TextAnalysis.langId(col("text")) === lang)
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(Seq("fp"))
+  }
+
   /** N6: event-time tumbling/sliding window aggregation with watermark
     * over the change feed (capability absent in the reference, required
     * for the events north star).

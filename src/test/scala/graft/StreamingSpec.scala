@@ -295,6 +295,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.length == 30 && out.toSet.size == 30)
   }
 
+  test("streaming curation gate: quality + language + watermarked dedup") {
+    import spark.implicits._
+    val dir = tmp("curate-stream")
+    val docs = Seq(
+      (1L, "the house of the rising sun and more words here", 1000L), // good en
+      (2L, "el la de que y el la de que y", 2000L),                   // spanish
+      (3L, "short", 3000L),                                           // too short
+      (4L, "the house of the rising sun and more words here", 4000L), // dup of 1
+      (5L, "a completely different english text with the a of and is", 5000L)
+    ).toDF("doc_id", "text", "ts")
+    docs.write.mode("overwrite").parquet(dir)
+    val q = Observers.streamingCurate(
+        spark.readStream.schema(docs.schema).parquet(dir))
+      .writeStream.format("memory").queryName("curated")
+      .option("checkpointLocation", tmp("curate-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val out = spark.sql("SELECT doc_id FROM curated")
+      .collect().map(_.getLong(0)).toSet
+    // spanish and too-short dropped; exactly one of the duplicate pair
+    // survives (first-arrival-wins inside one micro-batch is unordered)
+    assert(out.contains(5L) && out.size == 2 &&
+      (out - 5L).subsetOf(Set(1L, 4L)), out.toString)
+  }
+
   test("compaction preserves resolved state and drops folded history") {
     import spark.implicits._
     val logDir = tmp("celllog-compact")
