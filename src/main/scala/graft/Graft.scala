@@ -279,10 +279,11 @@ object Graft {
     val (stored, ops) = CellLogStore.readDesc(spark, logDir)
       .getOrElse(throw new IllegalArgumentException(
         s"no table descriptor at $logDir (create the table first)"))
+    require(!stored.kvMode && !desc.kvMode,
+      "alterTable is for cell tables; a KV-mode table has no resolve knobs " +
+        "to alter (and its log is KvEntry-schema)")
     require(stored.hashKeys == desc.hashKeys,
       "cannot change hashKeys under stored data (keys are physically prefixed)")
-    require(stored.kvMode == desc.kvMode,
-      "cannot change kvMode (the log schema differs)")
     // writeDesc rewrites the whole properties file — carry the delete
     // hint across the swap
     val hint = CellLogStore.readDeleteCount(spark, logDir)

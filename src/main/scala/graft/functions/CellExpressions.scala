@@ -176,9 +176,11 @@ case class VecDot(left: Expression, right: Expression)
 /** Symmetric per-vector int8 quantization + exact integer dot — the 4×
   * memory lever for embedding search at corpus scale (float32 → 1 byte
   * per element as a packed BinaryType). Rounding is half-AWAY-FROM-ZERO
-  * explicitly (`floor(x+0.5)` / `ceil(x-0.5)`) so any engine's
-  * `round()` (DuckDB, ANSI SQL) reproduces the bytes bit-for-bit —
-  * `Math.round`'s half-up and `rint`'s half-even both diverge on .5.
+  * computed on the magnitude's exact fraction, so any engine's
+  * `round()` (DuckDB, C round semantics) reproduces the bytes
+  * bit-for-bit — `Math.round`'s half-up, `rint`'s half-even, and the
+  * naive `floor(x+0.5)` (which rounds the largest double below .5
+  * upward through the addition) all diverge.
   * Quantized COSINE needs no scale at all: per-vector scales cancel,
   * so the similarity is pure integer arithmetic + two sqrts.
   */
@@ -199,7 +201,13 @@ object VecQuantOps {
     i = 0
     while (i < n) {
       val x = (if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)) / scale
-      val r = if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)
+      // exact half-away-from-zero (C/DuckDB round()): computed on the
+      // magnitude's own fraction — `floor(x+0.5)` would round the
+      // largest double BELOW .5 upward through the addition
+      val ax = math.abs(x)
+      val fl = math.floor(ax)
+      val ra = if (ax - fl >= 0.5) fl + 1.0 else fl
+      val r = if (x < 0) -ra else ra
       out(i) = r.toLong.toByte // |r| <= 127 by construction
       i += 1
     }
@@ -207,10 +215,14 @@ object VecQuantOps {
   }
 
   def dotI8(a: Array[Byte], b: Array[Byte]): Long = {
-    val n = math.min(a.length, b.length)
+    // a length mismatch between packed vectors is always a data bug
+    // (mixed-dimension embeddings); a truncated dot would be silently,
+    // plausibly wrong
+    require(a.length == b.length,
+      s"packed int8 vectors differ in length: ${a.length} vs ${b.length}")
     var s = 0L
     var i = 0
-    while (i < n) { s += a(i).toLong * b(i).toLong; i += 1 }
+    while (i < a.length) { s += a(i).toLong * b(i).toLong; i += 1 }
     s
   }
 }

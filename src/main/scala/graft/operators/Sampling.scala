@@ -65,6 +65,10 @@ object Sampling {
       stratum: Column, order: Column,
       subStratum: Option[Column] = None): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
+    // seq_id/seq_offset are this function's documented output contract —
+    // fail fast rather than emit ambiguous duplicates
+    Seq("seq_id", "seq_offset").foreach(c => require(!df.columns.contains(c),
+      s"input already has a '$c' column (packSequences emits it)"))
     val w = Window.partitionBy((stratum +: subStratum.toSeq): _*).orderBy(order)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cumul = sum(tokenCount).over(w) - tokenCount
@@ -84,8 +88,11 @@ object Sampling {
     * window — the key itself IS the order, and a range-partitioned
     * write by it scales).
     */
-  def shuffleKey(df: DataFrame, id: Column, seed: String): DataFrame =
+  def shuffleKey(df: DataFrame, id: Column, seed: String): DataFrame = {
+    require(!df.columns.contains("shuffle_key"),
+      "input already has a 'shuffle_key' column (shuffleKey emits it)")
     df.withColumn("shuffle_key", md5(concat(lit(seed), id.cast("string"))))
+  }
 
   /** Exactly the first `n` rows of each stratum in `order` — fixed
     * per-domain quotas (the balancing counterpart of [[systematic]]'s
@@ -110,9 +117,15 @@ object Sampling {
       quotas: Map[String, Long], defaultQuota: Long = 0L): DataFrame = {
     require(quotas.values.forall(_ >= 0) && defaultQuota >= 0,
       "quotas must be >= 0")
-    val quota = quotas.foldRight(lit(defaultQuota): Column) {
-      case ((s, n), acc) => when(stratum === s, lit(n)).otherwise(acc)
-    }
+    // a flat map literal, not a nested CASE chain: web-corpus quota maps
+    // have thousands of domains, and a |quotas|-deep when/otherwise tree
+    // is O(|quotas|) per row and a driver stack overflow waiting at
+    // analysis time
+    val quota =
+      if (quotas.isEmpty) lit(defaultQuota)
+      else coalesce(
+        element_at(typedLit(quotas), stratum.cast("string")),
+        lit(defaultQuota))
     ranked(df, Seq(stratum), order)(rn => rn <= quota)
   }
 }

@@ -33,9 +33,9 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      .withColumn("qnorm", norm(col("qv")))
+      .withColumn("qnorm", norm(col("qv"))).where(col("qnorm") > 0)
     val c = corpus.select(col("vec_id"), col("embedding").as("cv"))
-      .withColumn("cnorm", norm(col("cv")))
+      .withColumn("cnorm", norm(col("cv"))).where(col("cnorm") > 0)
     val pairs = c.join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("sim", dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
@@ -60,8 +60,11 @@ object Similarity {
     def quantized(df: DataFrame, id: String, q: String, nrm: String): DataFrame =
       df.select(col("vec_id").as(id), vec_quant_i8(col("embedding")).as(q))
         .withColumn(nrm, sqrt(vec_dot_i8(col(q), col(q)).cast("double")))
-    val qs = quantized(queries, "qid", "qq", "qnorm")
-    val cs = quantized(corpus, "vec_id", "cq", "cnorm")
+    // zero vectors quantize to zero norms; their cosine is NaN and Spark
+    // sorts NaN ABOVE every real sim — drop them instead of letting one
+    // empty embedding become everyone's rank-1 neighbor
+    val qs = quantized(queries, "qid", "qq", "qnorm").where(col("qnorm") > 0)
+    val cs = quantized(corpus, "vec_id", "cq", "cnorm").where(col("cnorm") > 0)
     val pairs = cs.join(broadcast(qs), col("vec_id") =!= col("qid"))
       .withColumn("sim", vec_dot_i8(col("qq"), col("cq")).cast("double") /
         (col("qnorm") * col("cnorm")))

@@ -292,14 +292,13 @@ object Observers {
       minTokens: Int = 5, maxPunctRatio: Double = 0.2,
       watermark: String = "10 minutes"): DataFrame = {
     import graft.operators.TextAnalysis
-    docs
-      .where(TextAnalysis.tokenCount(col("text")) >= minTokens &&
-        TextAnalysis.punctRatio(col("text")) <= maxPunctRatio &&
-        TextAnalysis.langId(col("text")) === lang)
-      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
-      .withColumn("event_time", timestamp_micros(col("ts")))
-      .withWatermark("event_time", watermark)
-      .dropDuplicatesWithinWatermark(Seq("fp"))
+    streamingDedup(
+      docs
+        .where(TextAnalysis.tokenCount(col("text")) >= minTokens &&
+          TextAnalysis.punctRatio(col("text")) <= maxPunctRatio &&
+          TextAnalysis.langId(col("text")) === lang)
+        .withColumn("fp", TextAnalysis.fingerprint(col("text"))),
+      fingerprintCols = Seq("fp"), watermark = watermark)
   }
 
   /** N6: event-time tumbling/sliding window aggregation with watermark

@@ -113,6 +113,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     val recall = (exact & quant).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall $recall")
 
+    // a zero vector must never rank (NaN cosine would sort above 1.0)
+    import spark.implicits._
+    val zeroed = emb.select(col("vec_id"), col("embedding"))
+      .union(Seq((99999L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding"))
+    val ranked = Similarity.quantizedTopK(queries, zeroed, k = 5)
+      .where(col("vec_id") === 99999L).count()
+    assert(ranked == 0L)
+
     // quantization invariants: max|element| maps to ±127; self-dot > 0
     val q = emb.limit(10).select(vec_quant_i8(col("embedding")).as("q"),
       vec_dot_i8(vec_quant_i8(col("embedding")), vec_quant_i8(col("embedding"))).as("sd"))
