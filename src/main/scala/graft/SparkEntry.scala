@@ -759,6 +759,12 @@ object SparkEntry {
           size(Dedup.winnowedFingerprints(col("text"))).as("n_fingerprints"))
         .orderBy(col("doc_id"))
     }),
+    "q_x_multimodal_frames" -> ((s, dir) => {
+      // uniform frame sampling over the media table: pure expression
+      // index math (deterministic byte offsets), no decode needed
+      Multimodal.sampleFrames(Multimodal.mediaTable(t(s, dir, "documents")), k = 4)
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
     "q_x_multimodal_features" -> ((s, dir) => {
       Multimodal.extractFeatures(s, Multimodal.mediaTable(t(s, dir, "documents")))
         .select(col("doc_id"), col("width"), col("height"),
@@ -1325,6 +1331,11 @@ object SparkEntry {
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm) >= 0.5
+        |ORDER BY 1, 2""".stripMargin,
+    "q_x_multimodal_frames" ->
+      """SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |  CAST(i * octet_length(encode(text)) // 4 AS BIGINT) AS byte_offset
+        |FROM documents, range(0, 4) t(i)
         |ORDER BY 1, 2""".stripMargin,
     "q_x_multimodal_features" ->
       """SELECT doc_id,

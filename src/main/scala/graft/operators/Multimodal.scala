@@ -57,6 +57,23 @@ object Multimodal {
       first_byte = if (r.payload.nonEmpty) r.payload(0) & 0xff else -1,
       checksum = Codecs.murmur64a(r.payload))
 
+  /** Uniform frame sampling for video-ish payloads: `k` frame rows per
+    * media object with deterministic byte offsets (`floor(i·n/k)`). The
+    * index math is pure expression (explode of a sequence — codegen'd,
+    * no UDF), so sampling a trillion-frame corpus is one narrow
+    * projection; a real decoder would seek `payload[byte_offset]`
+    * inside the same `mapPartitions` stage as [[extractFeatures]]'s
+    * stub.
+    */
+  def sampleFrames(media: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    media.select(col("doc_id"), length(col("payload")).as("n_bytes"),
+        explode(sequence(lit(0), lit(k - 1))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        floor(col("frame_idx") * col("n_bytes") / lit(k)).cast("long")
+          .as("byte_offset"))
+  }
+
   /** Partition-wise decode + feature extraction. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._

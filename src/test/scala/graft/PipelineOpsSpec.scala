@@ -345,6 +345,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(e0.toSet == ids.collect().map(_.getLong(0)).toSet)  // a permutation
   }
 
+  test("frame sampling: k offsets per object, in-bounds and monotone") {
+    val media = Multimodal.mediaTable(docs)
+    val frames = Multimodal.sampleFrames(media, k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byDoc = frames.groupBy(_._1)
+    assert(byDoc.forall(_._2.length == 4))
+    val sizes = media.select(col("doc_id"), length(col("payload")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byDoc.foreach { case (id, fs) =>
+      val offs = fs.sortBy(_._2).map(_._3)
+      assert(offs.head == 0L && offs.forall(_ < sizes(id)))
+      assert(offs.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    }
+  }
+
   test("winnowed fingerprints: identical docs share all, near-dups most") {
     import spark.implicits._
     val fp = docs.select(col("doc_id"),
