@@ -214,6 +214,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("connected components: multi-seed differential fuzz vs union-find") {
+    import spark.implicits._
+    for (seed <- Seq(7, 11, 13)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 120
+      // vary density across seeds: sparse forests through dense clumps
+      val m = 40 + seed * 10
+      val edges = (0 until m).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+      }
+      val expected = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map(v => (v, find(v.toInt).toLong)).toMap
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   test("duplicate groups: transitive collapse, singletons keep their own id") {
     import spark.implicits._
     val d = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
