@@ -70,8 +70,11 @@ object Multimodal {
     media.select(col("doc_id"), length(col("payload")).as("n_bytes"),
         explode(sequence(lit(0), lit(k - 1))).as("frame_idx"))
       .select(col("doc_id"), col("frame_idx"),
-        floor(col("frame_idx") * col("n_bytes") / lit(k)).cast("long")
-          .as("byte_offset"))
+        // long math: frame_idx * n_bytes as int*int overflows (ANSI
+        // throws) once payloads pass ~2^31/(k-1) bytes — video-scale
+        // objects are exactly where that happens
+        floor(col("frame_idx").cast("long") * col("n_bytes").cast("long") / lit(k))
+          .cast("long").as("byte_offset"))
   }
 
   /** Partition-wise decode + feature extraction. */

@@ -43,16 +43,26 @@ object SecondaryIndex {
     * the full-build / rebuild path (run it over a compaction's resolved
     * output to repair drift). Values are indexed in UTF-8 string space.
     */
-  def buildOps(cells: DataFrame, cf: String, qualifier: String): DataFrame =
+  def buildOps(cells: DataFrame, cf: String, qualifier: String): DataFrame = {
+    // \u0000/\u0001 are reserved by the key encoding: a value containing
+    // NUL would land inside another value's [v\0, v\1) range and
+    // candidates() would hand back a truncated indexed_value. Refuse at
+    // build time — a loud error beats silently wrong range scans.
+    val v = decode(col("value"), "UTF-8")
+    val safeValue = when(contains(v, lit(Sep)) || contains(v, lit(SepEnd)),
+      raise_error(concat(lit("indexed value contains reserved byte \\u0000/\\u0001"
+        + " (index key separator) at base row "), col("row_key"))))
+      .otherwise(v)
     cells.where(col("cf") === cf && col("qualifier") === qualifier)
       .select(
-        concat(decode(col("value"), "UTF-8"), lit(Sep), col("row_key")).as("row_key"),
+        concat(safeValue, lit(Sep), col("row_key")).as("row_key"),
         lit(IndexCf).as("cf"),
         lit("").as("qualifier"),
         col("ts"),
         lit(graft.model.OpType.Value).as("op"),
         encode(col("row_key"), "UTF-8").as("value"),
         col("seq"))
+  }
 
   /** Incremental index inserts for a base-table put batch (VALUE ops on
     * the indexed column only — deletes and atomics don't carry the new
@@ -63,7 +73,8 @@ object SecondaryIndex {
 
   /** Candidate (primary key, indexed value) pairs for a value range
     * `[lo, hi)` (equality: `candidatesEq`) — one index range scan, no
-    * base-table IO. */
+    * base-table IO. Indexed values are NUL/SOH-free by [[buildOps]]'s
+    * build-time check, so `substring_index` on the separator is exact. */
   def candidates(indexCells: DataFrame, lo: String, hi: Option[String]): DataFrame = {
     val hiBound = hi.map(h => col("row_key") < h)
       .getOrElse(lit(true))
