@@ -20,6 +20,8 @@ object Bench {
     catch { case _: Throwable => () }
     try SparkEntry.queries("q_ix_secondary_lookup")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    try SparkEntry.queries("q_s4b_lg_projection")(spark, sfDir).count()
+    catch { case _: Throwable => () }
     // optional: `runMain graft.Bench <name>...` times only those queries
     // (repeated SPARK_GRAFT_REPEAT times, best-of reported) — the
     // driver's no-arg invocation is unchanged

@@ -45,9 +45,13 @@ class GraftTable(
     Resolve.resolve(log, desc, nowUs, opsPresent = opsPresent,
       deleteCountHint = deleteHint)
 
-  /** Scan builder over this table. */
+  /** Scan builder over this table. On an LG-partitioned table a
+    * CF-projected scan reads only the matching `lg=` directories. */
   def scan: ScanQuery = ScanQuery(log, desc, opsPresent = opsPresent,
-    deleteCountHint = deleteHint)
+    deleteCountHint = deleteHint,
+    lgRead =
+      if (desc.lgs.isEmpty) None
+      else Some(wanted => CellLogStore.readLgs(spark, logDir, Some(wanted))))
 
   /** Storage form of a logical row key: murmur-hex-prefixed on a
     * hash-sharded table (tera `hash_method_`, src/sdk/table_impl.cc:98),
@@ -78,7 +82,7 @@ class GraftTable(
         batch.withColumn("row_key",
           graft.functions.cellfunctions.hashed_key(col("row_key")))
       else batch
-    CellLogStore.append(stored, logDir)
+    CellLogStore.append(stored, logDir, desc = desc)
     bumpDeleteHint(batch)
   }
 
@@ -88,7 +92,7 @@ class GraftTable(
     * prefix, and [[put]] would prefix them a second time, targeting
     * nonexistent rows. */
   def putStored(batch: DataFrame): Unit = {
-    CellLogStore.append(batch, logDir)
+    CellLogStore.append(batch, logDir, desc = desc)
     bumpDeleteHint(batch)
   }
 
@@ -131,8 +135,13 @@ class GraftTable(
     * ([[graft.operators.SecondaryIndex]]). Rebuilding an existing index
     * replaces its log wholesale (repairing stale/missing entries). Keep
     * it fresh between rebuilds by appending [[indexOpsForBatch]]
-    * alongside every [[put]]; lookups verify against the base, so a
-    * lapse costs candidates, not correctness. */
+    * alongside every [[put]]. Staleness asymmetry: STALE entries are
+    * harmless (the lookup's base-table verify discards them), but a
+    * MISSING entry silently omits matching base rows until the next
+    * rebuild — lookups are only as complete as index maintenance, so a
+    * writer that skips [[indexOpsForBatch]] trades recall, not wrong
+    * rows. (The reference avoids this by transactional maintenance;
+    * a batch engine cannot assume every writer did.) */
   def buildIndex(indexLogDir: String, cf: String, qualifier: String): GraftTable = {
     val valueOnly = Some(Set(graft.model.OpType.Value))
     val idxOps = graft.operators.SecondaryIndex.buildOps(cells(), cf, qualifier)
@@ -162,10 +171,28 @@ class GraftTable(
 
   /** Verified equality lookup through an index table: index prefix
     * range scan narrows, base resolved cells decide. Returns base row
-    * keys. */
+    * keys.
+    *
+    * Scale shape: the base LOG is pruned to the candidate rows BEFORE
+    * resolving — resolution is per-(row,cf,qualifier) and row-wide
+    * tombstones share the row_key, so it commutes with row selection.
+    * A lookup therefore costs (index prefix scan) + (resolve of the
+    * candidate rows), not a whole-table resolve — the reference's
+    * "index scan, then primary get" plan (tera_tpccdb.cc
+    * OrderStatus-by-last-name), where the per-key gets are the pruned
+    * semi-join here. AQE broadcasts the candidate list when small.
+    */
   def lookupViaIndex(index: GraftTable, cf: String, qualifier: String,
-      value: String): DataFrame =
-    graft.operators.SecondaryIndex.lookup(cells(), index.cells(), cf, qualifier, value)
+      value: String): DataFrame = {
+    val cand = graft.operators.SecondaryIndex.candidatesEq(index.cells(), value)
+      .select(col("base_key").as("row_key"))
+    val prunedLog = log.join(cand, Seq("row_key"), "left_semi")
+    Resolve.resolve(prunedLog, desc, opsPresent = opsPresent,
+        deleteCountHint = deleteHint)
+      .where(col("cf") === cf && col("qualifier") === qualifier &&
+        decode(col("value"), "UTF-8") === value)
+      .select(col("row_key").as("base_key"))
+  }
 
   /** Observe columns: streaming callback over new appends. */
   def observe(columns: Seq[(String, String)], checkpointDir: String,
@@ -284,6 +311,10 @@ object Graft {
         "to alter (and its log is KvEntry-schema)")
     require(stored.hashKeys == desc.hashKeys,
       "cannot change hashKeys under stored data (keys are physically prefixed)")
+    require(stored.lgs == desc.lgs,
+      "cannot change locality groups under stored data (cells are physically " +
+        "partitioned by LG) — compact to a new dir with the new descriptor " +
+        "to migrate")
     // writeDesc rewrites the whole properties file — carry the delete
     // hint across the swap
     val hint = CellLogStore.readDeleteCount(spark, logDir)

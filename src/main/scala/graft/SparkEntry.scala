@@ -33,6 +33,10 @@ object SparkEntry {
   private val ixFixtureDirs =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
+  /** Per-process LG-partitioned fixture tables (see q_s4b_lg_projection). */
+  private val lgFixtureDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -207,6 +211,29 @@ object SparkEntry {
     "q_s4_cf_projection" -> ((s, dir) => {
       // LG-style projection: only the 'meta' column family is read
       ScanQuery(CellLogs.ordersWideLog(s, dir), opsPresent = CellLogs.valueOnly)
+        .withStart("10").withStop("11")
+        .addColumnFamily("meta")
+        .run()
+        .select(col("row_key"), col("qualifier"),
+          decode(col("value"), "UTF-8").as("value"))
+        .orderBy(col("row_key"), col("qualifier"))
+    }),
+    "q_s4b_lg_projection" -> ((s, dir) => {
+      // locality groups (tera table_schema.proto:17-30): the same cf
+      // projection as q_s4, routed through a STORED table whose meta/amt
+      // cfs live in separate lg=<name>/ parquet partition directories —
+      // the projected scan lists and reads ONLY lg=meta_lg (+ the shared
+      // row-tombstone LG), pruning amt's data at the directory level.
+      // Built once per (process, sfDir): timed runs measure the read.
+      val tmp = lgFixtureDirs.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("graft-lg-q").toString
+        val t0 = Graft.createTable(s, d,
+          TableDesc(lgs = Map("meta" -> "meta_lg", "amt" -> "amt_lg")),
+          ops = Some(Set(graft.model.OpType.Value)))
+        t0.put(CellLogs.ordersWideLog(s, dir))
+        d
+      })
+      Graft.openTable(s, tmp).scan
         .withStart("10").withStop("11")
         .addColumnFamily("meta")
         .run()
@@ -898,6 +925,17 @@ object SparkEntry {
         |       epoch_us(ts) AS ts, props AS value
         |FROM events ORDER BY 1, 2, 3, 4""".stripMargin,
     "q_s4_cf_projection" ->
+      """WITH keys AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS k, o_orderstatus, o_orderpriority
+        |  FROM orders
+        |  WHERE CAST(o_orderkey AS VARCHAR) >= '10' AND CAST(o_orderkey AS VARCHAR) < '11')
+        |SELECT k AS row_key, 'priority' AS qualifier, o_orderpriority AS value FROM keys
+        |UNION ALL
+        |SELECT k, 'status', o_orderstatus FROM keys
+        |ORDER BY 1, 2""".stripMargin,
+    // same logical result as q_s4 — the store's LG layout must be
+    // invisible to the answer, only to the IO
+    "q_s4b_lg_projection" ->
       """WITH keys AS (
         |  SELECT CAST(o_orderkey AS VARCHAR) AS k, o_orderstatus, o_orderpriority
         |  FROM orders

@@ -70,11 +70,7 @@ case class CfSpec(
     minVersions: Int = 0,
     ttlSec: Long = 0L)
 
-/** Table metadata driving the resolve pipeline.
-  *
-  * Locality groups are not modelled physically: Parquet column pruning
-  * plays the role tera's LGs play (SURVEY.md §1.3).
-  */
+/** Table metadata driving the resolve pipeline. */
 case class TableDesc(
     default: CfSpec = CfSpec(),
     cfs: Map[String, CfSpec] = Map.empty,
@@ -90,8 +86,32 @@ case class TableDesc(
       * table_schema.proto): 2-column model, one version per key,
       * per-KV expiry baked at write time. The log schema is
       * [[KvEntry.schema]], not [[CellOp.schema]]. */
-    kvMode: Boolean = false) {
+    kvMode: Boolean = false,
+    /** Locality groups (tera `LocalityGroupSchema`,
+      * table_schema.proto:17-30): cf → LG name. tera stores each LG as
+      * a separate LevelDB sub-database so a CF-projected scan opens
+      * only the LGs it needs (src/io/tablet_io.cc:1018-1024); here each
+      * LG is a parquet PARTITION DIRECTORY (`lg=<name>/`), so the same
+      * projection becomes directory-level partition pruning — whole
+      * LGs are never listed, opened, or read. Unlisted CFs land in
+      * [[TableDesc.DefaultLg]]. Empty map = unpartitioned layout
+      * (single-LG table, no directory overhead). */
+    lgs: Map[String, String] = Map.empty) {
   def spec(cf: String): CfSpec = cfs.getOrElse(cf, default)
+
+  /** The LG a cf's cells live in. */
+  def lgOf(cf: String): String = lgs.getOrElse(cf, TableDesc.DefaultLg)
+}
+
+object TableDesc {
+  /** LG for CFs not named in [[TableDesc.lgs]]. */
+  val DefaultLg = "default"
+  /** LG holding row-wide tombstones. tera replicates a row-delete into
+    * every LG's LevelDB (each compacts independently); one shared
+    * always-scanned partition is the Spark-first equivalent — no
+    * duplicate tombstone rows to dedupe on multi-LG scans, and
+    * compaction here rewrites the whole resolved log anyway. */
+  val RowTombstoneLg = "_row"
 }
 
 /** One write in a KV-mode table's log.

@@ -137,7 +137,13 @@ case class ScanQuery(
     nowUs: Long = Long.MaxValue,
     limitRows: Option[Int] = None,
     opsPresent: Option[Set[Int]] = None,
-    deleteCountHint: Option[Long] = None) {
+    deleteCountHint: Option[Long] = None,
+    /** LG-pruned log source for an LG-partitioned table: given the LG
+      * names a projected scan touches, returns the log restricted to
+      * those LG partition directories (plus the row-tombstone LG) —
+      * [[graft.sources.CellLogStore.readLgs]]. `None` = single-LG
+      * layout, `log` is the whole table. */
+    lgRead: Option[Seq[String] => DataFrame] = None) {
 
   def withStart(k: String): ScanQuery = copy(startKey = Some(k))
   def withStop(k: String): ScanQuery = copy(stopKey = Some(k))
@@ -170,13 +176,36 @@ case class ScanQuery(
     * logical one. For exact single-row reads use [[forRow]], which
     * takes the successor in storage space.
     */
+  /** CFs a filter tree's verdict reads (it may look at columns OUTSIDE
+    * the projection — P9 evaluates the filter before projecting). */
+  private def filterCfs(f: ScanFilter): Seq[String] = f match {
+    case ScanFilter.And(cs) => cs.flatMap(filterCfs)
+    case ScanFilter.Or(cs)  => cs.flatMap(filterCfs)
+    case ScanFilter.ValueFilter(cf, _, _, _, _) => Seq(cf)
+    case ScanFilter.ValueRegex(cf, _, _, _)     => Seq(cf)
+    case ScanFilter.ValueSubstring(cf, _, _, _) => Seq(cf)
+    case ScanFilter.RowKeyPrefix(_)             => Nil
+  }
+
   def run(): DataFrame = {
+    // LG pruning FIRST: a projected scan of an LG-partitioned table
+    // reads only the LG directories holding its CFs — projection plus
+    // any CFs the row filter's verdict needs (tera opens only those
+    // LGs' LevelDBs, src/io/tablet_io.cc:1018-1024)
+    val projCfs = cfSet ++ columnSet.map(_._1)
+    val source = lgRead match {
+      case Some(readPruned) if projCfs.nonEmpty =>
+        val needCfs = (projCfs ++ rowFilter.toSeq.flatMap(filterCfs)).distinct
+        readPruned(needCfs.map(desc.lgOf).distinct)
+      case _ => log
+    }
+
     // row-range predicates prune BEFORE resolve: every op of a row shares
     // its row_key, so the bound commutes with resolution and reaches the
     // parquet scan as a pushed filter.
     val bound: String => String =
       if (desc.hashKeys) graft.functions.Codecs.hashedKey else identity
-    var pruned = log
+    var pruned = source
     startKey.foreach(k => pruned = pruned.where(col("row_key") >= bound(k)))
     stopKey.foreach(k => pruned = pruned.where(col("row_key") < bound(k)))
     pointKey.foreach { k =>

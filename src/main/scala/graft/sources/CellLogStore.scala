@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.model.{CfSpec, TableDesc}
 import graft.operators.Resolve
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Durable cell-log storage: append-only parquet, range-clustered by
@@ -24,20 +24,50 @@ import org.apache.spark.sql.functions._
   */
 object CellLogStore {
 
-  /** Group-commit an op batch to the log (S7). */
-  def append(batch: DataFrame, logDir: String, numFiles: Int = 0): Unit = {
+  /** The LG partition value of each op: row-wide tombstones go to the
+    * shared [[TableDesc.RowTombstoneLg]] (every scan reads it — the
+    * Spark-first stand-in for tera replicating row-deletes into each
+    * LG's LevelDB); everything else to its cf's LG. */
+  private def lgColumn(desc: TableDesc): Column = {
+    val byCf = desc.lgs.foldRight(lit(TableDesc.DefaultLg): Column) {
+      case ((cf, lg), acc) => when(col("cf") === cf, lg).otherwise(acc)
+    }
+    when(col("op") === graft.model.OpType.DelRow,
+      TableDesc.RowTombstoneLg).otherwise(byCf)
+  }
+
+  private def writeBatch(batch: DataFrame, logDir: String, mode: SaveMode,
+      desc: TableDesc, numFiles: Int = 0): Unit = {
     val n = if (numFiles > 0) numFiles
       else batch.sparkSession.sessionState.conf.numShufflePartitions
-    batch
-      .repartitionByRange(n, col("row_key"), col("cf"), col("qualifier"))
-      .sortWithinPartitions(col("row_key"), col("cf"), col("qualifier"),
-        col("ts"), col("seq"))
-      .write.mode(SaveMode.Append)
-      // row-key bloom filters per file ≙ tera's per-SST blooms
-      // (table_schema.proto:62): point gets skip files cheaply
+    // row-key bloom filters per file ≙ tera's per-SST blooms
+    // (table_schema.proto:62): point gets skip files cheaply
+    val writerFor = (df: DataFrame) => df
+      .write.mode(mode)
       .option("parquet.bloom.filter.enabled#row_key", "true")
-      .parquet(logDir)
+    if (desc.lgs.isEmpty)
+      writerFor(batch
+        .repartitionByRange(n, col("row_key"), col("cf"), col("qualifier"))
+        .sortWithinPartitions(col("row_key"), col("cf"), col("qualifier"),
+          col("ts"), col("seq")))
+        .parquet(logDir)
+    else
+      // lg leads the range clustering so a task writes into one LG dir,
+      // not a file per LG per task (small-files explosion at scale)
+      writerFor(batch
+        .withColumn("lg", lgColumn(desc))
+        .repartitionByRange(n, col("lg"), col("row_key"), col("cf"),
+          col("qualifier"))
+        .sortWithinPartitions(col("row_key"), col("cf"), col("qualifier"),
+          col("ts"), col("seq")))
+        .partitionBy("lg")
+        .parquet(logDir)
   }
+
+  /** Group-commit an op batch to the log (S7). */
+  def append(batch: DataFrame, logDir: String, numFiles: Int = 0,
+      desc: TableDesc = TableDesc()): Unit =
+    writeBatch(batch, logDir, SaveMode.Append, desc, numFiles)
 
   /** Replace a log's content wholesale (index rebuilds, imports).
     * Parquet Overwrite clears the directory INCLUDING the metadata
@@ -45,20 +75,56 @@ object CellLogStore {
   def replace(batch: DataFrame, logDir: String, desc: TableDesc,
       ops: Option[Set[Int]] = None): Unit = {
     val spark = batch.sparkSession
-    val n = spark.sessionState.conf.numShufflePartitions
-    batch
-      .repartitionByRange(n, col("row_key"), col("cf"), col("qualifier"))
-      .sortWithinPartitions(col("row_key"), col("cf"), col("qualifier"),
-        col("ts"), col("seq"))
-      .write.mode(SaveMode.Overwrite)
-      .option("parquet.bloom.filter.enabled#row_key", "true")
-      .parquet(logDir)
+    writeBatch(batch, logDir, SaveMode.Overwrite, desc)
     writeDesc(spark, logDir, desc, ops)
-    setDeleteCount(spark, logDir, 0L)
+    // the hint must describe THIS batch, not assume it is delete-free:
+    // a replacement carrying tombstones with a 0 hint would steer
+    // resolve's "auto" to the broadcast-join path on an arbitrarily
+    // delete-heavy log. A declared delete-free op-set skips the count.
+    val delCount =
+      if (ops.exists(_.intersect(graft.model.OpType.deletes.toSet).isEmpty)) 0L
+      else read(spark, logDir)
+        .where(col("op").isin(graft.model.OpType.deletes.map(x => x: Any): _*))
+        .count()
+    setDeleteCount(spark, logDir, delCount)
+  }
+
+  /** True when the log is LG-partitioned (`lg=<name>/` directories).
+    * One driver-side directory listing at plan-build time — the same
+    * class of cost as the descriptor read. */
+  def hasLgLayout(spark: SparkSession, logDir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(logDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(path) && fs.listStatus(path).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("lg="))
   }
 
   def read(spark: SparkSession, logDir: String): DataFrame =
-    spark.read.schema(graft.model.CellOp.schema).parquet(logDir)
+    if (hasLgLayout(spark, logDir)) readLgs(spark, logDir, None)
+    else spark.read.schema(graft.model.CellOp.schema).parquet(logDir)
+
+  /** Read an LG-partitioned log, pruned to `wanted` LGs (None = all).
+    * The wanted set always includes [[TableDesc.RowTombstoneLg]] — a
+    * row-wide delete must be visible to every CF's resolve. The filter
+    * lands on the partition column, so unwanted LG directories are
+    * pruned at file-listing time, never opened (tera: a projected scan
+    * opens only the LGs holding its CFs, src/io/tablet_io.cc:1018-1024).
+    */
+  def readLgs(spark: SparkSession, logDir: String,
+      wanted: Option[Seq[String]]): DataFrame = {
+    val withLg = spark.read
+      .schema(graft.model.CellOp.schema
+        .add(org.apache.spark.sql.types.StructField("lg",
+          org.apache.spark.sql.types.StringType)))
+      .parquet(logDir)
+    val pruned = wanted match {
+      case Some(names) =>
+        val keep = (names :+ graft.model.TableDesc.RowTombstoneLg).distinct
+        withLg.where(col("lg").isin(keep: _*))
+      case None => withLg
+    }
+    pruned.drop("lg")
+  }
 
   /** Seq-era width for generated mutation batches:
     * `monotonically_increasing_id` is partitionId << 33 + offset, so ids
@@ -100,6 +166,7 @@ object CellLogStore {
     desc.cfs.foreach { case (name, s) => put(s"cf.named.$name", s) }
     p.setProperty("hashKeys", desc.hashKeys.toString)
     p.setProperty("kvMode", desc.kvMode.toString)
+    desc.lgs.foreach { case (cf, lg) => p.setProperty(s"lg.$cf", lg) }
     ops.foreach(o => p.setProperty("ops", o.toSeq.sorted.mkString(",")))
     val path = new org.apache.hadoop.fs.Path(logDir, DescFile)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
@@ -118,9 +185,14 @@ object CellLogStore {
         .filter(_.startsWith("cf.named."))
         .map(k => k.stripPrefix("cf.named.") -> spec(p.getProperty(k)))
         .toMap
+      val lgs = p.stringPropertyNames().asScala.toSeq
+        .filter(_.startsWith("lg."))
+        .map(k => k.stripPrefix("lg.") -> p.getProperty(k))
+        .toMap
       val desc = TableDesc(spec(p.getProperty("cf.default")), cfs,
         p.getProperty("hashKeys", "false").toBoolean,
-        p.getProperty("kvMode", "false").toBoolean)
+        p.getProperty("kvMode", "false").toBoolean,
+        lgs)
       val ops = Option(p.getProperty("ops"))
         .map(_.split(",").iterator.filter(_.nonEmpty).map(_.toInt).toSet)
       (desc, ops)
@@ -199,12 +271,8 @@ object CellLogStore {
     val resolved = Resolve.resolve(read(spark, logDir), desc, nowUs)
       .select(col("row_key"), col("cf"), col("qualifier"), col("ts"),
         lit(graft.model.OpType.Value).as("op"), col("value"), col("seq"))
-    val n = spark.sessionState.conf.numShufflePartitions
-    resolved
-      .repartitionByRange(n, col("row_key"), col("cf"), col("qualifier"))
-      .sortWithinPartitions(col("row_key"), col("cf"), col("qualifier"),
-        col("ts"), col("seq"))
-      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    // LG layout carries over: the compacted table prunes the same way
+    writeBatch(resolved, outDir, SaveMode.Overwrite, desc)
     // the compacted table keeps its descriptor; its log is now VALUE-only
     // (folds and tombstones physically applied), so declare that op-set
     // and a zero delete count

@@ -162,10 +162,23 @@ object Observers {
 
   /** Tail a cell-log parquet directory as a change-feed stream. */
   def cellLogStream(spark: SparkSession, logDir: String): DataFrame =
-    spark.readStream
-      .schema(CellOp.schema)
-      .option("maxFilesPerTrigger", "16")
-      .parquet(logDir)
+    // LG-partitioned logs (lg=<name>/ dirs) need the partition column
+    // in the stream schema; it is layout, not data — drop it. (Start
+    // the observer after the table's first append: layout is detected
+    // at stream construction.)
+    if (graft.sources.CellLogStore.hasLgLayout(spark, logDir))
+      spark.readStream
+        .schema(CellOp.schema.add(
+          org.apache.spark.sql.types.StructField("lg",
+            org.apache.spark.sql.types.StringType)))
+        .option("maxFilesPerTrigger", "16")
+        .parquet(logDir)
+        .drop("lg")
+    else
+      spark.readStream
+        .schema(CellOp.schema)
+        .option("maxFilesPerTrigger", "16")
+        .parquet(logDir)
 
   /** One observed notification — what `OnNotify` sees. */
   case class Notification(

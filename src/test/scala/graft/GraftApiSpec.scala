@@ -135,6 +135,112 @@ class GraftApiSpec extends AnyFunSuite {
     assert(keys("B") == Set("r1", "r2"))
   }
 
+  test("locality groups: per-LG layout, row deletes visible to every projection") {
+    import graft.model.TableDesc
+    val dir = Files.createTempDirectory("graft-lg").toString
+    val desc = TableDesc(lgs = Map("prof" -> "hot", "blob" -> "cold"))
+    val t = Graft.createTable(spark, dir, desc,
+      Some(Set(OpType.Value, OpType.DelRow)))
+    t.put(Seq(
+      CellOp("r1", "prof", "name", 100, OpType.Value, "n1".getBytes, 1),
+      CellOp("r1", "blob", "img", 100, OpType.Value, "b1".getBytes, 2),
+      CellOp("r1", "misc", "x", 100, OpType.Value, "m1".getBytes, 3),
+      CellOp("r2", "prof", "name", 100, OpType.Value, "n2".getBytes, 4),
+      CellOp("r2", "blob", "img", 100, OpType.Value, "b2".getBytes, 5)))
+
+    // physical layout: one parquet partition directory per LG (misc is
+    // unlisted, so it lands in the default LG)
+    val lgDirs = new java.io.File(dir).listFiles
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(lgDirs == Set("lg=hot", "lg=cold", "lg=default"))
+
+    // unprojected reads see everything, schema unchanged (no lg column)
+    assert(t.scan.run().count() == 5)
+    assert(t.log.columns.toSeq == graft.model.CellOp.schema.fieldNames.toSeq)
+
+    // a row-wide delete lands in the shared _row LG...
+    t.put(Seq(CellOp("r2", "prof", "", 200, OpType.DelRow, null, 6)))
+    assert(new java.io.File(dir, "lg=_row").isDirectory)
+    // ...and a scan projected to a DIFFERENT cf still honors it
+    val blob = t.scan.addColumnFamily("blob").run()
+    assert(blob.select("row_key").collect().map(_.getString(0)).toSet
+      == Set("r1"))
+
+    // the pruned source physically reads only its LG dirs + _row:
+    // lg=hot and lg=default are pruned at file-listing time (the
+    // resolved scan is a self-join, where input_file_name is undefined —
+    // PlanSpec asserts the scan-level PartitionFilters)
+    val filesRead = graft.sources.CellLogStore
+      .readLgs(spark, dir, Some(Seq("cold")))
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(filesRead.nonEmpty)
+    assert(filesRead.forall(f => f.contains("lg=cold") || f.contains("lg=_row")),
+      filesRead.mkString("\n"))
+
+    // descriptor round-trip: a fresh open recovers the LG map
+    assert(Graft.openTable(spark, dir).desc == desc)
+    // LG mapping is physical: alterTable refuses to change it
+    intercept[IllegalArgumentException] {
+      Graft.alterTable(spark, dir, desc.copy(lgs = Map("prof" -> "cold")))
+    }
+
+    // compaction preserves the LG layout and the resolved content
+    val cdir = Files.createTempDirectory("graft-lg-compact").toString
+    t.compact(cdir)
+    val tc = Graft.openTable(spark, cdir)
+    assert(new java.io.File(cdir, "lg=cold").isDirectory)
+    assert(tc.scan.addColumnFamily("blob").run()
+      .select("row_key").collect().map(_.getString(0)).toSet == Set("r1"))
+
+    // a filter's verdict may need a cf OUTSIDE the projection (P9 order:
+    // filter before projection) — its LG must be read too
+    val filtered = t.scan.addColumnFamily("blob")
+      .withFilter(ScanFilter.ValueFilter("prof", "name", "==",
+        TypedValue.Utf8("n1"), filterIfMissing = true))
+      .run()
+    assert(filtered.collect().map(r =>
+      (r.getString(0), r.getString(1))).toSet == Set(("r1", "blob")))
+  }
+
+  test("secondary index refuses values containing reserved separator bytes") {
+    val session = spark
+    import session.implicits._
+    // a NUL inside an indexed value would land the composite key inside
+    // another value's [v\0, v\1) range — buildOps must fail loudly, not
+    // build a silently mis-sorting index
+    val bad = Seq(
+      CellOp("r1", "c", "seg", 100, OpType.Value, "A\u0000B".getBytes("UTF-8"), 1))
+    val ex = intercept[Exception] {
+      graft.operators.SecondaryIndex.buildOps(bad.toDF(), "c", "seg").collect()
+    }
+    assert(ex.getMessage.contains("reserved byte"))
+    // clean values still build
+    val ok = Seq(CellOp("r1", "c", "seg", 100, OpType.Value, "AB".getBytes, 1))
+    assert(graft.operators.SecondaryIndex.buildOps(ok.toDF(), "c", "seg")
+      .count() == 1)
+  }
+
+  test("replace() records the batch's real delete count in the hint") {
+    val session = spark
+    import session.implicits._
+    import graft.model.TableDesc
+    val dir = Files.createTempDirectory("graft-replace-hint").toString
+    Graft.createTable(spark, dir)
+    val batch = Seq(
+      CellOp("r1", "cf", "q", 100, OpType.Value, "a".getBytes, 1),
+      CellOp("r2", "cf", "q", 100, OpType.DelRow, null, 2),
+      CellOp("r3", "cf", "q", 100, OpType.DelQualifiers, null, 3)).toDF()
+    // undeclared op-set: the hint must count the tombstones, not assume 0
+    graft.sources.CellLogStore.replace(batch, dir, TableDesc(), None)
+    assert(graft.sources.CellLogStore.readDeleteCount(spark, dir) == Some(2L))
+    // a declared delete-free op-set skips the count and records 0
+    val valueOnly = Seq(
+      CellOp("r1", "cf", "q", 100, OpType.Value, "a".getBytes, 1)).toDF()
+    graft.sources.CellLogStore.replace(valueOnly, dir, TableDesc(),
+      Some(Set(OpType.Value)))
+    assert(graft.sources.CellLogStore.readDeleteCount(spark, dir) == Some(0L))
+  }
+
   test("secondary index on a hash-sharded base: incremental ops match storage keys") {
     val dir = Files.createTempDirectory("graft-ix-hash-base").toString
     val ixDir = Files.createTempDirectory("graft-ix-hash").toString

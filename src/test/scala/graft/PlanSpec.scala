@@ -49,6 +49,23 @@ class PlanSpec extends AnyFunSuite {
       leaves.contains("LessThan(row_key,r020)"), leaves)
   }
 
+  test("LG-projected scan carries partition filters (directories pruned)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("plan-lg").toString
+    val desc = TableDesc(lgs = Map("a" -> "lga", "b" -> "lgb"))
+    val t = Graft.createTable(spark, dir, desc, Some(Set(OpType.Value)))
+    t.put((0 until 50).flatMap(i => Seq(
+      CellOp(f"r$i%03d", "a", "q", 1L, OpType.Value, "x".getBytes, i * 2L),
+      CellOp(f"r$i%03d", "b", "q", 1L, OpType.Value, "y".getBytes, i * 2L + 1)))
+      .toDF())
+    val scan = t.scan.addColumnFamily("a").run()
+    val leaves = scan.queryExecution.executedPlan.collectLeaves().mkString("\n")
+    // the lg IN (...) predicate is a PARTITION filter (file-listing-time
+    // pruning), not a pushed data filter
+    assert(leaves.contains("PartitionFilters") && leaves.contains("lg#"), leaves)
+    assert(scan.count() == 50)
+  }
+
   test("resolve fast path (max_versions=1, no atomics) plans without Window") {
     import spark.implicits._
     val log = Seq(CellOp("r", "cf", "q", 1, OpType.Value, "v".getBytes, 1)).toDF()
