@@ -59,6 +59,30 @@ object Dedup {
     if (distinctRows) rows.distinct() else rows
   }
 
+  /** [[shingleRows]] with each shingle collapsed to its xxhash64 AT THE
+    * EXPLODE — the string exists only inside expression evaluation and
+    * never reaches a row, so every downstream exchange (distinct,
+    * signature aggregation, intersection join) moves 8-byte longs
+    * instead of n-token strings. Set identity is preserved up to
+    * xxhash64 collisions (~|shingles|²/2⁶⁴ per document pair — no
+    * realistic corpus reaches the 2³² shingles per doc where that
+    * matters). Input is [[graft.sources.Tables.widen]]ed: the explode
+    * is the CPU-amplifying stage, and a narrow single-file input would
+    * otherwise run it serially.
+    */
+  def shingleHashRows(docs: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      distinctRows: Boolean = true): DataFrame = {
+    val toks = tokens(col(textCol))
+    val rows = graft.sources.Tables.widen(docs)
+      .where(size(toks) >= n)
+      .select(col(idCol).as("doc_id"),
+        explode(transform(
+          sequence(lit(0), size(toks) - n),
+          i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n)))))).as("s"))
+    if (distinctRows) rows.distinct() else rows
+  }
+
   /** Exact Jaccard for given candidate pairs, from shingle rows:
     * |A∩B| by shingle equi-join restricted to candidate docs,
     * |A∪B| = |A|+|B|-|A∩B|. Pairs sharing no shingle get jaccard 0.
@@ -89,10 +113,21 @@ object Dedup {
     * partial mins, instead of 128 array-lambda expressions that codegen
     * would inline per signature slot.
     */
-  def minhashSignatures(shingleRows: DataFrame, numHashes: Int = 64): DataFrame = {
-    val hashed = shingleRows.select(col("doc_id"), xxhash64(col("s")).as("h"))
-    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"_m$i"))
-    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  def minhashSignatures(shingleRows: DataFrame, numHashes: Int = 64): DataFrame =
+    minhashSignaturesHashed(
+      shingleRows.select(col("doc_id"), xxhash64(col("s")).as("s")), numHashes)
+
+  /** [[minhashSignatures]] over pre-hashed shingles (`s: long`, from
+    * [[shingleHashRows]]). `min` is duplicate-insensitive, so the input
+    * does NOT need the per-(doc, shingle) distinct — map-side partial
+    * mins collapse each partition to one row per document before the
+    * shuffle, which is strictly cheaper than a distinct exchange of the
+    * full shingle set. Signature values are identical to the string
+    * path's (that path hashes each shingle to the same long first).
+    */
+  def minhashSignaturesHashed(hashRows: DataFrame, numHashes: Int = 64): DataFrame = {
+    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"_m$i"))
+    hashRows.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
   }
@@ -153,11 +188,13 @@ object Dedup {
     // deliberately NOT persisted: the shingle rows recompute per
     // consumer, but materializing here measurably loses — .persist() 2x
     // slower (blocks AQE + columnar encode), .localCheckpoint() 1.15x
-    // slower (block write + lineage cut), both measured at sf0.1
-    val rows = shingleRows(docs, shingleLen)
-    val signed = minhashSignatures(rows, numHashes)
+    // slower (block write + lineage cut), both measured at sf0.1.
+    // The signature side skips the distinct entirely (min is
+    // duplicate-insensitive); only the Jaccard verify needs set rows.
+    val raw = shingleHashRows(docs, shingleLen, distinctRows = false)
+    val signed = minhashSignaturesHashed(raw, numHashes)
     val cands = lshCandidatePairs(signed, bands, numHashes / bands)
-    jaccardForPairs(cands, rows)
+    jaccardForPairs(cands, shingleHashRows(docs, shingleLen))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -165,7 +202,7 @@ object Dedup {
   /** Exact n-gram Jaccard between consecutive doc ids (a bounded,
     * oracle-checkable instance of pairwise similarity). */
   def consecutivePairJaccard(docs: DataFrame, shingleLen: Int = 3): DataFrame = {
-    val rows = shingleRows(docs, shingleLen)
+    val rows = shingleHashRows(docs, shingleLen)
     val ids = rows.select("doc_id").distinct()
     val pairs = ids.select(col("doc_id").as("id_a"))
       .join(ids.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b")), "id_a")

@@ -147,9 +147,9 @@ object TextAnalysis {
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
       n: Int = 3): DataFrame = {
-    val benchGrams = Dedup.shingleRows(benchmark, n, distinctRows = false)
+    val benchGrams = Dedup.shingleHashRows(benchmark, n, distinctRows = false)
       .select(col("s")).distinct()
-    val contaminated = Dedup.shingleRows(corpus, n, distinctRows = false)
+    val contaminated = Dedup.shingleHashRows(corpus, n, distinctRows = false)
       .join(broadcast(benchGrams), "s")
       .select(col("doc_id"))
       .distinct()

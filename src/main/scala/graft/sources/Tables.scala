@@ -31,4 +31,24 @@ object Tables {
     */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Widen a narrow batch input to the session's parallelism before a
+    * CPU-amplifying per-row stage (shingling, hashing, per-token
+    * feature extraction). A single-row-group parquet file arrives as
+    * ONE input partition regardless of split configs — byte-range
+    * splits can't cut inside a row group — so without this the explode
+    * that fans each document into hundreds of shingles runs on one
+    * core while the rest idle. No-op when the scan already carries >=
+    * defaultParallelism partitions (the 100 TB case, where inputs come
+    * pre-split at maxPartitionBytes granularity), so the round-robin
+    * exchange only pays where the alternative is a serial stage.
+    * Streaming frames pass through untouched (micro-batch sizing is
+    * the source's job, and there is no RDD to inspect pre-start).
+    */
+  def widen(df: DataFrame): DataFrame =
+    if (df.isStreaming) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
 }
