@@ -14,8 +14,12 @@ object TextAnalysis {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Characters per token, whitespace excluded (int/int in double). */
-  def avgTokenLen(text: Column): Column = {
-    val n = tokenCount(text)
+  def avgTokenLen(text: Column): Column = avgTokenLenOf(text, tokens(text))
+
+  /** [[avgTokenLen]] over a pre-split tokens column — see [[langIdOf]]
+    * for why the shared-split variants exist. */
+  def avgTokenLenOf(text: Column, toks: Column): Column = {
+    val n = size(toks)
     (length(text) - (n - 1)).cast("double") / n.cast("double")
   }
 
@@ -27,20 +31,27 @@ object TextAnalysis {
   private val stopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** Fraction of tokens that are (English) stopwords. */
-  def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
+  def stopwordRatio(text: Column): Column = stopwordRatioOf(tokens(text))
+
+  /** [[stopwordRatio]] over a pre-split tokens column. */
+  def stopwordRatioOf(toks: Column): Column =
     size(filter(toks, t => t.isin(stopwordsEn.map(x => x: Any): _*)))
       .cast("double") / size(toks).cast("double")
-  }
 
-  /** Composite quality row per document. */
+  /** Composite quality row per document. One materialized tokens column
+    * feeds every per-token metric: inlining `split` per metric costs a
+    * tokenization per gate AND multiplies the generated code (measured
+    * ~40% warm runtime and ~2 s first-run codegen on the curate gate at
+    * sf0.1). Input widened — see [[graft.sources.Tables.widen]]. */
   def qualityTable(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      tokenCount(col("text")).as("n_tokens"),
-      avgTokenLen(col("text")).as("avg_token_len"),
-      punctRatio(col("text")).as("punct_ratio"),
-      stopwordRatio(col("text")).as("stopword_ratio"))
+    graft.sources.Tables.widen(docs)
+      .withColumn("_toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("_toks")).as("n_tokens"),
+        avgTokenLenOf(col("text"), col("_toks")).as("avg_token_len"),
+        punctRatio(col("text")).as("punct_ratio"),
+        stopwordRatioOf(col("_toks")).as("stopword_ratio"))
 
   /** Language-ID heuristic: distinctive-stopword voting. Deterministic
     * and SQL-reproducible; returns the arg-max language or 'und' when no
@@ -53,8 +64,15 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "de", "que", "y"),
     "de" -> Seq("der", "die", "das", "und", "ist"))
 
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langId(text: Column): Column = langIdOf(tokens(text))
+
+  /** [[langId]] over a pre-split tokens column. The `Of` variants let a
+    * multi-gate pipeline tokenize ONCE into a projected column instead
+    * of re-splitting per metric — Catalyst CSE does not dedupe the
+    * repeated `split` across gates, so the inline form pays one
+    * tokenization per metric per row plus a copy of the split codegen
+    * per call site. */
+  def langIdOf(toks: Column): Column = {
     val scores = langDicts.map { case (lang, dict) =>
       (lang, size(filter(toks, t => t.isin(dict.map(x => x: Any): _*))))
     }
@@ -77,10 +95,12 @@ object TextAnalysis {
     */
   def curate(docs: DataFrame, lang: String = "en", minTokens: Int = 5,
       maxPunctRatio: Double = 0.2): DataFrame =
-    docs.where(
-        tokenCount(col("text")) >= minTokens &&
+    graft.sources.Tables.widen(docs)
+      .withColumn("_toks", tokens(col("text")))
+      .where(
+        size(col("_toks")) >= minTokens &&
         punctRatio(col("text")) <= maxPunctRatio &&
-        langId(col("text")) === lang)
+        langIdOf(col("_toks")) === lang)
       .groupBy(fingerprint(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
@@ -98,7 +118,8 @@ object TextAnalysis {
     */
   def repetitionTable(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    val base = docs.select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+    val base = graft.sources.Tables.widen(docs)
+      .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
     val tokenStats = base
       .select(col("doc_id"), col("n"), explode(col("toks")).as("tk"))
       .groupBy(col("doc_id"), col("n"), col("tk")).agg(count(lit(1)).as("cnt"))
