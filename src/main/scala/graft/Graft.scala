@@ -375,30 +375,38 @@ object Graft {
     * UDFs).
     */
   def registerFunctions(spark: SparkSession): Unit = {
-    import graft.functions._
     val reg = spark.sessionState.functionRegistry
-    def one(name: String, f: Expression => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, es => f(es.head), "built-in")
-    one("murmur64a", e => Murmur64A(e, 0L))
-    one("be64_decode", Be64Decode)
-    one("be64_encode", Be64Encode)
-    one("le64_decode", Le64Decode)
-    one("le64_encode", Le64Encode)
-    one("f64_decode", F64Decode)
-    one("f64_encode", F64Encode)
-    one("key_successor", KeySuccessor)
-    one("simhash64", SimHash64)
-    reg.createOrReplaceTempFunction("vec_dot",
-      es => VecDot(es(0), es(1)), "built-in")
-    one("vec_quant_i8", VecQuantI8)
-    reg.createOrReplaceTempFunction("vec_dot_i8",
-      es => VecDotI8(es(0), es(1)), "built-in")
-    // le_int_decode(bytes, width, signed) — width/signed are literals
-    reg.createOrReplaceTempFunction("le_int_decode", es => {
-      def litOf(e: Expression): Any =
-        e.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal].value
-      LeIntDecode(es.head, litOf(es(1)).asInstanceOf[Number].intValue(),
-        litOf(es(2)).asInstanceOf[Boolean])
-    }, "built-in")
+    functionBuilders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+
+  /** Name → builder for every engine SQL function — the single source
+    * shared by [[registerFunctions]] (patches one live session) and
+    * [[graft.GraftExtensions]] (injects at session build time). */
+  private[graft] def functionBuilders: Seq[(String, Seq[Expression] => Expression)] = {
+    import graft.functions._
+    def one(name: String, f: Expression => Expression)
+        : (String, Seq[Expression] => Expression) =
+      name -> (es => f(es.head))
+    def litOf(e: Expression): Any =
+      e.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal].value
+    Seq(
+      one("murmur64a", e => Murmur64A(e, 0L)),
+      one("be64_decode", Be64Decode),
+      one("be64_encode", Be64Encode),
+      one("le64_decode", Le64Decode),
+      one("le64_encode", Le64Encode),
+      one("f64_decode", F64Decode),
+      one("f64_encode", F64Encode),
+      one("key_successor", KeySuccessor),
+      one("simhash64", SimHash64),
+      "vec_dot" -> (es => VecDot(es(0), es(1))),
+      one("vec_quant_i8", VecQuantI8),
+      "vec_dot_i8" -> (es => VecDotI8(es(0), es(1))),
+      // le_int_decode(bytes, width, signed) — width/signed are literals
+      "le_int_decode" -> (es =>
+        LeIntDecode(es.head, litOf(es(1)).asInstanceOf[Number].intValue(),
+          litOf(es(2)).asInstanceOf[Boolean])))
   }
 }

@@ -508,4 +508,36 @@ class GraftApiSpec extends AnyFunSuite {
       .collect()(0)
     assert(r2.getDouble(0) == 11.0 && r2.getLong(1) == -7L && r2.getLong(2) == 255L)
   }
+
+  test("GraftExtensions injects the function surface at session build") {
+    // getOrCreate returns the active session, bypassing extensions —
+    // clear both handles so the builder constructs a fresh session
+    // (same SparkContext) with the extensions applied, as a
+    // `spark.sql.extensions=graft.GraftExtensions` deployment would
+    val prior = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = ext.sql(
+        """SELECT murmur64a(CAST('hello-tera' AS BINARY)) AS h,
+          |       vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp""".stripMargin)
+        .collect()(0)
+      assert(r.getLong(0) == Codecs.murmur64a("hello-tera".getBytes("UTF-8")))
+      assert(r.getDouble(1) == 11.0)
+      // injected into the catalog registry: visible from a derived
+      // session too (temp-function registration would not be)
+      val derived = ext.newSession()
+      assert(derived.sql("SELECT be64_decode(be64_encode(7L)) AS x")
+        .collect()(0).getLong(0) == 7L)
+    } finally {
+      SparkSession.setActiveSession(prior)
+      SparkSession.setDefaultSession(prior)
+    }
+  }
 }
