@@ -657,6 +657,22 @@ object SparkEntry {
       // bigram fractions — exploded hash aggregation, no per-row O(n²)
       TextAnalysis.repetitionTable(t(s, dir, "documents")).orderBy(col("doc_id"))
     }),
+    "q_x_text_tfidf" -> ((s, dir) => {
+      // top-3 salient terms per doc; ratio-form idf keeps every score
+      // op IEEE-exact so values hash-match across engines
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), k = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+    "q_x_text_chunks" -> ((s, dir) => {
+      // overlapping 16-token windows, stride 12 — context-window prep
+      TextAnalysis.chunk(t(s, dir, "documents"), chunkLen = 16, stride = 12)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+    "q_x_dedup_passages" -> ((s, dir) => {
+      // passage-level dedup: pairs sharing a 20-token verbatim span
+      Dedup.sharedPassagePairs(t(s, dir, "documents"), passageLen = 20)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_x_pii_redact" -> ((s, dir) => {
       // PII redaction over synthetic PII built from real columns (the
       // corpus itself is clean word-soup, so redaction must be SHOWN to
@@ -1164,6 +1180,39 @@ object SparkEntry {
         |FROM documents ORDER BY 1""".stripMargin,
     "q_x_text_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY 1",
+    "q_x_text_tfidf" ->
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |               FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |         CAST(tf AS DOUBLE) * ((n - df + 0.5) / (df + 0.5)) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (SELECT doc_id, term, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, term) AS INT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, score, rank FROM ranked
+        |WHERE rank <= 3 ORDER BY 1, 4""".stripMargin,
+    "q_x_text_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |        unnest(range(1, greatest(len(toks) - 16 + 1, 1) + 1, 12)) AS st
+        |      FROM t)
+        |SELECT doc_id, CAST((st - 1) / 12 AS INT) AS chunk_idx,
+        |       array_to_string(toks[st:st+15], ' ') AS chunk_text
+        |FROM s ORDER BY 1, 2""".stripMargin,
+    "q_x_dedup_passages" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(range(1, len(toks) - 20 + 2),
+        |          i -> array_to_string(toks[i:i+19], ' '))) AS s
+        |      FROM t WHERE len(toks) >= 20)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_grams
+        |FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_x_text_quality" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,

@@ -199,6 +199,35 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Document pairs sharing at least one `passageLen`-token passage —
+    * the passage-level complement to whole-document near-dup: a doc
+    * that EMBEDS a long verbatim span of another (quoted boilerplate,
+    * licence text, copied paragraphs) pairs here even when its overall
+    * Jaccard is far below any near-dup threshold. The long-gram-overlap
+    * rule is the standard published form (GPT-3's 13-gram benchmark
+    * overlap filter, Brown et al. 2020 App. C; Lee et al. 2022 use
+    * 50-token spans). Output: (id_a, id_b, shared_grams) where
+    * shared_grams counts distinct shared passages of exactly
+    * `passageLen` tokens (a shared run of passageLen+j tokens yields
+    * j+1 of them).
+    *
+    * Scale shape: one equi-join on the 8-byte gram hash, counts by
+    * pair. A gram present in more than `maxDocsPerGram` documents is
+    * dropped before the join ([[capBuckets]] — ubiquitous boilerplate
+    * would go quadratic there, and a span shared by thousands of
+    * documents is exact/minhash dedup's business, not pairing's).
+    */
+  def sharedPassagePairs(docs: DataFrame, passageLen: Int = 20,
+      maxDocsPerGram: Int = 1000): DataFrame = {
+    val grams = capBuckets(shingleHashRows(docs, passageLen),
+      Seq("s"), maxDocsPerGram)
+    val a = grams.select(col("s"), col("doc_id").as("id_a"))
+    val b = grams.select(col("s"), col("doc_id").as("id_b"))
+    a.join(b, "s")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_grams"))
+  }
+
   /** Exact n-gram Jaccard between consecutive doc ids (a bounded,
     * oracle-checkable instance of pairwise similarity). */
   def consecutivePairJaccard(docs: DataFrame, shingleLen: Int = 3): DataFrame = {

@@ -153,6 +153,60 @@ object TextAnalysis {
         "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"),
       "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
 
+  /** Top-k salient terms per document by tf-idf. The idf factor is the
+    * smoothed RATIO form `(N - df + 0.5) / (df + 0.5)` (BM25's idf
+    * argument, Robertson-Spärck Jones) rather than its logarithm: every
+    * op in the score is then IEEE-exact (integer arithmetic below 2^53
+    * plus one correctly-rounded divide and multiply), so scores and
+    * ranks reproduce bit-identically in any engine — `ln` is the one
+    * transcendental whose last-ulp behavior differs across libms, and
+    * it is monotone, so per-term orderings it induces are available by
+    * substituting `log(...)` here without touching the plan shape.
+    *
+    * Scale shape: explode → (doc, term) hash-aggregate with map-side
+    * combine; df is a second aggregate over those (already-distinct)
+    * rows; N joins in as a broadcast single-row aggregate (no driver
+    * collect); top-k is one window partitioned by doc. Ties break by
+    * term for determinism.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = graft.sources.Tables.widen(docs)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double") *
+        ((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
+      .where(col("rank") <= k)
+      .select("doc_id", "term", "score", "rank")
+  }
+
+  /** Overlapping token-window chunks — context-window prep for training
+    * and retrieval pipelines: a chunk starts every `stride` tokens and
+    * spans `chunkLen` tokens (the final chunk may be shorter; documents
+    * shorter than `chunkLen` yield one chunk). Pure per-row expression
+    * work (sequence of starts → slice → explode), widened like every
+    * CPU-amplifying text stage.
+    */
+  def chunk(docs: DataFrame, chunkLen: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunkLen > 0 && stride > 0, "chunkLen and stride must be positive")
+    val base = graft.sources.Tables.widen(docs)
+      .withColumn("_toks", tokens(col("text")))
+    base.select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1),
+            greatest(size(col("_toks")) - chunkLen + 1, lit(1)), lit(stride)),
+          st => concat_ws(" ", slice(col("_toks"), st, lit(chunkLen))))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        col("col").as("chunk_text"))
+  }
+
   /** Benchmark decontamination: drop corpus documents sharing ANY
     * word n-gram with a benchmark/heldout set — the standard guard
     * against test-set leakage in training data (documents too short to

@@ -439,4 +439,56 @@ class PipelineOpsSpec extends AnyFunSuite {
     val out = ScanQuery(log).withTimeRange(5, 25).run()
     assert(out.count() == 0)
   }
+
+  test("tfidf top-terms: k bound, dense ranks from 1, deterministic ties") {
+    val top = TextAnalysis.tfidfTopTerms(docs, k = 3)
+    val byDoc = top.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), min("rank").as("lo"), max("rank").as("hi"))
+      .collect()
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { r =>
+      assert(r.getAs[Long]("n") <= 3 && r.getAs[Int]("lo") == 1 &&
+        r.getAs[Int]("hi") == r.getAs[Long]("n"))
+    }
+    // deterministic across runs (tie-break by term)
+    val a = top.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3))).toSet
+    val b = TextAnalysis.tfidfTopTerms(docs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3))).toSet
+    assert(a == b)
+  }
+
+  test("chunking covers every token; short docs yield one full-text chunk") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, (1 to 40).map(i => s"t$i").mkString(" ")), // 40 tokens
+      (2L, "a b c")).toDF("doc_id", "text")           // shorter than chunkLen
+    val chunks = TextAnalysis.chunk(d, chunkLen = 16, stride = 12)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // doc 1: starts 1,13,25 -> 3 chunks; last one runs 25..40 (16 toks)
+    val c1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    assert(c1.map(_._2).toSeq == Seq(0, 1, 2))
+    assert(c1(0)._3.startsWith("t1 ") && c1(2)._3.endsWith(" t40"))
+    // stride < chunkLen -> consecutive chunks overlap; every token appears
+    val covered = c1.flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 40).map(i => s"t$i").toSet)
+    val c2 = chunks.filter(_._1 == 2L)
+    assert(c2.toSeq == Seq((2L, 0, "a b c")))
+  }
+
+  test("shared-passage pairs: run length counts grams; ubiquitous grams capped") {
+    import spark.implicits._
+    val span = (1 to 25).map(i => s"s$i").mkString(" ") // 25-token shared run
+    val d = Seq(
+      (1L, span + " xx1 yy1"),
+      (2L, "zz2 " + span),
+      (3L, (1 to 30).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val pairs = Dedup.sharedPassagePairs(d, passageLen = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // a 25-token run shares 25-20+1 = 6 distinct 20-grams
+    assert(pairs.toSeq == Seq((1L, 2L, 6L)))
+    // cap: a gram in > maxDocsPerGram docs is dropped before the join
+    val many = (0 until 30).map(i => (i.toLong, span)).toDF("doc_id", "text")
+    assert(Dedup.sharedPassagePairs(many, passageLen = 20,
+      maxDocsPerGram = 10).count() == 0)
+  }
 }
