@@ -673,6 +673,22 @@ object SparkEntry {
       Dedup.sharedPassagePairs(t(s, dir, "documents"), passageLen = 20)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_io_relational_roundtrip" -> ((s, dir) => {
+      // relational -> cell log -> resolve -> relational (terautil's
+      // dump/load cycle as one in-memory pipeline): proves the generic
+      // loader and exporter are lossless through the cell model
+      val cfMap = Map("meta" -> Seq("o_custkey", "o_orderstatus", "o_orderpriority"),
+        "val" -> Seq("o_totalprice", "o_orderdate"))
+      val log = graft.sources.RelationalLoader.toCellLog(
+        t(s, dir, "orders"), "o_orderkey", cfMap)
+      val cells = Resolve.resolve(log, opsPresent = graft.sources.CellLogs.valueOnly)
+      graft.sources.RelationalLoader.fromCellLog(cells, cfMap, "o_orderkey")
+        .select(col("o_orderkey").cast("long"),
+          col("o_custkey").cast("long"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice").cast("double"),
+          col("o_orderdate").cast("timestamp"))
+        .orderBy(col("o_orderkey"))
+    }),
     "q_x_pii_redact" -> ((s, dir) => {
       // PII redaction over synthetic PII built from real columns (the
       // corpus itself is clean word-soup, so redaction must be SHOWN to
@@ -1204,6 +1220,10 @@ object SparkEntry {
         |SELECT doc_id, CAST((st - 1) / 12 AS INT) AS chunk_idx,
         |       array_to_string(toks[st:st+15], ' ') AS chunk_text
         |FROM s ORDER BY 1, 2""".stripMargin,
+    "q_io_relational_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+        |       o_totalprice, o_orderdate
+        |FROM orders ORDER BY 1""".stripMargin,
     "q_x_dedup_passages" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (SELECT DISTINCT doc_id,

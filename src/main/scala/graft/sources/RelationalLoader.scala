@@ -55,4 +55,30 @@ object RelationalLoader {
         lit(OpType.Value).as("op"), col("_c.value").as("value"),
         (lit(seqBase) + monotonically_increasing_id()).as("seq"))
   }
+
+  /** Inverse of [[toCellLog]] — resolved cells back to one relational
+    * row per key (terautil's export direction, src/terautil.cc dump
+    * path). Values decode as UTF-8 strings (the loader's own
+    * encoding); cast to target types afterwards — the SQL string form
+    * round-trips exactly for ints, decimals, dates, timestamps and
+    * doubles (shortest-round-trip rendering). Absent cells yield NULL.
+    *
+    * Scale: the pivot is a single hash aggregate on `row_key` with one
+    * `max(when(...))` per mapped column — the column set is static from
+    * `cfMap`, so there is no `pivot()` distinct-values pre-scan, and
+    * map-side partials apply. Post-resolve input has at most one cell
+    * per (key, cf, qualifier), so `max` only collapses the NULLs of
+    * non-matching branches.
+    */
+  def fromCellLog(resolved: DataFrame, cfMap: Map[String, Seq[String]],
+      keyName: String = "row_key"): DataFrame = {
+    val cols = cfMap.toSeq.sortBy(_._1).flatMap { case (cf, cs) =>
+      cs.map(c => max(when(col("cf") === cf && col("qualifier") === c,
+        decode(col("value"), "UTF-8"))).as(c))
+    }
+    require(cols.nonEmpty, "cfMap must name at least one column")
+    resolved.groupBy(col("row_key"))
+      .agg(cols.head, cols.tail: _*)
+      .withColumnRenamed("row_key", keyName)
+  }
 }

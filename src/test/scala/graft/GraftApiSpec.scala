@@ -443,6 +443,23 @@ class GraftApiSpec extends AnyFunSuite {
       .toSet
     assert(cellSet(t2) == want2)
     assert(t2.cells().count() == nation.count() * 2)
+
+    // export direction: cells -> relational, NULL for absent cells,
+    // typed values round-trip through their SQL string form
+    val back = graft.sources.RelationalLoader.fromCellLog(
+        t2.cells(), Map("n" -> Seq("n_name", "n_regionkey")), "n_nationkey")
+      .select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val src = nation.select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(back == src)
+    // a key with only one CF's columns exports NULLs for the rest
+    val sparse = graft.sources.RelationalLoader.fromCellLog(
+      t2.cells().where(col("qualifier") === "n_name"),
+      Map("n" -> Seq("n_name", "n_regionkey")), "n_nationkey")
+    assert(sparse.where(col("n_regionkey").isNull).count() == nation.count())
   }
 
   test("any Spark source loads as a cell table: CSV round-trip") {
