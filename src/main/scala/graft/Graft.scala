@@ -192,13 +192,17 @@ class GraftTable(
       .where(col("cf") === cf && col("qualifier") === qualifier &&
         decode(col("value"), "UTF-8") === value)
       .select(col("row_key").as("base_key"))
+      // a multi-version CF (maxVersions > 1) resolves several cells per
+      // matching (row, cf, qualifier) — report each base row ONCE
+      .distinct()
   }
 
   /** Observe columns: streaming callback over new appends. */
   def observe(columns: Seq[(String, String)], checkpointDir: String,
       buckets: Int = 16)(onNotify: (DataFrame, Long) => Unit): StreamingQuery =
-    Observers.observe(Observers.cellLogStream(spark, logDir), columns,
-      checkpointDir, buckets)(onNotify)
+    Observers.observe(
+      Observers.cellLogStream(spark, logDir, Some(desc.lgs.nonEmpty)),
+      columns, checkpointDir, buckets)(onNotify)
 }
 
 /** KV-mode table (tera's key-value table flavor: 2-column model, single

@@ -123,7 +123,7 @@ object ScanFilter {
   * post-filter → max_qualifiers → limit.
   */
 case class ScanQuery(
-    log: DataFrame,
+    log: ScanQuery.LogRef,
     desc: TableDesc = TableDesc(),
     startKey: Option[String] = None,
     stopKey: Option[String] = None,
@@ -197,7 +197,7 @@ case class ScanQuery(
       case Some(readPruned) if projCfs.nonEmpty =>
         val needCfs = (projCfs ++ rowFilter.toSeq.flatMap(filterCfs)).distinct
         readPruned(needCfs.map(desc.lgOf).distinct)
-      case _ => log
+      case _ => log.df
     }
 
     // row-range predicates prune BEFORE resolve: every op of a row shares
@@ -280,4 +280,20 @@ case class ScanQuery(
       col("ts").desc)
     limitRows.fold(ordered)(ordered.limit)
   }
+}
+
+object ScanQuery {
+  /** Lazily-resolved log source. A parquet `DataFrame` lists its files
+    * at CONSTRUCTION, so an eager field would charge every builder for
+    * a full-table listing even when `run()` takes the LG-pruned branch
+    * and reads only a subset of partition directories — on an object
+    * store with many files that listing is the expensive part. The
+    * by-name conversion keeps every existing `ScanQuery(df, ...)` call
+    * site source-compatible while deferring the listing to first use.
+    */
+  final class LogRef(thunk: () => DataFrame) {
+    lazy val df: DataFrame = thunk()
+  }
+  import scala.language.implicitConversions
+  implicit def logRef(df: => DataFrame): LogRef = new LogRef(() => df)
 }

@@ -112,6 +112,12 @@ object CellLogStore {
     */
   def readLgs(spark: SparkSession, logDir: String,
       wanted: Option[Seq[String]]): DataFrame = {
+    // a descriptor can declare LGs over a log whose FILES are not (yet)
+    // LG-partitioned: a table before its first append, or hand-imported
+    // parquet. Filtering a null lg column would silently drop every row
+    // — fall back to the plain read (all CFs in all files; the scan's
+    // cf projection still applies downstream).
+    if (!hasLgLayout(spark, logDir)) return read(spark, logDir)
     val withLg = spark.read
       .schema(graft.model.CellOp.schema
         .add(org.apache.spark.sql.types.StructField("lg",

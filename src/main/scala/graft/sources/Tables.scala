@@ -49,6 +49,19 @@ object Tables {
     if (df.isStreaming) df
     else {
       val target = df.sparkSession.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+      // decide from optimizer statistics, not df.rdd.getNumPartitions:
+      // materializing the RDD would run full physical planning AND
+      // whole-stage codegen compilation of a throwaway plan per call.
+      // Below target×openCostInBytes the file scan provably cannot
+      // produce `target` splits (maxSplitBytes never drops under the
+      // open cost); above it, Spark's own split sizing already targets
+      // defaultParallelism. Single-row-group files larger than that
+      // remain narrow-but-unwidened — acceptable: split math can't see
+      // row-group boundaries either, and real table writers (including
+      // this engine's) emit many row groups.
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val openCost = df.sparkSession.sessionState.conf.filesOpenCostInBytes
+      if (bytes < BigInt(target) * openCost.max(1L)) df.repartition(target)
+      else df
     }
 }

@@ -104,7 +104,7 @@ object Observers {
   def observeNotifications(table: graft.GraftTable, checkpointDir: String,
       hook: Option[ScanHook] = None)
       (onNotify: DataFrame => Unit): StreamingQuery =
-    cellLogStream(table.spark, table.logDir)
+    cellLogStream(table.spark, table.logDir, Some(table.desc.lgs.nonEmpty))
       .where(col("cf") === NotifyCf &&
         col("op") === graft.model.OpType.Value)
       .writeStream
@@ -160,13 +160,22 @@ object Observers {
         col("qualifier"),
         col("ts"))
 
-  /** Tail a cell-log parquet directory as a change-feed stream. */
-  def cellLogStream(spark: SparkSession, logDir: String): DataFrame =
+  /** Tail a cell-log parquet directory as a change-feed stream.
+    *
+    * @param lgPartitioned whether the log is LG-partitioned. Callers
+    *   holding a table pass `desc.lgs.nonEmpty`; otherwise the stored
+    *   descriptor decides, and only a bare descriptor-less log falls
+    *   back to directory sniffing — an observer legitimately starts
+    *   BEFORE the table's first append, when no `lg=` directory exists
+    *   yet to sniff.
+    */
+  def cellLogStream(spark: SparkSession, logDir: String,
+      lgPartitioned: Option[Boolean] = None): DataFrame =
     // LG-partitioned logs (lg=<name>/ dirs) need the partition column
-    // in the stream schema; it is layout, not data — drop it. (Start
-    // the observer after the table's first append: layout is detected
-    // at stream construction.)
-    if (graft.sources.CellLogStore.hasLgLayout(spark, logDir))
+    // in the stream schema; it is layout, not data — drop it.
+    if (lgPartitioned.orElse(
+        graft.sources.CellLogStore.readDesc(spark, logDir).map(_._1.lgs.nonEmpty))
+      .getOrElse(graft.sources.CellLogStore.hasLgLayout(spark, logDir)))
       spark.readStream
         .schema(CellOp.schema.add(
           org.apache.spark.sql.types.StructField("lg",

@@ -202,6 +202,30 @@ class GraftApiSpec extends AnyFunSuite {
       (r.getString(0), r.getString(1))).toSet == Set(("r1", "blob")))
   }
 
+  test("LG descriptor over a not-yet-partitioned log scans correctly") {
+    import graft.model.TableDesc
+    // a created-but-never-appended LG table has a descriptor declaring
+    // LGs but no lg= directories yet; projected scans must fall back to
+    // the plain read, not filter every row out on a null lg column
+    val dir = Files.createTempDirectory("graft-lg-empty").toString
+    val desc = TableDesc(lgs = Map("prof" -> "hot"))
+    val t = Graft.createTable(spark, dir, desc, Some(Set(OpType.Value)))
+    assert(t.scan.addColumnFamily("prof").run().count() == 0)
+
+    // same mismatch with DATA: a bare unpartitioned import opened with
+    // an LG-declaring descriptor still returns its rows
+    val bare = Files.createTempDirectory("graft-lg-bare").toString
+    val t0 = Graft.createTable(spark, bare, TableDesc(),
+      Some(Set(OpType.Value)))
+    t0.put(Seq(
+      CellOp("r1", "prof", "name", 100, OpType.Value, "n1".getBytes, 1),
+      CellOp("r1", "blob", "img", 100, OpType.Value, "b1".getBytes, 2)))
+    val viaLgDesc = new GraftTable(spark, bare, desc, Some(Set(OpType.Value)))
+    val got = viaLgDesc.scan.addColumnFamily("prof").run()
+    assert(got.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      == Set(("r1", "prof")))
+  }
+
   test("secondary index refuses values containing reserved separator bytes") {
     val session = spark
     import session.implicits._
