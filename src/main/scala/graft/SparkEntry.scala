@@ -505,6 +505,46 @@ object SparkEntry {
           .cast(DecimalType(28, 4)).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
+    "q_agg_tpch_q18" -> ((s, dir) => {
+      // large-volume-customer: big-agg -> semi-join -> re-agg. The
+      // HAVING aggregate is a map-side-combined hash agg whose small
+      // qualifying-order output semi-joins the fact table (AQE
+      // broadcasts it); quantities sum as longs for engine parity.
+      val li = t(s, dir, "lineitem")
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("_q"))
+        .where(col("_q") > 300).select("l_orderkey")
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(li.join(big, Seq("l_orderkey"), "left_semi"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+    "q_agg_tpch_q10" -> ((s, dir) => {
+      // returned-item reporting: quarter-filtered orders join returned
+      // lineitems, nation broadcasts, top-20 by exact decimal revenue
+      val dec = DecimalType(18, 2)
+      val lo = lit("1996-07-01").cast("timestamp")
+      val hi = lit("1996-10-01").cast("timestamp")
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders")
+            .where(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem").where(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum((col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast(dec))).cast(DecimalType(28, 4)))
+          .cast(DecimalType(28, 4)).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
     "q_agg_rollup" -> ((s, dir) => {
       // integer-cents sum (see q_agg_tpch_q1 for why no decimal cast)
       t(s, dir, "lineitem")
@@ -1153,6 +1193,32 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_agg_tpch_q18" ->
+      """WITH big AS (SELECT l_orderkey FROM lineitem
+        |             GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_agg_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |       AS DECIMAL(28,4))) AS DECIMAL(28,4)) AS revenue,
+        |  n_name
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY 1, 2, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q_agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
