@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale smoke for the curation/dedup pipeline: synthesizes an
+  * N-document corpus (default 1M docs ≈ 60× the sf0.1 fixture's row
+  * count) entirely as Spark expressions — no driver-side data, no
+  * fixture files — plants a known near-duplicate structure, and runs
+  * the minhash near-dup and curation paths end-to-end.
+  *
+  * Corpus shape: ~50 pseudo-random vocabulary tokens per doc, drawn by
+  * `xxhash64(doc_id, position)` from a 1000-word vocab; every doc with
+  * `doc_id % 100 == 1` is doc_id-1 with its last 2 tokens swapped out
+  * (Jaccard ≈ 0.87 on 3-shingles — above the 0.8 gate), so exactly
+  * N/100 near-dup pairs exist and nothing else pairs. That gives the
+  * run a correctness oracle at any N: found pairs must equal planted
+  * pairs.
+  *
+  * Run: `SPARK_GRAFT_SCALE_N=1000000 sbt "runMain graft.ScaleProbe"`.
+  * Results from this machine are recorded in README §Scale design.
+  */
+object ScaleProbe {
+
+  /** N docs of `len` vocab tokens; doc_id % 100 == 1 near-duplicates
+    * its predecessor (last `delta` tokens replaced). */
+  def corpus(spark: SparkSession, n: Long, len: Int = 50,
+      vocab: Int = 1000, delta: Int = 2): DataFrame = {
+    val base = spark.range(0, n, 1,
+      spark.sparkContext.defaultParallelism * 4)
+      .select(col("id").as("doc_id"))
+    // token t(d, i) = "w" || (xxhash64(seed-mix of source doc, i) mod vocab);
+    // near-dups draw positions >= len-delta from their OWN id instead
+    val src = when(col("doc_id") % 100 === 1, col("doc_id") - 1)
+      .otherwise(col("doc_id"))
+    base.withColumn("text",
+      concat_ws(" ", transform(sequence(lit(0), lit(len - 1)), i =>
+        concat(lit("w"),
+          pmod(xxhash64(when(i < len - delta, src).otherwise(col("doc_id")), i),
+            lit(vocab))))))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1000000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = corpus(spark, n)
+    def timed(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"""{"probe":"$name","n":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.1f,"rows":$rows}""")
+    }
+    timed("corpus_scan")(docs.count())
+    timed("curate")(graft.operators.TextAnalysis.curate(docs, lang = "und").count())
+    timed("minhash_neardup") {
+      val pairs = graft.operators.Dedup.minhashNearDuplicates(docs, threshold = 0.8)
+      // correctness oracle in the same pass: exactly the planted
+      // (k-1, k) pairs, k % 100 == 1, and nothing else
+      val r = pairs.agg(count(lit(1)),
+        count(when(col("id_b") =!= col("id_a") + 1 ||
+          pmod(col("id_b"), lit(100)) =!= 1, 1))).head
+      val (found, wrong) = (r.getLong(0), r.getLong(1))
+      val planted = n / 100 + (if (n % 100 >= 2) 1 else 0)
+      require(wrong == 0, s"$wrong non-planted pairs surfaced")
+      require(found == planted, s"found $found of $planted planted pairs")
+      found
+    }
+    timed("dedup_groups")(graft.operators.Dedup.duplicateGroups(docs,
+      graft.operators.Dedup.minhashNearDuplicates(docs, 0.8)).count())
+    spark.stop()
+  }
+}
