@@ -626,6 +626,41 @@ object SparkEntry {
           col("prev_order"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
+    "q_w3_rank_family" -> ((s, dir) => {
+      // the remaining ranking quartet in one pass: ntile + the exact-
+      // rational percent_rank/cume_dist ((rank-1)/(n-1) — IEEE-exact,
+      // engine-portable); total order via the orderkey tiebreak
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy(col("o_orderkey"))
+    }),
+    "q_w4_sessionize" -> ((s, dir) => {
+      // batch sessionization (gaps-and-islands): a session breaks on a
+      // >2h silence per user — lag flags the break, a running sum
+      // numbers the island, one aggregate summarizes it. The batch twin
+      // of the streaming session_window (q_n6 / StreamingSpec).
+      val gapUs = 2L * 3600 * 1000000
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          graft.sources.Tables.eventTsUs.as("ts_us"))
+        .withColumn("_prev", lag(col("ts_us"), 1).over(wOrd))
+        .withColumn("_new", when(col("_prev").isNull ||
+          col("ts_us") - col("_prev") > gapUs, 1).otherwise(0))
+        .withColumn("session_id", sum(col("_new"))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("session_start"),
+          max(col("ts_us")).as("session_end"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
     "q_f5_scalar_funcs" -> ((s, dir) => {
       t(s, dir, "events")
         .select(
@@ -1024,6 +1059,32 @@ object SparkEntry {
         |  lag(o_orderkey, 1) OVER (PARTITION BY o_custkey
         |                           ORDER BY o_orderdate, o_orderkey) AS prev_order
         |FROM orders ORDER BY 1, 2""".stripMargin,
+    "q_w3_rank_family" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY 1""".stripMargin,
+    "q_w4_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |g AS (SELECT user_id, event_id, ts_us,
+        |        CASE WHEN lag(ts_us) OVER w IS NULL
+        |               OR ts_us - lag(ts_us) OVER w > 7200000000
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (SELECT user_id, ts_us,
+        |        CAST(sum(new_s) OVER (PARTITION BY user_id
+        |          ORDER BY ts_us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS session_id
+        |      FROM g)
+        |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       min(ts_us) AS session_start, max(ts_us) AS session_end
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_f5_scalar_funcs" ->
       """SELECT event_id,
         |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k,
