@@ -51,7 +51,16 @@ object CellLogStore {
         .sortWithinPartitions(col("row_key"), col("cf"), col("qualifier"),
           col("ts"), col("seq")))
         .parquet(logDir)
-    else
+    else {
+      // an LG-partitioned append next to existing FLAT files would
+      // leave a mixed-depth layout that partition discovery rejects
+      // (and a basePath read would prune the flat rows as lg=null) —
+      // refuse now, while the state is still recoverable
+      if (mode == SaveMode.Append)
+        require(!hasFlatFiles(batch.sparkSession, logDir),
+          s"$logDir holds un-partitioned parquet but the descriptor declares " +
+            "locality groups; compact/replace the log into an LG layout " +
+            "(or open it with an LG-free descriptor) before appending")
       // lg leads the range clustering so a task writes into one LG dir,
       // not a file per LG per task (small-files explosion at scale)
       writerFor(batch
@@ -62,6 +71,16 @@ object CellLogStore {
           col("ts"), col("seq")))
         .partitionBy("lg")
         .parquet(logDir)
+    }
+  }
+
+  /** True when the directory directly holds parquet data files (a flat,
+    * un-partitioned log). One driver-side listing. */
+  private def hasFlatFiles(spark: SparkSession, logDir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(logDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(path) && fs.listStatus(path).exists(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet"))
   }
 
   /** Group-commit an op batch to the log (S7). */
@@ -100,8 +119,13 @@ object CellLogStore {
   }
 
   def read(spark: SparkSession, logDir: String): DataFrame =
-    if (hasLgLayout(spark, logDir)) readLgs(spark, logDir, None)
-    else spark.read.schema(graft.model.CellOp.schema).parquet(logDir)
+    // one layout probe, then straight to the matching reader — routing
+    // through readLgs would re-probe the directory it just listed
+    if (hasLgLayout(spark, logDir)) readLgsKnown(spark, logDir, None)
+    else readFlat(spark, logDir)
+
+  private def readFlat(spark: SparkSession, logDir: String): DataFrame =
+    spark.read.schema(graft.model.CellOp.schema).parquet(logDir)
 
   /** Read an LG-partitioned log, pruned to `wanted` LGs (None = all).
     * The wanted set always includes [[TableDesc.RowTombstoneLg]] — a
@@ -111,13 +135,17 @@ object CellLogStore {
     * opens only the LGs holding its CFs, src/io/tablet_io.cc:1018-1024).
     */
   def readLgs(spark: SparkSession, logDir: String,
-      wanted: Option[Seq[String]]): DataFrame = {
+      wanted: Option[Seq[String]]): DataFrame =
     // a descriptor can declare LGs over a log whose FILES are not (yet)
     // LG-partitioned: a table before its first append, or hand-imported
     // parquet. Filtering a null lg column would silently drop every row
     // — fall back to the plain read (all CFs in all files; the scan's
     // cf projection still applies downstream).
-    if (!hasLgLayout(spark, logDir)) return read(spark, logDir)
+    if (!hasLgLayout(spark, logDir)) readFlat(spark, logDir)
+    else readLgsKnown(spark, logDir, wanted)
+
+  private def readLgsKnown(spark: SparkSession, logDir: String,
+      wanted: Option[Seq[String]]): DataFrame = {
     val withLg = spark.read
       .schema(graft.model.CellOp.schema
         .add(org.apache.spark.sql.types.StructField("lg",

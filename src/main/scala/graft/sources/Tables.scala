@@ -48,20 +48,35 @@ object Tables {
   def widen(df: DataFrame): DataFrame =
     if (df.isStreaming) df
     else {
+      import org.apache.spark.sql.catalyst.plans.logical.{
+        Aggregate, Join, RepartitionOperation, Sort, Window => LWindow}
       val target = df.sparkSession.sparkContext.defaultParallelism
-      // decide from optimizer statistics, not df.rdd.getNumPartitions:
-      // materializing the RDD would run full physical planning AND
-      // whole-stage codegen compilation of a throwaway plan per call.
-      // Below target×openCostInBytes the file scan provably cannot
-      // produce `target` splits (maxSplitBytes never drops under the
-      // open cost); above it, Spark's own split sizing already targets
-      // defaultParallelism. Single-row-group files larger than that
-      // remain narrow-but-unwidened — acceptable: split math can't see
-      // row-group boundaries either, and real table writers (including
-      // this engine's) emit many row groups.
-      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-      val openCost = df.sparkSession.sessionState.conf.filesOpenCostInBytes
-      if (bytes < BigInt(target) * openCost.max(1L)) df.repartition(target)
-      else df
+      val plan = df.queryExecution.optimizedPlan
+      // a plan that already crosses a shuffle boundary carries
+      // spark.sql.shuffle.partitions — widening it again would be a
+      // pure-cost exchange. widen targets scan-shaped inputs only.
+      val shuffled = plan.collectFirst {
+        case p @ (_: Aggregate | _: Join | _: Sort | _: LWindow |
+          _: RepartitionOperation) => p
+      }.isDefined
+      if (shuffled) df
+      else {
+        // decide from optimizer statistics when they are real: below
+        // target×openCostInBytes the file scan provably cannot produce
+        // `target` splits (maxSplitBytes never drops under the open
+        // cost); above it, Spark's own split sizing already targets
+        // defaultParallelism. Stats-opaque sources (RDD-backed, JDBC)
+        // report defaultSizeInBytes — only THEY pay the
+        // df.rdd.getNumPartitions probe (physical planning + codegen of
+        // a throwaway plan), because treating "unknown" as "big" would
+        // silently skip the serial-explode case this helper exists for.
+        val conf = df.sparkSession.sessionState.conf
+        val bytes = plan.stats.sizeInBytes
+        val narrow =
+          if (bytes >= BigInt(conf.defaultSizeInBytes))
+            df.rdd.getNumPartitions < target
+          else bytes < BigInt(target) * conf.filesOpenCostInBytes.max(1L)
+        if (narrow) df.repartition(target) else df
+      }
     }
 }

@@ -224,6 +224,13 @@ class GraftApiSpec extends AnyFunSuite {
     val got = viaLgDesc.scan.addColumnFamily("prof").run()
     assert(got.collect().map(r => (r.getString(0), r.getString(1))).toSet
       == Set(("r1", "prof")))
+    // ...but an LG append next to the flat files would leave a
+    // mixed-depth layout partition discovery rejects — refused up front
+    val ex = intercept[IllegalArgumentException] {
+      viaLgDesc.put(Seq(
+        CellOp("r2", "prof", "name", 100, OpType.Value, "n2".getBytes, 3)))
+    }
+    assert(ex.getMessage.contains("locality groups"))
   }
 
   test("secondary index refuses values containing reserved separator bytes") {
