@@ -243,4 +243,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("tfidf: corpus size joins as a broadcast, term joins stay equi") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = planOf(graft.operators.TextAnalysis.tfidfTopTerms(docs, 3))
+    // N is a single-row aggregate — it must ship as a broadcast, never
+    // force the scored side through a cartesian
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("passage pairs: gram-hash equi-join, no cartesian, capped window") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = planOf(graft.operators.Dedup.sharedPassagePairs(docs, 20))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the ubiquitous-gram cap rides the join's own (s) partitioning
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("chunking is pure per-row work: no hash exchange anywhere") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = planOf(graft.operators.TextAnalysis.chunk(docs, 16, 12))
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
 }
