@@ -825,6 +825,14 @@ object SparkEntry {
           col("doc_id"), "epoch0")
         .orderBy(col("shuffle_key"))
     }),
+    "q_x_split_assign" -> ((s, dir) => {
+      // deterministic train/val/test carve: hashed membership, stable
+      // under corpus growth, no partition dependence (vs randomSplit)
+      Sampling.assignSplits(t(s, dir, "documents").select(col("doc_id")),
+          col("doc_id"), "s1",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy(col("doc_id"))
+    }),
     "q_x_dedup_minhash" -> ((s, dir) => {
       Dedup.minhashNearDuplicates(t(s, dir, "documents"), threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
@@ -1480,6 +1488,16 @@ object SparkEntry {
     "q_x_shuffle_key" ->
       """SELECT doc_id, md5('epoch0' || CAST(doc_id AS VARCHAR)) AS shuffle_key
         |FROM documents ORDER BY 2""".stripMargin,
+    "q_x_split_assign" ->
+      // thresholds are Sampling.splitThresholds(0.8/0.1/0.1): exact
+      // floor(cum * 2^64) hex — lexicographic compare == numeric
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 16)
+        |            < 'cccccccccccccccc' THEN 'train'
+        |       WHEN substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 16)
+        |            < 'e666666666666666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY 1""".stripMargin,
     "q_x_dedup_groups" ->
       """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),

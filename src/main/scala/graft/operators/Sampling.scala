@@ -94,6 +94,53 @@ object Sampling {
     df.withColumn("shuffle_key", md5(concat(lit(seed), id.cast("string"))))
   }
 
+  /** Deterministic train/val/test split: each row's md5(seed ++ id) is
+    * compared against cumulative-fraction thresholds and the row gets
+    * the matching `fractions` name in a new `split` column. The compare
+    * happens on the digest's leading 16 hex chars as fixed-width
+    * lowercase hex, where lexicographic order IS numeric order — so the
+    * assignment is a pure per-row expression: no shuffle, no partition
+    * or seed-stream dependence (unlike `randomSplit`), and bit-exact
+    * reproducible in any engine with md5 (thresholds via
+    * [[splitThresholds]]). Changing `seed` re-deals the split;
+    * membership is stable under corpus growth (a new row never moves an
+    * old row between splits — the property heldout carving needs).
+    */
+  def assignSplits(df: DataFrame, id: Column, seed: String,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(!df.columns.contains("split"),
+      "input already has a 'split' column (assignSplits emits it)")
+    require(fractions.size >= 2, "need at least two splits")
+    require(fractions.map(_._1).distinct.size == fractions.size,
+      "split names must be distinct")
+    require(fractions.forall(_._2 > 0), "fractions must be > 0")
+    val total = fractions.map(f => BigDecimal.valueOf(f._2)).sum
+    require((total - 1).abs < BigDecimal("1e-9"),
+      s"fractions must sum to 1, got $total")
+    val key = substring(md5(concat(lit(seed), id.cast("string"))), 1, 16)
+    val expr = fractions.init.map(_._1).zip(splitThresholds(fractions))
+      .foldRight(lit(fractions.last._1): Column) {
+        case ((name, th), rest) => when(key < lit(th), lit(name)).otherwise(rest)
+      }
+    df.withColumn("split", expr)
+  }
+
+  /** The 16-hex-digit boundaries [[assignSplits]] compares against
+    * (one per split except the last) — exposed so external systems and
+    * SQL oracles can reproduce the exact assignment. Computed in exact
+    * decimal arithmetic: `floor(cumulative_fraction * 2^64)` as
+    * zero-padded lowercase hex.
+    */
+  def splitThresholds(fractions: Seq[(String, Double)]): Seq[String] = {
+    fractions.init.map(f => BigDecimal.valueOf(f._2))
+      .scanLeft(BigDecimal(0))(_ + _).tail
+      .map { c =>
+        val v = (c * BigDecimal(BigInt(1) << 64))
+          .setScale(0, BigDecimal.RoundingMode.FLOOR).toBigInt
+        String.format("%016x", v.bigInteger)
+      }
+  }
+
   /** Exactly the first `n` rows of each stratum in `order` — fixed
     * per-domain quotas (the balancing counterpart of [[systematic]]'s
     * fixed rate). Quotas are small by construction, so the per-stratum

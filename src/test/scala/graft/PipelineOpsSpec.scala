@@ -369,6 +369,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(e0.toSet == ids.collect().map(_.getLong(0)).toSet)  // a permutation
   }
 
+  test("split assignment: exact thresholds, stable membership, seeded") {
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    // the documented contract: floor(cum * 2^64) as padded lowercase hex
+    assert(Sampling.splitThresholds(fr)
+      == Seq("cccccccccccccccc", "e666666666666666"))
+    val ids = docs.select(col("doc_id"))
+    def splits(df: DataFrame, seed: String): Map[Long, String] =
+      Sampling.assignSplits(df, col("doc_id"), seed, fr)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s1 = splits(ids, "s1")
+    assert(s1.values.toSet == Set("train", "val", "test"))
+    // roughly the asked-for mix (binomial bounds at n=500 are loose)
+    val n = s1.size.toDouble
+    assert(s1.values.count(_ == "train") / n > 0.7)
+    assert(s1 == splits(ids, "s1"))              // deterministic
+    assert(s1 != splits(ids, "s2"))              // seed re-deals
+    // membership is per-row: a shrunken corpus never reassigns a row
+    val sub = splits(ids.where(col("doc_id") % 3 === 0), "s1")
+    assert(sub.forall { case (id, sp) => s1(id) == sp })
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(ids, col("doc_id"), "s", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("frame sampling: k offsets per object, in-bounds and monotone") {
     val media = Multimodal.mediaTable(docs)
     val frames = Multimodal.sampleFrames(media, k = 4)

@@ -268,4 +268,11 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf(graft.operators.TextAnalysis.chunk(docs, 16, 12))
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
+
+  test("split assignment is pure per-row work: no exchange at all") {
+    val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
+    val plan = planOf(graft.operators.Sampling.assignSplits(docs,
+      col("doc_id"), "s1", Seq("train" -> 0.9, "test" -> 0.1)))
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
