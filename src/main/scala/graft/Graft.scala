@@ -279,6 +279,10 @@ object Graft {
     require(CellLogStore.readDesc(spark, logDir).isEmpty,
       s"table already exists at $logDir (use openTable)")
     require(!desc.kvMode, s"use createKvTable for a KV-mode table")
+    require(desc.buckets >= 0, s"buckets must be >= 0, got ${desc.buckets}")
+    require(desc.buckets == 0 || desc.lgs.isEmpty,
+      "bucketed layout and locality groups are mutually exclusive " +
+        "(one physical clustering per table)")
     CellLogStore.writeDesc(spark, logDir, desc, ops)
     CellLogStore.setDeleteCount(spark, logDir, 0L)
     new GraftTable(spark, logDir, desc, ops)
@@ -319,6 +323,10 @@ object Graft {
       "cannot change locality groups under stored data (cells are physically " +
         "partitioned by LG) — compact to a new dir with the new descriptor " +
         "to migrate")
+    require(stored.buckets == desc.buckets,
+      "cannot change the bucket count under stored data (files are physically " +
+        "hash-clustered) — compact to a new dir with the new descriptor to " +
+        "migrate")
     // writeDesc rewrites the whole properties file — carry the delete
     // hint across the swap
     val hint = CellLogStore.readDeleteCount(spark, logDir)

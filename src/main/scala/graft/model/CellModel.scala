@@ -96,7 +96,20 @@ case class TableDesc(
       * LGs are never listed, opened, or read. Unlisted CFs land in
       * [[TableDesc.DefaultLg]]. Empty map = unpartitioned layout
       * (single-LG table, no directory overhead). */
-    lgs: Map[String, String] = Map.empty) {
+    lgs: Map[String, String] = Map.empty,
+    /** Hash-bucketed physical layout (> 0 = bucket count). tera
+      * pre-shards a table into tablets and every read/merge happens
+      * tablet-locally (src/master/master_impl.cc tablet placement;
+      * compaction merges inside one tablet's LevelDB) — the Spark
+      * analogue is a bucketed table: files are clustered by
+      * `murmur3(row_key) % buckets` and the scan REPORTS that
+      * partitioning, so resolve's whole fold pipeline (version windows,
+      * tombstone application, counter folds — all keyed on row_key
+      * prefixes) runs with ZERO shuffle, and a point get prunes to one
+      * bucket. Mutually exclusive with [[lgs]]: one physical clustering
+      * per table (pick row-locality or column-locality). 0 = the
+      * default range-clustered flat layout. */
+    buckets: Int = 0) {
   def spec(cf: String): CfSpec = cfs.getOrElse(cf, default)
 
   /** The LG a cf's cells live in. */

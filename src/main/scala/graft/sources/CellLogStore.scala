@@ -45,7 +45,30 @@ object CellLogStore {
     val writerFor = (df: DataFrame) => df
       .write.mode(mode)
       .option("parquet.bloom.filter.enabled#row_key", "true")
-    if (desc.lgs.isEmpty)
+    if (desc.buckets > 0) {
+      require(desc.lgs.isEmpty,
+        "bucketed layout and locality groups are mutually exclusive " +
+          "(one physical clustering per table)")
+      val spark = batch.sparkSession
+      val name = catalogName(logDir)
+      // an append MUST see a registered table first: saveAsTable on an
+      // unregistered name plans CREATE-AS-SELECT, which clears the
+      // location — on a table reopened in a fresh session that would
+      // delete the stored log, not append to it
+      if (mode == SaveMode.Append) ensureRegistered(spark, logDir, desc.buckets)
+      else if (spark.catalog.tableExists(name)) spark.sql(s"DROP TABLE $name")
+      // pre-shuffle onto the bucket function itself (murmur3 % n — the
+      // same hash bucketBy uses), so each task owns whole buckets and an
+      // append lands ONE file per bucket, not tasks×buckets files
+      writerFor(batch
+        .repartition(desc.buckets, col("row_key"))
+        .sortWithinPartitions(col("row_key"), col("cf"), col("qualifier"),
+          col("ts"), col("seq")))
+        .option("path", logDir)
+        .bucketBy(desc.buckets, "row_key")
+        .sortBy("row_key", "cf", "qualifier", "ts", "seq")
+        .saveAsTable(name)
+    } else if (desc.lgs.isEmpty)
       writerFor(batch
         .repartitionByRange(n, col("row_key"), col("cf"), col("qualifier"))
         .sortWithinPartitions(col("row_key"), col("cf"), col("qualifier"),
@@ -119,10 +142,65 @@ object CellLogStore {
   }
 
   def read(spark: SparkSession, logDir: String): DataFrame =
-    // one layout probe, then straight to the matching reader — routing
-    // through readLgs would re-probe the directory it just listed
-    if (hasLgLayout(spark, logDir)) readLgsKnown(spark, logDir, None)
-    else readFlat(spark, logDir)
+    // descriptor probe first (bucketed layouts look like flat parquet on
+    // disk — only the descriptor knows the files are hash-clustered),
+    // then one layout probe, then straight to the matching reader —
+    // routing through readLgs would re-probe the directory it just listed
+    bucketCount(spark, logDir) match {
+      case Some(n) => readBucketed(spark, logDir, n)
+      case None =>
+        if (hasLgLayout(spark, logDir)) readLgsKnown(spark, logDir, None)
+        else readFlat(spark, logDir)
+    }
+
+  /** The stored bucket count, when the descriptor declares a bucketed
+    * layout. One driver-side properties read — plan-build-time cost. */
+  def bucketCount(spark: SparkSession, logDir: String): Option[Int] =
+    loadProps(spark, logDir)
+      .flatMap(p => Option(p.getProperty("buckets")))
+      .map(_.toInt).filter(_ > 0)
+
+  /** Catalog identifier for a bucketed log — derived from the directory
+    * so reopening the same path from any session resolves to the same
+    * table entry. */
+  def catalogName(logDir: String): String = {
+    val norm = logDir.replaceAll("/+$", "")
+    "graft_bkt_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(norm.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** Read a bucketed log THROUGH the session catalog — `spark.table` is
+    * what lets the scan report its `HashPartitioning(row_key)`, which
+    * satisfies every resolve distribution (all are clustered on
+    * row_key-prefixed keys) by the subset rule: the whole fold pipeline
+    * plans with zero Exchange, and `row_key = lit` prunes to one bucket.
+    * Bucket metadata lives in the session catalog, which a fresh session
+    * starts without — re-register from the descriptor's schema + bucket
+    * spec on first touch (the reference's analogue: tablet→server maps
+    * rebuilt from the master's meta table on restart).
+    */
+  private def readBucketed(spark: SparkSession, logDir: String,
+      n: Int): DataFrame =
+    spark.table(ensureRegistered(spark, logDir, n))
+
+  /** Make sure the session catalog holds this log's bucketed-table
+    * entry (fresh sessions start without one); returns the table name.
+    * Registration is DDL over the existing location — no data move. */
+  private def ensureRegistered(spark: SparkSession, logDir: String,
+      n: Int): String = {
+    val name = catalogName(logDir)
+    if (!spark.catalog.tableExists(name)) {
+      val cols = org.apache.spark.sql.types.StructType(
+        graft.model.CellOp.schema.map(_.copy(nullable = true))).toDDL
+      spark.sql(
+        s"""CREATE TABLE $name ($cols) USING parquet
+           |CLUSTERED BY (row_key)
+           |SORTED BY (row_key, cf, qualifier, ts, seq) INTO $n BUCKETS
+           |LOCATION '$logDir'""".stripMargin)
+    }
+    name
+  }
 
   private def readFlat(spark: SparkSession, logDir: String): DataFrame =
     spark.read.schema(graft.model.CellOp.schema).parquet(logDir)
@@ -200,6 +278,7 @@ object CellLogStore {
     desc.cfs.foreach { case (name, s) => put(s"cf.named.$name", s) }
     p.setProperty("hashKeys", desc.hashKeys.toString)
     p.setProperty("kvMode", desc.kvMode.toString)
+    if (desc.buckets > 0) p.setProperty("buckets", desc.buckets.toString)
     desc.lgs.foreach { case (cf, lg) => p.setProperty(s"lg.$cf", lg) }
     ops.foreach(o => p.setProperty("ops", o.toSeq.sorted.mkString(",")))
     val path = new org.apache.hadoop.fs.Path(logDir, DescFile)
@@ -226,7 +305,8 @@ object CellLogStore {
       val desc = TableDesc(spec(p.getProperty("cf.default")), cfs,
         p.getProperty("hashKeys", "false").toBoolean,
         p.getProperty("kvMode", "false").toBoolean,
-        lgs)
+        lgs,
+        p.getProperty("buckets", "0").toInt)
       val ops = Option(p.getProperty("ops"))
         .map(_.split(",").iterator.filter(_.nonEmpty).map(_.toInt).toSet)
       (desc, ops)

@@ -61,6 +61,61 @@ class GraftApiSpec extends AnyFunSuite {
         .collect()(0).getAs[Array[Byte]]("value")) == 5L)
   }
 
+  test("bucketed layout: shuffle-free resolve, pruned point get, reopen") {
+    val dir = Files.createTempDirectory("graft-bkt").toString
+    val desc = model.TableDesc(buckets = 8)
+    val t = Graft.createTable(spark, dir, desc,
+      ops = Some(Set(OpType.Value, OpType.Add, OpType.DelQualifiers)))
+    t.put(Seq(
+      CellOp("alice", "prof", "name", 100, OpType.Value, "Alice".getBytes, 1),
+      CellOp("alice", "stats", "visits", 100, OpType.Add, Codecs.encodeBE64(1), 2),
+      CellOp("bob", "prof", "name", 100, OpType.Value, "Bob".getBytes, 3)))
+    t.put(Seq(
+      CellOp("alice", "stats", "visits", 200, OpType.Add, Codecs.encodeBE64(4), 4),
+      CellOp("bob", "prof", "name", 150, OpType.DelQualifiers, null, 5)))
+
+    // same answers as the flat layout
+    val alice = t.get("alice").collect()
+      .map(r => (r.getString(2), r.getAs[Array[Byte]]("value"))).toMap
+    assert(new String(alice("name")) == "Alice")
+    assert(Codecs.decodeBE64(alice("visits")) == 5L)
+    assert(t.get("bob").count() == 0)
+
+    // the layout's point: the scan reports HashPartitioning(row_key), so
+    // the whole resolve pipeline plans WITHOUT a hash exchange...
+    val plan = t.cells().queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    // ...and a point get prunes to a single bucket's files
+    val gplan = t.get("alice").queryExecution.executedPlan.toString
+    assert(gplan.contains("SelectedBucketsCount: 1 out of 8"), gplan)
+
+    // fresh-session reopen: the catalog entry is gone, the descriptor
+    // re-registers the bucket spec, answers and plan shape survive
+    spark.sql(s"DROP TABLE ${graft.sources.CellLogStore.catalogName(dir)}")
+    val re = Graft.openTable(spark, dir)
+    assert(re.desc.buckets == 8)
+    assert(Codecs.decodeBE64(re.get("alice").where(col("qualifier") === "visits")
+      .collect()(0).getAs[Array[Byte]]("value")) == 5L)
+    assert(!re.cells().queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"))
+
+    // compaction carries the bucketed layout to the output table
+    val cdir = Files.createTempDirectory("graft-bkt-compact").toString
+    re.compact(cdir)
+    val c = Graft.openTable(spark, cdir)
+    assert(c.desc.buckets == 8)
+    assert(c.log.count() == 2)
+
+    // physical-layout guards: no bucket change under data, no LG mix
+    intercept[IllegalArgumentException] {
+      Graft.alterTable(spark, cdir, c.desc.copy(buckets = 4))
+    }
+    intercept[IllegalArgumentException] {
+      Graft.createTable(spark, Files.createTempDirectory("graft-bad").toString,
+        model.TableDesc(buckets = 4, lgs = Map("a" -> "hot")))
+    }
+  }
+
   test("hash-sharded table lifecycle: put / get / point scan round-trip") {
     import graft.model.TableDesc
     val dir = Files.createTempDirectory("graft-hash").toString
