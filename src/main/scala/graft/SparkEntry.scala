@@ -524,6 +524,37 @@ object SparkEntry {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
     }),
+    "q_agg_tpch_q4" -> ((s, dir) => {
+      // order-priority checking (Q4 shape on this schema): EXISTS
+      // late-shipment lineitem as a left-semi join — no distinct, no
+      // fact-side blowup — then a map-side-combined count by priority
+      val lo = lit("1996-07-01").cast("timestamp")
+      val hi = lit("1996-10-01").cast("timestamp")
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      o.join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    "q_agg_tpch_q16" -> ((s, dir) => {
+      // parts/supplier (Q16 shape): NOT IN exclusion as an anti-join
+      // against the (small) flagged-supplier set, then count-distinct
+      // suppliers per brand/type with a deterministic top-20
+      val bad = t(s, dir, "supplier").where(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      t(s, dir, "lineitem")
+        .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(t(s, dir, "part").where(col("p_size") >= 25),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand"), col("p_type"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
+        .limit(20)
+    }),
     "q_agg_tpch_q10" -> ((s, dir) => {
       // returned-item reporting: quarter-filtered orders join returned
       // lineitems, nation broadcasts, top-20 by exact decimal revenue
@@ -848,6 +879,12 @@ object SparkEntry {
     "q_x_dedup_ngram" -> ((s, dir) => {
       Dedup.consecutivePairJaccard(t(s, dir, "documents"))
         .orderBy(col("id_a"))
+    }),
+    "q_x_dedup_chunks" -> ((s, dir) => {
+      // CCNet-style repeated-passage removal: first occurrence wins,
+      // documents reassemble from their surviving 16-token chunks
+      Dedup.dropRepeatedChunks(t(s, dir, "documents"), n = 16)
+        .orderBy(col("doc_id"))
     }),
     "q_x_dedup_simhash" -> ((s, dir) => {
       // no SQL oracle (simhash needs murmur64a); covered by DedupSpec
@@ -1273,6 +1310,21 @@ object SparkEntry {
         |WHERE o_orderkey IN (SELECT l_orderkey FROM big)
         |GROUP BY 1, 2, 3, 4, 5
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_agg_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_agg_tpch_q16" ->
+      """SELECT p_brand, p_type, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_size >= 25
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type
+        |ORDER BY supplier_cnt DESC, p_brand, p_type LIMIT 20""".stripMargin,
     "q_agg_tpch_q10" ->
       """SELECT c_custkey, c_name,
         |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
@@ -1528,6 +1580,21 @@ object SparkEntry {
         |         / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |ORDER BY 1""".stripMargin,
+    "q_x_dedup_chunks" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |ch AS (
+        |  SELECT doc_id, u.i AS chunk_idx,
+        |         array_to_string(toks[u.i*16+1 : u.i*16+16], ' ') AS chunk_text
+        |  FROM tok, LATERAL (SELECT unnest(range(0,
+        |    greatest(CAST(ceil(len(toks) / 16.0) AS BIGINT), 1))) AS i) u),
+        |kept AS (
+        |  SELECT doc_id, chunk_idx, chunk_text,
+        |         row_number() OVER (PARTITION BY chunk_text
+        |                            ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM ch)
+        |SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS text
+        |FROM kept WHERE rn = 1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_x_sim_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |pairs AS (

@@ -228,6 +228,49 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_grams"))
   }
 
+  /** Corpus-wide repeated-passage REMOVAL (the CCNet/FineWeb
+    * "drop duplicated paragraphs" pass, applied to fixed `n`-token
+    * chunks since the corpus format has no paragraph breaks): every
+    * chunk keeps only its FIRST occurrence — ordered by
+    * (doc_id, chunk_idx), so the rule is deterministic and
+    * corpus-growth-stable — and each document's surviving chunks are
+    * reassembled in order as a `text` column. Documents whose every
+    * chunk already appeared elsewhere vanish (they are full duplicates).
+    * Repeats WITHIN one document are removed too, like the reference
+    * pipelines.
+    *
+    * Scale shape: chunks travel the exchanges as 64-bit xxhash64 keys,
+    * not strings (same collision stance as [[minhashSignatures]]'s
+    * shingle hashing: ~(#chunks)²/2⁶⁵ — negligible); first-occurrence
+    * is a `min(struct)` HASH aggregate (map-side partial combine — no
+    * single-task hot key, unlike a rank window over a ubiquitous
+    * chunk), then an equi-join back; reassembly groups by doc_id with a
+    * per-document-bounded collect. Three shuffles, all on key or id,
+    * no window over skewed keys.
+    */
+  def dropRepeatedChunks(docs: DataFrame, n: Int = 16): DataFrame = {
+    require(n > 0, s"chunk length must be positive, got $n")
+    // chunk starts 1, n+1, … through the LAST token: the tail partial
+    // chunk is kept (reassembly must cover the whole document)
+    val toks = tokens(col("text"))
+    val chunks = graft.sources.Tables.widen(docs)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), greatest(size(toks), lit(1)), lit(n)),
+          st => concat_ws(" ", slice(toks, st, lit(n))))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        xxhash64(col("col")).as("k"), col("col").as("chunk_text"))
+    val firsts = chunks.groupBy("k")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("f"))
+      .select(col("k"), col("f.doc_id").as("doc_id"),
+        col("f.chunk_idx").as("chunk_idx"))
+    chunks.join(firsts, Seq("k", "doc_id", "chunk_idx"))
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+        x => x("chunk_text"))).as("text"))
+  }
+
   /** Exact n-gram Jaccard between consecutive doc ids (a bounded,
     * oracle-checkable instance of pairwise similarity). */
   def consecutivePairJaccard(docs: DataFrame, shingleLen: Int = 3): DataFrame = {

@@ -369,6 +369,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(e0.toSet == ids.collect().map(_.getLong(0)).toSet)  // a permutation
   }
 
+  test("repeated-chunk removal: first occurrence wins, tails kept") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d"),         // all chunks first-seen
+      (2L, "a b c d"),         // full duplicate of doc 1 -> vanishes
+      (3L, "a b x"),           // chunk "a b" repeated, tail "x" survives
+      (4L, "y z y z y z")      // within-doc repeat: "y z" kept once
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropRepeatedChunks(d, n = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a b c d", 3L -> "x", 4L -> "y z"))
+
+    // first-occurrence selection is an aggregate+join, not a rank
+    // window over the (possibly ubiquitous) chunk key
+    val plan = Dedup.dropRepeatedChunks(docs, n = 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("split assignment: exact thresholds, stable membership, seeded") {
     val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     // the documented contract: floor(cum * 2^64) as padded lowercase hex
