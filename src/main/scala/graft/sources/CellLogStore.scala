@@ -68,6 +68,10 @@ object CellLogStore {
         .bucketBy(desc.buckets, "row_key")
         .sortBy("row_key", "cf", "qualifier", "ts", "seq")
         .saveAsTable(name)
+      // the session caches datasource relations with their file listing;
+      // a reader who scanned BEFORE this append would keep the stale
+      // snapshot — invalidate (metadata-only, next read re-lists)
+      spark.catalog.refreshTable(name)
     } else if (desc.lgs.isEmpty)
       writerFor(batch
         .repartitionByRange(n, col("row_key"), col("cf"), col("qualifier"))
@@ -181,8 +185,17 @@ object CellLogStore {
     * rebuilt from the master's meta table on restart).
     */
   private def readBucketed(spark: SparkSession, logDir: String,
-      n: Int): DataFrame =
-    spark.table(ensureRegistered(spark, logDir, n))
+      n: Int): DataFrame = {
+    val name = ensureRegistered(spark, logDir, n)
+    // match the flat path's freshness: a plain parquet read lists the
+    // directory per read, but catalog relations cache their file
+    // listing PER SESSION — and a writer in another session (e.g. a
+    // streaming micro-batch clone writing acks) cannot invalidate this
+    // session's cache. Refresh is metadata-only; the re-listing cost is
+    // the same one every un-cached read pays.
+    spark.catalog.refreshTable(name)
+    spark.table(name)
+  }
 
   /** Make sure the session catalog holds this log's bucketed-table
     * entry (fresh sessions start without one); returns the table name.

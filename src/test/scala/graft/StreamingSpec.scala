@@ -247,6 +247,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(seen2.isEmpty)
   }
 
+  test("observe loop works over a BUCKETED table (stream + ack append)") {
+    import spark.implicits._
+    val logDir = tmp("bktobs")
+    // bucketed files are plain parquet under the log dir, so the file
+    // stream discovers them; acks append THROUGH the registered catalog
+    // table — regression for the CTAS-clears-location hazard
+    val t = Graft.createTable(spark, logDir,
+      graft.model.TableDesc(buckets = 4))
+    val writes = Seq(
+      CellOp("r1", "data", "url", 100, OpType.Value, "a".getBytes, 1),
+      CellOp("r2", "data", "url", 101, OpType.Value, "b".getBytes, 2)).toDF()
+    t.put(writes)
+    t.put(Observers.notifyOps(writes, notifyTs = 100L,
+      seqBase = graft.sources.CellLogStore.nextSeqEra(spark, logDir)))
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = Observers.observeNotifications(t, tmp("bktobs-ckpt")) { batch =>
+      seen ++= batch.collect().map(_.getString(0))
+    }
+    q.awaitTermination(60000)
+    assert(seen.sorted == Seq("r1", "r2"))
+    assert(Observers.pendingNotifications(t.log).count() == 0)
+    // the acks appended as bucketed files, not a clobbered layout
+    assert(graft.sources.CellLogStore.bucketCount(spark, logDir).contains(4))
+  }
+
   test("event-time windows with watermark over the change feed") {
     import spark.implicits._
     val logDir = tmp("celllog-win")
