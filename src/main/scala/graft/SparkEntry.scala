@@ -838,6 +838,15 @@ object SparkEntry {
         .select(col("source"), col("doc_id"))
         .orderBy(col("source"), col("doc_id"))
     }),
+    "q_x_sample_temperature" -> ((s, dir) => {
+      // sqrt-damped domain mixing over a skewed stratification (the
+      // src1* prefix group absorbs 11 sources): head share shrinks from
+      // proportional, tail shares grow — deterministically
+      Sampling.temperatureQuotas(t(s, dir, "documents"),
+          substring(col("source"), 1, 4), col("doc_id"), budget = 120L)
+        .select(substring(col("source"), 1, 4).as("stratum"), col("doc_id"))
+        .orderBy(col("stratum"), col("doc_id"))
+    }),
     "q_x_pack_sequences" -> ((s, dir) => {
       // concat-then-chunk sequence packing: per (source, shard) running
       // token total cut at a 512-token budget; docs can straddle cuts
@@ -1527,6 +1536,18 @@ object SparkEntry {
         |                 WHEN source = 'src1' THEN 5
         |                 WHEN source = 'src2' THEN 0 ELSE 2 END
         |ORDER BY 1, 2""".stripMargin,
+    "q_x_sample_temperature" ->
+      """WITH d AS (SELECT substr(source, 1, 4) AS stratum, doc_id FROM documents),
+        |c AS (SELECT stratum, count(*) AS n FROM d GROUP BY stratum),
+        |w AS (SELECT stratum,
+        |        CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM c),
+        |z AS (SELECT sum(w) AS z FROM w),
+        |q AS (SELECT stratum, (120 * w) // z.z AS quota FROM w, z),
+        |ranked AS (SELECT stratum, doc_id,
+        |           row_number() OVER (PARTITION BY stratum ORDER BY doc_id) AS rn
+        |           FROM d)
+        |SELECT r.stratum, r.doc_id FROM ranked r JOIN q USING (stratum)
+        |WHERE rn <= quota ORDER BY 1, 2""".stripMargin,
     "q_x_pack_sequences" ->
       """WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n
         |           FROM documents),

@@ -64,10 +64,28 @@ object Stress {
       .join(broadcast(keys), col("row_key") === col("k"), "left_semi").count()
     val getS = (System.nanoTime() - t0) / 1e9
 
+    // the same log as a BUCKETED table: resolve plans without its
+    // row-key shuffle (the scan itself reports the partitioning), so
+    // this measures what the layout buys on the engine's core operator
+    val bdir = Files.createTempDirectory("stress-bkt").toString
+    val buckets = spark.sparkContext.defaultParallelism
+    val bt = Graft.createTable(spark, bdir,
+      TableDesc(buckets = buckets), ops = Some(Set(OpType.Value)))
+    t0 = System.nanoTime()
+    bt.put(batch)
+    val bWriteS = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val bResolved = bt.cells().count()
+    val bResolveS = (System.nanoTime() - t0) / 1e9
+    require(bResolved == resolved,
+      s"bucketed resolve disagrees: $bResolved vs $resolved")
+
     println(f"""{"stress":{"cells":$nCells,"mb":$totalMb%.0f,""" +
       f""""write_mb_s":${totalMb / writeS}%.1f,"scan_mb_s":${totalMb / scanS}%.1f,""" +
       f""""resolve_cells_s":${nCells / resolveS}%.0f,"resolved":$resolved,""" +
-      f""""batch_get_keys_s":${10000 / getS}%.0f,"got":$got}}""")
+      f""""batch_get_keys_s":${10000 / getS}%.0f,"got":$got,""" +
+      f""""bucketed_write_mb_s":${totalMb / bWriteS}%.1f,""" +
+      f""""bucketed_resolve_cells_s":${nCells / bResolveS}%.0f}}""")
     spark.stop()
   }
 }

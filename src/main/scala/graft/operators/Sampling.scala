@@ -94,6 +94,35 @@ object Sampling {
     df.withColumn("shuffle_key", md5(concat(lit(seed), id.cast("string"))))
   }
 
+  /** Temperature-damped domain mixing: each stratum's share of a total
+    * `budget` is proportional to `count^(1/2)` instead of `count` — the
+    * standard move for keeping head domains/languages from drowning the
+    * tail when assembling a corpus (square-root damping is temperature
+    * sampling at alpha = 0.5). The exponent is FIXED at 1/2 because the
+    * whole derivation then stays engine-exact and reproducible:
+    * `floor(sqrt(n))` is IEEE-exact integer weighting (a general
+    * `pow(n, alpha)` is not bit-specified across engines), and quota =
+    * `budget * w / sum(w)` in integer arithmetic. Selection is
+    * [[takeQuotas]]' deterministic lowest-`order`-first.
+    *
+    * The stratum census collects to the driver — |strata| rows (domains
+    * or languages), the same bounded-scalar-handshake class as IVF
+    * centroids; the data path stays distributed.
+    */
+  def temperatureQuotas(df: DataFrame, stratum: Column, order: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val census = df.groupBy(stratum.cast("string").as("_stratum"))
+      .agg(count(lit(1)).as("_n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val weighted = census.map { case (s, n) => (s, math.sqrt(n.toDouble).toLong) }
+    val z = weighted.map(_._2).sum
+    val quotas = weighted
+      .map { case (s, w) => s -> (if (z == 0) 0L else budget * w / z) }
+      .toMap
+    takeQuotas(df, stratum, order, quotas, defaultQuota = 0L)
+  }
+
   /** Deterministic train/val/test split: each row's md5(seed ++ id) is
     * compared against cumulative-fraction thresholds and the row gets
     * the matching `fractions` name in a new `split` column. The compare

@@ -369,6 +369,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(e0.toSet == ids.collect().map(_.getLong(0)).toSet)  // a permutation
   }
 
+  test("temperature quotas: sqrt damping shrinks the head, exact integers") {
+    import spark.implicits._
+    // head stratum 400 rows, two tails of 25: proportional shares of a
+    // 90-budget would be 80/5/5; sqrt damping gives 20/f(n) ratios
+    val d = ((1 to 400).map(i => (i.toLong, "head")) ++
+      (401 to 425).map(i => (i.toLong, "tail_a")) ++
+      (426 to 450).map(i => (i.toLong, "tail_b")))
+      .toDF("doc_id", "stratum")
+    val got = Sampling.temperatureQuotas(d, col("stratum"), col("doc_id"),
+        budget = 90L)
+      .groupBy("stratum").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // weights floor(sqrt): 20, 5, 5 -> z=30 -> quotas 60, 15, 15
+    assert(got == Map("head" -> 60L, "tail_a" -> 15L, "tail_b" -> 15L))
+    // deterministic: lowest doc_id first within each stratum
+    val ids = Sampling.temperatureQuotas(d, col("stratum"), col("doc_id"),
+        budget = 90L)
+      .where(col("stratum") === "tail_a")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (401L to 415L))
+  }
+
   test("repeated-chunk removal: first occurrence wins, tails kept") {
     import spark.implicits._
     val d = Seq(
