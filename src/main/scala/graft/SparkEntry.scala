@@ -838,6 +838,12 @@ object SparkEntry {
         .select(col("source"), col("doc_id"))
         .orderBy(col("source"), col("doc_id"))
     }),
+    "q_x_text_vocab" -> ((s, dir) => {
+      // tokenizer-census vocabulary: top-40 tokens with cumulative
+      // corpus coverage (rank/coverage window bounded by V, not corpus)
+      TextAnalysis.vocabulary(t(s, dir, "documents"), topV = 40)
+        .orderBy(col("rank"))
+    }),
     "q_x_sample_temperature" -> ((s, dir) => {
       // sqrt-damped domain mixing over a skewed stratification (the
       // src1* prefix group absorbs 11 sources): head share shrinks from
@@ -1536,6 +1542,16 @@ object SparkEntry {
         |                 WHEN source = 'src1' THEN 5
         |                 WHEN source = 'src2' THEN 0 ELSE 2 END
         |ORDER BY 1, 2""".stripMargin,
+    "q_x_text_vocab" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY token),
+        |total AS (SELECT CAST(sum(freq) AS BIGINT) AS t FROM c),
+        |top AS (SELECT token, freq FROM c ORDER BY freq DESC, token LIMIT 40)
+        |SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank,
+        |       token, freq,
+        |       CAST(sum(freq) OVER (ORDER BY freq DESC, token
+        |                            ROWS UNBOUNDED PRECEDING) AS DOUBLE) / t AS coverage
+        |FROM top, total ORDER BY rank""".stripMargin,
     "q_x_sample_temperature" ->
       """WITH d AS (SELECT substr(source, 1, 4) AS stratum, doc_id FROM documents),
         |c AS (SELECT stratum, count(*) AS n FROM d GROUP BY stratum),

@@ -112,7 +112,10 @@ object Sampling {
   def temperatureQuotas(df: DataFrame, stratum: Column, order: Column,
       budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
-    val census = df.groupBy(stratum.cast("string").as("_stratum"))
+    // NULL strata claim no quota (default 0 below drops their rows) —
+    // excluding them here keeps the quota map null-free
+    val census = df.where(stratum.isNotNull)
+      .groupBy(stratum.cast("string").as("_stratum"))
       .agg(count(lit(1)).as("_n"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val weighted = census.map { case (s, n) => (s, math.sqrt(n.toDouble).toLong) }
@@ -146,7 +149,13 @@ object Sampling {
     val total = fractions.map(f => BigDecimal.valueOf(f._2)).sum
     require((total - 1).abs < BigDecimal("1e-9"),
       s"fractions must sum to 1, got $total")
-    val key = substring(md5(concat(lit(seed), id.cast("string"))), 1, 16)
+    // a NULL id hashes to a NULL key, which every `<` branch passes
+    // over — the row would silently land in the LAST split
+    // (conventionally test/heldout). Malformed keys must be loud, not
+    // contamination.
+    val key = when(id.isNull,
+        raise_error(lit("assignSplits: null id (every row needs a key)")))
+      .otherwise(substring(md5(concat(lit(seed), id.cast("string"))), 1, 16))
     val expr = fractions.init.map(_._1).zip(splitThresholds(fractions))
       .foldRight(lit(fractions.last._1): Column) {
         case ((name, th), rest) => when(key < lit(th), lit(name)).otherwise(rest)
@@ -196,12 +205,14 @@ object Sampling {
     // a flat map literal, not a nested CASE chain: web-corpus quota maps
     // have thousands of domains, and a |quotas|-deep when/otherwise tree
     // is O(|quotas|) per row and a driver stack overflow waiting at
-    // analysis time
+    // analysis time. NULL strata (ordinary in web-corpus domain columns)
+    // can't be map keys — element_at NPEs on one — so they take the
+    // default quota through the guard branch.
     val quota =
       if (quotas.isEmpty) lit(defaultQuota)
-      else coalesce(
+      else when(stratum.isNull, lit(defaultQuota)).otherwise(coalesce(
         element_at(typedLit(quotas), stratum.cast("string")),
-        lit(defaultQuota))
+        lit(defaultQuota)))
     ranked(df, Seq(stratum), order)(rn => rn <= quota)
   }
 }

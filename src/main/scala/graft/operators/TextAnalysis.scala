@@ -187,6 +187,38 @@ object TextAnalysis {
       .select("doc_id", "term", "score", "rank")
   }
 
+  /** Frequency vocabulary with cumulative coverage — the census a
+    * tokenizer-training / OOV-budget decision starts from: the corpus's
+    * `topV` most frequent tokens with each prefix's share of ALL token
+    * occurrences (`coverage` — "the top 32k tokens cover 99.1%").
+    *
+    * Scale shape: one explode into a map-side-combined hash aggregate
+    * (|vocab| rows out, not |tokens|), top-V as orderBy+limit (Spark
+    * plans TakeOrdered — no global sort), the corpus token total joins
+    * as a broadcast single-row aggregate (no driver collect), and the
+    * rank/coverage window runs AFTER the limit, so its single partition
+    * holds exactly V rows — bounded by the vocabulary you asked for,
+    * never the corpus. Ties break by token for determinism; integer
+    * counts divide as doubles (IEEE-exact, engine-portable).
+    */
+  def vocabulary(docs: DataFrame, topV: Int = 32768): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topV > 0, s"topV must be positive, got $topV")
+    val counts = graft.sources.Tables.widen(docs)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val total = counts.agg(sum(col("freq")).as("_total"))
+    val w = Window.orderBy(col("freq").desc, col("token"))
+    counts.orderBy(col("freq").desc, col("token")).limit(topV)
+      .crossJoin(broadcast(total))
+      .select(
+        row_number().over(w).cast("long").as("rank"),
+        col("token"), col("freq"),
+        (sum(col("freq")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") / col("_total")).as("coverage"))
+  }
+
   /** Overlapping token-window chunks — context-window prep for training
     * and retrieval pipelines: a chunk starts every `stride` tokens and
     * spans `chunkLen` tokens (the final chunk may be shorter; documents

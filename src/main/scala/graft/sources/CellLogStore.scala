@@ -40,6 +40,26 @@ object CellLogStore {
       desc: TableDesc, numFiles: Int = 0): Unit = {
     val n = if (numFiles > 0) numFiles
       else batch.sparkSession.sessionState.conf.numShufflePartitions
+    // layout guard (the bucketed mirror of the LG hasFlatFiles check):
+    // a flat file landing in a bucketed location poisons every later
+    // catalog read with INVALID_BUCKET_FILE, and a bucketed file in a
+    // flat log is unreadable noise — refuse a mismatched append NOW,
+    // while the state is still recoverable. One props read.
+    if (mode == SaveMode.Append) {
+      val stored = bucketCount(batch.sparkSession, logDir)
+      if (desc.buckets > 0)
+        require(stored.contains(desc.buckets) ||
+            (stored.isEmpty && !hasFlatFiles(batch.sparkSession, logDir)),
+          s"$logDir holds a ${stored.fold("flat")(b => s"$b-bucket")} log " +
+            s"but the write descriptor says buckets=${desc.buckets}; open " +
+            "the table to pick up its stored descriptor (or compact to a " +
+            "new dir to change layout)")
+      else
+        require(stored.isEmpty,
+          s"$logDir is a bucketed table (buckets=${stored.get}) but this " +
+            "append carries a bucket-less descriptor; open the table to " +
+            "pick up its stored descriptor before writing")
+    }
     // row-key bloom filters per file ≙ tera's per-SST blooms
     // (table_schema.proto:62): point gets skip files cheaply
     val writerFor = (df: DataFrame) => df
@@ -203,6 +223,16 @@ object CellLogStore {
   private def ensureRegistered(spark: SparkSession, logDir: String,
       n: Int): String = {
     val name = catalogName(logDir)
+    // the descriptor is authoritative: a session-cached entry whose
+    // bucket spec disagrees (the table was re-created at this path by
+    // another application) would silently prune point gets to bucket
+    // ids the files don't carry — drop it and re-register
+    if (spark.catalog.tableExists(name)) {
+      val spec = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+        .bucketSpec
+      if (!spec.map(_.numBuckets).contains(n)) spark.sql(s"DROP TABLE $name")
+    }
     if (!spark.catalog.tableExists(name)) {
       val cols = org.apache.spark.sql.types.StructType(
         graft.model.CellOp.schema.map(_.copy(nullable = true))).toDDL

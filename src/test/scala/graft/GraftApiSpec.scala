@@ -62,6 +62,7 @@ class GraftApiSpec extends AnyFunSuite {
   }
 
   test("bucketed layout: shuffle-free resolve, pruned point get, reopen") {
+    import spark.implicits._
     val dir = Files.createTempDirectory("graft-bkt").toString
     val desc = model.TableDesc(buckets = 8)
     val t = Graft.createTable(spark, dir, desc,
@@ -114,6 +115,29 @@ class GraftApiSpec extends AnyFunSuite {
       Graft.createTable(spark, Files.createTempDirectory("graft-bad").toString,
         model.TableDesc(buckets = 4, lgs = Map("a" -> "hot")))
     }
+    // layout-mismatch appends are refused BEFORE any file lands: a flat
+    // (default-desc) write into this bucketed log would poison every
+    // later catalog read with INVALID_BUCKET_FILE
+    val stray = Seq(CellOp("x", "cf", "q", 1, OpType.Value, null, 99)).toDF()
+    intercept[IllegalArgumentException] {
+      graft.sources.CellLogStore.append(stray, dir)
+    }
+    intercept[IllegalArgumentException] {   // wrong bucket count, same hazard
+      graft.sources.CellLogStore.append(stray, dir,
+        desc = model.TableDesc(buckets = 4))
+    }
+    // a stale catalog entry (table re-created at this path with another
+    // bucket count) loses to the descriptor: reads re-register
+    spark.sql(s"DROP TABLE ${graft.sources.CellLogStore.catalogName(cdir)}")
+    spark.sql(
+      s"""CREATE TABLE ${graft.sources.CellLogStore.catalogName(cdir)}
+         |(row_key STRING, cf STRING, qualifier STRING, ts BIGINT, op INT,
+         | value BINARY, seq BIGINT) USING parquet
+         |CLUSTERED BY (row_key) INTO 2 BUCKETS LOCATION '$cdir'""".stripMargin)
+    assert(Codecs.decodeBE64(
+      Graft.openTable(spark, cdir).get("alice")
+        .where(col("qualifier") === "visits")
+        .collect()(0).getAs[Array[Byte]]("value")) == 5L)
   }
 
   test("hash-sharded table lifecycle: put / get / point scan round-trip") {

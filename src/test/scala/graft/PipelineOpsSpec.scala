@@ -389,6 +389,16 @@ class PipelineOpsSpec extends AnyFunSuite {
       .where(col("stratum") === "tail_a")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(ids == (401L to 415L))
+
+    // NULL strata claim no quota and do not crash the census or the
+    // quota-map lookup (web-corpus domain columns carry nulls)
+    val withNull = d.union(Seq((999L, null.asInstanceOf[String]))
+      .toDF("doc_id", "stratum"))
+    val gotN = Sampling.temperatureQuotas(withNull, col("stratum"),
+        col("doc_id"), budget = 90L)
+      .groupBy("stratum").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(gotN == got)
   }
 
   test("repeated-chunk removal: first occurrence wins, tails kept") {
@@ -432,6 +442,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(sub.forall { case (id, sp) => s1(id) == sp })
     intercept[IllegalArgumentException] {
       Sampling.assignSplits(ids, col("doc_id"), "s", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    // a NULL id must fail loudly, not silently land in the last split
+    val nullId = spark.sql("SELECT CAST(NULL AS BIGINT) AS doc_id")
+    intercept[Exception] {
+      Sampling.assignSplits(nullId, col("doc_id"), "s1", fr).collect()
     }
   }
 
