@@ -351,11 +351,16 @@ object Graft {
 
   /** Create a KV-mode table: the kv flag persists in the descriptor so
     * any later open recovers the mode (tera `kv_only`,
-    * table_schema.proto). */
-  def createKvTable(spark: SparkSession, logDir: String): GraftKvTable = {
+    * table_schema.proto). `buckets` > 0 picks the bucketed physical
+    * layout — per-key resolution then plans with zero shuffle and a
+    * point lookup prunes to one bucket (see [[TableDesc.buckets]]). */
+  def createKvTable(spark: SparkSession, logDir: String,
+      buckets: Int = 0): GraftKvTable = {
     require(CellLogStore.readDesc(spark, logDir).isEmpty,
       s"table already exists at $logDir (use openKvTable)")
-    CellLogStore.writeDesc(spark, logDir, TableDesc(kvMode = true))
+    require(buckets >= 0, s"buckets must be >= 0, got $buckets")
+    CellLogStore.writeDesc(spark, logDir,
+      TableDesc(kvMode = true, buckets = buckets))
     new GraftKvTable(spark, logDir)
   }
 

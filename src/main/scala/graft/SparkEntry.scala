@@ -901,6 +901,12 @@ object SparkEntry {
       Dedup.dropRepeatedChunks(t(s, dir, "documents"), n = 16)
         .orderBy(col("doc_id"))
     }),
+    "q_x_text_boilerplate" -> ((s, dir) => {
+      // per-source boilerplate stripping: an 8-token chunk in >= 2
+      // distinct docs of one source is removed from all of them
+      Dedup.stripBoilerplate(t(s, dir, "documents"), n = 8, minRepeats = 2)
+        .orderBy(col("doc_id"))
+    }),
     "q_x_dedup_simhash" -> ((s, dir) => {
       // no SQL oracle (simhash needs murmur64a); covered by DedupSpec
       Dedup.consecutiveSimhashPairs(t(s, dir, "documents"), maxDistance = 16)
@@ -1632,6 +1638,22 @@ object SparkEntry {
         |SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS text
         |FROM kept WHERE rn = 1
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_x_text_boilerplate" ->
+      """WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        |ch AS (
+        |  SELECT doc_id, source, u.i AS chunk_idx,
+        |         array_to_string(toks[u.i*8+1 : u.i*8+8], ' ') AS chunk_text
+        |  FROM tok, LATERAL (SELECT unnest(range(0,
+        |    greatest(CAST(ceil(len(toks) / 8.0) AS BIGINT), 1))) AS i) u),
+        |boiler AS (
+        |  SELECT source, chunk_text FROM ch
+        |  GROUP BY source, chunk_text HAVING count(DISTINCT doc_id) >= 2),
+        |kept AS (
+        |  SELECT c.doc_id, c.chunk_idx, c.chunk_text FROM ch c
+        |  LEFT JOIN boiler b ON b.source = c.source AND b.chunk_text = c.chunk_text
+        |  WHERE b.chunk_text IS NULL)
+        |SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS text
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_x_sim_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |pairs AS (

@@ -249,27 +249,64 @@ object Dedup {
     * no window over skewed keys.
     */
   def dropRepeatedChunks(docs: DataFrame, n: Int = 16): DataFrame = {
-    require(n > 0, s"chunk length must be positive, got $n")
-    // chunk starts 1, n+1, … through the LAST token: the tail partial
-    // chunk is kept (reassembly must cover the whole document)
-    val toks = tokens(col("text"))
-    val chunks = graft.sources.Tables.widen(docs)
-      .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(1), greatest(size(toks), lit(1)), lit(n)),
-          st => concat_ws(" ", slice(toks, st, lit(n))))))
-      .select(col("doc_id"), col("pos").as("chunk_idx"),
-        xxhash64(col("col")).as("k"), col("col").as("chunk_text"))
+    val chunks = coveringChunks(docs, n)
     val firsts = chunks.groupBy("k")
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("f"))
       .select(col("k"), col("f.doc_id").as("doc_id"),
         col("f.chunk_idx").as("chunk_idx"))
-    chunks.join(firsts, Seq("k", "doc_id", "chunk_idx"))
-      .groupBy("doc_id")
+    reassemble(chunks.join(firsts, Seq("k", "doc_id", "chunk_idx")))
+  }
+
+  /** Per-scope BOILERPLATE stripping (the CCNet header/footer pass):
+    * an `n`-token chunk appearing in at least `minRepeats` DISTINCT
+    * documents of the same `scope` (domain/source — boilerplate is a
+    * per-site phenomenon) is removed from EVERY document, first
+    * occurrence included; surviving chunks reassemble in order. Differs
+    * from [[dropRepeatedChunks]] exactly where boilerplate differs from
+    * duplication: nobody gets to keep a site's cookie banner.
+    *
+    * Scale shape: chunk keys are xxhash64 longs; the distinct-doc count
+    * is two stacked hash aggregates (both map-side combinable — no
+    * count-distinct shuffle of raw strings); membership is a left-anti
+    * equi-join on (scope, key); reassembly is per-document-bounded.
+    */
+  def stripBoilerplate(docs: DataFrame, n: Int = 8, minRepeats: Int = 2,
+      scope: Column = col("source")): DataFrame = {
+    require(minRepeats >= 2, s"minRepeats must be >= 2, got $minRepeats")
+    val chunks = coveringChunks(docs, n, Seq(scope.as("_scope")))
+    val boiler = chunks.select(col("_scope"), col("k"), col("doc_id")).distinct()
+      .groupBy("_scope", "k").agg(count(lit(1)).as("_docs"))
+      .where(col("_docs") >= minRepeats)
+      .select(col("_scope"), col("k"))
+    reassemble(chunks.join(boiler, Seq("_scope", "k"), "left_anti"))
+  }
+
+  /** Non-overlapping `n`-token chunks COVERING the whole document
+    * (starts 1, n+1, … through the last token — the tail partial chunk
+    * is kept, because reassembly must reproduce every surviving word).
+    * Output: doc_id, [extras], chunk_idx, k (xxhash64), chunk_text.
+    */
+  private def coveringChunks(docs: DataFrame, n: Int,
+      extras: Seq[Column] = Nil): DataFrame = {
+    require(n > 0, s"chunk length must be positive, got $n")
+    val toks = tokens(col("text"))
+    graft.sources.Tables.widen(docs)
+      .select(col("doc_id") +: extras :+
+        posexplode(transform(
+          sequence(lit(1), greatest(size(toks), lit(1)), lit(n)),
+          st => concat_ws(" ", slice(toks, st, lit(n))))): _*)
+      .withColumnRenamed("pos", "chunk_idx")
+      .select(col("*"), xxhash64(col("col")).as("k"))
+      .withColumnRenamed("col", "chunk_text")
+  }
+
+  /** Rebuild each document's `text` from its surviving chunks, in chunk
+    * order; documents with no surviving chunks vanish. */
+  private def reassemble(kept: DataFrame): DataFrame =
+    kept.groupBy("doc_id")
       .agg(concat_ws(" ", transform(
         array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
         x => x("chunk_text"))).as("text"))
-  }
 
   /** Exact n-gram Jaccard between consecutive doc ids (a bounded,
     * oracle-checkable instance of pairwise similarity). */

@@ -44,19 +44,39 @@ object KvStore {
   // range scans pruning; per-file key blooms serve point gets), the
   // descriptor persisted next to the data.
 
-  /** Group-commit a KV batch (key, value, expire_ts_us, seq). */
+  private val KvSortCols = Seq("key", "seq")
+
+  /** Group-commit a KV batch (key, value, expire_ts_us, seq). A
+    * bucketed KV table (descriptor `buckets` > 0) appends through its
+    * catalog entry; [[resolve]]'s per-key `max_by` aggregate then plans
+    * with zero shuffle and point lookups prune to one bucket — the same
+    * win [[graft.sources.BucketedCatalog]] documents for cell logs.
+    */
   def append(batch: DataFrame, logDir: String): Unit = {
-    val n = batch.sparkSession.sessionState.conf.numShufflePartitions
-    batch
-      .repartitionByRange(n, col("key"))
-      .sortWithinPartitions(col("key"), col("seq"))
-      .write.mode(SaveMode.Append)
-      .option("parquet.bloom.filter.enabled#key", "true")
-      .parquet(logDir)
+    val spark = batch.sparkSession
+    graft.sources.CellLogStore.bucketCount(spark, logDir) match {
+      case Some(b) =>
+        graft.sources.BucketedCatalog.write(batch, logDir, SaveMode.Append,
+          b, graft.model.KvEntry.schema, "key", KvSortCols, "key")
+      case None =>
+        val n = spark.sessionState.conf.numShufflePartitions
+        batch
+          .repartitionByRange(n, col("key"))
+          .sortWithinPartitions(col("key"), col("seq"))
+          .write.mode(SaveMode.Append)
+          .option("parquet.bloom.filter.enabled#key", "true")
+          .parquet(logDir)
+    }
   }
 
   def read(spark: SparkSession, logDir: String): DataFrame =
-    spark.read.schema(graft.model.KvEntry.schema).parquet(logDir)
+    graft.sources.CellLogStore.bucketCount(spark, logDir) match {
+      case Some(b) =>
+        graft.sources.BucketedCatalog.read(spark, logDir, b,
+          graft.model.KvEntry.schema, "key", KvSortCols)
+      case None =>
+        spark.read.schema(graft.model.KvEntry.schema).parquet(logDir)
+    }
 
   /** Next free seq era for KV batches (see CellLogStore.nextSeqEra). */
   def nextSeqEra(spark: SparkSession, logDir: String): Long = {
@@ -73,13 +93,20 @@ object KvStore {
     */
   def compact(spark: SparkSession, logDir: String, outDir: String,
       nowUs: Long): Unit = {
-    val n = spark.sessionState.conf.numShufflePartitions
-    resolveEntries(read(spark, logDir), nowUs)
-      .repartitionByRange(n, col("key"))
-      .sortWithinPartitions(col("key"))
-      .write.mode(SaveMode.Overwrite)
-      .option("parquet.bloom.filter.enabled#key", "true")
-      .parquet(outDir)
+    val live = resolveEntries(read(spark, logDir), nowUs)
+    graft.sources.CellLogStore.bucketCount(spark, logDir) match {
+      case Some(b) =>   // layout carries over, like the cell-log compact
+        graft.sources.BucketedCatalog.write(live, outDir, SaveMode.Overwrite,
+          b, graft.model.KvEntry.schema, "key", KvSortCols, "key")
+      case None =>
+        val n = spark.sessionState.conf.numShufflePartitions
+        live
+          .repartitionByRange(n, col("key"))
+          .sortWithinPartitions(col("key"))
+          .write.mode(SaveMode.Overwrite)
+          .option("parquet.bloom.filter.enabled#key", "true")
+          .parquet(outDir)
+    }
     graft.sources.CellLogStore.readDesc(spark, logDir).foreach {
       case (desc, _) => graft.sources.CellLogStore.writeDesc(spark, outDir, desc)
     }

@@ -69,29 +69,8 @@ object CellLogStore {
       require(desc.lgs.isEmpty,
         "bucketed layout and locality groups are mutually exclusive " +
           "(one physical clustering per table)")
-      val spark = batch.sparkSession
-      val name = catalogName(logDir)
-      // an append MUST see a registered table first: saveAsTable on an
-      // unregistered name plans CREATE-AS-SELECT, which clears the
-      // location — on a table reopened in a fresh session that would
-      // delete the stored log, not append to it
-      if (mode == SaveMode.Append) ensureRegistered(spark, logDir, desc.buckets)
-      else if (spark.catalog.tableExists(name)) spark.sql(s"DROP TABLE $name")
-      // pre-shuffle onto the bucket function itself (murmur3 % n — the
-      // same hash bucketBy uses), so each task owns whole buckets and an
-      // append lands ONE file per bucket, not tasks×buckets files
-      writerFor(batch
-        .repartition(desc.buckets, col("row_key"))
-        .sortWithinPartitions(col("row_key"), col("cf"), col("qualifier"),
-          col("ts"), col("seq")))
-        .option("path", logDir)
-        .bucketBy(desc.buckets, "row_key")
-        .sortBy("row_key", "cf", "qualifier", "ts", "seq")
-        .saveAsTable(name)
-      // the session caches datasource relations with their file listing;
-      // a reader who scanned BEFORE this append would keep the stale
-      // snapshot — invalidate (metadata-only, next read re-lists)
-      spark.catalog.refreshTable(name)
+      BucketedCatalog.write(batch, logDir, mode, desc.buckets,
+        graft.model.CellOp.schema, "row_key", CellSortCols, "row_key")
     } else if (desc.lgs.isEmpty)
       writerFor(batch
         .repartitionByRange(n, col("row_key"), col("cf"), col("qualifier"))
@@ -184,66 +163,22 @@ object CellLogStore {
       .flatMap(p => Option(p.getProperty("buckets")))
       .map(_.toInt).filter(_ > 0)
 
-  /** Catalog identifier for a bucketed log — derived from the directory
-    * so reopening the same path from any session resolves to the same
-    * table entry. */
-  def catalogName(logDir: String): String = {
-    val norm = logDir.replaceAll("/+$", "")
-    "graft_bkt_" + java.security.MessageDigest.getInstance("MD5")
-      .digest(norm.getBytes("UTF-8"))
-      .take(8).map(b => f"$b%02x").mkString
-  }
+  private val CellSortCols = Seq("row_key", "cf", "qualifier", "ts", "seq")
 
-  /** Read a bucketed log THROUGH the session catalog — `spark.table` is
-    * what lets the scan report its `HashPartitioning(row_key)`, which
-    * satisfies every resolve distribution (all are clustered on
-    * row_key-prefixed keys) by the subset rule: the whole fold pipeline
-    * plans with zero Exchange, and `row_key = lit` prunes to one bucket.
-    * Bucket metadata lives in the session catalog, which a fresh session
-    * starts without — re-register from the descriptor's schema + bucket
-    * spec on first touch (the reference's analogue: tablet→server maps
-    * rebuilt from the master's meta table on restart).
+  /** Catalog identifier for a bucketed log (see [[BucketedCatalog]]). */
+  def catalogName(logDir: String): String =
+    BucketedCatalog.catalogName(logDir)
+
+  /** Read a bucketed cell log THROUGH the session catalog — the scan
+    * then reports `HashPartitioning(row_key)`, which satisfies every
+    * resolve distribution (all are clustered on row_key-prefixed keys)
+    * by the subset rule: the whole fold pipeline plans with zero
+    * Exchange, and `row_key = lit` prunes to one bucket.
     */
   private def readBucketed(spark: SparkSession, logDir: String,
-      n: Int): DataFrame = {
-    val name = ensureRegistered(spark, logDir, n)
-    // match the flat path's freshness: a plain parquet read lists the
-    // directory per read, but catalog relations cache their file
-    // listing PER SESSION — and a writer in another session (e.g. a
-    // streaming micro-batch clone writing acks) cannot invalidate this
-    // session's cache. Refresh is metadata-only; the re-listing cost is
-    // the same one every un-cached read pays.
-    spark.catalog.refreshTable(name)
-    spark.table(name)
-  }
-
-  /** Make sure the session catalog holds this log's bucketed-table
-    * entry (fresh sessions start without one); returns the table name.
-    * Registration is DDL over the existing location — no data move. */
-  private def ensureRegistered(spark: SparkSession, logDir: String,
-      n: Int): String = {
-    val name = catalogName(logDir)
-    // the descriptor is authoritative: a session-cached entry whose
-    // bucket spec disagrees (the table was re-created at this path by
-    // another application) would silently prune point gets to bucket
-    // ids the files don't carry — drop it and re-register
-    if (spark.catalog.tableExists(name)) {
-      val spec = spark.sessionState.catalog
-        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
-        .bucketSpec
-      if (!spec.map(_.numBuckets).contains(n)) spark.sql(s"DROP TABLE $name")
-    }
-    if (!spark.catalog.tableExists(name)) {
-      val cols = org.apache.spark.sql.types.StructType(
-        graft.model.CellOp.schema.map(_.copy(nullable = true))).toDDL
-      spark.sql(
-        s"""CREATE TABLE $name ($cols) USING parquet
-           |CLUSTERED BY (row_key)
-           |SORTED BY (row_key, cf, qualifier, ts, seq) INTO $n BUCKETS
-           |LOCATION '$logDir'""".stripMargin)
-    }
-    name
-  }
+      n: Int): DataFrame =
+    BucketedCatalog.read(spark, logDir, n, graft.model.CellOp.schema,
+      "row_key", CellSortCols)
 
   private def readFlat(spark: SparkSession, logDir: String): DataFrame =
     spark.read.schema(graft.model.CellOp.schema).parquet(logDir)

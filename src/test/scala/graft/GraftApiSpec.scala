@@ -515,6 +515,41 @@ class GraftApiSpec extends AnyFunSuite {
     assert(kvSet(c2, 35000000L) == Set(("a", "1b")))
   }
 
+  test("bucketed KV table: same answers, shuffle-free resolve, layout carries") {
+    val dir = Files.createTempDirectory("graft-kv-bkt").toString
+    val t = Graft.createKvTable(spark, dir, buckets = 4)
+    t.put(Seq(("a", "1".getBytes, 0L), ("b", "2".getBytes, 10L)),
+      nowUs = 1000000L)
+    t.put(Seq(("a", "1b".getBytes, 0L)), nowUs = 2000000L)
+
+    def kvSet(tab: GraftKvTable, nowUs: Long): Set[(String, String)] =
+      tab.kvs(nowUs).collect()
+        .map(r => (r.getString(0), new String(r.getAs[Array[Byte]]("value"))))
+        .toSet
+    assert(kvSet(t, 5000000L) == Set(("a", "1b"), ("b", "2")))
+    assert(kvSet(t, 20000000L) == Set(("a", "1b")))
+
+    // the layout's point: per-key max_by plans without a hash exchange,
+    // and a point lookup prunes to one of 4 buckets
+    val plan = t.kvs(5000000L).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    val gplan = t.get("a", 5000000L).queryExecution.executedPlan.toString
+    assert(gplan.contains("SelectedBucketsCount: 1 out of 4"), gplan)
+
+    // fresh-session reopen re-registers from the descriptor
+    spark.sql(s"DROP TABLE ${graft.sources.CellLogStore.catalogName(dir)}")
+    assert(kvSet(Graft.openKvTable(spark, dir), 5000000L)
+      == Set(("a", "1b"), ("b", "2")))
+
+    // compaction carries the bucketed layout
+    val cdir = Files.createTempDirectory("graft-kv-bkt-compact").toString
+    t.compact(cdir, nowUs = 20000000L)
+    val c = Graft.openKvTable(spark, cdir)
+    assert(c.log.count() == 1)
+    assert(graft.sources.CellLogStore.bucketCount(spark, cdir).contains(4))
+    assert(kvSet(c, Long.MaxValue) == Set(("a", "1b")))
+  }
+
   test("relational bulk load round-trips: resolve == source projection") {
     val sfDir = "/root/testdata/sf0.001"
     def cellSet(t: GraftTable): Set[(String, String, String, String)] =

@@ -421,6 +421,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("boilerplate stripping: per-scope repeats cut everywhere, scopes isolate") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "s1", "cookie banner a b"),   // "cookie banner" in 2 s1 docs
+      (2L, "s1", "cookie banner c d"),   //  -> stripped from BOTH
+      (3L, "s2", "cookie banner e f"),   // only once within s2 -> kept
+      (4L, "s1", "cookie banner")        // all-boilerplate doc vanishes
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.stripBoilerplate(d, n = 2, minRepeats = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a b", 2L -> "c d", 3L -> "cookie banner e f"))
+  }
+
   test("split assignment: exact thresholds, stable membership, seeded") {
     val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     // the documented contract: floor(cum * 2^64) as padded lowercase hex
