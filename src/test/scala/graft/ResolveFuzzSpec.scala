@@ -141,6 +141,34 @@ class ResolveFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed and flat layouts resolve identically on random logs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260813L)
+    (1 to 3).foreach { trial =>
+      val log = randomLog(rng, 30 + rng.nextInt(30))
+      val desc = TableDesc(CfSpec(maxVersions = 1 + rng.nextInt(3)))
+      // split into two appends: the bucketed path must stay correct
+      // across multi-commit logs (multiple files per bucket)
+      val (b1, b2) = log.splitAt(log.size / 2)
+      def build(desc: TableDesc): GraftTable = {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"fuzz-layout$trial").toString
+        val t = Graft.createTable(spark, dir, desc)
+        t.put(b1.toDF()); t.put(b2.toDF())
+        t
+      }
+      def cellSet(t: GraftTable): Set[(String, String, String, Long, Seq[Byte])] =
+        t.cells(nowUs = 6000000L).collect().map { r =>
+          (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
+            r.getAs[Array[Byte]]("value").toSeq)
+        }.toSet
+      val flat = cellSet(build(desc))
+      val bucketed = cellSet(build(desc.copy(buckets = 8)))
+      assert(flat == bucketed, s"trial $trial layout divergence\n" +
+        s"only-flat: ${flat -- bucketed}\nonly-bucketed: ${bucketed -- flat}")
+    }
+  }
+
   /** Restricted-op generator exercising the counter fold fast paths
     * (pure sum / seeded sum): mixes of {Add}, {AddInt64}, {Value, Add},
     * {Value, AddInt64}, optionally with deletes, and VALUE seeds that are
