@@ -275,4 +275,25 @@ class PlanSpec extends AnyFunSuite {
       col("doc_id"), "s1", Seq("train" -> 0.9, "test" -> 0.1)))
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("vocabulary: total broadcasts, top-V is TakeOrdered, window after limit") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = planOf(graft.operators.TextAnalysis.vocabulary(docs, 40))
+    // the corpus token total must arrive as a broadcast single-row
+    // aggregate, and top-V must not globally sort the vocabulary
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("TakeOrdered"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("chunk dedup and boilerplate: equi-joins only, no windows") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    for (df <- Seq(graft.operators.Dedup.dropRepeatedChunks(docs, 16),
+        graft.operators.Dedup.stripBoilerplate(docs, 8, 2))) {
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("Window"), plan)
+    }
+  }
 }
