@@ -231,26 +231,11 @@ object Resolve {
         .where(col("_vrank") <= cfKnob(_.maxVersions.toLong))
         .select(outCols: _*)
 
-    val foldMerge = (s: Column, x: Column) =>
-      when(x.getField("op") === Value, x.getField("value"))
-        .when(x.getField("op") === Add,
-          be64_encode(coalesce(be64_decode(s), lit(0L)) + be64_decode(x.getField("value"))))
-        .when(x.getField("op") === AddInt64,
-          le64_encode(coalesce(le64_decode(s), lit(0L)) + le64_decode(x.getField("value"))))
-        .when(x.getField("op") === PutIfAbsent, coalesce(s, x.getField("value")))
-        .when(x.getField("op") === Append,
-          concat(coalesce(s, lit(Array.emptyByteArray)), x.getField("value")))
-        .otherwise(s)
-
-    // Counter fast paths. The general fold below buffers a column's whole
-    // surviving history in one aggregation buffer (collect_list) and folds
-    // it with a CodegenFallback higher-order function — correct, but a hot
-    // counter column with millions of ADDs between compactions would OOM
-    // the buffer. The reference never buffers: it folds incrementally in
-    // the scan loop (tera src/io/atomic_merge_strategy.cc:36-103). For the
-    // dominant counter shapes the fold is expressible as plain associative
-    // aggregation, which Spark executes as a partial (map-side) + final
-    // hash aggregate with O(1) state per column:
+    // Counter fast paths. NO fold path buffers a column's history: the
+    // mixed-op fallback below streams each column's sorted ops (O(1)
+    // state), and for the dominant counter shapes the fold is
+    // expressible as plain associative aggregation, which Spark
+    // executes as a partial (map-side) + final hash aggregate:
     //  - ops ⊆ {Add} (or {AddInt64}): the fold IS the sum of the decoded
     //    operands — no sort, no window, no history buffer;
     //  - ops ⊆ {Value, Add}: a VALUE resets the fold, so the result is the
@@ -258,8 +243,6 @@ object Resolve {
     //    after it. One partition-only window (sorts by the grouping key,
     //    spills like any sort, never buffers a column in memory) finds the
     //    newest-VALUE bound; a hash aggregate does the rest.
-    // Only genuinely mixed columns (PutIfAbsent/Append/both Add kinds)
-    // still pay the buffered fold.
     def pureSum(df: DataFrame, dec: Column => Column, enc: Column => Column): DataFrame =
       df.groupBy(col("row_key"), col("cf"), col("qualifier"))
         .agg(max(col("ts")).as("ts"),
@@ -300,16 +283,50 @@ object Resolve {
         seededSum(df, Add, be64_decode, be64_encode)
       else if (ops.subsetOf(Set(Value, AddInt64)))
         seededSum(df, AddInt64, le64_decode, le64_encode)
-      else df
-        .groupBy(col("row_key"), col("cf"), col("qualifier"))
-        .agg(
-          max(col("ts")).as("ts"),
-          aggregate(
-            array_sort(collect_list(struct(col("ts"), col("seq"), col("op"), col("value")))),
-            lit(null).cast("binary"),
-            foldMerge).as("value"),
-          max(col("seq")).as("seq"))
-        .select(outCols: _*)
+      else {
+        // genuinely mixed columns (PutIfAbsent/Append/both Add kinds):
+        // a STREAMING fold over each column's (ts, seq)-sorted iterator
+        // — O(1) state per column, like the reference's scan-loop merge
+        // (tera src/io/atomic_merge_strategy.cc:36-103), where the
+        // previous collect_list fold buffered the whole history in one
+        // aggregation buffer (an OOM on a hot column with millions of
+        // ops between compactions). groupByKey plans a clustered
+        // distribution — a bucketed table satisfies it straight from
+        // the scan (zero shuffle) — and the per-group sort is a
+        // spillable SortExec, never an in-memory array.
+        val session = df.sparkSession
+        import session.implicits._
+        import graft.functions.Codecs
+        df.select(col("row_key"), col("cf"), col("qualifier"), col("ts"),
+            col("op"), col("value"), col("seq"))
+          .as[(String, String, String, Long, Int, Array[Byte], Long)]
+          .groupByKey(r => (r._1, r._2, r._3))
+          .flatMapSortedGroups(col("ts"), col("seq")) { case ((rk, cfn, q), it) =>
+            var maxTs = Long.MinValue
+            var maxSeq = Long.MinValue
+            var state: Array[Byte] = null
+            it.foreach { r =>
+              if (r._4 > maxTs) maxTs = r._4
+              if (r._7 > maxSeq) maxSeq = r._7
+              r._5 match {   // mirrors foldMerge exactly (decoders total)
+                case Value => state = r._6
+                case Add => state = Codecs.encodeBE64(
+                  (if (state == null) 0L else Codecs.decodeBE64(state)) +
+                    Codecs.decodeBE64(r._6))
+                case AddInt64 => state = Codecs.encodeLE64(
+                  (if (state == null) 0L else Codecs.decodeLE64(state)) +
+                    Codecs.decodeLE64(r._6))
+                case PutIfAbsent => if (state == null) state = r._6
+                case Append => state =
+                  (if (state == null) Array.emptyByteArray else state) ++ r._6
+                case _ => ()
+              }
+            }
+            Iterator((rk, cfn, q, maxTs, state, maxSeq))
+          }
+          .toDF("row_key", "cf", "qualifier", "ts", "value", "seq")
+          .select(outCols: _*)
+      }
 
     val presentData = present.intersect(dataOps.toSet)
     if (!hasAtomic) cappedPlain(surviving)

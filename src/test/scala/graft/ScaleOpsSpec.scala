@@ -37,6 +37,28 @@ class ScaleOpsSpec extends AnyFunSuite {
       == 1000000L)
   }
 
+  test("MIXED fold completes on a deep history: 1M interleaved ops, one column") {
+    // the buffered fold would collect_list 1M (ts,seq,op,value) structs
+    // into one aggregation buffer; the streaming sorted-group fold keeps
+    // O(1) state. Interleave PutIfAbsent so no counter fast path applies.
+    val log = spark.range(1000000L).select(
+      lit("hot").as("row_key"), lit("cf").as("cf"), lit("c").as("qualifier"),
+      lit(1L).as("ts"),
+      when(col("id") === 0L, lit(OpType.PutIfAbsent))
+        .otherwise(lit(OpType.Add)).as("op"),
+      when(col("id") === 0L,
+          graft.functions.cellfunctions.be64_encode(lit(5L)))
+        .otherwise(graft.functions.cellfunctions.be64_encode(lit(1L)))
+        .as("value"),
+      col("id").as("seq"))
+    val out = graft.operators.Resolve.resolve(log,
+      opsPresent = Some(Set(OpType.Add, OpType.PutIfAbsent))).collect()
+    assert(out.length == 1)
+    // fold order is (ts, seq): PutIfAbsent seeds 5, then 999999 ADDs
+    assert(graft.functions.Codecs.decodeBE64(out(0).getAs[Array[Byte]]("value"))
+      == 1000004L)
+  }
+
   test("connected components converge on a 1000-node path in O(log n) rounds") {
     import spark.implicits._
     // a path graph is the slow case for naive propagation (diameter n);
