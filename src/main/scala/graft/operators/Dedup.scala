@@ -273,7 +273,11 @@ object Dedup {
   def stripBoilerplate(docs: DataFrame, n: Int = 8, minRepeats: Int = 2,
       scope: Column = col("source")): DataFrame = {
     require(minRepeats >= 2, s"minRepeats must be >= 2, got $minRepeats")
-    val chunks = coveringChunks(docs, n, Seq(scope.as("_scope")))
+    // NULL scopes group together under a sentinel (an unknown site is
+    // still a site): a raw null key would never match the anti-join,
+    // silently exempting every null-scope doc from stripping
+    val scopeKey = coalesce(scope.cast("string"), lit("\u0000"))
+    val chunks = coveringChunks(docs, n, Seq(scopeKey.as("_scope")))
     val boiler = chunks.select(col("_scope"), col("k"), col("doc_id")).distinct()
       .groupBy("_scope", "k").agg(count(lit(1)).as("_docs"))
       .where(col("_docs") >= minRepeats)

@@ -297,10 +297,14 @@ object Resolve {
         val session = df.sparkSession
         import session.implicits._
         import graft.functions.Codecs
+        // grouping COLUMNS, not a key lambda: an opaque groupByKey key
+        // is an appended attribute EnsureRequirements cannot equate
+        // with row_key, which would force the shuffle back in
         df.select(col("row_key"), col("cf"), col("qualifier"), col("ts"),
             col("op"), col("value"), col("seq"))
-          .as[(String, String, String, Long, Int, Array[Byte], Long)]
-          .groupByKey(r => (r._1, r._2, r._3))
+          .groupBy(col("row_key"), col("cf"), col("qualifier"))
+          .as[(String, String, String),
+            (String, String, String, Long, Int, Array[Byte], Long)]
           .flatMapSortedGroups(col("ts"), col("seq")) { case ((rk, cfn, q), it) =>
             var maxTs = Long.MinValue
             var maxSeq = Long.MinValue
@@ -308,17 +312,23 @@ object Resolve {
             it.foreach { r =>
               if (r._4 > maxTs) maxTs = r._4
               if (r._7 > maxSeq) maxSeq = r._7
-              r._5 match {   // mirrors foldMerge exactly (decoders total)
+              // mirrors foldMerge's expression semantics exactly, incl.
+              // null operands (a null Add/Append operand nulls the
+              // state — expression arithmetic/concat propagate null; a
+              // poison cell must not kill the scan)
+              r._5 match {
                 case Value => state = r._6
-                case Add => state = Codecs.encodeBE64(
-                  (if (state == null) 0L else Codecs.decodeBE64(state)) +
-                    Codecs.decodeBE64(r._6))
-                case AddInt64 => state = Codecs.encodeLE64(
-                  (if (state == null) 0L else Codecs.decodeLE64(state)) +
-                    Codecs.decodeLE64(r._6))
+                case Add => state = if (r._6 == null) null
+                  else Codecs.encodeBE64(
+                    (if (state == null) 0L else Codecs.decodeBE64(state)) +
+                      Codecs.decodeBE64(r._6))
+                case AddInt64 => state = if (r._6 == null) null
+                  else Codecs.encodeLE64(
+                    (if (state == null) 0L else Codecs.decodeLE64(state)) +
+                      Codecs.decodeLE64(r._6))
                 case PutIfAbsent => if (state == null) state = r._6
-                case Append => state =
-                  (if (state == null) Array.emptyByteArray else state) ++ r._6
+                case Append => state = if (r._6 == null) null
+                  else (if (state == null) Array.emptyByteArray else state) ++ r._6
                 case _ => ()
               }
             }

@@ -40,7 +40,12 @@ private[graft] object BucketedCatalog {
       val spec = spark.sessionState.catalog
         .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
         .bucketSpec
-      if (!spec.map(_.numBuckets).contains(n)) spark.sql(s"DROP TABLE $name")
+      // count AND columns: an entry bucketed on another column would
+      // report the wrong partitioning, not just the wrong bucket ids
+      val specOk = spec.exists(bs => bs.numBuckets == n &&
+        bs.bucketColumnNames == Seq(bucketCol) &&
+        bs.sortColumnNames == sortCols)
+      if (!specOk) spark.sql(s"DROP TABLE $name")
     }
     if (!spark.catalog.tableExists(name)) {
       val cols = StructType(schema.map(_.copy(nullable = true))).toDDL

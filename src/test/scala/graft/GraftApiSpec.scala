@@ -515,6 +515,22 @@ class GraftApiSpec extends AnyFunSuite {
     assert(kvSet(c2, 35000000L) == Set(("a", "1b")))
   }
 
+  test("bucketed MIXED-op fold: streaming fold plans without a hash exchange") {
+    val dir = Files.createTempDirectory("graft-bkt-mixed").toString
+    val t = Graft.createTable(spark, dir, model.TableDesc(buckets = 4),
+      ops = Some(Set(OpType.Value, OpType.Append)))
+    t.put(Seq(
+      CellOp("r1", "cf", "q", 100, OpType.Value, "a".getBytes, 1),
+      CellOp("r1", "cf", "q", 200, OpType.Append, "b".getBytes, 2)))
+    // the sorted-group fold keys on the real grouping columns, so the
+    // bucketed scan's partitioning satisfies it — no exchange (an
+    // opaque groupByKey lambda would force the shuffle back in)
+    val plan = t.cells().queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(new String(t.get("r1").collect()(0)
+      .getAs[Array[Byte]]("value")) == "ab")
+  }
+
   test("bucketed KV table: same answers, shuffle-free resolve, layout carries") {
     val dir = Files.createTempDirectory("graft-kv-bkt").toString
     val t = Graft.createKvTable(spark, dir, buckets = 4)

@@ -146,6 +146,23 @@ class ResolveSpec extends AnyFunSuite {
     assert(res.map(t => (t._3, t._5)) == Set(("a", "hello world"), ("p", "first")))
   }
 
+  test("mixed fold survives a poison null operand (state nulls, scan lives)") {
+    // a null Append/Add operand nulls the fold state — the expression
+    // semantics (concat/arithmetic propagate null) — instead of killing
+    // the job with an NPE; a later VALUE reseeds it
+    val log = df(
+      CellOp("r1", "cf", "q", 10, Value, "x".getBytes, 1),
+      CellOp("r1", "cf", "q", 20, Append, null, 2),
+      CellOp("r2", "cf", "q", 10, Value, "y".getBytes, 3),
+      CellOp("r2", "cf", "q", 20, Append, null, 4),
+      CellOp("r2", "cf", "q", 30, Value, "z".getBytes, 5),
+      CellOp("r2", "cf", "q", 40, Append, "!".getBytes, 6))
+    val out = Resolve.resolve(log).collect()
+      .map(r => r.getString(0) -> Option(r.getAs[Array[Byte]]("value"))
+        .map(new String(_))).toMap
+    assert(out == Map("r1" -> None, "r2" -> Some("z!")))
+  }
+
   test("tombstone kills atomic ops written before it") {
     val log = df(
       CellOp("r1", "cf", "q", 10, Add, Codecs.encodeBE64(5), 1),
