@@ -531,6 +531,28 @@ class GraftApiSpec extends AnyFunSuite {
       .getAs[Array[Byte]]("value")) == "ab")
   }
 
+  test("two bucketed tables co-locate a resolved join: no exchange anywhere") {
+    import spark.implicits._
+    def mk(rows: Seq[(String, String)]): GraftTable = {
+      val dir = Files.createTempDirectory("graft-bkt-join").toString
+      val t = Graft.createTable(spark, dir, model.TableDesc(buckets = 4),
+        ops = Some(Set(OpType.Value)))
+      t.put(rows.zipWithIndex.map { case ((k, v), i) =>
+        CellOp(k, "cf", "q", 100, OpType.Value, v.getBytes, i + 1) }.toDF())
+      t
+    }
+    val a = mk(Seq("r1" -> "a1", "r2" -> "a2"))
+    val b = mk(Seq("r1" -> "b1", "r3" -> "b3"))
+    // same bucket count on both sides: resolve preserves the scan's
+    // partitioning, so even the cross-TABLE equi-join needs no shuffle
+    // (the reference's tablets cannot co-locate across tables at all)
+    val joined = a.cells().select(col("row_key"), col("value").as("va"))
+      .join(b.cells().select(col("row_key"), col("value").as("vb")), "row_key")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(joined.collect().map(r => r.getString(0)).toSeq == Seq("r1"))
+  }
+
   test("bucketed KV table: same answers, shuffle-free resolve, layout carries") {
     val dir = Files.createTempDirectory("graft-kv-bkt").toString
     val t = Graft.createKvTable(spark, dir, buckets = 4)
