@@ -795,6 +795,24 @@ object SparkEntry {
           col("o_orderdate").cast("timestamp"))
         .orderBy(col("o_orderkey"))
     }),
+    "q_io_bucketed_store_roundtrip" -> ((s, dir) => {
+      // the same dump/load cycle THROUGH a stored bucketed table: the
+      // oracle gate then exercises the bucketed write + catalog-read
+      // path end to end (create -> put -> reopen -> resolve -> export)
+      val cfMap = Map("meta" -> Seq("o_custkey", "o_orderstatus", "o_orderpriority"),
+        "val" -> Seq("o_totalprice", "o_orderdate"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-bkt-roundtrip").toString
+      graft.Graft.loadRelational(s, tmp, t(s, dir, "orders"),
+        "o_orderkey", cfMap, desc = graft.model.TableDesc(buckets = 8))
+      graft.sources.RelationalLoader.fromCellLog(
+          graft.Graft.openTable(s, tmp).cells(), cfMap, "o_orderkey")
+        .select(col("o_orderkey").cast("long"),
+          col("o_custkey").cast("long"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice").cast("double"),
+          col("o_orderdate").cast("timestamp"))
+        .orderBy(col("o_orderkey"))
+    }),
     "q_x_pii_redact" -> ((s, dir) => {
       // PII redaction over synthetic PII built from real columns (the
       // corpus itself is clean word-soup, so redaction must be SHOWN to
@@ -1429,6 +1447,10 @@ object SparkEntry {
         |       array_to_string(toks[st:st+15], ' ') AS chunk_text
         |FROM s ORDER BY 1, 2""".stripMargin,
     "q_io_relational_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+        |       o_totalprice, o_orderdate
+        |FROM orders ORDER BY 1""".stripMargin,
+    "q_io_bucketed_store_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
         |       o_totalprice, o_orderdate
         |FROM orders ORDER BY 1""".stripMargin,
