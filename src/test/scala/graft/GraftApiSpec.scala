@@ -543,14 +543,22 @@ class GraftApiSpec extends AnyFunSuite {
     }
     val a = mk(Seq("r1" -> "a1", "r2" -> "a2"))
     val b = mk(Seq("r1" -> "b1", "r3" -> "b3"))
-    // same bucket count on both sides: resolve preserves the scan's
-    // partitioning, so even the cross-TABLE equi-join needs no shuffle
-    // (the reference's tablets cannot co-locate across tables at all)
-    val joined = a.cells().select(col("row_key"), col("value").as("va"))
-      .join(b.cells().select(col("row_key"), col("value").as("vb")), "row_key")
-    val plan = joined.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange hashpartitioning"), plan)
-    assert(joined.collect().map(r => r.getString(0)).toSeq == Seq("r1"))
+    // broadcast would hide the property (tiny sides broadcast and no
+    // hash exchange appears for ANY layout) — force the sort-merge
+    // plan so the assert actually exercises bucket co-location
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // same bucket count on both sides: resolve preserves the scan's
+      // partitioning, so even the cross-TABLE equi-join needs no shuffle
+      // (the reference's tablets cannot co-locate across tables at all)
+      val joined = a.cells().select(col("row_key"), col("value").as("va"))
+        .join(b.cells().select(col("row_key"), col("value").as("vb")), "row_key")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), plan)
+      assert(joined.collect().map(r => r.getString(0)).toSeq == Seq("r1"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
   test("bucketed KV table: same answers, shuffle-free resolve, layout carries") {
