@@ -28,7 +28,7 @@ class ResolveFuzzSpec extends AnyFunSuite {
       ops: Seq[CellOp],
       desc: TableDesc,
       nowUs: Long,
-      snapshot: Option[Long]): Set[(String, String, String, Long, Seq[Byte])] = {
+      snapshot: Option[Long]): Set[(String, String, String, Long, Option[Seq[Byte]])] = {
 
     val bounded = ops.filter(o => snapshot.forall(o.seq <= _))
     def killed(c: CellOp): Boolean = bounded.exists { d =>
@@ -62,21 +62,26 @@ class ResolveFuzzSpec extends AnyFunSuite {
           surviving.sortBy(c => (c.ts, c.seq)).foreach { c =>
             c.op match {
               case Value => state = c.value
-              case Add => state = Codecs.encodeBE64(
-                (if (state == null) 0L else Codecs.decodeBE64(state)) +
-                  Codecs.decodeBE64(c.value))
-              case AddInt64 => state = Codecs.encodeLE64(
-                (if (state == null) 0L else Codecs.decodeLE64(state)) +
-                  Codecs.decodeLE64(c.value))
+              case Add => state = if (c.value == null) null
+                else Codecs.encodeBE64(
+                  (if (state == null) 0L else Codecs.decodeBE64(state)) +
+                    Codecs.decodeBE64(c.value))
+              case AddInt64 => state = if (c.value == null) null
+                else Codecs.encodeLE64(
+                  (if (state == null) 0L else Codecs.decodeLE64(state)) +
+                    Codecs.decodeLE64(c.value))
               case PutIfAbsent => if (state == null) state = c.value
-              case Append => state =
-                (if (state == null) Array.emptyByteArray else state) ++ c.value
+              // a null operand nulls the state (expression concat
+              // propagates null) — the poison must not kill the fold
+              case Append => state = if (c.value == null) null
+                else (if (state == null) Array.emptyByteArray else state) ++ c.value
             }
           }
-          Seq((row, cf, qual, surviving.map(_.ts).max, state.toSeq))
+          Seq((row, cf, qual, surviving.map(_.ts).max,
+            Option(state).map(_.toSeq)))
         } else {
           surviving.take(spec.maxVersions)
-            .map(c => (row, cf, qual, c.ts, c.value.toSeq))
+            .map(c => (row, cf, qual, c.ts, Option(c.value).map(_.toSeq)))
         }
     }.toSet
   }
@@ -100,7 +105,15 @@ class ResolveFuzzSpec extends AnyFunSuite {
         case _           => Append
       }
       val value: Array[Byte] = op match {
-        case Value | PutIfAbsent | Append => s"v$i".getBytes("UTF-8")
+        // ~1 in 8 non-counter data ops carries a NULL operand — the
+        // poison-cell class the streaming fold must survive (null
+        // propagates through the fold state, as in the expression
+        // semantics). Counter operands stay well-formed: an Add(null)
+        // is malformed input on which the null-reset fold and the
+        // map-side-sum fast path legitimately diverge (the reference
+        // cannot express a null operand at all).
+        case Value | PutIfAbsent | Append =>
+          if (rng.nextInt(8) == 0) null else s"v$i".getBytes("UTF-8")
         case Add => Codecs.encodeBE64(rng.nextInt(100).toLong - 50)
         case AddInt64 => Codecs.encodeLE64(rng.nextInt(100).toLong - 50)
         case _ => null
@@ -132,7 +145,7 @@ class ResolveFuzzSpec extends AnyFunSuite {
           deleteStrategy = if (trial % 3 == 0) "window" else "join")
         .collect().map { r =>
           (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
-            r.getAs[Array[Byte]]("value").toSeq)
+            Option(r.getAs[Array[Byte]]("value")).map(_.toSeq))
         }.toSet
       val want = refResolve(log, desc, nowUs, snapshot)
       assert(got == want,
@@ -157,10 +170,10 @@ class ResolveFuzzSpec extends AnyFunSuite {
         t.put(b1.toDF()); t.put(b2.toDF())
         t
       }
-      def cellSet(t: GraftTable): Set[(String, String, String, Long, Seq[Byte])] =
+      def cellSet(t: GraftTable): Set[(String, String, String, Long, Option[Seq[Byte]])] =
         t.cells(nowUs = 6000000L).collect().map { r =>
           (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
-            r.getAs[Array[Byte]]("value").toSeq)
+            Option(r.getAs[Array[Byte]]("value")).map(_.toSeq))
         }.toSet
       val flat = cellSet(build(desc))
       val bucketed = cellSet(build(desc.copy(buckets = 8)))
@@ -211,7 +224,7 @@ class ResolveFuzzSpec extends AnyFunSuite {
           opsPresent = Some(mix.toSet))
         .collect().map { r =>
           (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
-            r.getAs[Array[Byte]]("value").toSeq)
+            Option(r.getAs[Array[Byte]]("value")).map(_.toSeq))
         }.toSet
       val want = refResolve(log, desc, Long.MaxValue, snapshot)
       assert(got == want,
