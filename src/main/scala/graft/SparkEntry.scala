@@ -829,6 +829,20 @@ object SparkEntry {
       ordersExport(graft.sources.RelationalLoader.fromCellLog(
         graft.Graft.openTable(s, tmp).cells(), ordersCfMap, "o_orderkey"))
     }),
+    "q_s3c_bucketed_point_get" -> ((s, dir) => {
+      // point get THROUGH the stored bucketed table (same cached
+      // fixture as the round-trip row): the scan prunes to one of 8
+      // buckets via the catalog bucket spec + row_key equality
+      val tmp = bktFixtureDirs.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-bkt-roundtrip").toString
+        graft.Graft.loadRelational(s, d, t(s, dir, "orders"),
+          "o_orderkey", ordersCfMap, desc = graft.model.TableDesc(buckets = 8))
+        d
+      })
+      ordersExport(graft.sources.RelationalLoader.fromCellLog(
+        graft.Graft.openTable(s, tmp).get("1042"), ordersCfMap, "o_orderkey"))
+    }),
     "q_x_pii_redact" -> ((s, dir) => {
       // PII redaction over synthetic PII built from real columns (the
       // corpus itself is clean word-soup, so redaction must be SHOWN to
@@ -1464,6 +1478,10 @@ object SparkEntry {
         |FROM s ORDER BY 1, 2""".stripMargin,
     "q_io_relational_roundtrip" -> ordersRoundtripSql,
     "q_io_bucketed_store_roundtrip" -> ordersRoundtripSql,
+    "q_s3c_bucketed_point_get" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+        |       o_totalprice, o_orderdate
+        |FROM orders WHERE o_orderkey = 1042 ORDER BY 1""".stripMargin,
     "q_x_dedup_passages" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (SELECT DISTINCT doc_id,
