@@ -32,9 +32,12 @@ object TypedValue {
     def decode(c: Column): Column = f64_decode(c)
     def literal: Column = lit(v)
   }
-  /** UTF-8 text compare. */
+  /** Text compare. The cast is byte-preserving (never throws — ANSI
+    * `decode()` would error the whole scan on one non-UTF-8 cell), and
+    * Spark string order is byte-wise over UTF-8 bytes, so this IS the
+    * reference's memcmp string comparator even against binary cells. */
   case class Utf8(v: String) extends TypedValue {
-    def decode(c: Column): Column = org.apache.spark.sql.functions.decode(c, "UTF-8")
+    def decode(c: Column): Column = c.cast("string")
     def literal: Column = lit(v)
   }
   /** Raw bytes, unsigned lexicographic (memcmp ≙ Spark BinaryType order). */
@@ -228,8 +231,11 @@ case class ScanQuery(
           val ok = max(when(isTarget && pred, 1).otherwise(0)).over(wRow) === 1
           when(present, ok).otherwise(lit(!ifMissing))
         }
-        def utf8(c: Column): Column =
-          org.apache.spark.sql.functions.decode(c, "UTF-8")
+        // byte-preserving cast, not decode(): one non-UTF-8 cell in the
+        // column must not error the scan (ANSI decode throws); regex /
+        // substring then see the replacement-char rendering, matching
+        // the reference's byte-level filters on binary content
+        def utf8(c: Column): Column = c.cast("string")
         def verdict(node: ScanFilter): Column = node match {
           case ScanFilter.And(cs) => cs.map(verdict).reduce(_ && _)
           case ScanFilter.Or(cs)  => cs.map(verdict).reduce(_ || _)
