@@ -142,6 +142,66 @@ class ScanFilterFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("full scan pipeline (verdict->project->ts->qual-cap) matches on 40 scans") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260815L)
+    (1 to 40).foreach { trial =>
+      // varied ts so the time-range actually slices; still one version
+      // per column, so resolve stays the identity and the scan pipeline
+      // (P4/P6/P9 ordering) is what the trial exercises
+      val cells = randomCells(rng).map(c =>
+        c.copy(ts = (rng.nextInt(5) + 1).toLong))
+      val tree = if (rng.nextBoolean()) Some(randomTree(rng, 2)) else None
+      val cfSel = if (rng.nextInt(3) == 0) Seq(cfs(rng.nextInt(2))) else Nil
+      val colSel = if (rng.nextInt(3) == 0)
+        Seq((cfs(rng.nextInt(2)), quals(rng.nextInt(2)))) else Nil
+      val tsR = if (rng.nextBoolean())
+        Some((rng.nextInt(3) + 1).toLong, (rng.nextInt(3) + 3).toLong) else None
+      val maxQ = if (rng.nextInt(3) == 0) Some(rng.nextInt(2) + 1) else None
+      val start = if (rng.nextInt(4) == 0) Some(s"r${rng.nextInt(5)}") else None
+      val stop = if (rng.nextInt(4) == 0) Some(s"r${rng.nextInt(5)}") else None
+
+      var q = ScanQuery(cells.toDF())
+      tree.foreach(t => q = q.withFilter(t))
+      cfSel.foreach(cf => q = q.addColumnFamily(cf))
+      colSel.foreach { case (cf, c) => q = q.addColumn(cf, c) }
+      tsR.foreach { case (a, b) => q = q.withTimeRange(a, b) }
+      maxQ.foreach(k => q = q.withMaxQualifiers(k))
+      start.foreach(k => q = q.copy(startKey = Some(k)))
+      stop.foreach(k => q = q.copy(stopKey = Some(k)))
+      val got = q.run().collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSet
+
+      // straight-line reference: same order of operations as SURVEY §2.2
+      val ranged = cells
+        .filter(c => start.forall(c.row_key >= _) && stop.forall(c.row_key < _))
+      val byRow = ranged.groupBy(_.row_key)
+      val passingRows = byRow.keySet.filter { rk =>
+        tree.forall(t => evalVerdict(t, rk,
+          byRow(rk).map(c => (c.cf, c.qualifier) -> c.value).toMap))
+      }
+      val projected = ranged.filter { c =>
+        passingRows.contains(c.row_key) &&
+          ((cfSel.isEmpty && colSel.isEmpty) ||
+            cfSel.contains(c.cf) || colSel.contains((c.cf, c.qualifier)))
+      }
+      val timed = projected.filter(c =>
+        tsR.forall { case (a, b) => c.ts >= a && c.ts <= b })
+      val want = (maxQ match {
+        case None => timed
+        case Some(k) => timed.groupBy(c => (c.row_key, c.cf)).values.flatMap { cs =>
+          val keep = cs.map(_.qualifier).distinct.sorted.take(k).toSet
+          cs.filter(c => keep.contains(c.qualifier))
+        }
+      }).map(c => (c.row_key, c.cf, c.qualifier, c.ts)).toSet
+      assert(got == want,
+        s"trial $trial pipeline divergence (cf=$cfSel col=$colSel ts=$tsR " +
+          s"maxQ=$maxQ start=$start stop=$stop tree=$tree)\n" +
+          s"only-spark: ${got -- want}\nonly-ref: ${want -- got}")
+    }
+  }
+
   test("filter-tree verdicts match the in-memory evaluator on 40 random scans") {
     import spark.implicits._
     val rng = new scala.util.Random(20260814L)
