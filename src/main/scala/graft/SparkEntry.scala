@@ -599,6 +599,7 @@ object SparkEntry {
           .cast(DecimalType(28, 4)).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_name"))
     }),
     "q_agg_rollup" -> ((s, dir) => {
       // integer-cents sum (see q_agg_tpch_q1 for why no decimal cast)
