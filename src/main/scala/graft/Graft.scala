@@ -64,6 +64,16 @@ class GraftTable(
   def get(rowKey: String): DataFrame =
     cells().where(col("row_key") === storageKey(rowKey))
 
+  /** Binary point get ([[TableDesc.rawKeyBinary]] tables): exact-bytes
+    * equality — binary tables never hash-shard, so the raw key IS the
+    * storage key. */
+  def get(rowKey: Array[Byte]): DataFrame = {
+    require(desc.rawKeyBinary,
+      "binary get on a readable-key table (keys are StringType; use " +
+        "get(String))")
+    cells().where(col("row_key") === lit(rowKey))
+  }
+
   /** Wide-row view of a point get (`RowReader::ToMap`). */
   def getRow(rowKey: String): DataFrame =
     Resolve.toWideRows(get(rowKey))
@@ -120,6 +130,14 @@ class GraftTable(
     put(ops.toDF())
   }
 
+  /** Reserve `n` consecutive batch-txn timestamps from this table's
+    * monotone allocator (the timeoracle analogue,
+    * src/timeoracle/timeoracle.h:33-41) — returns the first. Use for
+    * [[graft.operators.BatchTxn]] start/commit timestamps so
+    * interleaved batch txns never collide. */
+  def allocateTxnTs(n: Int = 1): Long =
+    CellLogStore.allocateTxnTs(spark, logDir, n)
+
   /** Time-travel read bound by sequence number (tera snapshots). */
   def snapshot(seq: Long): DataFrame =
     Resolve.resolve(log, desc, snapshotSeq = Some(seq), opsPresent = opsPresent,
@@ -143,6 +161,10 @@ class GraftTable(
     * rows. (The reference avoids this by transactional maintenance;
     * a batch engine cannot assume every writer did.) */
   def buildIndex(indexLogDir: String, cf: String, qualifier: String): GraftTable = {
+    require(!desc.rawKeyBinary,
+      "secondary indexes require readable (string) base keys: an index " +
+        "entry embeds the base key after a NUL separator, which arbitrary " +
+        "binary keys may themselves contain")
     val valueOnly = Some(Set(graft.model.OpType.Value))
     val idxOps = graft.operators.SecondaryIndex.buildOps(cells(), cf, qualifier)
     if (CellLogStore.readDesc(spark, indexLogDir).isEmpty) {
@@ -197,12 +219,20 @@ class GraftTable(
       .distinct()
   }
 
-  /** Observe columns: streaming callback over new appends. */
+  /** Observe columns: streaming callback over new appends. The default
+    * `AvailableNow` trigger drains pending appends and stops; pass a
+    * processing-time trigger for a resident observer (see
+    * [[graft.streaming.Observers.observe]]). One checkpoint dir = one
+    * consumer — a second concurrent observer on the same checkpoint is
+    * refused. */
   def observe(columns: Seq[(String, String)], checkpointDir: String,
-      buckets: Int = 16)(onNotify: (DataFrame, Long) => Unit): StreamingQuery =
+      buckets: Int = 16,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      (onNotify: (DataFrame, Long) => Unit): StreamingQuery =
     Observers.observe(
       Observers.cellLogStream(spark, logDir, Some(desc.lgs.nonEmpty)),
-      columns, checkpointDir, buckets)(onNotify)
+      columns, checkpointDir, buckets, trigger = trigger)(onNotify)
 }
 
 /** KV-mode table (tera's key-value table flavor: 2-column model, single
@@ -226,6 +256,10 @@ class GraftKvTable(val spark: SparkSession, val logDir: String) {
 
   def get(key: String, nowUs: Long = Long.MaxValue): DataFrame =
     kvs(nowUs).where(col("key") === key)
+
+  /** Binary point get (binary-keyed KV tables): exact-bytes equality. */
+  def get(key: Array[Byte], nowUs: Long): DataFrame =
+    kvs(nowUs).where(col("key") === lit(key))
 
   /** Group-commit (key, value[, ttl_sec]) rows. Expiry is baked at
     * WRITE time — `expire_ts_us = nowUs + ttl_sec` (a missing or
@@ -279,6 +313,11 @@ object Graft {
     require(CellLogStore.readDesc(spark, logDir).isEmpty,
       s"table already exists at $logDir (use openTable)")
     require(!desc.kvMode, s"use createKvTable for a KV-mode table")
+    require(!(desc.hashKeys && desc.rawKeyBinary),
+      "hashKeys and rawKeyBinary are mutually exclusive: the hash prefix " +
+        "is a hex STRING over a readable key (table_impl.cc:98); binary " +
+        "raw keys are already arbitrary bytes — bucket them instead " +
+        "(buckets > 0) for uniform spread")
     require(desc.buckets >= 0, s"buckets must be >= 0, got ${desc.buckets}")
     require(desc.buckets == 0 || desc.lgs.isEmpty,
       "bucketed layout and locality groups are mutually exclusive " +
@@ -355,12 +394,12 @@ object Graft {
     * layout — per-key resolution then plans with zero shuffle and a
     * point lookup prunes to one bucket (see [[TableDesc.buckets]]). */
   def createKvTable(spark: SparkSession, logDir: String,
-      buckets: Int = 0): GraftKvTable = {
+      buckets: Int = 0, binaryKeys: Boolean = false): GraftKvTable = {
     require(CellLogStore.readDesc(spark, logDir).isEmpty,
       s"table already exists at $logDir (use openKvTable)")
     require(buckets >= 0, s"buckets must be >= 0, got $buckets")
     CellLogStore.writeDesc(spark, logDir,
-      TableDesc(kvMode = true, buckets = buckets))
+      TableDesc(kvMode = true, buckets = buckets, rawKeyBinary = binaryKeys))
     new GraftKvTable(spark, logDir)
   }
 

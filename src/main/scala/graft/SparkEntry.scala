@@ -41,6 +41,13 @@ object SparkEntry {
   private val bktFixtureDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Per-process binary-raw-key fixtures: cell table / KV table
+    * (see q_s3d_binary_point_get, q_s6c_kv_binary_scan). */
+  private val binCellFixtureDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val binKvFixtureDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** The orders-table cell mapping shared by BOTH relational round-trip
     * rows — one definition so the two rows cannot silently diverge. */
   private val ordersCfMap = Map(
@@ -155,15 +162,22 @@ object SparkEntry {
         .orderBy(col("row_key"), col("qualifier"))
     }),
     "q_o2_pagination" -> ((s, dir) => {
-      // resumable scan: page 2 resumes strictly after page 1's last key
-      // (tera next_start_point, src/sdk/scan_impl.cc:84-89)
-      val kv = t(s, dir, "part")
-        .select(col("p_partkey").cast("string").as("key"), col("p_name").as("value"))
-      val page1 = kv.orderBy(col("key"), col("value")).limit(100)
-      val resumeAfter = page1.agg(max(col("key"))).collect()(0).getString(0)
-      kv.where(col("key") > resumeAfter)
+      // resumable scan as a first-class builder (tera next_start_point,
+      // src/sdk/scan_impl.cc:84-89): page 2 resumes strictly after page
+      // 1's last key via afterPage — the resume bound is a one-row
+      // broadcast computed IN the plan, no driver collect in user code
+      // (withResumeAfter takes the literal-key round trip; spec'd)
+      val log = t(s, dir, "part").select(
+        col("p_partkey").cast("string").as("row_key"),
+        lit("kv").as("cf"), lit("v").as("qualifier"), lit(1L).as("ts"),
+        lit(graft.model.OpType.Value).as("op"),
+        encode(col("p_name"), "UTF-8").as("value"),
+        col("p_partkey").as("seq"))
+      val q = ScanQuery(log, opsPresent = CellLogs.valueOnly)
+      q.afterPage(q.withLimit(100).run()).withLimit(100).run()
+        .select(col("row_key").as("key"),
+          decode(col("value"), "UTF-8").as("value"))
         .orderBy(col("key"), col("value"))
-        .limit(100)
     }),
 
     "q_p11_typed_compare" -> ((s, dir) => {
@@ -298,6 +312,48 @@ object SparkEntry {
       Graft.openKvTable(s, tmp).kvs(nowUs = 1700000050000000L)
         .select(col("key"), decode(col("value"), "UTF-8").as("value"))
         .orderBy(col("key"), col("value"))
+    }),
+
+    "q_s3d_binary_point_get" -> ((s, dir) => {
+      // binary raw-key mode (tera RawKey::Binary, table_schema.proto:
+      // 10-15): row keys are arbitrary bytes — every fixture key holds
+      // a NUL and a bare 0xFF (invalid UTF-8) — stored through a real
+      // rawKeyBinary table (BinaryType end-to-end: range-clustered
+      // append, row_key bloom, memcmp scan bounds). Point get is
+      // [k, k ++ 0x00); output hex-encoded for the oracle.
+      val tmp = binCellFixtureDirs.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("graft-bincell-q").toString
+        val t0 = Graft.createTable(s, d, TableDesc(rawKeyBinary = true),
+          ops = Some(Set(graft.model.OpType.Value)))
+        t0.put(CellLogs.ordersWideBinaryLog(s, dir))
+        d
+      })
+      val k = Array[Byte](0) ++ "100".getBytes("UTF-8") :+ 0xFF.toByte
+      Graft.openTable(s, tmp).scan.forRowBin(k).run()
+        .select(hex(col("row_key")).as("key_hex"), col("cf"), col("qualifier"),
+          when(col("cf") === "amt", be64_decode(col("value")).cast("string"))
+            .otherwise(decode(col("value"), "UTF-8")).as("value"))
+        .orderBy(col("cf"), col("qualifier"))
+    }),
+    "q_s6c_kv_binary_scan" -> ((s, dir) => {
+      // binary raw-key KV table, BUCKETED layout (binary bucket hashing
+      // + per-file key blooms), byte-range scan: the range picks up
+      // partkey "1" — its 0xFF tail outranks every digit, so memcmp
+      // order genuinely differs from readable-key order here, and the
+      // DuckDB oracle compares blobs to agree
+      val tmp = binKvFixtureDirs.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("graft-binkv-q").toString
+        val kt = Graft.createKvTable(s, d, buckets = 8, binaryKeys = true)
+        kt.putEntries(CellLogs.kvBinaryLog(s, dir))
+        d
+      })
+      val lo = Array[Byte](0) ++ "1000".getBytes("UTF-8")
+      val hi = Array[Byte](0) ++ "2000".getBytes("UTF-8")
+      Graft.openKvTable(s, tmp).kvs()
+        .where(col("key") >= lit(lo) && col("key") < lit(hi))
+        .select(hex(col("key")).as("key_hex"),
+          decode(col("value"), "UTF-8").as("value"))
+        .orderBy(col("key_hex"), col("value"))
     }),
 
     "q_ix_secondary_lookup" -> ((s, dir) => {
@@ -1138,6 +1194,35 @@ object SparkEntry {
         |SELECT CAST(o_orderkey AS VARCHAR), 'meta', 'status', o_orderstatus
         |FROM orders WHERE o_orderkey = 100
         |ORDER BY 2, 3""".stripMargin,
+    "q_s3d_binary_point_get" ->
+      """WITH w AS (
+        |  SELECT '\x00'::BLOB || encode(CAST(o_orderkey AS VARCHAR))
+        |           || '\xFF'::BLOB AS kb,
+        |         'amt' AS cf, 'price' AS qualifier,
+        |         CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR) AS value
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT '\x00'::BLOB || encode(CAST(o_orderkey AS VARCHAR))
+        |           || '\xFF'::BLOB,
+        |         'meta', 'priority', o_orderpriority FROM orders
+        |  UNION ALL
+        |  SELECT '\x00'::BLOB || encode(CAST(o_orderkey AS VARCHAR))
+        |           || '\xFF'::BLOB,
+        |         'meta', 'status', o_orderstatus FROM orders)
+        |SELECT hex(kb) AS key_hex, cf, qualifier, value FROM w
+        |WHERE kb >= '\x00'::BLOB || encode('100') || '\xFF'::BLOB
+        |  AND kb <  '\x00'::BLOB || encode('100') || '\xFF\x00'::BLOB
+        |ORDER BY cf, qualifier""".stripMargin,
+    "q_s6c_kv_binary_scan" ->
+      """WITH k AS (
+        |  SELECT '\x00'::BLOB || encode(CAST(p_partkey AS VARCHAR))
+        |           || '\xFF\x80'::BLOB AS kb,
+        |         p_name AS value
+        |  FROM part)
+        |SELECT hex(kb) AS key_hex, value FROM k
+        |WHERE kb >= '\x00'::BLOB || encode('1000')
+        |  AND kb <  '\x00'::BLOB || encode('2000')
+        |ORDER BY key_hex, value""".stripMargin,
     "q_s3b_wide_row" ->
       """SELECT CAST(user_id AS VARCHAR) AS row_key, 'ev' AS cf,
         |       event_type AS qualifier,

@@ -62,6 +62,13 @@ object CellOp {
     StructField("op", IntegerType, nullable = false),
     StructField("value", BinaryType, nullable = true),
     StructField("seq", LongType, nullable = false)))
+
+  /** Log schema for the table's key mode: binary raw keys swap
+    * `row_key` to `BinaryType` ([[TableDesc.rawKeyBinary]]). */
+  def schemaFor(binaryKey: Boolean): StructType =
+    if (!binaryKey) schema
+    else StructType(schema.map(f =>
+      if (f.name == "row_key") f.copy(dataType = BinaryType) else f))
 }
 
 /** Per-column-family resolve knobs (tera table_schema.proto:31-44). */
@@ -109,7 +116,18 @@ case class TableDesc(
       * bucket. Mutually exclusive with [[lgs]]: one physical clustering
       * per table (pick row-locality or column-locality). 0 = the
       * default range-clustered flat layout. */
-    buckets: Int = 0) {
+    buckets: Int = 0,
+    /** Binary raw-key mode (tera `RawKey::Binary`,
+      * src/proto/table_schema.proto:10-15): row keys are arbitrary
+      * bytes — `row_key`/`key` is `BinaryType` end-to-end and key order
+      * is memcmp (`BinaryRawKeyOperator`,
+      * src/leveldb/include/leveldb/raw_key_operator.h:27-29), which is
+      * exactly Spark's unsigned-lexicographic `BinaryType` ordering.
+      * The readable default keeps `StringType` keys (SURVEY §1.5).
+      * Mutually exclusive with [[hashKeys]] (the reference hashes
+      * readable keys; a hex prefix over raw bytes is a different key
+      * space). */
+    rawKeyBinary: Boolean = false) {
   def spec(cf: String): CfSpec = cfs.getOrElse(cf, default)
 
   /** The LG a cf's cells live in. */
@@ -145,4 +163,10 @@ object KvEntry {
     StructField("value", BinaryType, nullable = true),
     StructField("expire_ts_us", LongType, nullable = false),
     StructField("seq", LongType, nullable = false)))
+
+  /** Log schema for the table's key mode (see [[CellOp.schemaFor]]). */
+  def schemaFor(binaryKey: Boolean): StructType =
+    if (!binaryKey) schema
+    else StructType(schema.map(f =>
+      if (f.name == "key") f.copy(dataType = BinaryType) else f))
 }

@@ -58,7 +58,25 @@ object BatchTxn {
     * rows expand to their data cell + `!L` lock cell (lock payload =
     * the txn's primary row, `primaryKey`) via [[prewriteOps]].
     */
-  def prewrite(log: DataFrame, mutations: DataFrame, startTs: Long): DataFrame = {
+  def prewrite(log: DataFrame, mutations: DataFrame, startTs: Long,
+      /** Refuse a `startTs` some COMMITTED txn already consumed (its
+        * commit pointer's ts, or the data ts the pointer's payload
+        * names): staging data there would collide with committed
+        * versions. One pushed-filter probe, short-circuited at the
+        * first hit; allocator-issued timestamps
+        * ([[graft.sources.CellLogStore.allocateTxnTs]]) never collide,
+        * so callers on that path may pass `validateTs = false`. */
+      validateTs: Boolean = true): DataFrame = {
+    if (validateTs) {
+      val clash = log.where(col("op") === OpType.Value &&
+        col("qualifier").startsWith("!W") &&
+        (col("ts") === startTs || be64_decode(col("value")) === startTs))
+        .limit(1).count()
+      require(clash == 0L,
+        s"startTs $startTs collides with a stored commit pointer — another " +
+          "transaction already committed at this timestamp; allocate " +
+          "timestamps through the table's txn-ts allocator (allocateTxnTs)")
+    }
     val locks = PercolatorRead.pendingLocks(log, snapshotTs = Long.MaxValue)
       .select(col("row_key"), col("cf"), col("qualifier"), lit(true).as("_locked"))
     val laterWrites = log

@@ -57,7 +57,9 @@ object KvStore {
     graft.sources.CellLogStore.bucketCount(spark, logDir) match {
       case Some(b) =>
         graft.sources.BucketedCatalog.write(batch, logDir, SaveMode.Append,
-          b, graft.model.KvEntry.schema, "key", KvSortCols, "key")
+          b, graft.model.KvEntry.schemaFor(
+            graft.sources.CellLogStore.binaryKeyMode(spark, logDir)),
+          "key", KvSortCols, "key")
       case None =>
         val n = spark.sessionState.conf.numShufflePartitions
         batch
@@ -69,14 +71,17 @@ object KvStore {
     }
   }
 
-  def read(spark: SparkSession, logDir: String): DataFrame =
+  def read(spark: SparkSession, logDir: String): DataFrame = {
+    val schema = graft.model.KvEntry.schemaFor(
+      graft.sources.CellLogStore.binaryKeyMode(spark, logDir))
     graft.sources.CellLogStore.bucketCount(spark, logDir) match {
       case Some(b) =>
-        graft.sources.BucketedCatalog.read(spark, logDir, b,
-          graft.model.KvEntry.schema, "key", KvSortCols)
+        graft.sources.BucketedCatalog.read(spark, logDir, b, schema,
+          "key", KvSortCols)
       case None =>
-        spark.read.schema(graft.model.KvEntry.schema).parquet(logDir)
+        spark.read.schema(schema).parquet(logDir)
     }
+  }
 
   /** Next free seq era for KV batches (see CellLogStore.nextSeqEra). */
   def nextSeqEra(spark: SparkSession, logDir: String): Long = {
@@ -97,7 +102,9 @@ object KvStore {
     graft.sources.CellLogStore.bucketCount(spark, logDir) match {
       case Some(b) =>   // layout carries over, like the cell-log compact
         graft.sources.BucketedCatalog.write(live, outDir, SaveMode.Overwrite,
-          b, graft.model.KvEntry.schema, "key", KvSortCols, "key")
+          b, graft.model.KvEntry.schemaFor(
+            graft.sources.CellLogStore.binaryKeyMode(spark, logDir)),
+          "key", KvSortCols, "key")
       case None =>
         val n = spark.sessionState.conf.numShufflePartitions
         live

@@ -141,6 +141,34 @@ case class ScanQuery(
     limitRows: Option[Int] = None,
     opsPresent: Option[Set[Int]] = None,
     deleteCountHint: Option[Long] = None,
+    /** Binary-raw-key bounds ([[TableDesc.rawKeyBinary]] tables, whose
+      * `row_key` is `BinaryType`): memcmp-ordered, like the string
+      * bounds are for readable tables. */
+    startKeyBin: Option[Array[Byte]] = None,
+    stopKeyBin: Option[Array[Byte]] = None,
+    pointKeyBin: Option[Array[Byte]] = None,
+    /** Resume-after key in STORAGE space — the reference's
+      * `next_start_point` round trip (src/sdk/scan_impl.cc:84-89;
+      * tabletnode_rpc.proto:263): the caller hands back the last row
+      * key a previous page returned and the scan restarts STRICTLY
+      * after it. Storage space because that is what the scan emitted —
+      * on a hash-sharded table the key already carries its shard
+      * prefix, so no re-prefixing here. */
+    resumeAfterKey: Option[String] = None,
+    resumeAfterKeyBin: Option[Array[Byte]] = None,
+    /** Plan-side resume: restart strictly after the last row key of a
+      * previous page's RESULT, with the bound computed inside the plan
+      * (a broadcast one-row aggregate) — pagination with no driver
+      * `collect()` in user code. An empty previous page means nothing
+      * was consumed: the scan runs unbounded. */
+    resumeAfterPage: Option[DataFrame] = None,
+    /** `false` skips the final global key sort (O1): a bulk consumer —
+      * export, downstream aggregation, anything that re-orders anyway —
+      * keeps the store's range clustering (per-file key order) without
+      * paying a full range-exchange sort at 100 TB. Row SET is
+      * identical; [[withLimit]] keeps its reference semantics (first k
+      * in key order) only while `ordered` stays true. */
+    ordered: Boolean = true,
     /** LG-pruned log source for an LG-partitioned table: given the LG
       * names a projected scan touches, returns the log restricted to
       * those LG partition directories (plus the row-tombstone LG) —
@@ -150,6 +178,21 @@ case class ScanQuery(
 
   def withStart(k: String): ScanQuery = copy(startKey = Some(k))
   def withStop(k: String): ScanQuery = copy(stopKey = Some(k))
+  def withStartBin(k: Array[Byte]): ScanQuery = copy(startKeyBin = Some(k))
+  def withStopBin(k: Array[Byte]): ScanQuery = copy(stopKeyBin = Some(k))
+
+  /** Resume a paged scan strictly after `k` (a storage-space key the
+    * previous page emitted). Composes with [[withLimit]]. */
+  def withResumeAfter(k: String): ScanQuery = copy(resumeAfterKey = Some(k))
+  def withResumeAfterBin(k: Array[Byte]): ScanQuery =
+    copy(resumeAfterKeyBin = Some(k))
+
+  /** Resume strictly after the last row key of `prev` (a previous
+    * page's result), bound computed in-plan — no driver collect. */
+  def afterPage(prev: DataFrame): ScanQuery = copy(resumeAfterPage = Some(prev))
+
+  /** Skip the final global key sort (bulk-consumer path). */
+  def unordered: ScanQuery = copy(ordered = false)
 
   /** Point scan of exactly one logical row: [k, successor(k)) — with the
     * successor taken in STORAGE space, so it is also correct on a
@@ -158,6 +201,10 @@ case class ScanQuery(
     * point reads by hashed key instead, table_impl.cc:1417).
     */
   def forRow(k: String): ScanQuery = copy(pointKey = Some(k))
+
+  /** Binary point scan: [k, k ++ 0x00) — the memcmp successor, exact in
+    * raw-byte key space (no hash mode on binary tables). */
+  def forRowBin(k: Array[Byte]): ScanQuery = copy(pointKeyBin = Some(k))
   def addColumnFamily(cf: String): ScanQuery = copy(cfSet = cfSet :+ cf)
   def addColumn(cf: String, qual: String): ScanQuery =
     copy(columnSet = columnSet :+ (cf, qual))
@@ -214,6 +261,30 @@ case class ScanQuery(
     pointKey.foreach { k =>
       pruned = pruned.where(col("row_key") >= bound(k) &&
         col("row_key") < bound(k) + "\u0000")
+    }
+
+    // binary bounds: literal byte comparisons — Spark BinaryType order
+    // is unsigned-lexicographic, i.e. memcmp (BinaryRawKeyOperator,
+    // raw_key_operator.h:27-29); the point successor is key ++ 0x00 so
+    // [k, k++0x00) holds exactly k (any longer key extends past it)
+    startKeyBin.foreach(k => pruned = pruned.where(col("row_key") >= lit(k)))
+    stopKeyBin.foreach(k => pruned = pruned.where(col("row_key") < lit(k)))
+    pointKeyBin.foreach { k =>
+      pruned = pruned.where(col("row_key") >= lit(k) &&
+        col("row_key") < lit(k :+ 0.toByte))
+    }
+    // resume-after bounds are STORAGE-space (what the scan emitted):
+    // no hash re-prefixing, strictly-after semantics
+    resumeAfterKey.foreach(k => pruned = pruned.where(col("row_key") > k))
+    resumeAfterKeyBin.foreach(k => pruned = pruned.where(col("row_key") > lit(k)))
+    resumeAfterPage.foreach { prev =>
+      // in-plan resume bound: one-row broadcast of the previous page's
+      // max key; an empty page (null max) leaves the scan unbounded
+      val last = broadcast(prev.agg(max(col("row_key")).as("_graft_resume")))
+      pruned = pruned.crossJoin(last)
+        .where(col("_graft_resume").isNull ||
+          col("row_key") > col("_graft_resume"))
+        .drop("_graft_resume")
     }
 
     val resolved = Resolve.resolve(pruned, desc, nowUs, snapshotSeq, opsPresent,
@@ -282,9 +353,15 @@ case class ScanQuery(
         .drop("_qrank")
     }
 
-    val ordered = qualCapped.orderBy(col("row_key"), col("cf"), col("qualifier"),
-      col("ts").desc)
-    limitRows.fold(ordered)(ordered.limit)
+    // O1 key order (a limit then plans TakeOrdered); the unordered
+    // opt-out keeps bulk scans shuffle-free — the store's range-
+    // clustered files already carry per-file key order
+    val finalDf =
+      if (ordered)
+        qualCapped.orderBy(col("row_key"), col("cf"), col("qualifier"),
+          col("ts").desc)
+      else qualCapped
+    limitRows.fold(finalDf)(finalDf.limit)
   }
 }
 

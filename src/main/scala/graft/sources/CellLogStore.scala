@@ -70,7 +70,8 @@ object CellLogStore {
         "bucketed layout and locality groups are mutually exclusive " +
           "(one physical clustering per table)")
       BucketedCatalog.write(batch, logDir, mode, desc.buckets,
-        graft.model.CellOp.schema, "row_key", CellSortCols, "row_key")
+        graft.model.CellOp.schemaFor(desc.rawKeyBinary), "row_key",
+        CellSortCols, "row_key")
     } else if (desc.lgs.isEmpty)
       writerFor(batch
         .repartitionByRange(n, col("row_key"), col("cf"), col("qualifier"))
@@ -144,17 +145,30 @@ object CellLogStore {
       st.isDirectory && st.getPath.getName.startsWith("lg="))
   }
 
-  def read(spark: SparkSession, logDir: String): DataFrame =
+  def read(spark: SparkSession, logDir: String): DataFrame = {
     // descriptor probe first (bucketed layouts look like flat parquet on
-    // disk — only the descriptor knows the files are hash-clustered),
-    // then one layout probe, then straight to the matching reader —
-    // routing through readLgs would re-probe the directory it just listed
-    bucketCount(spark, logDir) match {
-      case Some(n) => readBucketed(spark, logDir, n)
+    // disk — only the descriptor knows the files are hash-clustered, and
+    // only it knows the key mode), then one layout probe, then straight
+    // to the matching reader — routing through readLgs would re-probe
+    // the directory it just listed
+    val props = loadProps(spark, logDir)
+    val bin = props.exists(isBinaryKeyed)
+    props.flatMap(p => Option(p.getProperty("buckets")))
+      .map(_.toInt).filter(_ > 0) match {
+      case Some(n) => readBucketed(spark, logDir, n, bin)
       case None =>
-        if (hasLgLayout(spark, logDir)) readLgsKnown(spark, logDir, None)
-        else readFlat(spark, logDir)
+        if (hasLgLayout(spark, logDir)) readLgsKnown(spark, logDir, None, bin)
+        else readFlat(spark, logDir, bin)
     }
+  }
+
+  private def isBinaryKeyed(p: java.util.Properties): Boolean =
+    p.getProperty("rawKey") == "binary"
+
+  /** True when the stored descriptor declares binary raw keys. One
+    * driver-side properties read — plan-build-time cost. */
+  def binaryKeyMode(spark: SparkSession, logDir: String): Boolean =
+    loadProps(spark, logDir).exists(isBinaryKeyed)
 
   /** The stored bucket count, when the descriptor declares a bucketed
     * layout. One driver-side properties read — plan-build-time cost. */
@@ -176,12 +190,13 @@ object CellLogStore {
     * Exchange, and `row_key = lit` prunes to one bucket.
     */
   private def readBucketed(spark: SparkSession, logDir: String,
-      n: Int): DataFrame =
-    BucketedCatalog.read(spark, logDir, n, graft.model.CellOp.schema,
-      "row_key", CellSortCols)
+      n: Int, binaryKey: Boolean = false): DataFrame =
+    BucketedCatalog.read(spark, logDir, n,
+      graft.model.CellOp.schemaFor(binaryKey), "row_key", CellSortCols)
 
-  private def readFlat(spark: SparkSession, logDir: String): DataFrame =
-    spark.read.schema(graft.model.CellOp.schema).parquet(logDir)
+  private def readFlat(spark: SparkSession, logDir: String,
+      binaryKey: Boolean = false): DataFrame =
+    spark.read.schema(graft.model.CellOp.schemaFor(binaryKey)).parquet(logDir)
 
   /** Read an LG-partitioned log, pruned to `wanted` LGs (None = all).
     * The wanted set always includes [[TableDesc.RowTombstoneLg]] — a
@@ -197,13 +212,14 @@ object CellLogStore {
     // parquet. Filtering a null lg column would silently drop every row
     // — fall back to the plain read (all CFs in all files; the scan's
     // cf projection still applies downstream).
-    if (!hasLgLayout(spark, logDir)) readFlat(spark, logDir)
-    else readLgsKnown(spark, logDir, wanted)
+    if (!hasLgLayout(spark, logDir))
+      readFlat(spark, logDir, binaryKeyMode(spark, logDir))
+    else readLgsKnown(spark, logDir, wanted, binaryKeyMode(spark, logDir))
 
   private def readLgsKnown(spark: SparkSession, logDir: String,
-      wanted: Option[Seq[String]]): DataFrame = {
+      wanted: Option[Seq[String]], binaryKey: Boolean = false): DataFrame = {
     val withLg = spark.read
-      .schema(graft.model.CellOp.schema
+      .schema(graft.model.CellOp.schemaFor(binaryKey)
         .add(org.apache.spark.sql.types.StructField("lg",
           org.apache.spark.sql.types.StringType)))
       .parquet(logDir)
@@ -256,6 +272,7 @@ object CellLogStore {
     desc.cfs.foreach { case (name, s) => put(s"cf.named.$name", s) }
     p.setProperty("hashKeys", desc.hashKeys.toString)
     p.setProperty("kvMode", desc.kvMode.toString)
+    p.setProperty("rawKey", if (desc.rawKeyBinary) "binary" else "readable")
     if (desc.buckets > 0) p.setProperty("buckets", desc.buckets.toString)
     desc.lgs.foreach { case (cf, lg) => p.setProperty(s"lg.$cf", lg) }
     ops.foreach(o => p.setProperty("ops", o.toSeq.sorted.mkString(",")))
@@ -284,7 +301,8 @@ object CellLogStore {
         p.getProperty("hashKeys", "false").toBoolean,
         p.getProperty("kvMode", "false").toBoolean,
         lgs,
-        p.getProperty("buckets", "0").toInt)
+        p.getProperty("buckets", "0").toInt,
+        rawKeyBinary = isBinaryKeyed(p))
       val ops = Option(p.getProperty("ops"))
         .map(_.split(",").iterator.filter(_.nonEmpty).map(_.toInt).toSet)
       (desc, ops)
@@ -341,6 +359,33 @@ object CellLogStore {
     if (delta != 0)
       readDeleteCount(spark, logDir)
         .foreach(cur => setDeleteCount(spark, logDir, cur + delta))
+
+  /** Timestamp-oracle analogue for batch transactions (tera centralizes
+    * allocation in `Timeoracle::GetTimestamp`,
+    * src/timeoracle/timeoracle.h:33-41): a monotone counter riding the
+    * descriptor, so two batch txns against the same table can never
+    * pick colliding start/commit timestamps. Returns the first of `n`
+    * consecutive reserved timestamps. Seeding a table that predates
+    * the allocator costs one max-ts job; every later allocation is a
+    * driver-side properties read+write (single-writer, like the append
+    * path itself).
+    */
+  def allocateTxnTs(spark: SparkSession, logDir: String, n: Int = 1): Long = {
+    require(n > 0, s"must reserve at least one timestamp, got $n")
+    val p = loadProps(spark, logDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"no table descriptor at $logDir — the txn-ts allocator rides the " +
+          "descriptor (create the table first)"))
+    val base = Option(p.getProperty("nextTxnTs")).map(_.toLong).getOrElse {
+      // seed ABOVE every timestamp the log already holds: reusing a
+      // stored cell's ts would collide staged data with committed data
+      val row = read(spark, logDir).agg(max(col("ts"))).collect()(0)
+      (if (row.isNullAt(0)) 0L else row.getLong(0)) + 1
+    }
+    p.setProperty("nextTxnTs", (base + n).toString)
+    storeProps(spark, logDir, p)
+    base
+  }
 
   /** Drop the stored count — for writes whose tombstone content is
     * unknown; resolve then falls back to its count job. */

@@ -195,6 +195,32 @@ object CellLogs {
         be64_encode(floor(col("o_totalprice") * 100).cast("long")), 3))
   }
 
+  /** Binary raw-key twin of [[ordersWideLog]]: row_key = 0x00 ++
+    * utf8(orderkey) ++ 0xFF. Every key carries a NUL and a bare 0xFF —
+    * invalid UTF-8, so the fixture round-trips only through a genuinely
+    * byte-preserving BinaryType key path, and memcmp order differs from
+    * what string order over the digits would give (tera
+    * `RawKey::Binary`, table_schema.proto:10-15). */
+  def ordersWideBinaryLog(spark: SparkSession, sfDir: String): DataFrame =
+    ordersWideLog(spark, sfDir).withColumn("row_key",
+      concat(lit(Array[Byte](0)), encode(col("row_key"), "UTF-8"),
+        lit(Array(0xFF.toByte))))
+
+  /** Binary raw-key KV fixture from part: key = 0x00 ++ utf8(partkey) ++
+    * 0xFF 0x80 (NUL + invalid-UTF-8 tail), value = name bytes, never
+    * expires. A [lo, hi) byte-range over these keys selects a DIFFERENT
+    * row set than the readable-key scan would — e.g. partkey "1" sorts
+    * inside ["1000", "2000") because 0xFF outranks every digit — so the
+    * oracle must (and does) compare blobs, not strings. */
+  def kvBinaryLog(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "part").select(
+      concat(lit(Array[Byte](0)),
+        encode(col("p_partkey").cast("string"), "UTF-8"),
+        lit(Array(0xFF.toByte, 0x80.toByte))).as("key"),
+      encode(col("p_name"), "UTF-8").as("value"),
+      lit(0L).as("expire_ts_us"),
+      col("p_partkey").as("seq"))
+
   /** events → VALUE cells with f64-encoded numeric payload (typed
     * comparator fixture, P11). */
   def eventsF64Log(spark: SparkSession, sfDir: String): DataFrame =

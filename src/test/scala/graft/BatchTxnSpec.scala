@@ -99,6 +99,51 @@ class BatchTxnSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), new String(r.getAs[Array[Byte]]("value"))))
       .toSet
 
+  test("allocator-issued timestamps: interleaved txns never collide, reuse refused") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ts-alloc").toString
+    val t = Graft.createTable(spark, dir)
+
+    // both txns draw (start, commit) pairs from the table's timeoracle
+    // analogue — monotone by construction, no coordination between them
+    val s1 = t.allocateTxnTs(2); val c1 = s1 + 1
+    val s2 = t.allocateTxnTs(2); val c2 = s2 + 1
+    assert(Set(s1, c1, s2, c2).size == 4 && s2 > c1)
+
+    val m1 = Seq(("r1", "cf", "q", "a".getBytes))
+      .toDF("row_key", "cf", "qualifier", "value")
+    val m2 = Seq(("r2", "cf", "q", "b".getBytes))
+      .toDF("row_key", "cf", "qualifier", "value")
+
+    // interleaved: txn1 prewrites, txn2 prewrites (disjoint rows — no
+    // lock conflict), then both commit
+    val p1 = BatchTxn.prewrite(t.log, m1, startTs = s1)
+    assert(p1.where(col("conflict")).count() == 0)
+    t.put(BatchTxn.prewriteOps(p1, s1, "r1", 1L << 40))
+    val p2 = BatchTxn.prewrite(t.log, m2, startTs = s2)
+    assert(p2.where(col("conflict")).count() == 0)
+    t.put(BatchTxn.prewriteOps(p2, s2, "r2", (1L << 40) + (1L << 30)))
+    t.put(BatchTxn.commitOps(t.log, s1, c1, 2L << 40))
+    t.put(BatchTxn.commitOps(t.log, s2, c2, 3L << 40))
+
+    val visible = PercolatorRead.resolve(t.log, snapshotTs = Long.MaxValue)
+    assert(visible.count() == 2)
+    assert(PercolatorRead.pendingLocks(t.log, Long.MaxValue).count() == 0)
+
+    // a startTs some committed txn consumed is refused — both the
+    // commit pointer's own ts and the data ts its payload names
+    intercept[IllegalArgumentException] {
+      BatchTxn.prewrite(t.log, m1, startTs = s1)
+    }
+    intercept[IllegalArgumentException] {
+      BatchTxn.prewrite(t.log, m1, startTs = c1)
+    }
+
+    // the allocator resumes past everything handed out, including after
+    // reopen (the counter rides the descriptor, not the session)
+    assert(Graft.openTable(spark, dir).allocateTxnTs() > c2)
+  }
+
   test("crashed prewrite rolls back: log behaves as if never prewritten") {
     import spark.implicits._
     val t = Graft.openTable(spark, Files.createTempDirectory("graft-rb").toString)

@@ -1,0 +1,199 @@
+package graft
+
+import graft.model.{OpType, TableDesc}
+import graft.operators.ScanQuery
+import java.nio.file.Files
+import java.util.Arrays
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Binary raw-key mode (tera `RawKey::Binary`, table_schema.proto:10-15):
+  * arbitrary-byte row keys, memcmp order (`BinaryRawKeyOperator`,
+  * src/leveldb/include/leveldb/raw_key_operator.h:27-29). The mode is
+  * only sound because Spark's BinaryType ordering IS memcmp — the first
+  * test proves that property on random full-range keys; the rest drive
+  * keys containing 0x00 / 0xFF / invalid UTF-8 through the real store.
+  */
+class BinaryKeySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def memcmpLt(a: Array[Byte], b: Array[Byte]): Boolean =
+    Arrays.compareUnsigned(a, b) < 0
+
+  test("Spark BinaryType order == memcmp on random full-range keys") {
+    val session = spark
+    import session.implicits._
+    val rng = new scala.util.Random(0xb1)
+    // full byte range (0x00-0xFF), lengths 0..12 — prefixes, empty key,
+    // and sign-bit bytes all land in the sample
+    val keys = Seq.fill(800)(
+      Array.fill(rng.nextInt(13))((rng.nextInt(256) - 128).toByte))
+    val df = keys.map(Tuple1(_)).toDF("k")
+
+    val sparkSorted = df.orderBy(col("k")).collect().map(_.getAs[Array[Byte]](0))
+    val expected = keys.sortWith(memcmpLt)
+    sparkSorted.zip(expected).foreach { case (x, y) =>
+      assert(Arrays.equals(x, y),
+        s"order diverged: spark=${x.mkString(",")} memcmp=${y.mkString(",")}")
+    }
+
+    // range predicate agrees with driver-side memcmp too (the scan-bound
+    // comparison path, not just the sort path)
+    val lo = Array[Byte](0x20, 0x80.toByte)
+    val hi = Array[Byte](0x60, 0x00)
+    val got = df.where(col("k") >= lit(lo) && col("k") < lit(hi)).count()
+    val want = keys.count(k =>
+      Arrays.compareUnsigned(k, lo) >= 0 && Arrays.compareUnsigned(k, hi) < 0)
+    assert(got == want)
+  }
+
+  /** Keys deliberately hostile to a string path: NULs, 0xFF, lone
+    * continuation bytes (invalid UTF-8), and a prefix pair. */
+  private val k1 = Array[Byte](0x00, 0x41, 0xFF.toByte)
+  private val k2 = Array[Byte](0x00, 0x41, 0xFF.toByte, 0x00)  // k1's successor
+  private val k3 = Array[Byte](0x00, 0x41, 0xFF.toByte, 0x61)  // extends k1
+  private val k4 = Array[Byte](0x80.toByte, 0x9F.toByte)       // invalid UTF-8
+
+  test("binary cell table: put / scan bounds / point get / compact") {
+    val session = spark
+    import session.implicits._
+    val dir = Files.createTempDirectory("graft-binkey").toString
+    val t = Graft.createTable(spark, dir, TableDesc(rawKeyBinary = true),
+      ops = Some(Set(OpType.Value)))
+
+    val ops = Seq(
+      (k1, "cf", "q", 1L, OpType.Value, "v1".getBytes, 1L),
+      (k2, "cf", "q", 1L, OpType.Value, "v2".getBytes, 2L),
+      (k3, "cf", "q", 1L, OpType.Value, "v3".getBytes, 3L),
+      (k4, "cf", "q", 1L, OpType.Value, "v4".getBytes, 4L))
+      .toDF("row_key", "cf", "qualifier", "ts", "op", "value", "seq")
+    t.put(ops)
+
+    // the stored descriptor recovers the mode: a fresh open reads
+    // BinaryType keys byte-for-byte
+    val reopened = Graft.openTable(spark, dir)
+    assert(reopened.desc.rawKeyBinary)
+    val stored = reopened.log.select("row_key").collect()
+      .map(_.getAs[Array[Byte]](0))
+    Seq(k1, k2, k3, k4).foreach(k =>
+      assert(stored.exists(Arrays.equals(_, k)), s"lost key ${k.mkString(",")}"))
+
+    // point get [k1, k1 ++ 0x00): exactly k1 — NOT its successor k2 and
+    // NOT its extension k3 (the reference's exact-row semantics)
+    val point = reopened.scan.forRowBin(k1).run()
+      .select("row_key", "value").collect()
+    assert(point.length == 1 && Arrays.equals(point(0).getAs[Array[Byte]](0), k1))
+    assert(new String(point(0).getAs[Array[Byte]](1)) == "v1")
+
+    // binary get() equality twin
+    assert(reopened.get(k1).count() == 1)
+
+    // range [k2, k4): holds k2 and k3, excludes k1 (below) and k4 (at stop)
+    val ranged = reopened.scan.withStartBin(k2).withStopBin(k4).run()
+      .select("row_key").collect().map(_.getAs[Array[Byte]](0))
+    assert(ranged.length == 2)
+    assert(ranged.exists(Arrays.equals(_, k2)) && ranged.exists(Arrays.equals(_, k3)))
+
+    // compaction round-trips binary keys (desc carries the mode)
+    val cdir = Files.createTempDirectory("graft-binkey-c").toString
+    reopened.compact(cdir)
+    assert(Graft.openTable(spark, cdir).get(k4).count() == 1)
+  }
+
+  test("binary KV table, bucketed: put / get / range / compact") {
+    val session = spark
+    import session.implicits._
+    val dir = Files.createTempDirectory("graft-binkv").toString
+    val kt = Graft.createKvTable(spark, dir, buckets = 4, binaryKeys = true)
+    val entries = Seq(
+      (k1, "a".getBytes, 0L, 1L),
+      (k3, "b".getBytes, 0L, 2L),
+      (k4, "c".getBytes, 0L, 3L),
+      (k4, "c2".getBytes, 0L, 4L))  // rewrite: newest seq wins
+      .toDF("key", "value", "expire_ts_us", "seq")
+    kt.putEntries(entries)
+
+    val reopened = Graft.openKvTable(spark, dir)
+    assert(new String(reopened.get(k4, Long.MaxValue)
+      .collect()(0).getAs[Array[Byte]]("value")) == "c2")
+    // memcmp range over the bucketed layout
+    val inRange = reopened.kvs()
+      .where(col("key") >= lit(k1) && col("key") < lit(k4))
+      .count()
+    assert(inRange == 2)  // k1, k3
+
+    val cdir = Files.createTempDirectory("graft-binkv-c").toString
+    reopened.compact(cdir)
+    val compacted = Graft.openKvTable(spark, cdir)
+    assert(compacted.log.count() == 3)
+    assert(new String(compacted.get(k1, Long.MaxValue)
+      .collect()(0).getAs[Array[Byte]]("value")) == "a")
+  }
+
+  test("binary mode refusals: hashKeys combo, secondary index") {
+    val dir = Files.createTempDirectory("graft-binkey-bad").toString
+    intercept[IllegalArgumentException] {
+      Graft.createTable(spark, dir,
+        TableDesc(hashKeys = true, rawKeyBinary = true))
+    }
+    val okDir = Files.createTempDirectory("graft-binkey-ok").toString
+    val t = Graft.createTable(spark, okDir, TableDesc(rawKeyBinary = true))
+    intercept[IllegalArgumentException] {
+      t.buildIndex(Files.createTempDirectory("graft-binkey-ix").toString,
+        "cf", "q")
+    }
+  }
+
+  test("pagination: withResumeAfter literal == afterPage plan-side bound") {
+    val session = spark
+    import session.implicits._
+    val log = (1 to 50).map(i =>
+      (f"k$i%03d", "cf", "q", 1L, OpType.Value, s"v$i".getBytes, i.toLong))
+      .toDF("row_key", "cf", "qualifier", "ts", "op", "value", "seq")
+    val q = ScanQuery(log, opsPresent = Some(Set(OpType.Value)))
+
+    val page1 = q.withLimit(10).run()
+    val last = page1.agg(max(col("row_key"))).collect()(0).getString(0)
+    assert(last == "k010")
+
+    val viaLiteral = q.withResumeAfter(last).withLimit(10).run()
+      .select("row_key").collect().map(_.getString(0))
+    val viaPage = q.afterPage(page1).withLimit(10).run()
+      .select("row_key").collect().map(_.getString(0))
+    assert(viaLiteral.toSeq == (11 to 20).map(i => f"k$i%03d"))
+    assert(viaPage.toSeq == viaLiteral.toSeq)
+
+    // an empty previous page = nothing consumed: scan runs from the start
+    val fromStart = q.afterPage(page1.limit(0)).withLimit(5).run()
+      .select("row_key").collect().map(_.getString(0))
+    assert(fromStart.toSeq == (1 to 5).map(i => f"k$i%03d"))
+
+    // binary resume twin
+    val binLog = Seq(k1, k2, k3, k4).zipWithIndex.map { case (k, i) =>
+      (k, "cf", "q", 1L, OpType.Value, "v".getBytes, i.toLong) }
+      .toDF("row_key", "cf", "qualifier", "ts", "op", "value", "seq")
+    val after = ScanQuery(binLog, opsPresent = Some(Set(OpType.Value)))
+      .withResumeAfterBin(k2).run()
+      .select("row_key").collect().map(_.getAs[Array[Byte]](0))
+    assert(after.length == 2)  // k3, k4 strictly after k2
+    assert(Arrays.equals(after(0), k3) && Arrays.equals(after(1), k4))
+  }
+
+  test("unordered scan: same row set, no global sort") {
+    val session = spark
+    import session.implicits._
+    val log = (1 to 100).map(i =>
+      (f"k$i%03d", "cf", "q", 1L, OpType.Value, s"v$i".getBytes, i.toLong))
+      .toDF("row_key", "cf", "qualifier", "ts", "op", "value", "seq")
+    val q = ScanQuery(log, opsPresent = Some(Set(OpType.Value)))
+    val ordered = q.run().select("row_key").collect().map(_.getString(0))
+    val unordered = q.unordered.run().select("row_key").collect().map(_.getString(0))
+    assert(unordered.sorted.toSeq == ordered.toSeq)
+  }
+}

@@ -287,6 +287,44 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("unordered full scan: no global sort, no exchange at all") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("plan-unord").toString
+    val ops = (0 until 100).map(i =>
+      CellOp(f"r$i%03d", "cf", "q", 1L, OpType.Value, s"v$i".getBytes, i.toLong))
+    CellLogStore.append(ops.toDF(), dir)
+    val q = ScanQuery(CellLogStore.read(spark, dir),
+      TableDesc(graft.model.CfSpec(maxVersions = Int.MaxValue)),
+      opsPresent = Some(Set(OpType.Value)))
+    // ordered (default) pays a range-exchange sort to reproduce the
+    // reference's streamed key order; the bulk-consumer opt-out must
+    // read the range-clustered files with NO sort and NO shuffle
+    val orderedPlan = planOf(q.run())
+    assert(orderedPlan.contains("Sort"), orderedPlan)
+    val unorderedPlan = planOf(q.unordered.run())
+    assert(!unorderedPlan.contains("Sort ["), unorderedPlan)
+    assert(!unorderedPlan.contains("Exchange"), unorderedPlan)
+  }
+
+  test("binary raw-key bounds push to the parquet scan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("plan-binkey").toString
+    val t = Graft.createTable(spark, dir,
+      TableDesc(rawKeyBinary = true), ops = Some(Set(OpType.Value)))
+    t.put((0 until 50).map(i =>
+      (Array[Byte](0, i.toByte, 0xFF.toByte), "cf", "q", 1L, OpType.Value,
+        s"v$i".getBytes, i.toLong))
+      .toDF("row_key", "cf", "qualifier", "ts", "op", "value", "seq"))
+    val scan = t.scan
+      .withStartBin(Array[Byte](0, 10)).withStopBin(Array[Byte](0, 20)).run()
+    val leaves = scan.queryExecution.executedPlan.collectLeaves().mkString("\n")
+    // binary comparisons reach parquet like string bounds do (row-group
+    // min/max pruning + the per-file key bloom apply byte-wise)
+    assert(leaves.contains("GreaterThanOrEqual(row_key") &&
+      leaves.contains("LessThan(row_key"), leaves)
+    assert(scan.count() == 10)
+  }
+
   test("chunk dedup and boilerplate: equi-joins only, no windows") {
     val docs = Tables.load(spark, sfDir, "documents")
     for (df <- Seq(graft.operators.Dedup.dropRepeatedChunks(docs, 16),
