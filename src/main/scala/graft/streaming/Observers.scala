@@ -28,6 +28,76 @@ object Observers {
   /** Notify column family constant (tera src/types.h:53). */
   val NotifyCf = "_N_"
 
+  // ---- concurrent-observer guard ------------------------------------
+  // One checkpoint dir = one consumer. The reference serializes
+  // concurrent observers on a row via its rowlock service
+  // (src/observer/rowlocknode/, TryLockRow scanner_impl.cc:278-283);
+  // here one exactly-once streaming query replaces row locks, but TWO
+  // INDEPENDENT observer queries sharing a checkpoint dir would race
+  // its offset log and double-deliver. A best-effort lock makes the
+  // second start fail loudly instead: in-process liveness is exact
+  // (query registry); cross-process is advisory via a lock file the
+  // holder's JVM name is written into — a foreign lock always refuses,
+  // with the remedy (delete the stale file) in the message.
+
+  private val activeObservers = scala.collection.concurrent.TrieMap
+    .empty[String, (java.util.UUID, SparkSession)]
+
+  private val jvmName =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+
+  private def lockFile(checkpointDir: String) =
+    new org.apache.hadoop.fs.Path(checkpointDir, "_graft_observer.lock")
+
+  private def normCheckpoint(spark: SparkSession, dir: String): String =
+    org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
+      new org.apache.hadoop.fs.Path(dir)).toString
+
+  /** Acquire the one-consumer lock for `checkpointDir` or refuse.
+    * Same-JVM: exact — an ACTIVE query on this checkpoint raises; a
+    * terminated one releases implicitly (its lock is stolen). Foreign
+    * lock files always raise; a crashed foreign observer's lock must be
+    * deleted by the operator (best effort — this is an advisory file,
+    * not a lease). */
+  private def acquireObserverLock(spark: SparkSession,
+      checkpointDir: String): Unit = {
+    val norm = normCheckpoint(spark, checkpointDir)
+    activeObservers.get(norm).foreach { case (qid, owner) =>
+      val q = owner.streams.get(qid)
+      if (q != null && q.isActive)
+        throw new IllegalStateException(
+          s"an active observer already consumes checkpoint $checkpointDir " +
+            "(one checkpoint dir = one consumer; a second query would race " +
+            "the offset log and double-deliver) — stop it first, or give " +
+            "this observer its own checkpoint dir")
+      activeObservers.remove(norm)
+    }
+    val path = lockFile(checkpointDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(path)) {
+      val in = fs.open(path)
+      val holder = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      if (holder != jvmName)
+        throw new IllegalStateException(
+          s"observer lock at $path is held by JVM '$holder' " +
+            "(one checkpoint dir = one consumer). If that observer is " +
+            "still running, give this one its own checkpoint dir; if it " +
+            "crashed, delete the lock file to recover.")
+      // our own JVM's lock with no active query: a finished round — steal
+    }
+    val out = fs.create(path, true)
+    try out.write(jvmName.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Record the started query as the checkpoint's consumer. */
+  private def registerObserver(spark: SparkSession, checkpointDir: String,
+      query: StreamingQuery): StreamingQuery = {
+    activeObservers.put(normCheckpoint(spark, checkpointDir),
+      (query.id, spark))
+    query
+  }
+
   // ---- T4/N5: notify-cell round trip as data ------------------------
   // The reference writes a `_N_:<cf>:<qual>` cell in-txn when an
   // observed column mutates (NotificationImpl::Notify,
@@ -102,8 +172,16 @@ object Observers {
     * comes from [[graft.sources.CellLogStore.nextSeqEra]].
     */
   def observeNotifications(table: graft.GraftTable, checkpointDir: String,
-      hook: Option[ScanHook] = None)
-      (onNotify: DataFrame => Unit): StreamingQuery =
+      hook: Option[ScanHook] = None,
+      /** `AvailableNow` = one batch-checkable round over everything
+        * pending (the gate shape); a processing-time trigger keeps the
+        * observer RESIDENT, picking up new appends without restart —
+        * the reference scanner's continuous rounds
+        * (src/observer/executor/scanner_impl.cc:244-295). */
+      trigger: Trigger = Trigger.AvailableNow())
+      (onNotify: DataFrame => Unit): StreamingQuery = {
+    acquireObserverLock(table.spark, checkpointDir)
+    registerObserver(table.spark, checkpointDir,
     cellLogStream(table.spark, table.logDir, Some(table.desc.lgs.nonEmpty))
       .where(col("cf") === NotifyCf &&
         col("op") === graft.model.OpType.Value)
@@ -138,8 +216,9 @@ object Observers {
         hook.foreach(_.after(id, delivered,
           (System.nanoTime() - t0) / 1000000L))
       }
-      .trigger(Trigger.AvailableNow())
-      .start()
+      .trigger(trigger)
+      .start())
+  }
 
   /** Pending notifications: resolve the `_N_` column family of the log
     * (the cf restriction is a pushed parquet filter — the analogue of
@@ -231,21 +310,29 @@ object Observers {
       columns: Seq[(String, String)],
       checkpointDir: String,
       buckets: Int = 16,
-      hook: Option[ScanHook] = None)(
-      onNotify: (DataFrame, Long) => Unit): StreamingQuery =
-    observed(feed, columns, buckets).writeStream
-      .option("checkpointLocation", checkpointDir)
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        hook.foreach(_.before(id))
-        val t0 = System.nanoTime()
-        val pinned = if (hook.isDefined) batch.localCheckpoint() else batch
-        onNotify(pinned, id)
-        hook.foreach(_.after(id, pinned.count(),
-          (System.nanoTime() - t0) / 1000000L))
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
+      hook: Option[ScanHook] = None,
+      /** See [[observeNotifications]]: `AvailableNow` (default) drains
+        * what is pending and stops; a processing-time trigger stays
+        * resident and picks up later appends without restart. */
+      trigger: Trigger = Trigger.AvailableNow())(
+      onNotify: (DataFrame, Long) => Unit): StreamingQuery = {
+    val spark = feed.sparkSession
+    acquireObserverLock(spark, checkpointDir)
+    registerObserver(spark, checkpointDir,
+      observed(feed, columns, buckets).writeStream
+        .option("checkpointLocation", checkpointDir)
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          hook.foreach(_.before(id))
+          val t0 = System.nanoTime()
+          val pinned = if (hook.isDefined) batch.localCheckpoint() else batch
+          onNotify(pinned, id)
+          hook.foreach(_.after(id, pinned.count(),
+            (System.nanoTime() - t0) / 1000000L))
+        }
+        .trigger(trigger)
+        .start())
+  }
 
   /** One observer scan round's metrics — what a ScanHook sees. */
   case class ScanRound(

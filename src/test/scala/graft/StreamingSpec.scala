@@ -64,6 +64,76 @@ class StreamingSpec extends AnyFunSuite {
     assert(collected.size == before)
   }
 
+  test("processing-time observer picks up a second append without restart") {
+    import spark.implicits._
+    val logDir = tmp("cont-log")
+    val ckpt = tmp("cont-ckpt")
+    CellLogStore.append(ops(10).toDF(), logDir)
+
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val q = Observers.observe(
+      Observers.cellLogStream(spark, logDir),
+      columns = Seq(("cf1", "q0")), checkpointDir = ckpt, buckets = 4,
+      trigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("250 milliseconds")) { (batch, _) =>
+      batch.select("seq").as[Long].collect().foreach(s => seen.add(s))
+    }
+    def waitFor(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (!cond && System.nanoTime() < deadline && q.isActive)
+        Thread.sleep(100)
+      assert(cond, s"condition not met; seen=$seen")
+    }
+    try {
+      val firstSeqs = ops(10)
+        .filter(c => c.cf == "cf1" && c.qualifier == "q0").map(_.seq).toSet
+      waitFor(firstSeqs.subsetOf(scala.jdk.CollectionConverters
+        .SetHasAsScala(seen).asScala))
+      // the observer is RESIDENT: a second append arrives with no restart
+      // (the reference scanner's continuous rounds, scanner_impl.cc:244)
+      CellLogStore.append(Seq(
+        CellOp("r9", "cf1", "q0", 5000L, OpType.Value, "late".getBytes, 100L),
+        CellOp("r9", "cf1", "q0", 5001L, OpType.Value, "late2".getBytes, 101L))
+        .toDF(), logDir)
+      waitFor(seen.contains(100L) && seen.contains(101L))
+    } finally {
+      q.stop()
+      q.awaitTermination()
+    }
+  }
+
+  test("second observer on the same checkpoint is refused while the first is active") {
+    import spark.implicits._
+    val logDir = tmp("guard-log")
+    val ckpt = tmp("guard-ckpt")
+    CellLogStore.append(ops(10).toDF(), logDir)
+
+    val q = Observers.observe(
+      Observers.cellLogStream(spark, logDir),
+      columns = Seq(("cf1", "q0")), checkpointDir = ckpt, buckets = 4,
+      trigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("1 second")) { (_, _) => () }
+    try {
+      // a second consumer of the same checkpoint would race the offset
+      // log and double-deliver — it must fail loudly, not start
+      val ex = intercept[IllegalStateException] {
+        Observers.observe(
+          Observers.cellLogStream(spark, logDir),
+          Seq(("cf1", "q0")), ckpt, 4) { (_, _) => () }
+      }
+      assert(ex.getMessage.contains("one checkpoint dir"))
+    } finally {
+      q.stop()
+      q.awaitTermination()
+    }
+    // once the first terminates, the same checkpoint resumes cleanly
+    // (sequential rounds are the normal AvailableNow cadence)
+    val q2 = Observers.observe(
+      Observers.cellLogStream(spark, logDir),
+      Seq(("cf1", "q0")), ckpt, 4) { (_, _) => () }
+    q2.awaitTermination(60000)
+  }
+
   test("observer maintains a secondary index incrementally (tera's canonical use)") {
     // the reference's flagship observer pattern: a trigger watches a
     // column and keeps an index table in sync (tpcc index tables +
