@@ -44,7 +44,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // stdout through the driver has truncated mid-JSON two rounds
+    // running; the file copy is the durable artifact (only for full
+    // runs — a filtered invocation would overwrite it with a subset)
+    if (args.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_last.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
     spark.stop()
   }
 }
