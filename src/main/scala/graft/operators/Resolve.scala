@@ -305,7 +305,13 @@ object Resolve {
           .groupBy(col("row_key"), col("cf"), col("qualifier"))
           .as[(String, String, String),
             (String, String, String, Long, Int, Array[Byte], Long)]
-          .flatMapSortedGroups(col("ts"), col("seq")) { case ((rk, cfn, q), it) =>
+          // op and value extend the sort key past (ts, seq): seq eras are
+          // claimed via unsynchronized read-then-write (nextSeqEra), so
+          // two cells CAN share (ts, seq) — the full-struct key keeps the
+          // fold order total and deterministic, like the old whole-struct
+          // collect_list sort did
+          .flatMapSortedGroups(col("ts"), col("seq"), col("op"),
+            col("value")) { case ((rk, cfn, q), it) =>
             var maxTs = Long.MinValue
             var maxSeq = Long.MinValue
             var state: Array[Byte] = null

@@ -49,11 +49,14 @@ private[graft] object BucketedCatalog {
     }
     if (!spark.catalog.tableExists(name)) {
       val cols = StructType(schema.map(_.copy(nullable = true))).toDDL
+      // the location is user-supplied path text inside SQL — escape
+      // embedded quotes or a path like /data/o'brien breaks registration
+      val loc = logDir.replace("'", "''")
       spark.sql(
         s"""CREATE TABLE $name ($cols) USING parquet
            |CLUSTERED BY ($bucketCol)
            |SORTED BY (${sortCols.mkString(", ")}) INTO $n BUCKETS
-           |LOCATION '$logDir'""".stripMargin)
+           |LOCATION '$loc'""".stripMargin)
     }
     name
   }

@@ -72,10 +72,17 @@ object Tables {
         // silently skip the serial-explode case this helper exists for.
         val conf = df.sparkSession.sessionState.conf
         val bytes = plan.stats.sizeInBytes
+        // small-stats inputs CONFIRM with the actual partition count
+        // before paying the exchange: many small files already split
+        // across >= target partitions despite tiny total bytes, and a
+        // round-robin exchange there is pure cost. The df.rdd probe is
+        // only ever paid on inputs already classified small (or
+        // stats-opaque) — big healthy scans never plan it.
+        def fewPartitions = df.rdd.getNumPartitions < target
         val narrow =
-          if (bytes >= BigInt(conf.defaultSizeInBytes))
-            df.rdd.getNumPartitions < target
-          else bytes < BigInt(target) * conf.filesOpenCostInBytes.max(1L)
+          if (bytes >= BigInt(conf.defaultSizeInBytes)) fewPartitions
+          else bytes < BigInt(target) * conf.filesOpenCostInBytes.max(1L) &&
+            fewPartitions
         if (narrow) df.repartition(target) else df
       }
     }

@@ -46,7 +46,10 @@ class ScanFilterFuzzSpec extends AnyFunSuite {
         case 1 => s"s${rng.nextInt(50)}".getBytes("UTF-8")
         case 2 => Codecs.encodeLEInt(rng.nextInt(200).toLong - 100,
           Seq(1, 2, 4, 8)(rng.nextInt(4)))
-        case _ => Array.fill(rng.nextInt(5))(rng.nextInt(128).toByte)
+        // FULL byte range: bytes >= 0x80 produce invalid UTF-8, which is
+        // exactly what the byte-preserving cast('string') paths exist
+        // for — 0..127 noise would never exercise them
+        case _ => Array.fill(rng.nextInt(5))(rng.nextInt(256).toByte)
       }
       seq += 1
       CellOp(r, cf, q, 100L, OpType.Value, value, seq)
