@@ -133,8 +133,10 @@ class GraftTable(
   /** Reserve `n` consecutive batch-txn timestamps from this table's
     * monotone allocator (the timeoracle analogue,
     * src/timeoracle/timeoracle.h:33-41) — returns the first. Use for
-    * [[graft.operators.BatchTxn]] start/commit timestamps so
-    * interleaved batch txns never collide. */
+    * [[graft.operators.BatchTxn]] start/commit timestamps: txns
+    * interleaved within one driver never collide (the allocator is
+    * JVM-synchronized; cross-driver writers keep prewrite's default
+    * collision check as the backstop). */
   def allocateTxnTs(n: Int = 1): Long =
     CellLogStore.allocateTxnTs(spark, logDir, n)
 
@@ -258,8 +260,12 @@ class GraftKvTable(val spark: SparkSession, val logDir: String) {
     kvs(nowUs).where(col("key") === key)
 
   /** Binary point get (binary-keyed KV tables): exact-bytes equality. */
-  def get(key: Array[Byte], nowUs: Long): DataFrame =
+  def get(key: Array[Byte], nowUs: Long): DataFrame = {
+    require(CellLogStore.binaryKeyMode(spark, logDir),
+      "binary get on a readable-key KV table (keys are StringType; use " +
+        "get(String, nowUs))")
     kvs(nowUs).where(col("key") === lit(key))
+  }
 
   /** Group-commit (key, value[, ttl_sec]) rows. Expiry is baked at
     * WRITE time — `expire_ts_us = nowUs + ttl_sec` (a missing or

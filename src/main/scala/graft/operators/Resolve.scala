@@ -297,51 +297,73 @@ object Resolve {
         val session = df.sparkSession
         import session.implicits._
         import graft.functions.Codecs
+        // the streamed fold body, shared by both key types; mirrors
+        // foldMerge's expression semantics exactly, incl. null operands
+        // (a null Add/Append operand nulls the state — expression
+        // arithmetic/concat propagate null; a poison cell must not kill
+        // the scan). Input tuples are (ts, op, value, seq).
+        def foldColumn(it: Iterator[(Long, Int, Array[Byte], Long)])
+            : (Long, Array[Byte], Long) = {
+          var maxTs = Long.MinValue
+          var maxSeq = Long.MinValue
+          var state: Array[Byte] = null
+          it.foreach { case (ts, op, v, seq) =>
+            if (ts > maxTs) maxTs = ts
+            if (seq > maxSeq) maxSeq = seq
+            op match {
+              case Value => state = v
+              case Add => state = if (v == null) null
+                else Codecs.encodeBE64(
+                  (if (state == null) 0L else Codecs.decodeBE64(state)) +
+                    Codecs.decodeBE64(v))
+              case AddInt64 => state = if (v == null) null
+                else Codecs.encodeLE64(
+                  (if (state == null) 0L else Codecs.decodeLE64(state)) +
+                    Codecs.decodeLE64(v))
+              case PutIfAbsent => if (state == null) state = v
+              case Append => state = if (v == null) null
+                else (if (state == null) Array.emptyByteArray else state) ++ v
+              case _ => ()
+            }
+          }
+          (maxTs, state, maxSeq)
+        }
         // grouping COLUMNS, not a key lambda: an opaque groupByKey key
         // is an appended attribute EnsureRequirements cannot equate
-        // with row_key, which would force the shuffle back in
-        df.select(col("row_key"), col("cf"), col("qualifier"), col("ts"),
-            col("op"), col("value"), col("seq"))
-          .groupBy(col("row_key"), col("cf"), col("qualifier"))
-          .as[(String, String, String),
-            (String, String, String, Long, Int, Array[Byte], Long)]
-          // op and value extend the sort key past (ts, seq): seq eras are
-          // claimed via unsynchronized read-then-write (nextSeqEra), so
-          // two cells CAN share (ts, seq) — the full-struct key keeps the
-          // fold order total and deterministic, like the old whole-struct
-          // collect_list sort did
-          .flatMapSortedGroups(col("ts"), col("seq"), col("op"),
-            col("value")) { case ((rk, cfn, q), it) =>
-            var maxTs = Long.MinValue
-            var maxSeq = Long.MinValue
-            var state: Array[Byte] = null
-            it.foreach { r =>
-              if (r._4 > maxTs) maxTs = r._4
-              if (r._7 > maxSeq) maxSeq = r._7
-              // mirrors foldMerge's expression semantics exactly, incl.
-              // null operands (a null Add/Append operand nulls the
-              // state — expression arithmetic/concat propagate null; a
-              // poison cell must not kill the scan)
-              r._5 match {
-                case Value => state = r._6
-                case Add => state = if (r._6 == null) null
-                  else Codecs.encodeBE64(
-                    (if (state == null) 0L else Codecs.decodeBE64(state)) +
-                      Codecs.decodeBE64(r._6))
-                case AddInt64 => state = if (r._6 == null) null
-                  else Codecs.encodeLE64(
-                    (if (state == null) 0L else Codecs.decodeLE64(state)) +
-                      Codecs.decodeLE64(r._6))
-                case PutIfAbsent => if (state == null) state = r._6
-                case Append => state = if (r._6 == null) null
-                  else (if (state == null) Array.emptyByteArray else state) ++ r._6
-                case _ => ()
+        // with row_key, which would force the shuffle back in.
+        // op and value extend the sort key past (ts, seq): seq eras are
+        // claimed via unsynchronized read-then-write (nextSeqEra), so
+        // two cells CAN share (ts, seq) — the full-struct key keeps the
+        // fold order total and deterministic, like the old whole-struct
+        // collect_list sort did.
+        // Keyed by the log's ACTUAL key type: a Dataset encoder over
+        // String would silently up-cast a binary raw key, replacing
+        // invalid-UTF-8 bytes and collapsing distinct keys.
+        val selected = df.select(col("row_key"), col("cf"), col("qualifier"),
+          col("ts"), col("op"), col("value"), col("seq"))
+        val sortKeys = Seq(col("ts"), col("seq"), col("op"), col("value"))
+        val grouped = selected.groupBy(col("row_key"), col("cf"), col("qualifier"))
+        val result =
+          if (df.schema("row_key").dataType ==
+              org.apache.spark.sql.types.BinaryType)
+            grouped
+              .as[(Array[Byte], String, String),
+                (Array[Byte], String, String, Long, Int, Array[Byte], Long)]
+              .flatMapSortedGroups(sortKeys: _*) { case ((rk, cfn, q), it) =>
+                val (ts, v, seq) = foldColumn(it.map(r => (r._4, r._5, r._6, r._7)))
+                Iterator((rk, cfn, q, ts, v, seq))
               }
-            }
-            Iterator((rk, cfn, q, maxTs, state, maxSeq))
-          }
-          .toDF("row_key", "cf", "qualifier", "ts", "value", "seq")
-          .select(outCols: _*)
+              .toDF("row_key", "cf", "qualifier", "ts", "value", "seq")
+          else
+            grouped
+              .as[(String, String, String),
+                (String, String, String, Long, Int, Array[Byte], Long)]
+              .flatMapSortedGroups(sortKeys: _*) { case ((rk, cfn, q), it) =>
+                val (ts, v, seq) = foldColumn(it.map(r => (r._4, r._5, r._6, r._7)))
+                Iterator((rk, cfn, q, ts, v, seq))
+              }
+              .toDF("row_key", "cf", "qualifier", "ts", "value", "seq")
+        result.select(outCols: _*)
       }
 
     val presentData = present.intersect(dataOps.toSet)

@@ -151,16 +151,19 @@ case class ScanQuery(
       * `next_start_point` round trip (src/sdk/scan_impl.cc:84-89;
       * tabletnode_rpc.proto:263): the caller hands back the last row
       * key a previous page returned and the scan restarts STRICTLY
-      * after it. Storage space because that is what the scan emitted —
-      * on a hash-sharded table the key already carries its shard
-      * prefix, so no re-prefixing here. */
+      * after that ROW (all its cells must have been consumed — for
+      * page limits that can split a row, use [[afterPage]], which
+      * resumes at cell granularity). Storage space because that is
+      * what the scan emitted — on a hash-sharded table the key already
+      * carries its shard prefix, so no re-prefixing here. */
     resumeAfterKey: Option[String] = None,
     resumeAfterKeyBin: Option[Array[Byte]] = None,
-    /** Plan-side resume: restart strictly after the last row key of a
+    /** Plan-side resume: restart strictly after the last CELL of a
       * previous page's RESULT, with the bound computed inside the plan
       * (a broadcast one-row aggregate) — pagination with no driver
-      * `collect()` in user code. An empty previous page means nothing
-      * was consumed: the scan runs unbounded. */
+      * `collect()` in user code, safe for page limits that split a
+      * multi-cell row. An empty previous page means nothing was
+      * consumed: the scan runs unbounded. */
     resumeAfterPage: Option[DataFrame] = None,
     /** `false` skips the final global key sort (O1): a bulk consumer —
       * export, downstream aggregation, anything that re-orders anyway —
@@ -181,14 +184,16 @@ case class ScanQuery(
   def withStartBin(k: Array[Byte]): ScanQuery = copy(startKeyBin = Some(k))
   def withStopBin(k: Array[Byte]): ScanQuery = copy(stopKeyBin = Some(k))
 
-  /** Resume a paged scan strictly after `k` (a storage-space key the
-    * previous page emitted). Composes with [[withLimit]]. */
+  /** Resume a paged scan strictly after row `k` (a storage-space key
+    * the previous page emitted, whose cells were fully consumed).
+    * Composes with [[withLimit]]. */
   def withResumeAfter(k: String): ScanQuery = copy(resumeAfterKey = Some(k))
   def withResumeAfterBin(k: Array[Byte]): ScanQuery =
     copy(resumeAfterKeyBin = Some(k))
 
-  /** Resume strictly after the last row key of `prev` (a previous
-    * page's result), bound computed in-plan — no driver collect. */
+  /** Resume strictly after the last CELL of `prev` (a previous page's
+    * result), bound computed in-plan — no driver collect, no lost
+    * cells when a page limit splits a row. */
   def afterPage(prev: DataFrame): ScanQuery = copy(resumeAfterPage = Some(prev))
 
   /** Skip the final global key sort (bulk-consumer path). */
@@ -273,22 +278,54 @@ case class ScanQuery(
       pruned = pruned.where(col("row_key") >= lit(k) &&
         col("row_key") < lit(k :+ 0.toByte))
     }
-    // resume-after bounds are STORAGE-space (what the scan emitted):
-    // no hash re-prefixing, strictly-after semantics
+    // resume-after-KEY bounds are STORAGE-space (what the scan emitted):
+    // no hash re-prefixing, strictly-after-a-fully-consumed-ROW semantics
     resumeAfterKey.foreach(k => pruned = pruned.where(col("row_key") > k))
     resumeAfterKeyBin.foreach(k => pruned = pruned.where(col("row_key") > lit(k)))
+
+    // afterPage resumes at CELL granularity (the reference's
+    // next_start_point is the last CELL returned, scan_impl.cc:84-89):
+    // withLimit counts cells, so a page boundary can split a multi-cell
+    // row, and a row-level bound would silently drop that row's
+    // remaining cells. The last delivered cell in scan order (row asc,
+    // cf asc, qualifier asc, ts desc) is a one-row broadcast max_by;
+    // an empty page (null) leaves the scan unbounded.
+    def lastCellOf(prev: DataFrame): DataFrame =
+      broadcast(prev.agg(
+        max_by(
+          struct(col("row_key").as("rk"), col("cf").as("c"),
+            col("qualifier").as("q"), col("ts").as("t")),
+          struct(col("row_key"), col("cf"), col("qualifier"), -col("ts")))
+          .as("_graft_resume")))
     resumeAfterPage.foreach { prev =>
-      // in-plan resume bound: one-row broadcast of the previous page's
-      // max key; an empty page (null max) leaves the scan unbounded
-      val last = broadcast(prev.agg(max(col("row_key")).as("_graft_resume")))
-      pruned = pruned.crossJoin(last)
+      // pre-resolve, ROW level only: rows strictly below the boundary
+      // row drop before resolution (the bound commutes at row
+      // granularity); the boundary row itself must resolve IN FULL —
+      // cutting its ops mid-column would change version caps and folds
+      pruned = pruned.crossJoin(lastCellOf(prev))
         .where(col("_graft_resume").isNull ||
-          col("row_key") > col("_graft_resume"))
+          col("row_key") >= col("_graft_resume")("rk"))
         .drop("_graft_resume")
     }
 
-    val resolved = Resolve.resolve(pruned, desc, nowUs, snapshotSeq, opsPresent,
-      deleteCountHint = deleteCountHint)
+    val resolvedAll = Resolve.resolve(pruned, desc, nowUs, snapshotSeq,
+      opsPresent, deleteCountHint = deleteCountHint)
+
+    // post-resolve: the cell-strict cut — mixed-direction lexicographic
+    // strictly-after over (row, cf, qualifier, ts desc). Applied before
+    // the row verdict: a rowFilter combined with a mid-row resume sees
+    // the row's REMAINING cells, like the reference's streamed row
+    // buffer does after a number-limit break.
+    val resolved = resumeAfterPage.fold(resolvedAll) { prev =>
+      val r = col("_graft_resume")
+      resolvedAll.crossJoin(lastCellOf(prev))
+        .where(r.isNull ||
+          col("row_key") > r("rk") ||
+          (col("row_key") === r("rk") && (col("cf") > r("c") ||
+            (col("cf") === r("c") && (col("qualifier") > r("q") ||
+              (col("qualifier") === r("q") && col("ts") < r("t")))))))
+        .drop("_graft_resume")
+    }
 
     // row-level verdict: leaf states aggregate over the whole row
     val filtered = rowFilter match {

@@ -50,8 +50,10 @@ private[graft] object BucketedCatalog {
     if (!spark.catalog.tableExists(name)) {
       val cols = StructType(schema.map(_.copy(nullable = true))).toDDL
       // the location is user-supplied path text inside SQL — escape
-      // embedded quotes or a path like /data/o'brien breaks registration
-      val loc = logDir.replace("'", "''")
+      // backslashes (the parser unescapes \t-style sequences inside
+      // string literals) and quotes, or a path like /data/o'brien or
+      // /data/a\tmp registers a corrupted location
+      val loc = logDir.replace("\\", "\\\\").replace("'", "''")
       spark.sql(
         s"""CREATE TABLE $name ($cols) USING parquet
            |CLUSTERED BY ($bucketCol)

@@ -367,10 +367,18 @@ object CellLogStore {
     * pick colliding start/commit timestamps. Returns the first of `n`
     * consecutive reserved timestamps. Seeding a table that predates
     * the allocator costs one max-ts job; every later allocation is a
-    * driver-side properties read+write (single-writer, like the append
-    * path itself).
+    * driver-side properties read+write.
+    *
+    * Monotonicity holds across allocations from ONE driver (the
+    * read-modify-write is synchronized JVM-wide) — the same
+    * single-writer-per-table posture as the append path itself. Two
+    * independent drivers allocating against one table can still race
+    * the properties file; that is why [[graft.operators.BatchTxn
+    * .prewrite]] keeps its collision check ON by default.
     */
-  def allocateTxnTs(spark: SparkSession, logDir: String, n: Int = 1): Long = {
+  private val txnTsGate = new Object
+  def allocateTxnTs(spark: SparkSession, logDir: String,
+      n: Int = 1): Long = txnTsGate.synchronized {
     require(n > 0, s"must reserve at least one timestamp, got $n")
     val p = loadProps(spark, logDir).getOrElse(
       throw new IllegalArgumentException(

@@ -40,8 +40,29 @@ object Observers {
   // holder's JVM name is written into — a foreign lock always refuses,
   // with the remedy (delete the stale file) in the message.
 
+  /** Normalized checkpoint → its consuming query. Holds the query
+    * reference itself: identity for cleanup must be `runId` (unique per
+    * run) — `query.id` is checkpoint-stable across restarts, so an id
+    * keyed registry would let a LATE termination event from round N
+    * release round N+1's lock. */
   private val activeObservers = scala.collection.concurrent.TrieMap
-    .empty[String, (java.util.UUID, SparkSession)]
+    .empty[String, StreamingQuery]
+
+  /** runId → (normalized checkpoint, checkpoint dir) for lock cleanup
+    * when the query terminates. */
+  private val observerLocks = scala.collection.concurrent.TrieMap
+    .empty[java.util.UUID, (String, String)]
+
+  /** Sessions that already carry the lock-cleanup listener. */
+  private val cleanupListenerSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Serializes acquire→start→register: without it two concurrent
+    * same-JVM observe() calls could both pass the liveness check before
+    * either registered (check-then-act). Observer starts are rare,
+    * driver-side events — a coarse gate costs nothing. */
+  private val startGate = new Object
 
   private val jvmName =
     java.lang.management.ManagementFactory.getRuntimeMXBean.getName
@@ -62,9 +83,8 @@ object Observers {
   private def acquireObserverLock(spark: SparkSession,
       checkpointDir: String): Unit = {
     val norm = normCheckpoint(spark, checkpointDir)
-    activeObservers.get(norm).foreach { case (qid, owner) =>
-      val q = owner.streams.get(qid)
-      if (q != null && q.isActive)
+    activeObservers.get(norm).foreach { q =>
+      if (q.isActive)
         throw new IllegalStateException(
           s"an active observer already consumes checkpoint $checkpointDir " +
             "(one checkpoint dir = one consumer; a second query would race " +
@@ -90,11 +110,51 @@ object Observers {
     try out.write(jvmName.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Record the started query as the checkpoint's consumer. */
-  private def registerObserver(spark: SparkSession, checkpointDir: String,
-      query: StreamingQuery): StreamingQuery = {
-    activeObservers.put(normCheckpoint(spark, checkpointDir),
-      (query.id, spark))
+  /** Release a terminated run's lock: registry entries out, lock file
+    * deleted — but ONLY while this run still owns the checkpoint (a
+    * successor round may have re-acquired before this run's async
+    * termination event arrived; its lock must survive). Idempotent. */
+  private def releaseObserverLock(spark: SparkSession,
+      runId: java.util.UUID): Unit =
+    observerLocks.remove(runId).foreach { case (norm, ckptDir) =>
+      if (activeObservers.get(norm).exists(_.runId == runId)) {
+        activeObservers.remove(norm)
+        try {
+          val p = lockFile(ckptDir)
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, false)
+        } catch { case _: Throwable => () }  // advisory; next acquire steals
+      }
+    }
+
+  /** The lock must outlive observe()'s return but not the query: a
+    * per-session listener deletes it at termination, so the NORMAL
+    * cross-process cadence (AvailableNow round per JVM) never needs
+    * manual cleanup — only a crashed JVM leaves a stale lock behind. */
+  private def ensureCleanupListener(spark: SparkSession): Unit =
+    if (cleanupListenerSessions.add(spark)) {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+            releaseObserverLock(spark, e.runId)
+        })
+    }
+
+  /** Acquire the lock, start the query, register it as the checkpoint's
+    * consumer — atomically w.r.t. other observer starts in this JVM. */
+  private def startGuarded(spark: SparkSession, checkpointDir: String)
+      (start: => StreamingQuery): StreamingQuery = startGate.synchronized {
+    acquireObserverLock(spark, checkpointDir)
+    ensureCleanupListener(spark)
+    val query = start
+    val norm = normCheckpoint(spark, checkpointDir)
+    activeObservers.put(norm, query)
+    observerLocks.put(query.runId, (norm, checkpointDir))
+    // a fast AvailableNow query can terminate before the registration
+    // above lands, losing the async cleanup event — settle it inline
+    if (!query.isActive) releaseObserverLock(spark, query.runId)
     query
   }
 
@@ -179,9 +239,8 @@ object Observers {
         * the reference scanner's continuous rounds
         * (src/observer/executor/scanner_impl.cc:244-295). */
       trigger: Trigger = Trigger.AvailableNow())
-      (onNotify: DataFrame => Unit): StreamingQuery = {
-    acquireObserverLock(table.spark, checkpointDir)
-    registerObserver(table.spark, checkpointDir,
+      (onNotify: DataFrame => Unit): StreamingQuery =
+    startGuarded(table.spark, checkpointDir) {
     cellLogStream(table.spark, table.logDir, Some(table.desc.lgs.nonEmpty))
       .where(col("cf") === NotifyCf &&
         col("op") === graft.model.OpType.Value)
@@ -217,8 +276,8 @@ object Observers {
           (System.nanoTime() - t0) / 1000000L))
       }
       .trigger(trigger)
-      .start())
-  }
+      .start()
+    }
 
   /** Pending notifications: resolve the `_N_` column family of the log
     * (the cf restriction is a pushed parquet filter — the analogue of
@@ -249,14 +308,17 @@ object Observers {
     *   yet to sniff.
     */
   def cellLogStream(spark: SparkSession, logDir: String,
-      lgPartitioned: Option[Boolean] = None): DataFrame =
+      lgPartitioned: Option[Boolean] = None): DataFrame = {
+    // the stored descriptor decides the key mode: a binary-raw-key log's
+    // row_key must stream as BinaryType, exactly like the batch readers
+    val stored = graft.sources.CellLogStore.readDesc(spark, logDir).map(_._1)
+    val schema = CellOp.schemaFor(stored.exists(_.rawKeyBinary))
     // LG-partitioned logs (lg=<name>/ dirs) need the partition column
     // in the stream schema; it is layout, not data — drop it.
-    if (lgPartitioned.orElse(
-        graft.sources.CellLogStore.readDesc(spark, logDir).map(_._1.lgs.nonEmpty))
+    if (lgPartitioned.orElse(stored.map(_.lgs.nonEmpty))
       .getOrElse(graft.sources.CellLogStore.hasLgLayout(spark, logDir)))
       spark.readStream
-        .schema(CellOp.schema.add(
+        .schema(schema.add(
           org.apache.spark.sql.types.StructField("lg",
             org.apache.spark.sql.types.StringType)))
         .option("maxFilesPerTrigger", "16")
@@ -264,9 +326,10 @@ object Observers {
         .drop("lg")
     else
       spark.readStream
-        .schema(CellOp.schema)
+        .schema(schema)
         .option("maxFilesPerTrigger", "16")
         .parquet(logDir)
+  }
 
   /** One observed notification — what `OnNotify` sees. */
   case class Notification(
@@ -317,8 +380,7 @@ object Observers {
       trigger: Trigger = Trigger.AvailableNow())(
       onNotify: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark = feed.sparkSession
-    acquireObserverLock(spark, checkpointDir)
-    registerObserver(spark, checkpointDir,
+    startGuarded(spark, checkpointDir) {
       observed(feed, columns, buckets).writeStream
         .option("checkpointLocation", checkpointDir)
         .outputMode("append")
@@ -331,7 +393,8 @@ object Observers {
             (System.nanoTime() - t0) / 1000000L))
         }
         .trigger(trigger)
-        .start())
+        .start()
+    }
   }
 
   /** One observer scan round's metrics — what a ScanHook sees. */

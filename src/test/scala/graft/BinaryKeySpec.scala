@@ -136,7 +136,29 @@ class BinaryKeySpec extends AnyFunSuite {
       .collect()(0).getAs[Array[Byte]]("value")) == "a")
   }
 
-  test("binary mode refusals: hashKeys combo, secondary index") {
+  test("binary keys survive the mixed-op streaming fold byte-for-byte") {
+    val session = spark
+    import session.implicits._
+    // Append + PutIfAbsent forces the flatMapSortedGroups fold — the one
+    // resolve path with a Dataset encoder on row_key, where a String
+    // encoder would U+FFFD-mangle invalid UTF-8 and collapse k1/k4
+    val log = Seq(
+      (k1, "cf", "q", 1L, OpType.Append, "a".getBytes, 1L),
+      (k1, "cf", "q", 2L, OpType.Append, "b".getBytes, 2L),
+      (k4, "cf", "q", 1L, OpType.PutIfAbsent, "first".getBytes, 3L),
+      (k4, "cf", "q", 2L, OpType.PutIfAbsent, "late".getBytes, 4L))
+      .toDF("row_key", "cf", "qualifier", "ts", "op", "value", "seq")
+    val out = graft.operators.Resolve.resolve(log,
+        opsPresent = Some(Set(OpType.Append, OpType.PutIfAbsent)))
+      .collect().map(r =>
+        (r.getAs[Array[Byte]]("row_key"), r.getAs[Array[Byte]]("value")))
+    assert(out.length == 2)
+    val byKey = out.map { case (k, v) => k.toSeq -> new String(v) }.toMap
+    assert(byKey(k1.toSeq) == "ab")
+    assert(byKey(k4.toSeq) == "first")
+  }
+
+  test("binary mode refusals: hashKeys combo, secondary index, KV string get") {
     val dir = Files.createTempDirectory("graft-binkey-bad").toString
     intercept[IllegalArgumentException] {
       Graft.createTable(spark, dir,
@@ -147,6 +169,13 @@ class BinaryKeySpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       t.buildIndex(Files.createTempDirectory("graft-binkey-ix").toString,
         "cf", "q")
+    }
+    // a binary get against a READABLE-key KV table is refused, same as
+    // the cell-table twin
+    val kvDir = Files.createTempDirectory("graft-binkey-kv-str").toString
+    val kvStr = Graft.createKvTable(spark, kvDir)
+    intercept[IllegalArgumentException] {
+      kvStr.get(k1, Long.MaxValue)
     }
   }
 
@@ -173,6 +202,29 @@ class BinaryKeySpec extends AnyFunSuite {
     val fromStart = q.afterPage(page1.limit(0)).withLimit(5).run()
       .select("row_key").collect().map(_.getString(0))
     assert(fromStart.toSeq == (1 to 5).map(i => f"k$i%03d"))
+
+    // cell-granular afterPage: a page limit that splits a multi-cell
+    // row must not lose the row's remaining cells (withResumeAfter is
+    // row-granular by contract; afterPage is the safe general form)
+    val wide = (1 to 5).flatMap(i => Seq("q1", "q2", "q3").map(qn =>
+      (f"w$i%02d", "cf", qn, 1L, OpType.Value, "v".getBytes,
+        (i * 10 + qn.last - '0').toLong)))
+      .toDF("row_key", "cf", "qualifier", "ts", "op", "value", "seq")
+    val wq = ScanQuery(wide, opsPresent = Some(Set(OpType.Value)))
+    val wp1 = wq.withLimit(2).run()   // (w01,q1),(w01,q2) — row w01 split
+    val wp2 = wq.afterPage(wp1).withLimit(2).run()
+      .select("row_key", "qualifier").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(wp2.toSeq == Seq(("w01", "q3"), ("w02", "q1")))
+    // and stitched pages reproduce the full scan with nothing dropped
+    val all = Iterator.iterate(
+      (wq.withLimit(7).run(), Seq.empty[(String, String)])) { case (page, acc) =>
+        (wq.afterPage(page).withLimit(7).run(),
+          acc ++ page.select("row_key", "qualifier").collect()
+            .map(r => (r.getString(0), r.getString(1))))
+      }.drop(3).next()._2
+    assert(all == wq.run().select("row_key", "qualifier").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq)
 
     // binary resume twin
     val binLog = Seq(k1, k2, k3, k4).zipWithIndex.map { case (k, i) =>

@@ -132,6 +132,36 @@ class StreamingSpec extends AnyFunSuite {
       Observers.cellLogStream(spark, logDir),
       Seq(("cf1", "q0")), ckpt, 4) { (_, _) => () }
     q2.awaitTermination(60000)
+    // clean termination releases the lock FILE too, so the next round
+    // from a DIFFERENT JVM isn't refused against a dead consumer; the
+    // async listener does the delete — allow it a moment
+    val lock = new org.apache.hadoop.fs.Path(ckpt, "_graft_observer.lock")
+    val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (fs.exists(lock) && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(!fs.exists(lock), "observer lock not released on termination")
+  }
+
+  test("observer stream over a binary-raw-key table keeps keys byte-exact") {
+    import spark.implicits._
+    val logDir = tmp("bin-obs-log")
+    val ckpt = tmp("bin-obs-ckpt")
+    val k = Array[Byte](0x00, 0x80.toByte, 0xFF.toByte)  // invalid UTF-8
+    val t = Graft.createTable(spark, logDir,
+      graft.model.TableDesc(rawKeyBinary = true),
+      ops = Some(Set(OpType.Value)))
+    t.put(Seq((k, "cf1", "q0", 1L, OpType.Value, "v".getBytes, 1L))
+      .toDF("row_key", "cf", "qualifier", "ts", "op", "value", "seq"))
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val q = Observers.observe(
+      Observers.cellLogStream(spark, logDir),
+      Seq(("cf1", "q0")), ckpt, 4) { (batch, _) =>
+      seen ++= batch.select("row_key").collect().map(_.getAs[Array[Byte]](0))
+    }
+    q.awaitTermination(60000)
+    assert(seen.length == 1 && java.util.Arrays.equals(seen(0), k),
+      s"key mangled: ${seen.map(_.mkString(",")).mkString("; ")}")
   }
 
   test("observer maintains a secondary index incrementally (tera's canonical use)") {
