@@ -35,33 +35,42 @@ class ScanFilterFuzzSpec extends AnyFunSuite {
   /** One VALUE per present (row, cf, qual): resolve is the identity and
     * the fuzz isolates the filter, not the fold. Value bytes mix clean
     * encodings with raw noise so typed decodes hit their total paths. */
+  private def randomValue(rng: scala.util.Random): Array[Byte] =
+    rng.nextInt(4) match {
+      case 0 => Codecs.encodeBE64(rng.nextInt(200).toLong - 100)
+      case 1 => s"s${rng.nextInt(50)}".getBytes("UTF-8")
+      case 2 => Codecs.encodeLEInt(rng.nextInt(200).toLong - 100,
+        Seq(1, 2, 4, 8)(rng.nextInt(4)))
+      // FULL byte range: bytes >= 0x80 produce invalid UTF-8, which is
+      // exactly what the byte-preserving cast('string') paths exist
+      // for — 0..127 noise would never exercise them
+      case _ => Array.fill(rng.nextInt(5))(rng.nextInt(256).toByte)
+    }
+
   private def randomCells(rng: scala.util.Random): Seq[CellOp] = {
     var seq = 0L
     for {
       r <- rows; cf <- cfs; q <- quals
       if rng.nextInt(10) < 7
     } yield {
-      val value = rng.nextInt(4) match {
-        case 0 => Codecs.encodeBE64(rng.nextInt(200).toLong - 100)
-        case 1 => s"s${rng.nextInt(50)}".getBytes("UTF-8")
-        case 2 => Codecs.encodeLEInt(rng.nextInt(200).toLong - 100,
-          Seq(1, 2, 4, 8)(rng.nextInt(4)))
-        // FULL byte range: bytes >= 0x80 produce invalid UTF-8, which is
-        // exactly what the byte-preserving cast('string') paths exist
-        // for — 0..127 noise would never exercise them
-        case _ => Array.fill(rng.nextInt(5))(rng.nextInt(256).toByte)
-      }
       seq += 1
-      CellOp(r, cf, q, 100L, OpType.Value, value, seq)
+      CellOp(r, cf, q, 100L, OpType.Value, randomValue(rng), seq)
     }
   }
 
-  private def randomLeaf(rng: scala.util.Random): ScanFilter = {
+  private def randomLeaf(rng: scala.util.Random,
+      rowKeyLeaves: Boolean = true): ScanFilter = {
     val cf = cfs(rng.nextInt(cfs.size))
     val q = quals(rng.nextInt(quals.size))
     val cmp = Seq("<", "<=", "==", "!=", ">=", ">")(rng.nextInt(6))
     val ifMissing = rng.nextBoolean()
-    rng.nextInt(8) match {
+    // without row-key leaves (binary-key trials: startsWith is a string
+    // operation), the prefix slot re-rolls into the regex/substr case
+    val pick = rng.nextInt(8) match {
+      case 6 if !rowKeyLeaves => 7
+      case n => n
+    }
+    pick match {
       case 0 => ScanFilter.ValueFilter(cf, q, cmp,
         TypedValue.Int64BE(rng.nextInt(200).toLong - 100), ifMissing)
       case 1 => ScanFilter.ValueFilter(cf, q, cmp,
@@ -85,10 +94,12 @@ class ScanFilterFuzzSpec extends AnyFunSuite {
     }
   }
 
-  private def randomTree(rng: scala.util.Random, depth: Int): ScanFilter =
-    if (depth == 0 || rng.nextInt(3) == 0) randomLeaf(rng)
+  private def randomTree(rng: scala.util.Random, depth: Int,
+      rowKeyLeaves: Boolean = true): ScanFilter =
+    if (depth == 0 || rng.nextInt(3) == 0) randomLeaf(rng, rowKeyLeaves)
     else {
-      val children = Seq.fill(2 + rng.nextInt(2))(randomTree(rng, depth - 1))
+      val children =
+        Seq.fill(2 + rng.nextInt(2))(randomTree(rng, depth - 1, rowKeyLeaves))
       if (rng.nextBoolean()) ScanFilter.And(children) else ScanFilter.Or(children)
     }
 
@@ -201,6 +212,68 @@ class ScanFilterFuzzSpec extends AnyFunSuite {
       assert(got == want,
         s"trial $trial pipeline divergence (cf=$cfSel col=$colSel ts=$tsR " +
           s"maxQ=$maxQ start=$start stop=$stop tree=$tree)\n" +
+          s"only-spark: ${got -- want}\nonly-ref: ${want -- got}")
+    }
+  }
+
+  test("binary-key bounds + verdicts match the memcmp reference on 40 scans") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260816L)
+    val cmpU = (a: Array[Byte], b: Array[Byte]) =>
+      java.util.Arrays.compareUnsigned(a, b)
+    (1 to 40).foreach { trial =>
+      // full-range random byte keys, short so prefix pairs and exact
+      // collisions with bounds actually occur
+      val keys = Seq.fill(8)(
+        Array.fill(1 + rng.nextInt(3))(rng.nextInt(256).toByte))
+        .distinctBy(_.toSeq)
+      var seq = 0L
+      val cells = for {
+        k <- keys; cf <- cfs; q <- quals
+        if rng.nextInt(10) < 7
+      } yield {
+        seq += 1
+        (k, cf, q, 100L, OpType.Value, randomValue(rng), seq)
+      }
+      val df = cells.toDF("row_key", "cf", "qualifier", "ts", "op", "value", "seq")
+      def randBound() = Array.fill(1 + rng.nextInt(3))(rng.nextInt(256).toByte)
+      val point = if (rng.nextInt(4) == 0)
+        Some(keys(rng.nextInt(keys.size))) else None
+      val start = if (point.isEmpty && rng.nextInt(3) == 0)
+        Some(randBound()) else None
+      val stop = if (point.isEmpty && rng.nextInt(3) == 0)
+        Some(randBound()) else None
+      val resume = if (rng.nextInt(3) == 0) Some(randBound()) else None
+      val tree = if (rng.nextBoolean())
+        Some(randomTree(rng, 2, rowKeyLeaves = false)) else None
+
+      var q = ScanQuery(df)
+      point.foreach(k => q = q.forRowBin(k))
+      start.foreach(k => q = q.withStartBin(k))
+      stop.foreach(k => q = q.withStopBin(k))
+      resume.foreach(k => q = q.withResumeAfterBin(k))
+      tree.foreach(t => q = q.withFilter(t))
+      val got = q.run().collect()
+        .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getString(1), r.getString(2)))
+        .toSet
+
+      val ranged = cells.filter { c =>
+        point.forall(p => java.util.Arrays.equals(c._1, p)) &&
+          start.forall(s => cmpU(c._1, s) >= 0) &&
+          stop.forall(s => cmpU(c._1, s) < 0) &&
+          resume.forall(s => cmpU(c._1, s) > 0)
+      }
+      val byRow = ranged.groupBy(_._1.toSeq)
+      val want = byRow.collect {
+        // rowKey "" is fine: binary trees carry no row-key leaves
+        case (rk, cs) if tree.forall(t => evalVerdict(t, "",
+          cs.map(c => (c._2, c._3) -> c._6).toMap)) =>
+          cs.map(c => (rk, c._2, c._3))
+      }.flatten.toSet
+      assert(got == want,
+        s"trial $trial binary divergence (point=${point.map(_.mkString(","))} " +
+          s"start=${start.map(_.mkString(","))} stop=${stop.map(_.mkString(","))} " +
+          s"resume=${resume.map(_.mkString(","))} tree=$tree)\n" +
           s"only-spark: ${got -- want}\nonly-ref: ${want -- got}")
     }
   }
