@@ -180,6 +180,33 @@ object SparkEntry {
         .orderBy(col("key"), col("value"))
     }),
 
+    "q_o2b_resume_literal" -> ((s, dir) => {
+      // the literal next_start_point round trip: the caller hands back a
+      // key from an earlier page and the scan restarts strictly after
+      // that row — the bound is a pushed parquet filter, not a join
+      val log = t(s, dir, "part").select(
+        col("p_partkey").cast("string").as("row_key"),
+        lit("kv").as("cf"), lit("v").as("qualifier"), lit(1L).as("ts"),
+        lit(graft.model.OpType.Value).as("op"),
+        encode(col("p_name"), "UTF-8").as("value"),
+        col("p_partkey").as("seq"))
+      ScanQuery(log, opsPresent = CellLogs.valueOnly)
+        .withResumeAfter("500").withLimit(100).run()
+        .select(col("row_key").as("key"),
+          decode(col("value"), "UTF-8").as("value"))
+        .orderBy(col("key"), col("value"))
+    }),
+    "q_o1b_unordered_scan" -> ((s, dir) => {
+      // bulk-consumer scan: same row SET as the ordered scan with no
+      // global key sort (the driver gate compares sorted rows, so set
+      // equality is exactly what is asserted); plan-asserted shuffle-free
+      // in PlanSpec
+      ScanQuery(CellLogs.ordersWideLog(s, dir), opsPresent = CellLogs.valueOnly)
+        .addColumnFamily("meta")
+        .unordered.run()
+        .select(col("row_key"), col("cf"), col("qualifier"),
+          decode(col("value"), "UTF-8").as("value"))
+    }),
     "q_p11_typed_compare" -> ((s, dir) => {
       // typed double comparator over f64-encoded cells: users whose
       // LATEST purchase value exceeds 100.0
@@ -1156,6 +1183,17 @@ object SparkEntry {
     "q_o2_pagination" ->
       """SELECT CAST(p_partkey AS VARCHAR) AS key, p_name AS value FROM part
         |ORDER BY 1, 2 LIMIT 100 OFFSET 100""".stripMargin,
+    "q_o2b_resume_literal" ->
+      """SELECT CAST(p_partkey AS VARCHAR) AS key, p_name AS value FROM part
+        |WHERE CAST(p_partkey AS VARCHAR) > '500'
+        |ORDER BY 1, 2 LIMIT 100""".stripMargin,
+    "q_o1b_unordered_scan" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS row_key, 'meta' AS cf,
+        |       'status' AS qualifier, o_orderstatus AS value FROM orders
+        |UNION ALL
+        |SELECT CAST(o_orderkey AS VARCHAR), 'meta', 'priority',
+        |       o_orderpriority FROM orders
+        |ORDER BY 1, 2, 3""".stripMargin,
     "q_p11_typed_compare" ->
       """WITH latest AS (
         |  SELECT CAST(user_id AS VARCHAR) AS row_key, value,

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.cellfunctions._
 import graft.model.OpType
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Batch forms of the reference's conditional-write surface.
@@ -98,7 +98,19 @@ object BatchTxn {
     * `seqBase` spacing as in [[graft.streaming.Observers.notifyOps]].
     */
   def prewriteOps(accepted: DataFrame, startTs: Long, primaryKey: String,
-      seqBase: Long): DataFrame = {
+      seqBase: Long): DataFrame =
+    prewriteOpsPayload(accepted, startTs,
+      encode(lit(primaryKey), "UTF-8"), seqBase)
+
+  /** Binary-raw-key twin: the primary row key is arbitrary bytes, and
+    * the lock payload carries them verbatim (PercolatorRead.pendingLocks
+    * surfaces them back as bytes on a binary log). */
+  def prewriteOps(accepted: DataFrame, startTs: Long,
+      primaryKey: Array[Byte], seqBase: Long): DataFrame =
+    prewriteOpsPayload(accepted, startTs, lit(primaryKey), seqBase)
+
+  private def prewriteOpsPayload(accepted: DataFrame, startTs: Long,
+      primaryPayload: Column, seqBase: Long): DataFrame = {
     val base = accepted.where(!col("conflict"))
       .select(col("row_key"), col("cf"), col("qualifier"), col("value"))
     val sub = graft.sources.CellLogStore.SeqSubEra
@@ -110,7 +122,7 @@ object BatchTxn {
       col("row_key"), col("cf"),
       concat(lit("!L"), col("qualifier")).as("qualifier"),
       lit(startTs).as("ts"), lit(OpType.Value).as("op"),
-      encode(lit(primaryKey), "UTF-8").as("value"),
+      primaryPayload.as("value"),
       (lit(seqBase + sub) + monotonically_increasing_id()).as("seq"))
     data.unionAll(lock)
   }

@@ -82,10 +82,19 @@ object PercolatorRead {
       opsPresent = Some(Set(graft.model.OpType.Value,
         graft.model.OpType.DelQualifiers, graft.model.OpType.DelQualifier)),
       deleteStrategy = "join")
+    // the lock payload names the txn's primary ROW KEY, so it carries
+    // the log's key type: raw bytes on a binary-raw-key log (a UTF-8
+    // decode would throw on arbitrary key bytes), decoded text on a
+    // readable log — either way `primary` joins row_key type-exactly
+    // in BatchTxn.resolveLockOps
+    val primary =
+      if (log.schema("row_key").dataType ==
+          org.apache.spark.sql.types.BinaryType) col("value")
+      else decode(col("value"), "UTF-8")
     val locks = visible.select(col("row_key"), col("cf"),
       expr("substring(qualifier, 3)").as("qualifier"),
       col("ts").as("lock_ts"),
-      decode(col("value"), "UTF-8").as("primary"))
+      primary.as("primary"))
     val commits = log
       .where(col("qualifier").startsWith("!W") && col("ts") <= snapshotTs &&
         col("op") === graft.model.OpType.Value)

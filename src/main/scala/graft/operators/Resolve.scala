@@ -68,8 +68,18 @@ object Resolve {
 
     val bounded = snapshotSeq.fold(log)(s => log.where(col("seq") <= s))
 
-    val present: Set[Int] = opsPresent.getOrElse(
-      bounded.select(col("op")).distinct().collect().map(_.getInt(0)).toSet)
+    // ad-hoc logs (no declared op-set) probe ONCE for both adaptive
+    // inputs — the op tags present AND the tombstone count — instead of
+    // a distinct job now and a count job later; stored tables carry
+    // both on their descriptor and never reach this
+    val (present: Set[Int], probedDelCount: Option[Long]) = opsPresent match {
+      case Some(p) => (p, None)
+      case None =>
+        val row = bounded.agg(
+          collect_set(col("op")),
+          count(when(col("op").isin(deletes: _*), 1))).collect()(0)
+        (row.getSeq[Int](0).toSet, Some(row.getLong(1)))
+    }
     val hasAtomic = present.exists(atomics.contains)
     val hasValue = present.contains(Value)
 
@@ -106,7 +116,7 @@ object Resolve {
       if (presentDels.isEmpty) "none"
       else deleteStrategy match {
         case "auto" =>
-          val n = deleteCountHint.getOrElse(
+          val n = deleteCountHint.orElse(probedDelCount).getOrElse(
             bounded.where(col("op").isin(presentDels: _*)).count())
           if (n <= 100000L) "join" else "window"
         case s => s

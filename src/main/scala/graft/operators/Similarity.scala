@@ -79,10 +79,18 @@ object Similarity {
     * as a codegen reference object, not inlined literals, so high
     * `planes × tables × dim` stays O(1) generated code.
     */
+  /** Derived plane matrices, memoized per (seed, dim, planes): they are
+    * deterministic, and re-deriving planes×dim gaussians at every query
+    * build site was pure redundant driver work. Bounded: one entry per
+    * distinct LSH configuration the process ever uses. */
+  private val hyperCache = scala.collection.concurrent.TrieMap
+    .empty[(Long, Int, Int), Array[Array[Double]]]
+
   def hyperplaneBucket(v: Column, dim: Int, planes: Int, seed: Long): Column = {
-    val rng = new scala.util.Random(seed)
-    val hyper: Array[Array[Double]] =
+    val hyper = hyperCache.getOrElseUpdate((seed, dim, planes), {
+      val rng = new scala.util.Random(seed)
       Array.fill(planes)(Array.fill(dim)(rng.nextGaussian()))
+    })
     graft.functions.cellfunctions.hyperplane_bucket(v, hyper)
   }
 

@@ -179,6 +179,38 @@ class BinaryKeySpec extends AnyFunSuite {
     }
   }
 
+  test("percolator 2PC over a binary-raw-key table: commit, dangling-lock cleanup") {
+    val session = spark
+    import session.implicits._
+    import graft.operators.{BatchTxn, PercolatorRead}
+    val dir = Files.createTempDirectory("graft-bin-2pc").toString
+    val t = Graft.createTable(spark, dir, TableDesc(rawKeyBinary = true))
+
+    // txn1 (primary k1) commits; txn2 (primary k4) crashes after prewrite
+    val m1 = Seq((k1, "cf", "q", "a".getBytes), (k3, "cf", "q", "b".getBytes))
+      .toDF("row_key", "cf", "qualifier", "value")
+    val p1 = BatchTxn.prewrite(t.log, m1, startTs = 10)
+    assert(p1.where(col("conflict")).count() == 0)
+    t.put(BatchTxn.prewriteOps(p1, 10L, k1, 1L << 40))
+    t.put(BatchTxn.commitOps(t.log, startTs = 10, commitTs = 20, 2L << 40))
+
+    val m2 = Seq((k4, "cf", "q", "c".getBytes))
+      .toDF("row_key", "cf", "qualifier", "value")
+    val p2 = BatchTxn.prewrite(t.log, m2, startTs = 30)
+    t.put(BatchTxn.prewriteOps(p2, 30L, k4, 3L << 40))
+    // k4's lock dangles (no commit); its payload is the raw primary bytes
+    val pend = PercolatorRead.pendingLocks(t.log, Long.MaxValue).collect()
+    assert(pend.length == 1 &&
+      Arrays.equals(pend(0).getAs[Array[Byte]]("primary"), k4))
+
+    // one-pass cleanup decides per lock: no commit pointer on k4 → back
+    t.putStored(BatchTxn.resolveLockOps(t.log, 4L << 40))
+    assert(PercolatorRead.pendingLocks(t.log, Long.MaxValue).count() == 0)
+    val vis = PercolatorRead.resolve(t.log, snapshotTs = Long.MaxValue)
+      .collect().map(r => r.getAs[Array[Byte]]("row_key").toSeq).toSet
+    assert(vis == Set(k1.toSeq, k3.toSeq))
+  }
+
   test("pagination: withResumeAfter literal == afterPage plan-side bound") {
     val session = spark
     import session.implicits._
