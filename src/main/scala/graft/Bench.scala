@@ -22,6 +22,12 @@ object Bench {
     catch { case _: Throwable => () }
     try SparkEntry.queries("q_s4b_lg_projection")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    try SparkEntry.queries("q_io_bucketed_store_roundtrip")(spark, sfDir).count()
+    catch { case _: Throwable => () }
+    try SparkEntry.queries("q_s3d_binary_point_get")(spark, sfDir).count()
+    catch { case _: Throwable => () }
+    try SparkEntry.queries("q_s6c_kv_binary_scan")(spark, sfDir).count()
+    catch { case _: Throwable => () }
     // optional: `runMain graft.Bench <name>...` times only those queries
     // (repeated SPARK_GRAFT_REPEAT times, best-of reported) — the
     // driver's no-arg invocation is unchanged

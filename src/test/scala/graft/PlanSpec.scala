@@ -306,6 +306,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!unorderedPlan.contains("Exchange"), unorderedPlan)
   }
 
+  test("literal resume-after bound pushes to the parquet scan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("plan-resume").toString
+    val ops = (0 until 100).map(i =>
+      CellOp(f"r$i%03d", "cf", "q", 1L, OpType.Value, s"v$i".getBytes, i.toLong))
+    CellLogStore.append(ops.toDF(), dir)
+    val scan = ScanQuery(CellLogStore.read(spark, dir),
+        opsPresent = Some(Set(OpType.Value)))
+      .withResumeAfter("r049").withLimit(10).run()
+    val leaves = scan.queryExecution.executedPlan.collectLeaves().mkString("\n")
+    // the next_start_point round trip must prune files/row-groups like
+    // any other key bound — it is a literal predicate, not a join
+    assert(leaves.contains("GreaterThan(row_key,r049)"), leaves)
+    assert(scan.count() == 10)
+  }
+
   test("binary raw-key bounds push to the parquet scan") {
     import spark.implicits._
     val dir = Files.createTempDirectory("plan-binkey").toString
