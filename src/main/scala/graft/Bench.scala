@@ -12,22 +12,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warm up codegen/JIT/file listing so the first timed query isn't
     // charged for JVM startup, and pre-build the per-process store
-    // fixtures (q_s6b's KV table) so timed runs measure the read path,
-    // not one-time table construction
-    try SparkEntry.queries("q_p1_scan_projection")(spark, sfDir).count()
-    catch { case _: Throwable => () }
-    try SparkEntry.queries("q_s6b_kv_ttl")(spark, sfDir).count()
-    catch { case _: Throwable => () }
-    try SparkEntry.queries("q_ix_secondary_lookup")(spark, sfDir).count()
-    catch { case _: Throwable => () }
-    try SparkEntry.queries("q_s4b_lg_projection")(spark, sfDir).count()
-    catch { case _: Throwable => () }
-    try SparkEntry.queries("q_io_bucketed_store_roundtrip")(spark, sfDir).count()
-    catch { case _: Throwable => () }
-    try SparkEntry.queries("q_s3d_binary_point_get")(spark, sfDir).count()
-    catch { case _: Throwable => () }
-    try SparkEntry.queries("q_s6c_kv_binary_scan")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // fixtures (KV/index/LG/bucketed/binary tables) so timed runs
+    // measure the read path, not one-time table construction. The map
+    // lookup stays OUTSIDE the try: a renamed query must fail fast, not
+    // silently skip its warm-up and re-charge the first timed run.
+    Seq("q_p1_scan_projection", "q_s6b_kv_ttl", "q_ix_secondary_lookup",
+      "q_s4b_lg_projection", "q_io_bucketed_store_roundtrip",
+      "q_s3d_binary_point_get", "q_s6c_kv_binary_scan").foreach { name =>
+      val q = SparkEntry.queries(name)
+      try q(spark, sfDir).count() catch { case _: Throwable => () }
+    }
     // optional: `runMain graft.Bench <name>...` times only those queries
     // (repeated SPARK_GRAFT_REPEAT times, best-of reported) — the
     // driver's no-arg invocation is unchanged

@@ -166,14 +166,9 @@ object SparkEntry {
       // src/sdk/scan_impl.cc:84-89): page 2 resumes strictly after page
       // 1's last key via afterPage — the resume bound is a one-row
       // broadcast computed IN the plan, no driver collect in user code
-      // (withResumeAfter takes the literal-key round trip; spec'd)
-      val log = t(s, dir, "part").select(
-        col("p_partkey").cast("string").as("row_key"),
-        lit("kv").as("cf"), lit("v").as("qualifier"), lit(1L).as("ts"),
-        lit(graft.model.OpType.Value).as("op"),
-        encode(col("p_name"), "UTF-8").as("value"),
-        col("p_partkey").as("seq"))
-      val q = ScanQuery(log, opsPresent = CellLogs.valueOnly)
+      // (withResumeAfter takes the literal-key round trip; q_o2b)
+      val q = ScanQuery(CellLogs.partKvLog(s, dir),
+        opsPresent = CellLogs.valueOnly)
       q.afterPage(q.withLimit(100).run()).withLimit(100).run()
         .select(col("row_key").as("key"),
           decode(col("value"), "UTF-8").as("value"))
@@ -184,13 +179,7 @@ object SparkEntry {
       // the literal next_start_point round trip: the caller hands back a
       // key from an earlier page and the scan restarts strictly after
       // that row — the bound is a pushed parquet filter, not a join
-      val log = t(s, dir, "part").select(
-        col("p_partkey").cast("string").as("row_key"),
-        lit("kv").as("cf"), lit("v").as("qualifier"), lit(1L).as("ts"),
-        lit(graft.model.OpType.Value).as("op"),
-        encode(col("p_name"), "UTF-8").as("value"),
-        col("p_partkey").as("seq"))
-      ScanQuery(log, opsPresent = CellLogs.valueOnly)
+      ScanQuery(CellLogs.partKvLog(s, dir), opsPresent = CellLogs.valueOnly)
         .withResumeAfter("500").withLimit(100).run()
         .select(col("row_key").as("key"),
           decode(col("value"), "UTF-8").as("value"))

@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   * (row_key[, cf, qualifier]) — one hash shuffle each, no driver-side
   * loops; conflict checks ride the same key partitioning as the writes
   * they guard.
+  *
+  * Key space: every frame here — mutations, `primaryKey`, and the ops
+  * these builders emit — is in STORAGE space, because the lock payload
+  * and the conflict probes join against the log's own `row_key`. On a
+  * hash-sharded table that means the caller prefixes keys
+  * ([[graft.GraftTable.storageKey]]) and commits batches via
+  * [[graft.GraftTable.putStored]] — a plain `put` would hash the data
+  * cells' keys a second time while the lock payload kept the logical
+  * primary, and lock resolution would then roll back committed writes.
   */
 object BatchTxn {
 

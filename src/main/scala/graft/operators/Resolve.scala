@@ -116,7 +116,9 @@ object Resolve {
       if (presentDels.isEmpty) "none"
       else deleteStrategy match {
         case "auto" =>
-          val n = deleteCountHint.orElse(probedDelCount).getOrElse(
+          // the probe's count is EXACT and already paid for — a stored
+          // hint (possibly stale) only decides when no probe ran
+          val n = probedDelCount.orElse(deleteCountHint).getOrElse(
             bounded.where(col("op").isin(presentDels: _*)).count())
           if (n <= 100000L) "join" else "window"
         case s => s

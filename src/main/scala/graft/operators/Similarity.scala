@@ -74,11 +74,6 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id"))
   }
 
-  /** Random-hyperplane sign bucket (deterministic per-table seed).
-    * `planes` bits -> int bucket id. The plane matrix ships to executors
-    * as a codegen reference object, not inlined literals, so high
-    * `planes × tables × dim` stays O(1) generated code.
-    */
   /** Derived plane matrices, memoized per (seed, dim, planes): they are
     * deterministic, and re-deriving planes×dim gaussians at every query
     * build site was pure redundant driver work. Bounded: one entry per
@@ -86,6 +81,11 @@ object Similarity {
   private val hyperCache = scala.collection.concurrent.TrieMap
     .empty[(Long, Int, Int), Array[Array[Double]]]
 
+  /** Random-hyperplane sign bucket (deterministic per-table seed).
+    * `planes` bits -> int bucket id. The plane matrix ships to executors
+    * as a codegen reference object, not inlined literals, so high
+    * `planes × tables × dim` stays O(1) generated code.
+    */
   def hyperplaneBucket(v: Column, dim: Int, planes: Int, seed: Long): Column = {
     val hyper = hyperCache.getOrElseUpdate((seed, dim, planes), {
       val rng = new scala.util.Random(seed)

@@ -248,6 +248,19 @@ object CellLogs {
         .bitwiseOR(Long.MinValue)).as("value"),
       col("event_id").as("seq"))
 
+  /** part → a 1-cell-per-row KV-shaped cell log (row=partkey,
+    * value=name) — the pagination fixture, shared by both q_o2 rows so
+    * the resume pair cannot silently diverge. */
+  def partKvLog(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "part").select(
+      col("p_partkey").cast("string").as("row_key"),
+      lit("kv").as("cf"),
+      lit("v").as("qualifier"),
+      lit(1L).as("ts"),
+      lit(Value).as("op"),
+      encode(col("p_name"), "UTF-8").as("value"),
+      col("p_partkey").as("seq"))
+
   /** TTLKv fixture from part: one KV per partkey with a baked expiry
     * (expire_ts_us = epoch + partkey seconds; every 4th key never
     * expires), and every 5th key rewritten at seq=2 — latest wins.
