@@ -49,7 +49,19 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // materialize the synthetic corpus ONCE, as shuffle files: real
+    // pipelines read stored parquet, where a consumer re-scan is an IO
+    // read — here it would REGENERATE 50 xxhash tokens per doc per
+    // consumer (minhash reads the corpus twice, grouping iterates), and
+    // the probes would time corpus synthesis instead of the operators
+    // under test. An exchange is the cheapest stable form: consumers
+    // re-read compact shuffle files via the page cache, with no
+    // block-manager memory pinned (persist/localCheckpoint measurably
+    // slow the shingle aggregation — see Dedup.minhashNearDuplicates).
+    // Before round 6, widen()'s unconditional repartition did exactly
+    // this accidentally; the probe now does it on purpose.
     val docs = corpus(spark, n)
+      .repartition(spark.sparkContext.defaultParallelism)
     def timed(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val rows = f
