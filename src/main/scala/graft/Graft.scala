@@ -31,7 +31,8 @@ class GraftTable(
     val opsPresent: Option[Set[Int]] = None) {
 
   /** The raw tagged mutation log. */
-  def log: DataFrame = CellLogStore.read(spark, logDir)
+  def log: DataFrame =
+    CellLogStore.read(spark, logDir, fallbackBinaryKey = desc.rawKeyBinary)
 
   /** The stored tombstone count, when the descriptor carries one — read
     * per call (a driver-side file read, no Spark job) so it tracks
@@ -364,6 +365,10 @@ object Graft {
         "to alter (and its log is KvEntry-schema)")
     require(stored.hashKeys == desc.hashKeys,
       "cannot change hashKeys under stored data (keys are physically prefixed)")
+    require(stored.rawKeyBinary == desc.rawKeyBinary,
+      "cannot change the raw-key mode under stored data (row keys are " +
+        "physically typed in the parquet files) — load into a new table " +
+        "with the new descriptor to migrate")
     require(stored.lgs == desc.lgs,
       "cannot change locality groups under stored data (cells are physically " +
         "partitioned by LG) — compact to a new dir with the new descriptor " +

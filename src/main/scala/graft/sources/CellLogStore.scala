@@ -145,14 +145,21 @@ object CellLogStore {
       st.isDirectory && st.getPath.getName.startsWith("lg="))
   }
 
-  def read(spark: SparkSession, logDir: String): DataFrame = {
+  def read(spark: SparkSession, logDir: String,
+      /** Key mode to assume for a BARE log directory (no stored
+        * descriptor) — [[graft.Graft.openTable]]'s fallback descriptor
+        * reaches the reader through this, so a descriptor-less binary
+        * log opened with `TableDesc(rawKeyBinary = true)` is not
+        * silently read through the string schema. A stored descriptor
+        * always wins. */
+      fallbackBinaryKey: Boolean = false): DataFrame = {
     // descriptor probe first (bucketed layouts look like flat parquet on
     // disk — only the descriptor knows the files are hash-clustered, and
     // only it knows the key mode), then one layout probe, then straight
     // to the matching reader — routing through readLgs would re-probe
     // the directory it just listed
     val props = loadProps(spark, logDir)
-    val bin = props.exists(isBinaryKeyed)
+    val bin = props.fold(fallbackBinaryKey)(isBinaryKeyed)
     props.flatMap(p => Option(p.getProperty("buckets")))
       .map(_.toInt).filter(_ > 0) match {
       case Some(n) => readBucketed(spark, logDir, n, bin)

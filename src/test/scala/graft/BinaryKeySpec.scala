@@ -177,6 +177,25 @@ class BinaryKeySpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       kvStr.get(k1, Long.MaxValue)
     }
+    // the raw-key mode cannot flip under stored data: the files are
+    // physically typed
+    intercept[IllegalArgumentException] {
+      Graft.alterTable(spark, okDir, TableDesc(rawKeyBinary = false))
+    }
+  }
+
+  test("bare binary log (no descriptor) opens through the fallback desc") {
+    val session = spark
+    import session.implicits._
+    // simulate a hand-imported binary-keyed parquet dir: descriptor-less
+    val dir = Files.createTempDirectory("graft-binkey-bare").toString
+    Seq((k1, "cf", "q", 1L, OpType.Value, "v".getBytes, 1L))
+      .toDF("row_key", "cf", "qualifier", "ts", "op", "value", "seq")
+      .write.mode("overwrite").parquet(dir)
+    val t = Graft.openTable(spark, dir, TableDesc(rawKeyBinary = true))
+    val got = t.get(k1).collect()
+    assert(got.length == 1 &&
+      Arrays.equals(got(0).getAs[Array[Byte]]("row_key"), k1))
   }
 
   test("percolator 2PC over a binary-raw-key table: commit, dangling-lock cleanup") {
