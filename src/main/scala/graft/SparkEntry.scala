@@ -959,6 +959,21 @@ object SparkEntry {
         .select(col("source"), col("doc_id"))
         .orderBy(col("source"), col("doc_id"))
     }),
+    "q_x_sample_mixture" -> ((s, dir) => {
+      // data-mixture assembly to per-source TOKEN budgets: each source's
+      // md5-shuffled stream is truncated at its token allocation —
+      // distributed prefix sum (hex-prefix buckets + broadcast offset
+      // table), never a per-source single-task window
+      val keyed = Sampling.shuffleKey(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+        col("doc_id"), "mix0")
+      Sampling.takeTokenQuotas(keyed, col("source"), col("shuffle_key"),
+          size(Dedup.tokens(col("text"))),
+          Map("src0" -> 900L, "src1" -> 300L, "src2" -> 0L),
+          defaultQuota = 600L)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
     "q_x_text_vocab" -> ((s, dir) => {
       // tokenizer-census vocabulary: top-40 tokens with cumulative
       // corpus coverage (rank/coverage window bounded by V, not corpus)
@@ -1011,6 +1026,16 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       Dedup.duplicateGroups(docs, Dedup.minhashNearDuplicates(docs, threshold = 0.8))
         .orderBy(col("doc_id"))
+    }),
+    "q_x_dedup_keep_best" -> ((s, dir) => {
+      // keep-best canonical selection: each transitive minhash dup
+      // group keeps its LONGEST member (ties -> lowest doc_id) — the
+      // quality-aware keep rule, vs q_x_dedup_groups' keep-lowest-id
+      val docs = t(s, dir, "documents")
+      Dedup.keepBestPerGroup(docs,
+          Dedup.minhashNearDuplicates(docs, threshold = 0.8),
+          col("n_chars"))
+        .orderBy(col("group_id"))
     }),
     "q_x_dedup_ngram" -> ((s, dir) => {
       Dedup.consecutivePairJaccard(t(s, dir, "documents"))
@@ -1746,6 +1771,19 @@ object SparkEntry {
     "q_x_shuffle_key" ->
       """SELECT doc_id, md5('epoch0' || CAST(doc_id AS VARCHAR)) AS shuffle_key
         |FROM documents ORDER BY 2""".stripMargin,
+    "q_x_sample_mixture" ->
+      """WITH k AS (SELECT doc_id, source, len(string_split(text, ' ')) AS tok,
+        |                  md5('mix0' || CAST(doc_id AS VARCHAR)) AS h
+        |           FROM documents),
+        |c AS (SELECT doc_id, source,
+        |             sum(tok) OVER (PARTITION BY source ORDER BY h
+        |                            ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM k)
+        |SELECT source, doc_id FROM c
+        |WHERE cum <= CASE WHEN source = 'src0' THEN 900
+        |                  WHEN source = 'src1' THEN 300
+        |                  WHEN source = 'src2' THEN 0 ELSE 600 END
+        |ORDER BY 1, 2""".stripMargin,
     "q_x_split_assign" ->
       // thresholds are Sampling.splitThresholds(0.8/0.1/0.1): exact
       // floor(cum * 2^64) hex — lexicographic compare == numeric
@@ -1776,6 +1814,32 @@ object SparkEntry {
         |SELECT d.doc_id, least(d.doc_id, coalesce(g.mn, d.doc_id)) AS group_id
         |FROM documents d LEFT JOIN grp g USING (doc_id)
         |ORDER BY 1""".stripMargin,
+    "q_x_dedup_keep_best" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |       FROM tok WHERE len(toks) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+        |grp AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY 1),
+        |g AS (SELECT d.doc_id,
+        |        least(d.doc_id, coalesce(gr.mn, d.doc_id)) AS group_id, d.n_chars
+        |      FROM documents d LEFT JOIN grp gr USING (doc_id)),
+        |r AS (SELECT group_id, doc_id, n_chars AS score,
+        |        row_number() OVER (PARTITION BY group_id
+        |                           ORDER BY n_chars DESC, doc_id) AS rn
+        |      FROM g)
+        |SELECT group_id, doc_id, score FROM r WHERE rn = 1
+        |ORDER BY group_id""".stripMargin,
     "q_x_dedup_ngram" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),

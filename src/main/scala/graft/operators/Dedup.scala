@@ -523,6 +523,31 @@ object Dedup {
         Seq(idCol), "left")
       .select(col(idCol), coalesce(col("group_id"), col(idCol)).as("group_id"))
 
+  /** Canonical selection over transitive duplicate groups: every
+    * document joins its [[duplicateGroups]] component, and each group
+    * keeps its single highest-`score` member (ties break to the LOWEST
+    * id, so the result is deterministic at any parallelism). The keep
+    * rule a curation pipeline usually wants over raw "keep the first
+    * duplicate": keep the longest / highest-quality copy.
+    *
+    * Scale shape: the argmax is ONE map-side-partial hash aggregation
+    * of a `(score, -id)` struct — no per-group window — so a
+    * pathological million-member boilerplate group costs what any hot
+    * aggregation key costs (AQE skew split applies), not a
+    * single-task sort. `score` must be non-null and orderable; ids
+    * must be non-negative longs (the tie-break negates them to fold
+    * "max score, then min id" into one `max`).
+    */
+  def keepBestPerGroup(docs: DataFrame, pairs: DataFrame, score: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val scored = docs.select(col(idCol), score.as("score"))
+      .join(duplicateGroups(docs, pairs, idCol), Seq(idCol))
+    scored.groupBy(col("group_id"))
+      .agg(max(struct(col("score"), (lit(0L) - col(idCol)).as("nid"))).as("b"))
+      .select(col("group_id"), (lit(0L) - col("b.nid")).as(idCol),
+        col("b.score").as("score"))
+  }
+
   /** SimHash near-duplicates between consecutive doc ids. */
   def consecutiveSimhashPairs(docs: DataFrame, maxDistance: Int = 8): DataFrame = {
     val fp = docs.select(col("doc_id"), simhash64(tokens(col("text"))).as("fp"))

@@ -215,4 +215,65 @@ object Sampling {
         lit(defaultQuota)))
     ranked(df, Seq(stratum), order)(rn => rn <= quota)
   }
+
+  /** Per-stratum TOKEN budgets — the data-mixture form of
+    * [[takeQuotas]]: each stratum keeps its `orderHex`-first documents
+    * while the stratum's running token total stays within its quota,
+    * i.e. the deterministic "truncate each source's shuffled stream at
+    * its token allocation" step of corpus assembly. Selection is a
+    * prefix take-while (token counts are required >= 0, so the running
+    * sum is monotone and `cum <= quota` IS the prefix).
+    *
+    * Scale shape: a per-stratum cumulative sum is the textbook skew
+    * trap — a window partitioned on the stratum alone pushes the whole
+    * corpus through |strata| tasks. This runs a DISTRIBUTED prefix sum
+    * instead: `orderHex` (a uniformly-distributed sortable hex key —
+    * [[shuffleKey]]'s md5, unique per row) is prefix-bucketed into
+    * 16^`bucketChars` order-aligned ranges, the heavy cumulative sum
+    * windows over (stratum, bucket), and each bucket's starting offset
+    * comes from a tiny (|strata| x buckets)-row totals table that
+    * broadcast-joins back. Every corpus-sized stage is fully parallel;
+    * the only narrow window runs over the totals table.
+    */
+  def takeTokenQuotas(df: DataFrame, stratum: Column, orderHex: Column,
+      tokenCount: Column, quotas: Map[String, Long],
+      defaultQuota: Long = 0L, bucketChars: Int = 2): DataFrame = {
+    require(quotas.values.forall(_ >= 0) && defaultQuota >= 0,
+      "quotas must be >= 0")
+    require(bucketChars >= 1 && bucketChars <= 8,
+      s"bucketChars must be in [1, 8], got $bucketChars")
+    require(!df.columns.exists(_.startsWith("_mix_")),
+      "input already has _mix_* columns (takeTokenQuotas uses them internally)")
+    // null strata flow as their own stratum under the default quota;
+    // (isnull, coalesced-value) keys keep null off the join/group keys
+    // (a null equi-join key silently drops the rows)
+    val base = df.select(col("*"),
+      coalesce(stratum.cast("string"), lit("")).as("_mix_s"),
+      stratum.isNull.as("_mix_snull"),
+      orderHex.as("_mix_o"),
+      tokenCount.cast("long").as("_mix_t"),
+      substring(orderHex, 1, bucketChars).as("_mix_b"))
+    val localW = Window
+      .partitionBy(col("_mix_s"), col("_mix_snull"), col("_mix_b"))
+      .orderBy(col("_mix_o"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = base
+      .groupBy(col("_mix_s"), col("_mix_snull"), col("_mix_b"))
+      .agg(sum(col("_mix_t")).as("_mix_btot"))
+    val offW = Window.partitionBy(col("_mix_s"), col("_mix_snull"))
+      .orderBy(col("_mix_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals.select(col("_mix_s"), col("_mix_snull"), col("_mix_b"),
+      coalesce(sum(col("_mix_btot")).over(offW), lit(0L)).as("_mix_off"))
+    val quota =
+      if (quotas.isEmpty) lit(defaultQuota)
+      else when(col("_mix_snull"), lit(defaultQuota)).otherwise(coalesce(
+        element_at(typedLit(quotas), col("_mix_s")), lit(defaultQuota)))
+    base
+      .withColumn("_mix_cum", sum(col("_mix_t")).over(localW))
+      .join(broadcast(offsets), Seq("_mix_s", "_mix_snull", "_mix_b"))
+      .where(col("_mix_off") + col("_mix_cum") <= quota)
+      .drop("_mix_s", "_mix_snull", "_mix_b", "_mix_o", "_mix_t",
+        "_mix_cum", "_mix_off")
+  }
 }

@@ -340,6 +340,42 @@ class PipelineOpsSpec extends AnyFunSuite {
       .forall(s => mixed.get(s).contains(1L)))
   }
 
+  test("token quotas: per-stratum prefix take-while, nulls, bucket invariance") {
+    import spark.implicits._
+    // hex order key == zero-padded id, so the take order IS id order
+    val d = Seq(
+      ("a", 1L, 100L), ("a", 2L, 100L), ("a", 3L, 150L), ("a", 4L, 10L),
+      ("b", 5L, 500L), ("b", 6L, 1L),
+      (null.asInstanceOf[String], 7L, 50L), (null.asInstanceOf[String], 8L, 60L))
+      .toDF("src", "id", "tok")
+      .withColumn("h", lpad(lower(hex(col("id"))), 4, "0"))
+    def run(chars: Int) = Sampling.takeTokenQuotas(d, col("src"), col("h"),
+        col("tok"), Map("a" -> 250L, "b" -> 0L), defaultQuota = 55L,
+        bucketChars = chars)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // a: 100+100 <= 250, +150 crosses -> {1,2}; the later 10-token doc 4
+    //    is NOT back-filled (prefix semantics, not knapsack)
+    // b: zero quota drops all; null stratum: 50 <= 55, +60 crosses -> {7}
+    assert(run(2) == Set(1L, 2L, 7L))
+    // the distributed prefix sum is bucket-count-invariant
+    assert(run(1) == run(2) && run(4) == run(2))
+    // output keeps the caller's columns only (helpers dropped)
+    val cols = Sampling.takeTokenQuotas(d, col("src"), col("h"), col("tok"),
+      Map.empty, defaultQuota = 1000L).columns.toSeq
+    assert(cols == Seq("src", "id", "tok", "h"))
+  }
+
+  test("keep-best groups: max score wins, ties to lowest id, singletons kept") {
+    import spark.implicits._
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 7L))
+      .toDF("doc_id", "score_in")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepBestPerGroup(docs, pairs, col("score_in"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // group {1,2,3}: 2 and 3 tie at 9 -> lowest id 2; singleton 10 kept
+    assert(kept == Set((1L, 2L, 9L), (10L, 10L, 7L)))
+  }
+
   test("sequence packing: budget cuts with straddle, independent strata") {
     import spark.implicits._
     val d = Seq(

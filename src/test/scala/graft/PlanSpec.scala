@@ -199,6 +199,29 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
   }
 
+  test("token-quota mixture: corpus window is bucketed, offsets broadcast") {
+    val df = SparkEntry.queries("q_x_sample_mixture")(spark, sfDir)
+    val plan = planOf(df)
+    // the corpus-sized cumulative sum must partition by the hex-prefix
+    // bucket — a window on the stratum alone is the |strata|-task trap
+    assert("windowspecdefinition\\(_mix_s#\\d+, _mix_snull#\\d+, _mix_b#\\d+"
+      .r.findFirstIn(plan).isDefined, plan)
+    // the per-bucket offsets join back as a broadcast (tiny totals table)
+    assert(plan.contains("BroadcastExchange"), plan)
+    val windows = "Window ".r.findAllIn(plan).size
+    assert(windows == 2, s"expected 2 windows (local cum + tiny offsets):\n$plan")
+  }
+
+  test("keep-best groups: argmax is a partial hash agg, no window") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val pairs = docs.select(col("doc_id").as("id_a"),
+      (col("doc_id") + 1).as("id_b")).limit(10)
+    val plan = planOf(graft.operators.Dedup.keepBestPerGroup(
+      docs, pairs, col("n_chars")))
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_max"), plan)
+  }
+
   test("repetition signals aggregate with map-side partial combine") {
     val docs = Tables.load(spark, sfDir, "documents")
     val plan = planOf(graft.operators.TextAnalysis.repetitionTable(docs))
