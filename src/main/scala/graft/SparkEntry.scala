@@ -1097,6 +1097,16 @@ object SparkEntry {
           threshold = 0.5, dim = 64, planes = 2, tables = 16)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_x_dedup_semantic" -> ((s, dir) => {
+      // SemDeDup (Abbas et al. 2023): trained k-means cells propose
+      // candidates, exact cosine verifies, groups collapse transitively
+      // — approximate by definition (a pair split across all probed
+      // cells is missed), so rows-only like the LSH/IVF entries;
+      // planted-twin recall is spec-covered (PipelineOpsSpec)
+      Dedup.semanticDedup(t(s, dir, "embeddings"), threshold = 0.5,
+          dim = 64, nlist = 16, nprobe = 4, iters = 2)
+        .orderBy(col("vec_id"))
+    }),
     "q_x_text_winnow" -> ((s, dir) => {
       // winnowing fingerprints — no SQL oracle (murmur-based); shared-
       // fingerprint property covered by PipelineOpsSpec

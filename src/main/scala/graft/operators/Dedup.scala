@@ -390,6 +390,65 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540, public): embeddings are assigned
+    * to their `nprobe` nearest of `nlist` spherical-k-means cells
+    * ([[Similarity.trainCentroids]] — the same coarse quantizer the IVF
+    * index uses), same-cell pairs are the candidates (an equi-join on
+    * the cell id, never a cross product), and candidates are verified
+    * with exact cosine — so emitted pairs are exactly >= `threshold`.
+    *
+    * vs [[embeddingNearDuplicatesLsh]]: cells are DATA-AWARE (trained
+    * on the corpus), so candidate volume concentrates where the corpus
+    * is dense instead of where random hyperplanes happen to cut —
+    * the shape the SemDeDup paper runs at web scale. Approximate by
+    * construction: a pair split across all probed cells is missed;
+    * `nprobe` > 1 multi-assigns each vector to its runner-up cells,
+    * which is what catches pairs straddling a cell boundary. Cells
+    * above `maxCellSize` are dropped like LSH's capped buckets.
+    */
+  def semanticNearDuplicates(emb: DataFrame, threshold: Double, dim: Int,
+      nlist: Int = 256, nprobe: Int = 2, iters: Int = 3,
+      maxCellSize: Int = 10000): DataFrame = {
+    val centroids = Similarity.trainCentroids(emb, dim, nlist, iters)
+    val n = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    val celled = capBuckets(
+      emb.select(col("vec_id"),
+        explode(Similarity.probeClusters(col("embedding"), centroids, nprobe))
+          .as("cell")),
+      Seq("cell"), maxCellSize)
+    // candidates keep their multiplicity across shared cells, exactly
+    // like the LSH twin: distinct only the (rare) verified survivors
+    val cands = celled.select(col("cell"), col("vec_id").as("id_a"))
+      .join(celled.select(col("cell"), col("vec_id").as("id_b")), Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    cands
+      .join(n.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        col("nrm").as("na")), "id_a")
+      .join(n.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        col("nrm").as("nb")), "id_b")
+      .where(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))
+        >= threshold)
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Semantic dedup assignment: [[semanticNearDuplicates]] pairs
+    * collapsed transitively ([[connectedComponents]]); every vector
+    * maps to its group (singletons to themselves), keep rule
+    * `vec_id === group_id` downstream — [[duplicateGroups]] for the
+    * embedding space.
+    */
+  def semanticDedup(emb: DataFrame, threshold: Double, dim: Int,
+      nlist: Int = 256, nprobe: Int = 2, iters: Int = 3,
+      maxCellSize: Int = 10000): DataFrame =
+    duplicateGroups(emb.select(col("vec_id")),
+      semanticNearDuplicates(emb, threshold, dim, nlist, nprobe, iters,
+        maxCellSize),
+      idCol = "vec_id")
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
     * local-sampling algorithm, public): murmur64a over character
     * k-grams; each length-`w` window contributes its minimum hash.

@@ -146,12 +146,12 @@ object Similarity {
     * a codegen reference object — O(1) generated code at any nlist,
     * where inlined literals stop compiling around nlist ≈ thousands.
     */
-  private def assignCluster(v: Column, centroids: Array[Array[Double]]): Column =
+  private[operators] def assignCluster(v: Column, centroids: Array[Array[Double]]): Column =
     graft.functions.cellfunctions.nearest_centroid(v,
       graft.functions.CentroidOps.normalizeRows(centroids))
 
   /** Per-row top-`nprobe` cluster ids (for the query side of IVF). */
-  private def probeClusters(v: Column, centroids: Array[Array[Double]],
+  private[operators] def probeClusters(v: Column, centroids: Array[Array[Double]],
       nprobe: Int): Column =
     graft.functions.cellfunctions.top_centroids(v,
       graft.functions.CentroidOps.normalizeRows(centroids), nprobe)

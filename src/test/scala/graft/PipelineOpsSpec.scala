@@ -194,6 +194,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.length == 15, s"expected 5 queries × k=3, got ${out.length}")
   }
 
+  test("semantic dedup: planted tight twins collapse, clean vectors untouched") {
+    import spark.implicits._
+    // twin every vector under id 25: same embedding with the first
+    // component nudged — cosine vs the source ~0.9999, far above any
+    // natural pair in the fixture (max 0.52)
+    val twins = emb.where(col("vec_id") < 25)
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x))
+          .as("embedding"))
+    val planted = emb.select("vec_id", "embedding").unionByName(twins)
+    val groups = Dedup.semanticDedup(planted, threshold = 0.95, dim = 64,
+        nlist = 8, nprobe = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // every twin lands in its source's group (recall 1.0 on tight dups)
+    (0L until 25L).foreach(id =>
+      assert(groups(id + 10000L) == groups(id), s"twin of $id split"))
+    // precision is exact (verified cosine): nothing else merges
+    groups.filter { case (id, _) => id < 10000L }.foreach { case (id, g) =>
+      assert(g == id, s"clean vector $id merged into $g") }
+  }
+
   test("connected components match union-find on a random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

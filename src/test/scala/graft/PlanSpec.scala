@@ -222,6 +222,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_max"), plan)
   }
 
+  test("semantic dedup pairs: cell equi-join, no cartesian product") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val plan = planOf(graft.operators.Dedup.semanticNearDuplicates(
+      emb, threshold = 0.5, dim = 64, nlist = 4, nprobe = 2, iters = 1))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("repetition signals aggregate with map-side partial combine") {
     val docs = Tables.load(spark, sfDir, "documents")
     val plan = planOf(graft.operators.TextAnalysis.repetitionTable(docs))
