@@ -363,23 +363,31 @@ object Dedup {
   def embeddingNearDuplicatesLsh(emb: DataFrame, threshold: Double, dim: Int,
       planes: Int = 8, tables: Int = 8,
       maxBucketSize: Int = 10000): DataFrame = {
-    val n = emb.select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", Similarity.norm(col("embedding")))
     val bucketed = capBuckets(
       Similarity
         .withBuckets(emb.select(col("vec_id"), col("embedding")),
           "embedding", dim, planes, tables)
         .select(col("table"), col("bucket"), col("vec_id")),
       Seq("table", "bucket"), maxBucketSize)
-    // candidates keep their multiplicity (a pair sharing k buckets
-    // appears k times): deduping BEFORE the verify would shuffle the
-    // whole candidate set to save re-running a cheap codegen'd dot
-    // product — distinct only the (rare) survivors instead
     val cands = bucketed.select(col("table"), col("bucket"), col("vec_id").as("id_a"))
       .join(bucketed.select(col("table"), col("bucket"), col("vec_id").as("id_b")),
         Seq("table", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
+    verifyCosinePairs(emb, cands, threshold)
+  }
+
+  /** Exact-cosine verification of candidate id pairs: joins each side's
+    * embedding + precomputed norm back in, keeps pairs >= `threshold`.
+    * Candidates arrive WITH their multiplicity (a pair sharing k
+    * buckets/cells appears k times): deduping before the verify would
+    * shuffle the whole candidate set to save re-running a cheap
+    * codegen'd dot product — distinct only the (rare) survivors.
+    */
+  private def verifyCosinePairs(emb: DataFrame, cands: DataFrame,
+      threshold: Double): DataFrame = {
+    val n = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
     cands
       .join(n.select(col("vec_id").as("id_a"), col("embedding").as("va"),
         col("nrm").as("na")), "id_a")
@@ -412,27 +420,16 @@ object Dedup {
       nlist: Int = 256, nprobe: Int = 2, iters: Int = 3,
       maxCellSize: Int = 10000): DataFrame = {
     val centroids = Similarity.trainCentroids(emb, dim, nlist, iters)
-    val n = emb.select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", Similarity.norm(col("embedding")))
     val celled = capBuckets(
       emb.select(col("vec_id"),
         explode(Similarity.probeClusters(col("embedding"), centroids, nprobe))
           .as("cell")),
       Seq("cell"), maxCellSize)
-    // candidates keep their multiplicity across shared cells, exactly
-    // like the LSH twin: distinct only the (rare) verified survivors
     val cands = celled.select(col("cell"), col("vec_id").as("id_a"))
       .join(celled.select(col("cell"), col("vec_id").as("id_b")), Seq("cell"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-    cands
-      .join(n.select(col("vec_id").as("id_a"), col("embedding").as("va"),
-        col("nrm").as("na")), "id_a")
-      .join(n.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-        col("nrm").as("nb")), "id_b")
-      .where(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))
-        >= threshold)
-      .select("id_a", "id_b").distinct()
+    verifyCosinePairs(emb, cands, threshold)
   }
 
   /** Semantic dedup assignment: [[semanticNearDuplicates]] pairs

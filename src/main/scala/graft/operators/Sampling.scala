@@ -202,19 +202,23 @@ object Sampling {
       quotas: Map[String, Long], defaultQuota: Long = 0L): DataFrame = {
     require(quotas.values.forall(_ >= 0) && defaultQuota >= 0,
       "quotas must be >= 0")
-    // a flat map literal, not a nested CASE chain: web-corpus quota maps
-    // have thousands of domains, and a |quotas|-deep when/otherwise tree
-    // is O(|quotas|) per row and a driver stack overflow waiting at
-    // analysis time. NULL strata (ordinary in web-corpus domain columns)
-    // can't be map keys — element_at NPEs on one — so they take the
-    // default quota through the guard branch.
-    val quota =
-      if (quotas.isEmpty) lit(defaultQuota)
-      else when(stratum.isNull, lit(defaultQuota)).otherwise(coalesce(
-        element_at(typedLit(quotas), stratum.cast("string")),
-        lit(defaultQuota)))
-    ranked(df, Seq(stratum), order)(rn => rn <= quota)
+    ranked(df, Seq(stratum), order)(rn =>
+      rn <= quotaExpr(stratum.isNull, stratum.cast("string"), quotas,
+        defaultQuota))
   }
+
+  /** Per-stratum quota lookup as a flat map literal, not a nested CASE
+    * chain: web-corpus quota maps have thousands of domains, and a
+    * |quotas|-deep when/otherwise tree is O(|quotas|) per row and a
+    * driver stack overflow waiting at analysis time. NULL strata
+    * (ordinary in web-corpus domain columns) can't be map keys —
+    * element_at NPEs on one — so `isNull` guards them onto the default.
+    */
+  private def quotaExpr(isNull: Column, key: Column,
+      quotas: Map[String, Long], defaultQuota: Long): Column =
+    if (quotas.isEmpty) lit(defaultQuota)
+    else when(isNull, lit(defaultQuota)).otherwise(coalesce(
+      element_at(typedLit(quotas), key), lit(defaultQuota)))
 
   /** Per-stratum TOKEN budgets — the data-mixture form of
     * [[takeQuotas]]: each stratum keeps its `orderHex`-first documents
@@ -265,10 +269,8 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totals.select(col("_mix_s"), col("_mix_snull"), col("_mix_b"),
       coalesce(sum(col("_mix_btot")).over(offW), lit(0L)).as("_mix_off"))
-    val quota =
-      if (quotas.isEmpty) lit(defaultQuota)
-      else when(col("_mix_snull"), lit(defaultQuota)).otherwise(coalesce(
-        element_at(typedLit(quotas), col("_mix_s")), lit(defaultQuota)))
+    val quota = quotaExpr(col("_mix_snull"), col("_mix_s"), quotas,
+      defaultQuota)
     base
       .withColumn("_mix_cum", sum(col("_mix_t")).over(localW))
       .join(broadcast(offsets), Seq("_mix_s", "_mix_snull", "_mix_b"))

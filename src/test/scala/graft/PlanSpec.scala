@@ -204,8 +204,10 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf(df)
     // the corpus-sized cumulative sum must partition by the hex-prefix
     // bucket — a window on the stratum alone is the |strata|-task trap
-    assert("windowspecdefinition\\(_mix_s#\\d+, _mix_snull#\\d+, _mix_b#\\d+"
-      .r.findFirstIn(plan).isDefined, plan)
+    // the _mix_o order column pins this to the CORPUS window — the tiny
+    // offsets window (ordered by _mix_b) would otherwise also match
+    assert(("windowspecdefinition\\(_mix_s#\\d+, _mix_snull#\\d+, " +
+      "_mix_b#\\d+, _mix_o#\\d+").r.findFirstIn(plan).isDefined, plan)
     // the per-bucket offsets join back as a broadcast (tiny totals table)
     assert(plan.contains("BroadcastExchange"), plan)
     val windows = "Window ".r.findAllIn(plan).size
