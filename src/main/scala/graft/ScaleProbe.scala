@@ -40,6 +40,21 @@ object ScaleProbe {
             lit(vocab))))))
   }
 
+  /** M synthetic embeddings (`dim` floats in [-1, 1] drawn by
+    * `xxhash64(vec_id, pos)`); vec_id % 100 == 1 is a near-copy of its
+    * predecessor (first component nudged +0.01, cosine ~0.99997), so
+    * exactly M/100 planted near-dup pairs exist and random pairs sit
+    * near 0 (std ≈ 1/sqrt(dim)) — an oracle at any M. */
+  def embeddings(spark: SparkSession, m: Long, dim: Int = 64): DataFrame = {
+    val src = when(col("id") % 100 === 1, col("id") - 1).otherwise(col("id"))
+    spark.range(0, m, 1, spark.sparkContext.defaultParallelism * 4)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          (pmod(xxhash64(src, i), lit(2000)).cast("double") / 1000.0 - 1.0 +
+            when(col("id") % 100 === 1 && i === 0, 0.01).otherwise(0.0))
+            .cast("float")).as("embedding"))
+  }
+
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1000000").toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -84,6 +99,65 @@ object ScaleProbe {
     }
     timed("dedup_groups")(graft.operators.Dedup.duplicateGroups(docs,
       graft.operators.Dedup.minhashNearDuplicates(docs, 0.8)).count())
+    timed("mixture_tokens") {
+      // one 90% head source + ten 1% tails — the skew shape the
+      // bucketed prefix sum exists for (a plain per-source window
+      // would push 0.9N rows through one task)
+      val headQuota = 10L * n
+      val tailQuota = n / 10
+      val input = docs
+        .withColumn("source", when(pmod(col("doc_id"), lit(10)) < 9,
+          lit("head")).otherwise(concat(lit("tail"),
+            pmod(col("doc_id"), lit(100)))))
+        .withColumn("tok", size(split(col("text"), " ", -1)))
+      val keyed = graft.operators.Sampling.shuffleKey(
+        input, col("doc_id"), "probe")
+      val kept = graft.operators.Sampling.takeTokenQuotas(keyed,
+        col("source"), col("shuffle_key"), col("tok"),
+        Map("head" -> headQuota), defaultQuota = tailQuota)
+      val dropped = keyed.join(kept.select("doc_id"), Seq("doc_id"),
+        "left_anti")
+      // correctness oracle, all bounded handshakes (11 sources):
+      // budget held; kept is a clean hash-order prefix; and maximal
+      // (the first dropped doc would have crossed the budget)
+      val ks = kept.groupBy("source")
+        .agg(sum("tok").as("ktok"), max("shuffle_key").as("maxh"),
+          count(lit(1)).as("kn"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getString(2), r.getLong(3))).toMap
+      val ds = dropped.groupBy("source")
+        .agg(min("shuffle_key").as("minh"),
+          min_by(col("tok"), col("shuffle_key")).as("ftok"))
+        .collect().map(r => r.getString(0) ->
+          (r.getString(1), r.getInt(2))).toMap
+      require(ds.keySet.subsetOf(ks.keySet) && ks.size == 11,
+        s"expected 11 sources with keeps, got ${ks.keySet}")
+      ks.foreach { case (src, (ktok, maxh, _)) =>
+        val quota = if (src == "head") headQuota else tailQuota
+        require(ktok <= quota, s"$src kept $ktok > quota $quota")
+        ds.get(src).foreach { case (minh, ftok) =>
+          require(maxh < minh, s"$src kept set is not a hash-order prefix")
+          require(ktok + ftok > quota,
+            s"$src under-filled: $ktok + next $ftok <= $quota")
+        }
+      }
+      ks.values.map(_._3).sum
+    }
+    timed("semantic_neardup") {
+      val m = math.max(n / 10, 1000L)
+      val emb = embeddings(spark, m)
+        .repartition(spark.sparkContext.defaultParallelism)
+      val pairs = graft.operators.Dedup.semanticNearDuplicates(emb,
+        threshold = 0.9, dim = 64, nlist = 256, nprobe = 2, iters = 2)
+      val r = pairs.agg(count(lit(1)),
+        count(when(col("id_b") =!= col("id_a") + 1 ||
+          pmod(col("id_b"), lit(100)) =!= 1, 1))).head
+      val (found, wrong) = (r.getLong(0), r.getLong(1))
+      val planted = m / 100 + (if (m % 100 >= 2) 1 else 0)
+      require(wrong == 0, s"$wrong non-planted semantic pairs surfaced")
+      require(found == planted, s"found $found of $planted planted pairs")
+      found
+    }
     spark.stop()
   }
 }

@@ -1097,6 +1097,16 @@ object SparkEntry {
           threshold = 0.5, dim = 64, planes = 2, tables = 16)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_x_decontaminate_semantic" -> ((s, dir) => {
+      // embedding-space decontamination: corpus rows within 0.5 cosine
+      // of any benchmark vector (every 50th, standing in for an eval
+      // set) are dropped — bench broadcasts, corpus never shuffles
+      val emb = t(s, dir, "embeddings")
+      TextAnalysis.decontaminateSemantic(emb,
+          emb.where(col("vec_id") % 50 === 0), threshold = 0.5)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
     "q_x_dedup_semantic" -> ((s, dir) => {
       // SemDeDup (Abbas et al. 2023): trained k-means cells propose
       // candidates, exact cosine verifies, groups collapse transitively
@@ -1696,6 +1706,20 @@ object SparkEntry {
         |bad AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (s))
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY 1""".stripMargin,
+    "q_x_decontaminate_semantic" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |b AS (SELECT embedding, nrm FROM n WHERE vec_id % 50 = 0)
+        |SELECT a.vec_id FROM n a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM b
+        |  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |        / (a.nrm * b.nrm) >= 0.5)
         |ORDER BY 1""".stripMargin,
     "q_x_sample_stratified" ->
       """WITH ranked AS (

@@ -264,4 +264,31 @@ object TextAnalysis {
     // sized, but a heavily leaked corpus shouldn't be forced through one
     corpus.join(contaminated, Seq("doc_id"), "left_anti")
   }
+
+  /** Semantic benchmark decontamination: drop corpus rows whose
+    * embedding is within `threshold` cosine of ANY benchmark embedding
+    * — the embedding-space sibling of [[decontaminate]] (grams catch
+    * verbatim overlap; embeddings catch the paraphrased leakage grams
+    * miss). Exact by construction, so it oracle-checks.
+    *
+    * Scale shape: a benchmark is small by definition, so its
+    * (embedding, norm) rows BROADCAST and the corpus NEVER shuffles —
+    * the plan is one broadcast nested-loop anti-join where each
+    * partition scans its rows against the in-memory benchmark matrix,
+    * |corpus| x |bench| codegen'd dot products. That is the honest
+    * brute-force shape of semantic decontamination; a benchmark too
+    * large to broadcast wants the [[Dedup.semanticNearDuplicates]]
+    * cell machinery instead.
+    */
+  def decontaminateSemantic(corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double, embCol: String = "embedding"): DataFrame = {
+    val bench = broadcast(benchmark
+      .select(col(embCol).as("_bemb"))
+      .withColumn("_bnrm", Similarity.norm(col("_bemb"))))
+    val nrm = Similarity.norm(col(embCol))
+    corpus.join(bench,
+      Similarity.dot(col(embCol), col("_bemb")) / (nrm * col("_bnrm"))
+        >= threshold,
+      "left_anti")
+  }
 }

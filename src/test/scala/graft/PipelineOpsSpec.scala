@@ -194,6 +194,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.length == 15, s"expected 5 queries × k=3, got ${out.length}")
   }
 
+  test("semantic decontamination: bench members and their twins drop, rest kept") {
+    import spark.implicits._
+    val bench = emb.where(col("vec_id") < 5).select("embedding")
+    // a paraphrase-shaped leak: vec 3's embedding, nudged
+    val leak = emb.where(col("vec_id") === 3)
+      .select(lit(9999L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x))
+          .as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(leak)
+    val kept = TextAnalysis.decontaminateSemantic(corpus, bench,
+        threshold = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // bench self-matches (cosine 1) and the planted leak both drop;
+    // nothing else in the fixture is within 0.95 of the bench
+    assert(!kept.exists(_ < 5) && !kept.contains(9999L))
+    assert(kept.size == 495, s"kept ${kept.size}")
+  }
+
   test("semantic dedup: planted tight twins collapse, clean vectors untouched") {
     import spark.implicits._
     // twin every vector under id 25: same embedding with the first
@@ -385,6 +404,67 @@ class PipelineOpsSpec extends AnyFunSuite {
     val cols = Sampling.takeTokenQuotas(d, col("src"), col("h"), col("tok"),
       Map.empty, defaultQuota = 1000L).columns.toSeq
     assert(cols == Seq("src", "id", "tok", "h"))
+  }
+
+  test("token quotas: multi-seed differential fuzz vs the naive prefix rule") {
+    import spark.implicits._
+    (0 until 5).foreach { seed =>
+      val rng = new scala.util.Random(0xbeef + seed)
+      val srcs = Array("a", "b", "c", null)
+      val rows = (0 until 200).map { i =>
+        (srcs(rng.nextInt(srcs.length)), i.toLong, rng.nextInt(50).toLong)
+      }
+      val quotas = Map("a" -> rng.nextInt(2000).toLong,
+        "b" -> rng.nextInt(200).toLong, "c" -> 0L)
+      val dflt = rng.nextInt(500).toLong
+      // straight-line reference: per-source md5-hash-order prefix
+      def h(id: Long) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"s$seed$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val expected = rows.groupBy(_._1).flatMap { case (src, rs) =>
+        val quota = if (src == null) dflt else quotas.getOrElse(src, dflt)
+        var cum = 0L
+        rs.sortBy(r => h(r._2)).takeWhile { r =>
+          cum += r._3; cum <= quota
+        }.map(_._2)
+      }.toSet
+      val df = Sampling.shuffleKey(
+        rows.toDF("src", "id", "tok"), col("id"), s"s$seed")
+      val got = Sampling.takeTokenQuotas(df, col("src"), col("shuffle_key"),
+          col("tok"), quotas, defaultQuota = dflt, bucketChars = 1)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == expected, s"seed $seed: ${got.diff(expected)} extra, " +
+        s"${expected.diff(got)} missing")
+    }
+  }
+
+  test("keep-best: multi-seed differential fuzz vs a straight-line argmax") {
+    import spark.implicits._
+    (0 until 5).foreach { seed =>
+      val rng = new scala.util.Random(0xfeed + seed)
+      val n = 60
+      val docs = (0L until n).map(id => (id, rng.nextInt(10).toLong))
+      val pairs = (0 until 40).map { _ =>
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong)
+      }.filter(p => p._1 != p._2)
+      // reference: union-find components, then max score / min id
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = docs.groupBy(d => find(d._1.toInt)).map { case (_, ds) =>
+        val best = ds.maxBy(d => (d._2, -d._1))
+        val gid = ds.map(_._1).min
+        (gid, best._1, best._2)
+      }.toSet
+      val got = Dedup.keepBestPerGroup(docs.toDF("doc_id", "sc"),
+          pairs.toDF("id_a", "id_b"), col("sc"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected, s"seed $seed")
+    }
   }
 
   test("keep-best groups: max score wins, ties to lowest id, singletons kept") {

@@ -224,6 +224,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_max"), plan)
   }
 
+  test("semantic decontamination: bench broadcasts, corpus never shuffles") {
+    val df = SparkEntry.queries("q_x_decontaminate_semantic")(spark, sfDir)
+    val plan = planOf(df)
+    // the anti-join is the intended nested-loop against the broadcast
+    // benchmark matrix; the corpus side must see NO hash exchange
+    assert(plan.contains("BroadcastNestedLoopJoin") &&
+      plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("semantic dedup pairs: cell equi-join, no cartesian product") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val plan = planOf(graft.operators.Dedup.semanticNearDuplicates(
