@@ -1027,6 +1027,16 @@ object SparkEntry {
       Dedup.duplicateGroups(docs, Dedup.minhashNearDuplicates(docs, threshold = 0.8))
         .orderBy(col("doc_id"))
     }),
+    "q_x_dedup_incremental" -> ((s, dir) => {
+      // incremental corpus assembly: today's batch (every 5th doc)
+      // near-dup-matched AGAINST the accumulated corpus — band buckets
+      // join across sides only, no new x new / corpus x corpus pairs
+      val docs = t(s, dir, "documents")
+      Dedup.minhashNearDuplicatesBetween(
+          docs.where(col("doc_id") % 5 === 0),
+          docs.where(col("doc_id") % 5 =!= 0), threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_x_dedup_keep_best" -> ((s, dir) => {
       // keep-best canonical selection: each transitive minhash dup
       // group keeps its LONGEST member (ties -> lowest doc_id) — the
@@ -1848,6 +1858,18 @@ object SparkEntry {
         |SELECT d.doc_id, least(d.doc_id, coalesce(g.mn, d.doc_id)) AS group_id
         |FROM documents d LEFT JOIN grp g USING (doc_id)
         |ORDER BY 1""".stripMargin,
+    "q_x_dedup_incremental" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |       FROM tok WHERE len(toks) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |           / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0)
+        |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
+        |ORDER BY 1, 2""".stripMargin,
     "q_x_dedup_keep_best" ->
       """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),

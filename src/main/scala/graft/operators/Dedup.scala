@@ -156,14 +156,7 @@ object Dedup {
     */
   def lshCandidatePairs(signed: DataFrame, bands: Int, rowsPerBand: Int,
       maxBucketSize: Int = 10000): DataFrame = {
-    val bandCols = (0 until bands).map { bi =>
-      struct(lit(bi).as("band"),
-        hash(slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand)).as("bucket"))
-    }
-    val buckets = capBuckets(
-      signed
-        .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")),
+    val buckets = capBuckets(bandBuckets(signed, bands, rowsPerBand),
       Seq("band", "bucket"), maxBucketSize)
     val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
     val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
@@ -171,6 +164,19 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+  }
+
+  /** (doc_id, band, bucket) rows of a signature table — the storable
+    * LSH index an incremental pipeline keeps beside its corpus. */
+  private def bandBuckets(signed: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { bi =>
+      struct(lit(bi).as("band"),
+        hash(slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+    }
+    signed
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
   /** Near-duplicate pairs: MinHash-LSH candidates, exact-Jaccard verified.
@@ -578,6 +584,46 @@ object Dedup {
       .join(connectedComponents(pairs).withColumnRenamed("node", idCol),
         Seq(idCol), "left")
       .select(col(idCol), coalesce(col("group_id"), col(idCol)).as("group_id"))
+
+  /** Incremental (asymmetric) near-dup matching: pairs a NEW batch
+    * against an EXISTING corpus — `(id_a from newDocs, id_b from
+    * corpus, jaccard)` with exact Jaccard >= `threshold` — without
+    * ever forming new x new or corpus x corpus candidates: the band
+    * buckets of the two sides equi-join ACROSS sides only. This is the
+    * production shape for continuous corpus assembly (today's crawl vs
+    * the accumulated corpus): the corpus side's shingling/signature
+    * work is independent of the new batch, so a pipeline can persist
+    * corpus signatures and re-derive only the (cheap) band buckets per
+    * increment, while the candidate join stays proportional to the NEW
+    * batch's bucket population. Ids must be distinct across the two
+    * sides (the exact-Jaccard verify keys shingle sets by id).
+    * Degenerate buckets are capped per side ([[capBuckets]]).
+    */
+  def minhashNearDuplicatesBetween(newDocs: DataFrame, corpus: DataFrame,
+      threshold: Double = 0.8, shingleLen: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, maxBucketSize: Int = 10000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def sideBuckets(docs: DataFrame) = capBuckets(
+      bandBuckets(
+        minhashSignaturesHashed(
+          shingleHashRows(docs, shingleLen, distinctRows = false), numHashes),
+        bands, rowsPerBand),
+      Seq("band", "bucket"), maxBucketSize)
+    val cands = sideBuckets(newDocs)
+      .select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+      .join(sideBuckets(corpus)
+        .select(col("band"), col("bucket"), col("doc_id").as("id_b")),
+        Seq("band", "bucket"))
+      .select("id_a", "id_b")
+      .distinct()
+    val allRows = shingleHashRows(
+      newDocs.select(col("doc_id"), col("text"))
+        .unionByName(corpus.select(col("doc_id"), col("text"))),
+      shingleLen)
+    jaccardForPairs(cands, allRows)
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
 
   /** Canonical selection over transitive duplicate groups: every
     * document joins its [[duplicateGroups]] component, and each group

@@ -406,6 +406,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(cols == Seq("src", "id", "tok", "h"))
   }
 
+  test("incremental dedup: cross-side pairs only, intra-side dups ignored") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val newDocs = Seq(
+      (1L, base),                       // dup of 2 (intra-new) and 10 (cross)
+      (2L, base),
+      (3L, "completely different text with nothing shared at all here"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, base),                      // dup of 1, 2
+      (11L, base + " extended"),        // near-dup of 1, 2, 10
+      (12L, "unrelated corpus document holding its own distinct content"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashNearDuplicatesBetween(newDocs, corpus,
+        threshold = 0.8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (1,2) intra-new and (10,11) intra-corpus must NOT appear
+    assert(got == Set((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L)), got)
+  }
+
   test("token quotas: multi-seed differential fuzz vs the naive prefix rule") {
     import spark.implicits._
     (0 until 5).foreach { seed =>
