@@ -166,17 +166,45 @@ object Dedup {
       .distinct()
   }
 
+  /** The `bands` (band, bucket) entries of one signature, as an array
+    * expression — shared by the batch bucket tables and the streaming
+    * per-row path (which cannot re-aggregate). */
+  private[graft] def bandEntries(sig: Column, bands: Int,
+      rowsPerBand: Int): Column =
+    array((0 until bands).map { bi =>
+      struct(lit(bi).as("band"),
+        hash(slice(sig, bi * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+    }: _*)
+
   /** (doc_id, band, bucket) rows of a signature table — the storable
     * LSH index an incremental pipeline keeps beside its corpus. */
   private def bandBuckets(signed: DataFrame, bands: Int,
-      rowsPerBand: Int): DataFrame = {
-    val bandCols = (0 until bands).map { bi =>
-      struct(lit(bi).as("band"),
-        hash(slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand)).as("bucket"))
-    }
+      rowsPerBand: Int): DataFrame =
     signed
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"),
+        explode(bandEntries(col("sig"), bands, rowsPerBand)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+  /** MinHash signature as a PER-ROW expression — bit-identical to
+    * [[minhashSignaturesHashed]]'s aggregated signatures (same shingle
+    * hash, same per-function re-hash, min over the row's own shingle
+    * set), but computed without any grouping: the shape a STREAMING
+    * consumer needs, where an aggregation would be stateful. Null for
+    * documents too short to shingle (the batch path drops those rows).
+    * Cost is O(tokens x numHashes) per row as codegen'd array lambdas —
+    * fine for documents, not for a whole-corpus re-signature where the
+    * aggregated path's map-side partial mins win.
+    */
+  def rowMinhashSignature(text: Column, shingleLen: Int = 3,
+      numHashes: Int = 64): Column = {
+    val toks = tokens(text)
+    val hs = transform(
+      sequence(lit(0), size(toks) - shingleLen),
+      i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(shingleLen)))))
+    when(size(toks) >= shingleLen,
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(hs, h => xxhash64(i, h)))))
+      .otherwise(lit(null).cast("array<bigint>"))
   }
 
   /** Near-duplicate pairs: MinHash-LSH candidates, exact-Jaccard verified.

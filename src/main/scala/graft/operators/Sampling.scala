@@ -94,6 +94,24 @@ object Sampling {
     df.withColumn("shuffle_key", md5(concat(lit(seed), id.cast("string"))))
   }
 
+  /** Epoch-shuffle export — the write stage [[shuffleKey]]'s contract
+    * points at: rows land range-partitioned AND sorted by the
+    * seed-keyed permutation key, so the written files ARE the shuffled
+    * corpus in on-disk order (file k's keys all precede file k+1's) and
+    * a sequential trainer reads them in shuffle order with zero
+    * further work. One range exchange (sampled boundaries), a
+    * per-partition sort, no global single-task stage, no driver
+    * ordinal materialization.
+    */
+  def writeShuffled(df: DataFrame, id: Column, seed: String, path: String,
+      partitions: Int): Unit = {
+    require(partitions >= 1, s"partitions must be >= 1, got $partitions")
+    shuffleKey(df, id, seed)
+      .repartitionByRange(partitions, col("shuffle_key"))
+      .sortWithinPartitions("shuffle_key")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Temperature-damped domain mixing: each stratum's share of a total
     * `budget` is proportional to `count^(1/2)` instead of `count` — the
     * standard move for keeping head domains/languages from drowning the

@@ -473,6 +473,57 @@ object Observers {
       fingerprintCols = Seq("fp"), watermark = watermark)
   }
 
+  /** Streaming near-dup matching AGAINST a static corpus index — the
+    * continuous half of [[graft.operators.Dedup.minhashNearDuplicatesBetween]]:
+    * each stream document derives its minhash signature PER ROW
+    * ([[graft.operators.Dedup.rowMinhashSignature]] — bit-identical to
+    * the batch signatures, no aggregation), explodes its band buckets,
+    * and stream-static-joins the corpus side's bucket index; candidate
+    * pairs verify by signature estimate (matching components /
+    * numHashes >= `threshold`). Emits `(doc_id, corpus_id,
+    * est_jaccard)` in APPEND mode with ZERO stateful operators (no
+    * watermark needed, nothing buffered) — the quarantine feed a
+    * continuous ingest anti-joins at load time. A pair sharing several
+    * bands emits up to `bands` duplicate rows; membership is what the
+    * consumer keys on, and deduping here would buy a stateful operator
+    * for cosmetics. The estimate's std at J is sqrt(J(1-J)/numHashes)
+    * (≈ 0.05 at J = 0.8, numHashes = 64) — size `numHashes` to the
+    * precision the quarantine decision needs; exact-Jaccard re-check of
+    * the (tiny) matched feed is a batch job.
+    *
+    * `corpusSigned` is [[graft.operators.Dedup.minhashSignaturesHashed]]
+    * output (doc_id, sig) — the persisted corpus index.
+    */
+  def streamingNearDupMatches(docStream: DataFrame, corpusSigned: DataFrame,
+      shingleLen: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    import graft.operators.Dedup
+    val rpb = numHashes / bands
+    val streamSide = docStream
+      .select(col("doc_id"),
+        Dedup.rowMinhashSignature(col("text"), shingleLen, numHashes)
+          .as("_sig"))
+      .where(col("_sig").isNotNull)
+      .select(col("doc_id"), col("_sig"),
+        explode(Dedup.bandEntries(col("_sig"), bands, rpb)).as("_bb"))
+      .select(col("doc_id"), col("_sig"),
+        col("_bb.band").as("band"), col("_bb.bucket").as("bucket"))
+    val corpusSide = corpusSigned
+      .select(col("doc_id").as("corpus_id"), col("sig").as("_csig"),
+        explode(Dedup.bandEntries(col("sig"), bands, rpb)).as("_bb"))
+      .select(col("corpus_id"), col("_csig"),
+        col("_bb.band").as("band"), col("_bb.bucket").as("bucket"))
+    val matches = aggregate(
+      zip_with(col("_sig"), col("_csig"),
+        (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+    streamSide.join(corpusSide, Seq("band", "bucket"))
+      .withColumn("est_jaccard",
+        matches.cast("double") / lit(numHashes.toDouble))
+      .where(col("est_jaccard") >= threshold)
+      .select(col("doc_id"), col("corpus_id"), col("est_jaccard"))
+  }
+
   /** N6: event-time tumbling/sliding window aggregation with watermark
     * over the change feed (capability absent in the reference, required
     * for the events north star).

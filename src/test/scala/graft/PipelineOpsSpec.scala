@@ -406,6 +406,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(cols == Seq("src", "id", "tok", "h"))
   }
 
+  test("shuffled export: files are range-disjoint and sorted in shuffle order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shuf").toString
+    Sampling.writeShuffled(docs.select("doc_id", "source"), col("doc_id"),
+      "epoch1", dir, partitions = 8)
+    val back = spark.read.parquet(dir)
+      .withColumn("f", input_file_name())
+    // within-file sorted + across-file disjoint ranges = global order
+    val ranges = back.groupBy("f")
+      .agg(min("shuffle_key").as("lo"), max("shuffle_key").as("hi"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(ranges.map(_._3).sum == docs.count())
+    ranges.sliding(2).foreach {
+      case Array((_, hi1, _), (lo2, _, _)) => assert(hi1 <= lo2,
+        s"file ranges overlap: $hi1 > $lo2")
+      case _ => ()
+    }
+    // round trip keeps every row exactly once
+    assert(back.select("doc_id").distinct().count() == docs.count())
+  }
+
+  test("row minhash signature expression equals the batch aggregation") {
+    val batch = Dedup.minhashSignaturesHashed(
+      Dedup.shingleHashRows(docs, 3, distinctRows = false))
+    val row = docs.select(col("doc_id"),
+      Dedup.rowMinhashSignature(col("text")).as("rsig"))
+    val joined = batch.join(row, "doc_id")
+    assert(joined.count() == batch.count())
+    assert(joined.where(not(col("sig") === col("rsig"))).count() == 0)
+    // null exactly for the docs the batch path drops (too short)
+    assert(row.where(col("rsig").isNull).count() ==
+      docs.where(size(split(col("text"), " ", -1)) < 3).count())
+  }
+
   test("incremental dedup: cross-side pairs only, intra-side dups ignored") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again"

@@ -421,6 +421,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.length == 30 && out.toSet.size == 30)
   }
 
+  test("streaming near-dup matches vs a static corpus index, zero state") {
+    import spark.implicits._
+    val dir = tmp("incdedup-stream")
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq((100L, base),
+      (101L, "one two three four five six seven")).toDF("doc_id", "text")
+    // the persisted corpus index: the BATCH aggregation's signatures
+    val signed = graft.operators.Dedup.minhashSignaturesHashed(
+      graft.operators.Dedup.shingleHashRows(corpus, 3, distinctRows = false))
+    // stream: an exact copy, a near copy, a clean doc, a short doc
+    Seq((1L, base), (2L, base + " lambda"),
+        (3L, "unrelated totally different words entirely written here"),
+        (4L, "too short")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .parquet(dir)
+    val q = Observers.streamingNearDupMatches(stream, signed, threshold = 0.5)
+      .writeStream.format("memory").queryName("incmatches")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    // the stateless claim IS the design: no stateful operator ran
+    assert(q.lastProgress.stateOperators.isEmpty,
+      q.lastProgress.prettyJson)
+    val got = spark.sql("SELECT DISTINCT doc_id, corpus_id FROM incmatches")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 100L), (2L, 100L)), got.toString)
+    // the exact copy's estimate is exactly 1.0 (identical signatures)
+    val est = spark.sql(
+      "SELECT max(est_jaccard) FROM incmatches WHERE doc_id = 1")
+      .head.getDouble(0)
+    assert(est == 1.0, s"est=$est")
+  }
+
   test("streaming curation gate: quality + language + watermarked dedup") {
     import spark.implicits._
     val dir = tmp("curate-stream")
