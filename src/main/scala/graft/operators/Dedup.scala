@@ -70,6 +70,17 @@ object Dedup {
     * is the CPU-amplifying stage, and a narrow single-file input would
     * otherwise run it serially.
     */
+  /** The document's n-shingle hashes as one array expression — the ONE
+    * definition of the shingle hash, shared by the exploded batch rows
+    * and the per-row streaming signature (their bit-parity is a
+    * contract: [[rowMinhashSignature]] must agree with
+    * [[minhashSignaturesHashed]]). Only meaningful under
+    * `size(toks) >= n` (callers guard). */
+  private def shingleHashArray(toks: Column, n: Int): Column =
+    transform(
+      sequence(lit(0), size(toks) - n),
+      i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n)))))
+
   def shingleHashRows(docs: DataFrame, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text",
       distinctRows: Boolean = true): DataFrame = {
@@ -77,9 +88,7 @@ object Dedup {
     val rows = graft.sources.Tables.widen(docs)
       .where(size(toks) >= n)
       .select(col(idCol).as("doc_id"),
-        explode(transform(
-          sequence(lit(0), size(toks) - n),
-          i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n)))))).as("s"))
+        explode(shingleHashArray(toks, n)).as("s"))
     if (distinctRows) rows.distinct() else rows
   }
 
@@ -198,9 +207,7 @@ object Dedup {
   def rowMinhashSignature(text: Column, shingleLen: Int = 3,
       numHashes: Int = 64): Column = {
     val toks = tokens(text)
-    val hs = transform(
-      sequence(lit(0), size(toks) - shingleLen),
-      i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(shingleLen)))))
+    val hs = shingleHashArray(toks, shingleLen)
     when(size(toks) >= shingleLen,
       transform(sequence(lit(0), lit(numHashes - 1)),
         i => array_min(transform(hs, h => xxhash64(i, h)))))
@@ -629,26 +636,48 @@ object Dedup {
     */
   def minhashNearDuplicatesBetween(newDocs: DataFrame, corpus: DataFrame,
       threshold: Double = 0.8, shingleLen: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, maxBucketSize: Int = 10000): DataFrame =
+    minhashNearDuplicatesBetweenSigned(newDocs, corpus,
+      minhashSignaturesHashed(
+        shingleHashRows(corpus, shingleLen, distinctRows = false), numHashes),
+      threshold, shingleLen, numHashes, bands, maxBucketSize)
+
+  /** [[minhashNearDuplicatesBetween]] against a PERSISTED corpus index:
+    * `corpusSigned` is [[minhashSignaturesHashed]] output stored from a
+    * previous increment, so the corpus is never re-shingled for
+    * candidates — only its (cheap) band buckets re-derive. `corpus`
+    * still supplies (doc_id, text) for the exact-Jaccard verify, but
+    * shingling is restricted to docs that actually appear in a
+    * candidate pair (the three consumers of the candidate frame share
+    * their exchanges, so the fan-out is not recomputed per use).
+    */
+  def minhashNearDuplicatesBetweenSigned(newDocs: DataFrame,
+      corpus: DataFrame, corpusSigned: DataFrame,
+      threshold: Double = 0.8, shingleLen: Int = 3, numHashes: Int = 64,
       bands: Int = 16, maxBucketSize: Int = 10000): DataFrame = {
     val rowsPerBand = numHashes / bands
-    def sideBuckets(docs: DataFrame) = capBuckets(
-      bandBuckets(
-        minhashSignaturesHashed(
-          shingleHashRows(docs, shingleLen, distinctRows = false), numHashes),
-        bands, rowsPerBand),
+    def sideBuckets(signed: DataFrame) = capBuckets(
+      bandBuckets(signed, bands, rowsPerBand),
       Seq("band", "bucket"), maxBucketSize)
-    val cands = sideBuckets(newDocs)
+    val cands = sideBuckets(
+        minhashSignaturesHashed(
+          shingleHashRows(newDocs, shingleLen, distinctRows = false),
+          numHashes))
       .select(col("band"), col("bucket"), col("doc_id").as("id_a"))
-      .join(sideBuckets(corpus)
+      .join(sideBuckets(corpusSigned)
         .select(col("band"), col("bucket"), col("doc_id").as("id_b")),
         Seq("band", "bucket"))
       .select("id_a", "id_b")
       .distinct()
-    val allRows = shingleHashRows(
+    // exact verify re-shingles ONLY candidate docs — the corpus side
+    // of an increment is huge, its candidate set is not
+    val candRows = shingleHashRows(
       newDocs.select(col("doc_id"), col("text"))
-        .unionByName(corpus.select(col("doc_id"), col("text"))),
+        .join(cands.select(col("id_a").as("doc_id")).distinct(), "doc_id")
+        .unionByName(corpus.select(col("doc_id"), col("text"))
+          .join(cands.select(col("id_b").as("doc_id")).distinct(), "doc_id")),
       shingleLen)
-    jaccardForPairs(cands, allRows)
+    jaccardForPairs(cands, candRows)
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -282,13 +282,25 @@ object TextAnalysis {
     */
   def decontaminateSemantic(corpus: DataFrame, benchmark: DataFrame,
       threshold: Double, embCol: String = "embedding"): DataFrame = {
+    // zero-norm guards on BOTH sides: cosine against a zero vector is
+    // 0/0 = NaN, and Spark orders NaN above every number, so an
+    // unguarded NaN >= threshold would silently drop the whole corpus
+    // on one degenerate benchmark row. A zero vector carries no
+    // semantic signal: it never matches (zero-norm corpus rows are
+    // KEPT, like gram-decontamination keeps too-short docs).
+    // The corpus norm precomputes per ROW (withColumn, a projection —
+    // no exchange); inside the join condition it would re-fold per
+    // (corpus x bench) pair.
     val bench = broadcast(benchmark
       .select(col(embCol).as("_bemb"))
-      .withColumn("_bnrm", Similarity.norm(col("_bemb"))))
-    val nrm = Similarity.norm(col(embCol))
-    corpus.join(bench,
-      Similarity.dot(col(embCol), col("_bemb")) / (nrm * col("_bnrm"))
-        >= threshold,
-      "left_anti")
+      .withColumn("_bnrm", Similarity.norm(col("_bemb")))
+      .where(col("_bnrm") > 0))
+    corpus.withColumn("_cnrm", Similarity.norm(col(embCol)))
+      .join(bench,
+        col("_cnrm") > 0 &&
+          Similarity.dot(col(embCol), col("_bemb"))
+            / (col("_cnrm") * col("_bnrm")) >= threshold,
+        "left_anti")
+      .drop("_cnrm")
   }
 }

@@ -499,6 +499,14 @@ object Observers {
       threshold: Double = 0.8): DataFrame = {
     import graft.operators.Dedup
     val rpb = numHashes / bands
+    // a corpus index built with a different numHashes would slice past
+    // the signature's end and divide the estimate by the wrong base —
+    // every true duplicate silently missed; fail loudly at setup
+    // instead (one-row bounded handshake on the static frame)
+    corpusSigned.select(size(col("sig"))).limit(1).collect()
+      .foreach(r => require(r.getInt(0) == numHashes,
+        s"corpus index carries ${r.getInt(0)}-hash signatures but the " +
+          s"stream is configured for $numHashes"))
     val streamSide = docStream
       .select(col("doc_id"),
         Dedup.rowMinhashSignature(col("text"), shingleLen, numHashes)

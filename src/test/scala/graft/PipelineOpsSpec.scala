@@ -213,6 +213,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(kept.size == 495, s"kept ${kept.size}")
   }
 
+  test("semantic decontamination: zero-norm vectors neither match nor drop") {
+    import spark.implicits._
+    val zero = Seq((8888L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding")
+    val corpus = emb.select("vec_id", "embedding").unionByName(zero)
+    // a zero-norm BENCH row must not nuke the corpus (NaN >= t trap)...
+    val benchZero = TextAnalysis.decontaminateSemantic(corpus,
+      zero.select("embedding"), threshold = 0.95)
+    assert(benchZero.count() == corpus.count())
+    // ...and a zero-norm CORPUS row is kept, not silently dropped
+    val kept = TextAnalysis.decontaminateSemantic(corpus,
+        emb.where(col("vec_id") < 5).select("embedding"), threshold = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(8888L))
+    assert(!kept.exists(_ < 5))
+  }
+
+  test("incremental dedup via a persisted index equals the direct path") {
+    val newDocs = docs.where(col("doc_id") % 5 === 0)
+      .select("doc_id", "text")
+    val corpus = docs.where(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+    val direct = Dedup.minhashNearDuplicatesBetween(newDocs, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val signed = Dedup.minhashSignaturesHashed(
+      Dedup.shingleHashRows(corpus, 3, distinctRows = false))
+    val viaIndex = Dedup.minhashNearDuplicatesBetweenSigned(
+        newDocs, corpus, signed)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex == direct && direct.nonEmpty)
+  }
+
   test("semantic dedup: planted tight twins collapse, clean vectors untouched") {
     import spark.implicits._
     // twin every vector under id 25: same embedding with the first
