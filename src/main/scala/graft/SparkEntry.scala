@@ -1107,6 +1107,12 @@ object SparkEntry {
           threshold = 0.5, dim = 64, planes = 2, tables = 16)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_x_corpus_report" -> ((s, dir) => {
+      // per-source datasheet: the one-pass summary a mixture design
+      // reads before weighting sources — exact integers throughout
+      TextAnalysis.corpusReport(t(s, dir, "documents"))
+        .orderBy(col("source"))
+    }),
     "q_x_decontaminate_semantic" -> ((s, dir) => {
       // embedding-space decontamination: corpus rows within 0.5 cosine
       // of any benchmark vector (every 50th, standing in for an eval
@@ -1717,6 +1723,17 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY 1""".stripMargin,
+    "q_x_corpus_report" ->
+      """SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(count(CASE WHEN len(string_split(text, ' ')) < 5 THEN 1 END)
+        |       AS BIGINT) AS short_docs,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_x_decontaminate_semantic" ->
       """WITH n AS (
         |  SELECT vec_id, embedding,

@@ -265,6 +265,25 @@ object TextAnalysis {
     corpus.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** Per-source corpus datasheet in ONE aggregation pass — the summary
+    * a data card / mixture design reads off before weighting sources:
+    * document and token counts, character volume, short-doc count,
+    * char-length extremes, distinct languages. All exact integers
+    * (engine-portable); one hash aggregation with map-side partial
+    * combine, the count-distinct planned as Spark's two-phase expand —
+    * no windows, no driver work.
+    */
+  def corpusReport(docs: DataFrame, shortDocTokens: Int = 5): DataFrame =
+    docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(tokens(col("text")))).as("n_tokens"),
+      sum(col("n_chars")).as("total_chars"),
+      count(when(size(tokens(col("text"))) < shortDocTokens, 1))
+        .as("short_docs"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"),
+      count_distinct(col("lang")).as("n_langs"))
+
   /** Semantic benchmark decontamination: drop corpus rows whose
     * embedding is within `threshold` cosine of ANY benchmark embedding
     * — the embedding-space sibling of [[decontaminate]] (grams catch

@@ -224,6 +224,13 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_max"), plan)
   }
 
+  test("corpus report: one aggregation pass, partial combine, no window") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = planOf(graft.operators.TextAnalysis.corpusReport(docs))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("semantic decontamination: bench broadcasts, corpus never shuffles") {
     val df = SparkEntry.queries("q_x_decontaminate_semantic")(spark, sfDir)
     val plan = planOf(df)
