@@ -59,17 +59,6 @@ object Dedup {
     if (distinctRows) rows.distinct() else rows
   }
 
-  /** [[shingleRows]] with each shingle collapsed to its xxhash64 AT THE
-    * EXPLODE — the string exists only inside expression evaluation and
-    * never reaches a row, so every downstream exchange (distinct,
-    * signature aggregation, intersection join) moves 8-byte longs
-    * instead of n-token strings. Set identity is preserved up to
-    * xxhash64 collisions (~|shingles|²/2⁶⁴ per document pair — no
-    * realistic corpus reaches the 2³² shingles per doc where that
-    * matters). Input is [[graft.sources.Tables.widen]]ed: the explode
-    * is the CPU-amplifying stage, and a narrow single-file input would
-    * otherwise run it serially.
-    */
   /** The document's n-shingle hashes as one array expression — the ONE
     * definition of the shingle hash, shared by the exploded batch rows
     * and the per-row streaming signature (their bit-parity is a
@@ -81,6 +70,17 @@ object Dedup {
       sequence(lit(0), size(toks) - n),
       i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n)))))
 
+  /** [[shingleRows]] with each shingle collapsed to its xxhash64 AT THE
+    * EXPLODE — the string exists only inside expression evaluation and
+    * never reaches a row, so every downstream exchange (distinct,
+    * signature aggregation, intersection join) moves 8-byte longs
+    * instead of n-token strings. Set identity is preserved up to
+    * xxhash64 collisions (~|shingles|²/2⁶⁴ per document pair — no
+    * realistic corpus reaches the 2³² shingles per doc where that
+    * matters). Input is [[graft.sources.Tables.widen]]ed: the explode
+    * is the CPU-amplifying stage, and a narrow single-file input would
+    * otherwise run it serially.
+    */
   def shingleHashRows(docs: DataFrame, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text",
       distinctRows: Boolean = true): DataFrame = {
@@ -371,6 +371,7 @@ object Dedup {
   def embeddingNearDuplicates(emb: DataFrame, threshold: Double): DataFrame = {
     val n = emb.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", Similarity.norm(col("embedding")))
+      .where(col("nrm") > 0) // 0/0 = NaN sorts ABOVE threshold in Spark
     val a = n.select(col("vec_id").as("id_a"), col("embedding").as("va"),
       col("nrm").as("na"))
     val b = n.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
@@ -424,11 +425,15 @@ object Dedup {
     * buckets/cells appears k times): deduping before the verify would
     * shuffle the whole candidate set to save re-running a cheap
     * codegen'd dot product — distinct only the (rare) survivors.
+    * Zero-norm vectors never verify: their cosine is 0/0 = NaN, which
+    * Spark sorts ABOVE every number, so an unguarded NaN >= threshold
+    * would emit a zero vector as a near-dup of every bucket-mate.
     */
   private def verifyCosinePairs(emb: DataFrame, cands: DataFrame,
       threshold: Double): DataFrame = {
     val n = emb.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", Similarity.norm(col("embedding")))
+      .where(col("nrm") > 0)
     cands
       .join(n.select(col("vec_id").as("id_a"), col("embedding").as("va"),
         col("nrm").as("na")), "id_a")
@@ -637,7 +642,8 @@ object Dedup {
   def minhashNearDuplicatesBetween(newDocs: DataFrame, corpus: DataFrame,
       threshold: Double = 0.8, shingleLen: Int = 3, numHashes: Int = 64,
       bands: Int = 16, maxBucketSize: Int = 10000): DataFrame =
-    minhashNearDuplicatesBetweenSigned(newDocs, corpus,
+    // the self-built index cannot mismatch numHashes — skip the probe
+    betweenSignedImpl(newDocs, corpus,
       minhashSignaturesHashed(
         shingleHashRows(corpus, shingleLen, distinctRows = false), numHashes),
       threshold, shingleLen, numHashes, bands, maxBucketSize)
@@ -650,11 +656,27 @@ object Dedup {
     * shingling is restricted to docs that actually appear in a
     * candidate pair (the three consumers of the candidate frame share
     * their exchanges, so the fan-out is not recomputed per use).
+    * An index whose signature length disagrees with `numHashes` is
+    * refused at build time (a one-row probe — trivial on the stored
+    * parquet this entry point exists for): past-the-end band slices
+    * would otherwise lose recall silently.
     */
   def minhashNearDuplicatesBetweenSigned(newDocs: DataFrame,
       corpus: DataFrame, corpusSigned: DataFrame,
       threshold: Double = 0.8, shingleLen: Int = 3, numHashes: Int = 64,
       bands: Int = 16, maxBucketSize: Int = 10000): DataFrame = {
+    corpusSigned.select(size(col("sig"))).limit(1).collect()
+      .foreach(r => require(r.getInt(0) == numHashes,
+        s"corpus index carries ${r.getInt(0)}-hash signatures but " +
+          s"numHashes = $numHashes"))
+    betweenSignedImpl(newDocs, corpus, corpusSigned, threshold, shingleLen,
+      numHashes, bands, maxBucketSize)
+  }
+
+  private def betweenSignedImpl(newDocs: DataFrame,
+      corpus: DataFrame, corpusSigned: DataFrame,
+      threshold: Double, shingleLen: Int, numHashes: Int,
+      bands: Int, maxBucketSize: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     def sideBuckets(signed: DataFrame) = capBuckets(
       bandBuckets(signed, bands, rowsPerBand),

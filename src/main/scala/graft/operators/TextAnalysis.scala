@@ -274,15 +274,19 @@ object TextAnalysis {
     * no windows, no driver work.
     */
   def corpusReport(docs: DataFrame, shortDocTokens: Int = 5): DataFrame =
-    docs.groupBy(col("source")).agg(
-      count(lit(1)).as("n_docs"),
-      sum(size(tokens(col("text")))).as("n_tokens"),
-      sum(col("n_chars")).as("total_chars"),
-      count(when(size(tokens(col("text"))) < shortDocTokens, 1))
-        .as("short_docs"),
-      min(col("n_chars")).as("min_chars"),
-      max(col("n_chars")).as("max_chars"),
-      count_distinct(col("lang")).as("n_langs"))
+    // tokenize ONCE per row (Catalyst CSE does not dedupe a repeated
+    // split — measured in qualityTable) and widen the narrow input:
+    // the token count is the CPU-amplifying stage here
+    graft.sources.Tables.widen(docs)
+      .withColumn("_ntok", size(tokens(col("text"))))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_ntok")).as("n_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        count(when(col("_ntok") < shortDocTokens, 1)).as("short_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        count_distinct(col("lang")).as("n_langs"))
 
   /** Semantic benchmark decontamination: drop corpus rows whose
     * embedding is within `threshold` cosine of ANY benchmark embedding

@@ -492,7 +492,11 @@ object Observers {
     * the (tiny) matched feed is a batch job.
     *
     * `corpusSigned` is [[graft.operators.Dedup.minhashSignaturesHashed]]
-    * output (doc_id, sig) — the persisted corpus index.
+    * output (doc_id, sig) — pass the PERSISTED index (a parquet load),
+    * not an inline-built aggregation: the static side re-executes per
+    * micro-batch, and the setup validation below runs it once more, so
+    * an unpersisted signature job would recompute the corpus signature
+    * aggregation every trigger.
     */
   def streamingNearDupMatches(docStream: DataFrame, corpusSigned: DataFrame,
       shingleLen: Int = 3, numHashes: Int = 64, bands: Int = 16,

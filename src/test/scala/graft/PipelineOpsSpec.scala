@@ -235,12 +235,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     val corpus = docs.where(col("doc_id") % 5 =!= 0).select("doc_id", "text")
     val direct = Dedup.minhashNearDuplicatesBetween(newDocs, corpus)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val signed = Dedup.minhashSignaturesHashed(
-      Dedup.shingleHashRows(corpus, 3, distinctRows = false))
+    // a GENUINELY persisted index (parquet round trip — exercises the
+    // stored nullability/element types, not the same in-memory plan)
+    val ixDir = java.nio.file.Files.createTempDirectory("graft-mhix").toString
+    Dedup.minhashSignaturesHashed(
+        Dedup.shingleHashRows(corpus, 3, distinctRows = false))
+      .write.mode("overwrite").parquet(ixDir)
     val viaIndex = Dedup.minhashNearDuplicatesBetweenSigned(
-        newDocs, corpus, signed)
+        newDocs, corpus, spark.read.parquet(ixDir))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaIndex == direct && direct.nonEmpty)
+    // a mismatched index is refused, not silently low-recall
+    intercept[IllegalArgumentException] {
+      Dedup.minhashNearDuplicatesBetweenSigned(newDocs, corpus,
+        Dedup.minhashSignaturesHashed(
+          Dedup.shingleHashRows(corpus, 3, distinctRows = false),
+          numHashes = 32))
+    }
+  }
+
+  test("corpus report: planted short doc and null lang count correctly") {
+    import spark.implicits._
+    val d = Seq(
+      ("a", 1L, "one two three four five six", "en", 27L),
+      ("a", 2L, "tiny doc", "fr", 8L),          // 2 tokens < 5 -> short
+      ("a", 3L, "x y z w v u t", null, 13L),    // null lang
+      ("b", 4L, "lone document in source b ok", "en", 28L))
+      .toDF("source", "doc_id", "text", "lang", "n_chars")
+    val got = TextAnalysis.corpusReport(d)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // count(DISTINCT lang) ignores nulls in both engines
+    assert(got("a") == (3L, 15L, 48L, 1L, 8L, 27L, 2L), got("a").toString)
+    assert(got("b") == (1L, 6L, 28L, 0L, 28L, 28L, 1L))
   }
 
   test("semantic dedup: planted tight twins collapse, clean vectors untouched") {
