@@ -654,8 +654,8 @@ object Dedup {
     * candidates — only its (cheap) band buckets re-derive. `corpus`
     * still supplies (doc_id, text) for the exact-Jaccard verify, but
     * shingling is restricted to docs that actually appear in a
-    * candidate pair (the three consumers of the candidate frame share
-    * their exchanges, so the fan-out is not recomputed per use).
+    * candidate pair (the candidate frame materializes once for its
+    * three consumers — see `betweenSignedImpl`).
     * An index whose signature length disagrees with `numHashes` is
     * refused at build time (a one-row probe — trivial on the stored
     * parquet this entry point exists for): past-the-end band slices
@@ -681,6 +681,14 @@ object Dedup {
     def sideBuckets(signed: DataFrame) = capBuckets(
       bandBuckets(signed, bands, rowsPerBand),
       Seq("band", "bucket"), maxBucketSize)
+    // the candidate frame feeds THREE consumers (both id restrictions
+    // for the verify shingling + the Jaccard join itself), and column
+    // pruning specializes each consumer's subplan so ReuseExchange
+    // never fires — unmaterialized, the signature aggregations and the
+    // bucket join would run three times (measured, not hypothetical).
+    // Candidates are small by construction (capped buckets), so an
+    // eager localCheckpoint is cheap; swap for reliable checkpoint on
+    // a cluster with preemptible executors.
     val cands = sideBuckets(
         minhashSignaturesHashed(
           shingleHashRows(newDocs, shingleLen, distinctRows = false),
@@ -691,6 +699,7 @@ object Dedup {
         Seq("band", "bucket"))
       .select("id_a", "id_b")
       .distinct()
+      .localCheckpoint()
     // exact verify re-shingles ONLY candidate docs — the corpus side
     // of an increment is huge, its candidate set is not
     val candRows = shingleHashRows(

@@ -241,6 +241,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("incremental dedup: candidates materialize once, no cartesian") {
+    val df = SparkEntry.queries("q_x_dedup_incremental")(spark, sfDir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the candidate frame feeds three consumers (two id restrictions
+    // for the verify shingling + the Jaccard join); column pruning
+    // specializes each consumer's subplan so ReuseExchange cannot fire
+    // — the frame must be MATERIALIZED (each consumer scans the
+    // checkpointed RDD) or the signature aggregations run three times
+    assert("ExistingRDD".r.findAllIn(plan).size >= 3,
+      s"candidates recompute per consumer:\n$plan")
+    // ...and the expensive signature aggregation itself appears only
+    // twice in the whole plan: once per SIDE, never per consumer
+    val sigAggs = "partial_min\\(xxhash64".r.findAllIn(plan).size
+    assert(sigAggs <= 2, s"signature aggregation planned $sigAggs times:\n$plan")
+  }
+
   test("semantic dedup pairs: cell equi-join, no cartesian product") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val plan = planOf(graft.operators.Dedup.semanticNearDuplicates(
