@@ -673,6 +673,61 @@ object Dedup {
       numHashes, bands, maxBucketSize)
   }
 
+  // ---- Minhash index persistence -----------------------------------
+  // The expensive part of an increment is the accumulated corpus's
+  // signature aggregation, so it persists like the IVF centroids do
+  // (Similarity.writeCentroids): signature parquet + a properties
+  // sidecar recording the parameters the index BAKES IN, so a later
+  // increment cannot silently run with a mismatched shingle length or
+  // hash count.
+
+  private val MinhashPropsFile = "_graft_minhash.properties"
+
+  /** Build and persist the corpus minhash index under `dir`. Parquet
+    * first, sidecar last (write-then-rename, raw stream writes — a
+    * failed write must throw, and a concurrent reader must never see a
+    * sidecar without its parquet). */
+  def writeMinhashIndex(docs: DataFrame, dir: String,
+      shingleLen: Int = 3, numHashes: Int = 64): Unit = {
+    minhashSignaturesHashed(
+        shingleHashRows(docs, shingleLen, distinctRows = false), numHashes)
+      .write.mode("overwrite").parquet(dir)
+    val conf = docs.sparkSession.sessionState.newHadoopConf()
+    val path = new org.apache.hadoop.fs.Path(dir, MinhashPropsFile)
+    val tmp = new org.apache.hadoop.fs.Path(dir, MinhashPropsFile + ".tmp")
+    val fs = path.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"shingleLen=$shingleLen\nnumHashes=$numHashes\n".getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(path, false)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"failed to move $tmp to $path")
+  }
+
+  /** [[minhashNearDuplicatesBetween]] driven by a stored index: the
+    * index's own recorded (shingleLen, numHashes) are authoritative —
+    * there is no parameter to mismatch. `bands` stays a query-time
+    * choice (buckets derive from the signatures per call). */
+  def matchAgainstMinhashIndex(newDocs: DataFrame, corpus: DataFrame,
+      dir: String, threshold: Double = 0.8, bands: Int = 16,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val spark = newDocs.sparkSession
+    val path = new org.apache.hadoop.fs.Path(dir, MinhashPropsFile)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(path),
+      s"no minhash index sidecar at $path — build with writeMinhashIndex")
+    val props = new java.util.Properties()
+    val in = fs.open(path)
+    try props.load(in) finally in.close()
+    val shingleLen = props.getProperty("shingleLen").toInt
+    val numHashes = props.getProperty("numHashes").toInt
+    require(numHashes % bands == 0,
+      s"bands = $bands does not divide the index's numHashes = $numHashes")
+    betweenSignedImpl(newDocs, corpus, spark.read.parquet(dir),
+      threshold, shingleLen, numHashes, bands, maxBucketSize)
+  }
+
   private def betweenSignedImpl(newDocs: DataFrame,
       corpus: DataFrame, corpusSigned: DataFrame,
       threshold: Double, shingleLen: Int, numHashes: Int,

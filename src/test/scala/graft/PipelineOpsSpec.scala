@@ -252,6 +252,24 @@ class PipelineOpsSpec extends AnyFunSuite {
           Dedup.shingleHashRows(corpus, 3, distinctRows = false),
           numHashes = 32))
     }
+
+    // the full-lifecycle form: writeMinhashIndex bakes its parameters
+    // into a sidecar, matchAgainstMinhashIndex reads them back — same
+    // result as the direct path, no parameter to mismatch
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-mhstore")
+      .toString
+    Dedup.writeMinhashIndex(corpus, storeDir)
+    val viaStore = Dedup.matchAgainstMinhashIndex(newDocs, corpus, storeDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaStore == direct)
+    // bands must divide the stored numHashes; a bare dir is refused
+    intercept[IllegalArgumentException] {
+      Dedup.matchAgainstMinhashIndex(newDocs, corpus, storeDir, bands = 7)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.matchAgainstMinhashIndex(newDocs, corpus,
+        java.nio.file.Files.createTempDirectory("graft-empty").toString)
+    }
   }
 
   test("corpus report: planted short doc and null lang count correctly") {
