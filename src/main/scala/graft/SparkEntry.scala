@@ -48,6 +48,11 @@ object SparkEntry {
   private val binKvFixtureDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Per-process append-grown minhash index fixture
+    * (see q_x_dedup_index_append). */
+  private val minhashIdxFixtureDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** The orders-table cell mapping shared by BOTH relational round-trip
     * rows — one definition so the two rows cannot silently diverge. */
   private val ordersCfMap = Map(
@@ -1042,6 +1047,29 @@ object SparkEntry {
           docs.where(col("doc_id") % 5 =!= 0), threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_x_dedup_index_append" -> ((s, dir) => {
+      // incremental match THROUGH a persisted index grown by append:
+      // the index is built from 2/5 of the corpus and appended with the
+      // other 2/5 (the append signatures ONLY the new batch, with the
+      // sidecar's own parameters), then today's batch (every 5th doc)
+      // matches against it. The oracle is the same exact all-pairs
+      // Jaccard as q_x_dedup_incremental: an append-grown index must be
+      // indistinguishable from a rebuilt one.
+      val docs = t(s, dir, "documents")
+      val idx = minhashIdxFixtureDirs.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-minhash-idx").toString
+        Dedup.writeMinhashIndex(
+          docs.where((col("doc_id") % 5).isin(1, 2)), d)
+        Dedup.appendToMinhashIndex(
+          docs.where((col("doc_id") % 5).isin(3, 4)), d)
+        d
+      })
+      Dedup.matchAgainstMinhashIndex(
+          docs.where(col("doc_id") % 5 === 0),
+          docs.where(col("doc_id") % 5 =!= 0), idx, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_x_dedup_keep_best" -> ((s, dir) => {
       // keep-best canonical selection: each transitive minhash dup
       // group keeps its LONGEST member (ties -> lowest doc_id) — the
@@ -1881,6 +1909,22 @@ object SparkEntry {
         |FROM documents d LEFT JOIN grp g USING (doc_id)
         |ORDER BY 1""".stripMargin,
     "q_x_dedup_incremental" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |       FROM tok WHERE len(toks) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |           / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0)
+        |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
+        |ORDER BY 1, 2""".stripMargin,
+    // identical oracle to q_x_dedup_incremental BY DESIGN: an index
+    // grown by appendToMinhashIndex must match exactly what a direct
+    // two-sided run finds (the LSH candidate stage then exact-verify
+    // makes the engine side exact too, so the hash gate applies)
+    "q_x_dedup_index_append" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
         |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.cellfunctions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for large-scale training-data pipelines:
@@ -705,6 +705,40 @@ object Dedup {
       throw new java.io.IOException(s"failed to move $tmp to $path")
   }
 
+  /** The index's recorded (shingleLen, numHashes); refuses when the
+    * sidecar is absent (a bare parquet directory is NOT an index — its
+    * parameters would be guesses). */
+  private def readMinhashProps(spark: SparkSession, dir: String): (Int, Int) = {
+    val path = new org.apache.hadoop.fs.Path(dir, MinhashPropsFile)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(path),
+      s"no minhash index sidecar at $path — build with writeMinhashIndex")
+    val props = new java.util.Properties()
+    val in = fs.open(path)
+    try props.load(in) finally in.close()
+    (props.getProperty("shingleLen").toInt,
+      props.getProperty("numHashes").toInt)
+  }
+
+  /** Incrementally grow a stored minhash index: signature ONLY the new
+    * batch — with the sidecar's own authoritative (shingleLen,
+    * numHashes), so a parameter mismatch is impossible by construction —
+    * and append it to the index parquet. The accumulated corpus is
+    * never re-signatured; this is the continuous-assembly analogue of
+    * an LSM minor compaction (the reference appends sorted batches
+    * rather than rewriting the store, src/io/tablet_writer.cc:107-230).
+    * Caller contract: `newDocs` ids must not already be present in the
+    * index (duplicate ids would make a doc its own near-duplicate on
+    * the next match; candidate pairs still dedup via `distinct()`, but
+    * the id space is the caller's to keep disjoint — same contract as
+    * [[minhashNearDuplicatesBetween]]). */
+  def appendToMinhashIndex(newDocs: DataFrame, dir: String): Unit = {
+    val (shingleLen, numHashes) = readMinhashProps(newDocs.sparkSession, dir)
+    minhashSignaturesHashed(
+        shingleHashRows(newDocs, shingleLen, distinctRows = false), numHashes)
+      .write.mode("append").parquet(dir)
+  }
+
   /** [[minhashNearDuplicatesBetween]] driven by a stored index: the
     * index's own recorded (shingleLen, numHashes) are authoritative —
     * there is no parameter to mismatch. `bands` stays a query-time
@@ -713,15 +747,7 @@ object Dedup {
       dir: String, threshold: Double = 0.8, bands: Int = 16,
       maxBucketSize: Int = 10000): DataFrame = {
     val spark = newDocs.sparkSession
-    val path = new org.apache.hadoop.fs.Path(dir, MinhashPropsFile)
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(path),
-      s"no minhash index sidecar at $path — build with writeMinhashIndex")
-    val props = new java.util.Properties()
-    val in = fs.open(path)
-    try props.load(in) finally in.close()
-    val shingleLen = props.getProperty("shingleLen").toInt
-    val numHashes = props.getProperty("numHashes").toInt
+    val (shingleLen, numHashes) = readMinhashProps(spark, dir)
     require(numHashes % bands == 0,
       s"bands = $bands does not divide the index's numHashes = $numHashes")
     betweenSignedImpl(newDocs, corpus, spark.read.parquet(dir),

@@ -272,6 +272,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("appendToMinhashIndex: append-grown index equals rebuilt index") {
+    val newDocs = docs.where(col("doc_id") % 5 === 0)
+      .select("doc_id", "text")
+    val corpus = docs.where(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+    val direct = Dedup.minhashNearDuplicatesBetween(newDocs, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // grow the index in two increments: base write, then an append that
+    // signatures ONLY the second batch (with the sidecar's parameters)
+    val growDir = java.nio.file.Files.createTempDirectory("graft-mhgrow")
+      .toString
+    Dedup.writeMinhashIndex(
+      corpus.where((col("doc_id") % 5).isin(1, 2)), growDir)
+    Dedup.appendToMinhashIndex(
+      corpus.where((col("doc_id") % 5).isin(3, 4)), growDir)
+    val viaGrown = Dedup.matchAgainstMinhashIndex(newDocs, corpus, growDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaGrown == direct && direct.nonEmpty,
+      s"grown-index matches ${viaGrown.size} != direct ${direct.size}")
+    // appending to a directory without a sidecar is refused: the batch
+    // would be signatured with guessed parameters
+    intercept[IllegalArgumentException] {
+      Dedup.appendToMinhashIndex(newDocs,
+        java.nio.file.Files.createTempDirectory("graft-nosidecar").toString)
+    }
+    // a non-default-parameter index appends with ITS OWN parameters:
+    // match via the grown index still equals a direct run at those params
+    val altDir = java.nio.file.Files.createTempDirectory("graft-mhalt")
+      .toString
+    Dedup.writeMinhashIndex(corpus.where((col("doc_id") % 5).isin(1, 2)),
+      altDir, shingleLen = 2, numHashes = 32)
+    Dedup.appendToMinhashIndex(
+      corpus.where((col("doc_id") % 5).isin(3, 4)), altDir)
+    val altGrown = Dedup.matchAgainstMinhashIndex(newDocs, corpus, altDir,
+        bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val altDirect = Dedup.minhashNearDuplicatesBetween(newDocs, corpus,
+        shingleLen = 2, numHashes = 32, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(altGrown == altDirect && altDirect.nonEmpty)
+  }
+
   test("corpus report: planted short doc and null lang count correctly") {
     import spark.implicits._
     val d = Seq(

@@ -427,9 +427,18 @@ class StreamingSpec extends AnyFunSuite {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val corpus = Seq((100L, base),
       (101L, "one two three four five six seven")).toDF("doc_id", "text")
-    // the persisted corpus index: the BATCH aggregation's signatures
-    val signed = graft.operators.Dedup.minhashSignaturesHashed(
-      graft.operators.Dedup.shingleHashRows(corpus, 3, distinctRows = false))
+    // the persisted corpus index, grown by APPEND (base doc written,
+    // second doc appended with the sidecar's own parameters): the
+    // stream rides exactly the index a continuous pipeline accumulates,
+    // and the batch/stream signature differential extends through the
+    // append path (signatures are bit-identical either way — proven
+    // directly in PipelineOpsSpec's append lifecycle test)
+    val ixDir = tmp("incdedup-index")
+    graft.operators.Dedup.writeMinhashIndex(
+      corpus.where(col("doc_id") === 100L), ixDir)
+    graft.operators.Dedup.appendToMinhashIndex(
+      corpus.where(col("doc_id") === 101L), ixDir)
+    val signed = spark.read.parquet(ixDir)
     // stream: an exact copy, a near copy, a clean doc, a short doc
     Seq((1L, base), (2L, base + " lambda"),
         (3L, "unrelated totally different words entirely written here"),
