@@ -673,6 +673,37 @@ object Dedup {
       numHashes, bands, maxBucketSize)
   }
 
+  /** Exact-Jaccard re-check of a (tiny) matched feed — the batch close
+    * of the streaming loop: [[graft.streaming.Observers.streamingNearDupMatches]]
+    * quarantines by SIGNATURE ESTIMATE (std ≈ sqrt(J(1-J)/numHashes));
+    * this re-scores exactly those `(doc_id, corpus_id)` pairs with
+    * exact Jaccard, so `stream-match → verifyMatches` emits the same
+    * pairs as a direct [[minhashNearDuplicatesBetween]] run would for
+    * every pair the stream surfaced. Input may carry the feed's
+    * per-band duplicate rows — pairs dedup first. Only docs that
+    * actually appear in the feed are ever shingled (the feed is small
+    * by construction; the corpus is not). */
+  def verifyMatches(matchedFeed: DataFrame, newDocs: DataFrame,
+      corpus: DataFrame, threshold: Double = 0.8,
+      shingleLen: Int = 3): DataFrame = {
+    val pairs = matchedFeed
+      .select(col("doc_id").as("id_a"), col("corpus_id").as("id_b"))
+      .distinct()
+    // unlike betweenSignedImpl's candidate frame, `pairs` is a distinct
+    // over an already-materialized (stored) feed — re-reading it for
+    // the three consumers is cheaper than a checkpoint that would
+    // forfeit the broadcast of the id restrictions
+    val candRows = shingleHashRows(
+      newDocs.select(col("doc_id"), col("text"))
+        .join(pairs.select(col("id_a").as("doc_id")).distinct(), "doc_id")
+        .unionByName(corpus.select(col("doc_id"), col("text"))
+          .join(pairs.select(col("id_b").as("doc_id")).distinct(), "doc_id")),
+      shingleLen)
+    jaccardForPairs(pairs, candRows)
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   // ---- Minhash index persistence -----------------------------------
   // The expensive part of an increment is the accumulated corpus's
   // signature aggregation, so it persists like the IVF centroids do

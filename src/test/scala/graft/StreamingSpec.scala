@@ -462,6 +462,18 @@ class StreamingSpec extends AnyFunSuite {
       "SELECT max(est_jaccard) FROM incmatches WHERE doc_id = 1")
       .head.getDouble(0)
     assert(est == 1.0, s"est=$est")
+
+    // batch close of the loop: verifyMatches re-scores the matched feed
+    // with EXACT Jaccard — stream-match → verify equals a direct
+    // minhashNearDuplicatesBetween run on the same data, values included
+    val newDocs = spark.read.parquet(dir)
+    val verified = graft.operators.Dedup.verifyMatches(
+        spark.table("incmatches"), newDocs, corpus, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = graft.operators.Dedup.minhashNearDuplicatesBetween(
+        newDocs, corpus, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(verified == direct && direct.nonEmpty, s"$verified vs $direct")
   }
 
   test("streaming curation gate: quality + language + watermarked dedup") {
