@@ -461,11 +461,19 @@ object Dedup {
     * `nprobe` > 1 multi-assigns each vector to its runner-up cells,
     * which is what catches pairs straddling a cell boundary. Cells
     * above `maxCellSize` are dropped like LSH's capped buckets.
+    *
+    * `indexDir` persists the trained cells exactly like the IVF index
+    * ([[Similarity.loadOrTrainCentroids]]): repeated semantic passes
+    * over a growing corpus — the SemDeDup production shape — reuse the
+    * stored quantizer instead of retraining `iters` full passes per
+    * run, and two passes against the same index assign identically.
     */
   def semanticNearDuplicates(emb: DataFrame, threshold: Double, dim: Int,
       nlist: Int = 256, nprobe: Int = 2, iters: Int = 3,
-      maxCellSize: Int = 10000): DataFrame = {
-    val centroids = Similarity.trainCentroids(emb, dim, nlist, iters)
+      maxCellSize: Int = 10000, indexDir: Option[String] = None): DataFrame = {
+    val centroids = indexDir
+      .map(Similarity.loadOrTrainCentroids(emb, dim, nlist, iters, _))
+      .getOrElse(Similarity.trainCentroids(emb, dim, nlist, iters))
     val celled = capBuckets(
       emb.select(col("vec_id"),
         explode(Similarity.probeClusters(col("embedding"), centroids, nprobe))
@@ -486,10 +494,10 @@ object Dedup {
     */
   def semanticDedup(emb: DataFrame, threshold: Double, dim: Int,
       nlist: Int = 256, nprobe: Int = 2, iters: Int = 3,
-      maxCellSize: Int = 10000): DataFrame =
+      maxCellSize: Int = 10000, indexDir: Option[String] = None): DataFrame =
     duplicateGroups(emb.select(col("vec_id")),
       semanticNearDuplicates(emb, threshold, dim, nlist, nprobe, iters,
-        maxCellSize),
+        maxCellSize, indexDir),
       idCol = "vec_id")
 
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's

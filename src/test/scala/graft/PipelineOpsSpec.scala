@@ -352,6 +352,22 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(g == id, s"clean vector $id merged into $g") }
   }
 
+  test("semantic dedup with a persisted quantizer assigns identically") {
+    val ixDir = java.nio.file.Files.createTempDirectory("graft-semix")
+      .toString
+    def run(dir: Option[String]) = Dedup.semanticNearDuplicates(
+        emb.select("vec_id", "embedding"), threshold = 0.4, dim = 64,
+        nlist = 8, nprobe = 2, iters = 2, indexDir = dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val first = run(Some(ixDir))   // trains and persists the cells
+    // the quantizer persisted (same sidecar the IVF index uses)
+    assert(Similarity.readCentroids(spark, ixDir).exists(_.length == 8))
+    // a second pass LOADS (exact-round-trip doubles -> identical argmax)
+    assert(run(Some(ixDir)) == first)
+    // and equals a freshly trained run (training is deterministic)
+    assert(run(None) == first && first.nonEmpty)
+  }
+
   test("connected components match union-find on a random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
