@@ -290,19 +290,24 @@ case class ScanQuery(
     // remaining cells. The last delivered cell in scan order (row asc,
     // cf asc, qualifier asc, ts desc) is a one-row broadcast max_by;
     // an empty page (null) leaves the scan unbounded.
-    def lastCellOf(prev: DataFrame): DataFrame =
+    // computed ONCE (eager one-row localCheckpoint): the pre-resolve
+    // row cut and the post-resolve cell cut both consume it, and an
+    // unmaterialized aggregate would re-run the previous page's full
+    // scan + TakeOrdered per consumer. The explicit broadcast hint
+    // survives the LogicalRDD's default stats.
+    val resumeCell: Option[DataFrame] = resumeAfterPage.map(prev =>
       broadcast(prev.agg(
         max_by(
           struct(col("row_key").as("rk"), col("cf").as("c"),
             col("qualifier").as("q"), col("ts").as("t")),
           struct(col("row_key"), col("cf"), col("qualifier"), -col("ts")))
-          .as("_graft_resume")))
-    resumeAfterPage.foreach { prev =>
+          .as("_graft_resume")).localCheckpoint()))
+    resumeCell.foreach { last =>
       // pre-resolve, ROW level only: rows strictly below the boundary
       // row drop before resolution (the bound commutes at row
       // granularity); the boundary row itself must resolve IN FULL —
       // cutting its ops mid-column would change version caps and folds
-      pruned = pruned.crossJoin(lastCellOf(prev))
+      pruned = pruned.crossJoin(last)
         .where(col("_graft_resume").isNull ||
           col("row_key") >= col("_graft_resume")("rk"))
         .drop("_graft_resume")
@@ -316,9 +321,9 @@ case class ScanQuery(
     // the row verdict: a rowFilter combined with a mid-row resume sees
     // the row's REMAINING cells, like the reference's streamed row
     // buffer does after a number-limit break.
-    val resolved = resumeAfterPage.fold(resolvedAll) { prev =>
+    val resolved = resumeCell.fold(resolvedAll) { last =>
       val r = col("_graft_resume")
-      resolvedAll.crossJoin(lastCellOf(prev))
+      resolvedAll.crossJoin(last)
         .where(r.isNull ||
           col("row_key") > r("rk") ||
           (col("row_key") === r("rk") && (col("cf") > r("c") ||
@@ -383,6 +388,16 @@ case class ScanQuery(
       projected.where(col("ts").between(from, to))
     }
 
+    // Cross-page semantics under afterPage: the rank is computed over
+    // the cells REMAINING after the resume cut, so a page boundary
+    // inside a row restarts qualifier counting — REFERENCE PARITY, not
+    // an accident: tera's sync-scan resume skips out-of-range records
+    // reconstructing version_num ("keep record of version info to
+    // prevent dirty data", tablet_io.cc:1034-1046) but NOT qu_num
+    // (tablet_io.cc:1063-1070), so its qualifier cap also restarts
+    // mid-row while its version cap does not (ours likewise: resolve
+    // sees the boundary row IN FULL, so maxVersions stays exact).
+    // Covered by "maxQualifiers across an afterPage boundary" spec.
     val qualCapped = maxQualifiers.fold(timed) { k =>
       val wq = Window.partitionBy(col("row_key"), col("cf")).orderBy(col("qualifier"))
       timed.withColumn("_qrank", dense_rank().over(wq))

@@ -288,6 +288,47 @@ class BinaryKeySpec extends AnyFunSuite {
     assert(Arrays.equals(after(0), k3) && Arrays.equals(after(1), k4))
   }
 
+  test("maxQualifiers across an afterPage boundary: reference-parity restart") {
+    val session = spark
+    import session.implicits._
+    // tera's sync-scan resume reconstructs version_num but NOT qu_num
+    // (tablet_io.cc:1034-1046 vs :1063-1070): a page boundary inside a
+    // row restarts QUALIFIER counting on the remaining cells, while the
+    // VERSION cap stays exact. Same here, by construction.
+    val log = Seq("q1", "q2", "q3", "q4").zipWithIndex.map { case (qn, i) =>
+      ("w01", "cf", qn, 1L, OpType.Value, "v".getBytes, i.toLong) }
+      .toDF("row_key", "cf", "qualifier", "ts", "op", "value", "seq")
+    val q = ScanQuery(log, opsPresent = Some(Set(OpType.Value)))
+      .withMaxQualifiers(2)
+    // unpaged: cap exact
+    assert(q.run().select("qualifier").collect().map(_.getString(0)).toSeq
+      == Seq("q1", "q2"))
+    // page boundary inside the row: counting restarts after the cut, so
+    // the stitched pages over-deliver (q1 + q2,q3) — documented parity
+    val p1 = q.withLimit(1).run()
+    assert(p1.select("qualifier").collect().map(_.getString(0)).toSeq
+      == Seq("q1"))
+    assert(q.afterPage(p1).run()
+      .select("qualifier").collect().map(_.getString(0)).toSeq
+      == Seq("q2", "q3"))
+
+    // maxVersions does NOT over-deliver: the boundary row resolves in
+    // full before the cell cut, so the version cap sees every version
+    val vlog = (1 to 5).map(ts =>
+      ("r", "cf", "q", ts.toLong, OpType.Value, s"v$ts".getBytes, ts.toLong))
+      .toDF("row_key", "cf", "qualifier", "ts", "op", "value", "seq")
+    val vq = ScanQuery(vlog,
+      desc = TableDesc(default = graft.model.CfSpec(maxVersions = 2)),
+      opsPresent = Some(Set(OpType.Value)))
+    assert(vq.run().select("ts").collect().map(_.getLong(0)).toSeq
+      == Seq(5L, 4L))
+    val vp1 = vq.withLimit(1).run()
+    assert(vp1.select("ts").collect().map(_.getLong(0)).toSeq == Seq(5L))
+    // second page delivers ONLY ts=4 — versions never exceed the cap
+    assert(vq.afterPage(vp1).run()
+      .select("ts").collect().map(_.getLong(0)).toSeq == Seq(4L))
+  }
+
   test("unordered scan: same row set, no global sort") {
     val session = spark
     import session.implicits._
