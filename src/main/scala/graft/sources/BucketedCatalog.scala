@@ -52,8 +52,10 @@ private[graft] object BucketedCatalog {
       // the location is user-supplied path text inside SQL — escape
       // backslashes (the parser unescapes \t-style sequences inside
       // string literals) and quotes, or a path like /data/o'brien or
-      // /data/a\tmp registers a corrupted location
-      val loc = logDir.replace("\\", "\\\\").replace("'", "''")
+      // /data/a\tmp registers a corrupted location. Quotes escape as
+      // \' — Spark's lexer is backslash-style; SQL-standard doubling
+      // ('') would tokenize as two adjacent strings and fail to parse
+      val loc = logDir.replace("\\", "\\\\").replace("'", "\\'")
       spark.sql(
         s"""CREATE TABLE $name ($cols) USING parquet
            |CLUSTERED BY ($bucketCol)

@@ -53,10 +53,13 @@ object Observers {
   private val observerLocks = scala.collection.concurrent.TrieMap
     .empty[java.util.UUID, (String, String)]
 
-  /** Sessions that already carry the lock-cleanup listener. */
+  /** Sessions that already carry the lock-cleanup listener. WEAK keys:
+    * a long-lived process cycling many short-lived sessions must not
+    * pin every session (and its listener) for the process lifetime.
+    * Guarded by [[startGate]] (WeakHashMap is not thread-safe). */
   private val cleanupListenerSessions =
     java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   /** Serializes acquire→start→register: without it two concurrent
     * same-JVM observe() calls could both pass the liveness check before
@@ -94,7 +97,22 @@ object Observers {
     }
     val path = lockFile(checkpointDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(path)) {
+    // ATOMIC create (overwrite = false) first: two processes racing an
+    // unclaimed checkpoint cannot both win — exactly one create
+    // succeeds where the filesystem supports atomic create (HDFS does;
+    // object stores degrade to advisory, as documented).
+    def writeLock(overwrite: Boolean): Boolean =
+      try {
+        val out = fs.create(path, overwrite)
+        try out.write(jvmName.getBytes("UTF-8")) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException
+            if !overwrite => false
+        // raw local FS signals an existing file as a plain IOException
+        case _: java.io.IOException if !overwrite && fs.exists(path) => false
+      }
+    if (!writeLock(overwrite = false)) {
       val in = fs.open(path)
       val holder = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
@@ -104,10 +122,11 @@ object Observers {
             "(one checkpoint dir = one consumer). If that observer is " +
             "still running, give this one its own checkpoint dir; if it " +
             "crashed, delete the lock file to recover.")
-      // our own JVM's lock with no active query: a finished round — steal
+      // our own JVM's lock with no active query: a finished round —
+      // steal it (same-JVM acquires serialize under startGate, so the
+      // overwrite cannot race another acquire in this process)
+      writeLock(overwrite = true)
     }
-    val out = fs.create(path, true)
-    try out.write(jvmName.getBytes("UTF-8")) finally out.close()
   }
 
   /** Release a terminated run's lock: registry entries out, lock file

@@ -140,6 +140,28 @@ class GraftApiSpec extends AnyFunSuite {
         .collect()(0).getAs[Array[Byte]]("value")) == 5L)
   }
 
+  test("bucketed catalog: location with a quote registers intact") {
+    // the registration DDL inlines the path into a SQL string literal;
+    // Spark's lexer is backslash-style, so ' escapes as \' (doubling
+    // would tokenize as two adjacent strings -> parse error) and \ as
+    // \\. Only the quote is driven end-to-end here: a backslash in a
+    // directory NAME dies upstream of the DDL (Hadoop's glob layer
+    // treats \ as its own escape during LOCATION resolution), so the
+    // \\ escaping matters for paths that embed literal \t-style
+    // sequences, which the lexer would otherwise unescape.
+    val dir = Files.createTempDirectory("graft-esc").toString + "/o'brien"
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    val t = Graft.createTable(spark, dir, model.TableDesc(buckets = 4),
+      ops = Some(Set(OpType.Value)))
+    t.put(Seq(CellOp("alice", "cf", "q", 100, OpType.Value, "x".getBytes, 1)))
+    // the catalog read resolves files at the REAL location
+    val got = t.get("alice").collect()
+    assert(got.length == 1 &&
+      new String(got(0).getAs[Array[Byte]]("value")) == "x")
+    assert(t.get("alice").queryExecution.executedPlan.toString
+      .contains("SelectedBucketsCount: 1 out of 4"))
+  }
+
   test("hash-sharded table lifecycle: put / get / point scan round-trip") {
     import graft.model.TableDesc
     val dir = Files.createTempDirectory("graft-hash").toString
