@@ -78,7 +78,7 @@ class ScanFilterFuzzSpec extends AnyFunSuite {
       case 2 => ScanFilter.ValueFilter(cf, q, cmp,
         TypedValue.Utf8(s"s${rng.nextInt(50)}"), ifMissing)
       case 3 => ScanFilter.ValueFilter(cf, q, cmp,
-        TypedValue.Bytes(Array.fill(rng.nextInt(4))(rng.nextInt(128).toByte)),
+        TypedValue.Bytes(Array.fill(rng.nextInt(4))(rng.nextInt(256).toByte)),
         ifMissing)
       case 4 => ScanFilter.ValueFilter(cf, q, cmp,
         TypedValue.IntW(rng.nextInt(200).toLong - 100,
