@@ -45,12 +45,14 @@ object ScaleProbe {
     * `((doc_id - n - 1) / 10) * 100 + 50` — targets are the corpus's
     * CLEAN residue (j % 100 == 50: neither a twin nor a twin's source),
     * so each planted batch doc yields exactly ONE cross-side pair and
-    * the oracle stays exact. Requires m <= n / 10 (targets must fit in
-    * [0, n)). Shares [[corpus]]'s token function, so prefix tokens are
+    * the oracle stays exact ([[plantedBetween]] counts them for any m).
+    * The guard is on the LAST planted doc's target, which must fall in
+    * [0, n). Shares [[corpus]]'s token function, so prefix tokens are
     * literally identical to the target's. */
   def newBatch(spark: SparkSession, n: Long, m: Long, len: Int = 50,
       vocab: Int = 1000, delta: Int = 2): DataFrame = {
-    require(m <= n / 10, s"batch m=$m needs corpus n >= ${10 * m}")
+    require(m < 2 || ((m - 2) / 10) * 100 + 50 < n,
+      s"batch m=$m plants a target past corpus n=$n")
     val base = spark.range(n, n + m, 1,
       spark.sparkContext.defaultParallelism * 4)
       .select(col("id").as("doc_id"))
@@ -65,6 +67,11 @@ object ScaleProbe {
           pmod(xxhash64(when(i < len - delta, src).otherwise(col("doc_id")), i),
             lit(vocab))))))
   }
+
+  /** Planted cross-side pairs in a [[newBatch]] of m docs: the count of
+    * j in [0, m) with j % 10 == 1 — exact for ANY m, not just
+    * multiples of 10. */
+  def plantedBetween(m: Long): Long = (m + 8) / 10
 
   /** M synthetic embeddings (`dim` floats in [-1, 1] drawn by
     * `xxhash64(vec_id, pos)`); vec_id % 100 == 1 is a near-copy of its
@@ -131,7 +138,10 @@ object ScaleProbe {
     // cost an increment amortizes, the match is the per-batch cost.
     locally {
       import graft.operators.Dedup
-      val m = math.max(n / 10, 1000L)
+      // a tenth of the corpus, snapped DOWN to a multiple of 10 so the
+      // last planted doc's target always fits in [0, n) (newBatch
+      // refuses otherwise) — tiny smoke runs stay valid at any N
+      val m = (n / 100) * 10
       val batch = newBatch(spark, n, m)
         .repartition(spark.sparkContext.defaultParallelism)
       val ixDir = java.nio.file.Files
@@ -157,7 +167,7 @@ object ScaleProbe {
             .select(col("band"), col("bucket"), col("doc_id").as("id_b")),
             Seq("band", "bucket"))
           .select("id_a", "id_b").distinct().count()
-        val planted = m / 10
+        val planted = plantedBetween(m)
         require(cands <= 2 * planted + 100,
           s"candidate volume $cands not proportional to batch (planted $planted)")
         cands
@@ -173,7 +183,8 @@ object ScaleProbe {
             1))).head
         val (found, wrong) = (r.getLong(0), r.getLong(1))
         require(wrong == 0, s"$wrong non-planted incremental pairs surfaced")
-        require(found == m / 10, s"found $found of ${m / 10} planted pairs")
+        require(found == plantedBetween(m),
+          s"found $found of ${plantedBetween(m)} planted pairs")
         found
       }
     }

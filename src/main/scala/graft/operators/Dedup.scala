@@ -731,7 +731,12 @@ object Dedup {
     minhashSignaturesHashed(
         shingleHashRows(docs, shingleLen, distinctRows = false), numHashes)
       .write.mode("overwrite").parquet(dir)
-    val conf = docs.sparkSession.sessionState.newHadoopConf()
+    writeMinhashProps(docs.sparkSession, dir, shingleLen, numHashes)
+  }
+
+  private def writeMinhashProps(spark: SparkSession, dir: String,
+      shingleLen: Int, numHashes: Int): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
     val path = new org.apache.hadoop.fs.Path(dir, MinhashPropsFile)
     val tmp = new org.apache.hadoop.fs.Path(dir, MinhashPropsFile + ".tmp")
     val fs = path.getFileSystem(conf)
@@ -772,10 +777,21 @@ object Dedup {
     * the id space is the caller's to keep disjoint — same contract as
     * [[minhashNearDuplicatesBetween]]). */
   def appendToMinhashIndex(newDocs: DataFrame, dir: String): Unit = {
-    val (shingleLen, numHashes) = readMinhashProps(newDocs.sparkSession, dir)
+    val spark = newDocs.sparkSession
+    val (shingleLen, numHashes) = readMinhashProps(spark, dir)
+    // invalidate-then-revalidate, mirroring the build's parquet-first/
+    // sidecar-last order: the sidecar comes DOWN before the append and
+    // back AFTER it, so an append that dies mid-commit leaves a
+    // directory readMinhashProps refuses loudly — never a valid-looking
+    // index silently missing the batch's signatures. (A concurrent
+    // match during the append window is refused the same way.)
+    val props = new org.apache.hadoop.fs.Path(dir, MinhashPropsFile)
+    props.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(props, false)
     minhashSignaturesHashed(
         shingleHashRows(newDocs, shingleLen, distinctRows = false), numHashes)
       .write.mode("append").parquet(dir)
+    writeMinhashProps(spark, dir, shingleLen, numHashes)
   }
 
   /** [[minhashNearDuplicatesBetween]] driven by a stored index: the

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.cellfunctions._
 import graft.model.TableDesc
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -158,12 +158,14 @@ case class ScanQuery(
       * carries its shard prefix, so no re-prefixing here. */
     resumeAfterKey: Option[String] = None,
     resumeAfterKeyBin: Option[Array[Byte]] = None,
-    /** Plan-side resume: restart strictly after the last CELL of a
-      * previous page's RESULT, with the bound computed inside the plan
-      * (a broadcast one-row aggregate) — pagination with no driver
-      * `collect()` in user code, safe for page limits that split a
-      * multi-cell row. An empty previous page means nothing was
-      * consumed: the scan runs unbounded. */
+    /** Resume strictly after the last CELL of a previous page's
+      * RESULT — pagination with no driver `collect()` in user code,
+      * safe for page limits that split a multi-cell row. Internally
+      * the bound is ONE bounded one-row handshake (the reference's
+      * next_start_point round-trips through the client the same way,
+      * scan_impl.cc:84-89), so the cut lands as literal predicates the
+      * parquet scan prunes on. An empty previous page means nothing
+      * was consumed: the scan runs unbounded. */
     resumeAfterPage: Option[DataFrame] = None,
     /** `false` skips the final global key sort (O1): a bulk consumer —
       * export, downstream aggregation, anything that re-orders anyway —
@@ -288,29 +290,30 @@ case class ScanQuery(
     // withLimit counts cells, so a page boundary can split a multi-cell
     // row, and a row-level bound would silently drop that row's
     // remaining cells. The last delivered cell in scan order (row asc,
-    // cf asc, qualifier asc, ts desc) is a one-row broadcast max_by;
-    // an empty page (null) leaves the scan unbounded.
-    // computed ONCE (eager one-row localCheckpoint): the pre-resolve
-    // row cut and the post-resolve cell cut both consume it, and an
-    // unmaterialized aggregate would re-run the previous page's full
-    // scan + TakeOrdered per consumer. The explicit broadcast hint
-    // survives the LogicalRDD's default stats.
-    val resumeCell: Option[DataFrame] = resumeAfterPage.map(prev =>
-      broadcast(prev.agg(
+    // cf asc, qualifier asc, ts desc) is fetched by ONE bounded one-row
+    // handshake — the reference round-trips next_start_point through
+    // the client the same way. Literal bounds beat the previous
+    // broadcast-crossJoin form three ways: the row cut PUSHES into the
+    // parquet scan (file/row-group pruning — the 100 TB property the
+    // withResumeAfter plan spec asserts), the previous page executes
+    // exactly once instead of once per cut, and nothing is pinned in
+    // the block manager across a pagination loop. An empty page (null
+    // aggregate) leaves the scan unbounded.
+    val resumeCell: Option[Row] = resumeAfterPage.flatMap { prev =>
+      val r = prev.agg(
         max_by(
           struct(col("row_key").as("rk"), col("cf").as("c"),
             col("qualifier").as("q"), col("ts").as("t")),
           struct(col("row_key"), col("cf"), col("qualifier"), -col("ts")))
-          .as("_graft_resume")).localCheckpoint()))
-    resumeCell.foreach { last =>
+          .as("_graft_resume")).head()
+      if (r.isNullAt(0)) None else Some(r.getStruct(0))
+    }
+    resumeCell.foreach { r =>
       // pre-resolve, ROW level only: rows strictly below the boundary
       // row drop before resolution (the bound commutes at row
       // granularity); the boundary row itself must resolve IN FULL —
       // cutting its ops mid-column would change version caps and folds
-      pruned = pruned.crossJoin(last)
-        .where(col("_graft_resume").isNull ||
-          col("row_key") >= col("_graft_resume")("rk"))
-        .drop("_graft_resume")
+      pruned = pruned.where(col("row_key") >= lit(r.get(0)))
     }
 
     val resolvedAll = Resolve.resolve(pruned, desc, nowUs, snapshotSeq,
@@ -321,15 +324,15 @@ case class ScanQuery(
     // the row verdict: a rowFilter combined with a mid-row resume sees
     // the row's REMAINING cells, like the reference's streamed row
     // buffer does after a number-limit break.
-    val resolved = resumeCell.fold(resolvedAll) { last =>
-      val r = col("_graft_resume")
-      resolvedAll.crossJoin(last)
-        .where(r.isNull ||
-          col("row_key") > r("rk") ||
-          (col("row_key") === r("rk") && (col("cf") > r("c") ||
-            (col("cf") === r("c") && (col("qualifier") > r("q") ||
-              (col("qualifier") === r("q") && col("ts") < r("t")))))))
-        .drop("_graft_resume")
+    val resolved = resumeCell.fold(resolvedAll) { r =>
+      val (rk, c, q, t) =
+        (lit(r.get(0)), lit(r.getString(1)), lit(r.getString(2)),
+          lit(r.getLong(3)))
+      resolvedAll.where(
+        col("row_key") > rk ||
+          (col("row_key") === rk && (col("cf") > c ||
+            (col("cf") === c && (col("qualifier") > q ||
+              (col("qualifier") === q && col("ts") < t))))))
     }
 
     // row-level verdict: leaf states aggregate over the whole row

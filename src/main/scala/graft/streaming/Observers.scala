@@ -101,17 +101,27 @@ object Observers {
     // unclaimed checkpoint cannot both win — exactly one create
     // succeeds where the filesystem supports atomic create (HDFS does;
     // object stores degrade to advisory, as documented).
-    def writeLock(overwrite: Boolean): Boolean =
-      try {
-        val out = fs.create(path, overwrite)
-        try out.write(jvmName.getBytes("UTF-8")) finally out.close()
-        true
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException
-            if !overwrite => false
-        // raw local FS signals an existing file as a plain IOException
-        case _: java.io.IOException if !overwrite && fs.exists(path) => false
+    def writeLock(overwrite: Boolean): Boolean = {
+      // only a failed CREATE means "someone else holds it"; a failed
+      // WRITE after a successful create is OUR half-written lock —
+      // remove it and propagate, or every later acquire would read an
+      // empty holder and refuse forever
+      val out =
+        try fs.create(path, overwrite)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException
+              if !overwrite => return false
+          // raw local FS signals an existing file as a plain IOException
+          case _: java.io.IOException if !overwrite && fs.exists(path) =>
+            return false
+        }
+      try { try out.write(jvmName.getBytes("UTF-8")) finally out.close() }
+      catch { case e: Throwable =>
+        try fs.delete(path, false) catch { case _: Throwable => () }
+        throw e
       }
+      true
+    }
     if (!writeLock(overwrite = false)) {
       val in = fs.open(path)
       val holder = try scala.io.Source.fromInputStream(in, "UTF-8").mkString

@@ -388,6 +388,20 @@ class PlanSpec extends AnyFunSuite {
     // any other key bound — it is a literal predicate, not a join
     assert(leaves.contains("GreaterThan(row_key,r049)"), leaves)
     assert(scan.count() == 10)
+
+    // afterPage's row cut reaches the scan the same way: the one-row
+    // resume handshake lands as a literal >= bound, not a crossJoin
+    val q = ScanQuery(CellLogStore.read(spark, dir),
+      opsPresent = Some(Set(OpType.Value)))
+    val page1 = q.withLimit(10).run()
+    val resumed = q.afterPage(page1).withLimit(10).run()
+    val rleaves = resumed.queryExecution.executedPlan.collectLeaves()
+      .mkString("\n")
+    assert(rleaves.contains("GreaterThanOrEqual(row_key,r009)"), rleaves)
+    assert(!resumed.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"), "resume must not plan a cross join")
+    assert(resumed.select("row_key").collect().map(_.getString(0)).toSeq
+      == (10 to 19).map(i => f"r$i%03d"))
   }
 
   test("binary raw-key bounds push to the parquet scan") {
