@@ -53,6 +53,14 @@ object SparkEntry {
   private val minhashIdxFixtureDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Per-process append-grown IVF index fixtures: full-corpus (ANN,
+    * see q_x_sim_ivf_index_topk) and corpus-minus-batch (incremental
+    * SemDeDup, see q_x_dedup_semantic_incremental). */
+  private val ivfIdxFixtureDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val ivfSemFixtureDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** The orders-table cell mapping shared by BOTH relational round-trip
     * rows — one definition so the two rows cannot silently diverge. */
   private val ordersCfMap = Map(
@@ -1126,6 +1134,24 @@ object SparkEntry {
       Similarity.ivfTopK(e.where(col("vec_id") < 10), e, k = 5, dim = 64)
         .orderBy(col("qid"), col("rank"))
     }),
+    "q_x_sim_ivf_index_topk" -> ((s, dir) => {
+      // ANN through a PERSISTED inverted file grown by append (write
+      // even ids, append odd ids): the index stores (vector, norm,
+      // cell), so queries skip the corpus argmax scan and norm pass
+      // entirely. Approximate like q_x_sim_ivf_topk (no SQL oracle);
+      // over-index ≡ fresh-assignment equality is spec-proven
+      val e = t(s, dir, "embeddings")
+      val idx = ivfIdxFixtureDirs.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-ivf-idx").toString
+        Similarity.writeIvfIndex(e.where(col("vec_id") % 2 === 0), d,
+          dim = 64)
+        Similarity.appendToIvfIndex(e.where(col("vec_id") % 2 === 1), d)
+        d
+      })
+      Similarity.ivfTopKOverIndex(e.where(col("vec_id") < 10), idx, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
     "q_x_dedup_cosine" -> ((s, dir) => {
       // exact all-pairs — verification-grade baseline for the LSH twin
       Dedup.embeddingNearDuplicates(t(s, dir, "embeddings"), threshold = 0.5)
@@ -1165,6 +1191,27 @@ object SparkEntry {
       Dedup.semanticDedup(t(s, dir, "embeddings"), threshold = 0.5,
           dim = 64, nlist = 16, nprobe = 4, iters = 2)
         .orderBy(col("vec_id"))
+    }),
+    "q_x_dedup_semantic_incremental" -> ((s, dir) => {
+      // incremental SemDeDup: today's batch (every 10th vector) against
+      // a stored IVF index of the accumulated corpus — the corpus is
+      // never re-assigned or re-normed per increment. Full probe
+      // (nprobe = nlist) makes the candidate set complete, so emitted
+      // pairs are EXACTLY the cross-side cosine >= 0.5 set and the row
+      // oracle-checks like q_x_dedup_cosine; the pruned-nprobe
+      // production shape's recall is spec-covered (PipelineOpsSpec
+      // planted twins)
+      val e = t(s, dir, "embeddings")
+      val idx = ivfSemFixtureDirs.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-ivf-sem").toString
+        Similarity.writeIvfIndex(e.where(col("vec_id") % 10 =!= 7), d,
+          dim = 64, nlist = 16)
+        d
+      })
+      Dedup.semanticMatchesAgainstIndex(e.where(col("vec_id") % 10 === 7),
+          idx, threshold = 0.5, nprobe = 16)
+        .orderBy(col("id_a"), col("id_b"))
     }),
     "q_x_text_winnow" -> ((s, dir) => {
       // winnowing fingerprints — no SQL oracle (murmur-based); shared-
@@ -2057,6 +2104,19 @@ object SparkEntry {
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm) >= 0.5
+        |ORDER BY 1, 2""".stripMargin,
+    "q_x_dedup_semantic_incremental" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM n a JOIN n b
+        |  ON a.vec_id % 10 = 7 AND b.vec_id % 10 <> 7
+        |WHERE a.nrm > 0 AND b.nrm > 0
+        |  AND list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm) >= 0.5
         |ORDER BY 1, 2""".stripMargin,
     "q_x_multimodal_frames" ->

@@ -500,6 +500,52 @@ object Dedup {
         maxCellSize, indexDir),
       idCol = "vec_id")
 
+  /** Incremental SemDeDup — a NEW batch of embeddings against a stored
+    * [[Similarity.writeIvfIndex]] corpus: the batch multi-probes its
+    * `nprobe` nearest cells, candidates are cross-side-only (batch cell
+    * × the corpus vector's STORED cell — no batch×batch, no
+    * corpus×corpus), and exact cosine verifies every emitted pair. The
+    * embedding analogue of [[matchAgainstMinhashIndex]]: the corpus is
+    * never re-assigned or re-normed per increment (norms ride the
+    * index), so per-batch cost is proportional to the BATCH.
+    *
+    * Recall model is the IVF query's, not the symmetric pass's: a pair
+    * is caught iff the corpus vector's assigned cell is among the
+    * batch vector's `nprobe` probes (the symmetric
+    * [[semanticNearDuplicates]] catches a pair when any of the two
+    * probe SETS intersect). Raise `nprobe` to close the gap — it stays
+    * a query-time choice, like `bands` for the minhash index. Ids must
+    * be disjoint across batch and index (same contract as every
+    * Between/index path).
+    */
+  def semanticMatchesAgainstIndex(newEmb: DataFrame, dir: String,
+      threshold: Double, nprobe: Int = 2,
+      maxCellSize: Int = 10000): DataFrame = {
+    val (idx, centroids) = Similarity.readIvfIndex(newEmb.sparkSession, dir)
+    val batchCelled = capBuckets(
+      newEmb.select(col("vec_id"),
+        explode(Similarity.probeClusters(col("embedding"), centroids,
+          nprobe)).as("cell")),
+      Seq("cell"), maxCellSize)
+    val corpusCelled = capBuckets(
+      idx.select(col("vec_id"), col("cell")), Seq("cell"), maxCellSize)
+    val cands = batchCelled.select(col("cell"), col("vec_id").as("id_a"))
+      .join(corpusCelled.select(col("cell"), col("vec_id").as("id_b")),
+        Seq("cell"))
+      .select("id_a", "id_b")
+    // cross-side exact-cosine verify: batch norms compute once, corpus
+    // norms ride the index; zero-norm vectors never verify (NaN guard,
+    // same as verifyCosinePairs)
+    val a = newEmb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      .withColumn("na", Similarity.norm(col("va"))).where(col("na") > 0)
+    val b = idx.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col("nrm").as("nb")).where(col("nb") > 0)
+    cands.join(a, "id_a").join(b, "id_b")
+      .where(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))
+        >= threshold)
+      .select("id_a", "id_b").distinct()
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
     * local-sampling algorithm, public): murmur64a over character
     * k-grams; each length-`w` window contributes its minimum hash.

@@ -226,6 +226,141 @@ object Similarity {
     }
   }
 
+  // ---- Assigned-corpus IVF index ----------------------------------
+  // Centroid persistence (above) removes the TRAINING passes from a
+  // reopened table, but the corpus-side assignment — one nearest-
+  // centroid argmax per vector, over the WHOLE accumulated corpus —
+  // still re-ran on every query. At 100 TB that scan dwarfs training,
+  // and it is the part that grows with the corpus. So the full inverted
+  // file persists like the minhash index does (Dedup.writeMinhashIndex):
+  // assigned vectors as parquet (vec_id, embedding, nrm, cell) next to
+  // the centroids, plus a properties sidecar recording the (dim, nlist)
+  // the index BAKES IN. An increment assigns ONLY the new batch — with
+  // the stored quantizer, so a parameter mismatch is impossible by
+  // construction — and appends; the accumulated corpus is never
+  // re-assigned. Same crash discipline as the minhash sidecar: parquet
+  // first, sidecar last; appends invalidate-then-revalidate.
+
+  private val IvfPropsFile = "_graft_ivf.properties"
+
+  private def writeIvfProps(spark: org.apache.spark.sql.SparkSession,
+      dir: String, dim: Int, nlist: Int): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val path = new org.apache.hadoop.fs.Path(dir, IvfPropsFile)
+    val tmp = new org.apache.hadoop.fs.Path(dir, IvfPropsFile + ".tmp")
+    val fs = path.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write(s"dim=$dim\nnlist=$nlist\n".getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(path, false)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"failed to move $tmp to $path")
+  }
+
+  /** The index's recorded (dim, nlist); refuses when the sidecar is
+    * absent — a bare parquet directory (or one whose append died
+    * mid-commit) is NOT an index. */
+  private def readIvfProps(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Int, Int) = {
+    val path = new org.apache.hadoop.fs.Path(dir, IvfPropsFile)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(path),
+      s"no IVF index sidecar at $path — build with writeIvfIndex")
+    val props = new java.util.Properties()
+    val in = fs.open(path)
+    try props.load(in) finally in.close()
+    (props.getProperty("dim").toInt, props.getProperty("nlist").toInt)
+  }
+
+  /** Build and persist the full IVF index under `dir`: train (or reuse
+    * a stored, nlist-compatible) quantizer, assign each corpus vector
+    * to its cell (zero-norm vectors drop, as in every cosine path), and
+    * store (vec_id, embedding, nrm, cell) — norms
+    * included, so queries over the index never recompute them. Write
+    * order: parquet (clears the directory), then centroids, then the
+    * props sidecar — a reader never sees a sidecar without its data. */
+  def writeIvfIndex(corpus: DataFrame, dir: String, dim: Int,
+      nlist: Int = 16, iters: Int = 3): Unit = {
+    val spark = corpus.sparkSession
+    // loadOrTrainCentroids semantics (dim refusal, nlist retrain), but
+    // with every WRITE deferred past the parquet overwrite below, which
+    // deletes the target directory wholesale
+    val centroids = readCentroids(spark, dir) match {
+      case Some(c) if c.exists(_.length != dim) =>
+        throw new IllegalArgumentException(
+          s"stored IVF index at $dir has dim ${c.head.length}, " +
+            s"requested $dim — delete the index or fix the request")
+      case Some(c) if c.length == nlist => c
+      case _ => trainCentroids(corpus, dim, nlist, iters)
+    }
+    assignedCorpus(corpus, centroids)
+      .select(col("vec_id"), col("cv").as("embedding"),
+        col("cnorm").as("nrm"), col("cluster").as("cell"))
+      .write.mode("overwrite").parquet(dir)
+    writeCentroids(spark, dir, centroids)
+    writeIvfProps(spark, dir, dim, nlist)
+  }
+
+  /** Incrementally grow a stored IVF index: assign ONLY the new batch —
+    * with the index's own stored quantizer — and append. The
+    * accumulated corpus is never re-assigned; this is the embedding
+    * analogue of [[graft.operators.Dedup.appendToMinhashIndex]] (and of
+    * the reference's append-a-sorted-batch LSM discipline,
+    * src/io/tablet_writer.cc:107-230). The sidecar comes DOWN before
+    * the append and back AFTER it, so a mid-commit crash leaves a
+    * loudly-refusing directory, never a valid-looking index missing the
+    * batch. Caller contract: `newEmb` vec_ids must be disjoint from the
+    * index's (same as the minhash append). */
+  def appendToIvfIndex(newEmb: DataFrame, dir: String): Unit = {
+    val spark = newEmb.sparkSession
+    val (dim, nlist) = readIvfProps(spark, dir)
+    val centroids = readCentroids(spark, dir).getOrElse(
+      throw new IllegalStateException(s"IVF index at $dir has a sidecar " +
+        "but no centroids — rebuild with writeIvfIndex"))
+    require(centroids.length == nlist && centroids.forall(_.length == dim),
+      s"centroids at $dir disagree with sidecar (dim=$dim, nlist=$nlist)")
+    // one-row probe: a batch of the wrong width would assign every
+    // vector by a silently-truncated dot product
+    newEmb.select(size(col("embedding"))).limit(1).collect()
+      .foreach(r => require(r.getInt(0) == dim,
+        s"batch embeddings have dim ${r.getInt(0)} but the index bakes " +
+          s"in dim=$dim"))
+    val props = new org.apache.hadoop.fs.Path(dir, IvfPropsFile)
+    props.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(props, false)
+    assignedCorpus(newEmb, centroids)
+      .select(col("vec_id"), col("cv").as("embedding"),
+        col("cnorm").as("nrm"), col("cluster").as("cell"))
+      .write.mode("append").parquet(dir)
+    writeIvfProps(spark, dir, dim, nlist)
+  }
+
+  /** Open a stored IVF index: (assigned vectors, centroids). The
+    * DataFrame carries (vec_id, embedding, nrm, cell); parquet readers
+    * skip the `_`-prefixed centroid and sidecar files. */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, Array[Array[Double]]) = {
+    readIvfProps(spark, dir)
+    val centroids = readCentroids(spark, dir).getOrElse(
+      throw new IllegalStateException(s"IVF index at $dir has a sidecar " +
+        "but no centroids — rebuild with writeIvfIndex"))
+    (spark.read.parquet(dir), centroids)
+  }
+
+  /** [[ivfTopK]] driven by a stored index: the corpus side rides the
+    * persisted assignment (no per-query argmax scan, no norm
+    * recomputation) — identical output to [[ivfTopK]] over the same
+    * corpus and quantizer, proven by spec. `nprobe` stays a query-time
+    * choice, like `bands` for the minhash index. */
+  def ivfTopKOverIndex(queries: DataFrame, dir: String, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val (idx, centroids) = readIvfIndex(queries.sparkSession, dir)
+    ivfScore(
+      idx.select(col("vec_id"), col("embedding").as("cv"),
+        col("nrm").as("cnorm"), col("cell").as("cluster")),
+      queries, centroids, k, nprobe)
+  }
+
   /** IVF (inverted-file) cosine top-k — the coarse-quantizer ANN path:
     * the corpus is assigned once to its nearest of `nlist` centroids
     * (the inverted lists); each query probes only its `nprobe` closest
@@ -242,11 +377,28 @@ object Similarity {
     val centroids = indexDir
       .map(loadOrTrainCentroids(corpus, dim, nlist, iters, _))
       .getOrElse(trainCentroids(corpus, dim, nlist, iters))
-    val c = corpus.select(col("vec_id"), col("embedding").as("cv"))
+    ivfScore(assignedCorpus(corpus, centroids), queries, centroids, k, nprobe)
+  }
+
+  /** (vec_id, cv, cnorm, cluster) for [[ivfScore]] — the shape
+    * [[writeIvfIndex]] persists, so a stored index and a fresh
+    * assignment feed the identical scoring join. Zero-norm vectors are
+    * dropped here like [[bruteForceTopK]] drops them: their cosine is
+    * 0/0 = NaN, which sorts ABOVE every real similarity under `desc`,
+    * so one unguarded zero vector would outrank every true neighbor in
+    * each cell it lands in. */
+  private def assignedCorpus(corpus: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame =
+    corpus.select(col("vec_id"), col("embedding").as("cv"))
       .withColumn("cnorm", norm(col("cv")))
+      .where(col("cnorm") > 0)
       .withColumn("cluster", assignCluster(col("cv"), centroids))
+
+  private def ivfScore(c: DataFrame, queries: DataFrame,
+      centroids: Array[Array[Double]], k: Int, nprobe: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .withColumn("qnorm", norm(col("qv")))
+      .where(col("qnorm") > 0)
       .withColumn("cluster", explode(probeClusters(col("qv"), centroids, nprobe)))
     val pairs = c.join(broadcast(q), Seq("cluster"))
       .where(col("vec_id") =!= col("qid"))
@@ -266,10 +418,12 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       planes: Int = 4, tables: Int = 8): DataFrame = {
+    // zero-norm guards match [[bruteForceTopK]]: NaN sims sort first
+    // under desc and would crowd out every real neighbor
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      .withColumn("qnorm", norm(col("qv")))
+      .withColumn("qnorm", norm(col("qv"))).where(col("qnorm") > 0)
     val c = corpus.select(col("vec_id"), col("embedding").as("cv"))
-      .withColumn("cnorm", norm(col("cv")))
+      .withColumn("cnorm", norm(col("cv"))).where(col("cnorm") > 0)
     val qB = withBuckets(q, "qv", dim, planes, tables)
       .select("qid", "table", "bucket")
     val cB = withBuckets(c.select(col("vec_id"), col("cv")), "cv", dim, planes, tables)

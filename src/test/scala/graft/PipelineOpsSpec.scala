@@ -146,6 +146,17 @@ class PipelineOpsSpec extends AnyFunSuite {
         nlist = 16, nprobe = 16)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(full == exact)
+
+    // a zero corpus vector must never rank (NaN cosine sorts above 1.0
+    // under desc) — same guard brute force and the quantized path carry
+    import spark.implicits._
+    val zeroed = emb.select(col("vec_id"), col("embedding"))
+      .union(Seq((99999L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding"))
+    assert(Similarity.ivfTopK(queries, zeroed, k = 5, dim = 64,
+        nlist = 16, nprobe = 16)
+      .where(col("vec_id") === 99999L).count() == 0L)
+    assert(Similarity.lshTopK(queries, zeroed, k = 5, dim = 64)
+      .where(col("vec_id") === 99999L).count() == 0L)
   }
 
   test("IVF index persists: reopen loads centroids with zero Spark jobs") {
@@ -311,6 +322,86 @@ class PipelineOpsSpec extends AnyFunSuite {
         shingleLen = 2, numHashes = 32, bands = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(altGrown == altDirect && altDirect.nonEmpty)
+  }
+
+  test("IVF index lifecycle: append-grown index answers like a fresh assignment") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfgrow")
+      .toString
+    val corpusA = emb.where(col("vec_id") >= 20 && col("vec_id") % 2 === 0)
+    val corpusB = emb.where(col("vec_id") >= 20 && col("vec_id") % 2 === 1)
+    val queries = emb.where(col("vec_id") < 20)
+    Similarity.writeIvfIndex(corpusA, dir, dim = 64, nlist = 16)
+    Similarity.appendToIvfIndex(corpusB, dir)
+    def pairs(df: DataFrame): Set[(Long, Int, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaIndex = pairs(
+      Similarity.ivfTopKOverIndex(queries, dir, k = 5, nprobe = 8))
+    // direct path over the union, with the SAME stored quantizer
+    // (indexDir loads, nlist matches, no retrain): the grown index must
+    // be indistinguishable from assigning the whole corpus fresh
+    val direct = pairs(Similarity.ivfTopK(queries, corpusA.union(corpusB),
+      k = 5, dim = 64, nlist = 16, nprobe = 8, indexDir = Some(dir)))
+    assert(viaIndex == direct && direct.nonEmpty)
+
+    // refusals: a bare directory is not an index; a batch of the wrong
+    // width would assign by a silently-truncated dot product
+    intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(corpusB,
+        java.nio.file.Files.createTempDirectory("graft-ivfbare").toString)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(
+        corpusB.select(col("vec_id"),
+          slice(col("embedding"), 1, 32).as("embedding")), dir)
+    }
+    // crash consistency: an append that died mid-commit left no sidecar
+    // — every index entry point refuses rather than serving a
+    // valid-looking, silently-partial index
+    val props = new org.apache.hadoop.fs.Path(dir, "_graft_ivf.properties")
+    props.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(props, false)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopKOverIndex(queries, dir, k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.semanticMatchesAgainstIndex(queries, dir, threshold = 0.5)
+    }
+  }
+
+  test("semantic matches against stored index: planted twins found, verify exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfsem")
+      .toString
+    Similarity.writeIvfIndex(emb, dir, dim = 64, nlist = 16)
+    // planted batch: exact copies of ten corpus vectors under fresh ids
+    // — an exact copy's nearest cell IS its source's stored cell, so it
+    // must surface at ANY nprobe; plus one zero vector, which must not
+    val batch = emb.where(col("vec_id") < 10)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      .union(Seq((200000L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding"))
+    val got = Dedup.semanticMatchesAgainstIndex(batch, dir,
+        threshold = 0.99, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 10).map(i => (100000L + i, i.toLong)).toSet
+    assert(planted.subsetOf(got), s"missing ${planted -- got}")
+    assert(!got.exists(_._1 == 200000L), "zero vector must never match")
+    // exact cross-side ground truth: every emitted pair is real, and a
+    // full probe (nprobe = nlist) recovers the complete set
+    def xnorm(df: DataFrame, id: String, v: String) =
+      df.select(col("vec_id").as(id), col("embedding").as(v))
+        .withColumn(s"n_$id", Similarity.norm(col(v)))
+        .where(col(s"n_$id") > 0)
+    val exact = xnorm(batch, "id_a", "va")
+      .crossJoin(xnorm(emb, "id_b", "vb"))
+      .where(Similarity.dot(col("va"), col("vb")) /
+        (col("n_id_a") * col("n_id_b")) >= 0.99)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact), s"false positives ${got -- exact}")
+    val full = Dedup.semanticMatchesAgainstIndex(batch, dir,
+        threshold = 0.99, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, s"full probe missed ${exact -- full}")
   }
 
   test("corpus report: planted short doc and null lang count correctly") {
