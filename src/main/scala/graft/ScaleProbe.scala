@@ -88,6 +88,34 @@ object ScaleProbe {
             .cast("float")).as("embedding"))
   }
 
+  /** B synthetic batch embeddings with ids [start, start + b):
+    * (j - start) % 10 == 1 is a near-copy (+0.01 on component 0,
+    * cosine ~0.99997) of corpus vector
+    * ((j - start - 1) / 10) * 100 + `plantResidue` — pick a CLEAN
+    * corpus residue (not 0 or 1: neither a twin nor a twin's source),
+    * so each planted batch vector yields exactly ONE cross-side pair
+    * ([[plantedBetween]] counts them). None = a pure-random increment.
+    * Shares [[embeddings]]'s hash, so a planted vector's components
+    * are literally the target's plus the nudge. The last planted
+    * vector's target must fall inside the corpus. */
+  def embBatch(spark: SparkSession, start: Long, b: Long,
+      plantResidue: Option[Int] = None, dim: Int = 64): DataFrame = {
+    val rel = col("id") - start
+    val planted = plantResidue
+      .map(_ => pmod(rel, lit(10)) === 1).getOrElse(lit(false))
+    val target = plantResidue
+      .map(r => floor((rel - 1) / 10).cast("long") * 100 + r)
+      .getOrElse(lit(0L))
+    val src = when(planted, target).otherwise(col("id"))
+    spark.range(start, start + b, 1,
+        spark.sparkContext.defaultParallelism * 4)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          (pmod(xxhash64(src, i), lit(2000)).cast("double") / 1000.0 - 1.0 +
+            when(planted && i === 0, 0.01).otherwise(0.0))
+            .cast("float")).as("embedding"))
+  }
+
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1000000").toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -260,6 +288,53 @@ object ScaleProbe {
       require(found >= 0.99 * planted,
         s"found $found of $planted planted pairs (< 99% recall floor)")
       found
+    }
+    // the embedding increment ring at the same shape: a persisted
+    // inverted file (corpus assigned ONCE), grown by a pure-random
+    // append, then matched by a planted new batch. Build is the
+    // once-per-corpus cost; append and match are the per-batch costs —
+    // both assign/probe only their own b vectors against stored cells.
+    locally {
+      import graft.operators.{Dedup, Similarity}
+      val m = math.max(n / 10, 1000L)
+      // a tenth of the corpus, snapped to a multiple of 10 like the
+      // minhash increment, so the last planted target fits in [0, m)
+      val b = (m / 100) * 10
+      val par = spark.sparkContext.defaultParallelism
+      val emb = embeddings(spark, m).repartition(par)
+      val inc = embBatch(spark, m, b).repartition(par)
+      val batch = embBatch(spark, m + b, b, plantResidue = Some(50))
+        .repartition(par)
+      val ixDir = java.nio.file.Files
+        .createTempDirectory("graft-probe-ivfix").toString
+      timed("ivf_index_build") {
+        Similarity.writeIvfIndex(emb, ixDir, dim = 64, nlist = 256,
+          iters = 2)
+        spark.read.parquet(ixDir).count()
+      }
+      timed("ivf_index_append") {
+        Similarity.appendToIvfIndex(inc, ixDir)
+        spark.read.parquet(ixDir).count()
+      }
+      timed("ivf_incremental_match") {
+        val pairs = Dedup.semanticMatchesAgainstIndex(batch, ixDir,
+          threshold = 0.9, nprobe = 2)
+        val start = m + b
+        // oracle: only planted cross-side pairs (batch j -> its target),
+        // recall floored like semantic_neardup (approximate by design),
+        // precision exact (cosine-verified)
+        val r = pairs.agg(count(lit(1)),
+          count(when(pmod(col("id_a") - start, lit(10)) =!= 1 ||
+            col("id_b") =!=
+              floor((col("id_a") - start - 1) / 10).cast("long") * 100 + 50,
+            1))).head
+        val (found, wrong) = (r.getLong(0), r.getLong(1))
+        require(wrong == 0, s"$wrong non-planted ivf pairs surfaced")
+        require(found >= 0.99 * plantedBetween(b),
+          s"found $found of ${plantedBetween(b)} planted pairs " +
+            "(< 99% recall floor)")
+        found
+      }
     }
     spark.stop()
   }

@@ -150,8 +150,10 @@ object Similarity {
     graft.functions.cellfunctions.nearest_centroid(v,
       graft.functions.CentroidOps.normalizeRows(centroids))
 
-  /** Per-row top-`nprobe` cluster ids (for the query side of IVF). */
-  private[operators] def probeClusters(v: Column, centroids: Array[Array[Double]],
+  /** Per-row top-`nprobe` cluster ids (for the query side of IVF; also
+    * the stream side of
+    * [[graft.streaming.Observers.streamingSemanticMatches]]). */
+  private[graft] def probeClusters(v: Column, centroids: Array[Array[Double]],
       nprobe: Int): Column =
     graft.functions.cellfunctions.top_centroids(v,
       graft.functions.CentroidOps.normalizeRows(centroids), nprobe)

@@ -565,6 +565,57 @@ object Observers {
       .select(col("doc_id"), col("corpus_id"), col("est_jaccard"))
   }
 
+  /** Streaming SEMANTIC matching against a stored IVF index — the
+    * continuous half of
+    * [[graft.operators.Dedup.semanticMatchesAgainstIndex]], and the
+    * embedding twin of [[streamingNearDupMatches]]: each stream vector
+    * probes its `nprobe` nearest cells of the index's stored quantizer
+    * (a driver-side reference object, loaded once at setup) and
+    * stream-static-joins the persisted inverted file on the cell id.
+    * Emits `(vec_id, corpus_id, cosine)` in APPEND mode with ZERO
+    * stateful operators.
+    *
+    * Two ways this is STRONGER than the minhash twin: the emitted
+    * cosine is EXACT (embeddings carry full information per row, so
+    * there is no signature estimate and no batch re-verify loop), and a
+    * pair can never emit twice (the corpus vector has exactly ONE
+    * stored cell, so the cell equi-join matches a (stream, corpus)
+    * pair at most once — vs up to `bands` rows per pair there).
+    * Approximation lives only in candidate recall: a pair is caught
+    * iff the corpus vector's stored cell is among the stream vector's
+    * `nprobe` probes — the same rule as the batch path, so
+    * stream-match ≡ batch-match on the same data (spec-proven).
+    * Stream rows of the wrong width or zero norm are dropped by
+    * predicate (a streaming source cannot be one-row-probed at setup
+    * the way the batch entry points validate their inputs).
+    *
+    * The static side re-executes per micro-batch — that is a parquet
+    * scan of the index per trigger, not a re-assignment (the index
+    * stores cells and norms; nothing per-vector recomputes).
+    */
+  def streamingSemanticMatches(embStream: DataFrame, indexDir: String,
+      threshold: Double, nprobe: Int = 2): DataFrame = {
+    import graft.operators.Similarity
+    val spark = embStream.sparkSession
+    val (idx, centroids) = Similarity.readIvfIndex(spark, indexDir)
+    val dim = centroids.head.length
+    val streamSide = embStream
+      .select(col("vec_id"), col("embedding").as("_sv"))
+      .where(size(col("_sv")) === dim)
+      .withColumn("_snrm", Similarity.norm(col("_sv")))
+      .where(col("_snrm") > 0)
+      .withColumn("cell",
+        explode(Similarity.probeClusters(col("_sv"), centroids, nprobe)))
+    val corpusSide = idx.select(col("vec_id").as("corpus_id"),
+      col("embedding").as("_cv"), col("nrm").as("_cnrm"), col("cell"))
+    streamSide.join(corpusSide, Seq("cell"))
+      .withColumn("cosine",
+        Similarity.dot(col("_sv"), col("_cv")) /
+          (col("_snrm") * col("_cnrm")))
+      .where(col("cosine") >= threshold)
+      .select(col("vec_id"), col("corpus_id"), col("cosine"))
+  }
+
   /** N6: event-time tumbling/sliding window aggregation with watermark
     * over the change feed (capability absent in the reference, required
     * for the events north star).

@@ -476,6 +476,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(verified == direct && direct.nonEmpty, s"$verified vs $direct")
   }
 
+  test("streaming semantic matches ride the stored IVF index, stateless and exact") {
+    import spark.implicits._
+    val dir = tmp("semstream")
+    // corpus: 40 deterministic 8-dim vectors, persisted as an IVF index
+    // grown by append (base write + append, like a real accumulation)
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(8)(j => (((seed * 31 + j * 7) % 13) - 6).toFloat / 6f)
+    val corpus = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val ixDir = tmp("semstream-idx")
+    graft.operators.Similarity.writeIvfIndex(
+      corpus.where(col("vec_id") < 20), ixDir, dim = 8, nlist = 4, iters = 2)
+    graft.operators.Similarity.appendToIvfIndex(
+      corpus.where(col("vec_id") >= 20), ixDir)
+    // stream: exact copies of two corpus vectors (fresh ids), one clean
+    // vector, one zero vector, one wrong-width vector
+    (Seq((100L, vec(3)), (101L, vec(17)),
+        (102L, Array.tabulate(8)(j => if (j == 0) 1f else -1f)),
+        (103L, Array.fill(8)(0f))).toDF("vec_id", "embedding")
+      .unionByName(Seq((104L, Array.fill(4)(1f))).toDF("vec_id", "embedding")))
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>").parquet(dir)
+    val q = Observers.streamingSemanticMatches(stream, ixDir,
+        threshold = 0.99, nprobe = 2)
+      .writeStream.format("memory").queryName("semmatches")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(q.lastProgress.stateOperators.isEmpty, q.lastProgress.prettyJson)
+    // no DISTINCT needed: one stored cell per corpus vector means a
+    // pair can join at most once — row count == pair count
+    val rows = spark.sql("SELECT vec_id, corpus_id, cosine FROM semmatches")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == rows.map(t => (t._1, t._2)).distinct.length)
+    // exact copies match their source at cosine 1.0 (± an ulp of the
+    // float->double fold); the zero and wrong-width rows never surface
+    val exactCopies = rows.filter(t => t._1 == 100L || t._1 == 101L)
+    assert(exactCopies.exists(t => t._1 == 100L && t._2 == 3L && t._3 > 0.9999)
+      && exactCopies.exists(t => t._1 == 101L && t._2 == 17L && t._3 > 0.9999),
+      rows.mkString(", "))
+    assert(!rows.exists(t => t._1 == 103L || t._1 == 104L))
+    // stream-match ≡ batch-match on the same data (same candidate rule,
+    // same exact verify — no estimate gap to close, unlike the minhash
+    // twin's quarantine feed)
+    val batchRows = graft.operators.Dedup.semanticMatchesAgainstIndex(
+        spark.read.parquet(dir).where(size(col("embedding")) === 8),
+        ixDir, threshold = 0.99, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(t => (t._1, t._2)).toSet == batchRows)
+  }
+
   test("streaming curation gate: quality + language + watermarked dedup") {
     import spark.implicits._
     val dir = tmp("curate-stream")
