@@ -20,7 +20,8 @@ object Bench {
       "q_s4b_lg_projection", "q_io_bucketed_store_roundtrip",
       "q_s3d_binary_point_get", "q_s6c_kv_binary_scan",
       "q_x_dedup_index_append", "q_x_sim_ivf_index_topk",
-      "q_x_dedup_semantic_incremental").foreach { name =>
+      "q_x_dedup_semantic_incremental",
+      "q_x_sim_ivf_index_quant").foreach { name =>
       val q = SparkEntry.queries(name)
       try q(spark, sfDir).count() catch { case _: Throwable => () }
     }

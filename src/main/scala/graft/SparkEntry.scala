@@ -60,6 +60,8 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private val ivfSemFixtureDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  private val ivfQuantFixtureDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** The orders-table cell mapping shared by BOTH relational round-trip
     * rows — one definition so the two rows cannot silently diverge. */
@@ -1152,6 +1154,25 @@ object SparkEntry {
       Similarity.ivfTopKOverIndex(e.where(col("vec_id") < 10), idx, k = 5)
         .orderBy(col("qid"), col("rank"))
     }),
+    "q_x_sim_ivf_index_quant" -> ((s, dir) => {
+      // the int8-quantized inverted file (4x fewer index bytes — the
+      // 100 TB lever), grown by append like the float one. Full probe
+      // makes scoring EXACTLY quantizedTopK's deterministic integer
+      // dots, so this row shares its DuckDB oracle; pruned-nprobe
+      // recall is spec-covered (PipelineOpsSpec)
+      val e = t(s, dir, "embeddings")
+      val idx = ivfQuantFixtureDirs.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-ivf-quant").toString
+        Similarity.writeIvfIndex(e.where(col("vec_id") % 2 === 0), d,
+          dim = 64, nlist = 16, quantize = true)
+        Similarity.appendToIvfIndex(e.where(col("vec_id") % 2 === 1), d)
+        d
+      })
+      Similarity.ivfTopKOverIndex(e.where(col("vec_id") < 10), idx, k = 5,
+          nprobe = 16)
+        .orderBy(col("qid"), col("rank"))
+    }),
     "q_x_dedup_cosine" -> ((s, dir) => {
       // exact all-pairs — verification-grade baseline for the LSH twin
       Dedup.embeddingNearDuplicates(t(s, dir, "embeddings"), threshold = 0.5)
@@ -2064,6 +2085,29 @@ object SparkEntry {
         |  FROM pairs) WHERE rn <= 5
         |ORDER BY 1, 2""".stripMargin,
     "q_x_sim_quantized_topk" ->
+      """WITH n AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) /
+        |      (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127))
+        |      AS BIGINT)) AS q
+        |  FROM embeddings),
+        |qn AS (SELECT vec_id, q,
+        |         sqrt(CAST(list_sum(list_transform(list_zip(q, q),
+        |           p -> p[1] * p[2])) AS DOUBLE)) AS nrm
+        |       FROM n),
+        |pairs AS (
+        |  SELECT a.vec_id AS qid, b.vec_id,
+        |    CAST(list_sum(list_transform(list_zip(a.q, b.q),
+        |      p -> p[1] * p[2])) AS DOUBLE) / (a.nrm * b.nrm) AS sim
+        |  FROM qn a JOIN qn b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 10)
+        |SELECT qid, rn AS rank, vec_id FROM (
+        |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+        |  FROM pairs) WHERE rn <= 5
+        |ORDER BY 1, 2""".stripMargin,
+    // the quantized inverted file at full probe reproduces
+    // quantizedTopK's integer-dot scoring exactly — same oracle
+    "q_x_sim_ivf_index_quant" ->
       """WITH n AS (
         |  SELECT vec_id,
         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) /

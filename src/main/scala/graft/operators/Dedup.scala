@@ -521,7 +521,12 @@ object Dedup {
   def semanticMatchesAgainstIndex(newEmb: DataFrame, dir: String,
       threshold: Double, nprobe: Int = 2,
       maxCellSize: Int = 10000): DataFrame = {
-    val (idx, centroids) = Similarity.readIvfIndex(newEmb.sparkSession, dir)
+    val ix = Similarity.readIvfIndex(newEmb.sparkSession, dir)
+    require(!ix.quantized,
+      s"IVF index at $dir is int8-quantized; semantic matching verifies " +
+        "with EXACT cosine — build the index without quantize for this " +
+        "consumer")
+    val (idx, centroids) = (ix.vectors, ix.centroids)
     val batchCelled = capBuckets(
       newEmb.select(col("vec_id"),
         explode(Similarity.probeClusters(col("embedding"), centroids,

@@ -246,24 +246,25 @@ object Similarity {
   private val IvfPropsFile = "_graft_ivf.properties"
 
   private def writeIvfProps(spark: org.apache.spark.sql.SparkSession,
-      dir: String, dim: Int, nlist: Int): Unit = {
+      dir: String, dim: Int, nlist: Int, quantized: Boolean): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val path = new org.apache.hadoop.fs.Path(dir, IvfPropsFile)
     val tmp = new org.apache.hadoop.fs.Path(dir, IvfPropsFile + ".tmp")
     val fs = path.getFileSystem(conf)
     val out = fs.create(tmp, true)
-    try out.write(s"dim=$dim\nnlist=$nlist\n".getBytes("UTF-8"))
+    try out.write(
+      s"dim=$dim\nnlist=$nlist\nquantized=$quantized\n".getBytes("UTF-8"))
     finally out.close()
     fs.delete(path, false)
     if (!fs.rename(tmp, path))
       throw new java.io.IOException(s"failed to move $tmp to $path")
   }
 
-  /** The index's recorded (dim, nlist); refuses when the sidecar is
-    * absent — a bare parquet directory (or one whose append died
-    * mid-commit) is NOT an index. */
+  /** The index's recorded (dim, nlist, quantized); refuses when the
+    * sidecar is absent — a bare parquet directory (or one whose append
+    * died mid-commit) is NOT an index. */
   private def readIvfProps(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (Int, Int) = {
+      dir: String): (Int, Int, Boolean) = {
     val path = new org.apache.hadoop.fs.Path(dir, IvfPropsFile)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(path),
@@ -271,8 +272,34 @@ object Similarity {
     val props = new java.util.Properties()
     val in = fs.open(path)
     try props.load(in) finally in.close()
-    (props.getProperty("dim").toInt, props.getProperty("nlist").toInt)
+    (props.getProperty("dim").toInt, props.getProperty("nlist").toInt,
+      props.getProperty("quantized", "false").toBoolean)
   }
+
+  /** A stored inverted file, opened: assigned vectors (float form:
+    * `(vec_id, embedding, nrm, cell)`; quantized form:
+    * `(vec_id, qvec, qnorm, cell)`), its quantizer, and which form it
+    * is. */
+  case class IvfIndex(vectors: DataFrame,
+      centroids: Array[Array[Double]], quantized: Boolean)
+
+  /** The index row a float-form index stores; the quantized form packs
+    * the vector to int8 AFTER the (float) cell assignment — the cell
+    * geometry is identical across forms, only the stored bytes and the
+    * scoring arithmetic differ. */
+  private def indexRows(assigned: DataFrame, quantize: Boolean): DataFrame =
+    if (!quantize)
+      assigned.select(col("vec_id"), col("cv").as("embedding"),
+        col("cnorm").as("nrm"), col("cluster").as("cell"))
+    else {
+      import graft.functions.cellfunctions.{vec_dot_i8, vec_quant_i8}
+      assigned
+        .withColumn("qvec", vec_quant_i8(col("cv")))
+        .select(col("vec_id"), col("qvec"),
+          sqrt(vec_dot_i8(col("qvec"), col("qvec")).cast("double"))
+            .as("qnorm"),
+          col("cluster").as("cell"))
+    }
 
   /** Build and persist the full IVF index under `dir`: train (or reuse
     * a stored, nlist-compatible) quantizer, assign each corpus vector
@@ -280,9 +307,19 @@ object Similarity {
     * store (vec_id, embedding, nrm, cell) — norms
     * included, so queries over the index never recompute them. Write
     * order: parquet (clears the directory), then centroids, then the
-    * props sidecar — a reader never sees a sidecar without its data. */
+    * props sidecar — a reader never sees a sidecar without its data.
+    *
+    * `quantize = true` stores int8-packed vectors and integer-dot
+    * self-norms instead of the float embeddings — a 4× cut of the
+    * index's dominant bytes (the 100 TB lever: scans, shuffles and
+    * caches all shrink with it). Scoring over a quantized index is the
+    * [[quantizedTopK]] arithmetic (scales cancel in cosine; rank error
+    * is the quantization error only). The EXACT-verify consumers
+    * ([[graft.operators.Dedup.semanticMatchesAgainstIndex]] and the
+    * streaming twin) refuse a quantized index rather than silently
+    * demote their ">= threshold is exact" contract. */
   def writeIvfIndex(corpus: DataFrame, dir: String, dim: Int,
-      nlist: Int = 16, iters: Int = 3): Unit = {
+      nlist: Int = 16, iters: Int = 3, quantize: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     // loadOrTrainCentroids semantics (dim refusal, nlist retrain), but
     // with every WRITE deferred past the parquet overwrite below, which
@@ -295,12 +332,10 @@ object Similarity {
       case Some(c) if c.length == nlist => c
       case _ => trainCentroids(corpus, dim, nlist, iters)
     }
-    assignedCorpus(corpus, centroids)
-      .select(col("vec_id"), col("cv").as("embedding"),
-        col("cnorm").as("nrm"), col("cluster").as("cell"))
+    indexRows(assignedCorpus(corpus, centroids), quantize)
       .write.mode("overwrite").parquet(dir)
     writeCentroids(spark, dir, centroids)
-    writeIvfProps(spark, dir, dim, nlist)
+    writeIvfProps(spark, dir, dim, nlist, quantize)
   }
 
   /** Incrementally grow a stored IVF index: assign ONLY the new batch —
@@ -315,7 +350,7 @@ object Similarity {
     * index's (same as the minhash append). */
   def appendToIvfIndex(newEmb: DataFrame, dir: String): Unit = {
     val spark = newEmb.sparkSession
-    val (dim, nlist) = readIvfProps(spark, dir)
+    val (dim, nlist, quantized) = readIvfProps(spark, dir)
     val centroids = readCentroids(spark, dir).getOrElse(
       throw new IllegalStateException(s"IVF index at $dir has a sidecar " +
         "but no centroids — rebuild with writeIvfIndex"))
@@ -330,37 +365,66 @@ object Similarity {
     val props = new org.apache.hadoop.fs.Path(dir, IvfPropsFile)
     props.getFileSystem(spark.sessionState.newHadoopConf())
       .delete(props, false)
-    assignedCorpus(newEmb, centroids)
-      .select(col("vec_id"), col("cv").as("embedding"),
-        col("cnorm").as("nrm"), col("cluster").as("cell"))
+    indexRows(assignedCorpus(newEmb, centroids), quantized)
       .write.mode("append").parquet(dir)
-    writeIvfProps(spark, dir, dim, nlist)
+    writeIvfProps(spark, dir, dim, nlist, quantized)
   }
 
-  /** Open a stored IVF index: (assigned vectors, centroids). The
-    * DataFrame carries (vec_id, embedding, nrm, cell); parquet readers
-    * skip the `_`-prefixed centroid and sidecar files. */
+  /** Open a stored IVF index; parquet readers skip the `_`-prefixed
+    * centroid and sidecar files. */
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (DataFrame, Array[Array[Double]]) = {
-    readIvfProps(spark, dir)
+      dir: String): IvfIndex = {
+    val (_, _, quantized) = readIvfProps(spark, dir)
     val centroids = readCentroids(spark, dir).getOrElse(
       throw new IllegalStateException(s"IVF index at $dir has a sidecar " +
         "but no centroids — rebuild with writeIvfIndex"))
-    (spark.read.parquet(dir), centroids)
+    IvfIndex(spark.read.parquet(dir), centroids, quantized)
   }
 
   /** [[ivfTopK]] driven by a stored index: the corpus side rides the
     * persisted assignment (no per-query argmax scan, no norm
     * recomputation) — identical output to [[ivfTopK]] over the same
-    * corpus and quantizer, proven by spec. `nprobe` stays a query-time
-    * choice, like `bands` for the minhash index. */
+    * corpus and quantizer, proven by spec. Over a QUANTIZED index the
+    * scoring is [[quantizedTopK]]'s integer-dot arithmetic (queries
+    * quantize per row; a full probe equals `quantizedTopK` exactly).
+    * `nprobe` stays a query-time choice, like `bands` for the minhash
+    * index. */
   def ivfTopKOverIndex(queries: DataFrame, dir: String, k: Int,
       nprobe: Int = 4): DataFrame = {
-    val (idx, centroids) = readIvfIndex(queries.sparkSession, dir)
-    ivfScore(
-      idx.select(col("vec_id"), col("embedding").as("cv"),
-        col("nrm").as("cnorm"), col("cell").as("cluster")),
-      queries, centroids, k, nprobe)
+    val ix = readIvfIndex(queries.sparkSession, dir)
+    if (!ix.quantized)
+      ivfScore(
+        ix.vectors.select(col("vec_id"), col("embedding").as("cv"),
+          col("nrm").as("cnorm"), col("cell").as("cluster")),
+        queries, ix.centroids, k, nprobe)
+    else {
+      import graft.functions.cellfunctions.{vec_dot_i8, vec_quant_i8}
+      // probe cells with the FLOAT query (cell geometry is float on
+      // both forms), score with integer dots against the stored bytes.
+      // The qnorm > 0 guard subsumes the float-norm guard: a zero
+      // vector quantizes to a zero self-dot, and nothing else does.
+      val q = queries
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .withColumn("qq", vec_quant_i8(col("qv")))
+        .withColumn("qqnorm",
+          sqrt(vec_dot_i8(col("qq"), col("qq")).cast("double")))
+        .where(col("qqnorm") > 0)
+        .withColumn("cluster",
+          explode(probeClusters(col("qv"), ix.centroids, nprobe)))
+        .select(col("qid"), col("qq"), col("qqnorm"), col("cluster"))
+      val pairs = ix.vectors
+        .select(col("vec_id"), col("qvec"), col("qnorm").as("cqnorm"),
+          col("cell").as("cluster"))
+        .join(broadcast(q), Seq("cluster"))
+        .where(col("vec_id") =!= col("qid"))
+        .withColumn("sim", vec_dot_i8(col("qq"), col("qvec")).cast("double") /
+          (col("qqnorm") * col("cqnorm")))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      pairs.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select(col("qid"), col("rank"), col("vec_id"))
+    }
   }
 
   /** IVF (inverted-file) cosine top-k — the coarse-quantizer ANN path:

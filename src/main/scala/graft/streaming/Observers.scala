@@ -597,7 +597,12 @@ object Observers {
       threshold: Double, nprobe: Int = 2): DataFrame = {
     import graft.operators.Similarity
     val spark = embStream.sparkSession
-    val (idx, centroids) = Similarity.readIvfIndex(spark, indexDir)
+    val ix = Similarity.readIvfIndex(spark, indexDir)
+    require(!ix.quantized,
+      s"IVF index at $indexDir is int8-quantized; the streaming matcher " +
+        "emits EXACT cosine — build the index without quantize for this " +
+        "consumer")
+    val (idx, centroids) = (ix.vectors, ix.centroids)
     val dim = centroids.head.length
     val streamSide = embStream
       .select(col("vec_id"), col("embedding").as("_sv"))

@@ -368,6 +368,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("quantized IVF index: int8 bytes stored, full probe equals quantizedTopK") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfq")
+      .toString
+    val corpusA = emb.where(col("vec_id") >= 20 && col("vec_id") % 2 === 0)
+    val corpusB = emb.where(col("vec_id") >= 20 && col("vec_id") % 2 === 1)
+    val queries = emb.where(col("vec_id") < 20)
+    Similarity.writeIvfIndex(corpusA, dir, dim = 64, nlist = 16,
+      quantize = true)
+    Similarity.appendToIvfIndex(corpusB, dir)
+    // the stored bytes ARE int8: packed binary + self-dot norm, no
+    // float embedding column — the 4x claim is the schema, not a flag
+    val schema = spark.read.parquet(dir).schema
+    assert(schema.fieldNames.toSet == Set("vec_id", "qvec", "qnorm", "cell"),
+      schema.treeString)
+    assert(schema("qvec").dataType ==
+      org.apache.spark.sql.types.BinaryType, schema.treeString)
+    def pairs(df: DataFrame): Set[(Long, Int, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // full probe makes every stored vector a candidate, so the scoring
+    // must reproduce quantizedTopK exactly — same integer dots, same
+    // tie order
+    val viaIndex = pairs(
+      Similarity.ivfTopKOverIndex(queries, dir, k = 5, nprobe = 16))
+    val direct = pairs(
+      Similarity.quantizedTopK(queries, corpusA.union(corpusB), k = 5))
+    assert(viaIndex == direct && direct.nonEmpty)
+    // pruned probes stay usable (recall floor vs the full probe)
+    val pruned = pairs(
+      Similarity.ivfTopKOverIndex(queries, dir, k = 5, nprobe = 8))
+    val recall = (pruned & viaIndex).size.toDouble / viaIndex.size
+    assert(recall > 0.4, s"recall $recall")
+    // exact-verify consumers refuse the quantized form loudly
+    intercept[IllegalArgumentException] {
+      Dedup.semanticMatchesAgainstIndex(queries, dir, threshold = 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.Observers.streamingSemanticMatches(queries, dir,
+        threshold = 0.5)
+    }
+  }
+
   test("semantic matches against stored index: planted twins found, verify exact") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfsem")

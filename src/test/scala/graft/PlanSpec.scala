@@ -312,6 +312,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("semantic index match: cell equi-join, candidate scan prunes to (vec_id, cell)") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("plan-ivfix").toString
+    graft.operators.Similarity.writeIvfIndex(
+      emb.where(col("vec_id") % 10 =!= 7), dir, dim = 64, nlist = 16)
+    val df = graft.operators.Dedup.semanticMatchesAgainstIndex(
+      emb.where(col("vec_id") % 10 === 7), dir, threshold = 0.5, nprobe = 4)
+    val plan = planOf(df)
+    // candidates are a cell equi-join — never a cross product
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the candidate side of the index reads ONLY (vec_id, cell):
+    // embeddings and norms stay out of the join and load just for the
+    // exact-cosine verify of the (small) candidate set
+    val candScan = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(s => s.contains(dir))
+    assert(candScan.exists(_.contains("struct<vec_id:bigint,cell:int>")),
+      candScan.mkString("\n"))
+    // same properties for ANN over the same index
+    val topk = planOf(graft.operators.Similarity.ivfTopKOverIndex(
+      emb.where(col("vec_id") < 10), dir, k = 5))
+    assert(!topk.contains("CartesianProduct"), topk)
+  }
+
   test("tfidf: corpus size joins as a broadcast, term joins stay equi") {
     val docs = Tables.load(spark, sfDir, "documents")
     val plan = planOf(graft.operators.TextAnalysis.tfidfTopTerms(docs, 3))
