@@ -62,6 +62,8 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private val ivfQuantFixtureDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  private val pqIdxFixtureDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** The orders-table cell mapping shared by BOTH relational round-trip
     * rows — one definition so the two rows cannot silently diverge. */
@@ -1170,6 +1172,27 @@ object SparkEntry {
         d
       })
       Similarity.ivfTopKOverIndex(e.where(col("vec_id") < 10), idx, k = 5,
+          nprobe = 16)
+        .orderBy(col("qid"), col("rank"))
+    }),
+    "q_x_sim_pq_index_topk" -> ((s, dir) => {
+      // product-quantized ANN (Jégou/Douze/Schmid ADC): vectors stored
+      // as m code bytes (32× under float32 at the standard m=8) and
+      // every candidate scored with m LUT lookups instead of dim
+      // multiplies — the third stored form after float and int8, grown
+      // by append like both. Approximate by definition (no SQL
+      // oracle); append ≡ rebuild and recall vs brute force are
+      // spec-proven (PipelineOpsSpec)
+      val e = t(s, dir, "embeddings")
+      val idx = pqIdxFixtureDirs.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-pq-idx").toString
+        Similarity.writePqIndex(e.where(col("vec_id") % 2 === 0), d,
+          dim = 64, m = 32, ksub = 128, nlist = 16)
+        Similarity.appendToPqIndex(e.where(col("vec_id") % 2 === 1), d)
+        d
+      })
+      Similarity.pqTopKOverIndex(e.where(col("vec_id") < 10), idx, k = 5,
           nprobe = 16)
         .orderBy(col("qid"), col("rank"))
     }),

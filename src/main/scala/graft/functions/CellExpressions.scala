@@ -389,6 +389,181 @@ case class HyperplaneBucketExpr(child: Expression, matrix: Array[Array[Double]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Product-quantization kernels behind [[PqEncode]] / [[PqLut]] /
+  * [[PqAdc]] / [[PqReconNorm]] (Jégou, Douze, Schmid, "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011). A vector
+  * splits into `m` disjoint subvectors; each is replaced by the index
+  * of its nearest (L2) sub-centroid out of `ksub`, so the stored form
+  * is `m` BYTES instead of `dim` floats (dim=64, m=8: 32× fewer index
+  * bytes than float32, 8× fewer than int8). Scoring is asymmetric
+  * distance computation (ADC): the query stays exact-float, builds one
+  * m×ksub lookup table of subspace dot products, and every candidate
+  * scores with `m` table lookups instead of `dim` multiplies.
+  * Codebooks travel as codegen reference objects like the centroid
+  * matrices above.
+  */
+object PqOps {
+  private def subDot(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      off: Int, c: Array[Double], vFloat: Boolean): Double = {
+    var s = 0.0; var j = 0
+    while (j < c.length) {
+      s += (if (vFloat) v.getFloat(off + j).toDouble else v.getDouble(off + j)) * c(j)
+      j += 1
+    }
+    s
+  }
+
+  /** Nearest-L2 sub-centroid per subspace → one byte each. Ties keep
+    * the first (lowest-index) code, deterministically. */
+  def encode(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      cb: Array[Array[Array[Double]]], vFloat: Boolean): Array[Byte] = {
+    val m = cb.length
+    val out = new Array[Byte](m)
+    var s = 0
+    var off = 0
+    while (s < m) {
+      val book = cb(s)
+      val dsub = book(0).length
+      var best = Double.PositiveInfinity; var bi = 0; var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d = 0.0; var j = 0
+        while (j < dsub) {
+          val x = (if (vFloat) v.getFloat(off + j).toDouble
+                   else v.getDouble(off + j)) - cent(j)
+          d += x * x
+          j += 1
+        }
+        if (d < best) { best = d; bi = c }
+        c += 1
+      }
+      out(s) = bi.toByte
+      off += dsub
+      s += 1
+    }
+    out
+  }
+
+  /** Flattened m×ksub table: entry s*ksub + c = dot(query subvector s,
+    * codebook(s)(c)). Built ONCE per query row; every candidate pair
+    * then scores by lookups ([[adc]]). */
+  def lut(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      cb: Array[Array[Array[Double]]], vFloat: Boolean)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val m = cb.length
+    val ksub = cb(0).length
+    val out = new Array[Double](m * ksub)
+    var s = 0; var off = 0
+    while (s < m) {
+      val book = cb(s)
+      var c = 0
+      while (c < book.length) {
+        out(s * ksub + c) = subDot(v, off, book(c), vFloat)
+        c += 1
+      }
+      off += book(0).length
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** ADC inner product: Σ_s lut[s*ksub + codes[s]] — the approximate
+    * dot(query, reconstructed candidate). `ksub` is recovered from the
+    * table and code widths, so the expression carries no parameters. */
+  def adc(lut: org.apache.spark.sql.catalyst.util.ArrayData,
+      codes: Array[Byte]): Double = {
+    val m = codes.length
+    val ksub = lut.numElements() / m
+    var s = 0; var acc = 0.0
+    while (s < m) {
+      acc += lut.getDouble(s * ksub + (codes(s) & 0xFF))
+      s += 1
+    }
+    acc
+  }
+
+  /** Norm of the PQ reconstruction: subspaces are disjoint coordinate
+    * blocks, so ‖x̂‖² = Σ_s ‖codebook(s)(code_s)‖² exactly. Computed at
+    * encode time and stored, the cosine denominator never needs the
+    * original floats. */
+  def reconNorm(codes: Array[Byte], cb: Array[Array[Array[Double]]]): Double = {
+    var s = 0; var acc = 0.0
+    while (s < codes.length) {
+      val cent = cb(s)(codes(s) & 0xFF)
+      var j = 0
+      while (j < cent.length) { acc += cent(j) * cent(j); j += 1 }
+      s += 1
+    }
+    math.sqrt(acc)
+  }
+}
+
+/** Base for expressions over a fixed per-subspace codebook tensor
+  * (`double[][][]` reference object — same O(1)-generated-code
+  * rationale as [[MatrixExpression]]). */
+abstract class CodebookExpression extends UnaryExpression {
+  protected def codebooks: Array[Array[Array[Double]]]
+  protected def vFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  protected def staticCall(v: String, cb: String): String
+  override def nullable: Boolean = true
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    defineCodeGen(ctx, ev, v => staticCall(v, cb))
+  }
+}
+
+/** PQ-encode a float/double array column to `m` packed code bytes. */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends CodebookExpression {
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(v: Any): Any =
+    PqOps.encode(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      codebooks, vFloat)
+  protected def staticCall(v: String, cb: String): String =
+    s"graft.functions.PqOps.encode($v, $cb, $vFloat)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Per-query ADC lookup table (flattened m×ksub doubles). */
+case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends CodebookExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    PqOps.lut(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      codebooks, vFloat)
+  protected def staticCall(v: String, cb: String): String =
+    s"graft.functions.PqOps.lut($v, $cb, $vFloat)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Reconstruction norm of a PQ code column (cosine denominator). */
+case class PqReconNorm(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends CodebookExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(v: Any): Any =
+    PqOps.reconNorm(v.asInstanceOf[Array[Byte]], codebooks)
+  protected def staticCall(v: String, cb: String): String =
+    s"graft.functions.PqOps.reconNorm($v, $cb)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ADC score: LUT array column × PQ code binary column → approximate
+  * inner product. Pure lookups — no reference object needed. */
+case class PqAdc(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(l: Any, c: Any): Any =
+    PqOps.adc(l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      c.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, c) => s"graft.functions.PqOps.adc($l, $c)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
 /** Binary successor: key ++ 0x00 (scan pagination resume point). */
 case class KeySuccessor(child: Expression) extends CodecExpression {
   override def dataType: DataType = BinaryType
@@ -433,4 +608,11 @@ object cellfunctions {
     c(TopCentroids(e(v), m, k))
   def hyperplane_bucket(v: Column, planes: Array[Array[Double]]): Column =
     c(HyperplaneBucketExpr(e(v), planes))
+  def pq_encode(v: Column, cb: Array[Array[Array[Double]]]): Column =
+    c(PqEncode(e(v), cb))
+  def pq_lut(v: Column, cb: Array[Array[Array[Double]]]): Column =
+    c(PqLut(e(v), cb))
+  def pq_recon_norm(codes: Column, cb: Array[Array[Array[Double]]]): Column =
+    c(PqReconNorm(e(codes), cb))
+  def pq_adc(lut: Column, codes: Column): Column = c(PqAdc(e(lut), e(codes)))
 }

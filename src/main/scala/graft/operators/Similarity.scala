@@ -475,6 +475,280 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id"))
   }
 
+  // ---- Product quantization (IVF-PQ / ADC) ------------------------
+  // The third stored form after float and int8: each vector becomes m
+  // CODE BYTES (dim 64, m 8 → 32× fewer index bytes than float32, 8×
+  // fewer than int8) — at 100 TB of embeddings the index shrinks to
+  // low-TB, small enough to cache across a fleet. Scoring is ADC
+  // (Jégou/Douze/Schmid, TPAMI 2011): the query builds ONE m×ksub
+  // lookup table and every candidate costs m array lookups instead of
+  // dim multiplies — per-pair work drops 8× at dim 64 / m 8, exactly
+  // where the candidate join dominates. Codes are quantized against
+  // the raw subvectors (FAISS's IVFPQ with by_residual=false — the
+  // simpler public variant), so append never needs the coarse cell of
+  // the OLD batches. Approximate — recall vs [[bruteForceTopK]] is
+  // measured in PipelineOpsSpec, like the int8/LSH/IVF paths.
+
+  private val PqCodebooksFile = "_graft_pq_codebooks.txt"
+  private val PqPropsFile = "_graft_pq.properties"
+
+  /** Train per-subspace codebooks: `m` independent k-means (ksub
+    * centers each, L2 assignment, mean update) over the subvector
+    * blocks, all `m` trained in the SAME distributed passes — one
+    * [[graft.functions.PqEncode]] projection assigns every subspace
+    * per row, one (sub, code, pos) hash-agg averages them. Driver
+    * state is m×ksub×(dim/m) = dim×ksub doubles. Deterministic: seeds
+    * pick initial centers by hashed vec_id, no runtime RNG. */
+  def trainPqCodebooks(corpus: DataFrame, dim: Int, m: Int = 8,
+      ksub: Int = 256, iters: Int = 3, seed: Long = 11L)
+      : Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    require(ksub <= 256, s"ksub=$ksub exceeds one code byte")
+    val dsub = dim / m
+    val base = corpus.select(col("vec_id"), col("embedding"))
+    val sample = base.orderBy(xxhash64(col("vec_id"), lit(seed)))
+      .limit(ksub).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "cannot train PQ codebooks on an empty corpus")
+    var cb: Array[Array[Array[Double]]] = Array.tabulate(m)(s =>
+      sample.map(_.slice(s * dsub, (s + 1) * dsub)))
+    for (_ <- 0 until iters) {
+      val coded = base.withColumn("codes",
+        graft.functions.cellfunctions.pq_encode(col("embedding"), cb))
+      val subEntries = (0 until m).map { s =>
+        struct(lit(s).as("sub"),
+          graft.functions.cellfunctions.le_int_decode(
+            substring(col("codes"), s + 1, 1), 1, signed = false).as("code"),
+          slice(col("embedding"), s * dsub + 1, dsub).as("subv"))
+      }
+      val means = coded.select(explode(array(subEntries: _*)).as("e"))
+        .select(col("e.sub"), col("e.code"), posexplode(col("e.subv")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(avg(col("col")).as("mn"))
+        .collect()
+      val next = cb.map(_.map(_.clone()))
+      val seen = Array.fill(m)(scala.collection.mutable.Set.empty[Int])
+      means.foreach { r =>
+        val s = r.getInt(0); val code = r.getLong(1).toInt; val p = r.getInt(2)
+        // first write for a (sub, code) zeroes the old center; empty
+        // codes never appear here and keep their previous center
+        if (seen(s).add(code)) java.util.Arrays.fill(next(s)(code), 0.0)
+        next(s)(code)(p) = r.getDouble(3)
+      }
+      cb = next
+    }
+    cb
+  }
+
+  /** (vec_id, codes, rnorm, cell) — the stored PQ index row. The
+    * reconstruction norm ‖x̂‖ persists beside the codes, so cosine
+    * scoring never touches the original floats; zero-norm inputs drop
+    * like every cosine path. */
+  private def pqIndexRows(corpus: DataFrame,
+      centroids: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]]): DataFrame = {
+    import graft.functions.cellfunctions.{pq_encode, pq_recon_norm}
+    assignedCorpus(corpus, centroids)
+      .withColumn("codes", pq_encode(col("cv"), cb))
+      .select(col("vec_id"), col("codes"),
+        pq_recon_norm(col("codes"), cb).as("rnorm"),
+        col("cluster").as("cell"))
+  }
+
+  /** Codebook persistence: one line per (sub, code) in order —
+    * `sub|v0,v1,…` — exact-round-trip doubles, write-then-rename (the
+    * [[writeCentroids]] discipline). */
+  private def writePqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      dir: String, cb: Array[Array[Array[Double]]]): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val path = new org.apache.hadoop.fs.Path(dir, PqCodebooksFile)
+    val tmp = new org.apache.hadoop.fs.Path(dir, PqCodebooksFile + ".tmp")
+    val fs = path.getFileSystem(conf)
+    val bytes = cb.zipWithIndex.flatMap { case (book, s) =>
+      book.map(row => s"$s|${row.mkString(",")}")
+    }.mkString("", "\n", "\n").getBytes("UTF-8")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    fs.delete(path, false)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"failed to move $tmp to $path")
+  }
+
+  private def readPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[Array[Array[Array[Double]]]] = {
+    val path = new org.apache.hadoop.fs.Path(dir, PqCodebooksFile)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) None
+    else {
+      val in = fs.open(path)
+      try {
+        val src = scala.io.Source.fromInputStream(in, "UTF-8")
+        val rows = src.getLines().filter(_.nonEmpty).map { line =>
+          val Array(s, vals) = line.split("\\|", 2)
+          (s.toInt, vals.split(",").map(java.lang.Double.parseDouble))
+        }.toArray
+        Some(rows.groupBy(_._1).toArray.sortBy(_._1).map(_._2.map(_._2)))
+      } finally in.close()
+    }
+  }
+
+  private def writePqProps(spark: org.apache.spark.sql.SparkSession,
+      dir: String, dim: Int, m: Int, ksub: Int, nlist: Int): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val path = new org.apache.hadoop.fs.Path(dir, PqPropsFile)
+    val tmp = new org.apache.hadoop.fs.Path(dir, PqPropsFile + ".tmp")
+    val fs = path.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"dim=$dim\nm=$m\nksub=$ksub\nnlist=$nlist\n".getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(path, false)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"failed to move $tmp to $path")
+  }
+
+  private def readPqProps(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Int, Int, Int, Int) = {
+    val path = new org.apache.hadoop.fs.Path(dir, PqPropsFile)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(path),
+      s"no PQ index sidecar at $path — build with writePqIndex")
+    val props = new java.util.Properties()
+    val in = fs.open(path)
+    try props.load(in) finally in.close()
+    (props.getProperty("dim").toInt, props.getProperty("m").toInt,
+      props.getProperty("ksub").toInt, props.getProperty("nlist").toInt)
+  }
+
+  /** A stored PQ index, opened: code rows
+    * `(vec_id, codes, rnorm, cell)`, the coarse quantizer, and the
+    * per-subspace codebooks. */
+  case class PqIndex(vectors: DataFrame, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]])
+
+  /** Build and persist a PQ index under `dir`: coarse IVF centroids
+    * for cell pruning (reused from a stored, nlist-compatible
+    * quantizer like [[writeIvfIndex]]) plus per-subspace codebooks,
+    * with every vector stored as `m` code bytes + its reconstruction
+    * norm. Write order: parquet (clears the directory), centroids,
+    * codebooks, props sidecar LAST — a reader never sees a sidecar
+    * without its data. */
+  def writePqIndex(corpus: DataFrame, dir: String, dim: Int, m: Int = 8,
+      ksub: Int = 256, nlist: Int = 16, iters: Int = 3): Unit = {
+    val spark = corpus.sparkSession
+    require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    val centroids = readCentroids(spark, dir) match {
+      case Some(c) if c.exists(_.length != dim) =>
+        throw new IllegalArgumentException(
+          s"stored index at $dir has dim ${c.head.length}, requested " +
+            s"$dim — delete the index or fix the request")
+      case Some(c) if c.length == nlist => c
+      case _ => trainCentroids(corpus, dim, nlist, iters)
+    }
+    // stored codebooks are reusable only at the same geometry
+    val cb = readPqCodebooks(spark, dir) match {
+      case Some(b) if b.length == m && b(0).length == ksub &&
+          b(0)(0).length == dim / m => b
+      case _ => trainPqCodebooks(corpus, dim, m, ksub, iters)
+    }
+    pqIndexRows(corpus, centroids, cb).write.mode("overwrite").parquet(dir)
+    writeCentroids(spark, dir, centroids)
+    writePqCodebooks(spark, dir, cb)
+    writePqProps(spark, dir, dim, cb.length, cb(0).length, nlist)
+  }
+
+  /** Incrementally grow a stored PQ index: encode ONLY the new batch
+    * with the index's own codebooks and coarse quantizer, and append.
+    * Same crash discipline as [[appendToIvfIndex]]: the sidecar comes
+    * down before the append and back after, so a mid-commit crash
+    * leaves a loudly-refusing directory. Caller contract: `newEmb`
+    * vec_ids disjoint from the index's. */
+  def appendToPqIndex(newEmb: DataFrame, dir: String): Unit = {
+    val spark = newEmb.sparkSession
+    val (dim, m, ksub, nlist) = readPqProps(spark, dir)
+    val centroids = readCentroids(spark, dir).getOrElse(
+      throw new IllegalStateException(s"PQ index at $dir has a sidecar " +
+        "but no centroids — rebuild with writePqIndex"))
+    val cb = readPqCodebooks(spark, dir).getOrElse(
+      throw new IllegalStateException(s"PQ index at $dir has a sidecar " +
+        "but no codebooks — rebuild with writePqIndex"))
+    require(centroids.length == nlist && centroids.forall(_.length == dim) &&
+      cb.length == m && cb(0).length == ksub && cb(0)(0).length == dim / m,
+      s"stored quantizers at $dir disagree with sidecar " +
+        s"(dim=$dim, m=$m, ksub=$ksub, nlist=$nlist)")
+    newEmb.select(size(col("embedding"))).limit(1).collect()
+      .foreach(r => require(r.getInt(0) == dim,
+        s"batch embeddings have dim ${r.getInt(0)} but the index bakes " +
+          s"in dim=$dim"))
+    val props = new org.apache.hadoop.fs.Path(dir, PqPropsFile)
+    props.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(props, false)
+    pqIndexRows(newEmb, centroids, cb).write.mode("append").parquet(dir)
+    writePqProps(spark, dir, dim, m, ksub, nlist)
+  }
+
+  /** Open a stored PQ index. */
+  def readPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): PqIndex = {
+    readPqProps(spark, dir) // refuse a bare / mid-append directory
+    val centroids = readCentroids(spark, dir).getOrElse(
+      throw new IllegalStateException(s"PQ index at $dir has a sidecar " +
+        "but no centroids — rebuild with writePqIndex"))
+    val cb = readPqCodebooks(spark, dir).getOrElse(
+      throw new IllegalStateException(s"PQ index at $dir has a sidecar " +
+        "but no codebooks — rebuild with writePqIndex"))
+    PqIndex(spark.read.parquet(dir), centroids, cb)
+  }
+
+  /** ADC cosine top-k over a stored PQ index: queries stay exact
+    * float, probe `nprobe` cells, build one LUT each, and score every
+    * same-cell candidate with `m` lookups against the stored code
+    * bytes — `sim ≈ adc / (‖q‖·‖x̂‖)`. */
+  def pqTopKOverIndex(queries: DataFrame, dir: String, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val ix = readPqIndex(queries.sparkSession, dir)
+    pqScore(ix.vectors, queries, ix.centroids, ix.codebooks, k, nprobe)
+  }
+
+  /** In-memory IVF-PQ top-k (no persistence): train, encode, score.
+    * The correctness twin of [[pqTopKOverIndex]] — a stored index and
+    * a fresh build feed the identical scoring join. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      m: Int = 8, ksub: Int = 256, nlist: Int = 16, nprobe: Int = 4,
+      iters: Int = 3): DataFrame = {
+    val centroids = trainCentroids(corpus, dim, nlist, iters)
+    val cb = trainPqCodebooks(corpus, dim, m, ksub, iters)
+    pqScore(pqIndexRows(corpus, centroids, cb), queries, centroids, cb,
+      k, nprobe)
+  }
+
+  private def pqScore(ixRows: DataFrame, queries: DataFrame,
+      centroids: Array[Array[Double]], cb: Array[Array[Array[Double]]],
+      k: Int, nprobe: Int): DataFrame = {
+    import graft.functions.cellfunctions.{pq_adc, pq_lut}
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("qnorm", norm(col("qv")))
+      .where(col("qnorm") > 0)
+      .withColumn("lut", pq_lut(col("qv"), cb))
+      .withColumn("cluster",
+        explode(probeClusters(col("qv"), centroids, nprobe)))
+      .select(col("qid"), col("lut"), col("qnorm"), col("cluster"))
+    // rnorm > 0: a degenerate all-zero reconstruction would make the
+    // cosine NaN, which sorts above every real sim under desc
+    val pairs = ixRows
+      .select(col("vec_id"), col("codes"), col("rnorm"),
+        col("cell").as("cluster"))
+      .where(col("rnorm") > 0)
+      .join(broadcast(q), Seq("cluster"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("sim",
+        pq_adc(col("lut"), col("codes")) / (col("qnorm") * col("rnorm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"))
+  }
+
   /** LSH-bucketed cosine top-k — multiple hash tables of few planes;
     * candidates are the union of same-bucket vectors across tables,
     * scored exactly once. Approximate — recall measured against

@@ -409,6 +409,109 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ index: m code bytes stored, append ≡ rebuild, recall vs brute force") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    val corpusA = emb.where(col("vec_id") >= 20 && col("vec_id") % 2 === 0)
+    val corpusB = emb.where(col("vec_id") >= 20 && col("vec_id") % 2 === 1)
+    val queries = emb.where(col("vec_id") < 20)
+    // ksub below BOTH corpus sizes: a corpus smaller than ksub trains
+    // an effectively-smaller codebook, and the rebuild below must see
+    // geometry matching its request to reuse the stored quantizers.
+    // m=32 because these synthetic embeddings are near-random (top-k
+    // neighbors weakly separated), so recall needs the finer subspaces;
+    // real clustered text embeddings use the standard m=8.
+    Similarity.writePqIndex(corpusA, dir, dim = 64, m = 32, ksub = 128,
+      nlist = 16)
+    Similarity.appendToPqIndex(corpusB, dir)
+    // the stored bytes ARE the compression claim: m CODE BYTES + a
+    // double norm per vector, no float embedding column (m=32 on dim
+    // 64 → 32 bytes, 8× under float32; the standard m=8 is 32×)
+    val schema = spark.read.parquet(dir).schema
+    assert(schema.fieldNames.toSet == Set("vec_id", "codes", "rnorm", "cell"),
+      schema.treeString)
+    assert(schema("codes").dataType ==
+      org.apache.spark.sql.types.BinaryType, schema.treeString)
+    val codeLens = spark.read.parquet(dir)
+      .select(length(col("codes"))).distinct().collect().map(_.getInt(0))
+    assert(codeLens.toSeq == Seq(32), codeLens.mkString(","))
+
+    def pairs(df: DataFrame): Set[(Long, Int, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val grown = pairs(
+      Similarity.pqTopKOverIndex(queries, dir, k = 5, nprobe = 16))
+    // rebuilding over the union REUSES the stored quantizers (geometry
+    // matches), so the append-grown index must answer identically to an
+    // index built from the full corpus in one shot
+    Similarity.writePqIndex(corpusA.union(corpusB), dir, dim = 64, m = 32,
+      ksub = 128, nlist = 16)
+    val rebuilt = pairs(
+      Similarity.pqTopKOverIndex(queries, dir, k = 5, nprobe = 16))
+    assert(grown == rebuilt && rebuilt.nonEmpty)
+
+    // full-probe ADC recall vs exact brute force (approximate by
+    // design, like the int8/LSH/IVF paths). Codebooks trained on the
+    // FULL corpus — the production shape; the A-trained index above
+    // reconstructs held-out vectors of this random data much worse,
+    // which the lifecycle checks tolerate (they compare PQ to PQ)
+    // rank-insensitive membership (ADC reorders near-ties)
+    def members(df: DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = members(Similarity.bruteForceTopK(queries,
+      corpusA.union(corpusB), k = 5))
+    val pq = members(Similarity.pqTopK(queries, corpusA.union(corpusB),
+      k = 5, dim = 64, m = 32, ksub = 128, nlist = 16, nprobe = 16))
+    val recall = (pq & exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+
+    // refusals: a bare directory is not an index; a wrong-width batch
+    // would encode by silently-truncated subvectors; a sidecar-less
+    // (mid-append-crash) directory refuses every entry point
+    intercept[IllegalArgumentException] {
+      Similarity.appendToPqIndex(corpusB,
+        java.nio.file.Files.createTempDirectory("graft-pqbare").toString)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.appendToPqIndex(
+        corpusB.select(col("vec_id"),
+          slice(col("embedding"), 1, 32).as("embedding")), dir)
+    }
+    val props = new org.apache.hadoop.fs.Path(dir, "_graft_pq.properties")
+    props.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(props, false)
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopKOverIndex(queries, dir, k = 5)
+    }
+  }
+
+  test("PQ ADC score equals the dot against the explicit reconstruction") {
+    import spark.implicits._
+    import graft.functions.cellfunctions.{pq_adc, pq_encode, pq_lut, pq_recon_norm}
+    // differential: adc(lut(q), encode(x)) must equal dot(q, x̂) where
+    // x̂ is the driver-side reconstruction from the same codebooks —
+    // the LUT factorization is an optimization, not an approximation
+    val cb = Similarity.trainPqCodebooks(
+      emb.where(col("vec_id") >= 20), dim = 64, m = 8, ksub = 16, iters = 2)
+    val rows = emb.where(col("vec_id") < 30)
+      .select(col("vec_id"), col("embedding"),
+        pq_encode(col("embedding"), cb).as("codes"))
+      .withColumn("adc", pq_adc(pq_lut(col("embedding"), cb), col("codes")))
+      .withColumn("rnorm", pq_recon_norm(col("codes"), cb))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      val codes = r.getAs[Array[Byte]]("codes")
+      val recon = codes.zipWithIndex.flatMap { case (c, s) => cb(s)(c & 0xFF) }
+      // same math, different summation order (per-subspace partials vs
+      // one sequential fold) — equal to fp tolerance, not bit-identical
+      val dot = v.zip(recon).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot - r.getAs[Double]("adc")) < 1e-6 * (1 + math.abs(dot)),
+        s"vec ${r.getLong(0)}: adc ${r.getAs[Double]("adc")} vs dot $dot")
+      val rn = math.sqrt(recon.map(x => x * x).sum)
+      assert(math.abs(rn - r.getAs[Double]("rnorm")) < 1e-6 * (1 + rn))
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("semantic matches against stored index: planted twins found, verify exact") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfsem")
