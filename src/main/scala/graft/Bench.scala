@@ -21,7 +21,8 @@ object Bench {
       "q_s3d_binary_point_get", "q_s6c_kv_binary_scan",
       "q_x_dedup_index_append", "q_x_sim_ivf_index_topk",
       "q_x_dedup_semantic_incremental",
-      "q_x_sim_ivf_index_quant").foreach { name =>
+      "q_x_sim_ivf_index_quant", "q_x_sim_pq_index_topk",
+      "q_x_zorder_scan").foreach { name =>
       val q = SparkEntry.queries(name)
       try q(spark, sfDir).count() catch { case _: Throwable => () }
     }

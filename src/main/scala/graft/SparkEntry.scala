@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.cellfunctions._
 import graft.model.{CfSpec, TableDesc}
-import graft.operators.{AsOfJoin, BatchTxn, Dedup, KvStore, Multimodal,
+import graft.operators.{AsOfJoin, BatchTxn, Dedup, KvStore, Multimodal, ZOrder,
   PercolatorRead, Resolve, Sampling, ScanFilter, ScanQuery, Similarity,
   TextAnalysis, TypedValue}
 import graft.sources.{CellLogs, Tables}
@@ -63,6 +63,8 @@ object SparkEntry {
   private val ivfQuantFixtureDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
   private val pqIdxFixtureDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val zorderFixtureDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** The orders-table cell mapping shared by BOTH relational round-trip
@@ -423,9 +425,10 @@ object SparkEntry {
     }),
     "q_j3_asof_join" -> ((s, dir) => {
       // for each purchase, the newest signup of the same user at-or-before it
-      val e = t(s, dir, "events").select(
+      val ev = t(s, dir, "events")
+      val e = ev.select(
         col("user_id"), col("event_type"),
-        Tables.eventTsUs.as("ts_us"), col("event_id"))
+        Tables.eventTsUs(ev).as("ts_us"), col("event_id"))
       val purchases = e.where(col("event_type") === "purchase")
         .select(col("user_id"), col("ts_us"), col("event_id"))
       val signups = e.where(col("event_type") === "signup")
@@ -695,6 +698,146 @@ object SparkEntry {
         .limit(20)
         .select(col("c_custkey"), col("c_name"), col("revenue_e4"), col("n_name"))
     }),
+    "q_agg_tpch_q6" -> ((s, dir) => {
+      // forecasting-revenue shape (TPC-H Q6): pure scan-side predicate
+      // -> one global sum. The whole WHERE pushes to the parquet scan;
+      // the only exchange is the single-group partial/final agg.
+      // Revenue in exact integer 1e-4 units (see q_agg_tpch_q10b).
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          floor(col("l_discount") * 100).cast("long").between(5, 7) &&
+          col("l_quantity") < 24)
+        .agg(sum(floor(col("l_extendedprice") * 100).cast("long") *
+          floor(col("l_discount") * 100).cast("long")).as("revenue_e4"))
+    }),
+    "q_agg_tpch_q7" -> ((s, dir) => {
+      // volume-shipping shape (TPC-H Q7): the two-role dimension join —
+      // nation resolved twice under different aliases (supplier's and
+      // customer's), both broadcast; the (a,b)/(b,a) pair disjunction
+      // evaluated after both roles attach; revenue bucketed by ship
+      // year. Nation pre-filtered to the two named nations BEFORE the
+      // broadcast so the fact rows that can't qualify drop at the join.
+      val pair = Seq("NATION_3", "NATION_7")
+      val n1 = t(s, dir, "nation").where(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").where(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      val revE4 = floor(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - floor(col("l_discount") * 100).cast("long"))
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+        .where((col("supp_nation") === "NATION_3" &&
+            col("cust_nation") === "NATION_7") ||
+          (col("supp_nation") === "NATION_7" &&
+            col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(revE4).as("revenue_e4"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+    "q_agg_tpch_q9" -> ((s, dir) => {
+      // product-profit shape (TPC-H Q9 on this schema — no partsupp, so
+      // cost is the part's retail price): LIKE-filtered part drives the
+      // fact join, profit = revenue minus quantity x retail cost,
+      // grouped by supplier nation and order year. Every term exact
+      // integer e4 (cents x percent; retail cents x whole qty x 100).
+      val profitE4 = floor(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - floor(col("l_discount") * 100).cast("long")) -
+        floor(col("p_retailprice") * 100).cast("long") *
+          floor(col("l_quantity")).cast("long") * 100L
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").where(col("p_name").like("%red%"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(profitE4).as("profit_e4"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+    "q_agg_tpch_q13" -> ((s, dir) => {
+      // customer-distribution shape (TPC-H Q13): LEFT OUTER join with
+      // the predicate on the preserved-null side (equivalent to the ON
+      // clause filter — customers with zero qualifying orders survive
+      // with count 0), then the distribution re-agg over the first
+      // agg's (small) output.
+      val o = t(s, dir, "orders").where(col("o_orderpriority") =!= "1-URGENT")
+      t(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+    "q_agg_tpch_q15" -> ((s, dir) => {
+      // top-supplier shape (TPC-H Q15): quarter revenue per supplier;
+      // the scalar max attaches as a one-row broadcast cross join — no
+      // second scan of the fact table, no all-supplier window — and
+      // ties are all kept, as the spec's view formulation requires.
+      val revE4 = floor(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - floor(col("l_discount") * 100).cast("long"))
+      val rev = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(revE4).as("total_rev_e4"))
+      t(s, dir, "supplier")
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .crossJoin(broadcast(rev.agg(max(col("total_rev_e4")).as("_max"))))
+        .where(col("total_rev_e4") === col("_max"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev_e4"))
+        .orderBy(col("s_suppkey"))
+    }),
+    "q_agg_tpch_q17" -> ((s, dir) => {
+      // small-quantity-order shape (TPC-H Q17): the correlated per-part
+      // average becomes a pre-agg + equi-join (map-side combined, one
+      // fact scan per role, no per-row rescan), and the 20%-of-average
+      // threshold is restated in exact integers — qty*5*cnt < sum_qty —
+      // so no double average is compared anywhere.
+      val li = t(s, dir, "lineitem")
+      val perPart = li.groupBy(col("l_partkey").as("pp_key"))
+        .agg(sum(floor(col("l_quantity")).cast("long")).as("_sum_qty"),
+          count(lit(1)).as("_cnt"))
+      li.join(broadcast(t(s, dir, "part").where(col("p_brand") === "Brand#1")),
+          col("l_partkey") === col("p_partkey"))
+        .join(perPart, col("l_partkey") === col("pp_key"))
+        .where(floor(col("l_quantity")).cast("long") * 5L * col("_cnt") <
+          col("_sum_qty"))
+        .agg(sum(floor(col("l_extendedprice") * 100).cast("long"))
+          .as("total_price_e2"))
+    }),
+    "q_agg_tpch_q22" -> ((s, dir) => {
+      // global-sales-opportunity shape (TPC-H Q22): the positive-balance
+      // average restated exact (cents*cnt > sum_cents), idle customers
+      // via anti join (no order since 2000 — every synthetic customer
+      // has SOME order, so the spec's never-ordered predicate would be
+      // vacuous here), grouped into nation buckets (the schema's
+      // analogue of the phone country code).
+      val cust = t(s, dir, "customer")
+        .withColumn("bal_cents", floor(col("c_acctbal") * 100).cast("long"))
+      val pos = cust.where(col("bal_cents") > 0)
+        .agg(sum(col("bal_cents")).as("_sum"), count(lit(1)).as("_cnt"))
+      cust.crossJoin(broadcast(pos))
+        .where(col("bal_cents") * col("_cnt") > col("_sum"))
+        .join(t(s, dir, "orders")
+            .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy((col("c_nationkey") % 10).cast("long").as("cntry_bucket"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("bal_cents")).as("totacctbal_cents"))
+        .orderBy(col("cntry_bucket"))
+    }),
     "q_agg_rollup" -> ((s, dir) => {
       // integer-cents sum (see q_agg_tpch_q1 for why no decimal cast)
       t(s, dir, "lineitem")
@@ -755,8 +898,8 @@ object SparkEntry {
 
     // ---- N: event-time windows, batch-checked (SURVEY §2.8 N6) ----
     "q_n6_event_windows" -> ((s, dir) => {
-      t(s, dir, "events")
-        .select(Tables.tsUsToTimestamp(Tables.eventTsUs).as("ts"), col("event_type"))
+      val ev = t(s, dir, "events")
+      ev.select(Tables.tsUsToTimestamp(Tables.eventTsUs(ev)).as("ts"), col("event_type"))
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
         .select(col("window.start").as("window_start"), col("event_type"), col("cnt"))
@@ -797,9 +940,9 @@ object SparkEntry {
       val gapUs = 2L * 3600 * 1000000
       val wOrd = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_us"), col("event_id"))
-      t(s, dir, "events")
-        .select(col("user_id"), col("event_id"),
-          graft.sources.Tables.eventTsUs.as("ts_us"))
+      val ev = t(s, dir, "events")
+      ev.select(col("user_id"), col("event_id"),
+          graft.sources.Tables.eventTsUs(ev).as("ts_us"))
         .withColumn("_prev", lag(col("ts_us"), 1).over(wOrd))
         .withColumn("_new", when(col("_prev").isNull ||
           col("ts_us") - col("_prev") > gapUs, 1).otherwise(0))
@@ -962,6 +1105,32 @@ object SparkEntry {
       TextAnalysis.decontaminate(docs, docs.where(col("doc_id") % 50 === 0))
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
+    }),
+    "q_x_curation_report" -> ((s, dir) => {
+      // the composed pipeline's attrition report (Curation.run):
+      // quality + language gates, exact dedup, benchmark
+      // decontamination (every 50th doc as the heldout set), every doc
+      // attributed to the FIRST stage that dropped it, ONE final
+      // aggregation — the data-card numbers. The synthetic corpus has
+      // no duplicate texts and zero punctuation, so the gate input is
+      // widened to fire EVERY exact stage: each document appears twice
+      // (shifted ids — the higher id must drop as exact_dup) plus one
+      // punct-heavy row; minTokens=16 puts the short tail (~5%) under
+      // the length gate. The near-dup stage is spec-covered (minhash
+      // has no SQL oracle); with exact stages the whole report is
+      // SQL-expressible.
+      val d = t(s, dir, "documents")
+      val punctRow = s.range(1).select(
+        lit(2000000L).as("doc_id"),
+        lit("x. x. x. x. x. x. x. x. x. x. x. x. x. x. x. x. x. x. x. x.")
+          .as("text"),
+        lit("en").as("lang"), lit("synth").as("source"),
+        lit(59L).as("n_chars"))
+      val corpus = d
+        .unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
+        .unionByName(punctRow)
+      graft.operators.Curation.run(corpus, minTokens = 16,
+        benchmark = Some(corpus.where(col("doc_id") % 50 === 0))).report
     }),
     "q_x_sample_stratified" -> ((s, dir) => {
       // deterministic 1-in-7 systematic sample per source domain,
@@ -1196,6 +1365,31 @@ object SparkEntry {
           nprobe = 16)
         .orderBy(col("qid"), col("rank"))
     }),
+    "q_x_zorder_scan" -> ((s, dir) => {
+      // multi-dimensional clustering (Morton curve over equi-depth
+      // bucket ranks): the fixture writes lineitem z-clustered by
+      // (l_partkey, l_suppkey) — one quantile pass + one range
+      // exchange; the query box-filters BOTH dimensions (each predicate
+      // prunes row groups against tight per-file min/max, the spec
+      // asserts the boxes) and re-aggregates. The oracle runs on the
+      // ORIGINAL table, so a hash match proves the clustered copy is a
+      // pure reorder.
+      val zdir = zorderFixtureDirs.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+        ZOrder.writeClustered(t(s, dir, "lineitem"), d,
+          Seq("l_partkey", "l_suppkey"), numFiles = 16, bits = 8)
+        d
+      })
+      s.read.parquet(zdir)
+        .where(col("l_partkey").between(100, 400) &&
+          col("l_suppkey").between(10, 60))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(floor(col("l_extendedprice") * 100).cast("long"))
+            .as("price_cents"),
+          max(col("l_suppkey")).as("max_supp"))
+        .orderBy(col("l_partkey"))
+    }),
     "q_x_dedup_cosine" -> ((s, dir) => {
       // exact all-pairs — verification-grade baseline for the LSH twin
       Dedup.embeddingNearDuplicates(t(s, dir, "embeddings"), threshold = 0.5)
@@ -1241,7 +1435,8 @@ object SparkEntry {
       // a stored IVF index of the accumulated corpus — the corpus is
       // never re-assigned or re-normed per increment. Full probe
       // (nprobe = nlist) makes the candidate set complete, so emitted
-      // pairs are EXACTLY the cross-side cosine >= 0.5 set and the row
+      // pairs are EXACTLY the cross-side cosine >= 0.3 set (the
+      // regenerated embeddings top out at ~0.49 cross-side) and the row
       // oracle-checks like q_x_dedup_cosine; the pruned-nprobe
       // production shape's recall is spec-covered (PipelineOpsSpec
       // planted twins)
@@ -1254,7 +1449,7 @@ object SparkEntry {
         d
       })
       Dedup.semanticMatchesAgainstIndex(e.where(col("vec_id") % 10 === 7),
-          idx, threshold = 0.5, nprobe = 16)
+          idx, threshold = 0.3, nprobe = 16)
         .orderBy(col("id_a"), col("id_b"))
     }),
     "q_x_text_winnow" -> ((s, dir) => {
@@ -1707,6 +1902,96 @@ object SparkEntry {
         |  AND l_returnflag = 'R'
         |GROUP BY 1, 2, 4
         |ORDER BY revenue_e4 DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_agg_tpch_q6" ->
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+        |                CAST(floor(l_discount * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_e4
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND CAST(floor(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+        |  AND l_quantity < 24""".stripMargin,
+    "q_agg_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |    AS revenue_e4
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') OR
+        |       (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_agg_tpch_q9" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(floor(l_discount * 100) AS BIGINT)) -
+        |           CAST(floor(p_retailprice * 100) AS BIGINT) *
+        |           CAST(floor(l_quantity) AS BIGINT) * 100) AS BIGINT)
+        |    AS profit_e4
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q_agg_tpch_q13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_agg_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+        |             (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |      AS total_rev_e4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev_e4
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_agg_tpch_q17" ->
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_price_e2
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN (SELECT l_partkey AS pp_key,
+        |             CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+        |               AS sum_qty,
+        |             CAST(count(*) AS BIGINT) AS cnt
+        |      FROM lineitem GROUP BY 1) pp ON l_partkey = pp_key
+        |WHERE p_brand = 'Brand#1'
+        |  AND CAST(floor(l_quantity) AS BIGINT) * 5 * cnt < sum_qty""".stripMargin,
+    "q_agg_tpch_q22" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |pos AS (
+        |  SELECT CAST(sum(bal_cents) AS BIGINT) AS s,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM cust WHERE bal_cents > 0)
+        |SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntry_bucket,
+        |       CAST(count(*) AS BIGINT) AS numcust,
+        |       CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+        |FROM cust, pos
+        |WHERE bal_cents * c > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
@@ -1847,6 +2132,54 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY 1""".stripMargin,
+    "q_x_curation_report" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+        |  UNION ALL SELECT 2000000,
+        |    'x. x. x. x. x. x. x. x. x. x. x. x. x. x. x. x. x. x. x. x.'),
+        |s AS (
+        |  SELECT doc_id, text,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS punct_ratio,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the','a','of','and','is'))) AS s_en,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('el','la','de','que','y'))) AS s_es,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('der','die','das','und','ist'))) AS s_de,
+        |    md5(lower(text)) AS fp
+        |  FROM corpus),
+        |staged AS (
+        |  SELECT doc_id, fp,
+        |    CASE WHEN n_tokens < 16 THEN 'short'
+        |         WHEN punct_ratio > 0.2 THEN 'punct'
+        |         WHEN NOT (s_en >= s_es AND s_en >= s_de AND s_en > 0) THEN 'lang'
+        |    END AS drop0
+        |  FROM s),
+        |keepers AS (SELECT fp, min(doc_id) AS keep FROM staged
+        |            WHERE drop0 IS NULL GROUP BY 1),
+        |afterexact AS (
+        |  SELECT st.doc_id,
+        |    COALESCE(st.drop0,
+        |      CASE WHEN st.doc_id <> k.keep THEN 'exact_dup' END) AS drop1
+        |  FROM staged st LEFT JOIN keepers k USING (fp)),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+        |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        |       FROM tok WHERE len(toks) >= 3),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+        |bad AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (s)),
+        |final AS (
+        |  SELECT ae.doc_id,
+        |    COALESCE(ae.drop1,
+        |      CASE WHEN ae.doc_id IN (SELECT doc_id FROM bad)
+        |           THEN 'contaminated' END) AS drop2
+        |  FROM afterexact ae)
+        |SELECT COALESCE(drop2, 'kept') AS stage,
+        |       CAST(count(*) AS BIGINT) AS docs
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_x_corpus_report" ->
       """SELECT source,
         |  CAST(count(*) AS BIGINT) AS n_docs,
@@ -2184,7 +2517,7 @@ object SparkEntry {
         |  ON a.vec_id % 10 = 7 AND b.vec_id % 10 <> 7
         |WHERE a.nrm > 0 AND b.nrm > 0
         |  AND list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm) >= 0.5
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm) >= 0.3
         |ORDER BY 1, 2""".stripMargin,
     "q_x_multimodal_frames" ->
       """SELECT doc_id, CAST(i AS INT) AS frame_idx,

@@ -574,6 +574,79 @@ case class KeySuccessor(child: Expression) extends CodecExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Z-order (Morton) kernels behind [[BucketRank]] / [[InterleaveBits]].
+  * Multi-dimensional clustering for parquet min/max skipping: each
+  * dimension quantizes to an equi-depth bucket rank (so skew can't
+  * collapse the curve onto one axis), and the ranks' bits interleave
+  * into one long sort key. Files written in z-key order carry tight
+  * min/max boxes on EVERY clustered column, so a predicate on any of
+  * them prunes row groups — the multi-dim generalization of the
+  * reference's single-dimension row-key locality (tablets are row-range
+  * shards, src/master/tablet_manager.cc; a scan prunes to the key range
+  * it touches). Morton curves are public knowledge (G.M. Morton, 1966;
+  * the equi-depth-rank + interleave composition is the one Delta Lake
+  * and Iceberg document for OPTIMIZE ZORDER). */
+object ZOrderOps {
+  /** Rank of v among sorted bounds = #bounds <= v, via binary search.
+    * Total: NaN ranks above every bound (IEEE compare), so poison
+    * values cluster at the curve's end instead of failing the write. */
+  def rank(v: Double, bounds: Array[Double]): Int = {
+    var lo = 0; var hi = bounds.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (bounds(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** Interleave the low `bits` bits of each rank in `arr` (dimension 0
+    * gets the least-significant lane). Requires bits * n <= 63. */
+  def interleave(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      bits: Int): Long = {
+    val n = arr.numElements()
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      var c = 0
+      while (c < n) {
+        out |= ((arr.getInt(c).toLong >>> b) & 1L) << (b * n + c)
+        c += 1
+      }
+      b += 1
+    }
+    out
+  }
+}
+
+/** Equi-depth bucket rank of a double against fixed quantile bounds
+  * (one z-order dimension). Bounds ship as a codegen reference object. */
+case class BucketRank(child: Expression, bounds: Array[Double])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    ZOrderOps.rank(v.asInstanceOf[Double], bounds)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("bounds", bounds, "double[]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.ZOrderOps.rank($v, $b)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Morton interleave of an int-array of bucket ranks into one long. */
+case class InterleaveBits(child: Expression, bits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    ZOrderOps.interleave(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], bits)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.ZOrderOps.interleave($v, $bits)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API surface of the codec expressions. */
 object cellfunctions {
   private def c(e: Expression): Column = Shim.column(e)
@@ -615,4 +688,8 @@ object cellfunctions {
   def pq_recon_norm(codes: Column, cb: Array[Array[Array[Double]]]): Column =
     c(PqReconNorm(e(codes), cb))
   def pq_adc(lut: Column, codes: Column): Column = c(PqAdc(e(lut), e(codes)))
+  def bucket_rank(v: Column, bounds: Array[Double]): Column =
+    c(BucketRank(e(v), bounds))
+  def interleave_bits(ranks: Column, bits: Int): Column =
+    c(InterleaveBits(e(ranks), bits))
 }

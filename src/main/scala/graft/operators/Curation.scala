@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation with attrition accounting — the composed
+  * front a training-data pipeline actually runs, as ONE operator:
+  * quality gates → language gate → exact dedup → (optional) near-dup
+  * → (optional) benchmark decontamination, each document attributed to
+  * the FIRST stage that drops it, plus a per-stage report (the numbers
+  * a data card publishes — CCNet/Gopher/RefinedWeb all report stage
+  * attrition; the composition itself reuses [[TextAnalysis]] and
+  * [[Dedup]] primitives, so the gates stay bit-identical to their
+  * standalone oracle-checked forms).
+  *
+  * Scale shape: the predicate gates are per-row codegen'd expressions
+  * evaluated in the scan; exact dedup adds one hash aggregation on the
+  * content fingerprint; the optional stages reuse the banded-LSH /
+  * broadcast-gram machinery of their standalone operators. Attribution
+  * is carried in ONE label column, so the report is a single hash
+  * aggregation at the end — no per-stage count() actions, no second
+  * scan per stage.
+  */
+object Curation {
+
+  /** Kept documents (original schema) + per-stage attrition report
+    * `(stage, docs)`, stages in pipeline order with `kept` last. */
+  final case class Curated(kept: DataFrame, report: DataFrame)
+
+  /** Pipeline stage labels, in evaluation order. */
+  val Stages: Seq[String] =
+    Seq("short", "punct", "lang", "exact_dup", "near_dup", "contaminated", "kept")
+
+  def run(docs: DataFrame, lang: String = "en", minTokens: Int = 5,
+      maxPunctRatio: Double = 0.2,
+      nearDupThreshold: Option[Double] = None,
+      benchmark: Option[DataFrame] = None): Curated = {
+    val t = TextAnalysis
+    val base = graft.sources.Tables.widen(docs)
+      .withColumn("_toks", t.tokens(col("text")))
+      .withColumn("_drop",
+        when(size(col("_toks")) < minTokens, "short")
+          .when(t.punctRatio(col("text")) > maxPunctRatio, "punct")
+          .when(t.langIdOf(col("_toks")) =!= lang, "lang"))
+      .withColumn("_fp", t.fingerprint(col("text")))
+      .drop("_toks")
+
+    // exact dedup among gate survivors: keep the lowest doc_id per
+    // fingerprint (one hash agg; the keeper set joins back by AQE's
+    // choice — broadcast when small). Gate-dropped rows keep their
+    // original attribution even when they share a survivor's print.
+    val keepers = base.where(col("_drop").isNull)
+      .groupBy(col("_fp")).agg(min(col("doc_id")).as("_keep"))
+    val afterExact = base.join(keepers, Seq("_fp"), "left")
+      .withColumn("_drop", coalesce(col("_drop"),
+        when(col("doc_id") =!= col("_keep"), "exact_dup")))
+      .drop("_fp", "_keep")
+
+    // optional near-dup stage over the documents still alive: banded
+    // minhash pairs → connected groups → keep the lowest id per group
+    val afterNear = nearDupThreshold match {
+      case None => afterExact
+      case Some(th) =>
+        val alive = afterExact.where(col("_drop").isNull)
+          .select(docs.columns.map(col): _*)
+        val pairs = Dedup.minhashNearDuplicates(alive, threshold = th)
+        val canon = Dedup.duplicateGroups(alive, pairs)
+          .groupBy(col("group_id")).agg(min(col("doc_id")).as("_keep"))
+          .select(col("_keep"))
+        afterExact.join(canon.withColumnRenamed("_keep", "doc_id")
+            .withColumn("_is_canon", lit(1)), Seq("doc_id"), "left")
+          .withColumn("_drop", coalesce(col("_drop"),
+            when(col("_is_canon").isNull, "near_dup")))
+          .drop("_is_canon")
+    }
+
+    // optional decontamination: any surviving doc sharing a trigram
+    // with the benchmark drops (gram set broadcasts — a benchmark is
+    // small by definition; the corpus never shuffles for this stage)
+    val afterDecon = benchmark match {
+      case None => afterNear
+      case Some(bench) =>
+        val benchGrams = Dedup.shingleHashRows(bench, 3, distinctRows = false)
+          .select(col("s")).distinct()
+        val hit = Dedup.shingleHashRows(
+            afterNear.where(col("_drop").isNull)
+              .select(docs.columns.map(col): _*), 3, distinctRows = false)
+          .join(broadcast(benchGrams), "s")
+          .select(col("doc_id")).distinct()
+          .withColumn("_hit", lit(1))
+        afterNear.join(hit, Seq("doc_id"), "left")
+          .withColumn("_drop", coalesce(col("_drop"),
+            when(col("_hit") === 1, "contaminated")))
+          .drop("_hit")
+    }
+
+    val labeled = afterDecon
+      .withColumn("_stage", coalesce(col("_drop"), lit("kept")))
+    val kept = labeled.where(col("_stage") === "kept")
+      .select(docs.columns.map(col): _*)
+    // alphabetical stage order: deterministic and trivially mirrored
+    // by an ORDER BY 1 oracle (stages with zero drops emit no row)
+    val report = labeled.groupBy(col("_stage").as("stage"))
+      .agg(count(lit(1)).as("docs"))
+      .orderBy(col("stage"))
+    Curated(kept, report)
+  }
+}

@@ -23,8 +23,10 @@ object CellLogs {
   val tombstoneOps: Option[Set[Int]] = Some(Set(Value, DelQualifiers, DelRow))
   val delGranularityOps: Option[Set[Int]] = Some(Set(Value, DelColumn, DelQualifier))
 
-  private def events(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.load(spark, sfDir, "events")
+  private def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.load(spark, sfDir, "events")
+    e.withColumn("ts_us", Tables.eventTsUs(e))
+  }
 
   /** events → VALUE cells: row=user, qualifier=event_type, payload=props.
     * seq = event_id (unique, arrival-ordered). */
@@ -33,7 +35,7 @@ object CellLogs {
       col("user_id").cast("string").as("row_key"),
       lit("ev").as("cf"),
       col("event_type").as("qualifier"),
-      Tables.eventTsUs.as("ts"),
+      col("ts_us").as("ts"),
       lit(Value).as("op"),
       encode(col("props"), "UTF-8").as("value"),
       col("event_id").as("seq"))
@@ -45,7 +47,7 @@ object CellLogs {
       col("user_id").cast("string").as("row_key"),
       lit("ev").as("cf"),
       col("event_type").as("qualifier"),
-      Tables.eventTsUs.as("ts"),
+      col("ts_us").as("ts"),
       lit(Add).as("op"),
       be64_encode(floor(col("value") * 100).cast("long")).as("value"),
       col("event_id").as("seq"))
@@ -58,7 +60,7 @@ object CellLogs {
       col("user_id").cast("string").as("row_key"),
       lit("ev").as("cf"),
       col("event_type").as("qualifier"),
-      Tables.eventTsUs.as("ts"),
+      col("ts_us").as("ts"),
       lit(AddInt64).as("op"),
       le64_encode(floor(col("value") * 100).cast("long")).as("value"),
       col("event_id").as("seq"))
@@ -228,7 +230,7 @@ object CellLogs {
       col("user_id").cast("string").as("row_key"),
       lit("ev").as("cf"),
       col("event_type").as("qualifier"),
-      Tables.eventTsUs.as("ts"),
+      col("ts_us").as("ts"),
       lit(Value).as("op"),
       f64_encode(col("value")).as("value"),
       col("event_id").as("seq"))
@@ -242,7 +244,7 @@ object CellLogs {
       col("user_id").cast("string").as("row_key"),
       lit("ev").as("cf"),
       col("event_type").as("qualifier"),
-      Tables.eventTsUs.as("ts"),
+      col("ts_us").as("ts"),
       lit(Value).as("op"),
       le64_encode(floor(col("value") * 100).cast("long")
         .bitwiseOR(Long.MinValue)).as("value"),

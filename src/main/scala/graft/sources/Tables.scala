@@ -10,18 +10,36 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    // default; read it as a nanosecond long — exact, and trivially
-    // truncated to the µs precision DuckDB also reads at. Set once per
+    // events.ts has shipped both as parquet TIMESTAMP(NANOS) and as
+    // TIMESTAMP(MICROS) across generator versions; keep the legacy
+    // nanos-as-long mapping on so the ns form (which Spark 4 otherwise
+    // refuses) arrives as an exact nanosecond long. [[eventTsUs]]
+    // dispatches on whichever type actually arrives. Set once per
     // session, not per call (conf writes invalidate cached plans).
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** events.ts (ns long) truncated to microseconds — the engine's cell
-    * timestamp unit, matching DuckDB's µs TIMESTAMP truncation. */
-  def eventTsUs: Column = expr("ts div 1000")
+  /** events.ts as epoch microseconds (the engine's cell timestamp unit,
+    * matching DuckDB's µs TIMESTAMP precision), whatever physical form
+    * the generator wrote: a nanosecond long truncates; a timestamp
+    * converts via unix_micros; a TIMESTAMP_NTZ (what Spark 4 infers
+    * for parquet µs timestamps without the UTC-adjusted flag) converts
+    * through a session-TZ cast — every engine session pins
+    * spark.sql.session.timeZone=UTC, so the naive wall time maps to
+    * the same instant DuckDB reads.
+    */
+  def eventTsUs(df: DataFrame): Column = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => expr("ts div 1000")
+      case TimestampType => unix_micros(col("ts"))
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported events.ts type $other")
+    }
+  }
 
   /** µs long → TimestampType, for event-time windowing. */
   def tsUsToTimestamp(c: Column): Column = timestamp_micros(c)

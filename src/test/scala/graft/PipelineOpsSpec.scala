@@ -1147,4 +1147,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Dedup.sharedPassagePairs(many, passageLen = 20,
       maxDocsPerGram = 10).count() == 0)
   }
+
+  test("curation pipeline: report accounts for every doc; kept == composed standalone ops") {
+    val bench = docs.where(col("doc_id") % 50 === 0)
+    val out = Curation.run(docs, nearDupThreshold = Some(0.8),
+      benchmark = Some(bench))
+    val report = out.report.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // every input doc is attributed to exactly one stage
+    assert(report.values.sum == docs.count())
+    assert(report.keySet.subsetOf(Curation.Stages.toSet))
+    assert(report("kept") == out.kept.count())
+    // first-failing-stage attribution composes: the kept set equals
+    // running the standalone operators in sequence
+    val alive = TextAnalysis.curate(docs) // gates + exact dedup
+      .join(docs, Seq("doc_id"))
+    val pairs = Dedup.minhashNearDuplicates(alive, threshold = 0.8)
+    val canon = Dedup.duplicateGroups(alive, pairs)
+      .groupBy(col("group_id")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id").join(alive, Seq("doc_id"))
+    val expected = TextAnalysis.decontaminate(canon, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = out.kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+  }
+
+  test("curation pipeline: optional stages off -> only gate/exact attribution") {
+    val out = Curation.run(docs)
+    val stages = out.report.collect().map(_.getString(0)).toSet
+    assert(!stages.contains("near_dup") && !stages.contains("contaminated"))
+    val curate = TextAnalysis.curate(docs).collect().map(_.getLong(0)).toSet
+    assert(out.kept.select("doc_id").collect().map(_.getLong(0)).toSet == curate)
+  }
 }
