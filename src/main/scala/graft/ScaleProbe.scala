@@ -336,6 +336,40 @@ object ScaleProbe {
         found
       }
     }
+    // z-order clustering at N rows: one quantile pass + one range
+    // exchange; the oracle is the skipping property itself — mean
+    // per-file [min,max] span must be sub-domain on BOTH clustered
+    // columns (a single-column sort leaves the second dimension at
+    // ~1.0), and the clustered copy holds every row.
+    locally {
+      val zDir = java.nio.file.Files
+        .createTempDirectory("graft-probe-zorder").toString
+      val files = 64
+      val rows = spark.range(0, n, 1,
+          spark.sparkContext.defaultParallelism * 4)
+        .select(col("id"),
+          pmod(xxhash64(col("id"), lit(1)), lit(1000000)).as("a"),
+          pmod(xxhash64(col("id"), lit(2)), lit(1000000)).as("b"))
+      timed("zorder_write") {
+        graft.operators.ZOrder.writeClustered(rows, zDir, Seq("a", "b"),
+          numFiles = files, bits = 8)
+        val back = spark.read.parquet(zDir)
+        val spans = back
+          .groupBy(input_file_name())
+          .agg(min("a").as("la"), max("a").as("ha"),
+            min("b").as("lb"), max("b").as("hb"),
+            count(lit(1)).as("cnt"))
+          .agg(avg(col("ha") - col("la")).as("sa"),
+            avg(col("hb") - col("lb")).as("sb"),
+            sum(col("cnt")).as("total")).head
+        val (sa, sb) = (spans.getDouble(0) / 1e6, spans.getDouble(1) / 1e6)
+        require(spans.getLong(2) == n,
+          s"clustered copy holds ${spans.getLong(2)} of $n rows")
+        require(sa < 0.5 && sb < 0.5,
+          f"per-file spans not sub-domain on both dims: a=$sa%.3f b=$sb%.3f")
+        n
+      }
+    }
     spark.stop()
   }
 }

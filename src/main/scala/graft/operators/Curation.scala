@@ -27,23 +27,46 @@ object Curation {
     * `(stage, docs)`, stages in pipeline order with `kept` last. */
   final case class Curated(kept: DataFrame, report: DataFrame)
 
-  /** Pipeline stage labels, in evaluation order. */
+  /** Built-in pipeline stage labels, in evaluation order (user gates
+    * from `extraGates` slot in after `lang` under their own names). */
   val Stages: Seq[String] =
     Seq("short", "punct", "lang", "exact_dup", "near_dup", "contaminated", "kept")
 
+  /** @param extraGates additional named KEEP predicates (per-row
+    *   expressions over the document columns — a quality-score bound, a
+    *   PII gate, a repetition cap), evaluated in order after the
+    *   built-in gates and attributed under their own stage names; they
+    *   ride the same scan, so extra gates cost no extra pass. */
   def run(docs: DataFrame, lang: String = "en", minTokens: Int = 5,
       maxPunctRatio: Double = 0.2,
       nearDupThreshold: Option[Double] = None,
-      benchmark: Option[DataFrame] = None): Curated = {
+      benchmark: Option[DataFrame] = None,
+      extraGates: Seq[(String, org.apache.spark.sql.Column)] = Nil): Curated = {
     val t = TextAnalysis
+    val reserved = Stages.toSet
+    extraGates.foreach { case (name, _) =>
+      require(!reserved.contains(name), s"gate name '$name' is reserved")
+    }
+    val builtIn =
+      when(size(col("_toks")) < minTokens, "short")
+        .when(t.punctRatio(col("text")) > maxPunctRatio, "punct")
+        .when(t.langIdOf(col("_toks")) =!= lang, "lang")
+    // a NULL keep-verdict drops, mirroring what .where(keep) would do
+    val gated = extraGates.foldLeft(builtIn) { case (acc, (name, keep)) =>
+      acc.when(!coalesce(keep, lit(false)), name)
+    }
+    // the gated frame feeds several consumers (keeper agg, the label
+    // join chain, the alive projections of the optional stages, the
+    // final report) — materialize it once so the tokenize/langid/md5
+    // gate expressions don't re-run per consumer (measured at sf0.1,
+    // best-of-3: 3.74 s recompute -> 2.85 s materialized for the full
+    // exact-stage report)
     val base = graft.sources.Tables.widen(docs)
       .withColumn("_toks", t.tokens(col("text")))
-      .withColumn("_drop",
-        when(size(col("_toks")) < minTokens, "short")
-          .when(t.punctRatio(col("text")) > maxPunctRatio, "punct")
-          .when(t.langIdOf(col("_toks")) =!= lang, "lang"))
+      .withColumn("_drop", gated)
       .withColumn("_fp", t.fingerprint(col("text")))
       .drop("_toks")
+      .localCheckpoint()
 
     // exact dedup among gate survivors: keep the lowest doc_id per
     // fingerprint (one hash agg; the keeper set joins back by AQE's

@@ -1179,4 +1179,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     val curate = TextAnalysis.curate(docs).collect().map(_.getLong(0)).toSet
     assert(out.kept.select("doc_id").collect().map(_.getLong(0)).toSet == curate)
   }
+
+  test("curation pipeline: extra gates attribute under their own names, in order") {
+    val out = Curation.run(docs, extraGates = Seq(
+      "too_long" -> (col("n_chars") <= 400),
+      "odd_id" -> (col("doc_id") % 2 === 0)))
+    val report = out.report.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(report.values.sum == docs.count())
+    // first-failing attribution: a long doc with an odd id counts as
+    // too_long (gate order), never odd_id
+    val expectLong = TextAnalysis.curate(docs).join(docs, Seq("doc_id"))
+      .where(col("n_chars") > 400).count()
+    assert(report.get("too_long").isDefined || expectLong == 0)
+    val kept = out.kept.select("doc_id", "n_chars").collect()
+    assert(kept.forall(r => r.getLong(1) <= 400 && r.getLong(0) % 2 == 0))
+    // reserved names refuse
+    intercept[IllegalArgumentException] {
+      Curation.run(docs, extraGates = Seq("kept" -> lit(true)))
+    }
+  }
 }

@@ -456,4 +456,29 @@ class PlanSpec extends AnyFunSuite {
       assert(!plan.contains("Window"), plan)
     }
   }
+
+  test("z-ordered read pushes both box predicates into one pruned scan") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val dir = Files.createTempDirectory("plan-zorder").toString
+    graft.operators.ZOrder.writeClustered(li, dir,
+      Seq("l_partkey", "l_suppkey"), numFiles = 4, bits = 6)
+    val q = spark.read.parquet(dir)
+      .where(col("l_partkey").between(100, 400) &&
+        col("l_suppkey").between(10, 60))
+      .select(col("l_partkey"), col("l_suppkey"))
+    // both dimensions must reach the parquet reader as literal bounds
+    // (that is what evaluates against the tight per-file/row-group
+    // min/max boxes the z-order write lays down), on a scan pruned to
+    // exactly the projected columns. Read the scan's metadata directly:
+    // the rendered plan string truncates the PushedFilters list.
+    val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec leaf"))
+    val pushed = scan.metadata("PushedFilters")
+    for (f <- Seq("GreaterThanOrEqual(l_partkey,100)", "LessThanOrEqual(l_partkey,400)",
+        "GreaterThanOrEqual(l_suppkey,10)", "LessThanOrEqual(l_suppkey,60)"))
+      assert(pushed.contains(f), pushed)
+    assert(scan.metadata("ReadSchema")
+      .contains("struct<l_partkey:bigint,l_suppkey:bigint>"), scan.metadata)
+  }
 }
