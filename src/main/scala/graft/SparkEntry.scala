@@ -1271,6 +1271,15 @@ object SparkEntry {
       Dedup.dropRepeatedChunks(t(s, dir, "documents"), n = 16)
         .orderBy(col("doc_id"))
     }),
+    "q_x_dedup_spans" -> ((s, dir) => {
+      // exact duplicated-SPAN removal (Lee et al. exact-substring):
+      // any 15-token run occurring twice in the corpus is cut from all
+      // but its globally-first occurrence — alignment-free, unlike the
+      // chunked twin above. Oracle replicates gram-by-gram with string
+      // grams (hash-join ≡ string-join at this collision stance).
+      Dedup.removeDuplicateSpans(t(s, dir, "documents"), minLen = 15)
+        .orderBy(col("doc_id"))
+    }),
     "q_x_text_boilerplate" -> ((s, dir) => {
       // per-source boilerplate stripping: an 8-token chunk in >= 2
       // distinct docs of one source is removed from all of them
@@ -1391,17 +1400,20 @@ object SparkEntry {
         .orderBy(col("l_partkey"))
     }),
     "q_x_dedup_cosine" -> ((s, dir) => {
-      // exact all-pairs — verification-grade baseline for the LSH twin
-      Dedup.embeddingNearDuplicates(t(s, dir, "embeddings"), threshold = 0.5)
+      // exact all-pairs — verification-grade baseline for the LSH twin.
+      // threshold 0.4: the regenerated embeddings hold 59 pairs there
+      // (one at the old 0.5 — a 1-row gate checks almost nothing)
+      Dedup.embeddingNearDuplicates(t(s, dir, "embeddings"), threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))
     }),
     "q_x_dedup_cosine_lsh" -> ((s, dir) => {
       // the shipped scale path: hyperplane-bucket candidates + exact
-      // cosine verify; (2 planes, 16 tables) gives recall ≈ 1-8e-5 at
-      // this corpus's low 0.5 threshold, so it hash-matches the same
-      // all-pairs oracle as q_x_dedup_cosine
+      // cosine verify; (2 planes, 16 tables) keeps per-pair miss odds
+      // ~3e-4 even at this low 0.4 threshold, and the seeded planes
+      // make recall a deterministic fact — verified to hash-match the
+      // same all-pairs oracle as q_x_dedup_cosine
       Dedup.embeddingNearDuplicatesLsh(t(s, dir, "embeddings"),
-          threshold = 0.5, dim = 64, planes = 2, tables = 16)
+          threshold = 0.4, dim = 64, planes = 2, tables = 16)
         .orderBy(col("id_a"), col("id_b"))
     }),
     "q_x_corpus_report" -> ((s, dir) => {
@@ -2411,6 +2423,24 @@ object SparkEntry {
         |SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS text
         |FROM kept WHERE rn = 1
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_x_dedup_spans" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |base AS (SELECT doc_id, i - 1 AS p, toks[i] AS tok
+        |         FROM tok, unnest(range(1, len(toks) + 1)) t(i)),
+        |grams AS (SELECT doc_id, i - 1 AS p,
+        |            array_to_string(toks[i:i+14], ' ') AS g
+        |          FROM tok, unnest(range(1, len(toks) - 13)) t(i)
+        |          WHERE len(toks) >= 15),
+        |dupw AS (SELECT g, min(doc_id * 4294967296 + p) AS w
+        |         FROM grams GROUP BY g HAVING count(*) > 1),
+        |covered AS (SELECT DISTINCT gr.doc_id, gr.p + off AS p
+        |            FROM grams gr JOIN dupw USING (g),
+        |                 unnest(range(0, 15)) t(off)
+        |            WHERE gr.doc_id * 4294967296 + gr.p <> dupw.w),
+        |kept AS (SELECT b.doc_id, b.p, b.tok FROM base b
+        |         ANTI JOIN covered c ON b.doc_id = c.doc_id AND b.p = c.p)
+        |SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_x_text_boilerplate" ->
       """WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
         |ch AS (
@@ -2493,7 +2523,7 @@ object SparkEntry {
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm) >= 0.5
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm) >= 0.4
         |ORDER BY 1, 2""".stripMargin,
     "q_x_dedup_cosine_lsh" ->
       """WITH n AS (
@@ -2504,7 +2534,7 @@ object SparkEntry {
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm) >= 0.5
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm) >= 0.4
         |ORDER BY 1, 2""".stripMargin,
     "q_x_dedup_semantic_incremental" ->
       """WITH n AS (

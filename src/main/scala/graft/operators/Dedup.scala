@@ -353,6 +353,66 @@ object Dedup {
         array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
         x => x("chunk_text"))).as("text"))
 
+  /** EXACT duplicated-SPAN removal — the exact-substring pass of Lee et
+    * al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499; there built on a suffix array, here the
+    * equivalent token-gram formulation): any run of `minLen`
+    * consecutive tokens occurring more than once in the corpus is cut
+    * from every occurrence EXCEPT the globally first one (lowest
+    * (doc_id, position)). Differs from [[dropRepeatedChunks]] exactly
+    * where spans differ from aligned chunks: a duplicated run is caught
+    * at ANY alignment, runs longer than `minLen` are covered in full by
+    * their overlapping grams, and only the duplicated tokens are cut —
+    * never the chunk around them.
+    *
+    * Scale shape: every token position emits ONE 8-byte gram hash
+    * (xxhash64 over the length-`minLen` token slice — the usual hashed-
+    * gram collision stance); duplicated-gram detection and the
+    * first-occurrence winner are one hash aggregate (count +
+    * min(doc<<32|pos), map-side combinable — no rank window over a
+    * ubiquitous gram); only NON-winner occurrences of duplicated grams
+    * explode their `minLen` covered positions, so that blow-up is
+    * bounded by the corpus's duplicated fraction × minLen, not by
+    * corpus size; removal is an anti-join of token rows against covered
+    * positions and a per-document-bounded reassembly. No windows;
+    * overlapping duplicated runs merge through the position-set union.
+    *
+    * Documents shorter than `minLen` tokens pass through untouched; a
+    * document whose every token is covered vanishes (the
+    * [[dropRepeatedChunks]] contract).
+    */
+  def removeDuplicateSpans(docs: DataFrame, minLen: Int = 20): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val toks = tokens(col("text"))
+    val base = graft.sources.Tables.widen(docs)
+      .select(col("doc_id"), posexplode(toks))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
+    // one hash per start position, 0-based (slice() is 1-based)
+    val grams = graft.sources.Tables.widen(docs)
+      .where(size(toks) >= minLen)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), size(toks) - (minLen - 1)),
+        st => xxhash64(slice(toks, st, lit(minLen))))))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "g")
+    // (doc_id, p) packs into one long so the winner is a single min()
+    // aggregate; doc ids stay < 2^31 in every driver table
+    val packed = col("doc_id") * lit(1L << 32) + col("p")
+    val dupWinners = grams.groupBy("g")
+      .agg(count(lit(1)).as("_n"), min(packed).as("_w"))
+      .where(col("_n") > 1)
+      .select(col("g"), col("_w"))
+    val covered = grams.join(dupWinners, "g")
+      .where(packed =!= col("_w"))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (minLen - 1))).as("p"))
+      .distinct()
+    base.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("p"), col("tok")))),
+        x => x("tok"))).as("text"))
+  }
+
   /** Exact n-gram Jaccard between consecutive doc ids (a bounded,
     * oracle-checkable instance of pairwise similarity). */
   def consecutivePairJaccard(docs: DataFrame, shingleLen: Int = 3): DataFrame = {

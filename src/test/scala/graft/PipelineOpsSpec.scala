@@ -1180,6 +1180,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.kept.select("doc_id").collect().map(_.getLong(0)).toSet == curate)
   }
 
+  test("duplicate-span removal: alignment-free cut, first occurrence survives") {
+    import spark.implicits._
+    val span = (1 to 20).map(i => s"s$i").mkString(" ")
+    val fifteen = (1 to 15).map(i => s"f$i").mkString(" ")
+    val d = Seq(
+      (1L, "aa bb " + span + " cc"),
+      (2L, "zz " + span + " yy xx"), // same 20-run, different alignment
+      (3L, "uu vv ww " + (1 to 14).map(i => s"t$i").mkString(" ")),
+      (4L, fifteen),
+      (5L, fifteen)).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(d, minLen = 15).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // globally-first occurrence (doc 1) keeps the run intact
+    assert(out(1L) == "aa bb " + span + " cc")
+    // the other occurrence loses exactly the duplicated tokens — the
+    // overlapping 15-grams union to the full 20-token run, the
+    // surroundings survive
+    assert(out(2L) == "zz yy xx")
+    // a unique doc (and one shorter than minLen) is untouched
+    assert(out(3L) == "uu vv ww " + (1 to 14).map(i => s"t$i").mkString(" "))
+    // exact-duplicate docs: winner intact, loser fully covered -> gone
+    assert(out(4L) == fifteen)
+    assert(!out.contains(5L))
+  }
+
   test("curation pipeline: extra gates attribute under their own names, in order") {
     val out = Curation.run(docs, extraGates = Seq(
       "too_long" -> (col("n_chars") <= 400),

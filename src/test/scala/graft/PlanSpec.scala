@@ -450,7 +450,8 @@ class PlanSpec extends AnyFunSuite {
   test("chunk dedup and boilerplate: equi-joins only, no windows") {
     val docs = Tables.load(spark, sfDir, "documents")
     for (df <- Seq(graft.operators.Dedup.dropRepeatedChunks(docs, 16),
-        graft.operators.Dedup.stripBoilerplate(docs, 8, 2))) {
+        graft.operators.Dedup.stripBoilerplate(docs, 8, 2),
+        graft.operators.Dedup.removeDuplicateSpans(docs, 15))) {
       val plan = planOf(df)
       assert(!plan.contains("CartesianProduct"), plan)
       assert(!plan.contains("Window"), plan)
