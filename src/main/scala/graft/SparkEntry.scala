@@ -2,7 +2,8 @@ package graft
 
 import graft.functions.cellfunctions._
 import graft.model.{CfSpec, TableDesc}
-import graft.operators.{AsOfJoin, BatchTxn, Dedup, KvStore, Multimodal, ZOrder,
+import graft.operators.{AsOfJoin, BatchTxn, Dedup, KvStore, Multimodal,
+  QualityModel, ZOrder,
   PercolatorRead, Resolve, Sampling, ScanFilter, ScanQuery, Similarity,
   TextAnalysis, TypedValue}
 import graft.sources.{CellLogs, Tables}
@@ -66,6 +67,8 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private val zorderFixtureDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  private val qualityModels = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.ml.classification.LogisticRegressionModel]
 
   /** The orders-table cell mapping shared by BOTH relational round-trip
     * rows — one definition so the two rows cannot silently diverge. */
@@ -1104,6 +1107,26 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       TextAnalysis.decontaminate(docs, docs.where(col("doc_id") % 50 === 0))
         .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_x_quality_classifier" -> ((s, dir) => {
+      // data-driven quality filter (the GPT-3/CCNet reference-corpus
+      // classifier): hashed bag-of-tokens logistic regression. The
+      // label proxy is the langid gate's own verdict — the synthetic
+      // corpus draws every language from ONE shared vocabulary, so the
+      // stored lang tag is near-unlearnable from text, while the
+      // gate verdict is a deterministic function of the tokens (the
+      // distill-a-heuristic shape); every doc then scores against the
+      // broadcast weight vector — per-row math, no shuffle. Learned
+      // weights have no SQL oracle (rows-only, like the other
+      // model-based rows); separability, save/load identity, and the
+      // Curation.extraGates hookup are spec-proven (PipelineOpsSpec)
+      val d = t(s, dir, "documents")
+      val isEn = TextAnalysis.langId(col("text")) === "en"
+      val model = qualityModels.getOrElseUpdate(dir, QualityModel.train(
+        d.where(isEn), d.where(!isEn), numFeatures = 1 << 16, maxIter = 60))
+      QualityModel.score(d, model)
+        .select(col("doc_id"), col("quality_pred"))
         .orderBy(col("doc_id"))
     }),
     "q_x_curation_report" -> ((s, dir) => {

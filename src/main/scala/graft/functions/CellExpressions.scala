@@ -588,8 +588,9 @@ case class KeySuccessor(child: Expression) extends CodecExpression {
   * and Iceberg document for OPTIMIZE ZORDER). */
 object ZOrderOps {
   /** Rank of v among sorted bounds = #bounds <= v, via binary search.
-    * Total: NaN ranks above every bound (IEEE compare), so poison
-    * values cluster at the curve's end instead of failing the write. */
+    * Total: every IEEE compare against NaN is false, so NaN ranks 0
+    * and poison values cluster at the curve's start (with NULLs)
+    * instead of failing the write. */
   def rank(v: Double, bounds: Array[Double]): Int = {
     var lo = 0; var hi = bounds.length
     while (lo < hi) {

@@ -1205,6 +1205,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!out.contains(5L))
   }
 
+  test("quality classifier separates reference-like from junk; survives save/load") {
+    import spark.implicits._
+    val pos = (1 to 40).map(i =>
+      (i.toLong, s"the quick fox $i and the lazy dog is of a kind $i"))
+      .toDF("doc_id", "text")
+    val neg = (1 to 40).map(i =>
+      (100L + i, s"zxq$i qqq zzz$i xxy yyx$i vvv www$i qpz"))
+      .toDF("doc_id", "text")
+    val m = QualityModel.train(pos, neg, numFeatures = 1 << 12, maxIter = 50)
+    val held = Seq(
+      (900L, "the dog and the fox is of a kind"),
+      (901L, "zzz qqq xxy qpz www vvv")).toDF("doc_id", "text")
+    val scored = QualityModel.score(held, m).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score"))
+      .toMap
+    assert(scored(900L) > 0.5 && scored(901L) < 0.5, scored.toString)
+    // persisted model scores identically after reopen
+    val dir = java.nio.file.Files.createTempDirectory("graft-qm").toString
+    QualityModel.save(m, dir)
+    val re = QualityModel.score(held, QualityModel.load(spark, dir)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score"))
+      .toMap
+    assert(re == scored)
+    // the score column gates straight into the curation pipeline
+    val gated = Curation.run(
+      QualityModel.score(held, m).where(col("quality_score").isNotNull),
+      lang = "en", minTokens = 3,
+      extraGates = Seq("low_quality" -> (col("quality_score") > 0.5)))
+    assert(gated.report.collect().map(_.getString(0)).nonEmpty)
+  }
+
   test("curation pipeline: extra gates attribute under their own names, in order") {
     val out = Curation.run(docs, extraGates = Seq(
       "too_long" -> (col("n_chars") <= 400),
