@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   /** Kept documents (original schema) + per-stage attrition report
-    * `(stage, docs)`, stages in pipeline order with `kept` last. */
+    * `(stage, docs)` in alphabetical stage order (deterministic;
+    * stages that dropped nothing emit no row). */
   final case class Curated(kept: DataFrame, report: DataFrame)
 
   /** Built-in pipeline stage labels, in evaluation order (user gates

@@ -489,6 +489,41 @@ object Observers {
     * aggregate, meaningless on an unbounded stream — first-arrival-wins
     * is the streaming analogue.)
     */
+  /** Streaming attrition counts — the continuous twin of the batch
+    * [[graft.operators.Curation]] report: every arriving document is
+    * labeled with the FIRST gate that drops it (the same stateless
+    * per-row expressions batch `Curation.run` evaluates: length, punct,
+    * language, then caller `extraGates` under their own names), and the
+    * per-window per-stage counts aggregate under the watermark — the
+    * live data-card a continuous ingest dashboards. Gate labeling adds
+    * NO state; the windowed count is the one stateful operator, bounded
+    * by the watermark. (The batch report's exact-dedup/decontamination
+    * stages are corpus-global aggregates — on a stream their analogues
+    * are [[streamingDedup]] and [[streamingNearDupMatches]] downstream
+    * of this gate, so those labels intentionally do not appear here.)
+    */
+  def streamingCurationAttrition(docs: DataFrame, lang: String = "en",
+      minTokens: Int = 5, maxPunctRatio: Double = 0.2,
+      window: String = "1 hour", watermark: String = "10 minutes",
+      extraGates: Seq[(String, org.apache.spark.sql.Column)] = Nil): DataFrame = {
+    import graft.operators.TextAnalysis
+    val toks = TextAnalysis.tokens(col("text"))
+    val builtIn =
+      when(size(toks) < minTokens, "short")
+        .when(TextAnalysis.punctRatio(col("text")) > maxPunctRatio, "punct")
+        .when(TextAnalysis.langId(col("text")) =!= lang, "lang")
+    val gated = extraGates.foldLeft(builtIn) { case (acc, (name, keep)) =>
+      acc.when(!coalesce(keep, lit(false)), name)
+    }
+    docs.withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", watermark)
+      .withColumn("stage", coalesce(gated, lit("kept")))
+      .groupBy(org.apache.spark.sql.functions.window(col("event_time"), window),
+        col("stage"))
+      .agg(count(lit(1)).as("docs"))
+      .select(col("window.start").as("window_start"), col("stage"), col("docs"))
+  }
+
   def streamingCurate(docs: DataFrame, lang: String = "en",
       minTokens: Int = 5, maxPunctRatio: Double = 0.2,
       watermark: String = "10 minutes"): DataFrame = {

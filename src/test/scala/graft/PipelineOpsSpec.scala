@@ -1205,6 +1205,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!out.contains(5L))
   }
 
+  test("eventTsUs dispatches on whichever ts type the generator shipped") {
+    import graft.sources.Tables
+    import spark.implicits._
+    val us = 1700000000123456L
+    // nanosecond long (legacy nanos-as-long read) truncates
+    val ns = Seq((1L, us * 1000 + 789)).toDF("id", "ts")
+    assert(ns.select(Tables.eventTsUs(ns)).head.getLong(0) == us)
+    // TIMESTAMP converts exactly
+    val tsT = ns.select(col("id"), timestamp_micros(expr("ts div 1000")).as("ts"))
+    assert(tsT.select(Tables.eventTsUs(tsT)).head.getLong(0) == us)
+    // TIMESTAMP_NTZ (what tz-naive parquet micros arrive as) maps
+    // through the UTC session zone to the same instant
+    val ntz = tsT.select(col("id"), col("ts").cast("timestamp_ntz").as("ts"))
+    assert(ntz.select(Tables.eventTsUs(ntz)).head.getLong(0) == us)
+    intercept[IllegalArgumentException] {
+      val bad = ns.select(col("id"), col("ts").cast("string").as("ts"))
+      Tables.eventTsUs(bad)
+    }
+  }
+
   test("quality classifier separates reference-like from junk; survives save/load") {
     import spark.implicits._
     val pos = (1 to 40).map(i =>

@@ -553,6 +553,37 @@ class StreamingSpec extends AnyFunSuite {
       (out - 5L).subsetOf(Set(1L, 4L)), out.toString)
   }
 
+  test("streaming attrition counts mirror the batch gate labels") {
+    import spark.implicits._
+    val dir = tmp("attrition-stream")
+    val docs = Seq(
+      (1L, "the house of the rising sun and more words here", 1000L), // kept
+      (2L, "el la de que y el la de que y", 2000L),                   // lang
+      (3L, "short", 3000L),                                           // short
+      (4L, "the house with a very big id of the and is words", 4000L),// odd_id gate
+      (5L, "a completely different english text with the a of and is", 5000L)
+    ).toDF("doc_id", "text", "ts")
+    // one file -> one micro-batch, so update mode emits each
+    // (window, stage) count exactly once (the hour window never closes
+    // at these 1970-epoch test timestamps, so append would emit nothing)
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = Observers.streamingCurationAttrition(
+        spark.readStream.schema(docs.schema).parquet(dir),
+        extraGates = Seq("odd_id" -> (col("doc_id") % 2 === 1)))
+      .writeStream.format("memory").queryName("attrition")
+      .outputMode("update")
+      .option("checkpointLocation", tmp("attrition-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val counts = spark.sql("SELECT stage, max(docs) FROM attrition GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // doc 4 passes the built-ins but has an even id -> the caller gate
+    // label; docs 1 and 5 are odd-id and pass everything
+    assert(counts == Map("kept" -> 2L, "lang" -> 1L, "short" -> 1L,
+      "odd_id" -> 1L), counts.toString)
+  }
+
   test("compaction preserves resolved state and drops folded history") {
     import spark.implicits._
     val logDir = tmp("celllog-compact")
