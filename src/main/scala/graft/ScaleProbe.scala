@@ -335,6 +335,31 @@ object ScaleProbe {
             "(< 99% recall floor)")
         found
       }
+      // the product-quantized form at the same shape: codes are 8
+      // bytes/vector here (8x under float32), scoring is LUT lookups —
+      // the planted twin (cosine ~0.99997 vs <0.5 for random
+      // neighbors) must survive the quantization gap as the ADC top-1
+      val pqDir = java.nio.file.Files
+        .createTempDirectory("graft-probe-pqix").toString
+      timed("pq_index_build") {
+        Similarity.writePqIndex(emb, pqDir, dim = 64, m = 8, ksub = 256,
+          nlist = 256, iters = 2)
+        spark.read.parquet(pqDir).count()
+      }
+      timed("pq_twin_match") {
+        val start = m + b
+        val top = Similarity.pqTopKOverIndex(
+          batch.where(pmod(col("vec_id") - start, lit(10)) === 1),
+          pqDir, k = 1, nprobe = 8)
+        val hits = top.where(col("rank") === 1 &&
+          col("vec_id") ===
+            floor((col("qid") - start - 1) / 10).cast("long") * 100 + 50)
+          .count()
+        require(hits >= 0.9 * plantedBetween(b),
+          s"PQ top-1 found $hits of ${plantedBetween(b)} planted twins " +
+            "(< 90% floor)")
+        hits
+      }
     }
     // z-order clustering at N rows: one quantile pass + one range
     // exchange; the oracle is the skipping property itself — mean
