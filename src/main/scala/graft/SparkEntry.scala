@@ -5,7 +5,7 @@ import graft.model.{CfSpec, TableDesc}
 import graft.operators.{AsOfJoin, BatchTxn, Dedup, KvStore, Multimodal,
   QualityModel, ZOrder,
   PercolatorRead, Resolve, Sampling, ScanFilter, ScanQuery, Similarity,
-  TextAnalysis, TypedValue}
+  TextAnalysis, TextIndex, TypedValue}
 import graft.sources.{CellLogs, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -52,6 +52,11 @@ object SparkEntry {
   /** Per-process append-grown minhash index fixture
     * (see q_x_dedup_index_append). */
   private val minhashIdxFixtureDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Per-process append-grown inverted text index fixture
+    * (see q_x_text_index_match, q_x_text_bm25). */
+  private val textIdxFixtureDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Per-process append-grown IVF index fixtures: full-corpus (ANN,
@@ -1155,6 +1160,21 @@ object SparkEntry {
       graft.operators.Curation.run(corpus, minTokens = 16,
         benchmark = Some(corpus.where(col("doc_id") % 50 === 0))).report
     }),
+    "q_x_snapshot_diff" -> ((s, dir) => {
+      // snapshot delta recovery (Curation.snapshotDiff): two simulated
+      // crawls of the same corpus — old drops every 7th id, new drops
+      // every 5th and rewrites every 11th (upper-cased text) — full-
+      // outer joined on id via content fingerprints, every id labeled
+      // added/removed/changed/unchanged. The md5 reduces each side to
+      // two narrow columns in the scan; one exchange per side.
+      val d = t(s, dir, "documents")
+      val oldSnap = d.where(col("doc_id") % 7 =!= 0)
+      val newSnap = d.where(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          upper(col("text"))).otherwise(col("text")))
+      graft.operators.Curation.snapshotDiff(oldSnap, newSnap)
+        .orderBy(col("id"))
+    }),
     "q_x_sample_stratified" -> ((s, dir) => {
       // deterministic 1-in-7 systematic sample per source domain,
       // sub-stratified by doc_id % 64 so the rank window keeps full
@@ -1273,6 +1293,60 @@ object SparkEntry {
           docs.where(col("doc_id") % 5 === 0),
           docs.where(col("doc_id") % 5 =!= 0), idx, threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_x_text_index_match" -> ((s, dir) => {
+      // lexical retrieval statistics through a persisted inverted
+      // index GROWN BY APPEND (3/5 built + 2/5 appended — the append
+      // tokenizes only its batch): per (query, document), the exact
+      // integers BM25 folds — terms matched, tf sum, df sum, doc
+      // length. Queries are 4-token prefixes of every 1667th doc plus
+      // one literal probing the corpus's one rare term ('dup', df~5%).
+      // An append-grown index must be indistinguishable from a rebuilt
+      // one, so the oracle replays plain SQL over the full table.
+      val docs = t(s, dir, "documents")
+      val idx = textIdxFixtureDirs.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-text-idx").toString
+        TextIndex.writeTextIndex(docs.where(col("doc_id") % 5 < 3), d)
+        TextIndex.appendToTextIndex(docs.where(col("doc_id") % 5 >= 3), d)
+        d
+      })
+      val queries = docs.where(col("doc_id") % 1667 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(TextIndex.terms(col("text")), 1, 4)).as("text"))
+        .unionByName(s.range(1).select(lit(-1L).as("query_id"),
+          lit("dup merge sort").as("text")))
+      TextIndex.matchStats(queries, idx)
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("terms_matched"),
+          sum(col("tf")).as("sum_tf"),
+          sum(col("df")).as("sum_df"),
+          max(col("dl")).as("dl"))
+        .orderBy(col("query_id"), col("doc_id"))
+    }),
+    "q_x_text_bm25" -> ((s, dir) => {
+      // BM25 top-10 per query over the same append-grown index. The
+      // ln-based double score makes cross-engine bit-parity a non-goal
+      // (rows-only here); the ranking itself is differential-tested
+      // against an independent in-memory BM25 in PipelineOpsSpec, and
+      // every integer the score folds is hash-gated by
+      // q_x_text_index_match.
+      val docs = t(s, dir, "documents")
+      val idx = textIdxFixtureDirs.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-text-idx").toString
+        TextIndex.writeTextIndex(docs.where(col("doc_id") % 5 < 3), d)
+        TextIndex.appendToTextIndex(docs.where(col("doc_id") % 5 >= 3), d)
+        d
+      })
+      val queries = docs.where(col("doc_id") % 1667 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(TextIndex.terms(col("text")), 1, 4)).as("text"))
+        .unionByName(s.range(1).select(lit(-1L).as("query_id"),
+          lit("dup merge sort").as("text")))
+      TextIndex.bm25TopK(queries, idx, k = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+        .orderBy(col("query_id"), col("rank"))
     }),
     "q_x_dedup_keep_best" -> ((s, dir) => {
       // keep-best canonical selection: each transitive minhash dup
@@ -2215,6 +2289,50 @@ object SparkEntry {
         |SELECT COALESCE(drop2, 'kept') AS stage,
         |       CAST(count(*) AS BIGINT) AS docs
         |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_x_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id AS id, md5(text) AS old_fp
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |n AS (
+        |  SELECT doc_id AS id,
+        |    md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END)
+        |      AS new_fp
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT COALESCE(o.id, n.id) AS id,
+        |  CASE WHEN o.old_fp IS NULL THEN 'added'
+        |       WHEN n.new_fp IS NULL THEN 'removed'
+        |       WHEN o.old_fp = n.new_fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  o.old_fp, n.new_fp
+        |FROM o FULL OUTER JOIN n ON o.id = n.id
+        |ORDER BY 1""".stripMargin,
+    "q_x_text_index_match" ->
+      """WITH toks AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |          t -> t <> '')) AS term FROM documents)
+        |  GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM toks GROUP BY 1),
+        |q AS (
+        |  SELECT doc_id AS query_id,
+        |    array_to_string(list_slice(list_filter(string_split(lower(text), ' '),
+        |      t -> t <> ''), 1, 4), ' ') AS text
+        |  FROM documents WHERE doc_id % 1667 = 0
+        |  UNION ALL SELECT -1, 'dup merge sort'),
+        |qt AS (
+        |  SELECT DISTINCT query_id, unnest(list_filter(string_split(lower(text), ' '),
+        |    t -> t <> '')) AS term FROM q),
+        |df AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM toks
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY 1)
+        |SELECT qt.query_id, toks.doc_id,
+        |  CAST(count(*) AS BIGINT) AS terms_matched,
+        |  CAST(sum(toks.tf) AS BIGINT) AS sum_tf,
+        |  CAST(sum(df.df) AS BIGINT) AS sum_df,
+        |  CAST(max(dl.dl) AS BIGINT) AS dl
+        |FROM qt JOIN toks USING (term) JOIN df USING (term)
+        |  JOIN dl ON toks.doc_id = dl.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_x_corpus_report" ->
       """SELECT source,
         |  CAST(count(*) AS BIGINT) AS n_docs,

@@ -129,4 +129,43 @@ object Curation {
       .orderBy(col("stage"))
     Curated(kept, report)
   }
+
+  /** Diff two corpus snapshots by id + content fingerprint — the
+    * operator that turns "the crawl re-ran" into the minimal increment
+    * the rest of the engine consumes: `added`/`changed` rows are what
+    * [[Dedup.appendToMinhashIndex]] / [[Similarity.appendToIvfIndex]]
+    * re-signature, `removed` is what a stored index compacts away. The
+    * reference's analogue is the LSM delta itself (a new batch appends
+    * rather than rewriting, src/io/tablet_writer.cc:107-230); with
+    * immutable snapshot exports the delta must be *recovered* by
+    * comparison, and this is that comparison.
+    *
+    * Output: `(id, status, old_fp, new_fp)`, one row per id present in
+    * either snapshot; `status` ∈ added | removed | changed | unchanged,
+    * fingerprints are md5 hex of the 0x1F-joined `contentCols` (NULL on
+    * the absent side).
+    *
+    * Scale shape: each side reduces to (id, fp) IN THE SCAN — content
+    * columns never survive past the md5, so the join moves two narrow
+    * columns regardless of document width — and the full-outer join
+    * hash-partitions on the id. No windows, no driver state; at 100 TB
+    * this is one co-partitionable exchange per side. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String = "doc_id",
+      contentCols: Seq[String] = Seq("text")): DataFrame = {
+    require(contentCols.nonEmpty, "contentCols must name at least one column")
+    // 0x1F (ASCII unit separator) keeps multi-column fingerprints
+    // unambiguous: ("ab","c") and ("a","bc") concat differently
+    def fingered(df: DataFrame, fp: String) = df.select(
+      col(idCol).as("id"),
+      md5(encode(concat_ws("\u001f", contentCols.map(col): _*), "UTF-8")).as(fp))
+    fingered(oldSnap, "old_fp")
+      .join(fingered(newSnap, "new_fp"), Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") === col("new_fp"), "unchanged")
+          .otherwise("changed"))
+      .select(col("id"), col("status"), col("old_fp"), col("new_fp"))
+  }
 }

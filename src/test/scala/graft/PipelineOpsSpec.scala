@@ -1275,4 +1275,112 @@ class PipelineOpsSpec extends AnyFunSuite {
       Curation.run(docs, extraGates = Seq("kept" -> lit(true)))
     }
   }
+
+  test("text index: matchStats is exact on a hand-computed corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ti").toString
+    val corpus = Seq(
+      (1L, "red fox red fox red"),   // tf(red)=3 tf(fox)=2 dl=5
+      (2L, "red dog"),               // tf(red)=1 tf(dog)=1 dl=2
+      (3L, "blue dog blue")          // tf(blue)=2 tf(dog)=1 dl=3
+    ).toDF("doc_id", "text")
+    TextIndex.writeTextIndex(corpus, dir)
+    val q = Seq((10L, "red blue")).toDF("query_id", "text")
+    val out = TextIndex.matchStats(q, dir)
+      .collect().map(r => (r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out == Map(
+      ("red", 1L) -> ((3L, 2L, 5L)),
+      ("red", 2L) -> ((1L, 2L, 2L)),
+      ("blue", 3L) -> ((2L, 1L, 3L))))
+  }
+
+  test("text index: append-grown index is indistinguishable from a rebuild") {
+    val a = java.nio.file.Files.createTempDirectory("graft-ti-a").toString
+    val b = java.nio.file.Files.createTempDirectory("graft-ti-b").toString
+    TextIndex.writeTextIndex(docs, a)
+    TextIndex.writeTextIndex(docs.where(col("doc_id") % 2 === 0), b)
+    TextIndex.appendToTextIndex(docs.where(col("doc_id") % 2 =!= 0), b)
+    val q = docs.where(col("doc_id") % 17 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TextIndex.terms(col("text")), 1, 5)).as("text"))
+    def snap(dir: String) = TextIndex.matchStats(q, dir)
+      .collect().map(_.toSeq).toSet
+    assert(snap(a) == snap(b))
+    assert(snap(a).nonEmpty)
+    // the sidecar refuses a bare directory and is down mid-append
+    val bare = java.nio.file.Files.createTempDirectory("graft-ti-bare").toString
+    intercept[IllegalArgumentException] { TextIndex.matchStats(q, bare) }
+    intercept[IllegalArgumentException] { TextIndex.appendToTextIndex(docs, bare) }
+  }
+
+  test("text index: bm25TopK matches an independent in-memory BM25") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ti-bm").toString
+    TextIndex.writeTextIndex(docs, dir)
+    val q = docs.where(col("doc_id") % 13 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TextIndex.terms(col("text")), 1, 6)).as("text"))
+    val got = TextIndex.bm25TopK(q, dir, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // reference: plain Scala BM25 over collected tokens
+    val toks = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty).toSeq).toMap
+    val n = toks.size.toDouble
+    val avgdl = toks.values.map(_.size).sum / n
+    val dfm = toks.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size }
+    val qs = q.collect().map(r => r.getLong(0) ->
+      r.getString(1).split(" ").filter(_.nonEmpty).distinct.toSeq)
+    val (k1, b) = (1.2, 0.75)
+    qs.foreach { case (qid, qt) =>
+      val scores = toks.toSeq.map { case (d, ts) =>
+        val dl = ts.size.toDouble
+        val s = qt.map { t =>
+          val tf = ts.count(_ == t).toDouble
+          if (tf == 0) 0.0
+          else {
+            val df = dfm(t).toDouble
+            val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+          }
+        }.sum
+        (d, s)
+      }.filter(_._2 > 0)
+      val expect = scores.sortBy { case (d, s) => (-s, d) }.take(5).map(_._1)
+      expect.zipWithIndex.foreach { case (d, i) =>
+        assert(got.get((qid, i + 1)).contains(d),
+          s"query $qid rank ${i + 1}: expected doc $d, got ${got.get((qid, i + 1))}")
+      }
+    }
+  }
+
+  test("snapshotDiff labels every id added/removed/changed/unchanged exactly") {
+    val oldSnap = docs.where(col("doc_id") % 7 =!= 0)
+    val newSnap = docs.where(col("doc_id") % 5 =!= 0)
+      .withColumn("text", when(col("doc_id") % 11 === 0,
+        concat(col("text"), lit(" edited"))).otherwise(col("text")))
+    val out = Curation.snapshotDiff(oldSnap, newSnap)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.keySet == ids.filter(i => i % 7 != 0 || i % 5 != 0))
+    ids.foreach { i =>
+      val inOld = i % 7 != 0
+      val inNew = i % 5 != 0
+      val expect =
+        if (inOld && !inNew) Some("removed")
+        else if (!inOld && inNew) Some("added")
+        else if (inOld && inNew) Some(if (i % 11 == 0) "changed" else "unchanged")
+        else None
+      assert(out.get(i) == expect, s"doc $i")
+    }
+    // multi-column fingerprints: the 0x1F separator keeps ("ab","c")
+    // and ("a","bc") distinct — the concat alone would collide
+    import spark.implicits._
+    val l = Seq((1L, "ab", "c")).toDF("doc_id", "x", "y")
+    val r = Seq((1L, "a", "bc")).toDF("doc_id", "x", "y")
+    val st = Curation.snapshotDiff(l, r, contentCols = Seq("x", "y"))
+      .select("status").collect().map(_.getString(0)).toSeq
+    assert(st == Seq("changed"))
+  }
 }
