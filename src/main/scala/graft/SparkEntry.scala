@@ -2,8 +2,8 @@ package graft
 
 import graft.functions.cellfunctions._
 import graft.model.{CfSpec, TableDesc}
-import graft.operators.{AsOfJoin, BatchTxn, Dedup, KvStore, Multimodal,
-  QualityModel, ZOrder,
+import graft.operators.{AsOfJoin, BatchTxn, DataSelection, Dedup, KvStore,
+  Multimodal, QualityModel, ZOrder,
   PercolatorRead, Resolve, Sampling, ScanFilter, ScanQuery, Similarity,
   TextAnalysis, TextIndex, TypedValue}
 import graft.sources.{CellLogs, Tables}
@@ -1348,6 +1348,32 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("doc_id"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_x_select_coverage" -> ((s, dir) => {
+      // the exact-integer core of DSIR importance weighting: every raw
+      // document's unigram+bigram instances classified against the
+      // target corpus's gram set (raw = 2/3 of the corpus, target =
+      // the other 1/3) — gram construction, target membership, and the
+      // per-doc fold, hash- and float-free so plain SQL replays it.
+      val d = t(s, dir, "documents")
+      DataSelection.gramCoverageStats(
+          d.where(col("doc_id") % 3 =!= 0),
+          d.where(col("doc_id") % 3 === 0))
+        .orderBy(col("doc_id"))
+    }),
+    "q_x_select_dsir" -> ((s, dir) => {
+      // DSIR importance resampling (Xie et al. 2023): hashed-n-gram
+      // likelihood ratio + seeded-Gumbel top-k. Hash buckets and the
+      // ln-based log-ratio have no SQL replica (rows-only); the gram
+      // pipeline underneath is hash-gated by q_x_select_coverage and
+      // the ranking behavior is spec-tested (target-like docs win).
+      val d = t(s, dir, "documents")
+      DataSelection.resampleByImportance(
+          d.where(col("doc_id") % 3 =!= 0),
+          d.where(col("doc_id") % 3 === 0),
+          k = 50, seed = 7L)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
     "q_x_dedup_keep_best" -> ((s, dir) => {
       // keep-best canonical selection: each transitive minhash dup
       // group keeps its LONGEST member (ties -> lowest doc_id) — the
@@ -2333,6 +2359,27 @@ object SparkEntry {
         |FROM qt JOIN toks USING (term) JOIN df USING (term)
         |  JOIN dl ON toks.doc_id = dl.doc_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_x_select_coverage" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_concat(toks,
+        |    CASE WHEN len(toks) >= 2 THEN
+        |      list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+        |        p -> p[1] || ' ' || p[2])
+        |    ELSE [] END)) AS gram
+        |  FROM tk),
+        |t AS (SELECT DISTINCT gram FROM g WHERE doc_id % 3 = 0)
+        |SELECT g.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(t.gram) AS BIGINT) AS n_hits,
+        |  CAST(count(DISTINCT g.gram) AS BIGINT) AS n_distinct,
+        |  CAST(count(DISTINCT t.gram) AS BIGINT) AS n_distinct_hits
+        |FROM g LEFT JOIN t ON g.gram = t.gram
+        |WHERE g.doc_id % 3 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_x_corpus_report" ->
       """SELECT source,
         |  CAST(count(*) AS BIGINT) AS n_docs,

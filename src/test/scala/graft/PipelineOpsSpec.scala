@@ -1355,6 +1355,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("data selection: gram coverage stats are exact on a hand corpus") {
+    import spark.implicits._
+    val raw = Seq((1L, "red fox red"), (2L, "blue")).toDF("doc_id", "text")
+    val target = Seq((10L, "red fox jumps")).toDF("doc_id", "text")
+    // doc 1 grams: red, fox, red, "red fox", "fox red" (5 instances,
+    // 4 distinct); target grams: red, fox, jumps, "red fox", "fox jumps"
+    // hits: red(x2), fox, "red fox" -> 4 instances, 3 distinct
+    val out = DataSelection.gramCoverageStats(raw, target)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out == Map(
+      1L -> ((5L, 4L, 4L, 3L)),
+      2L -> ((1L, 0L, 1L, 0L))))
+  }
+
+  test("data selection: DSIR weights rank target-like documents on top") {
+    // target = the 'dup'-marked documents (the corpus's one distinctive
+    // style); raw = everything. The dup docs inside raw must dominate
+    // the top of the importance ordering.
+    val target = docs.where(col("text").contains("dup"))
+    assert(target.count() >= 2)
+    val w = DataSelection.importanceWeights(docs, target)
+    val dupIds = target.select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = w.collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // the separating signal is ~3 gram types out of ~100 instances per
+    // doc (the 'dup' unigram + its bigrams), so per-doc ranking is
+    // noisy — assert the aggregate separation and a strong enrichment
+    // over the 5% base rate, not perfect precision
+    val (dupW, restW) = rows.partition(r => dupIds(r._1))
+    assert(dupW.map(_._2).sum / dupW.size > restW.map(_._2).sum / restW.size,
+      "dup docs do not carry higher mean importance weight")
+    val topK = rows.sortBy(r => (-r._2, r._1)).take(dupIds.size).map(_._1)
+    val hit = topK.count(dupIds)
+    assert(hit >= dupIds.size / 2,
+      s"only $hit of ${dupIds.size} dup docs in the top-|dup| by weight " +
+        s"(base rate would give ${dupIds.size / 20})")
+    // resampling is deterministic per seed and biased the same way
+    val s1 = DataSelection.resampleByImportance(docs, target, k = 10, seed = 3L)
+      .collect().map(_.getLong(0)).toSeq
+    val s2 = DataSelection.resampleByImportance(docs, target, k = 10, seed = 3L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2)
+    assert(s1.count(dupIds) >= 3,
+      s"sample ${s1.toList} not enriched in dup docs (base rate ~0.5 of 10)")
+  }
+
   test("snapshotDiff labels every id added/removed/changed/unchanged exactly") {
     val oldSnap = docs.where(col("doc_id") % 7 =!= 0)
     val newSnap = docs.where(col("doc_id") % 5 =!= 0)
