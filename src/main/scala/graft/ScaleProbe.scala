@@ -395,6 +395,83 @@ object ScaleProbe {
         n
       }
     }
+    // lexical retrieval at N docs: index build (the once-per-corpus
+    // cost), then BM25 over queries that are full texts of CLEAN
+    // corpus docs (j % 100 == 50: no twin shares their suffix) — the
+    // only document holding a query's exact token multiset is the
+    // source doc itself, so rank-1 must be self-retrieval, exactly.
+    locally {
+      import graft.operators.TextIndex
+      val tiDir = java.nio.file.Files
+        .createTempDirectory("graft-probe-textix").toString
+      timed("text_index_build") {
+        TextIndex.writeTextIndex(docs, tiDir)
+        spark.read.parquet(s"$tiDir/postings").count()
+      }
+      timed("bm25_self_retrieval") {
+        val queries = docs.where(pmod(col("doc_id"), lit(100)) === 50)
+          .orderBy(col("doc_id")).limit(20)
+          .select(col("doc_id").as("query_id"), col("text"))
+        val top1 = TextIndex.bm25TopK(queries, tiDir, k = 1)
+        val r = top1.agg(count(lit(1)),
+          count(when(col("doc_id") =!= col("query_id"), 1))).head
+        require(r.getLong(1) == 0,
+          s"${r.getLong(1)} of ${r.getLong(0)} queries failed self-retrieval")
+        require(r.getLong(0) == math.min(20, (n + 49) / 100),
+          s"got rank-1 rows for ${r.getLong(0)} queries")
+        r.getLong(0)
+      }
+    }
+    // snapshot diff at N docs: new crawl drops 1% of ids, rewrites
+    // another 1%, adds n/100 fresh ids — status counts are exact.
+    timed("snapshot_diff") {
+      val newSnap = docs.where(pmod(col("doc_id"), lit(100)) =!= 3)
+        .withColumn("text", when(pmod(col("doc_id"), lit(100)) === 7,
+          concat(col("text"), lit(" edited"))).otherwise(col("text")))
+        .unionByName(spark.range(n, n + n / 100, 1,
+            spark.sparkContext.defaultParallelism)
+          .select(col("id").as("doc_id"), lit("fresh doc").as("text")))
+      val byStatus = graft.operators.Curation.snapshotDiff(docs, newSnap)
+        .groupBy("status").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      def cnt(m: Long) = n / 100 + (if (n % 100 > m) 1L else 0L)
+      val expect = Map("removed" -> cnt(3), "changed" -> cnt(7),
+        "added" -> n / 100, "unchanged" -> (n - cnt(3) - cnt(7)))
+      require(byStatus == expect.filter(_._2 > 0),
+        s"status counts $byStatus != expected $expect")
+      byStatus.values.sum
+    }
+    // DSIR selection at N raw docs: the 1% styled slice (tokens from a
+    // 300-word prefix vocabulary) must separate COMPLETELY from the
+    // plain 99% when the target corpus is styled — every styled doc
+    // weighs positive, every plain doc negative (a plain doc's w300+
+    // unigrams are near-absent in the target, each ~-10 nats).
+    timed("dsir_separation") {
+      import graft.operators.DataSelection
+      def styled(idCol: org.apache.spark.sql.Column, vocab: Int) = concat_ws(" ",
+        transform(sequence(lit(0), lit(49)), i =>
+          concat(lit("w"), pmod(xxhash64(idCol, i), lit(vocab)))))
+      val raw = spark.range(0, n, 1,
+          spark.sparkContext.defaultParallelism * 4)
+        .select(col("id").as("doc_id"),
+          when(pmod(col("id"), lit(100)) === 50, styled(col("id"), 300))
+            .otherwise(styled(col("id"), 1000)).as("text"))
+      val target = spark.range(n, n + math.max(n / 10, 1000L), 1,
+          spark.sparkContext.defaultParallelism)
+        .select(col("id").as("doc_id"), styled(col("id"), 300).as("text"))
+      val agg = DataSelection.importanceWeights(raw, target)
+        .agg(count(lit(1)),
+          count(when(pmod(col("doc_id"), lit(100)) === 50 &&
+            col("log_w") <= 0, 1)),
+          count(when(pmod(col("doc_id"), lit(100)) =!= 50 &&
+            col("log_w") >= 0, 1))).head
+      require(agg.getLong(1) == 0,
+        s"${agg.getLong(1)} styled docs weighed non-positive")
+      require(agg.getLong(2) == 0,
+        s"${agg.getLong(2)} plain docs weighed non-negative")
+      require(agg.getLong(0) == n, s"weights for ${agg.getLong(0)} of $n docs")
+      agg.getLong(0)
+    }
     spark.stop()
   }
 }

@@ -1374,6 +1374,17 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
+    "q_x_select_perplexity" -> ((s, dir) => {
+      // CCNet-style perplexity filter: a hashed-bigram LM trained on
+      // 1/3 of the corpus scores the other 2/3. Hash buckets + the
+      // ln-based score have no SQL replica (rows-only); separation
+      // behavior and the short-doc contract are spec-tested.
+      val d = t(s, dir, "documents")
+      DataSelection.perplexity(
+          d.where(col("doc_id") % 3 =!= 0),
+          d.where(col("doc_id") % 3 === 0))
+        .orderBy(col("doc_id"))
+    }),
     "q_x_dedup_keep_best" -> ((s, dir) => {
       // keep-best canonical selection: each transitive minhash dup
       // group keeps its LONGEST member (ties -> lowest doc_id) — the

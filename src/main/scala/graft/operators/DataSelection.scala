@@ -102,6 +102,50 @@ object DataSelection {
       .select(col("doc_id"), col("log_w"))
   }
 
+  /** (doc_id, ctx, bg) hashed (context, bigram) bucket per token
+    * position ≥ 2 — the unit both LM training and scoring fold. */
+  private def pairRows(docs: DataFrame, buckets: Int): DataFrame = {
+    val toks = TextIndex.terms(col("text"))
+    docs
+      .where(size(toks) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("c"), concat_ws(" ", a, b).as("g")))).as("_p"))
+      .select(col("doc_id"),
+        pmod(xxhash64(col("_p.c")), lit(buckets.toLong)).as("ctx"),
+        pmod(xxhash64(col("_p.g")), lit(buckets.toLong)).as("bg"))
+  }
+
+  /** Per-document perplexity under a hashed-bigram language model
+    * trained on `lmCorpus` — the CCNet filtering signal (Wenzek et al.
+    * 2020 score with a KenLM 5-gram; this is the hashed bigram
+    * stand-in, vocabulary-free like everything else here):
+    * ppl(x) = exp(−mean_i log p̂(w_i | w_{i−1})), with
+    * p̂(w|c) = (count(c,w) + α) / (count(c) + α·buckets), both counts
+    * bucket-hashed (collisions perturb, never zero, a probability).
+    * Low perplexity = looks like the LM corpus. Documents under two
+    * tokens carry no bigram and are omitted.
+    *
+    * Scale shape: both count tables are ≤ `buckets` rows and
+    * BROADCAST; scoring is two broadcast joins + one per-doc fold —
+    * the same two-corpus-shuffle budget as [[importanceWeights]]. */
+  def perplexity(docs: DataFrame, lmCorpus: DataFrame,
+      buckets: Int = 65536, alpha: Double = 0.1): DataFrame = {
+    val lm = pairRows(lmCorpus, buckets)
+    val bg = lm.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+    val ctx = lm.groupBy(col("ctx")).agg(count(lit(1)).as("c_ctx"))
+    pairRows(docs, buckets)
+      .join(broadcast(bg), Seq("bg"), "left")
+      .join(broadcast(ctx), Seq("ctx"), "left")
+      .select(col("doc_id"),
+        (log(coalesce(col("c_bg"), lit(0L)) + alpha) -
+          log(coalesce(col("c_ctx"), lit(0L)) + alpha * buckets)).as("_lp"))
+      .groupBy(col("doc_id"))
+      .agg(exp(-avg(col("_lp"))).as("ppl"))
+  }
+
   /** Exact-gram coverage statistics of each raw document against the
     * target corpus's gram set — the oracle-checkable integer core of
     * the importance pipeline (gram construction, explode, target

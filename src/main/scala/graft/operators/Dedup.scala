@@ -65,7 +65,7 @@ object Dedup {
     * contract: [[rowMinhashSignature]] must agree with
     * [[minhashSignaturesHashed]]). Only meaningful under
     * `size(toks) >= n` (callers guard). */
-  private def shingleHashArray(toks: Column, n: Int): Column =
+  private[graft] def shingleHashArray(toks: Column, n: Int): Column =
     transform(
       sequence(lit(0), size(toks) - n),
       i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n)))))

@@ -118,6 +118,54 @@ object TextIndex {
       s"index at $dir uses tokenizer '$tok'; this build understands '$Tokenizer'")
   }
 
+  /** Compact the index: rewrite the accumulated postings segments back
+    * into one term-partitioned, term-sorted layout — the analogue of
+    * the reference's background compaction (many appended LSM batches
+    * rewritten into sorted SSTs, src/io/default_compact_strategy.cc:59-120).
+    * Appends keep queries CORRECT forever (statistics derive at read
+    * time), but each append adds file segments whose term ranges
+    * overlap everything, so parquet min/max term pruning decays;
+    * compaction restores it.
+    *
+    * `dropDocs` (optional, a frame bearing `doc_id`) removes documents
+    * during the same rewrite — the right-to-erasure path, and the
+    * consumer of [[Curation.snapshotDiff]]'s `removed` rows. Removal
+    * is exact: both postings and docstats drop the ids, so df/N/avgdl
+    * derived from the compacted index never see the removed docs.
+    *
+    * Crash discipline: the new layout builds in sibling staging dirs
+    * while the sidecar is DOWN; the old dirs are replaced and the
+    * sidecar returns only after both renames. A crash mid-compaction
+    * leaves a refusing directory (possibly with a `.stage` remnant to
+    * clean), never an index mixing old and new segments. */
+  def compactTextIndex(dir: String,
+      dropDocs: Option[DataFrame] = None): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    requireProps(spark, dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, PropsFile), false)
+    def rewrite(sub: String, shape: DataFrame => DataFrame): Unit = {
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val stage = new org.apache.hadoop.fs.Path(s"$dir/$sub.stage")
+      shape(spark.read.parquet(live.toString))
+        .write.mode("overwrite").parquet(stage.toString)
+      fs.delete(live, true)
+      if (!fs.rename(stage, live))
+        throw new java.io.IOException(s"failed to move $stage to $live")
+    }
+    def dropped(df: DataFrame): DataFrame = dropDocs match {
+      case None => df
+      case Some(ids) =>
+        df.join(ids.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    }
+    rewrite("postings", df => dropped(df)
+      .repartition(col("term"))
+      .sortWithinPartitions(col("term"), col("doc_id")))
+    rewrite("docstats", dropped)
+    writeProps(spark, dir)
+  }
+
   /** Per matched (query term, document): `(query_id, term, doc_id,
     * tf, df, dl)` — the exact-integer retrieval statistics BM25 folds.
     * This is the oracle-checkable primitive: every column is an exact

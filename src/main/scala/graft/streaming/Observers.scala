@@ -600,6 +600,33 @@ object Observers {
       .select(col("doc_id"), col("corpus_id"), col("est_jaccard"))
   }
 
+  /** Streaming benchmark-contamination matching — the continuous half
+    * of [[graft.operators.TextAnalysis.decontaminate]]: each arriving
+    * document derives its n-gram hashes PER ROW (the same
+    * [[graft.operators.Dedup.shingleHashArray]] expression the batch
+    * path explodes, so stream and batch agree bit-for-bit on what a
+    * gram is) and stream-static-joins the benchmark's distinct gram
+    * set, which BROADCASTS — a benchmark is small by definition. Emits
+    * `(doc_id, s)` per matched gram in APPEND mode with ZERO stateful
+    * operators; a document sharing several grams emits several rows —
+    * membership is what the quarantine consumer keys on (the
+    * [[streamingNearDupMatches]] contract), and distinct-ing here
+    * would buy a stateful operator for cosmetics. Documents shorter
+    * than `n` tokens cannot carry a gram and are dropped by predicate,
+    * mirroring the batch path. */
+  def streamingContaminationMatches(docStream: DataFrame,
+      benchmark: DataFrame, n: Int = 3): DataFrame = {
+    import graft.operators.Dedup
+    val benchGrams = Dedup.shingleHashRows(benchmark, n, distinctRows = false)
+      .select(col("s")).distinct()
+    val toks = Dedup.tokens(col("text"))
+    docStream
+      .where(size(toks) >= n)
+      .select(col("doc_id"), explode(Dedup.shingleHashArray(toks, n)).as("s"))
+      .join(broadcast(benchGrams), Seq("s"))
+      .select(col("doc_id"), col("s"))
+  }
+
   /** Streaming SEMANTIC matching against a stored IVF index — the
     * continuous half of
     * [[graft.operators.Dedup.semanticMatchesAgainstIndex]], and the

@@ -1314,6 +1314,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TextIndex.appendToTextIndex(docs, bare) }
   }
 
+  test("text index: compaction preserves queries and erases dropped docs exactly") {
+    import spark.implicits._
+    val grown = java.nio.file.Files.createTempDirectory("graft-ti-c1").toString
+    val clean = java.nio.file.Files.createTempDirectory("graft-ti-c2").toString
+    TextIndex.writeTextIndex(docs.where(col("doc_id") % 3 === 0), grown)
+    TextIndex.appendToTextIndex(docs.where(col("doc_id") % 3 === 1), grown)
+    TextIndex.appendToTextIndex(docs.where(col("doc_id") % 3 === 2), grown)
+    val drop = docs.where(col("doc_id") % 10 === 0).select("doc_id")
+    TextIndex.compactTextIndex(grown, dropDocs = Some(drop))
+    // reference: a fresh build over exactly the surviving documents
+    TextIndex.writeTextIndex(docs.where(col("doc_id") % 10 =!= 0), clean)
+    val q = docs.where(col("doc_id") % 17 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TextIndex.terms(col("text")), 1, 5)).as("text"))
+    def snap(dir: String) = TextIndex.matchStats(q, dir)
+      .collect().map(_.toSeq).toSet
+    assert(snap(grown) == snap(clean))
+    assert(snap(grown).nonEmpty)
+    // no dropped doc survives anywhere in the compacted index
+    val left = spark.read.parquet(s"$grown/postings")
+      .join(drop, Seq("doc_id")).count() +
+      spark.read.parquet(s"$grown/docstats")
+        .join(drop, Seq("doc_id")).count()
+    assert(left == 0)
+  }
+
   test("text index: bm25TopK matches an independent in-memory BM25") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ti-bm").toString
     TextIndex.writeTextIndex(docs, dir)
@@ -1399,6 +1425,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(s1 == s2)
     assert(s1.count(dupIds) >= 3,
       s"sample ${s1.toList} not enriched in dup docs (base rate ~0.5 of 10)")
+  }
+
+  test("data selection: LM perplexity separates in-domain from gibberish") {
+    import spark.implicits._
+    // LM trained on the corpus itself; an in-corpus doc must score far
+    // lower perplexity than a doc of never-seen tokens
+    val probe = Seq(
+      (9001L, docs.orderBy("doc_id").select("text").head.getString(0)),
+      (9002L, "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo")
+    ).toDF("doc_id", "text")
+    val ppl = DataSelection.perplexity(probe, docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ppl.keySet == Set(9001L, 9002L))
+    assert(ppl(9001L) * 10 < ppl(9002L),
+      s"in-domain ppl ${ppl(9001L)} not well under gibberish ${ppl(9002L)}")
+    // docs with fewer than two tokens carry no bigram and are omitted
+    val short = DataSelection.perplexity(
+      Seq((1L, "one")).toDF("doc_id", "text"), docs)
+    assert(short.count() == 0)
   }
 
   test("snapshotDiff labels every id added/removed/changed/unchanged exactly") {

@@ -482,4 +482,44 @@ class PlanSpec extends AnyFunSuite {
     assert(scan.metadata("ReadSchema")
       .contains("struct<l_partkey:bigint,l_suppkey:bigint>"), scan.metadata)
   }
+
+  test("BM25 retrieval: query terms broadcast into the postings scan, no cartesian") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dir = Files.createTempDirectory("graft-plan-ti").toString
+    graft.operators.TextIndex.writeTextIndex(docs, dir)
+    val q = docs.where(col("doc_id") % 17 === 0)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val plan = planOf(graft.operators.TextIndex.bm25TopK(q, dir, k = 5))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // qterms, df-by-term, and the (n_docs, avgdl) one-row frame all
+    // broadcast; only the docstats join and the score fold exchange
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 3, plan)
+    // the one per-query window runs over candidates, after the fold —
+    // exactly one Window operator total (WindowGroupLimit rows are the
+    // top-k pushdown, not extra windows)
+    assert("Window \\[".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("snapshot diff: fingerprints reduce each side in the scan, one exchange per side") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = planOf(graft.operators.Curation.snapshotDiff(
+      docs.where(col("doc_id") % 7 =!= 0), docs.where(col("doc_id") % 5 =!= 0)))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Window"), plan)
+    // the join moves (id, fp) only: no text column survives any exchange
+    val exchanges = plan.split("Exchange").drop(1)
+    assert(exchanges.nonEmpty &&
+      exchanges.forall(e => !e.takeWhile(_ != '\n').contains("text")), plan)
+  }
+
+  test("DSIR weights: log-ratio frame broadcasts, corpus folds once") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = planOf(graft.operators.DataSelection.importanceWeights(
+      docs, docs.where(col("doc_id") % 3 === 0), buckets = 1000))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the (bucket, llr) frame reaches the raw corpus via broadcast —
+    // the corpus-sized side never re-shuffles for the ratio join
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // per-doc weight fold is a hash aggregation with map-side partials
+    assert(plan.contains("partial_sum"), plan)
+  }
 }

@@ -476,6 +476,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(verified == direct && direct.nonEmpty, s"$verified vs $direct")
   }
 
+  test("streaming contamination matches agree with the batch decontaminate verdict") {
+    import spark.implicits._
+    val dir = tmp("contam-stream")
+    val bench = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    // stream: one doc leaking a benchmark trigram, one clean, one short
+    Seq((1L, "we observed the quick brown fox in the wild yesterday"),
+        (2L, "completely unrelated clean text with no leaks present"),
+        (3L, "too short")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .parquet(dir)
+    val q = Observers.streamingContaminationMatches(stream, bench)
+      .writeStream.format("memory").queryName("contam")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(q.lastProgress.stateOperators.isEmpty, q.lastProgress.prettyJson)
+    val flagged = spark.sql("SELECT DISTINCT doc_id FROM contam")
+      .collect().map(_.getLong(0)).toSet
+    // batch verdict on the same data: the docs decontaminate DROPS are
+    // exactly the docs the stream flags
+    val docs = spark.read.parquet(dir)
+    val kept = graft.operators.TextAnalysis.decontaminate(docs, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged == all -- kept, s"stream $flagged vs batch ${all -- kept}")
+    assert(flagged == Set(1L))
+  }
+
   test("streaming semantic matches ride the stored IVF index, stateless and exact") {
     import spark.implicits._
     val dir = tmp("semstream")
