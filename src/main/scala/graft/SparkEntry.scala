@@ -59,6 +59,10 @@ object SparkEntry {
   private val textIdxFixtureDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Per-process absorbed fingerprint store (see q_x_curation_incremental). */
+  private val incFpFixtureDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Per-process append-grown IVF index fixtures: full-corpus (ANN,
     * see q_x_sim_ivf_index_topk) and corpus-minus-batch (incremental
     * SemDeDup, see q_x_dedup_semantic_incremental). */
@@ -1174,6 +1178,33 @@ object SparkEntry {
           upper(col("text"))).otherwise(col("text")))
       graft.operators.Curation.snapshotDiff(oldSnap, newSnap)
         .orderBy(col("id"))
+    }),
+    "q_x_curation_incremental" -> ((s, dir) => {
+      // continuous-assembly curation: the corpus was curated once and
+      // ABSORBED (fingerprint store, built per process); today's batch
+      // — exact re-deliveries of half the corpus, novel variants of the
+      // other half, plus in-batch duplicate copies of some variants —
+      // is gated against that state only, never re-touching the
+      // corpus. Exact stages only (the near-dup incremental path is
+      // oracle-gated by q_x_dedup_index_append), absorb=false so the
+      // entry is idempotent under bench repeats.
+      val d = t(s, dir, "documents")
+      val fpDir = incFpFixtureDirs.getOrElseUpdate(dir, {
+        val fp = java.nio.file.Files
+          .createTempDirectory("graft-inc-fp").toString
+        graft.operators.Curation.runIncremental(d, fp, minTokens = 16)
+        fp
+      })
+      val batch = d.where(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+        .unionByName(d.where(col("doc_id") % 2 === 1)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            concat(col("text"), lit(" novel zz")).as("text")))
+        .unionByName(d.where(col("doc_id") % 20 === 1)
+          .select((col("doc_id") + 3000000).as("doc_id"),
+            concat(col("text"), lit(" novel zz")).as("text")))
+      graft.operators.Curation.runIncremental(batch, fpDir,
+        minTokens = 16, absorb = false).report
     }),
     "q_x_sample_stratified" -> ((s, dir) => {
       // deterministic 1-in-7 systematic sample per source domain,
@@ -2325,6 +2356,49 @@ object SparkEntry {
         |  FROM afterexact ae)
         |SELECT COALESCE(drop2, 'kept') AS stage,
         |       CAST(count(*) AS BIGINT) AS docs
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_x_curation_incremental" ->
+      """WITH b AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id + 2000000, text || ' novel zz'
+        |  FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL SELECT doc_id + 3000000, text || ' novel zz'
+        |  FROM documents WHERE doc_id % 20 = 1),
+        |allr AS (
+        |  SELECT 0 AS is_batch, doc_id, text FROM documents
+        |  UNION ALL SELECT 1, doc_id, text FROM b),
+        |g AS (
+        |  SELECT is_batch, doc_id, md5(lower(text)) AS fp,
+        |    CASE WHEN len(string_split(text, ' ')) < 16 THEN 'short'
+        |         WHEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |              / length(text) > 0.2 THEN 'punct'
+        |         WHEN NOT (
+        |           len(list_filter(string_split(text, ' '),
+        |             t -> t IN ('the','a','of','and','is'))) >=
+        |             len(list_filter(string_split(text, ' '),
+        |               t -> t IN ('el','la','de','que','y')))
+        |           AND len(list_filter(string_split(text, ' '),
+        |             t -> t IN ('the','a','of','and','is'))) >=
+        |             len(list_filter(string_split(text, ' '),
+        |               t -> t IN ('der','die','das','und','ist')))
+        |           AND len(list_filter(string_split(text, ' '),
+        |             t -> t IN ('the','a','of','and','is'))) > 0)
+        |           THEN 'lang'
+        |    END AS drop0
+        |  FROM allr),
+        |store AS (SELECT DISTINCT fp FROM g WHERE is_batch = 0 AND drop0 IS NULL),
+        |keepers AS (
+        |  SELECT fp, min(doc_id) AS keep FROM g
+        |  WHERE is_batch = 1 AND drop0 IS NULL
+        |    AND fp NOT IN (SELECT fp FROM store)
+        |  GROUP BY 1),
+        |final AS (
+        |  SELECT g.doc_id,
+        |    COALESCE(g.drop0, CASE WHEN k.keep IS NULL OR k.keep <> g.doc_id
+        |                           THEN 'exact_dup' END) AS d
+        |  FROM g LEFT JOIN keepers k USING (fp) WHERE g.is_batch = 1)
+        |SELECT COALESCE(d, 'kept') AS stage, CAST(count(*) AS BIGINT) AS docs
         |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_x_snapshot_diff" ->
       """WITH o AS (

@@ -48,14 +48,7 @@ object Curation {
     extraGates.foreach { case (name, _) =>
       require(!reserved.contains(name), s"gate name '$name' is reserved")
     }
-    val builtIn =
-      when(size(col("_toks")) < minTokens, "short")
-        .when(t.punctRatio(col("text")) > maxPunctRatio, "punct")
-        .when(t.langIdOf(col("_toks")) =!= lang, "lang")
-    // a NULL keep-verdict drops, mirroring what .where(keep) would do
-    val gated = extraGates.foldLeft(builtIn) { case (acc, (name, keep)) =>
-      acc.when(!coalesce(keep, lit(false)), name)
-    }
+    val gated = gateExpr(lang, minTokens, maxPunctRatio, extraGates)
     // the gated frame feeds several consumers (keeper agg, the label
     // join chain, the alive projections of the optional stages, the
     // final report) — materialize it once so the tokenize/langid/md5
@@ -124,6 +117,175 @@ object Curation {
       .select(docs.columns.map(col): _*)
     // alphabetical stage order: deterministic and trivially mirrored
     // by an ORDER BY 1 oracle (stages with zero drops emit no row)
+    val report = labeled.groupBy(col("_stage").as("stage"))
+      .agg(count(lit(1)).as("docs"))
+      .orderBy(col("stage"))
+    Curated(kept, report)
+  }
+
+  /** The gate-label expression shared by [[run]] and [[runIncremental]]
+    * (first failing stage wins; NULL keep-verdicts drop, mirroring
+    * `.where(keep)`). Expects `_toks` bound to the token array. */
+  private def gateExpr(lang: String, minTokens: Int, maxPunctRatio: Double,
+      extraGates: Seq[(String, org.apache.spark.sql.Column)]) = {
+    val t = TextAnalysis
+    val builtIn =
+      when(size(col("_toks")) < minTokens, "short")
+        .when(t.punctRatio(col("text")) > maxPunctRatio, "punct")
+        .when(t.langIdOf(col("_toks")) =!= lang, "lang")
+    extraGates.foldLeft(builtIn) { case (acc, (name, keep)) =>
+      acc.when(!coalesce(keep, lit(false)), name)
+    }
+  }
+
+  /** Curate a NEW batch against the ACCUMULATED corpus — the
+    * continuous-assembly front that ties the stored rings together:
+    * per-row gates run as in [[run]]; exact dedup checks the batch
+    * against itself (keep-lowest) AND against the persisted
+    * fingerprint store at `fpDir`; near-dup (optional) checks gate
+    * survivors against the stored minhash index via
+    * [[Dedup.matchAgainstMinhashIndex]] plus within-batch pairs;
+    * decontamination as in [[run]]. With `absorb = true` the accepted
+    * documents' fingerprints append to the store and their signatures
+    * to the index ([[Dedup.appendToMinhashIndex]]) — so the NEXT batch
+    * sees them, and the accumulated corpus is never re-gated,
+    * re-hashed, or re-signatured. [[snapshotDiff]] upstream turns a
+    * re-crawl into exactly this batch; [[Dedup.compactMinhashIndex]]
+    * retires its `removed` rows.
+    *
+    * The fingerprint store at `fpDir` is a bare parquet of
+    * `(fp: string)` md5 hex rows, created on first absorb; `nearDup`
+    * carries the index dir, the threshold, and the CORPUS DOCUMENTS
+    * frame the index's exact verify re-shingles candidates from
+    * (candidates only — the corpus never re-shingles wholesale).
+    * Round 0 bootstraps through the same call: with no index at the
+    * dir yet, near-dup runs within-batch only and absorb CREATES the
+    * index from the round's keepers (the corpusDocs frame is unused
+    * that round).
+    *
+    * Scale: gates are scan-side expressions over the batch; the fp
+    * check is one equi-join of batch-sized md5s against the store
+    * (AQE broadcasts the batch side when small); near-dup cost is the
+    * incremental index match — proportional to the batch. Nothing
+    * corpus-sized shuffles.
+    *
+    * Semantics note: near-dup judges the batch against the KEPT corpus
+    * (the index holds canonical survivors). A batch doc whose only
+    * near-twin was itself dropped in an earlier round can survive here
+    * where a from-scratch run over the whole union would group the
+    * three transitively — the standard incremental-dedup trade; with
+    * twins that are pairwise similar (the usual case) the two runs
+    * agree, and the equivalence spec pins exactly that. */
+  def runIncremental(batch: DataFrame, fpDir: String,
+      lang: String = "en", minTokens: Int = 5,
+      maxPunctRatio: Double = 0.2,
+      nearDup: Option[(String, Double, DataFrame)] = None,
+      benchmark: Option[DataFrame] = None,
+      extraGates: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+      absorb: Boolean = true): Curated = {
+    val spark = batch.sparkSession
+    val reserved = Stages.toSet
+    extraGates.foreach { case (name, _) =>
+      require(!reserved.contains(name), s"gate name '$name' is reserved")
+    }
+    val base = graft.sources.Tables.widen(batch)
+      .withColumn("_toks", TextAnalysis.tokens(col("text")))
+      .withColumn("_drop", gateExpr(lang, minTokens, maxPunctRatio, extraGates))
+      .withColumn("_fp", TextAnalysis.fingerprint(col("text")))
+      .drop("_toks")
+      .localCheckpoint()
+
+    // exact dedup: lowest batch id per print wins — unless the print
+    // is already in the store, in which case the CORPUS owns it and
+    // every batch copy drops
+    val fpPath = new org.apache.hadoop.fs.Path(fpDir)
+    val fs = fpPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // bootstrap: a missing or still-empty store means no corpus yet
+    val stored: Option[DataFrame] =
+      if (fs.exists(fpPath) && fs.listStatus(fpPath).exists(s =>
+          s.isFile && !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith(".")))
+        Some(spark.read.parquet(fpDir)) else None
+    val keepers = {
+      val batchKeep = base.where(col("_drop").isNull)
+        .groupBy(col("_fp")).agg(min(col("doc_id")).as("_keep"))
+      stored match {
+        case None => batchKeep
+        case Some(st) => batchKeep.join(
+          st.select(col("fp").as("_fp")).distinct(),
+          Seq("_fp"), "left_anti")
+      }
+    }
+    val afterExact = base.join(keepers, Seq("_fp"), "left")
+      .withColumn("_drop", coalesce(col("_drop"),
+        when(col("_keep").isNull || col("doc_id") =!= col("_keep"),
+          "exact_dup")))
+      .drop("_keep")
+
+    // near-dup: survivors vs the stored index (cross-side only) plus
+    // within-batch pairs — the same keep-lowest semantics run() applies
+    val afterNear = nearDup match {
+      case None => afterExact
+      case Some((ixDir, th, corpusDocs)) =>
+        val alive = afterExact.where(col("_drop").isNull)
+          .select(batch.columns.map(col): _*)
+        // round-0 bootstrap: no index yet means no corpus to collide
+        // with — only the within-batch pass applies, and absorb below
+        // CREATES the index from this round's keepers
+        val vsCorpus =
+          if (!Dedup.hasMinhashIndex(spark, ixDir))
+            alive.select(col("doc_id")).limit(0)
+              .withColumn("_corp_dup", lit(1))
+          else Dedup.matchAgainstMinhashIndex(
+              alive, corpusDocs, ixDir, threshold = th)
+            .select(col("id_a").as("doc_id")).distinct()
+            .withColumn("_corp_dup", lit(1))
+        val withinKeep = Dedup.duplicateGroups(alive,
+            Dedup.minhashNearDuplicates(alive, threshold = th))
+          .groupBy(col("group_id")).agg(min(col("doc_id")).as("_keep"))
+          .select(col("_keep").as("doc_id"))
+          .withColumn("_is_canon", lit(1))
+        afterExact
+          .join(vsCorpus, Seq("doc_id"), "left")
+          .join(withinKeep, Seq("doc_id"), "left")
+          .withColumn("_drop", coalesce(col("_drop"),
+            when(col("_corp_dup") === 1 || col("_is_canon").isNull,
+              "near_dup")))
+          .drop("_corp_dup", "_is_canon")
+    }
+
+    val afterDecon = benchmark match {
+      case None => afterNear
+      case Some(bench) =>
+        val benchGrams = Dedup.shingleHashRows(bench, 3, distinctRows = false)
+          .select(col("s")).distinct()
+        val hit = Dedup.shingleHashRows(
+            afterNear.where(col("_drop").isNull)
+              .select(batch.columns.map(col): _*), 3, distinctRows = false)
+          .join(broadcast(benchGrams), "s")
+          .select(col("doc_id")).distinct()
+          .withColumn("_hit", lit(1))
+        afterNear.join(hit, Seq("doc_id"), "left")
+          .withColumn("_drop", coalesce(col("_drop"),
+            when(col("_hit") === 1, "contaminated")))
+          .drop("_hit")
+    }
+
+    val labeled = afterDecon
+      .withColumn("_stage", coalesce(col("_drop"), lit("kept")))
+      .localCheckpoint()
+    val kept = labeled.where(col("_stage") === "kept")
+      .select(batch.columns.map(col): _*)
+    if (absorb) {
+      labeled.where(col("_stage") === "kept")
+        .select(col("_fp").as("fp"))
+        .write.mode("append").parquet(fpDir)
+      nearDup.foreach { case (ixDir, _, _) =>
+        if (Dedup.hasMinhashIndex(spark, ixDir))
+          Dedup.appendToMinhashIndex(kept, ixDir)
+        else Dedup.writeMinhashIndex(kept, ixDir)
+      }
+    }
     val report = labeled.groupBy(col("_stage").as("stage"))
       .agg(count(lit(1)).as("docs"))
       .orderBy(col("stage"))

@@ -905,6 +905,35 @@ object Dedup {
     writeMinhashProps(spark, dir, shingleLen, numHashes)
   }
 
+  /** Whether a valid (sidecar-bearing) minhash index exists at `dir` —
+    * the bootstrap probe [[Curation.runIncremental]] uses to decide
+    * between round-0 index creation and an incremental append. */
+  def hasMinhashIndex(spark: SparkSession, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir, MinhashPropsFile)
+    path.getFileSystem(spark.sessionState.newHadoopConf()).exists(path)
+  }
+
+  /** Compact the stored minhash index, optionally erasing documents —
+    * the right-to-erasure path and the consumer of
+    * [[Curation.snapshotDiff]]'s `removed` rows (its `added` rows go
+    * through [[appendToMinhashIndex]]; together the two give the store
+    * full continuous-assembly CRUD). Appended segments are also folded
+    * back into one parquet layout, bounding file count the way the
+    * reference's background compaction bounds SSTs
+    * (src/io/default_compact_strategy.cc:59-120). Sidecar-down across
+    * the whole rewrite; the staging subdir is `_`-prefixed, so a crash
+    * leaves a refusing directory, never mixed old/new rows. */
+  def compactMinhashIndex(dir: String,
+      dropDocs: Option[DataFrame] = None): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val (shingleLen, numHashes) = readMinhashProps(spark, dir)
+    val props = new org.apache.hadoop.fs.Path(dir, MinhashPropsFile)
+    props.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(props, false)
+    IndexFiles.rewriteRoot(spark, dir, IndexFiles.minus(dropDocs, "doc_id"))
+    writeMinhashProps(spark, dir, shingleLen, numHashes)
+  }
+
   /** [[minhashNearDuplicatesBetween]] driven by a stored index: the
     * index's own recorded (shingleLen, numHashes) are authoritative —
     * there is no parameter to mismatch. `bands` stays a query-time

@@ -370,6 +370,25 @@ object Similarity {
     writeIvfProps(spark, dir, dim, nlist, quantized)
   }
 
+  /** Compact the stored IVF index, optionally erasing vectors — the
+    * embedding twin of [[graft.operators.Dedup.compactMinhashIndex]]:
+    * folds appended segments into one layout and drops `dropVecs` ids
+    * from the inverted file exactly (queries over the compacted index
+    * can never surface an erased vector — the rows are gone, not
+    * masked). Centroids and cell geometry are untouched: compaction
+    * never re-assigns, so append/compact cycles stay bit-stable.
+    * Sidecar-down across the rewrite, `_`-prefixed staging. */
+  def compactIvfIndex(dir: String,
+      dropVecs: Option[DataFrame] = None): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val (dim, nlist, quantized) = readIvfProps(spark, dir)
+    val props = new org.apache.hadoop.fs.Path(dir, IvfPropsFile)
+    props.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(props, false)
+    IndexFiles.rewriteRoot(spark, dir, IndexFiles.minus(dropVecs, "vec_id"))
+    writeIvfProps(spark, dir, dim, nlist, quantized)
+  }
+
   /** Open a stored IVF index; parquet readers skip the `_`-prefixed
     * centroid and sidecar files. */
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession,

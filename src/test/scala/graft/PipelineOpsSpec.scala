@@ -1340,6 +1340,50 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(left == 0)
   }
 
+  test("minhash index: compaction with erasure equals a rebuild over survivors") {
+    val grown = java.nio.file.Files.createTempDirectory("graft-mh-c1").toString
+    val clean = java.nio.file.Files.createTempDirectory("graft-mh-c2").toString
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    Dedup.writeMinhashIndex(corpus.where(col("doc_id") % 5 < 3), grown)
+    Dedup.appendToMinhashIndex(corpus.where(col("doc_id") % 5 >= 3), grown)
+    val drop = corpus.where(col("doc_id") % 10 === 1).select("doc_id")
+    Dedup.compactMinhashIndex(grown, dropDocs = Some(drop))
+    val survivors = corpus.where(col("doc_id") % 10 =!= 1)
+    Dedup.writeMinhashIndex(survivors, clean)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    def matches(dir: String) = Dedup.matchAgainstMinhashIndex(
+        batch, survivors, dir, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(matches(grown) == matches(clean))
+    assert(matches(grown).nonEmpty)
+    // the erased rows are gone from the store, not masked
+    assert(spark.read.parquet(grown).join(drop, Seq("doc_id")).count() == 0)
+  }
+
+  test("IVF index: compaction with erasure keeps cells bit-stable, drops vectors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-c").toString
+    Similarity.writeIvfIndex(emb.where(col("vec_id") % 3 =!= 2), dir,
+      dim = 64, nlist = 8)
+    Similarity.appendToIvfIndex(emb.where(col("vec_id") % 3 === 2), dir)
+    val before = spark.read.parquet(dir)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val drop = emb.where(col("vec_id") % 7 === 0).select("vec_id")
+    Similarity.compactIvfIndex(dir, dropVecs = Some(drop))
+    val after = spark.read.parquet(dir)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val dropped = drop.collect().map(_.getLong(0)).toSet
+    // erased ids gone; every survivor keeps its exact cell assignment
+    assert(after.keySet.intersect(dropped).isEmpty)
+    assert(after == before.view.filterKeys(k => !dropped(k)).toMap)
+    // the compacted index still serves queries (and never an erased id)
+    val got = Similarity.ivfTopKOverIndex(
+        emb.where(col("vec_id") % 101 === 3), dir, k = 3, nprobe = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty && got.intersect(dropped).isEmpty)
+  }
+
   test("text index: bm25TopK matches an independent in-memory BM25") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ti-bm").toString
     TextIndex.writeTextIndex(docs, dir)
@@ -1444,6 +1488,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     val short = DataSelection.perplexity(
       Seq((1L, "one")).toDF("doc_id", "text"), docs)
     assert(short.count() == 0)
+  }
+
+  test("incremental curation over absorbed state equals the batch pipeline") {
+    import spark.implicits._
+    val fpDir = java.nio.file.Files.createTempDirectory("graft-inc-fp").toString
+    val ixDir = java.nio.file.Files.createTempDirectory("graft-inc-ix").toString
+    // round 0: the corpus arrives as the first batch (empty state) —
+    // the SAME call bootstraps: within-batch near-dup only, and absorb
+    // creates both the fingerprint store and the minhash index
+    val inc0 = Curation.runIncremental(docs, fpDir, minTokens = 3,
+      nearDup = Some((ixDir, 0.8, docs.limit(0))))
+    // round 1: a batch of exact dups, near dups, and novel docs
+    // (batch ids strictly above corpus ids, so keep-lowest prefers
+    // the corpus in both pipelines)
+    val batch = docs.where(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))   // exact dups
+      .unionByName(inc0.kept.where(col("doc_id") % 3 === 1)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" zq")).as("text")))               // near dups
+      // (variants derive from KEPT docs: a variant of an already-dropped
+      // near-dup loser is the documented incremental/transitive trade
+      // and would make the two pipelines legitimately differ)
+      .unionByName(Seq(
+        (3000001L, "a genuinely novel document about nothing seen before at all"),
+        (3000002L, "a genuinely novel document about nothing seen before at all"),
+        (3000003L, "the second novel document is entirely different again truly"))
+        .toDF("doc_id", "text"))
+    val inc1 = Curation.runIncremental(batch, fpDir, minTokens = 3,
+      nearDup = Some((ixDir, 0.8, inc0.kept)))
+    // reference: one from-scratch run over corpus ∪ batch
+    val full = Curation.run(docs.select("doc_id", "text").unionByName(batch),
+      minTokens = 3, nearDupThreshold = Some(0.8))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(inc0.kept) ++ ids(inc1.kept) == ids(full.kept))
+    // the exact dups and the near dups all died; the two novel texts
+    // survive with keep-lowest among the in-batch exact pair
+    assert(ids(inc1.kept).contains(3000001L) && ids(inc1.kept).contains(3000003L))
+    assert(!ids(inc1.kept).contains(3000002L))
+    // absorb happened: a re-arrival of the novel doc is now exact_dup
+    val inc2 = Curation.runIncremental(
+      Seq((4000001L, "a genuinely novel document about nothing seen before at all"))
+        .toDF("doc_id", "text"), fpDir, minTokens = 3)
+    assert(inc2.kept.count() == 0)
+    assert(inc2.report.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      == Map("exact_dup" -> 1L))
   }
 
   test("snapshotDiff labels every id added/removed/changed/unchanged exactly") {
