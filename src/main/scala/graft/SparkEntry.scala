@@ -850,6 +850,173 @@ object SparkEntry {
           sum(col("bal_cents")).as("totacctbal_cents"))
         .orderBy(col("cntry_bucket"))
     }),
+    "q_agg_tpch_q2" -> ((s, dir) => {
+      // minimum-cost-supplier shape (TPC-H Q2, adapted: the schema has
+      // no partsupp, so the part-supplier relation derives from shipped
+      // lineitems and "cost" is the supplier's account balance): the
+      // region-filtered supplier dimension broadcasts, the correlated
+      // per-part minimum becomes a pre-agg + equi-join, balance exact
+      // cents.
+      val supp = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").where(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .withColumn("bal_cents", floor(col("s_acctbal") * 100).cast("long"))
+      val shipped = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").where(col("p_size") === 25)),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("l_suppkey")).distinct()
+      val cand = shipped.join(supp, col("l_suppkey") === col("s_suppkey"))
+      val mn = cand.groupBy(col("p_partkey").as("_mk"))
+        .agg(min(col("bal_cents")).as("_mb"))
+      cand.join(broadcast(mn),
+          col("p_partkey") === col("_mk") && col("bal_cents") === col("_mb"))
+        .select(col("bal_cents").as("s_acctbal_cents"), col("s_name"),
+          col("n_name").as("nation"), col("p_partkey"))
+        .orderBy(col("s_acctbal_cents").desc, col("nation"), col("s_name"),
+          col("p_partkey"))
+        .limit(20)
+    }),
+    "q_agg_tpch_q8" -> ((s, dir) => {
+      // market-share shape (TPC-H Q8): customer region filters the
+      // orders, the supplier nation decides share membership (nation
+      // joined twice under different roles), and the float ratio is
+      // restated as its two exact integer components per year.
+      val revE4 = floor(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - floor(col("l_discount") * 100).cast("long"))
+      val sn = t(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+            .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_3", revE4)
+            .otherwise(0L)).as("nation_rev_e4"),
+          sum(revE4).as("total_rev_e4"))
+        .orderBy(col("o_year"))
+    }),
+    "q_agg_tpch_q11" -> ((s, dir) => {
+      // important-stock shape (TPC-H Q11, adapted: part value = shipped
+      // price volume by the nation's suppliers): the HAVING-over-global-
+      // scalar attaches as a one-row broadcast cross join, the 0.1%
+      // fraction restated integer-exact (value*1000 > total).
+      val byPart = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation").where(col("n_name") === "NATION_2")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("value_e2"))
+      byPart
+        .crossJoin(broadcast(byPart.agg(sum(col("value_e2")).as("_tot"))))
+        .where(col("value_e2") * 1000L > col("_tot"))
+        .select(col("l_partkey"), col("value_e2"))
+        .orderBy(col("value_e2").desc, col("l_partkey"))
+    }),
+    "q_agg_tpch_q12" -> ((s, dir) => {
+      // shipping-mode-count shape (TPC-H Q12, adapted: no shipmode or
+      // receipt date — "late" is shipped more than 90 days after the
+      // order): per return flag, urgent-vs-other line counts as two
+      // conditional count columns.
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+            .as("high_line_count"),
+          count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+            .as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+    "q_agg_tpch_q14" -> ((s, dir) => {
+      // promo-revenue shape (TPC-H Q14): the ratio's numerator and
+      // denominator emitted as two exact integers over one month of
+      // shipments; part broadcasts into the date-pruned fact scan.
+      val revE4 = floor(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - floor(col("l_discount") * 100).cast("long"))
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(sum(when(col("p_type") === "PROMO", revE4).otherwise(0L))
+            .as("promo_rev_e4"),
+          sum(revE4).as("total_rev_e4"))
+    }),
+    "q_agg_tpch_q19" -> ((s, dir) => {
+      // discounted-revenue shape (TPC-H Q19): the three-branch
+      // disjunction of (brand, size-range, quantity-range) brackets —
+      // the classic OR-of-ANDs a pushdown must not mangle — over the
+      // broadcast part dimension, one global exact-integer sum.
+      val revE4 = floor(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - floor(col("l_discount") * 100).cast("long"))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .where((col("p_brand") === "Brand#1" &&
+            col("p_size").between(1, 10) && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" &&
+            col("p_size").between(11, 20) && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" &&
+            col("p_size").between(21, 30) && col("l_quantity").between(20, 30)))
+        .agg(sum(revE4).as("revenue_e4"))
+    }),
+    "q_agg_tpch_q20" -> ((s, dir) => {
+      // potential-promotion shape (TPC-H Q20, adapted: no partsupp —
+      // the "more than half the stock" correlate becomes shipped
+      // quantity above half the part's per-supplier maximum, exact
+      // integers: 2*qty > max): two-level aggregation + semi-join into
+      // the nation-filtered supplier list.
+      val qty = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").where(col("p_name").like("red%"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(floor(col("l_quantity")).cast("long")).as("_q"))
+      val mx = qty.groupBy(col("l_partkey").as("_mk"))
+        .agg(max(col("_q")).as("_mq"))
+      qty.join(broadcast(mx), col("l_partkey") === col("_mk"))
+        .where(col("_q") * 2L > col("_mq"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation").where(col("n_name") === "NATION_1")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name")).distinct()
+        .orderBy(col("s_name"))
+    }),
+    "q_agg_tpch_q21" -> ((s, dir) => {
+      // waiting-supplier shape (TPC-H Q21, adapted "late" as Q12): the
+      // exists/not-exists pair becomes one per-order aggregate — more
+      // than one distinct supplier, exactly one of them late — and the
+      // single late supplier falls out of the same aggregate as a
+      // conditional min, no self-joins of the fact table.
+      val lines = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .withColumn("_late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      lines.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("_n_supp"),
+          countDistinct(when(col("_late"), col("l_suppkey"))).as("_n_late"),
+          min(when(col("_late"), col("l_suppkey"))).as("_the_late"))
+        .where(col("_n_supp") > 1 && col("_n_late") === 1)
+        .join(broadcast(t(s, dir, "supplier")),
+          col("_the_late") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
     "q_agg_rollup" -> ((s, dir) => {
       // integer-cents sum (see q_agg_tpch_q1 for why no decimal cast)
       t(s, dir, "lineitem")
@@ -2174,6 +2341,114 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_agg_tpch_q2" ->
+      """WITH supp AS (
+        |  SELECT s_suppkey, s_name, n_name,
+        |    CAST(floor(s_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |shipped AS (
+        |  SELECT DISTINCT p_partkey, l_suppkey
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_size = 25),
+        |cand AS (
+        |  SELECT p_partkey, s_suppkey, s_name, n_name, bal_cents
+        |  FROM shipped JOIN supp ON l_suppkey = s_suppkey),
+        |mn AS (SELECT p_partkey, min(bal_cents) AS mb FROM cand GROUP BY 1)
+        |SELECT c.bal_cents AS s_acctbal_cents, c.s_name, c.n_name AS nation,
+        |  c.p_partkey
+        |FROM cand c JOIN mn ON c.p_partkey = mn.p_partkey AND c.bal_cents = mn.mb
+        |ORDER BY 1 DESC, 3, 2, 4 LIMIT 20""".stripMargin,
+    "q_agg_tpch_q8" ->
+      """WITH rev AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    CAST(floor(l_extendedprice*100) AS BIGINT) *
+        |      (100 - CAST(floor(l_discount*100) AS BIGINT)) AS r,
+        |    sn.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT CAST(o_year AS BIGINT) AS o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN r ELSE 0 END)
+        |    AS BIGINT) AS nation_rev_e4,
+        |  CAST(sum(r) AS BIGINT) AS total_rev_e4
+        |FROM rev GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_agg_tpch_q11" ->
+      """WITH byp AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(floor(l_extendedprice*100)) AS BIGINT) AS value_e2
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_2' GROUP BY 1)
+        |SELECT l_partkey, value_e2 FROM byp
+        |WHERE value_e2 * 1000 > (SELECT sum(value_e2) FROM byp)
+        |ORDER BY value_e2 DESC, l_partkey""".stripMargin,
+    "q_agg_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(count(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 END) AS BIGINT) AS high_line_count,
+        |  CAST(count(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |    THEN 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_agg_tpch_q14" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN
+        |    CAST(floor(l_extendedprice*100) AS BIGINT) *
+        |      (100 - CAST(floor(l_discount*100) AS BIGINT)) ELSE 0 END)
+        |    AS BIGINT) AS promo_rev_e4,
+        |  CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT) *
+        |    (100 - CAST(floor(l_discount*100) AS BIGINT))) AS BIGINT)
+        |    AS total_rev_e4
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+    "q_agg_tpch_q19" ->
+      """SELECT CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT) *
+        |    (100 - CAST(floor(l_discount*100) AS BIGINT))) AS BIGINT)
+        |    AS revenue_e4
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 20
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 21 AND 30
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_agg_tpch_q20" ->
+      """WITH qty AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(floor(l_quantity)) AS BIGINT) AS q
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'red%' GROUP BY 1, 2),
+        |mx AS (SELECT l_partkey, max(q) AS mq FROM qty GROUP BY 1)
+        |SELECT DISTINCT s_name
+        |FROM qty JOIN mx ON qty.l_partkey = mx.l_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE 2 * q > mq AND n_name = 'NATION_1'
+        |ORDER BY s_name""".stripMargin,
+    "q_agg_tpch_q21" ->
+      """WITH lines AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |per_order AS (
+        |  SELECT l_orderkey,
+        |    count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
+        |    min(CASE WHEN late THEN l_suppkey END) AS the_late
+        |  FROM lines GROUP BY 1)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM per_order JOIN supplier ON the_late = s_suppkey
+        |WHERE n_supp > 1 AND n_late = 1
+        |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin,
     "q_agg_percentile" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS med_qty,

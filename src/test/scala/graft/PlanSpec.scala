@@ -483,6 +483,26 @@ class PlanSpec extends AnyFunSuite {
       .contains("struct<l_partkey:bigint,l_suppkey:bigint>"), scan.metadata)
   }
 
+  test("TPC-H Q21 shape: one fact aggregation, broadcast supplier, no self-join") {
+    val df = SparkEntry.queries("q_agg_tpch_q21")(spark, sfDir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the exists/not-exists pair folds into ONE per-order aggregate:
+    // the lineitem file scans once, not once per exists branch
+    assert("lineitem.parquet".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("TPC-H Q19 disjunctive brackets reach the scan as a pushed OR filter") {
+    val df = SparkEntry.queries("q_agg_tpch_q19")(spark, sfDir)
+    val scan = df.queryExecution.executedPlan.collectLeaves().mkString("\n")
+    // the quantity bounds of the OR-of-ANDs push to the lineitem scan
+    // as a disjunctive filter (the brand/size legs live on the
+    // broadcast part side)
+    assert(scan.contains("PushedFilters") && scan.contains("Or(") &&
+      scan.contains("l_quantity"), scan)
+  }
+
   test("BM25 retrieval: query terms broadcast into the postings scan, no cartesian") {
     val docs = Tables.load(spark, sfDir, "documents")
     val dir = Files.createTempDirectory("graft-plan-ti").toString
