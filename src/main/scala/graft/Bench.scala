@@ -22,7 +22,8 @@ object Bench {
       "q_x_dedup_index_append", "q_x_sim_ivf_index_topk",
       "q_x_dedup_semantic_incremental",
       "q_x_sim_ivf_index_quant", "q_x_sim_pq_index_topk",
-      "q_x_zorder_scan", "q_x_quality_classifier").foreach { name =>
+      "q_x_zorder_scan", "q_x_quality_classifier",
+      "q_x_text_index_match", "q_x_curation_incremental").foreach { name =>
       val q = SparkEntry.queries(name)
       try q(spark, sfDir).count() catch { case _: Throwable => () }
     }

@@ -472,6 +472,54 @@ object ScaleProbe {
       require(agg.getLong(0) == n, s"weights for ${agg.getLong(0)} of $n docs")
       agg.getLong(0)
     }
+    // the composed continuous-assembly front at the production shape:
+    // round 0 absorbs the corpus (gates + within-batch near-dup drop
+    // the planted twins, fingerprints + minhash index persist); round
+    // 1 curates a batch of m/2 fresh docs (a tenth of them planted
+    // near-dups of CLEAN corpus docs) + m/2 exact re-deliveries of
+    // kept corpus texts — the report counts are exact by construction.
+    locally {
+      import graft.operators.Curation
+      val m = (n / 20) * 2 // m/2 fresh + m/2 re-deliveries, both even
+      val fpDir = java.nio.file.Files
+        .createTempDirectory("graft-probe-incfp").toString
+      val ixDir = java.nio.file.Files
+        .createTempDirectory("graft-probe-incix").toString
+      var kept0: DataFrame = null
+      timed("incremental_curation_bootstrap") {
+        val inc0 = Curation.runIncremental(docs, fpDir, lang = "und",
+          nearDup = Some((ixDir, 0.8, docs.limit(0))))
+        kept0 = inc0.kept.localCheckpoint()
+        val r = inc0.report.collect()
+          .map(x => x.getString(0) -> x.getLong(1)).toMap
+        val twins = n / 100 + (if (n % 100 >= 2) 1L else 0L)
+        require(r == Map("near_dup" -> twins, "kept" -> (n - twins))
+          .filter(_._2 > 0), s"round-0 report $r (expected $twins twins)")
+        r.values.sum
+      }
+      timed("incremental_curation_batch") {
+        val fresh = newBatch(spark, n, m / 2)
+        val redeliver = spark.range(0, m / 2, 1,
+            spark.sparkContext.defaultParallelism)
+          .select((col("id") + n + m / 2).as("doc_id"),
+            (col("id") * 20 + 10).as("_src"))
+          .withColumn("text",
+            concat_ws(" ", transform(sequence(lit(0), lit(49)), i =>
+              concat(lit("w"), pmod(xxhash64(col("_src"), i), lit(1000))))))
+          .drop("_src")
+        val inc1 = Curation.runIncremental(
+          fresh.unionByName(redeliver), fpDir, lang = "und",
+          nearDup = Some((ixDir, 0.8, kept0)), absorb = false)
+        val r = inc1.report.collect()
+          .map(x => x.getString(0) -> x.getLong(1)).toMap
+        val planted = plantedBetween(m / 2)
+        val expect = Map("exact_dup" -> m / 2, "near_dup" -> planted,
+          "kept" -> (m / 2 - planted))
+        require(r == expect.filter(_._2 > 0),
+          s"round-1 report $r != expected $expect")
+        r.values.sum
+      }
+    }
     spark.stop()
   }
 }

@@ -1485,6 +1485,13 @@ object SparkEntry {
           docs.where((col("doc_id") % 5).isin(1, 2)), d)
         Dedup.appendToMinhashIndex(
           docs.where((col("doc_id") % 5).isin(3, 4)), d)
+        // a junk batch absorbed then ERASED by compaction: the oracle
+        // below expects exactly the 4/5 corpus, so the gate also
+        // proves compact-with-drop removes rows and nothing else
+        val junk = docs.where((col("doc_id") % 5).isin(1))
+          .select((col("doc_id") + 5000000).as("doc_id"), col("text"))
+        Dedup.appendToMinhashIndex(junk, d)
+        Dedup.compactMinhashIndex(d, dropDocs = Some(junk.select("doc_id")))
         d
       })
       Dedup.matchAgainstMinhashIndex(
@@ -1507,6 +1514,13 @@ object SparkEntry {
           .createTempDirectory("graft-text-idx").toString
         TextIndex.writeTextIndex(docs.where(col("doc_id") % 5 < 3), d)
         TextIndex.appendToTextIndex(docs.where(col("doc_id") % 5 >= 3), d)
+        // junk absorbed then ERASED: the oracle expects the clean
+        // corpus, so the gate also proves compaction's erasure and
+        // the re-derived df/N/avgdl statistics
+        val junk = docs.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 5000000).as("doc_id"), col("text"))
+        TextIndex.appendToTextIndex(junk, d)
+        TextIndex.compactTextIndex(d, dropDocs = Some(junk.select("doc_id")))
         d
       })
       val queries = docs.where(col("doc_id") % 1667 === 0)
@@ -1535,6 +1549,13 @@ object SparkEntry {
           .createTempDirectory("graft-text-idx").toString
         TextIndex.writeTextIndex(docs.where(col("doc_id") % 5 < 3), d)
         TextIndex.appendToTextIndex(docs.where(col("doc_id") % 5 >= 3), d)
+        // junk absorbed then ERASED: the oracle expects the clean
+        // corpus, so the gate also proves compaction's erasure and
+        // the re-derived df/N/avgdl statistics
+        val junk = docs.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 5000000).as("doc_id"), col("text"))
+        TextIndex.appendToTextIndex(junk, d)
+        TextIndex.compactTextIndex(d, dropDocs = Some(junk.select("doc_id")))
         d
       })
       val queries = docs.where(col("doc_id") % 1667 === 0)
