@@ -59,6 +59,36 @@ object SparkEntry {
   private val textIdxFixtureDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** The ONE text-index fixture recipe both text entries ride (build
+    * 3/5 + append 2/5 + junk-append + compact-erase): shared so the
+    * two gates can never silently diverge on what the index holds. */
+  private def textIdxFixture(docs: DataFrame, dir: String): String =
+    textIdxFixtureDirs.getOrElseUpdate(dir, {
+      import graft.operators.TextIndex
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-text-idx").toString
+      TextIndex.writeTextIndex(docs.where(col("doc_id") % 5 < 3), d)
+      TextIndex.appendToTextIndex(docs.where(col("doc_id") % 5 >= 3), d)
+      // junk absorbed then ERASED: the oracle expects the clean
+      // corpus, so the gate also proves compaction's erasure and
+      // the re-derived df/N/avgdl statistics
+      val junk = docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 5000000).as("doc_id"), col("text"))
+      TextIndex.appendToTextIndex(junk, d)
+      TextIndex.compactTextIndex(d, dropDocs = Some(junk.select("doc_id")))
+      d
+    })
+
+  /** Shared query set of the two text-index gates: 4-token prefixes of
+    * every 1667th doc + one literal probing the rare term. */
+  private def textIdxQueries(s: SparkSession, docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") % 1667 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(graft.operators.TextIndex.terms(col("text")),
+          1, 4)).as("text"))
+      .unionByName(s.range(1).select(lit(-1L).as("query_id"),
+        lit("dup merge sort").as("text")))
+
   /** Per-process absorbed fingerprint store (see q_x_curation_incremental). */
   private val incFpFixtureDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
@@ -1509,25 +1539,8 @@ object SparkEntry {
       // An append-grown index must be indistinguishable from a rebuilt
       // one, so the oracle replays plain SQL over the full table.
       val docs = t(s, dir, "documents")
-      val idx = textIdxFixtureDirs.getOrElseUpdate(dir, {
-        val d = java.nio.file.Files
-          .createTempDirectory("graft-text-idx").toString
-        TextIndex.writeTextIndex(docs.where(col("doc_id") % 5 < 3), d)
-        TextIndex.appendToTextIndex(docs.where(col("doc_id") % 5 >= 3), d)
-        // junk absorbed then ERASED: the oracle expects the clean
-        // corpus, so the gate also proves compaction's erasure and
-        // the re-derived df/N/avgdl statistics
-        val junk = docs.where(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 5000000).as("doc_id"), col("text"))
-        TextIndex.appendToTextIndex(junk, d)
-        TextIndex.compactTextIndex(d, dropDocs = Some(junk.select("doc_id")))
-        d
-      })
-      val queries = docs.where(col("doc_id") % 1667 === 0)
-        .select(col("doc_id").as("query_id"),
-          concat_ws(" ", slice(TextIndex.terms(col("text")), 1, 4)).as("text"))
-        .unionByName(s.range(1).select(lit(-1L).as("query_id"),
-          lit("dup merge sort").as("text")))
+      val idx = textIdxFixture(docs, dir)
+      val queries = textIdxQueries(s, docs)
       TextIndex.matchStats(queries, idx)
         .groupBy(col("query_id"), col("doc_id"))
         .agg(count(lit(1)).as("terms_matched"),
@@ -1544,25 +1557,8 @@ object SparkEntry {
       // every integer the score folds is hash-gated by
       // q_x_text_index_match.
       val docs = t(s, dir, "documents")
-      val idx = textIdxFixtureDirs.getOrElseUpdate(dir, {
-        val d = java.nio.file.Files
-          .createTempDirectory("graft-text-idx").toString
-        TextIndex.writeTextIndex(docs.where(col("doc_id") % 5 < 3), d)
-        TextIndex.appendToTextIndex(docs.where(col("doc_id") % 5 >= 3), d)
-        // junk absorbed then ERASED: the oracle expects the clean
-        // corpus, so the gate also proves compaction's erasure and
-        // the re-derived df/N/avgdl statistics
-        val junk = docs.where(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 5000000).as("doc_id"), col("text"))
-        TextIndex.appendToTextIndex(junk, d)
-        TextIndex.compactTextIndex(d, dropDocs = Some(junk.select("doc_id")))
-        d
-      })
-      val queries = docs.where(col("doc_id") % 1667 === 0)
-        .select(col("doc_id").as("query_id"),
-          concat_ws(" ", slice(TextIndex.terms(col("text")), 1, 4)).as("text"))
-        .unionByName(s.range(1).select(lit(-1L).as("query_id"),
-          lit("dup merge sort").as("text")))
+      val idx = textIdxFixture(docs, dir)
+      val queries = textIdxQueries(s, docs)
       TextIndex.bm25TopK(queries, idx, k = 10)
         .select(col("query_id"), col("rank"), col("doc_id"))
         .orderBy(col("query_id"), col("rank"))
@@ -2698,11 +2694,11 @@ object SparkEntry {
         |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_x_snapshot_diff" ->
       """WITH o AS (
-        |  SELECT doc_id AS id, md5(text) AS old_fp
+        |  SELECT doc_id AS id, md5(md5(text)) AS old_fp
         |  FROM documents WHERE doc_id % 7 <> 0),
         |n AS (
         |  SELECT doc_id AS id,
-        |    md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END)
+        |    md5(md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END))
         |      AS new_fp
         |  FROM documents WHERE doc_id % 5 <> 0)
         |SELECT COALESCE(o.id, n.id) AS id,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation with attrition accounting — the composed
@@ -27,6 +27,11 @@ object Curation {
     * `(stage, docs)` in alphabetical stage order (deterministic;
     * stages that dropped nothing emit no row). */
   final case class Curated(kept: DataFrame, report: DataFrame)
+
+  /** Absorbed-state sidecar in the fingerprint store dir: present iff
+    * the last multi-store absorb (fp parquet + minhash index) fully
+    * committed. */
+  private val StateFile = "_graft_curation.properties"
 
   /** Built-in pipeline stage labels, in evaluation order (user gates
     * from `extraGates` slot in after `lang` under their own names). */
@@ -200,20 +205,31 @@ object Curation {
     // every batch copy drops
     val fpPath = new org.apache.hadoop.fs.Path(fpDir)
     val fs = fpPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val fpHasData = fs.exists(fpPath) && fs.listStatus(fpPath).exists(s =>
+      s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+    // absorb is a MULTI-store commit (fp parquet + minhash index); the
+    // state sidecar goes down before it and back after, so a torn
+    // commit refuses loudly here instead of silently running with
+    // fingerprints whose signatures never made the index
+    val statePath = new org.apache.hadoop.fs.Path(fpDir, StateFile)
+    require(!fpHasData || fs.exists(statePath),
+      s"fingerprint store at $fpDir holds data but no $StateFile sidecar " +
+        "— a previous absorb died mid-commit; rebuild the state (re-run " +
+        "the corpus bootstrap) rather than curating against a torn store")
     // bootstrap: a missing or still-empty store means no corpus yet
     val stored: Option[DataFrame] =
-      if (fs.exists(fpPath) && fs.listStatus(fpPath).exists(s =>
-          s.isFile && !s.getPath.getName.startsWith("_") &&
-            !s.getPath.getName.startsWith(".")))
-        Some(spark.read.parquet(fpDir)) else None
+      if (fpHasData) Some(spark.read.parquet(fpDir)) else None
     val keepers = {
       val batchKeep = base.where(col("_drop").isNull)
         .groupBy(col("_fp")).agg(min(col("doc_id")).as("_keep"))
       stored match {
         case None => batchKeep
+        // no distinct() on the store: absorbed fps are unique by
+        // construction and left_anti tolerates duplicates anyway —
+        // a distinct would shuffle the corpus-sized store every round
         case Some(st) => batchKeep.join(
-          st.select(col("fp").as("_fp")).distinct(),
-          Seq("_fp"), "left_anti")
+          st.select(col("fp").as("_fp")), Seq("_fp"), "left_anti")
       }
     }
     val afterExact = base.join(keepers, Seq("_fp"), "left")
@@ -229,19 +245,35 @@ object Curation {
       case Some((ixDir, th, corpusDocs)) =>
         val alive = afterExact.where(col("_drop").isNull)
           .select(batch.columns.map(col): _*)
+        val ixValid = Dedup.hasMinhashIndex(spark, ixDir)
+        // a sidecar-less dir that still holds data is a CRASH-TORN
+        // index, not an empty one — bootstrapping over it would both
+        // skip the corpus near-dup check and overwrite the accumulated
+        // signatures on absorb; refuse like every direct index consumer
+        require(ixValid || !Dedup.minhashIndexHasData(spark, ixDir),
+          s"minhash index at $ixDir holds data but no sidecar — a " +
+            "previous append or compaction died mid-commit; rebuild the " +
+            "index rather than curating against a torn store")
         // round-0 bootstrap: no index yet means no corpus to collide
         // with — only the within-batch pass applies, and absorb below
         // CREATES the index from this round's keepers
         val vsCorpus =
-          if (!Dedup.hasMinhashIndex(spark, ixDir))
+          if (!ixValid)
             alive.select(col("doc_id")).limit(0)
               .withColumn("_corp_dup", lit(1))
           else Dedup.matchAgainstMinhashIndex(
               alive, corpusDocs, ixDir, threshold = th)
             .select(col("id_a").as("doc_id")).distinct()
             .withColumn("_corp_dup", lit(1))
+        // the within-batch pass runs at the INDEX's own recorded
+        // (shingleLen, numHashes) — a 5-shingle index must not have
+        // its batch half judged by 3-shingle Jaccard (r stays 4)
+        val (shLen, nHash) =
+          if (ixValid) Dedup.minhashIndexParams(spark, ixDir) else (3, 64)
         val withinKeep = Dedup.duplicateGroups(alive,
-            Dedup.minhashNearDuplicates(alive, threshold = th))
+            Dedup.minhashNearDuplicates(alive, threshold = th,
+              shingleLen = shLen, numHashes = nHash,
+              bands = math.max(1, nHash / 4)))
           .groupBy(col("group_id")).agg(min(col("doc_id")).as("_keep"))
           .select(col("_keep").as("doc_id"))
           .withColumn("_is_canon", lit(1))
@@ -277,6 +309,11 @@ object Curation {
     val kept = labeled.where(col("_stage") === "kept")
       .select(batch.columns.map(col): _*)
     if (absorb) {
+      // state sidecar down across BOTH store writes: a crash between
+      // the fp append and the index append leaves a store the next
+      // round refuses (see the require above), never one that silently
+      // drops re-deliveries whose signatures were lost
+      fs.delete(statePath, false)
       labeled.where(col("_stage") === "kept")
         .select(col("_fp").as("fp"))
         .write.mode("append").parquet(fpDir)
@@ -285,6 +322,9 @@ object Curation {
           Dedup.appendToMinhashIndex(kept, ixDir)
         else Dedup.writeMinhashIndex(kept, ixDir)
       }
+      val out = fs.create(statePath, true)
+      try out.write("absorbed=true\n".getBytes("UTF-8"))
+      finally out.close()
     }
     val report = labeled.groupBy(col("_stage").as("stage"))
       .agg(count(lit(1)).as("docs"))
@@ -304,8 +344,12 @@ object Curation {
     *
     * Output: `(id, status, old_fp, new_fp)`, one row per id present in
     * either snapshot; `status` ∈ added | removed | changed | unchanged,
-    * fingerprints are md5 hex of the 0x1F-joined `contentCols` (NULL on
-    * the absent side).
+    * fingerprints are md5 hex over the concatenation of each content
+    * column's OWN md5 (a NULL column contributes the fixed marker
+    * `-`). Hashing per column first makes the combined print
+    * unambiguous for any values — fixed-width segments can't alias
+    * across column boundaries — and keeps NULL distinct from the empty
+    * string (a plain separator-join would silently skip NULLs).
     *
     * Scale shape: each side reduces to (id, fp) IN THE SCAN — content
     * columns never survive past the md5, so the join moves two narrow
@@ -316,11 +360,12 @@ object Curation {
       idCol: String = "doc_id",
       contentCols: Seq[String] = Seq("text")): DataFrame = {
     require(contentCols.nonEmpty, "contentCols must name at least one column")
-    // 0x1F (ASCII unit separator) keeps multi-column fingerprints
-    // unambiguous: ("ab","c") and ("a","bc") concat differently
+    def colFp(c: Column) =
+      coalesce(md5(encode(c.cast("string"), "UTF-8")), lit("-"))
     def fingered(df: DataFrame, fp: String) = df.select(
       col(idCol).as("id"),
-      md5(encode(concat_ws("\u001f", contentCols.map(col): _*), "UTF-8")).as(fp))
+      md5(encode(concat(contentCols.map(c => colFp(col(c))): _*), "UTF-8"))
+        .as(fp))
     fingered(oldSnap, "old_fp")
       .join(fingered(newSnap, "new_fp"), Seq("id"), "full_outer")
       .withColumn("status",

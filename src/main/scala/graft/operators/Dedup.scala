@@ -907,11 +907,32 @@ object Dedup {
 
   /** Whether a valid (sidecar-bearing) minhash index exists at `dir` —
     * the bootstrap probe [[Curation.runIncremental]] uses to decide
-    * between round-0 index creation and an incremental append. */
+    * between round-0 index creation and an incremental append. A
+    * sidecar-less directory that still HOLDS data files is neither: it
+    * is a crash-invalidated index, and callers must refuse rather than
+    * bootstrap over it — [[minhashIndexHasData]] distinguishes. */
   def hasMinhashIndex(spark: SparkSession, dir: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(dir, MinhashPropsFile)
     path.getFileSystem(spark.sessionState.newHadoopConf()).exists(path)
   }
+
+  /** Whether `dir` holds index data files (regardless of sidecar
+    * validity) — true with [[hasMinhashIndex]] false means a torn
+    * append/compaction left a refusing directory. */
+  def minhashIndexHasData(spark: SparkSession, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(path) && fs.listStatus(path).exists(s =>
+      s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+  }
+
+  /** The stored index's recorded (shingleLen, numHashes) — for callers
+    * that must run a SECOND minhash pass consistent with the index's
+    * own definition (e.g. the within-batch half of incremental
+    * curation). Refuses without a sidecar. */
+  def minhashIndexParams(spark: SparkSession, dir: String): (Int, Int) =
+    readMinhashProps(spark, dir)
 
   /** Compact the stored minhash index, optionally erasing documents —
     * the right-to-erasure path and the consumer of

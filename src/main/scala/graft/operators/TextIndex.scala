@@ -83,7 +83,10 @@ object TextIndex {
     val props = new org.apache.hadoop.fs.Path(dir, PropsFile)
     props.getFileSystem(spark.sessionState.newHadoopConf())
       .delete(props, false)
-    val toks = tokenTable(newDocs)
+    // materialize the batch's token aggregation once: it feeds both
+    // segment writes, and an unmaterialized plan would re-run the
+    // tokenize + shuffle (the dominant append cost) for docstats
+    val toks = tokenTable(newDocs).localCheckpoint()
     toks.repartition(col("term"))
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.mode("append").parquet(s"$dir/postings")

@@ -1534,6 +1534,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(inc2.kept.count() == 0)
     assert(inc2.report.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       == Map("exact_dup" -> 1L))
+    // torn-commit refusals: state with data but no sidecar (an absorb
+    // or index append that died mid-commit) must refuse loudly, never
+    // silently bootstrap over the accumulated corpus
+    def del(p: String): Unit = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(spark.sessionState.newHadoopConf())
+        .delete(path, false)
+    }
+    del(s"$ixDir/_graft_minhash.properties")
+    intercept[IllegalArgumentException] {
+      Curation.runIncremental(batch, fpDir, minTokens = 3,
+        nearDup = Some((ixDir, 0.8, inc0.kept)), absorb = false)
+    }
+    del(s"$fpDir/_graft_curation.properties")
+    intercept[IllegalArgumentException] {
+      Curation.runIncremental(batch, fpDir, minTokens = 3, absorb = false)
+    }
   }
 
   test("snapshotDiff labels every id added/removed/changed/unchanged exactly") {
@@ -1555,13 +1572,24 @@ class PipelineOpsSpec extends AnyFunSuite {
         else None
       assert(out.get(i) == expect, s"doc $i")
     }
-    // multi-column fingerprints: the 0x1F separator keeps ("ab","c")
-    // and ("a","bc") distinct — the concat alone would collide
+    // multi-column fingerprints hash per column first, so ("ab","c")
+    // and ("a","bc") can't alias across the boundary, and a NULL stays
+    // distinct from the empty string AND from the value moving columns
     import spark.implicits._
     val l = Seq((1L, "ab", "c")).toDF("doc_id", "x", "y")
     val r = Seq((1L, "a", "bc")).toDF("doc_id", "x", "y")
     val st = Curation.snapshotDiff(l, r, contentCols = Seq("x", "y"))
       .select("status").collect().map(_.getString(0)).toSeq
     assert(st == Seq("changed"))
+    val ln = Seq((1L, Some("a"), Option.empty[String])).toDF("doc_id", "x", "y")
+    val rn = Seq((1L, Option.empty[String], Some("a"))).toDF("doc_id", "x", "y")
+    val stn = Curation.snapshotDiff(ln, rn, contentCols = Seq("x", "y"))
+      .select("status").collect().map(_.getString(0)).toSeq
+    assert(stn == Seq("changed"))
+    val le = Seq((1L, Some(""))).toDF("doc_id", "text")
+    val re = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+    val ste = Curation.snapshotDiff(le, re)
+      .select("status").collect().map(_.getString(0)).toSeq
+    assert(ste == Seq("changed"))
   }
 }
