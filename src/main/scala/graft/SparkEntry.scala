@@ -2,8 +2,8 @@ package graft
 
 import graft.functions.cellfunctions._
 import graft.model.{CfSpec, TableDesc}
-import graft.operators.{AsOfJoin, BatchTxn, DataSelection, Dedup, KvStore,
-  Multimodal, QualityModel, ZOrder,
+import graft.operators.{AsOfJoin, BatchTxn, Bpe, DataSelection, Dedup,
+  KvStore, Multimodal, QualityModel, Retrieval, ZOrder,
   PercolatorRead, Resolve, Sampling, ScanFilter, ScanQuery, Similarity,
   TextAnalysis, TextIndex, TypedValue}
 import graft.sources.{CellLogs, Tables}
@@ -108,6 +108,10 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private val qualityModels = scala.collection.concurrent.TrieMap
     .empty[String, org.apache.spark.ml.classification.LogisticRegressionModel]
+
+  /** Per-process corpus-trained BPE model (see q_x_bpe_tokenize). */
+  private val bpeModels =
+    scala.collection.concurrent.TrieMap.empty[String, Bpe.BpeModel]
 
   /** The orders-table cell mapping shared by BOTH relational round-trip
     * rows — one definition so the two rows cannot silently diverge. */
@@ -1563,6 +1567,88 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("doc_id"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_x_fuse_rrf" -> ((s, dir) => {
+      // reciprocal rank fusion (Cormack et al. 2009) over two
+      // EXACT-integer rankings derived from the same persisted text
+      // index (rank by matched-tf mass / by document length): the
+      // fused score is elementwise 1/(60+rank) arithmetic in fixed
+      // run order — no cross-row double summation — so plain SQL
+      // replays the doubles bit-exactly. This gates the fusion
+      // operator itself; the hybrid BM25+IVF composition rides it
+      // (q_x_fuse_hybrid).
+      val docs = t(s, dir, "documents")
+      val idx = textIdxFixture(docs, dir)
+      val queries = textIdxQueries(s, docs)
+      val byDoc = TextIndex.matchStats(queries, idx)
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("tf")).as("sum_tf"), max(col("dl")).as("dl"))
+      val wa = Window.partitionBy(col("query_id"))
+        .orderBy(col("sum_tf").desc, col("doc_id"))
+      val wb = Window.partitionBy(col("query_id"))
+        .orderBy(col("dl").desc, col("doc_id"))
+      val runA = byDoc.withColumn("rank", row_number().over(wa))
+        .where(col("rank") <= 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val runB = byDoc.withColumn("rank", row_number().over(wb))
+        .where(col("rank") <= 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      Retrieval.reciprocalRankFusion(Seq(runA, runB), k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q_x_fuse_hybrid" -> ((s, dir) => {
+      // hybrid retrieval: BM25 through the inverted text index + exact
+      // cosine through the IVF inverted file, RRF-fused. Rows-only
+      // like its BM25 input (the ln-based lexical score has no SQL
+      // replica); the fusion arithmetic is hash-gated by q_x_fuse_rrf
+      // and the hybrid ≡ manual-composition identity is spec-proven
+      // (PipelineOpsSpec). Queries take NEGATIVE ids so the dense
+      // side's self-exclusion can't hide a corpus match.
+      val docs = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val tIdx = textIdxFixture(docs, dir)
+      val vIdx = ivfIdxFixtureDirs.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-ivf-idx").toString
+        Similarity.writeIvfIndex(e.where(col("vec_id") % 2 === 0), d,
+          dim = 64)
+        Similarity.appendToIvfIndex(e.where(col("vec_id") % 2 === 1), d)
+        d
+      })
+      val queries = docs.where(col("doc_id") % 100 === 0)
+        .join(e, col("doc_id") === col("vec_id"))
+        .select((-col("doc_id") - 1).as("query_id"), col("text"),
+          col("embedding"))
+      Retrieval.hybridTopK(queries, tIdx, vIdx, k = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("n_runs"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q_x_bpe_tokenize" -> ((s, dir) => {
+      // real subword token accounting: a BPE model trained on the
+      // corpus's own word dictionary (Sennrich et al. 2016 — merges
+      // learned over (word, count), the published corpus-scale form),
+      // applied by distinct-word encode + equi-join fan-out. The
+      // greedy merge recursion has no SQL replica (rows-only); the
+      // trainer is differential-tested against a brute-force
+      // reference, greedy-apply ≡ training segmentation, and the
+      // distributed count ≡ a driver-side replay (BpeSpec); the
+      // explode/join/fold plumbing is hash-gated by
+      // q_x_bpe_symbol_counts.
+      val docs = t(s, dir, "documents")
+      val model = bpeModels.getOrElseUpdate(dir,
+        Bpe.train(docs, numMerges = 300, maxWords = 50000))
+      Bpe.tokenCounts(docs, model).orderBy(col("doc_id"))
+    }),
+    "q_x_bpe_symbol_counts" -> ((s, dir) => {
+      // the zero-merge boundary of the same pipeline: with an empty
+      // merge table, n_tokens collapses to Σ_words (code points +
+      // end-of-word marker) — exact SQL, so this row hash-gates the
+      // explode / distinct-word encode / join fan-out / fold plumbing
+      // the trained row rides.
+      val docs = t(s, dir, "documents")
+      Bpe.tokenCounts(docs, Bpe.BpeModel(Array.empty))
+        .orderBy(col("doc_id"))
+    }),
     "q_x_select_coverage" -> ((s, dir) => {
       // the exact-integer core of DSIR importance weighting: every raw
       // document's unigram+bigram instances classified against the
@@ -2736,6 +2822,64 @@ object SparkEntry {
         |FROM qt JOIN toks USING (term) JOIN df USING (term)
         |  JOIN dl ON toks.doc_id = dl.doc_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_x_fuse_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |          t -> t <> '')) AS term FROM documents)
+        |  GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM toks GROUP BY 1),
+        |q AS (
+        |  SELECT doc_id AS query_id,
+        |    array_to_string(list_slice(list_filter(string_split(lower(text), ' '),
+        |      t -> t <> ''), 1, 4), ' ') AS text
+        |  FROM documents WHERE doc_id % 1667 = 0
+        |  UNION ALL SELECT -1, 'dup merge sort'),
+        |qt AS (
+        |  SELECT DISTINCT query_id, unnest(list_filter(string_split(lower(text), ' '),
+        |    t -> t <> '')) AS term FROM q),
+        |bydoc AS (
+        |  SELECT qt.query_id, toks.doc_id,
+        |    CAST(sum(toks.tf) AS BIGINT) AS sum_tf,
+        |    CAST(max(dl.dl) AS BIGINT) AS dl
+        |  FROM qt JOIN toks USING (term)
+        |    JOIN dl ON toks.doc_id = dl.doc_id
+        |  GROUP BY 1, 2),
+        |ra AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY sum_tf DESC, doc_id) AS rank
+        |    FROM bydoc) WHERE rank <= 10),
+        |rb AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY dl DESC, doc_id) AS rank
+        |    FROM bydoc) WHERE rank <= 10),
+        |piv AS (
+        |  SELECT coalesce(ra.query_id, rb.query_id) AS query_id,
+        |         coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+        |         ra.rank AS rank_a, rb.rank AS rank_b
+        |  FROM ra FULL OUTER JOIN rb
+        |    ON ra.query_id = rb.query_id AND ra.doc_id = rb.doc_id),
+        |sc AS (
+        |  SELECT query_id, doc_id,
+        |    coalesce(CAST(1.0 AS DOUBLE) / (CAST(60 AS DOUBLE)
+        |        + CAST(rank_a AS DOUBLE)), CAST(0 AS DOUBLE))
+        |    + coalesce(CAST(1.0 AS DOUBLE) / (CAST(60 AS DOUBLE)
+        |        + CAST(rank_b AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf_score,
+        |    (CASE WHEN rank_a IS NOT NULL THEN 1 ELSE 0 END
+        |     + CASE WHEN rank_b IS NOT NULL THEN 1 ELSE 0 END) AS n_runs
+        |  FROM piv)
+        |SELECT query_id, rank, doc_id, rrf_score, n_runs FROM (
+        |  SELECT query_id, doc_id, rrf_score, n_runs, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+        |  FROM sc) WHERE rank <= 10
+        |ORDER BY 1, 2""".stripMargin,
+    "q_x_bpe_symbol_counts" ->
+      """SELECT doc_id, CAST(sum(length(w) + 1) AS BIGINT) AS n_tokens
+        |FROM (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |        t -> t <> '')) AS w FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_x_select_coverage" ->
       """WITH tk AS (
         |  SELECT doc_id,

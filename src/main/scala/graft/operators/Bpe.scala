@@ -1,0 +1,290 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Byte-pair-encoding tokenizer, trained and applied at corpus scale —
+  * the real token accounting a training-data pipeline budgets with
+  * (token quotas, sequence packing, per-source token counts), replacing
+  * the whitespace proxy where the actual subword count matters.
+  *
+  * Published algorithm (Sennrich, Haddow & Birch, ACL 2016,
+  * arXiv:1508.07909): merges are learned over the WORD-FREQUENCY
+  * DICTIONARY, not the corpus stream — the corpus collapses to
+  * `(word, count)` in one distributed aggregation, and training walks
+  * that dictionary on the driver with incremental pair-count updates.
+  * The dictionary is capped at `maxWords` (count-ordered, deterministic
+  * tie-break), the same bounded-scalar-handshake shape as the IVF
+  * centroids: at 100 TB the top-100k words carry ~99.9% of token mass,
+  * and the cap is what keeps driver state bounded regardless of corpus
+  * size.
+  *
+  * Application is also dictionary-shaped: a batch explodes to words,
+  * each DISTINCT word encodes once (cost ∝ batch vocabulary, not batch
+  * size — the per-word greedy merge loop is the one imperative step,
+  * run as a UDF over the distinct-word frame because no built-in or
+  * single codegen expression expresses an ordered merge recursion),
+  * and an equi-join fans the encodings back out to occurrences. Token
+  * counts then fold with one hash aggregation; full token sequences
+  * reassemble by position sort within each document.
+  *
+  * Tokenizer primitive: the same `lower_ws` word splitter as
+  * [[TextIndex]], so word boundaries agree across the lexical ring.
+  */
+object Bpe {
+
+  /** End-of-word marker appended to every word's symbol sequence
+    * (Sennrich's `</w>`): merges can learn word-final subwords and
+    * detokenization stays unambiguous. */
+  val EndOfWord = "</w>"
+
+  /** An ordered merge table: `merges(r)` is the r-th learned pair.
+    * Greedy application in rank order reproduces the training
+    * segmentation (spec-proven). */
+  final case class BpeModel(merges: Array[(String, String)]) {
+    lazy val ranks: Map[(String, String), Int] =
+      merges.iterator.zipWithIndex.toMap
+    def vocabSizeHint: Int = merges.length
+  }
+
+  /** `(word, cnt)` over the lower_ws words of `docs(text)` — one
+    * distributed aggregation, map-side partial counts. */
+  def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(TextIndex.terms(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** Train `numMerges` merges over the corpus. The dictionary collect
+    * is bounded by `maxWords` (count desc, word asc — deterministic);
+    * everything after it is driver-side and O(dict). */
+  def train(docs: DataFrame, numMerges: Int,
+      maxWords: Int = 100000): BpeModel = {
+    val dict = wordCounts(docs)
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(maxWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    trainFromDict(dict, numMerges)
+  }
+
+  /** Split into code-point symbols (surrogate-pair safe) + the
+    * end-of-word marker. */
+  def charSymbols(word: String): Array[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out += EndOfWord
+    out.toArray
+  }
+
+  /** Sennrich's trainer with indexed incremental pair statistics:
+    * pair → total count and pair → containing-word set are maintained
+    * across merges, so each merge touches only the words it occurs in.
+    * Best-pair selection is a lazy max-heap (stale entries skipped on
+    * pop); ties break (count desc, left asc, right asc) so training is
+    * deterministic. Merging stops early when no pair repeats. */
+  def trainFromDict(dict: Seq[(String, Long)], numMerges: Int): BpeModel = {
+    val words: Array[mutable.ArrayBuffer[String]] =
+      dict.map(d => mutable.ArrayBuffer(charSymbols(d._1): _*)).toArray
+    val wcnt: Array[Long] = dict.map(_._2).toArray
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+
+    def pairsOf(w: mutable.ArrayBuffer[String]): Iterator[(String, String)] =
+      if (w.length < 2) Iterator.empty
+      else w.iterator.zip(w.iterator.drop(1))
+
+    // lazy max-heap: (count, left, right); an entry is live iff its
+    // count still matches pairCount. EVERY count change enqueues the
+    // new value (add and sub both), otherwise a decremented pair's
+    // only heap entries would all be stale and it could never be
+    // selected again.
+    implicit val ord: Ordering[(Long, String, String)] =
+      Ordering.Tuple3(Ordering.Long,
+        Ordering.String.reverse, Ordering.String.reverse)
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)]
+
+    def add(p: (String, String), wi: Int, c: Long): Unit = {
+      val now = pairCount.getOrElse(p, 0L) + c
+      pairCount.update(p, now)
+      pairWords.getOrElseUpdate(p, mutable.Set.empty) += wi
+      heap.enqueue((now, p._1, p._2))
+    }
+    def sub(p: (String, String), c: Long): Unit = {
+      val left = pairCount(p) - c
+      if (left <= 0) { pairCount.remove(p); pairWords.remove(p) }
+      else {
+        pairCount.update(p, left)
+        heap.enqueue((left, p._1, p._2))
+      }
+      // pairWords membership of the shrinking word is NOT pruned here:
+      // the transform loop re-adds pairs that survive, and a stale
+      // member only costs a no-op rescan if the pair is merged later
+    }
+
+    words.indices.foreach { wi =>
+      pairsOf(words(wi)).foreach(p => add(p, wi, wcnt(wi)))
+    }
+
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < numMerges) {
+      var best: Option[(String, String)] = None
+      while (best.isEmpty && heap.nonEmpty) {
+        val (c, l, r) = heap.dequeue()
+        if (pairCount.get((l, r)).contains(c)) best = Some((l, r))
+      }
+      best match {
+        case None => done = true
+        case Some(p) if pairCount(p) < 2 => done = true
+        case Some(p) =>
+          merges += p
+          val merged = p._1 + p._2
+          val touched = pairWords(p).toArray.sorted
+          touched.foreach { wi =>
+            val w = words(wi)
+            pairsOf(w).foreach(q => sub(q, wcnt(wi)))
+            val nw = mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < w.length) {
+              if (i + 1 < w.length && w(i) == p._1 && w(i + 1) == p._2) {
+                nw += merged; i += 2
+              } else { nw += w(i); i += 1 }
+            }
+            words(wi) = nw
+            pairsOf(nw).foreach(q => add(q, wi, wcnt(wi)))
+          }
+          // membership sets for pairs that vanished from some words but
+          // survive elsewhere were rebuilt by the re-add loop above
+      }
+    }
+    BpeModel(merges.toArray)
+  }
+
+  /** Greedy application: repeatedly merge the lowest-rank adjacent
+    * pair (all its occurrences, left to right) until none applies.
+    * Reproduces the training segmentation for dictionary words.
+    * `model.ranks` is a lazy val — built once per (deserialized) model
+    * instance, i.e. once per executor under a broadcast. */
+  def encodeWord(word: String, model: BpeModel): Array[String] = {
+    val ranks = model.ranks
+    var syms = charSymbols(word)
+    var changed = true
+    while (changed && syms.length >= 2) {
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        ranks.get((syms(i), syms(i + 1))).foreach { r =>
+          if (r < bestRank) bestRank = r
+        }
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) changed = false
+      else {
+        val (l, r) = model.merges(bestRank)
+        val out = mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == r) {
+            out += l + r; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.toArray
+      }
+    }
+    syms
+  }
+
+  /** Encode every distinct word of `words(word)` once: `(word, toks)`.
+    * The UDF runs over the distinct-word frame only — the merge
+    * recursion has no built-in/codegen form, and distinct-word scoping
+    * keeps its cost ∝ vocabulary, not corpus. */
+  def encodeWords(words: DataFrame, model: BpeModel): DataFrame = {
+    val spark = words.sparkSession
+    val modelB = spark.sparkContext.broadcast(model)
+    val enc = udf((w: String) => encodeWord(w, modelB.value))
+    words.select(col("word"), enc(col("word")).as("toks"))
+  }
+
+  /** Exact subword token count per document: `(doc_id, n_tokens)`.
+    * One explode + per-(doc, word) count, one distinct-word encode,
+    * one equi-join fan-out, one hash-agg fold — no windows, nothing
+    * corpus-sized on the driver. */
+  def tokenCounts(docs: DataFrame, model: BpeModel): DataFrame = {
+    val perWord = docs
+      .select(col("doc_id"), explode(TextIndex.terms(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("occ"))
+    val wtoks = encodeWords(perWord.select(col("word")).distinct(), model)
+      .select(col("word"), size(col("toks")).cast("long").as("n"))
+    perWord.join(wtoks, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("occ") * col("n")).as("n_tokens"))
+  }
+
+  /** Full token sequences: `(doc_id, tokens)` with subwords in
+    * document order. Same distinct-word encode; sequences reassemble
+    * with a position-sorted collect inside one aggregation. */
+  def tokenize(docs: DataFrame, model: BpeModel): DataFrame = {
+    val positioned = docs
+      .select(col("doc_id"),
+        posexplode(TextIndex.terms(col("text"))).as(Seq("pos", "word")))
+    val wtoks = encodeWords(positioned.select(col("word")).distinct(), model)
+    positioned.join(wtoks, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("toks")))),
+        s => s.getField("toks"))).as("tokens"))
+  }
+
+  // ---- persistence (same sidecar discipline as the other stores) ----
+
+  private val PropsFile = "_graft_bpe.properties"
+
+  /** Persist the merge table beside the corpus: `merges/` parquet
+    * (rank, left, right) first, properties sidecar LAST (write-then-
+    * rename), so a torn write leaves a refusing directory. */
+  def save(spark: SparkSession, model: BpeModel, dir: String): Unit = {
+    import spark.implicits._
+    model.merges.zipWithIndex
+      .map { case ((l, r), i) => (i, l, r) }.toSeq
+      .toDF("rank", "left", "right")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/merges")
+    val conf = spark.sessionState.newHadoopConf()
+    val path = new org.apache.hadoop.fs.Path(dir, PropsFile)
+    val tmp = new org.apache.hadoop.fs.Path(dir, PropsFile + ".tmp")
+    val fs = path.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"tokenizer=lower_ws\nend_of_word=$EndOfWord\nmerges=${model.merges.length}\n"
+        .getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(path, false)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"failed to move $tmp to $path")
+  }
+
+  def load(spark: SparkSession, dir: String): BpeModel = {
+    val path = new org.apache.hadoop.fs.Path(dir, PropsFile)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(path),
+      s"no BPE sidecar at $path — train and save a model first")
+    val props = new java.util.Properties()
+    val in = fs.open(path)
+    try props.load(in) finally in.close()
+    val n = props.getProperty("merges").toInt
+    val merges = spark.read.parquet(s"$dir/merges")
+      .orderBy(col("rank"))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    require(merges.length == n,
+      s"BPE store at $dir holds ${merges.length} merges, sidecar says $n")
+    BpeModel(merges)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rank fusion — combining the lexical ([[TextIndex.bm25TopK]]) and
+  * dense ([[Similarity.ivfTopKOverIndex]]) retrieval rings into one
+  * hybrid ranking. The reference exposes both access paths to the same
+  * rows (primary row-key order plus secondary index tables — the
+  * t_order_index pattern, doc/en/onebox.md pattern mirrored by
+  * [[SecondaryIndex]]); a retrieval-driven data-selection pipeline has
+  * the same two paths over documents, and reciprocal rank fusion
+  * (Cormack, Clarke & Büttcher, SIGIR 2009) is the published
+  * parameter-free way to merge them.
+  *
+  * Scale posture: every input run is a per-query top-k frame —
+  * candidate-sized (|queries| × k), never corpus-sized — so the fused
+  * frame joins candidates against candidates; the only corpus-sized
+  * work stays inside the per-run retrievers, which are already
+  * index-backed. The fused score is computed ELEMENTWISE over the
+  * pivoted run ranks in fixed run order (no cross-row double
+  * summation), so it is deterministic and bit-reproducible across
+  * engines — the property the DuckDB oracle gate rides.
+  */
+object Retrieval {
+
+  /** Reciprocal rank fusion: `score(q,d) = Σ_i w_i / (k0 + rank_i(q,d))`
+    * over the runs that returned `d` for `q`; absent runs contribute 0.
+    *
+    * Input runs carry `(query_id, doc_id, rank)` with `rank` 1-based
+    * and unique per query (the shape every top-k in this library
+    * emits). Runs are pivoted by a fold of full-outer equi-joins on
+    * `(query_id, doc_id)` — not unioned-then-summed — so each
+    * document's score is one fixed-order arithmetic expression and the
+    * double is engine-portable. Output: `(query_id, rank, doc_id,
+    * rrf_score, n_runs)`, rank dense in (score desc, doc_id) order,
+    * `n_runs` = how many runs surfaced the pair (the agreement signal).
+    *
+    * `k0` damps the head of each ranking (60 in the paper); `weights`
+    * defaults to uniform 1.0.
+    */
+  def reciprocalRankFusion(runs: Seq[DataFrame], k: Int, k0: Int = 60,
+      weights: Seq[Double] = Nil): DataFrame = {
+    require(runs.nonEmpty, "reciprocalRankFusion needs at least one run")
+    val w = if (weights.isEmpty) Seq.fill(runs.size)(1.0) else weights
+    require(w.size == runs.size,
+      s"got ${w.size} weights for ${runs.size} runs")
+    require(k0 >= 0, s"k0 must be non-negative, got $k0")
+    val renamed = runs.zipWithIndex.map { case (r, i) =>
+      r.select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as(s"_rank_$i"))
+    }
+    val pivoted = renamed.reduce(
+      (a, b) => a.join(b, Seq("query_id", "doc_id"), "full_outer"))
+    val score = renamed.indices.map { i =>
+      coalesce(
+        lit(w(i)) / (lit(k0.toDouble) + col(s"_rank_$i").cast("double")),
+        lit(0.0))
+    }.reduce(_ + _)
+    val hits = renamed.indices
+      .map(i => when(col(s"_rank_$i").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    pivoted
+      .withColumn("rrf_score", score)
+      .withColumn("n_runs", hits)
+      .withColumn("rank", row_number().over(win))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rrf_score"), col("n_runs"))
+  }
+
+  /** Hybrid lexical+dense retrieval over the two persisted indexes:
+    * BM25 through the inverted text index and cosine top-k through the
+    * IVF inverted file, fused by RRF. `queries` carries `(query_id,
+    * text, embedding)`; each side retrieves its own top-`kPerRun`
+    * (default 2k — the fusion window needs more than k candidates per
+    * run to let cross-run agreement reorder the tail) and only the
+    * fused top-k survives.
+    *
+    * The dense side inherits [[Similarity.ivfTopKOverIndex]]'s
+    * self-exclusion: a query whose `query_id` equals a corpus `vec_id`
+    * will not retrieve that vector (give queries their own id space —
+    * e.g. negative ids — when self-retrieval matters). Exact-cosine
+    * scoring requires a float (non-quantized) IVF index, which
+    * `ivfTopKOverIndex` checks.
+    */
+  def hybridTopK(queries: DataFrame, textIndexDir: String,
+      ivfIndexDir: String, k: Int, kPerRun: Int = 0, k0: Int = 60,
+      lexWeight: Double = 1.0, vecWeight: Double = 1.0,
+      nprobe: Int = 4, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val kr = if (kPerRun > 0) kPerRun else 2 * k
+    val lex = TextIndex
+      .bm25TopK(queries.select(col("query_id"), col("text")),
+        textIndexDir, kr, k1, b)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val dense = Similarity
+      .ivfTopKOverIndex(
+        queries.select(col("query_id").as("vec_id"), col("embedding")),
+        ivfIndexDir, kr, nprobe)
+      .select(col("qid").as("query_id"), col("vec_id").as("doc_id"),
+        col("rank"))
+    reciprocalRankFusion(Seq(lex, dense), k, k0,
+      Seq(lexWeight, vecWeight))
+  }
+}

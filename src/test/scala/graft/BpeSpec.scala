@@ -1,0 +1,161 @@
+package graft
+
+import graft.operators.Bpe
+import graft.operators.Bpe.BpeModel
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.collection.mutable
+
+/** BPE tokenizer: trainer differential vs a brute-force reference,
+  * greedy-apply ≡ training segmentation, distributed count/tokenize
+  * consistency, persistence round trip. */
+class BpeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+
+  /** Straight-line reference trainer: recount every pair from scratch
+    * each merge, pick max by (count desc, left asc, right asc). */
+  private def bruteTrain(dict: Seq[(String, Long)], numMerges: Int): Array[(String, String)] = {
+    var words = dict.map { case (w, c) => (Bpe.charSymbols(w).toVector, c) }
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < numMerges) {
+      val counts = mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        syms.iterator.zip(syms.iterator.drop(1)).foreach { p =>
+          counts.update(p, counts.getOrElse(p, 0L) + c)
+        }
+      }
+      val best = counts.toSeq
+        .sortBy { case ((l, r), c) => (-c, l, r) }
+        .headOption.filter(_._2 >= 2).map(_._1)
+      best match {
+        case None => done = true
+        case Some(p) =>
+          merges += p
+          words = words.map { case (syms, c) =>
+            val out = mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == p._1 && syms(i + 1) == p._2) {
+                out += p._1 + p._2; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toVector, c)
+          }
+      }
+    }
+    merges.toArray
+  }
+
+  /** Segmentation of every dict word after brute training. */
+  private def bruteSegment(dict: Seq[(String, Long)],
+      merges: Array[(String, String)]): Map[String, Vector[String]] = {
+    var words = dict.map { case (w, c) => (w, Bpe.charSymbols(w).toVector) }
+    merges.foreach { p =>
+      words = words.map { case (w, syms) =>
+        val out = mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == p._1 && syms(i + 1) == p._2) {
+            out += p._1 + p._2; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (w, out.toVector)
+      }
+    }
+    words.toMap
+  }
+
+  test("indexed trainer matches the brute-force reference on random dictionaries") {
+    val rng = new scala.util.Random(42)
+    (0 until 5).foreach { trial =>
+      val alphabet = "abcde"
+      val dict = (0 until 60).map { _ =>
+        val len = 2 + rng.nextInt(6)
+        val w = (0 until len).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+        w
+      }.distinct.map(w => (w, (1 + rng.nextInt(20)).toLong))
+      val expect = bruteTrain(dict, numMerges = 30).toSeq
+      val got = Bpe.trainFromDict(dict, numMerges = 30).merges.toSeq
+      assert(got == expect, s"trial $trial: $got vs $expect")
+    }
+  }
+
+  test("greedy encodeWord reproduces the training segmentation for dictionary words") {
+    val dict = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L), ("lowest", 4L), ("newer", 2L))
+    val model = Bpe.trainFromDict(dict, numMerges = 20)
+    assert(model.merges.nonEmpty)
+    val seg = bruteSegment(dict, model.merges)
+    dict.foreach { case (w, _) =>
+      assert(Bpe.encodeWord(w, model).toVector == seg(w), s"word $w")
+    }
+    // an unseen word still encodes (merges apply where they can) and
+    // always ends with the end-of-word marker
+    val oov = Bpe.encodeWord("lowestest", model)
+    assert(oov.last == Bpe.EndOfWord || oov.last.endsWith(Bpe.EndOfWord))
+    assert(oov.mkString == "lowestest" + Bpe.EndOfWord)
+  }
+
+  test("charSymbols is code-point safe and training is deterministic") {
+    // U+1F600 is a surrogate pair in UTF-16; a char split would tear it
+    val syms = Bpe.charSymbols("a😀b")
+    assert(syms.toSeq == Seq("a", "😀", "b", Bpe.EndOfWord))
+    val d = Seq(("abab", 4L), ("abc", 3L), ("😀😀", 5L))
+    val m1 = Bpe.trainFromDict(d, 10).merges.toSeq
+    val m2 = Bpe.trainFromDict(d, 10).merges.toSeq
+    assert(m1 == m2)
+  }
+
+  test("tokenCounts and tokenize agree with a driver-side replay over real docs") {
+    val model = Bpe.train(docs, numMerges = 100, maxWords = 5000)
+    assert(model.merges.length == 100)
+    val sample = docs.where(col("doc_id") % 25 === 0)
+    val counts = Bpe.tokenCounts(sample, model)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seqs = Bpe.tokenize(sample, model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val texts = sample.select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.nonEmpty)
+    texts.foreach { case (id, text) =>
+      val words = text.toLowerCase.split(" ", -1).filter(_.nonEmpty)
+      val expect = words.flatMap(w => Bpe.encodeWord(w, model)).toSeq
+      assert(seqs(id) == expect, s"doc $id sequence")
+      assert(counts(id) == expect.length.toLong, s"doc $id count")
+    }
+    // real merges learned: subword count sits strictly between the
+    // word count and the exact zero-merge symbol count (chars + one
+    // end-of-word marker per word)
+    val totToks = counts.values.sum
+    val totWords = texts.map(_._2.split(" ").count(_.nonEmpty).toLong).sum
+    val noMerge = texts.map { case (_, t) =>
+      val ws = t.toLowerCase.split(" ", -1).filter(_.nonEmpty)
+      ws.map(w => w.codePointCount(0, w.length).toLong + 1L).sum
+    }.sum
+    assert(totToks > totWords && totToks < noMerge)
+  }
+
+  test("save/load round trip preserves the model; a bare directory refuses") {
+    val model = Bpe.train(docs, numMerges = 50, maxWords = 2000)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    Bpe.save(spark, model, dir)
+    val back = Bpe.load(spark, dir)
+    assert(back.merges.toSeq == model.merges.toSeq)
+    assert(Bpe.encodeWord("merge", back).toSeq == Bpe.encodeWord("merge", model).toSeq)
+    val empty = java.nio.file.Files.createTempDirectory("graft-bpe-none").toString
+    val e = intercept[IllegalArgumentException](Bpe.load(spark, empty))
+    assert(e.getMessage.contains("sidecar"))
+  }
+}

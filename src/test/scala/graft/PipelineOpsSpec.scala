@@ -1592,4 +1592,76 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select("status").collect().map(_.getString(0)).toSeq
     assert(ste == Seq("changed"))
   }
+
+  test("reciprocal rank fusion: known-answer scores, absent runs contribute zero, weights scale") {
+    import spark.implicits._
+    // query 1: doc 10 is rank 1 in both runs; doc 20 only in run A
+    // (rank 2); doc 30 only in run B (rank 2). k0 = 60.
+    val runA = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("query_id", "doc_id", "rank")
+    val runB = Seq((1L, 10L, 1), (1L, 30L, 2)).toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.reciprocalRankFusion(Seq(runA, runB), k = 10)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    assert(out.length == 3)
+    assert(out(0) == ((1, 10L, 1.0 / 61 + 1.0 / 61, 2)))
+    // docs 20 and 30 tie on score 1/62 — doc_id breaks the tie
+    assert(out(1) == ((2, 20L, 1.0 / 62, 1)))
+    assert(out(2) == ((3, 30L, 1.0 / 62, 1)))
+    // weights: double run B's vote and doc 30 overtakes doc 20
+    val wOut = Retrieval.reciprocalRankFusion(Seq(runA, runB), k = 10,
+        weights = Seq(1.0, 2.0))
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(wOut.map(_._2).toSeq == Seq(10L, 30L, 20L))
+    // k truncates the fused list, not the inputs
+    assert(Retrieval.reciprocalRankFusion(Seq(runA, runB), k = 1).count() == 1)
+  }
+
+  test("hybridTopK equals manual BM25+IVF composition and keeps the strongest single-run vote at the head") {
+    import spark.implicits._
+    val tDir = java.nio.file.Files.createTempDirectory("graft-hyb-text").toString
+    val vDir = java.nio.file.Files.createTempDirectory("graft-hyb-ivf").toString
+    TextIndex.writeTextIndex(docs, tDir)
+    Similarity.writeIvfIndex(emb, vDir, dim = 64)
+    // queries: text + embedding of every 100th doc, negative ids so the
+    // dense side's self-exclusion cannot hide the source doc
+    val queries = docs.where(col("doc_id") % 100 === 0)
+      .join(emb, col("doc_id") === col("vec_id"))
+      .select((-col("doc_id") - 1).as("query_id"), col("doc_id").as("src"),
+        col("text"), col("embedding"))
+    val fused = Retrieval.hybridTopK(
+      queries.select("query_id", "text", "embedding"), tDir, vDir, k = 5)
+    // identity: manual composition with the same per-run parameters
+    val lex = TextIndex.bm25TopK(queries.select("query_id", "text"), tDir, k = 10)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val dense = Similarity.ivfTopKOverIndex(
+        queries.select(col("query_id").as("vec_id"), col("embedding")), vDir, k = 10)
+      .select(col("qid").as("query_id"), col("vec_id").as("doc_id"), col("rank"))
+    val manual = Retrieval.reciprocalRankFusion(Seq(lex, dense), k = 5)
+    assert(fused.exceptAll(manual).isEmpty && manual.exceptAll(fused).isEmpty)
+    // the dense side sees the query's own embedding verbatim, so the
+    // source doc is its exact-cosine rank-1 (BM25 deliberately does
+    // NOT rank the source first here: a full-document query over this
+    // shared-vocabulary corpus rewards SHORT docs — correct length
+    // normalization, and exactly why fusion wants the dense vote)
+    val srcs = queries.select("query_id", "src")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d1 = dense.where(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d1.nonEmpty)
+    d1.foreach { case (q, d) => assert(d == srcs(q), s"dense top of $q") }
+    // fusion keeps the strongest single-run vote near the head: a
+    // rank-1 doc scores 1/61, beatable only by both-run agreement
+    // (>= 2/70) or the rank-1 of the other run — so the source lands
+    // in the fused top-2 on these (empirically disjoint) runs
+    val fusedRows = fused.select("query_id", "rank", "doc_id", "n_runs")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    srcs.foreach { case (q, src) =>
+      val qRows = fusedRows.filter(_._1 == q)
+      assert(qRows.map(_._2).sorted.toSeq == (1 to 5), s"ranks of $q")
+      val agree = qRows.count(_._4 == 2)
+      val srcRank = qRows.find(_._3 == src).map(_._2)
+      assert(srcRank.exists(_ <= 2 + agree), s"query $q source rank $srcRank")
+    }
+  }
 }
