@@ -520,6 +520,41 @@ object ScaleProbe {
         r.values.sum
       }
     }
+    // BPE at the corpus shape: the word-dictionary fold is the one
+    // corpus-sized training cost (a hash agg over N×50 tokens);
+    // training then walks the synthetic 1000-word dictionary on the
+    // driver, and counting re-explodes the corpus but encodes only the
+    // DISTINCT words. Oracle: a driver-side replay over ~100 sampled
+    // docs must match the distributed pipeline's counts token-exactly.
+    locally {
+      import graft.operators.Bpe
+      var model: Bpe.BpeModel = null
+      timed("bpe_train") {
+        model = Bpe.train(docs, numMerges = 500, maxWords = 100000)
+        model.merges.length.toLong
+      }
+      timed("bpe_token_counts") {
+        val r = Bpe.tokenCounts(docs, model)
+          .agg(count(lit(1)), sum(col("n_tokens"))).head()
+        require(r.getLong(0) == n, s"counts for ${r.getLong(0)} of $n docs")
+        // exact replay on a 1-in-(n/100) sample, re-run through the
+        // same pipeline restricted to the sampled docs (cheap) and
+        // recomputed independently on the driver
+        val step = math.max(n / 100, 1L)
+        val sample = docs.where(pmod(col("doc_id"), lit(step)) === 0)
+        val got = Bpe.tokenCounts(sample, model)
+          .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+        sample.select("doc_id", "text").collect().foreach { x =>
+          val expect = x.getString(1).split(" ").iterator
+            .filter(_.nonEmpty)
+            .map(w => Bpe.encodeWord(w.toLowerCase, model).length.toLong)
+            .sum
+          require(got(x.getLong(0)) == expect,
+            s"doc ${x.getLong(0)}: distributed ${got(x.getLong(0))} != replay $expect")
+        }
+        r.getLong(1)
+      }
+    }
     spark.stop()
   }
 }

@@ -1639,6 +1639,21 @@ object SparkEntry {
         Bpe.train(docs, numMerges = 300, maxWords = 50000))
       Bpe.tokenCounts(docs, model).orderBy(col("doc_id"))
     }),
+    "q_x_bpe_roundtrip" -> ((s, dir) => {
+      // lossless round trip THROUGH THE TRAINED MODEL: tokenize with
+      // the corpus-trained merges, then detokenize. Any mis-merge,
+      // torn subword, or mis-ordered reassembly breaks the hash; the
+      // merges cancel in the round trip, so the oracle is just the
+      // lower_ws normalization of the raw text — exact SQL over the
+      // trained path.
+      val docs = t(s, dir, "documents")
+      val model = bpeModels.getOrElseUpdate(dir,
+        Bpe.train(docs, numMerges = 300, maxWords = 50000))
+      Bpe.tokenize(docs, model)
+        .select(col("doc_id"),
+          Bpe.detokenize(col("tokens")).as("text_norm"))
+        .orderBy(col("doc_id"))
+    }),
     "q_x_bpe_symbol_counts" -> ((s, dir) => {
       // the zero-merge boundary of the same pipeline: with an empty
       // merge table, n_tokens collapses to Σ_words (code points +
@@ -2880,6 +2895,11 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
         |        t -> t <> '')) AS w FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_x_bpe_roundtrip" ->
+      """SELECT doc_id,
+        |  array_to_string(list_filter(string_split(lower(text), ' '),
+        |    t -> t <> ''), ' ') AS text_norm
+        |FROM documents ORDER BY 1""".stripMargin,
     "q_x_select_coverage" ->
       """WITH tk AS (
         |  SELECT doc_id,

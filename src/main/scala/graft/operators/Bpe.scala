@@ -242,6 +242,15 @@ object Bpe {
         s => s.getField("toks"))).as("tokens"))
   }
 
+  /** Invert [[tokenize]]: subword arrays concatenate losslessly back
+    * to the lower_ws-normalized text (every word ends in exactly one
+    * [[EndOfWord]], so marker→space + trailing trim reconstructs the
+    * single-space join). Pure built-in column functions — stays in
+    * whole-stage codegen; the lossless round trip is oracle-gated
+    * (q_x_bpe_roundtrip). */
+  def detokenize(tokens: Column): Column =
+    rtrim(regexp_replace(concat_ws("", tokens), EndOfWord, " "))
+
   // ---- persistence (same sidecar discipline as the other stores) ----
 
   private val PropsFile = "_graft_bpe.properties"
