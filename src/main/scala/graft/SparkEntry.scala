@@ -1623,6 +1623,22 @@ object SparkEntry {
           col("n_runs"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_x_sample_pps" -> ((s, dir) => {
+      // systematic probability-proportional-to-size draw, token-
+      // weighted: every row's weight lies on a line in md5-shuffle
+      // order and one row is taken at each totalW/k mark, heavy rows
+      // with multiplicity — integer-exact end to end (distributed
+      // prefix sum engine-side; one plain window in the replica), so
+      // the whole draw hash-matches.
+      val docs = t(s, dir, "documents")
+      val keyed = Sampling.shuffleKey(
+        docs.select(col("doc_id"),
+          size(TextIndex.terms(col("text"))).cast("long").as("w")),
+        col("doc_id"), "pps")
+      Sampling.ppsSample(keyed, col("shuffle_key"), col("w"), k = 50)
+        .select(col("doc_id"), col("pps_hits"))
+        .orderBy(col("doc_id"))
+    }),
     "q_x_bpe_tokenize" -> ((s, dir) => {
       // real subword token accounting: a BPE model trained on the
       // corpus's own word dictionary (Sennrich et al. 2016 — merges
@@ -2895,6 +2911,29 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
         |        t -> t <> '')) AS w FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_x_sample_pps" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    md5('pps' || CAST(doc_id AS VARCHAR)) AS hex,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      t -> t <> '')) AS BIGINT) AS wt
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, wt, sum(wt) OVER (
+        |    ORDER BY hex ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS cum
+        |  FROM w),
+        |p AS (
+        |  SELECT doc_id, wt, cum,
+        |    greatest(1, (SELECT sum(wt) FROM w) // 50) AS step
+        |  FROM c)
+        |SELECT doc_id,
+        |  CAST(((cum + step - 1) // step)
+        |    - ((cum - wt + step - 1) // step) AS INT) AS pps_hits
+        |FROM p
+        |WHERE ((cum + step - 1) // step)
+        |    - ((cum - wt + step - 1) // step) >= 1
+        |ORDER BY 1""".stripMargin,
     "q_x_bpe_roundtrip" ->
       """SELECT doc_id,
         |  array_to_string(list_filter(string_split(lower(text), ' '),

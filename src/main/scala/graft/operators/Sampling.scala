@@ -296,4 +296,71 @@ object Sampling {
       .drop("_mix_s", "_mix_snull", "_mix_b", "_mix_o", "_mix_t",
         "_mix_cum", "_mix_off")
   }
+
+  /** Systematic probability-proportional-to-size sampling (the classic
+    * PPS design, e.g. Madow 1949): lay every row's integer `weight`
+    * end-to-end along a line in `orderHex` order, then take one row at
+    * every `step = totalW / k` marks — a row is selected iff its
+    * interval covers a mark, so inclusion probability is exactly
+    * `weight / step` (capped at full multiplicity for heavy rows), and
+    * a row heavier than `step` is selected with multiplicity
+    * (`pps_hits` > 1), which is what keeps a token-weighted draw
+    * unbiased. Deterministic and engine-portable by construction: the
+    * order key is [[shuffleKey]]'s md5, the mark phase is the caller's
+    * `offset` parameter, and every computation is integer arithmetic —
+    * the whole draw replays in plain SQL (oracle-gated,
+    * q_x_sample_pps).
+    *
+    * Scale: the same distributed prefix sum as [[takeTokenQuotas]] —
+    * hex-prefix buckets carry the heavy cumulative window in parallel,
+    * a (buckets)-row totals table broadcast-joins starting offsets
+    * back, and the grand total rides the same tiny table as a one-row
+    * broadcast (no driver collect). Weights must be non-negative longs;
+    * totals stay exact below 2^53 (the long-division helper crosses a
+    * double) — 2.5e13 tokens at 100 TB leaves 350× headroom.
+    */
+  def ppsSample(df: DataFrame, orderHex: Column, weight: Column, k: Long,
+      offset: Long = 0L, bucketChars: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(offset >= 0, s"offset must be >= 0, got $offset")
+    require(bucketChars >= 1 && bucketChars <= 8,
+      s"bucketChars must be in [1, 8], got $bucketChars")
+    require(!df.columns.exists(c => c.startsWith("_pps_") || c == "pps_hits"),
+      "input already has _pps_*/pps_hits columns (ppsSample emits them)")
+    // exact floor division of non-negative longs below 2^53
+    def ldiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val base = df.select(col("*"),
+      orderHex.as("_pps_o"),
+      weight.cast("long").as("_pps_w"),
+      substring(orderHex, 1, bucketChars).as("_pps_b"))
+    val localW = Window.partitionBy(col("_pps_b")).orderBy(col("_pps_o"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = base.groupBy(col("_pps_b"))
+      .agg(sum(col("_pps_w")).as("_pps_btot"))
+    val offW = Window.partitionBy().orderBy(col("_pps_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // the totals table is 16^bucketChars rows — the empty-frame window
+    // below is the one narrow stage, and it runs over that tiny table
+    val offsets = totals.select(col("_pps_b"),
+      coalesce(sum(col("_pps_btot")).over(offW), lit(0L)).as("_pps_off"))
+    val grand = totals.agg(sum(col("_pps_btot")).as("_pps_tot"))
+    // marks sit at offset + s*step; a row covers [prev, cum) on the
+    // line and is kept iff that interval contains a mark. g(x) counts
+    // marks below x, shifted +step so the numerator never goes negative
+    val step = greatest(lit(1L), ldiv(col("_pps_tot"), lit(k)))
+    val off = pmod(lit(offset), step)
+    def marksBelow(x: Column): Column =
+      ldiv(x + step - lit(1L) - off, step)
+    base
+      .withColumn("_pps_cum", sum(col("_pps_w")).over(localW))
+      .join(broadcast(offsets), Seq("_pps_b"))
+      .crossJoin(broadcast(grand))
+      .withColumn("pps_hits",
+        (marksBelow(col("_pps_off") + col("_pps_cum")) -
+          marksBelow(col("_pps_off") + col("_pps_cum") - col("_pps_w")))
+          .cast("int"))
+      .where(col("pps_hits") >= 1)
+      .drop("_pps_o", "_pps_w", "_pps_b", "_pps_cum", "_pps_off", "_pps_tot")
+  }
 }

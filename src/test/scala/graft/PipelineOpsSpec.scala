@@ -1617,6 +1617,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Retrieval.reciprocalRankFusion(Seq(runA, runB), k = 1).count() == 1)
   }
 
+  test("ppsSample: hand-checked marks, heavy-row multiplicity, and a single-window differential replay") {
+    import spark.implicits._
+    // weights 5,1,1,1 in hex order a,b,c,d with k=4: total 8, step 2,
+    // marks at 0,2,4,6 → intervals [0,5) holds 3 marks, [5,6) none,
+    // [6,7) holds 6, [7,8) none. bucketChars=1 puts every row in its
+    // own bucket, so the broadcast offset table is doing real work.
+    val tiny = Seq(("a1", 10L, 5L), ("b2", 11L, 1L), ("c3", 12L, 1L),
+      ("d4", 13L, 1L)).toDF("hex", "id", "w")
+    val out = Sampling.ppsSample(tiny, col("hex"), col("w"), k = 4,
+        bucketChars = 1)
+      .select("id", "pps_hits")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(out == Map(10L -> 3, 12L -> 1))
+    // differential: the bucketed prefix sum must equal a straight
+    // driver replay of the one-line definition over real docs
+    val keyed = Sampling.shuffleKey(
+      docs.select(col("doc_id"),
+        size(TextIndex.terms(col("text"))).cast("long").as("w")),
+      col("doc_id"), "ppstest")
+    val got = Sampling.ppsSample(keyed, col("shuffle_key"), col("w"),
+        k = 37, offset = 5)
+      .select("doc_id", "pps_hits")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val rows = keyed.select("shuffle_key", "doc_id", "w")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val total = rows.map(_._3).sum
+    val step = math.max(1L, total / 37)
+    val off = 5L % step
+    def marksBelow(x: Long) = (x + step - 1 - off) / step
+    var cum = 0L
+    val expect = rows.flatMap { case (_, id, w) =>
+      val hits = (marksBelow(cum + w) - marksBelow(cum)).toInt
+      cum += w
+      if (hits >= 1) Some(id -> hits) else None
+    }.toMap
+    assert(got == expect)
+    // exact size identity: total multiplicity = number of marks laid
+    assert(got.values.map(_.toLong).sum == marksBelow(total))
+    // expected-size calibration: ~k rows drawn (weights ~uniform here)
+    assert(math.abs(got.size - 37) <= 5, s"drew ${got.size} for k=37")
+  }
+
   test("hybridTopK equals manual BM25+IVF composition and keeps the strongest single-run vote at the head") {
     import spark.implicits._
     val tDir = java.nio.file.Files.createTempDirectory("graft-hyb-text").toString
