@@ -542,4 +542,55 @@ class PlanSpec extends AnyFunSuite {
     // per-doc weight fold is a hash aggregation with map-side partials
     assert(plan.contains("partial_sum"), plan)
   }
+
+  test("PPS sampling: corpus window is bucketed, offsets and grand total broadcast") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val keyed = graft.operators.Sampling.shuffleKey(
+      docs.select(col("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("w")),
+      col("doc_id"), "pps")
+    val plan = planOf(graft.operators.Sampling.ppsSample(
+      keyed, col("shuffle_key"), col("w"), k = 50))
+    // the corpus-sized cumulative sum partitions by the hex-prefix
+    // bucket, never globally (_pps_o pins this to the corpus window)
+    assert("windowspecdefinition\\(_pps_b#\\d+, _pps_o#\\d+".r
+      .findFirstIn(plan).isDefined, plan)
+    // both the per-bucket offsets and the one-row grand total come
+    // back as broadcasts; only the tiny totals table windows globally
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val windows = "Window ".r.findAllIn(plan).size
+    assert(windows == 2, s"expected 2 windows (bucket cum + tiny offsets):\n$plan")
+  }
+
+  test("rank fusion: equi-joined pivot, no cartesian, one top-k window with group limit") {
+    import spark.implicits._
+    val runA = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("query_id", "doc_id", "rank")
+    val runB = Seq((1L, 10L, 1), (1L, 30L, 2)).toDF("query_id", "doc_id", "rank")
+    // k below the inputs' known maxRows — InferWindowGroupLimit
+    // correctly skips the pushdown when the child can't exceed k (on
+    // real parquet-backed runs maxRows is unknown, so it always fires)
+    val plan = planOf(graft.operators.Retrieval.reciprocalRankFusion(
+      Seq(runA, runB), k = 2))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the fused rank <= k filter plans as Spark's window group limit,
+    // so per-query candidates truncate before the full sort — a
+    // bounded safety net on top of the structural bound (each query
+    // carries at most runs × k candidate rows into the window)
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert("Window \\[".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("BPE token counts: distinct-word encode joins back equi, fold is a partial hash agg") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val model = graft.operators.Bpe.BpeModel(
+      Array(("a", "b"), ("ab", "c</w>")))
+    val plan = planOf(graft.operators.Bpe.tokenCounts(docs, model))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+    // occurrence fan-out is an equi-join on the word column; the final
+    // per-doc fold combines map-side
+    assert(plan.contains("partial_sum"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
 }
