@@ -1623,6 +1623,14 @@ object SparkEntry {
           col("n_runs"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_x_text_topgrams" -> ((s, dir) => {
+      // corpus-wide bigram heavy hitters: occurrence-counted sliding
+      // grams, one partial-combined hash agg, top-k as TakeOrdered —
+      // exact integers and plain strings, tie-broken on the gram, so
+      // the census hash-matches SQL.
+      TextAnalysis.topGrams(t(s, dir, "documents"), n = 2, k = 50)
+        .orderBy(col("cnt").desc, col("gram"))
+    }),
     "q_x_sample_pps" -> ((s, dir) => {
       // systematic probability-proportional-to-size draw, token-
       // weighted: every row's weight lies on a line in md5-shuffle
@@ -2911,6 +2919,16 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
         |        t -> t <> '')) AS w FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_x_text_topgrams" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+        |      list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+        |        p -> p[1] || ' ' || p[2])
+        |    ELSE [] END) AS gram
+        |  FROM tk)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g
+        |GROUP BY 1 ORDER BY cnt DESC, gram LIMIT 50""".stripMargin,
     "q_x_sample_pps" ->
       """WITH w AS (
         |  SELECT doc_id,

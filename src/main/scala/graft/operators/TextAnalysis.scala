@@ -219,6 +219,32 @@ object TextAnalysis {
           .cast("double") / col("_total")).as("coverage"))
   }
 
+  /** Corpus-wide most-frequent n-GRAMS — the heavy-hitter phrase census
+    * of the published pipelines (boilerplate phrase discovery,
+    * contamination screens; [[vocabulary]] is the n=1 census with
+    * coverage). Exact two-phase: sliding-window gram explode (every
+    * occurrence counts — no distinct) → ONE hash aggregation with
+    * map-side partial counts → global top-k planned as
+    * TakeOrderedAndProject (k rows per partition, k at the driver — no
+    * global sort ever materializes). Integer counts over plain-string
+    * grams, so the census hash-matches plain SQL (q_x_text_topgrams).
+    * Ties at the boundary break on the gram string, so the k rows are
+    * deterministic. */
+  def topGrams(docs: DataFrame, n: Int = 2, k: Int = 100): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = tokens(col("text"))
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    graft.sources.Tables.widen(docs)
+      .select(explode(grams).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(k)
+  }
+
   /** Overlapping token-window chunks — context-window prep for training
     * and retrieval pipelines: a chunk starts every `stride` tokens and
     * spans `chunkLen` tokens (the final chunk may be shorter; documents

@@ -683,6 +683,29 @@ object Observers {
       .select(col("vec_id"), col("corpus_id"), col("cosine"))
   }
 
+  /** Streaming BPE token accounting — the live twin of
+    * [[graft.operators.Bpe.tokenCounts]]: every arriving document gains
+    * an exact `n_tokens` under the broadcast merge table. Stateless
+    * (one per-row projection, no joins, no aggregation), so it rides
+    * any downstream mode. The batch path's distinct-word amortization
+    * is a corpus-global rewrite with no append-mode analogue; a stream
+    * labels each document as it arrives, so the encode cost here is per
+    * document — independent of corpus size, which is exactly the
+    * property an unbounded feed needs. Differential-tested: stream
+    * labels ≡ batch `tokenCounts` on the same rows (StreamingSpec). */
+  def streamingTokenCounts(docs: DataFrame,
+      model: graft.operators.Bpe.BpeModel): DataFrame = {
+    import graft.operators.Bpe
+    val modelB = docs.sparkSession.sparkContext.broadcast(model)
+    val cnt = udf { text: String =>
+      if (text == null) 0L
+      else text.toLowerCase(java.util.Locale.ROOT)
+        .split(" ").iterator.filter(_.nonEmpty)
+        .map(w => Bpe.encodeWord(w, modelB.value).length.toLong).sum
+    }
+    docs.withColumn("n_tokens", cnt(col("text")))
+  }
+
   /** N6: event-time tumbling/sliding window aggregation with watermark
     * over the change feed (capability absent in the reference, required
     * for the events north star).

@@ -1617,6 +1617,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Retrieval.reciprocalRankFusion(Seq(runA, runB), k = 1).count() == 1)
   }
 
+  test("topGrams counts occurrences (not distinct) and breaks boundary ties on the gram") {
+    import spark.implicits._
+    // doc 1 repeats "a b" internally (occurrences, not distinct sets);
+    // the 1-count tail ties and must cut deterministically on gram asc
+    val d = Seq((1L, "a b a b"), (2L, "a b c d"), (3L, "z z z"))
+      .toDF("doc_id", "text")
+    val top = TextAnalysis.topGrams(d, n = 2, k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top == Seq(("a b", 3L), ("z z", 2L), ("b a", 1L), ("b c", 1L)))
+    // a doc shorter than n contributes nothing (and doesn't error)
+    val short = TextAnalysis.topGrams(Seq((1L, "one")).toDF("doc_id", "text"),
+      n = 2, k = 5)
+    assert(short.count() == 0)
+  }
+
   test("ppsSample: hand-checked marks, heavy-row multiplicity, and a single-window differential replay") {
     import spark.implicits._
     // weights 5,1,1,1 in hex order a,b,c,d with k=4: total 8, step 2,

@@ -581,6 +581,16 @@ class PlanSpec extends AnyFunSuite {
     assert("Window \\[".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("top grams: partial-combined hash agg, top-k as TakeOrdered, no global sort") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = planOf(graft.operators.TextAnalysis.topGrams(docs, n = 2, k = 50))
+    assert(plan.contains("partial_count"), plan)
+    // limit-after-sort plans as TakeOrderedAndProject: k rows per
+    // partition, k at the driver — a global Sort node never appears
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("BPE token counts: distinct-word encode joins back equi, fold is a partial hash agg") {
     val docs = Tables.load(spark, sfDir, "documents")
     val model = graft.operators.Bpe.BpeModel(

@@ -646,4 +646,30 @@ class StreamingSpec extends AnyFunSuite {
     // history physically gone: compacted log has exactly the live cells
     assert(CellLogStore.read(spark, outDir).count() == 2)
   }
+
+  test("streaming BPE token counts equal the batch accounting row for row, stateless") {
+    import graft.operators.Bpe
+    val docs = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .where(col("doc_id") % 50 === 0)
+    val model = Bpe.train(docs, numMerges = 80, maxWords = 3000)
+    val dir = tmp("bpestream")
+    docs.select("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .parquet(dir)
+    val q = Observers.streamingTokenCounts(stream, model)
+      .select("doc_id", "n_tokens")
+      .writeStream.format("memory").queryName("bpetoks")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    // per-row labeling adds no state
+    assert(q.lastProgress.stateOperators.isEmpty, q.lastProgress.prettyJson)
+    val got = spark.sql("SELECT doc_id, n_tokens FROM bpetoks")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = Bpe.tokenCounts(docs, model)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    assert(got.nonEmpty && got.values.forall(_ > 0))
+  }
 }
