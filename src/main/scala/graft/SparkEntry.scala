@@ -2915,10 +2915,11 @@ object SparkEntry {
         |  FROM sc) WHERE rank <= 10
         |ORDER BY 1, 2""".stripMargin,
     "q_x_bpe_symbol_counts" ->
-      """SELECT doc_id, CAST(sum(length(w) + 1) AS BIGINT) AS n_tokens
-        |FROM (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
-        |        t -> t <> '')) AS w FROM documents)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      """SELECT doc_id,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    list_filter(string_split(lower(text), ' '), t -> t <> ''),
+        |    w -> length(w) + 1)), 0) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY 1""".stripMargin,
     "q_x_text_topgrams" ->
       """WITH tk AS (SELECT string_split(text, ' ') AS toks FROM documents),
         |g AS (

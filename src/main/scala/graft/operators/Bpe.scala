@@ -211,34 +211,48 @@ object Bpe {
     words.select(col("word"), enc(col("word")).as("toks"))
   }
 
-  /** Exact subword token count per document: `(doc_id, n_tokens)`.
-    * One explode + per-(doc, word) count, one distinct-word encode,
-    * one equi-join fan-out, one hash-agg fold — no windows, nothing
+  /** Exact subword token count per document: `(doc_id, n_tokens)` —
+    * TOTAL over the input (a document with no words counts 0, it does
+    * not vanish; `explode_outer` keeps its spine row and the left join
+    * folds it as 0, matching the streaming twin's semantics). One
+    * explode + per-(doc, word) count, one distinct-word encode, one
+    * equi-join fan-out, one hash-agg fold — no windows, nothing
     * corpus-sized on the driver. */
   def tokenCounts(docs: DataFrame, model: BpeModel): DataFrame = {
     val perWord = docs
-      .select(col("doc_id"), explode(TextIndex.terms(col("text"))).as("word"))
+      .select(col("doc_id"),
+        explode_outer(TextIndex.terms(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("occ"))
-    val wtoks = encodeWords(perWord.select(col("word")).distinct(), model)
+    val wtoks = encodeWords(
+        perWord.select(col("word")).where(col("word").isNotNull).distinct(),
+        model)
       .select(col("word"), size(col("toks")).cast("long").as("n"))
-    perWord.join(wtoks, Seq("word"))
+    perWord.join(wtoks, Seq("word"), "left")
       .groupBy(col("doc_id"))
-      .agg(sum(col("occ") * col("n")).as("n_tokens"))
+      .agg(sum(col("occ") * coalesce(col("n"), lit(0L))).as("n_tokens"))
   }
 
   /** Full token sequences: `(doc_id, tokens)` with subwords in
-    * document order. Same distinct-word encode; sequences reassemble
-    * with a position-sorted collect inside one aggregation. */
+    * document order — TOTAL like [[tokenCounts]] (a wordless document
+    * yields an empty array). Same distinct-word encode; sequences
+    * reassemble with a position-sorted collect inside one
+    * aggregation. */
   def tokenize(docs: DataFrame, model: BpeModel): DataFrame = {
     val positioned = docs
       .select(col("doc_id"),
-        posexplode(TextIndex.terms(col("text"))).as(Seq("pos", "word")))
-    val wtoks = encodeWords(positioned.select(col("word")).distinct(), model)
-    positioned.join(wtoks, Seq("word"))
+        posexplode_outer(TextIndex.terms(col("text"))).as(Seq("pos", "word")))
+    val wtoks = encodeWords(
+        positioned.select(col("word")).where(col("word").isNotNull).distinct(),
+        model)
+    positioned.join(wtoks, Seq("word"), "left")
       .groupBy(col("doc_id"))
+      // the wordless spine row carries a null toks struct — filter it
+      // before flattening (flatten over a null element returns null,
+      // not the empty array this contract promises)
       .agg(flatten(transform(
-        array_sort(collect_list(struct(col("pos"), col("toks")))),
+        filter(array_sort(collect_list(struct(col("pos"), col("toks")))),
+          s => s.getField("toks").isNotNull),
         s => s.getField("toks"))).as("tokens"))
   }
 

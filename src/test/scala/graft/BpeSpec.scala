@@ -147,6 +147,26 @@ class BpeSpec extends AnyFunSuite {
     assert(totToks > totWords && totToks < noMerge)
   }
 
+  test("tokenCounts and tokenize are total: a wordless document counts 0 with an empty sequence") {
+    import spark.implicits._
+    val model = Bpe.trainFromDict(Seq(("ab", 5L), ("abc", 3L)), 5)
+    val d = Seq((1L, "ab abc"), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    val counts = Bpe.tokenCounts(d, model)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set(1L, 2L, 3L))
+    assert(counts(2L) == 0L && counts(3L) == 0L && counts(1L) > 0L)
+    val seqs = Bpe.tokenize(d, model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(seqs.keySet == Set(1L, 2L, 3L))
+    assert(seqs(2L).isEmpty && seqs(3L).isEmpty)
+    assert(seqs(1L).nonEmpty && counts(1L) == seqs(1L).length.toLong)
+    // detokenize of the empty sequence is the empty normalization
+    val rt = Bpe.tokenize(d, model)
+      .select(col("doc_id"), Bpe.detokenize(col("tokens")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rt == Map(1L -> "ab abc", 2L -> "", 3L -> ""))
+  }
+
   test("save/load round trip preserves the model; a bare directory refuses") {
     val model = Bpe.train(docs, numMerges = 50, maxWords = 2000)
     val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
