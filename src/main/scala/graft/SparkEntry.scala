@@ -113,6 +113,11 @@ object SparkEntry {
   private val bpeModels =
     scala.collection.concurrent.TrieMap.empty[String, Bpe.BpeModel]
 
+  /** Per-process append-grown BPE word-dictionary store
+    * (see q_x_bpe_dictionary). */
+  private val bpeDictFixtureDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** The orders-table cell mapping shared by BOTH relational round-trip
     * rows — one definition so the two rows cannot silently diverge. */
   private val ordersCfMap = Map(
@@ -1663,6 +1668,27 @@ object SparkEntry {
         Bpe.train(docs, numMerges = 300, maxWords = 50000))
       Bpe.tokenCounts(docs, model).orderBy(col("doc_id"))
     }),
+    "q_x_bpe_dictionary" -> ((s, dir) => {
+      // the persisted word-frequency dictionary — BPE training's real
+      // input — grown by append (1/3 built + two 1/3 appends, each
+      // tokenizing only its batch) then physically compacted: the
+      // top-50 census must equal a plain SQL census of the full
+      // corpus, which gates the whole store lifecycle the incremental
+      // retrain path (trainFromStore) rides.
+      val docs = t(s, dir, "documents")
+      val d = bpeDictFixtureDirs.getOrElseUpdate(dir, {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-bpe-dict").toString
+        Bpe.writeWordCounts(docs.where(col("doc_id") % 3 === 0), p)
+        Bpe.appendToWordCounts(docs.where(col("doc_id") % 3 === 1), p)
+        Bpe.appendToWordCounts(docs.where(col("doc_id") % 3 === 2), p)
+        Bpe.compactWordCounts(p)
+        p
+      })
+      Bpe.readWordCounts(s, d)
+        .orderBy(col("cnt").desc, col("word")).limit(50)
+        .select(col("word"), col("cnt"))
+    }),
     "q_x_bpe_roundtrip" -> ((s, dir) => {
       // lossless round trip THROUGH THE TRAINED MODEL: tokenize with
       // the corpus-trained merges, then detokenize. Any mis-merge,
@@ -2953,6 +2979,11 @@ object SparkEntry {
         |WHERE ((cum + step - 1) // step)
         |    - ((cum - wt + step - 1) // step) >= 1
         |ORDER BY 1""".stripMargin,
+    "q_x_bpe_dictionary" ->
+      """SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |        t -> t <> '')) AS w FROM documents)
+        |GROUP BY 1 ORDER BY cnt DESC, word LIMIT 50""".stripMargin,
     "q_x_bpe_roundtrip" ->
       """SELECT doc_id,
         |  array_to_string(list_filter(string_split(lower(text), ' '),

@@ -265,6 +265,93 @@ object Bpe {
   def detokenize(tokens: Column): Column =
     rtrim(regexp_replace(concat_ws("", tokens), EndOfWord, " "))
 
+  // ---- persisted word dictionary (the incremental-training store) ----
+
+  private val DictPropsFile = "_graft_bpe_dict.properties"
+
+  /** Persist the corpus word dictionary: `(word, cnt)` parquet
+    * segments at the directory root + a tokenizer sidecar written
+    * LAST (write-then-rename). The dictionary — not the corpus — is
+    * BPE training's input, so persisting IT is what makes periodic
+    * tokenizer refreshes incremental: [[appendToWordCounts]] tokenizes
+    * only its batch, and the accumulated corpus is never re-tokenized
+    * for a retrain. Counts are additive, so appended segments fold at
+    * read ([[readWordCounts]] merges with one hash agg) and
+    * [[compactWordCounts]] folds them physically — the same
+    * invalidate-then-revalidate lifecycle as the minhash / IVF / text
+    * stores (a mid-commit crash leaves a refusing directory). */
+  def writeWordCounts(docs: DataFrame, dir: String): Unit = {
+    val spark = docs.sparkSession
+    wordCounts(docs).write.mode("overwrite").parquet(dir)
+    writeDictProps(spark, dir)
+  }
+
+  /** Grow the dictionary by one batch: tokenize ONLY the batch and
+    * append its `(word, cnt)` segment. Unlike the id-keyed stores
+    * there is no duplicate-id contract — counts merge by addition. */
+  def appendToWordCounts(newDocs: DataFrame, dir: String): Unit = {
+    val spark = newDocs.sparkSession
+    requireDictProps(spark, dir)
+    val props = new org.apache.hadoop.fs.Path(dir, DictPropsFile)
+    props.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(props, false)
+    wordCounts(newDocs).write.mode("append").parquet(dir)
+    writeDictProps(spark, dir)
+  }
+
+  /** The merged dictionary: segments fold in one hash aggregation. */
+  def readWordCounts(spark: SparkSession, dir: String): DataFrame = {
+    requireDictProps(spark, dir)
+    spark.read.parquet(dir)
+      .groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Fold appended segments into one physical layout (the same staged
+    * root rewrite as the other stores; counts merge by sum). */
+  def compactWordCounts(dir: String): Unit = {
+    val spark = SparkSession.active
+    requireDictProps(spark, dir)
+    val props = new org.apache.hadoop.fs.Path(dir, DictPropsFile)
+    props.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(props, false)
+    IndexFiles.rewriteRoot(spark, dir,
+      _.groupBy(col("word")).agg(sum(col("cnt")).as("cnt")))
+    writeDictProps(spark, dir)
+  }
+
+  /** Train from the stored dictionary — the incremental retrain path:
+    * no corpus scan at all, just the capped dictionary collect. */
+  def trainFromStore(spark: SparkSession, dir: String, numMerges: Int,
+      maxWords: Int = 100000): BpeModel = {
+    val dict = readWordCounts(spark, dir)
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(maxWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    trainFromDict(dict, numMerges)
+  }
+
+  private def writeDictProps(spark: SparkSession, dir: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val path = new org.apache.hadoop.fs.Path(dir, DictPropsFile)
+    val tmp = new org.apache.hadoop.fs.Path(dir, DictPropsFile + ".tmp")
+    val fs = path.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write("tokenizer=lower_ws\n".getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(path, false)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"failed to move $tmp to $path")
+  }
+
+  private def requireDictProps(spark: SparkSession, dir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir, DictPropsFile)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(path),
+      s"no BPE dictionary sidecar at $path — build with writeWordCounts " +
+        "(or the previous write/append/compact was torn mid-commit)")
+  }
+
   // ---- persistence (same sidecar discipline as the other stores) ----
 
   private val PropsFile = "_graft_bpe.properties"

@@ -167,6 +167,37 @@ class BpeSpec extends AnyFunSuite {
     assert(rt == Map(1L -> "ab abc", 2L -> "", 3L -> ""))
   }
 
+  test("word-dictionary store: append ≡ one-shot, compact folds physically, trainFromStore ≡ train") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-dict").toString
+    Bpe.writeWordCounts(docs.where(col("doc_id") % 3 === 0), dir)
+    Bpe.appendToWordCounts(docs.where(col("doc_id") % 3 === 1), dir)
+    Bpe.appendToWordCounts(docs.where(col("doc_id") % 3 === 2), dir)
+    val direct = Bpe.wordCounts(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def stored() = Bpe.readWordCounts(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stored() == direct)
+    // compaction folds the appended segments into one physical layout
+    // without changing the logical dictionary
+    Bpe.compactWordCounts(dir)
+    assert(stored() == direct)
+    assert(spark.read.parquet(dir).count() == direct.size.toLong)
+    // the incremental retrain path: training from the store equals
+    // training from the corpus (no corpus scan happens here)
+    val fromStore = Bpe.trainFromStore(spark, dir, numMerges = 60,
+      maxWords = 2000)
+    val fromCorpus = Bpe.train(docs, numMerges = 60, maxWords = 2000)
+    assert(fromStore.merges.toSeq == fromCorpus.merges.toSeq)
+    // a torn commit (sidecar down) refuses instead of serving a
+    // possibly half-appended dictionary
+    val props = new org.apache.hadoop.fs.Path(dir, "_graft_bpe_dict.properties")
+    props.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(props, false)
+    val e = intercept[IllegalArgumentException](
+      Bpe.readWordCounts(spark, dir).count())
+    assert(e.getMessage.contains("sidecar"))
+  }
+
   test("save/load round trip preserves the model; a bare directory refuses") {
     val model = Bpe.train(docs, numMerges = 50, maxWords = 2000)
     val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
