@@ -98,6 +98,20 @@ object SparkEntry {
     * SemDeDup, see q_x_dedup_semantic_incremental). */
   private val ivfIdxFixtureDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The ONE full-corpus IVF fixture recipe (write even ids + append
+    * odd ids) shared by the ANN and hybrid gates — hoisted so the two
+    * entries can never silently diverge on what the index holds. */
+  private def ivfIdxFixture(e: DataFrame, dir: String): String =
+    ivfIdxFixtureDirs.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-ivf-idx").toString
+      Similarity.writeIvfIndex(e.where(col("vec_id") % 2 === 0), d,
+        dim = 64)
+      Similarity.appendToIvfIndex(e.where(col("vec_id") % 2 === 1), d)
+      d
+    })
+
   private val ivfSemFixtureDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
   private val ivfQuantFixtureDirs =
@@ -1611,14 +1625,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val e = t(s, dir, "embeddings")
       val tIdx = textIdxFixture(docs, dir)
-      val vIdx = ivfIdxFixtureDirs.getOrElseUpdate(dir, {
-        val d = java.nio.file.Files
-          .createTempDirectory("graft-ivf-idx").toString
-        Similarity.writeIvfIndex(e.where(col("vec_id") % 2 === 0), d,
-          dim = 64)
-        Similarity.appendToIvfIndex(e.where(col("vec_id") % 2 === 1), d)
-        d
-      })
+      val vIdx = ivfIdxFixture(e, dir)
       val queries = docs.where(col("doc_id") % 100 === 0)
         .join(e, col("doc_id") === col("vec_id"))
         .select((-col("doc_id") - 1).as("query_id"), col("text"),
@@ -1823,14 +1830,7 @@ object SparkEntry {
       // entirely. Approximate like q_x_sim_ivf_topk (no SQL oracle);
       // over-index ≡ fresh-assignment equality is spec-proven
       val e = t(s, dir, "embeddings")
-      val idx = ivfIdxFixtureDirs.getOrElseUpdate(dir, {
-        val d = java.nio.file.Files
-          .createTempDirectory("graft-ivf-idx").toString
-        Similarity.writeIvfIndex(e.where(col("vec_id") % 2 === 0), d,
-          dim = 64)
-        Similarity.appendToIvfIndex(e.where(col("vec_id") % 2 === 1), d)
-        d
-      })
+      val idx = ivfIdxFixture(e, dir)
       Similarity.ivfTopKOverIndex(e.where(col("vec_id") < 10), idx, k = 5)
         .orderBy(col("qid"), col("rank"))
     }),
