@@ -1675,6 +1675,22 @@ object SparkEntry {
         Bpe.train(docs, numMerges = 300, maxWords = 50000))
       Bpe.tokenCounts(docs, model).orderBy(col("doc_id"))
     }),
+    "q_x_bpe_pack" -> ((s, dir) => {
+      // the training-ready export: BPE tokens packed into exact
+      // 128-token sequences in seed-keyed shuffle order (concat-then-
+      // chunk). BPE has no SQL replica (rows-only); budget exactness,
+      // contiguous sequence ids, shuffle-order replay, and token
+      // conservation are spec-proven (BpeSpec), and the offset
+      // machinery underneath is the oracle-gated packSequences /
+      // prefix-sum ring. Emitted: the packing geometry.
+      val docs = t(s, dir, "documents")
+      val model = bpeModels.getOrElseUpdate(dir,
+        Bpe.train(docs, numMerges = 300, maxWords = 50000))
+      Bpe.packTokenSequences(docs, model, budget = 128)
+        .select(col("sub"), col("seq_id"),
+          size(col("tokens")).as("n_tokens"))
+        .orderBy(col("sub"), col("seq_id"))
+    }),
     "q_x_bpe_dictionary" -> ((s, dir) => {
       // the persisted word-frequency dictionary — BPE training's real
       // input — grown by append (1/3 built + two 1/3 appends, each

@@ -265,6 +265,55 @@ object Bpe {
   def detokenize(tokens: Column): Column =
     rtrim(regexp_replace(concat_ws("", tokens), EndOfWord, " "))
 
+  /** Training-ready packed sequences — the concat-then-chunk assembly
+    * every published pretraining pipeline ends with: documents
+    * tokenize, concatenate in seed-keyed shuffle order, and cut into
+    * exact `budget`-token sequences (a document can straddle a
+    * boundary). Output `(sub, seq_id, tokens)`: within each of the
+    * `16^subChars` hex sub-strata, every sequence except the last is
+    * exactly `budget` long and reading sequences in `seq_id` order
+    * replays the sub-stratum's documents in shuffle order, token for
+    * token (spec-proven) — each sub-stratum is one independent
+    * trainer shard, which is exactly how multi-worker tokenizer runs
+    * shard anyway.
+    *
+    * Scale: the cumulative-offset pass runs over PER-DOCUMENT counts
+    * (narrow rows; the window is sub-stratified like
+    * [[Sampling.packSequences]], so no |strata|-task trap). Only then
+    * do tokens explode with global positions — the one corpus × tokens
+    * stage, which IS the output materialization — and reassemble with
+    * one budget-bounded collect per sequence. Position arithmetic is
+    * exact long division (no doubles). */
+  def packTokenSequences(docs: DataFrame, model: BpeModel, budget: Long,
+      seed: String = "pack", subChars: Int = 2): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(subChars >= 1 && subChars <= 8,
+      s"subChars must be in [1, 8], got $subChars")
+    def ldiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val keyed = Sampling.shuffleKey(
+      tokenize(docs, model).withColumn("_n", size(col("tokens")).cast("long")),
+      col("doc_id"), seed)
+      .withColumn("_sub", substring(col("shuffle_key"), 1, subChars))
+    val packed = Sampling.packSequences(keyed, col("_n"), budget,
+      stratum = lit("_"), order = col("shuffle_key"),
+      subStratum = Some(col("_sub")))
+    // a doc's exclusive token offset within its sub-stratum is
+    // seq_id * budget + seq_offset; token t then lives at global
+    // position g = offset + t → sequence g / budget, slot g % budget
+    val g = col("seq_id") * budget + col("seq_offset") + col("_pos")
+    packed
+      .select(col("_sub").as("sub"),
+        posexplode(col("tokens")).as(Seq("_pos", "_tok")),
+        col("seq_id"), col("seq_offset"))
+      .select(col("sub"), ldiv(g, lit(budget)).as("seq_id"),
+        pmod(g, lit(budget)).as("_slot"), col("_tok"))
+      .groupBy(col("sub"), col("seq_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("_slot"), col("_tok")))),
+        s => s.getField("_tok")).as("tokens"))
+  }
+
   // ---- persisted word dictionary (the incremental-training store) ----
 
   private val DictPropsFile = "_graft_bpe_dict.properties"

@@ -83,9 +83,10 @@ object Retrieval {
     * The dense side inherits [[Similarity.ivfTopKOverIndex]]'s
     * self-exclusion: a query whose `query_id` equals a corpus `vec_id`
     * will not retrieve that vector (give queries their own id space —
-    * e.g. negative ids — when self-retrieval matters). Exact-cosine
-    * scoring requires a float (non-quantized) IVF index, which
-    * `ivfTopKOverIndex` checks.
+    * e.g. negative ids — when self-retrieval matters). Fusion consumes
+    * RANKS only, so any stored IVF form works as the dense run — the
+    * int8-quantized index (4× fewer bytes) is a legitimate choice
+    * here even though the exact-cosine consumers refuse it.
     */
   def hybridTopK(queries: DataFrame, textIndexDir: String,
       ivfIndexDir: String, k: Int, kPerRun: Int = 0, k0: Int = 60,

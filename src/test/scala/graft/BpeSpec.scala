@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Bpe
+import graft.operators.{Bpe, Sampling}
 import graft.operators.Bpe.BpeModel
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -165,6 +165,36 @@ class BpeSpec extends AnyFunSuite {
       .select(col("doc_id"), Bpe.detokenize(col("tokens")).as("t"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(rt == Map(1L -> "ab abc", 2L -> "", 3L -> ""))
+  }
+
+  test("packTokenSequences: exact budget chunks, contiguous ids, shuffle-order replay, conservation") {
+    val model = Bpe.train(docs, numMerges = 100, maxWords = 5000)
+    val budget = 64L
+    val out = Bpe.packTokenSequences(docs, model, budget, subChars = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (sub, rs) =>
+      val maxSeq = rs.map(_._2).max
+      assert(rs.map(_._2).sorted.toSeq == (0L to maxSeq), s"sub $sub ids")
+      rs.foreach { case (_, sid, toks) =>
+        if (sid < maxSeq)
+          assert(toks.length == budget.toInt, s"sub $sub seq $sid short")
+        else assert(toks.length <= budget.toInt && toks.nonEmpty)
+      }
+    }
+    // replay: reading each sub-stratum's sequences in order yields its
+    // documents' tokens in shuffle-key order, token for token — and
+    // nothing is lost or duplicated
+    val keyed = Sampling.shuffleKey(Bpe.tokenize(docs, model),
+        col("doc_id"), "pack")
+      .select(substring(col("shuffle_key"), 1, 1).as("sub"),
+        col("shuffle_key"), col("tokens"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getSeq[String](2)))
+    keyed.groupBy(_._1).foreach { case (sub, docsIn) =>
+      val expect = docsIn.sortBy(_._2).flatMap(_._3).toSeq
+      val got = out.filter(_._1 == sub).sortBy(_._2).flatMap(_._3).toSeq
+      assert(got == expect, s"sub $sub replay")
+    }
   }
 
   test("word-dictionary store: append ≡ one-shot, compact folds physically, trainFromStore ≡ train") {

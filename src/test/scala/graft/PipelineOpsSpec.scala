@@ -1721,5 +1721,13 @@ class PipelineOpsSpec extends AnyFunSuite {
       val srcRank = qRows.find(_._3 == src).map(_._2)
       assert(srcRank.exists(_ <= 2 + agree), s"query $q source rank $srcRank")
     }
+    // fusion consumes RANKS only, so the int8-quantized index is a
+    // legitimate dense run (the exact-cosine consumers refuse it)
+    val qDir = java.nio.file.Files.createTempDirectory("graft-hyb-q").toString
+    Similarity.writeIvfIndex(emb, qDir, dim = 64, quantize = true)
+    val fusedQ = Retrieval.hybridTopK(
+      queries.select("query_id", "text", "embedding"), tDir, qDir, k = 5)
+    assert(fusedQ.groupBy("query_id").count()
+      .collect().forall(_.getLong(1) == 5L))
   }
 }
