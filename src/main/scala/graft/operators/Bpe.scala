@@ -314,6 +314,49 @@ object Bpe {
         s => s.getField("_tok")).as("tokens"))
   }
 
+  /** Provenance of [[packTokenSequences]]: which document occupies
+    * which slots of which sequence — `(sub, seq_id, doc_id,
+    * start_slot, n_tokens)`, one row per (document, sequence) overlap.
+    * This is what erasure and contamination tracing consume: when a
+    * document must be removed or was found contaminated, the rows name
+    * exactly the sequences to re-cut, without touching token data.
+    * Derived entirely from the narrow per-document offsets (a doc
+    * spanning tokens [c, c+n) overlaps sequences c/b .. (c+n-1)/b —
+    * a small per-doc range explode), so the corpus × tokens stage of
+    * the packed export never runs here. Same `(seed, subChars,
+    * budget)` ⇒ consistent with the packed output (spec-proven:
+    * per-sequence provenance token counts sum to the sequence's
+    * length, and slot ranges tile it without overlap). */
+  def packProvenance(docs: DataFrame, model: BpeModel, budget: Long,
+      seed: String = "pack", subChars: Int = 2): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(subChars >= 1 && subChars <= 8,
+      s"subChars must be in [1, 8], got $subChars")
+    def ldiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val keyed = Sampling.shuffleKey(
+      tokenCounts(docs, model).withColumn("_n", col("n_tokens")),
+      col("doc_id"), seed)
+      .withColumn("_sub", substring(col("shuffle_key"), 1, subChars))
+    val packed = Sampling.packSequences(keyed, col("_n"), budget,
+      stratum = lit("_"), order = col("shuffle_key"),
+      subStratum = Some(col("_sub")))
+      .where(col("_n") > 0)
+    val c = col("seq_id") * budget + col("seq_offset")
+    val lastSeq = ldiv(c + col("_n") - 1, lit(budget))
+    packed
+      .select(col("_sub").as("sub"), col("doc_id"), col("_n"), c.as("_c"),
+        explode(sequence(col("seq_id"), lastSeq)).as("_seq"))
+      .select(col("sub"), col("_seq").as("seq_id"), col("doc_id"),
+        // the doc's slice of sequence _seq: global positions
+        // [max(c, _seq*b), min(c+n, (_seq+1)*b)
+        greatest(col("_c"), col("_seq") * budget).as("_from"),
+        least(col("_c") + col("_n"), (col("_seq") + 1) * budget).as("_to"))
+      .select(col("sub"), col("seq_id"), col("doc_id"),
+        pmod(col("_from"), lit(budget)).as("start_slot"),
+        (col("_to") - col("_from")).as("n_tokens"))
+  }
+
   // ---- persisted word dictionary (the incremental-training store) ----
 
   private val DictPropsFile = "_graft_bpe_dict.properties"

@@ -197,6 +197,47 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("packProvenance tiles every sequence and locates every document's exact token slices") {
+    val model = Bpe.train(docs, numMerges = 100, maxWords = 5000)
+    val budget = 64L
+    val packed = Bpe.packTokenSequences(docs, model, budget, subChars = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getSeq[String](2)).toMap
+    val prov = Bpe.packProvenance(docs, model, budget, subChars = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val docToks = Bpe.tokenize(docs, model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // every sequence is tiled exactly: slot ranges are contiguous from
+    // 0 and sum to the sequence's length
+    prov.groupBy(p => (p._1, p._2)).foreach { case (key, rows) =>
+      val seq = packed(key)
+      val spans = rows.map(p => (p._4, p._5)).sortBy(_._1).toSeq
+      assert(spans.head._1 == 0L, s"$key starts at ${spans.head._1}")
+      spans.sliding(2).foreach {
+        case Seq((s1, n1), (s2, _)) => assert(s1 + n1 == s2, s"$key gap")
+        case _ =>
+      }
+      assert(spans.map(_._2).sum == seq.length.toLong, s"$key length")
+    }
+    // every provenance row names the document's actual tokens: the
+    // sequence's slice equals the document's corresponding slice
+    val docCursor = scala.collection.mutable.HashMap.empty[Long, Int]
+    prov.sortBy(p => (p._1, p._2, p._4)).foreach {
+      case (sub, sid, docId, start, n) =>
+        val seq = packed((sub, sid))
+        val off = docCursor.getOrElse(docId, 0)
+        assert(seq.slice(start.toInt, (start + n).toInt) ==
+          docToks(docId).slice(off, off + n.toInt),
+          s"doc $docId slice in $sub/$sid")
+        docCursor(docId) = off + n.toInt
+    }
+    // conservation: every document is fully placed, wordless docs absent
+    docCursor.foreach { case (id, consumed) =>
+      assert(consumed == docToks(id).length, s"doc $id placed $consumed")
+    }
+    assert(docCursor.keySet == docToks.filter(_._2.nonEmpty).keySet)
+  }
+
   test("word-dictionary store: append ≡ one-shot, compact folds physically, trainFromStore ≡ train") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bpe-dict").toString
     Bpe.writeWordCounts(docs.where(col("doc_id") % 3 === 0), dir)
