@@ -1614,6 +1614,28 @@ object SparkEntry {
       Retrieval.reciprocalRankFusion(Seq(runA, runB), k = 10)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_x_fuse_eval" -> ((s, dir) => {
+      // the measurement half of the retrieval ring: the tf-mass run
+      // evaluated against term-overlap relevance judgments (docs
+      // matching >= 2 query terms) — judged count, retrieved-at-any-
+      // rank, hits@10, and first-relevant rank are all exact integers,
+      // so the whole evaluation frame replays in plain SQL.
+      val docs = t(s, dir, "documents")
+      val idx = textIdxFixture(docs, dir)
+      val queries = textIdxQueries(s, docs)
+      val stats = TextIndex.matchStats(queries, idx)
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("tm"), sum(col("tf")).as("sum_tf"))
+      val wa = Window.partitionBy(col("query_id"))
+        .orderBy(col("sum_tf").desc, col("doc_id"))
+      val run = stats.withColumn("rank", row_number().over(wa))
+        .where(col("rank") <= 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val qrels = stats.where(col("tm") >= 2)
+        .select(col("query_id"), col("doc_id"))
+      Retrieval.evaluate(run, qrels, k = 10)
+        .orderBy(col("query_id"))
+    }),
     "q_x_fuse_hybrid" -> ((s, dir) => {
       // hybrid retrieval: BM25 through the inverted text index + exact
       // cosine through the IVF inverted file, RRF-fused. Rows-only
@@ -2962,6 +2984,41 @@ object SparkEntry {
         |    list_filter(string_split(lower(text), ' '), t -> t <> ''),
         |    w -> length(w) + 1)), 0) AS BIGINT) AS n_tokens
         |FROM documents ORDER BY 1""".stripMargin,
+    "q_x_fuse_eval" ->
+      """WITH toks AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |          t -> t <> '')) AS term FROM documents)
+        |  GROUP BY 1, 2),
+        |q AS (
+        |  SELECT doc_id AS query_id,
+        |    array_to_string(list_slice(list_filter(string_split(lower(text), ' '),
+        |      t -> t <> ''), 1, 4), ' ') AS text
+        |  FROM documents WHERE doc_id % 1667 = 0
+        |  UNION ALL SELECT -1, 'dup merge sort'),
+        |qt AS (
+        |  SELECT DISTINCT query_id, unnest(list_filter(string_split(lower(text), ' '),
+        |    t -> t <> '')) AS term FROM q),
+        |bydoc AS (
+        |  SELECT qt.query_id, toks.doc_id,
+        |    CAST(count(*) AS BIGINT) AS tm,
+        |    CAST(sum(toks.tf) AS BIGINT) AS sum_tf
+        |  FROM qt JOIN toks USING (term)
+        |  GROUP BY 1, 2),
+        |run AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY sum_tf DESC, doc_id) AS rank
+        |    FROM bydoc) WHERE rank <= 20),
+        |qrels AS (SELECT query_id, doc_id FROM bydoc WHERE tm >= 2)
+        |SELECT qrels.query_id,
+        |  CAST(count(*) AS BIGINT) AS n_rel,
+        |  CAST(count(run.rank) AS BIGINT) AS rel_retrieved,
+        |  CAST(count(CASE WHEN run.rank <= 10 THEN 1 END) AS BIGINT) AS hits_at_k,
+        |  CAST(min(run.rank) AS BIGINT) AS first_rel_rank
+        |FROM qrels LEFT JOIN run
+        |  ON qrels.query_id = run.query_id AND qrels.doc_id = run.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_x_text_topgrams" ->
       """WITH tk AS (SELECT string_split(text, ' ') AS toks FROM documents),
         |g AS (

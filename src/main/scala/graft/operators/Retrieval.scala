@@ -72,6 +72,34 @@ object Retrieval {
         col("rrf_score"), col("n_runs"))
   }
 
+  /** Rank-run evaluation against relevance judgments — the measurement
+    * half of the retrieval ring (compare lexical vs dense vs fused
+    * runs in-engine, no driver loops). `run` carries `(query_id,
+    * doc_id, rank)`, `qrels` the relevant `(query_id, doc_id)` pairs.
+    * Output, one row per JUDGED query (queries the run missed
+    * entirely included): `n_rel` (judged relevant), `rel_retrieved`
+    * (relevant rows the run returned at any rank), `hits_at_k`
+    * (within rank ≤ k), `first_rel_rank` (the reciprocal-rank
+    * numerator's denominator; NULL when the run never surfaced a
+    * relevant doc). All exact integers — MRR / recall@k derive as
+    * ratios downstream, and the whole frame replays in plain SQL
+    * (oracle-gated, q_x_fuse_eval). One equi-join + one aggregation;
+    * both frames are candidate-sized. */
+  def evaluate(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val judged = qrels.select(col("query_id"), col("doc_id"))
+    val perQuery = judged
+      .join(run.select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as("_rank")),
+        Seq("query_id", "doc_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel"),
+        count(col("_rank")).as("rel_retrieved"),
+        count(when(col("_rank") <= k, 1)).as("hits_at_k"),
+        min(col("_rank")).as("first_rel_rank"))
+    perQuery
+  }
+
   /** Hybrid lexical+dense retrieval over the two persisted indexes:
     * BM25 through the inverted text index and cosine top-k through the
     * IVF inverted file, fused by RRF. `queries` carries `(query_id,

@@ -1675,6 +1675,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(got.size - 37) <= 5, s"drew ${got.size} for k=37")
   }
 
+  test("retrieval evaluate: exact judged/retrieved/hits accounting, never-retrieved queries kept") {
+    import spark.implicits._
+    val run = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 11))
+      .toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1L, 20L), (1L, 30L), (1L, 99L), (2L, 50L))
+      .toDF("query_id", "doc_id")
+    val out = Retrieval.evaluate(run, qrels, k = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    // q1: 3 judged, 2 retrieved at any rank (20@2, 30@11), 1 within
+    // k=10, first relevant at rank 2; q2 never retrieved anything
+    assert(out == Map(
+      1L -> ((3L, 2L, 1L, Some(2L))),
+      2L -> ((1L, 0L, 0L, None))))
+  }
+
   test("hybridTopK equals manual BM25+IVF composition and keeps the strongest single-run vote at the head") {
     import spark.implicits._
     val tDir = java.nio.file.Files.createTempDirectory("graft-hyb-text").toString
