@@ -421,6 +421,41 @@ object ScaleProbe {
           s"got rank-1 rows for ${r.getLong(0)} queries")
         r.getLong(0)
       }
+      // hybrid fusion over the same text index + an IVF inverted file
+      // whose vec_ids align with the first m doc_ids: a clean doc
+      // (j % 100 == 50, j < m) is rank 1 in BOTH runs — unique token
+      // multiset lexically, exact-vector cosine 1.0 densely (its
+      // embedding twin targets j % 100 == 1 only) — and a doc both
+      // runs rank first scores 2/(k0+1), strictly above any possible
+      // single-run-or-worse score, so the FUSED rank 1 must be the
+      // source, exactly, for every query.
+      timed("hybrid_fused_self_retrieval") {
+        import graft.operators.{Retrieval, Similarity}
+        val m = math.max(n / 10, 1000L)
+        val emb = embeddings(spark, m)
+          .repartition(spark.sparkContext.defaultParallelism)
+        val ivDir = java.nio.file.Files
+          .createTempDirectory("graft-probe-hybivf").toString
+        Similarity.writeIvfIndex(emb, ivDir, dim = 64, nlist = 256,
+          iters = 2)
+        val queries = docs
+          .where(pmod(col("doc_id"), lit(100)) === 50 && col("doc_id") < m)
+          .orderBy(col("doc_id")).limit(20)
+          .join(emb, col("doc_id") === col("vec_id"))
+          .select((-col("doc_id") - 1).as("query_id"), col("text"),
+            col("embedding"), col("doc_id").as("src"))
+        val fused = Retrieval.hybridTopK(
+          queries.select(col("query_id"), col("text"), col("embedding")),
+          tiDir, ivDir, k = 5, nprobe = 4)
+        val r = fused.where(col("rank") === 1)
+          .join(queries.select(col("query_id"), col("src")), Seq("query_id"))
+          .agg(count(lit(1)),
+            count(when(col("doc_id") =!= col("src"), 1))).head()
+        require(r.getLong(1) == 0,
+          s"${r.getLong(1)} of ${r.getLong(0)} fused queries failed self-retrieval")
+        require(r.getLong(0) > 0, "no fused queries ran")
+        r.getLong(0)
+      }
     }
     // snapshot diff at N docs: new crawl drops 1% of ids, rewrites
     // another 1%, adds n/100 fresh ids — status counts are exact.

@@ -1622,7 +1622,14 @@ object SparkEntry {
       // so the whole evaluation frame replays in plain SQL.
       val docs = t(s, dir, "documents")
       val idx = textIdxFixture(docs, dir)
-      val queries = textIdxQueries(s, docs)
+      // a wider query set than the shared text-index gates (every
+      // 100th doc): the evaluation frame should cover many queries
+      val queries = docs.where(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(TextIndex.terms(col("text")), 1, 4))
+            .as("text"))
+        .unionByName(s.range(1).select(lit(-1L).as("query_id"),
+          lit("dup merge sort").as("text")))
       val stats = TextIndex.matchStats(queries, idx)
         .groupBy(col("query_id"), col("doc_id"))
         .agg(count(lit(1)).as("tm"), sum(col("tf")).as("sum_tf"))
@@ -2994,7 +3001,7 @@ object SparkEntry {
         |  SELECT doc_id AS query_id,
         |    array_to_string(list_slice(list_filter(string_split(lower(text), ' '),
         |      t -> t <> ''), 1, 4), ' ') AS text
-        |  FROM documents WHERE doc_id % 1667 = 0
+        |  FROM documents WHERE doc_id % 100 = 0
         |  UNION ALL SELECT -1, 'dup merge sort'),
         |qt AS (
         |  SELECT DISTINCT query_id, unnest(list_filter(string_split(lower(text), ' '),
