@@ -87,7 +87,8 @@ object Retrieval {
     * both frames are candidate-sized. */
   def evaluate(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val judged = qrels.select(col("query_id"), col("doc_id"))
+    // a duplicated judgment must not double-count n_rel
+    val judged = qrels.select(col("query_id"), col("doc_id")).distinct()
     val perQuery = judged
       .join(run.select(col("query_id"), col("doc_id"),
         col("rank").cast("long").as("_rank")),

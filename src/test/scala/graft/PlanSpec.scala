@@ -591,6 +591,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("hybrid retrieval: three windows total (bm25 + ivf + fusion), no cartesian") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val tDir = Files.createTempDirectory("graft-plan-hyb-t").toString
+    val vDir = Files.createTempDirectory("graft-plan-hyb-v").toString
+    graft.operators.TextIndex.writeTextIndex(docs, tDir)
+    graft.operators.Similarity.writeIvfIndex(emb, vDir, dim = 64)
+    val queries = docs.where(col("doc_id") % 100 === 0)
+      .join(emb, col("doc_id") === col("vec_id"))
+      .select((-col("doc_id") - 1).as("query_id"), col("text"),
+        col("embedding"))
+    val plan = planOf(graft.operators.Retrieval.hybridTopK(
+      queries, tDir, vDir, k = 5))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // one per-query window in each retriever + the fused top-k — the
+    // pivot joins are equi (full-outer on (query_id, doc_id))
+    assert("Window \\[".r.findAllIn(plan).size == 3, plan)
+    assert(plan.contains("FullOuter"), plan)
+  }
+
   test("BPE token counts: distinct-word encode joins back equi, fold is a partial hash agg") {
     val docs = Tables.load(spark, sfDir, "documents")
     val model = graft.operators.Bpe.BpeModel(
