@@ -269,6 +269,41 @@ class BpeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("sidecar"))
   }
 
+  test("end-to-end assembly: curate → BPE train → token quota → pack composes with conservation") {
+    import graft.operators.{Curation, Sampling, TextAnalysis}
+    // 1. curate (quality/lang/exact-dedup keep)
+    val keptIds = TextAnalysis.curate(docs)
+    val kept = docs.join(keptIds, Seq("doc_id"))
+    // 2. train the tokenizer on the curated corpus, count real tokens
+    val model = Bpe.train(kept, numMerges = 100, maxWords = 5000)
+    val counts = Bpe.tokenCounts(kept, model)
+    val totalKept = counts.agg(sum("n_tokens")).head().getLong(0)
+    // 3. token-budget selection: half the curated token mass
+    val budget = totalKept / 2
+    val keyed = Sampling.shuffleKey(
+      kept.join(counts, Seq("doc_id")), col("doc_id"), "assemble")
+    val selected = Sampling.takeTokenQuotas(keyed, lit("all"),
+      col("shuffle_key"), col("n_tokens"), Map("all" -> budget))
+    val selTokens = Bpe.tokenCounts(selected.select("doc_id", "text"), model)
+      .agg(sum("n_tokens")).head().getLong(0)
+    assert(selTokens <= budget && selTokens > 0)
+    // 4. pack the selection; packed token mass == selected token mass
+    val packed = Bpe.packTokenSequences(
+      selected.select("doc_id", "text"), model, budget = 64, subChars = 1)
+    val packedTokens = packed.agg(sum(size(col("tokens"))))
+      .head().getLong(0)
+    assert(packedTokens == selTokens,
+      s"packed $packedTokens != selected $selTokens")
+    // 5. provenance covers exactly the selected wordful docs
+    val provDocs = Bpe.packProvenance(
+        selected.select("doc_id", "text"), model, budget = 64, subChars = 1)
+      .select("doc_id").distinct().count()
+    val wordful = selected.select("doc_id", "text")
+      .where(size(graft.operators.TextIndex.terms(col("text"))) > 0)
+      .count()
+    assert(provDocs == wordful)
+  }
+
   test("save/load round trip preserves the model; a bare directory refuses") {
     val model = Bpe.train(docs, numMerges = 50, maxWords = 2000)
     val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
