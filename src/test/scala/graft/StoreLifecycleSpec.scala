@@ -1,0 +1,186 @@
+package graft
+
+import graft.operators.{Bpe, Dedup, Similarity, TextIndex}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential lifecycle fuzz over the persisted stores: random
+  * write / append / compact / erase sequences, each step checked
+  * against an in-memory model of what the store must now hold. The
+  * per-store specs prove the individual transitions (append ≡ rebuild,
+  * compact ≡ rebuild-over-survivors, torn-commit refusal); this fuzz
+  * binds arbitrary COMPOSITIONS of them — the shape a long-lived
+  * corpus store actually experiences. */
+class StoreLifecycleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private lazy val docs =
+    graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  /** 5 disjoint id-batches of the corpus. */
+  private def batch(i: Int): DataFrame =
+    docs.where(pmod(col("doc_id"), lit(5)) === i)
+
+  test("minhash index: random append/compact/erase sequences track the id model") {
+    val rng = new scala.util.Random(7)
+    (0 until 2).foreach { trial =>
+      val dir = tmp(s"fuzz-mh-$trial")
+      var present = scala.collection.mutable.Set.empty[Long]
+      def ids(i: Int): Set[Long] = batch(i).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      Dedup.writeMinhashIndex(batch(0), dir)
+      present ++= ids(0)
+      var unused = (1 until 5).toList
+      (0 until 7).foreach { _ =>
+        rng.nextInt(3) match {
+          case 0 if unused.nonEmpty =>
+            val b = unused.head; unused = unused.tail
+            Dedup.appendToMinhashIndex(batch(b), dir)
+            present ++= ids(b)
+          case 1 if present.nonEmpty =>
+            val drop = present.filter(_ => rng.nextBoolean()).toSet
+            import spark.implicits._
+            Dedup.compactMinhashIndex(dir,
+              dropDocs = Some(drop.toSeq.toDF("doc_id")))
+            present --= drop
+          case _ =>
+            Dedup.compactMinhashIndex(dir)
+        }
+        val stored = spark.read.parquet(dir)
+          .select("doc_id").distinct()
+          .collect().map(_.getLong(0)).toSet
+        assert(stored == present.toSet, s"trial $trial minhash ids")
+      }
+      // the surviving store still answers: signatures of present docs
+      // equal a fresh signing (append/compact never corrupt rows)
+      if (present.nonEmpty) {
+        val (sl, nh) = Dedup.minhashIndexParams(spark, dir)
+        val fresh = Dedup.minhashSignaturesHashed(
+          Dedup.shingleHashRows(
+            docs.where(col("doc_id").isin(present.toSeq: _*)), sl,
+            distinctRows = false), nh)
+        val storedSig = spark.read.parquet(dir)
+        assert(storedSig.exceptAll(fresh).isEmpty &&
+          fresh.exceptAll(storedSig).isEmpty, s"trial $trial signatures")
+      }
+    }
+  }
+
+  test("text index: random append/compact/erase sequences track the postings model") {
+    val rng = new scala.util.Random(11)
+    val dir = tmp("fuzz-ti")
+    val present = scala.collection.mutable.Set.empty[Long]
+    def ids(i: Int): Set[Long] = batch(i).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    TextIndex.writeTextIndex(batch(0), dir)
+    present ++= ids(0)
+    var unused = (1 until 5).toList
+    (0 until 6).foreach { step =>
+      rng.nextInt(3) match {
+        case 0 if unused.nonEmpty =>
+          val b = unused.head; unused = unused.tail
+          TextIndex.appendToTextIndex(batch(b), dir)
+          present ++= ids(b)
+        case 1 if present.nonEmpty =>
+          val drop = present.filter(_ => rng.nextBoolean()).toSet
+          import spark.implicits._
+          TextIndex.compactTextIndex(dir,
+            dropDocs = Some(drop.toSeq.toDF("doc_id")))
+          present --= drop
+        case _ =>
+          TextIndex.compactTextIndex(dir)
+      }
+      // postings must equal a fresh tokenization of exactly the
+      // present docs — terms, tfs, and docstats included
+      val freshDocs = docs.where(col("doc_id").isin(present.toSeq: _*))
+      val freshDir = tmp(s"fuzz-ti-fresh-$step")
+      TextIndex.writeTextIndex(freshDocs, freshDir)
+      val a = spark.read.parquet(s"$dir/postings")
+      val b = spark.read.parquet(s"$freshDir/postings")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"step $step postings")
+      val da = spark.read.parquet(s"$dir/docstats")
+      val db = spark.read.parquet(s"$freshDir/docstats")
+      assert(da.exceptAll(db).isEmpty && db.exceptAll(da).isEmpty,
+        s"step $step docstats")
+    }
+  }
+
+  test("BPE dictionary: random append/compact sequences track the additive count model") {
+    val rng = new scala.util.Random(13)
+    val dir = tmp("fuzz-dict")
+    Bpe.writeWordCounts(batch(0), dir)
+    val appended = scala.collection.mutable.ArrayBuffer(0)
+    var unused = (1 until 5).toList
+    (0 until 6).foreach { _ =>
+      if (rng.nextBoolean() && unused.nonEmpty) {
+        val b = unused.head; unused = unused.tail
+        Bpe.appendToWordCounts(batch(b), dir)
+        appended += b
+      } else Bpe.compactWordCounts(dir)
+      val stored = Bpe.readWordCounts(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val model = Bpe.wordCounts(
+          docs.where(pmod(col("doc_id"), lit(5)).isin(appended.toSeq: _*)))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(stored == model, s"after ops over batches $appended")
+    }
+  }
+
+  test("IVF inverted file: random append/compact/erase sequences track the vector model") {
+    val emb = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "embeddings")
+    def vb(i: Int): DataFrame = emb.where(pmod(col("vec_id"), lit(4)) === i)
+    def vids(i: Int): Set[Long] = vb(i).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val rng = new scala.util.Random(17)
+    val dir = tmp("fuzz-ivf")
+    Similarity.writeIvfIndex(vb(0), dir, dim = 64)
+    val present = scala.collection.mutable.Set.empty[Long]
+    present ++= vids(0)
+    var unused = (1 until 4).toList
+    (0 until 5).foreach { step =>
+      rng.nextInt(3) match {
+        case 0 if unused.nonEmpty =>
+          val b = unused.head; unused = unused.tail
+          Similarity.appendToIvfIndex(vb(b), dir)
+          present ++= vids(b)
+        case 1 if present.nonEmpty =>
+          val drop = present.filter(_ => rng.nextBoolean()).toSet
+          import spark.implicits._
+          Similarity.compactIvfIndex(dir,
+            dropVecs = Some(drop.toSeq.toDF("vec_id")))
+          present --= drop
+        case _ =>
+          Similarity.compactIvfIndex(dir)
+      }
+      val stored = spark.read.parquet(dir).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(stored == present.toSet, s"step $step ivf ids")
+    }
+    // cells stay consistent with the stored quantizer: reassigning the
+    // survivors with the same centroids reproduces the stored cells
+    if (present.nonEmpty) {
+      val ix = Similarity.readIvfIndex(spark, dir)
+      val reassigned = emb
+        .where(col("vec_id").isin(present.toSeq: _*))
+        .select(col("vec_id"),
+          Similarity.probeClusters(col("embedding"), ix.centroids, 1)
+            .getItem(0).as("cell"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val storedCells = ix.vectors.select("vec_id", "cell")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(storedCells == reassigned, "cells drifted across lifecycle")
+    }
+  }
+}
