@@ -1664,6 +1664,17 @@ object SparkEntry {
           col("n_runs"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_x_multimodal_bytestats" -> ((s, dir) => {
+      // the pre-decode payload screen: one native codegen byte
+      // histogram per binary payload, stats derived in column
+      // arithmetic — the exact integers replay in SQL via hex-pair
+      // parsing (entropy is in-engine-deterministic but folds doubles,
+      // so it stays out of the cross-engine gate).
+      Multimodal.byteStats(Multimodal.mediaTable(t(s, dir, "documents")))
+        .select(col("doc_id"), col("n_bytes"), col("byte_sum"),
+          col("zero_count"), col("distinct_bytes"))
+        .orderBy(col("doc_id"))
+    }),
     "q_x_text_topgrams" -> ((s, dir) => {
       // corpus-wide bigram heavy hitters: occurrence-counted sliding
       // grams, one partial-combined hash agg, top-k as TakeOrdered —
@@ -3026,6 +3037,21 @@ object SparkEntry {
         |FROM qrels LEFT JOIN run
         |  ON qrels.query_id = run.query_id AND qrels.doc_id = run.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_x_multimodal_bytestats" ->
+      """WITH m AS (SELECT doc_id, encode(text) AS p FROM documents),
+        |b AS (
+        |  SELECT doc_id, list_transform(range(0, octet_length(p)), i ->
+        |    (strpos('0123456789ABCDEF',
+        |       substr(hex(p), CAST(2 * i + 1 AS INT), 1)) - 1) * 16 +
+        |    strpos('0123456789ABCDEF',
+        |       substr(hex(p), CAST(2 * i + 2 AS INT), 1)) - 1) AS bytes
+        |  FROM m)
+        |SELECT doc_id,
+        |  CAST(len(bytes) AS BIGINT) AS n_bytes,
+        |  CAST(coalesce(list_sum(bytes), 0) AS BIGINT) AS byte_sum,
+        |  CAST(len(list_filter(bytes, x -> x = 0)) AS BIGINT) AS zero_count,
+        |  CAST(len(list_distinct(bytes)) AS BIGINT) AS distinct_bytes
+        |FROM b ORDER BY 1""".stripMargin,
     "q_x_text_topgrams" ->
       """WITH tk AS (SELECT string_split(text, ' ') AS toks FROM documents),
         |g AS (

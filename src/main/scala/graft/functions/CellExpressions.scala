@@ -126,6 +126,41 @@ case class SimHash64(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Byte-level payload helpers behind [[ByteHistogram]]. */
+object ByteOps {
+  /** 256-bin byte-value histogram of a binary payload. */
+  def histogram(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val h = new Array[Long](256)
+    var i = 0
+    while (i < b.length) {
+      h(b(i) & 0xff) += 1L
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(h)
+  }
+}
+
+/** 256-bin byte histogram of a binary column — the primitive under the
+  * multimodal payload screen ([[graft.operators.Multimodal.byteStats]]):
+  * every byte-level statistic (size, sum, zero ratio, distinct bytes,
+  * entropy) derives from it in plain column arithmetic. A custom
+  * expression because the DSL equivalent (explode + 256-way aggregate,
+  * or a transform/filter chain per bin) either shuffles per byte or
+  * interprets lambdas per element; this is one codegen'd tight loop
+  * per payload.
+  */
+case class ByteHistogram(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    ByteOps.histogram(v.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ByteOps.histogram($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Element-wise float/double vector helpers behind [[VecDot]]. */
 object VecOps {
   /** Sequential left-to-right dot product in double — same fold order
@@ -672,6 +707,7 @@ object cellfunctions {
     concat(lpad(lower(hex(murmur64a(col, Codecs.KeyHashSeed))), 16, "0"), col)
   }
   def key_successor(col: Column): Column = c(KeySuccessor(e(col)))
+  def byte_histogram(col: Column): Column = c(ByteHistogram(e(col)))
   def simhash64(col: Column): Column = c(SimHash64(e(col)))
   def vec_dot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
   def vec_quant_i8(v: Column): Column = c(VecQuantI8(e(v)))

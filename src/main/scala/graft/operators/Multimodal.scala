@@ -77,6 +77,38 @@ object Multimodal {
           .cast("long").as("byte_offset"))
   }
 
+  /** Exact byte-level payload statistics — the cheap corrupt/truncated-
+    * file screen that runs BEFORE the expensive decode of a multimodal
+    * ingest (zero-padded, truncated, or wrong-format payloads show up
+    * as degenerate byte distributions). One native codegen histogram
+    * per payload ([[graft.functions.ByteHistogram]] — a tight loop, no
+    * per-byte explode); every statistic derives from the 256 bins in
+    * plain column arithmetic. Integer outputs (n_bytes, byte_sum,
+    * zero_count, distinct_bytes) are oracle-exact; `entropy_bits`
+    * (Shannon, base 2) folds 256 fixed-order doubles — deterministic
+    * in-engine, excluded from the cross-engine gate.
+    */
+  def byteStats(media: DataFrame): DataFrame = {
+    import graft.functions.cellfunctions.byte_histogram
+    val idx = sequence(lit(0), lit(255))
+    media
+      .select(col("doc_id"), col("payload"),
+        byte_histogram(col("payload")).as("_h"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        aggregate(transform(idx, i => element_at(col("_h"), i + 1) * i),
+          lit(0L), (acc, x) => acc + x).as("byte_sum"),
+        element_at(col("_h"), 1).as("zero_count"),
+        size(filter(col("_h"), x => x > 0)).cast("long").as("distinct_bytes"),
+        aggregate(
+          filter(col("_h"), x => x > 0),
+          lit(0.0),
+          (acc, x) => acc - (x.cast("double") / length(col("payload"))) *
+            log2(x.cast("double") / length(col("payload"))))
+          .as("entropy_bits"))
+  }
+
   /** Partition-wise decode + feature extraction. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._

@@ -1675,6 +1675,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(got.size - 37) <= 5, s"drew ${got.size} for k=37")
   }
 
+  test("byteStats: hand-checked histogram stats and entropy on known payloads") {
+    import spark.implicits._
+    // bytes 97,97,98,0: sum 292, one zero byte, 3 distinct,
+    // distribution {a:1/2, b:1/4, nul:1/4} → H = 1.5 bits
+    val media = Seq((1L, Array[Byte](97, 97, 98, 0)),
+        (2L, Array.empty[Byte]),
+        (3L, Array.fill[Byte](8)(0)))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.byteStats(media)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    assert(out(1L) == ((4L, 292L, 1L, 3L, 1.5)))
+    assert(out(2L) == ((0L, 0L, 0L, 0L, 0.0)))
+    // all-zero payload: degenerate distribution, zero entropy — the
+    // corrupt-file signature this screen exists for
+    assert(out(3L) == ((8L, 0L, 8L, 1L, 0.0)))
+  }
+
   test("retrieval evaluate: exact judged/retrieved/hits accounting, never-retrieved queries kept") {
     import spark.implicits._
     val run = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 11))
