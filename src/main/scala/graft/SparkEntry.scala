@@ -3,7 +3,7 @@ package graft
 import graft.functions.cellfunctions._
 import graft.model.{CfSpec, TableDesc}
 import graft.operators.{AsOfJoin, BatchTxn, Bpe, DataSelection, Dedup,
-  KvStore, Multimodal, QualityModel, Retrieval, ZOrder,
+  KvStore, Multimodal, QualityModel, Retrieval, Stats, ZOrder,
   PercolatorRead, Resolve, Sampling, ScanFilter, ScanQuery, Similarity,
   TextAnalysis, TextIndex, TypedValue}
 import graft.sources.{CellLogs, Tables}
@@ -1664,6 +1664,21 @@ object SparkEntry {
           col("n_runs"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_x_stats_quantiles" -> ((s, dir) => {
+      // exact order statistics by radix selection: the k-th smallest
+      // element found 16 bits at a time over the order-preserving
+      // image — ≤ 4 bounded histogram passes per quantile, no sort,
+      // no percentile buffer, skew-immune. Results are ELEMENTS of
+      // the column, so the cross-engine compare is bit-exact; rank is
+      // max(1, ceil(q*n)) with q the same IEEE double both engines
+      // derive from the integer percent.
+      val li = t(s, dir, "lineitem")
+      val pcts = Seq(1, 25, 50, 75, 99)
+      val vals = Stats.exactQuantiles(li, col("l_extendedprice"),
+        pcts.map(_ / 100.0))
+      import s.implicits._
+      pcts.zip(vals).toDF("q_pct", "value").orderBy(col("q_pct"))
+    }),
     "q_x_multimodal_bytestats" -> ((s, dir) => {
       // the pre-decode payload screen: one native codegen byte
       // histogram per binary payload, stats derived in column
@@ -3037,6 +3052,18 @@ object SparkEntry {
         |FROM qrels LEFT JOIN run
         |  ON qrels.query_id = run.query_id AND qrels.doc_id = run.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_x_stats_quantiles" ->
+      """WITH v AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM v),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v),
+        |qq AS (SELECT unnest([1, 25, 50, 75, 99]) AS q_pct)
+        |SELECT qq.q_pct, r.x AS value
+        |FROM qq, n, r
+        |WHERE r.rn = greatest(1,
+        |  CAST(ceil((qq.q_pct / 100.0) * n.cnt) AS BIGINT))
+        |ORDER BY 1""".stripMargin,
     "q_x_multimodal_bytestats" ->
       """WITH m AS (SELECT doc_id, encode(text) AS p FROM documents),
         |b AS (

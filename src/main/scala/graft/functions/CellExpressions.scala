@@ -126,6 +126,19 @@ case class SimHash64(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Order-preserving long image of a double ([[Codecs.doubleSortableBits]])
+  * — the radix-selection quantile operator's scan primitive; codegen'd
+  * so the per-pass bucket projection stays on the hot path. */
+case class DoubleSortableBits(child: Expression) extends CodecExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    Codecs.doubleSortableBits(v.asInstanceOf[Double])
+  protected def staticCall(c: String): String =
+    s"graft.functions.Codecs.doubleSortableBits($c)"
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Byte-level payload helpers behind [[ByteHistogram]]. */
 object ByteOps {
   /** 256-bin byte-value histogram of a binary payload. */
@@ -708,6 +721,7 @@ object cellfunctions {
   }
   def key_successor(col: Column): Column = c(KeySuccessor(e(col)))
   def byte_histogram(col: Column): Column = c(ByteHistogram(e(col)))
+  def double_sortable_bits(col: Column): Column = c(DoubleSortableBits(e(col)))
   def simhash64(col: Column): Column = c(SimHash64(e(col)))
   def vec_dot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
   def vec_quant_i8(v: Column): Column = c(VecQuantI8(e(v)))

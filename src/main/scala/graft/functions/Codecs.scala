@@ -163,4 +163,20 @@ object Codecs {
 
   /** Inverse of [[hashedKey]]: drop the 16-hex-char shard prefix. */
   def logicalKey(storedKey: String): String = storedKey.substring(16)
+
+  /** Order-preserving long image of an IEEE double: signed comparison
+    * of images equals numeric comparison of doubles (-0.0 sits just
+    * below +0.0; NaN images above +Inf). Flipping the low 63 bits of
+    * negatives reverses their bit-pattern order; positives pass
+    * through. An involution — [[sortableBitsToDouble]] is the same
+    * XOR. The radix-selection quantile operator walks these images 16
+    * bits at a time. */
+  def doubleSortableBits(d: Double): Long = {
+    val l = java.lang.Double.doubleToRawLongBits(d)
+    l ^ ((l >> 63) & 0x7fffffffffffffffL)
+  }
+
+  /** Inverse of [[doubleSortableBits]]. */
+  def sortableBitsToDouble(y: Long): Double =
+    java.lang.Double.longBitsToDouble(y ^ ((y >> 63) & 0x7fffffffffffffffL))
 }
