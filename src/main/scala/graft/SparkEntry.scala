@@ -1679,6 +1679,15 @@ object SparkEntry {
       import s.implicits._
       pcts.zip(vals).toDF("q_pct", "value").orderBy(col("q_pct"))
     }),
+    "q_x_stats_quantiles_by" -> ((s, dir) => {
+      // the per-stratum variant: every group's median found in the
+      // SAME 8 histogram passes (driver advances all prefixes in one
+      // walk; per-round collect is |strata| × 256) — the per-source
+      // data-card median, exact elements, bit-exact cross-engine.
+      Stats.exactQuantilesBy(t(s, dir, "lineitem"), col("l_returnflag"),
+          col("l_extendedprice"), q = 0.5)
+        .orderBy(col("stratum"))
+    }),
     "q_x_multimodal_bytestats" -> ((s, dir) => {
       // the pre-decode payload screen: one native codegen byte
       // histogram per binary payload, stats derived in column
@@ -3063,6 +3072,21 @@ object SparkEntry {
         |FROM qq, n, r
         |WHERE r.rn = greatest(1,
         |  CAST(ceil((qq.q_pct / 100.0) * n.cnt) AS BIGINT))
+        |ORDER BY 1""".stripMargin,
+    "q_x_stats_quantiles_by" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS stratum,
+        |    CAST(l_extendedprice AS DOUBLE) AS x
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |n AS (SELECT stratum, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM v GROUP BY 1),
+        |r AS (SELECT stratum, x, row_number() OVER (
+        |        PARTITION BY stratum ORDER BY x) AS rn FROM v)
+        |SELECT r.stratum, r.x AS value
+        |FROM r JOIN n USING (stratum)
+        |WHERE r.rn = greatest(1,
+        |  CAST(ceil(CAST(0.5 AS DOUBLE) * n.cnt) AS BIGINT))
         |ORDER BY 1""".stripMargin,
     "q_x_multimodal_bytestats" ->
       """WITH m AS (SELECT doc_id, encode(text) AS p FROM documents),

@@ -71,6 +71,73 @@ object Stats {
     }
   }
 
+  /** Per-stratum exact quantile — the per-source data-card median/p99.
+    * Same radix selection, run for ALL strata simultaneously: each
+    * round is ONE histogram aggregation over (stratum, next 8 bits)
+    * and the driver advances every stratum's prefix in the same walk,
+    * so the whole frame costs 8 aggregation passes regardless of how
+    * many strata there are or how skewed they come. 8-bit rounds keep
+    * the per-round collect at |strata| × 256 rows (strata are
+    * domains/languages — the bounded-census shape `temperatureQuotas`
+    * already documents). Output: `(stratum, value)` per stratum, the
+    * exact element at rank max(1, ceil(q·n_stratum)).
+    */
+  def exactQuantilesBy(df: DataFrame, stratum: Column, value: Column,
+      q: Double): DataFrame = {
+    require(q >= 0 && q <= 1, s"quantile must lie in [0, 1]: $q")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val imgs = df
+      .select(stratum.cast("string").as("_s"), value.cast("double").as("_v"))
+      .where(col("_s").isNotNull && col("_v").isNotNull && !isnan(col("_v")))
+      .select(col("_s"), double_sortable_bits(col("_v")).as("_img"))
+    val counts = imgs.groupBy(col("_s")).agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // state per stratum: (prefix so far, remaining rank)
+    var state = counts.map { case (s, n) =>
+      s -> (0L, math.max(1L, math.ceil(q * n).toLong))
+    }
+    (7 to 0 by -1).foreach { round =>
+      val shift = round * 8
+      // fix each stratum's found prefix via a broadcast join (first
+      // round: no prefix yet — every row participates)
+      val scoped = if (round == 7) imgs else {
+        val pf = state.toSeq.map { case (s, (p, _)) => (s, p) }
+          .toDF("_s", "_pf")
+        imgs.join(broadcast(pf), Seq("_s"))
+          .where(shiftright(col("_img"), shift + 8) === col("_pf"))
+      }
+      val bucket =
+        if (round == 7) shiftright(col("_img"), 56)
+        else shiftright(col("_img"), shift).bitwiseAND(lit(0xffL))
+      val hist = scoped.groupBy(col("_s"), bucket.as("_b"))
+        .agg(count(lit(1)).as("_c"))
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (s, rows) =>
+          s -> rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+        }
+      state = state.map { case (s, (prefix, kk)) =>
+        var k = kk
+        var p = prefix
+        var found = false
+        hist(s).foreach { case (b, c) =>
+          if (!found) {
+            if (k <= c) {
+              p = if (round == 7) b else (p << 8) | (b & 0xffL)
+              found = true
+            } else k -= c
+          }
+        }
+        require(found, s"stratum $s walked past its histogram")
+        s -> (p, k)
+      }
+    }
+    state.toSeq.map { case (s, (img, _)) =>
+      (s, Codecs.sortableBitsToDouble(img))
+    }.toDF("stratum", "value")
+  }
+
   /** k-th smallest image (1-based) by 16-bit radix rounds. The first
     * round's buckets are the signed top 16 bits (ordered); later
     * rounds fix the found prefix by equality and bucket the next 16

@@ -61,6 +61,23 @@ class StatsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("grouped quantiles match per-group driver sorts — skewed sizes, negatives, singleton group") {
+    import spark.implicits._
+    val rng = new scala.util.Random(21)
+    val rows = Seq.tabulate(4000)(i => ("big", rng.nextGaussian() * 100)) ++
+      Seq.tabulate(37)(i => ("small", -50.0 + i)) ++
+      Seq(("one", -7.25))
+    val got = Stats.exactQuantilesBy(rows.toDF("s", "x"), col("s"),
+        col("x"), q = 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val expect = rows.groupBy(_._1).map { case (s, vs) =>
+      val sorted = vs.map(_._2).toArray
+      java.util.Arrays.sort(sorted)
+      s -> sorted(rank(0.5, sorted.length) - 1)
+    }
+    assert(got == expect)
+  }
+
   test("empty or all-null input refuses") {
     import spark.implicits._
     val e = intercept[IllegalArgumentException](
