@@ -555,6 +555,26 @@ object ScaleProbe {
         r.values.sum
       }
     }
+    // exact order statistics at N docs: the median document length by
+    // radix selection (4 bounded histogram passes — no sort). Oracle:
+    // the defining rank property, checked with one aggregation —
+    // strictly-below count < k <= at-or-below count.
+    timed("exact_median") {
+      import graft.operators.Stats
+      val lens = docs.select(
+        size(split(col("text"), " ", -1)).cast("long").as("len"))
+      val med = Stats.exactQuantilesLong(lens, col("len"), Seq(0.5)).head
+      val r = lens.agg(
+        count(when(col("len") < med, 1)),
+        count(when(col("len") <= med, 1)),
+        count(lit(1))).head()
+      val (below, atOrBelow, total) =
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      val k = math.max(1L, math.ceil(0.5 * total).toLong)
+      require(below < k && k <= atOrBelow,
+        s"median $med violates rank property: below=$below k=$k atOrBelow=$atOrBelow")
+      total
+    }
     // BPE at the corpus shape: the word-dictionary fold is the one
     // corpus-sized training cost (a hash agg over N×50 tokens);
     // training then walks the synthetic 1000-word dictionary on the

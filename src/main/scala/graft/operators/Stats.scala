@@ -49,10 +49,9 @@ object Stats {
       .select(double_sortable_bits(col("_v")).as("_img"))
     val n = imgs.count()
     require(n > 0, "exactQuantiles over an empty (or all-null) column")
-    qs.map { q =>
-      val k = math.max(1L, math.ceil(q * n).toLong)
-      Codecs.sortableBitsToDouble(kthImage(imgs, k))
-    }
+    kthImages(imgs,
+      qs.map(q => math.max(1L, math.ceil(q * n).toLong)))
+      .map(Codecs.sortableBitsToDouble)
   }
 
   /** Exact quantiles of an integral column (returned as the actual
@@ -65,10 +64,8 @@ object Stats {
       .where(col("_img").isNotNull)
     val n = imgs.count()
     require(n > 0, "exactQuantilesLong over an empty (or all-null) column")
-    qs.map { q =>
-      val k = math.max(1L, math.ceil(q * n).toLong)
-      kthImage(imgs, k)
-    }
+    kthImages(imgs,
+      qs.map(q => math.max(1L, math.ceil(q * n).toLong)))
   }
 
   /** Per-stratum exact quantile — the per-source data-card median/p99.
@@ -138,41 +135,58 @@ object Stats {
     }.toDF("stratum", "value")
   }
 
-  /** k-th smallest image (1-based) by 16-bit radix rounds. The first
-    * round's buckets are the signed top 16 bits (ordered); later
-    * rounds fix the found prefix by equality and bucket the next 16
-    * bits (unsigned, ordered within the prefix). */
-  private def kthImage(imgs: DataFrame, k: Long): Long = {
-    var prefix = 0L
-    var kk = k
+  /** k-th smallest images (1-based ranks) by 16-bit radix rounds — ALL
+    * ranks advance through the SAME four scans: each round filters to
+    * the union of the live prefixes (broadcast), histograms (prefix,
+    * next 16 bits) once, and the driver walks every rank's bucket list
+    * from the shared collect. Cost is 4 passes total for any number of
+    * quantiles. The first round's buckets are the signed top 16 bits
+    * (ordered); later rounds append 16 unsigned bits under the found
+    * prefix. */
+  private def kthImages(imgs: DataFrame, ks: Seq[Long]): Seq[Long] = {
+    val spark = imgs.sparkSession
+    import spark.implicits._
+    // per rank: (prefix so far, remaining rank within it)
+    var state = ks.map(k => (0L, k))
     Seq(48, 32, 16, 0).foreach { shift =>
       val scoped =
-        if (shift == 48) imgs
-        else imgs.where(shiftright(col("_img"), shift + 16) === prefix)
+        if (shift == 48) imgs.select(lit(0L).as("_pf"), col("_img"))
+        else {
+          val pfs = state.map(_._1).distinct.toDF("_pf")
+          imgs.join(broadcast(pfs),
+              shiftright(col("_img"), shift + 16) === col("_pf"))
+            .select(col("_pf"), col("_img"))
+        }
       val bucket =
         if (shift == 48) shiftright(col("_img"), 48)
         else shiftright(col("_img"), shift).bitwiseAND(lit(0xffffL))
-      val hist = scoped.groupBy(bucket.as("_b"))
+      val hist = scoped.groupBy(col("_pf"), bucket.as("_b"))
         .agg(count(lit(1)).as("_c"))
-        .orderBy(col("_b"))
         .collect()
-      var i = 0
-      var found = false
-      while (!found && i < hist.length) {
-        val c = hist(i).getLong(1)
-        if (kk <= c) {
-          // the first round's bucket is the SIGNED top 16 bits — keep
-          // it unmasked so negative prefixes compare correctly; later
-          // rounds append 16 unsigned bits under it
-          prefix =
-            if (shift == 48) hist(i).getLong(0)
-            else (prefix << 16) | (hist(i).getLong(0) & 0xffffL)
-          found = true
-        } else { kk -= c; i += 1 }
+        .groupBy(_.getLong(0))
+        .map { case (pf, rows) =>
+          pf -> rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+        }
+      state = state.map { case (prefix, kk) =>
+        val key = if (shift == 48) 0L else prefix
+        var k = kk
+        var p = prefix
+        var found = false
+        hist(key).foreach { case (b, c) =>
+          if (!found) {
+            if (k <= c) {
+              // first round keeps the SIGNED bucket unmasked so
+              // negative prefixes compare correctly downstream
+              p = if (shift == 48) b else (p << 16) | (b & 0xffffL)
+              found = true
+            } else k -= c
+          }
+        }
+        require(found, s"rank walked past the histogram (k=$kk) — " +
+          "concurrent mutation of the input?")
+        (p, k)
       }
-      require(found, s"rank walked past the histogram (k=$k) — " +
-        "concurrent mutation of the input?")
     }
-    prefix
+    state.map(_._1)
   }
 }
