@@ -79,12 +79,23 @@ class BpeSpec extends AnyFunSuite {
 
   test("indexed trainer matches the brute-force reference on random dictionaries") {
     val rng = new scala.util.Random(42)
-    (0 until 5).foreach { trial =>
-      val alphabet = "abcde"
+    // last trial draws from a multi-codepoint alphabet (an emoji is a
+    // surrogate pair in UTF-16) — symbol splitting and merging must
+    // stay codepoint-correct through training
+    val alphabets = Seq("abcde", "abcde", "abcde", "abcde", "ab😀è")
+    alphabets.zipWithIndex.foreach { case (alphabet, trial) =>
+      val syms = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < alphabet.length) {
+          val n = Character.charCount(alphabet.codePointAt(i))
+          out += alphabet.substring(i, i + n); i += n
+        }
+        out.toSeq
+      }
       val dict = (0 until 60).map { _ =>
         val len = 2 + rng.nextInt(6)
-        val w = (0 until len).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
-        w
+        (0 until len).map(_ => syms(rng.nextInt(syms.length))).mkString
       }.distinct.map(w => (w, (1 + rng.nextInt(20)).toLong))
       val expect = bruteTrain(dict, numMerges = 30).toSeq
       val got = Bpe.trainFromDict(dict, numMerges = 30).merges.toSeq
