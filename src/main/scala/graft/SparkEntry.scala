@@ -1664,6 +1664,21 @@ object SparkEntry {
           col("n_runs"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_x_text_nfc" -> ((s, dir) => {
+      // Unicode canonical composition at the scan (the pre-dedup text
+      // canonicalization step): each doc's text gets a decomposed
+      // suffix appended (e + combining acute, a + combining tilde) and
+      // must normalize to the composed forms — both engines implement
+      // Unicode NFC, so the gate is exact; the fingerprint column
+      // proves the é-vs-e+́ collapse dedup relies on.
+      val dec = "e\u0301 a\u0303" // decomposed: e/a + combining accents
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          nfc_normalize(concat(col("text"), lit(" "), lit(dec)))
+            .as("text_nfc"))
+        .withColumn("fp", md5(encode(col("text_nfc"), "UTF-8")))
+        .orderBy(col("doc_id"))
+    }),
     "q_x_stats_quantiles" -> ((s, dir) => {
       // exact order statistics by radix selection: the k-th smallest
       // element found 16 bits at a time over the order-preserving
@@ -3061,6 +3076,13 @@ object SparkEntry {
         |FROM qrels LEFT JOIN run
         |  ON qrels.query_id = run.query_id AND qrels.doc_id = run.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_x_text_nfc" ->
+      """SELECT doc_id,
+        |  nfc_normalize(text || ' ' || 'e' || chr(769) || ' '
+        |    || 'a' || chr(771)) AS text_nfc,
+        |  md5(nfc_normalize(text || ' ' || 'e' || chr(769) || ' '
+        |    || 'a' || chr(771))) AS fp
+        |FROM documents ORDER BY 1""".stripMargin,
     "q_x_stats_quantiles" ->
       """WITH v AS (
         |  SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem

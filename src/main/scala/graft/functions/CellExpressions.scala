@@ -126,6 +126,20 @@ case class SimHash64(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Unicode NFC normalization of a string column ([[Codecs.nfc]]) —
+  * canonical composition before fingerprinting/dedup, with an
+  * already-normalized fast path (ASCII passes through untouched).
+  * Codegen'd static call, so normalization rides the scan. */
+case class NfcNormalize(child: Expression) extends CodecExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    Codecs.nfc(v.asInstanceOf[UTF8String])
+  protected def staticCall(c: String): String =
+    s"graft.functions.Codecs.nfc($c)"
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Order-preserving long image of a double ([[Codecs.doubleSortableBits]])
   * — the radix-selection quantile operator's scan primitive; codegen'd
   * so the per-pass bucket projection stays on the hot path. */
@@ -722,6 +736,7 @@ object cellfunctions {
   def key_successor(col: Column): Column = c(KeySuccessor(e(col)))
   def byte_histogram(col: Column): Column = c(ByteHistogram(e(col)))
   def double_sortable_bits(col: Column): Column = c(DoubleSortableBits(e(col)))
+  def nfc_normalize(col: Column): Column = c(NfcNormalize(e(col)))
   def simhash64(col: Column): Column = c(SimHash64(e(col)))
   def vec_dot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
   def vec_quant_i8(v: Column): Column = c(VecQuantI8(e(v)))

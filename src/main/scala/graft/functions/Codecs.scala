@@ -164,6 +164,19 @@ object Codecs {
   /** Inverse of [[hashedKey]]: drop the 16-hex-char shard prefix. */
   def logicalKey(storedKey: String): String = storedKey.substring(16)
 
+  /** Unicode NFC normalization (canonical composition) — the text-
+    * canonicalization step a curation pipeline applies before
+    * fingerprinting/dedup, so 'é' and 'e'+combining-acute hash alike.
+    * UTF8String in/out keeps the expression codegen-friendly. */
+  def nfc(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    // fast path: most corpus text is already composed (ASCII always is)
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** Order-preserving long image of an IEEE double: signed comparison
     * of images equals numeric comparison of doubles (-0.0 sits just
     * below +0.0; NaN images above +Inf). Flipping the low 63 bits of

@@ -75,4 +75,34 @@ class CodecSpec extends AnyFunSuite {
         (java.lang.Long.compareUnsigned(a, b) < 0))
     }
   }
+
+  test("NFC normalization collapses decomposed sequences; composed text passes through") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def nfc(s: String): String = Codecs.nfc(UTF8String.fromString(s)).toString
+    // e + combining acute (U+0301) composes to U+00E9; already-
+    // composed text returns the SAME UTF8String (fast path)
+    assert(nfc("cafe\u0301") == "caf\u00e9")
+    val composed = UTF8String.fromString("caf\u00e9 plain ascii")
+    assert(Codecs.nfc(composed) eq composed)
+    // decomposed a + combining tilde collapses to the composed form,
+    // idempotently — the canonical pair fingerprints alike after it
+    assert(nfc("a\u0303") == "\u00e3")
+    assert(nfc(nfc("a\u0303")) == nfc("a\u0303"))
+  }
+
+  test("double sortable bits: signed image order equals IEEE total order, involution exact") {
+    val vals = Seq(Double.NegativeInfinity, -1e308, -2.0, -1.0, -0.0,
+      0.0, Double.MinPositiveValue, 1.0, 2.0, 1e308,
+      Double.PositiveInfinity)
+    val imgs = vals.map(Codecs.doubleSortableBits)
+    assert(imgs == imgs.sorted, "image order broke")
+    vals.foreach { v =>
+      val back = Codecs.sortableBitsToDouble(Codecs.doubleSortableBits(v))
+      assert(java.lang.Double.doubleToRawLongBits(back) ==
+        java.lang.Double.doubleToRawLongBits(v), s"roundtrip of $v")
+    }
+    // NaN images sit above +Inf (excluded upstream, but ordered sanely)
+    assert(Codecs.doubleSortableBits(Double.NaN) >
+      Codecs.doubleSortableBits(Double.PositiveInfinity))
+  }
 }
