@@ -1738,6 +1738,20 @@ object SparkEntry {
         .select(col("doc_id"), col("pps_hits"))
         .orderBy(col("doc_id"))
     }),
+    "q_x_sample_pps_by" -> ((s, dir) => {
+      // balanced per-source PPS: every source draws ~20 rows on its
+      // own weight line (step = sourceW/20) — same integer-exact marks
+      // arithmetic as q_x_sample_pps, stratum joined into every key.
+      val docs = t(s, dir, "documents")
+      val keyed = Sampling.shuffleKey(
+        docs.select(col("doc_id"), col("source"),
+          size(TextIndex.terms(col("text"))).cast("long").as("w")),
+        col("doc_id"), "ppsby")
+      Sampling.ppsSampleBy(keyed, col("source"), col("shuffle_key"),
+          col("w"), kPerStratum = 20)
+        .select(col("doc_id"), col("source"), col("pps_hits"))
+        .orderBy(col("doc_id"))
+    }),
     "q_x_bpe_tokenize" -> ((s, dir) => {
       // real subword token accounting: a BPE model trained on the
       // corpus's own word dictionary (Sennrich et al. 2016 — merges
@@ -3035,6 +3049,30 @@ object SparkEntry {
         |    PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
         |  FROM sc) WHERE rank <= 10
         |ORDER BY 1, 2""".stripMargin,
+    "q_x_sample_pps_by" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    md5('ppsby' || CAST(doc_id AS VARCHAR)) AS hex,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      t -> t <> '')) AS BIGINT) AS wt
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, wt, sum(wt) OVER (
+        |    PARTITION BY source ORDER BY hex
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM w),
+        |t AS (SELECT source, sum(wt) AS tot FROM w GROUP BY 1),
+        |p AS (
+        |  SELECT c.doc_id, c.source, c.wt, c.cum,
+        |    greatest(1, t.tot // 20) AS step
+        |  FROM c JOIN t USING (source))
+        |SELECT doc_id, source,
+        |  CAST(((cum + step - 1) // step)
+        |    - ((cum - wt + step - 1) // step) AS INT) AS pps_hits
+        |FROM p
+        |WHERE ((cum + step - 1) // step)
+        |    - ((cum - wt + step - 1) // step) >= 1
+        |ORDER BY 1""".stripMargin,
     "q_x_bpe_symbol_counts" ->
       """SELECT doc_id,
         |  CAST(coalesce(list_sum(list_transform(

@@ -363,4 +363,67 @@ object Sampling {
       .where(col("pps_hits") >= 1)
       .drop("_pps_o", "_pps_w", "_pps_b", "_pps_cum", "_pps_off", "_pps_tot")
   }
+
+  /** Per-stratum systematic PPS: [[ppsSample]] run independently
+    * inside every stratum, ~`kPerStratum` rows drawn from each
+    * domain/source in proportion to weight — the balanced variant a
+    * mixture design uses when every source should contribute a fixed
+    * number of (token-weighted) samples regardless of its size. Each
+    * stratum gets its own line, mark step (`stratumW / kPerStratum`),
+    * and offset phase; everything else is the same integer-exact,
+    * SQL-replayable arithmetic (oracle-gated, q_x_sample_pps_by).
+    *
+    * Scale: identical to [[ppsSample]] with the stratum joined into
+    * every key — the heavy cumulative window partitions by (stratum,
+    * hex bucket), the offsets/totals tables are (|strata| × buckets)
+    * and (|strata|) rows and broadcast. Null strata flow as their own
+    * stratum (null-safe keys, like [[takeTokenQuotas]]). */
+  def ppsSampleBy(df: DataFrame, stratum: Column, orderHex: Column,
+      weight: Column, kPerStratum: Long, offset: Long = 0L,
+      bucketChars: Int = 2): DataFrame = {
+    require(kPerStratum >= 1, s"kPerStratum must be >= 1, got $kPerStratum")
+    require(offset >= 0, s"offset must be >= 0, got $offset")
+    require(bucketChars >= 1 && bucketChars <= 8,
+      s"bucketChars must be in [1, 8], got $bucketChars")
+    require(!df.columns.exists(c => c.startsWith("_pps_") || c == "pps_hits"),
+      "input already has _pps_*/pps_hits columns (ppsSampleBy emits them)")
+    def ldiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val base = df.select(col("*"),
+      coalesce(stratum.cast("string"), lit("")).as("_pps_s"),
+      stratum.isNull.as("_pps_snull"),
+      orderHex.as("_pps_o"),
+      weight.cast("long").as("_pps_w"),
+      substring(orderHex, 1, bucketChars).as("_pps_b"))
+    val sKeys = Seq("_pps_s", "_pps_snull")
+    val localW = Window
+      .partitionBy((sKeys :+ "_pps_b").map(col): _*)
+      .orderBy(col("_pps_o"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = base
+      .groupBy((sKeys :+ "_pps_b").map(col): _*)
+      .agg(sum(col("_pps_w")).as("_pps_btot"))
+    val offW = Window.partitionBy(sKeys.map(col): _*).orderBy(col("_pps_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals.select(col("_pps_s"), col("_pps_snull"),
+      col("_pps_b"),
+      coalesce(sum(col("_pps_btot")).over(offW), lit(0L)).as("_pps_off"))
+    val grand = totals.groupBy(sKeys.map(col): _*)
+      .agg(sum(col("_pps_btot")).as("_pps_tot"))
+    val step = greatest(lit(1L), ldiv(col("_pps_tot"), lit(kPerStratum)))
+    val off = pmod(lit(offset), step)
+    def marksBelow(x: Column): Column =
+      ldiv(x + step - lit(1L) - off, step)
+    base
+      .withColumn("_pps_cum", sum(col("_pps_w")).over(localW))
+      .join(broadcast(offsets), sKeys :+ "_pps_b")
+      .join(broadcast(grand), sKeys)
+      .withColumn("pps_hits",
+        (marksBelow(col("_pps_off") + col("_pps_cum")) -
+          marksBelow(col("_pps_off") + col("_pps_cum") - col("_pps_w")))
+          .cast("int"))
+      .where(col("pps_hits") >= 1)
+      .drop("_pps_s", "_pps_snull", "_pps_o", "_pps_w", "_pps_b",
+        "_pps_cum", "_pps_off", "_pps_tot")
+  }
 }

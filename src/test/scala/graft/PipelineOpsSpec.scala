@@ -1675,6 +1675,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(got.size - 37) <= 5, s"drew ${got.size} for k=37")
   }
 
+  test("ppsSampleBy: each stratum draws on its own line — per-stratum differential replay") {
+    import spark.implicits._
+    val keyed = Sampling.shuffleKey(
+      docs.select(col("doc_id"), col("source"),
+        size(TextIndex.terms(col("text"))).cast("long").as("w")),
+      col("doc_id"), "ppsbytest")
+    val got = Sampling.ppsSampleBy(keyed, col("source"),
+        col("shuffle_key"), col("w"), kPerStratum = 11, offset = 3)
+      .select("doc_id", "pps_hits")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val rows = keyed.select("source", "shuffle_key", "doc_id", "w")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expect = rows.groupBy(_._1).toSeq.flatMap { case (_, srows) =>
+      val ordered = srows.sortBy(_._2)
+      val total = ordered.map(_._4).sum
+      val step = math.max(1L, total / 11)
+      val off = 3L % step
+      def marksBelow(x: Long) = (x + step - 1 - off) / step
+      var cum = 0L
+      ordered.toSeq.flatMap { case (_, _, id, w) =>
+        val hits = (marksBelow(cum + w) - marksBelow(cum)).toInt
+        cum += w
+        if (hits >= 1) Some(id -> hits) else None
+      }
+    }.toMap
+    assert(got == expect)
+    // every stratum drew ~kPerStratum rows (weights near-uniform here)
+    val bySrc = rows.filter(r => got.contains(r._3)).groupBy(_._1)
+      .map { case (s, rs) => s -> rs.map(r => got(r._3).toLong).sum }
+    bySrc.foreach { case (s, drawn) =>
+      assert(math.abs(drawn - 11) <= 3, s"source $s drew $drawn for k=11")
+    }
+  }
+
   test("byteStats: hand-checked histogram stats and entropy on known payloads") {
     import spark.implicits._
     // bytes 97,97,98,0: sum 292, one zero byte, 3 distinct,
