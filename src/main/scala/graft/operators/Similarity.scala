@@ -706,6 +706,24 @@ object Similarity {
     writePqProps(spark, dir, dim, m, ksub, nlist)
   }
 
+  /** Fold appended PQ segments into one layout, optionally erasing
+    * ids during the rewrite — the same right-to-erasure path the
+    * minhash / text / IVF / dictionary stores have ([[compactIvfIndex]];
+    * PQ was the one stored form still missing it). Codes and cells are
+    * copied, never recomputed, so geometry stays bit-stable; the `_`-
+    * prefixed codebook/centroid/sidecar files survive the staged root
+    * rewrite untouched, and the sidecar is down for the duration. */
+  def compactPqIndex(dir: String,
+      dropVecs: Option[DataFrame] = None): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val (dim, m, ksub, nlist) = readPqProps(spark, dir)
+    val props = new org.apache.hadoop.fs.Path(dir, PqPropsFile)
+    props.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(props, false)
+    IndexFiles.rewriteRoot(spark, dir, IndexFiles.minus(dropVecs, "vec_id"))
+    writePqProps(spark, dir, dim, m, ksub, nlist)
+  }
+
   /** Open a stored PQ index. */
   def readPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): PqIndex = {

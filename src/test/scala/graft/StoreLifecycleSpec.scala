@@ -137,6 +137,59 @@ class StoreLifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ index: append/compact/erase compose as pure row filters — codes bit-stable") {
+    val emb = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "embeddings")
+    def vb(i: Int): DataFrame = emb.where(pmod(col("vec_id"), lit(4)) === i)
+    val rng = new scala.util.Random(23)
+    val dir = tmp("fuzz-pq")
+    // model: vec_id -> the full stored row (binary columns normalized),
+    // captured when the row first lands; every later state must be
+    // exactly the model filtered to surviving ids
+    def rowsOf(df: DataFrame): Map[Long, Seq[Any]] =
+      df.collect().map { r =>
+        val vs = r.toSeq.map {
+          case b: Array[Byte] => b.toSeq
+          case x => x
+        }
+        r.getAs[Long]("vec_id") -> vs
+      }.toMap
+    Similarity.writePqIndex(vb(0), dir, dim = 64, m = 8, ksub = 64,
+      nlist = 8)
+    var model = rowsOf(spark.read.parquet(dir))
+    var unused = (1 until 4).toList
+    (0 until 5).foreach { step =>
+      rng.nextInt(3) match {
+        case 0 if unused.nonEmpty =>
+          val b = unused.head; unused = unused.tail
+          Similarity.appendToPqIndex(vb(b), dir)
+          val now = rowsOf(spark.read.parquet(dir))
+          model = model ++ (now -- model.keySet) // adopt the new rows
+        case 1 if model.nonEmpty =>
+          val drop = model.keySet.filter(_ => rng.nextBoolean())
+          import spark.implicits._
+          Similarity.compactPqIndex(dir,
+            dropVecs = Some(drop.toSeq.toDF("vec_id")))
+          model = model -- drop
+        case _ =>
+          Similarity.compactPqIndex(dir)
+      }
+      val stored = rowsOf(spark.read.parquet(dir))
+      assert(stored == model, s"step $step PQ rows diverged")
+    }
+    // the surviving index still answers queries through the stored form
+    if (model.nonEmpty) {
+      val ids = model.keySet
+      val queries = emb.where(col("vec_id").isin(ids.toSeq.take(3): _*))
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      val got = Similarity.pqTopKOverIndex(queries, dir, k = 3, nprobe = 8)
+      assert(got.count() > 0)
+      // every returned candidate survives in the model
+      got.select("vec_id").distinct().collect().map(_.getLong(0))
+        .foreach(id => assert(ids.contains(id) || id >= 1000000))
+    }
+  }
+
   test("IVF inverted file: random append/compact/erase sequences track the vector model") {
     val emb = graft.sources.Tables
       .load(spark, "/root/testdata/sf0.001", "embeddings")
