@@ -1907,6 +1907,24 @@ object SparkEntry {
       Dedup.consecutiveSimhashPairs(t(s, dir, "documents"), maxDistance = 16)
         .orderBy(col("id_a"))
     }),
+    "q_x_dedup_hamming" -> ((s, dir) => {
+      // corpus-wide Hamming near-dup (the Manku bit-block banding) over
+      // an oracle-replicable fingerprint: a fixed multiplicative hash of
+      // the part key, so DuckDB forms the same fps and the banded join's
+      // exactness claim (== brute-force threshold join) gates directly
+      val fps = t(s, dir, "part").where(col("p_partkey") <= 2000)
+        .select(col("p_partkey").as("doc_id"),
+          (col("p_partkey") * lit(2654435761L)).as("fp"))
+      Dedup.hammingNearDuplicates(fps, maxDistance = 11)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_x_dedup_simhash_corpus" -> ((s, dir) => {
+      // full-corpus simhash near-dup (vs the consecutive-pairs row
+      // above): rows-only like q_x_dedup_simhash — the fingerprint is
+      // murmur-based; the ==-brute-force property is spec-proven
+      Dedup.simhashNearDuplicates(t(s, dir, "documents"), maxDistance = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_x_sim_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(e.where(col("vec_id") < 10), e, k = 5)
@@ -2758,6 +2776,14 @@ object SparkEntry {
     "q_x_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_x_dedup_hamming" ->
+      """WITH f AS (SELECT p_partkey AS doc_id, p_partkey * 2654435761 AS fp
+        |           FROM part WHERE p_partkey <= 2000)
+        |SELECT id_a, id_b, distance FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS distance
+        |  FROM f a JOIN f b ON a.doc_id < b.doc_id)
+        |WHERE distance <= 11 ORDER BY 1, 2""".stripMargin,
     "q_x_text_tokens" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS INT) AS n_subtokens

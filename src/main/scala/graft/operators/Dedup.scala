@@ -1046,4 +1046,122 @@ object Dedup {
         hamming64(col("fp_a"), col("fp_b")).cast("int").as("distance"))
       .where(col("distance") <= maxDistance)
   }
+
+  // ---- corpus-wide Hamming near-dup (the Manku banding) ----
+
+  /** `bands` disjoint bit blocks covering a 64-bit word, as
+    * (startBit, width) with widths floor/ceil(64/bands). Disjoint and
+    * exhaustive by construction — the pigeonhole completeness of
+    * [[hammingNearDuplicates]] rests on exactly that. */
+  private def hammingBlocks(bands: Int): Seq[(Int, Int)] = {
+    val widths = Seq.tabulate(bands)(i => 64 / bands + (if (i < 64 % bands) 1 else 0))
+    widths.scanLeft(0)(_ + _).init.zip(widths)
+  }
+
+  /** One (band, bucket) row per block of each fingerprint. */
+  private def hammingBandRows(fps: DataFrame, blocks: Seq[(Int, Int)]): DataFrame =
+    fps.select(col("doc_id"), col("fp"),
+      explode(array(blocks.zipWithIndex.map { case ((st, w), i) =>
+        struct(lit(i).as("band"),
+          shiftrightunsigned(col("fp"), st)
+            .bitwiseAND(lit(if (w >= 64) -1L else (1L << w) - 1L))
+            .as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("fp"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+  /** All pairs of 64-bit fingerprints within Hamming distance
+    * `maxDistance` — EXACTLY (complete and precise), without the
+    * all-pairs product. Input `fps` carries `(doc_id, fp: long)`;
+    * output `(id_a, id_b, distance)` with `id_a < id_b`.
+    *
+    * Candidate generation is the bit-block banding of Manku, Jain &
+    * Das Sarma ("Detecting Near-Duplicates for Web Crawling", WWW
+    * 2007): the word splits into `maxDistance + 1` disjoint blocks, and
+    * two words within the distance bound MUST agree exactly on at
+    * least one block (pigeonhole — at most `maxDistance` differing
+    * bits cannot touch all `maxDistance + 1` blocks), so the
+    * per-(band, block-value) equi-join surfaces every true pair and
+    * the exact `bit_count(xor)` verify keeps precision at 1. The
+    * result therefore equals the brute-force threshold join — this is
+    * a lossless plan rewrite, unlike the probabilistic MinHash-LSH
+    * recall of [[lshCandidatePairs]].
+    *
+    * Scale shape: one explode to `bands` narrow rows per fingerprint,
+    * one equi-shuffle on the (band, bucket) key, verify as a codegen
+    * bit op on the joined rows. Degenerate buckets (a constant
+    * fingerprint repeated across the corpus) are capped like every
+    * banded join here ([[capBuckets]]) — identical fingerprints are
+    * exact dedup's job. Small `maxDistance` keeps blocks wide
+    * (d=3 → 16-bit blocks, the web-dedup operating point); a large
+    * bound degrades toward all-pairs honestly and visibly, it never
+    * loses pairs.
+    */
+  def hammingNearDuplicates(fps: DataFrame, maxDistance: Int = 3,
+      maxBucketSize: Int = 100000): DataFrame = {
+    require(maxDistance >= 0 && maxDistance < 64,
+      s"maxDistance must be in [0, 64), got $maxDistance")
+    val capped = capBuckets(
+      hammingBandRows(fps, hammingBlocks(maxDistance + 1)),
+      Seq("band", "bucket"), maxBucketSize)
+    val a = capped.select(col("band"), col("bucket"),
+      col("doc_id").as("id_a"), col("fp").as("_fa"))
+    val b = capped.select(col("band"), col("bucket"),
+      col("doc_id").as("id_b"), col("fp").as("_fb"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("_fa"), col("_fb")).cast("int").as("distance"))
+      .where(col("distance") <= maxDistance)
+      .distinct()
+  }
+
+  /** Cross-side Hamming matches of a NEW batch against a fingerprint
+    * CORPUS — the incremental twin of [[hammingNearDuplicates]], same
+    * exactness. Only new×corpus pairs form (never new×new or
+    * corpus×corpus): the batch side of the band join stays
+    * batch-proportional, the corpus side moves only its narrow
+    * (band, bucket, fp) rows. Output `(id_a, id_b, distance)` with
+    * `id_a` from `newFps`, `id_b` from `corpusFps` (id spaces may
+    * overlap freely — sides are never compared to themselves). */
+  def hammingMatchesBetween(newFps: DataFrame, corpusFps: DataFrame,
+      maxDistance: Int = 3, maxBucketSize: Int = 100000): DataFrame = {
+    require(maxDistance >= 0 && maxDistance < 64,
+      s"maxDistance must be in [0, 64), got $maxDistance")
+    val blocks = hammingBlocks(maxDistance + 1)
+    def side(fps: DataFrame) = capBuckets(
+      hammingBandRows(fps, blocks), Seq("band", "bucket"), maxBucketSize)
+    val a = side(newFps).select(col("band"), col("bucket"),
+      col("doc_id").as("id_a"), col("fp").as("_fa"))
+    val b = side(corpusFps).select(col("band"), col("bucket"),
+      col("doc_id").as("id_b"), col("fp").as("_fb"))
+    a.join(b, Seq("band", "bucket"))
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("_fa"), col("_fb")).cast("int").as("distance"))
+      .where(col("distance") <= maxDistance)
+      .distinct()
+  }
+
+  /** Corpus-wide SimHash near-duplicates: [[simhash64]] fingerprints
+    * (Charikar, STOC 2002) through the exact Hamming banding — the
+    * full-corpus generalization of [[consecutiveSimhashPairs]], and
+    * the published web-dedup configuration at its default
+    * (64-bit simhash, distance ≤ 3; Manku et al., WWW 2007). Pairs are
+    * exact over the fingerprints; simhash itself is the approximation
+    * (near-identical token multisets land within small distance). */
+  def simhashNearDuplicates(docs: DataFrame, maxDistance: Int = 3,
+      maxBucketSize: Int = 100000): DataFrame =
+    hammingNearDuplicates(
+      docs.select(col("doc_id"), simhash64(tokens(col("text"))).as("fp")),
+      maxDistance, maxBucketSize)
+
+  /** SimHash matches of a new batch against a corpus (cross-side only)
+    * — fingerprint the two document sets and Hamming-join them; the
+    * simhash analogue of [[minhashNearDuplicatesBetween]]. */
+  def simhashMatchesBetween(newDocs: DataFrame, corpus: DataFrame,
+      maxDistance: Int = 3, maxBucketSize: Int = 100000): DataFrame = {
+    def fp(d: DataFrame) =
+      d.select(col("doc_id"), simhash64(tokens(col("text"))).as("fp"))
+    hammingMatchesBetween(fp(newDocs), fp(corpus), maxDistance, maxBucketSize)
+  }
 }

@@ -68,6 +68,68 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"capped $cappedVecs vs uncapped $uncappedVecs")
   }
 
+  test("hamming near-dup equals brute-force all-pairs exactly (several distance bounds)") {
+    import spark.implicits._
+    // adversarial fingerprint set: random longs + planted near pairs
+    // (bit flips spread across different blocks) + exact duplicates +
+    // sign-bit extremes — completeness must hold for every layout
+    val rng = new scala.util.Random(7)
+    val base = Seq.fill(120)(rng.nextLong())
+    val planted = base.take(30).flatMap { f =>
+      val flips = 1 + rng.nextInt(6)
+      Seq((0 until flips).foldLeft(f)((x, _) => x ^ (1L << rng.nextInt(64))))
+    }
+    val all = (base ++ planted ++ base.take(5) ++
+      Seq(Long.MinValue, Long.MaxValue, -1L, 0L, Long.MinValue ^ 3L))
+      .zipWithIndex.map { case (f, i) => (i.toLong, f) }
+    val fps = all.toDF("doc_id", "fp")
+    def brute(d: Int) = (for {
+      (ia, fa) <- all; (ib, fb) <- all
+      if ia < ib && java.lang.Long.bitCount(fa ^ fb) <= d
+    } yield (ia, ib, java.lang.Long.bitCount(fa ^ fb))).toSet
+    for (d <- Seq(0, 1, 3, 7, 11)) {
+      val got = Dedup.hammingNearDuplicates(fps, maxDistance = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == brute(d), s"maxDistance=$d")
+    }
+    assert(brute(3).nonEmpty)
+  }
+
+  test("hamming between: exactly the cross-side brute pairs, no same-side pairs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val corpus = Seq.tabulate(80)(i => (i.toLong, rng.nextLong()))
+    // batch: 20 near-twins of corpus fps (ids OVERLAP the corpus id
+    // space on purpose — sides must never self-pair) + 20 fresh
+    val batch = corpus.take(20).map { case (i, f) =>
+      (i, f ^ (1L << rng.nextInt(64)) ^ (1L << rng.nextInt(64)))
+    } ++ Seq.tabulate(20)(i => (i.toLong + 1000, rng.nextLong()))
+    val got = Dedup.hammingMatchesBetween(
+      batch.toDF("doc_id", "fp"), corpus.toDF("doc_id", "fp"), maxDistance = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      (ia, fa) <- batch; (ib, fb) <- corpus
+      if java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (ia, ib, java.lang.Long.bitCount(fa ^ fb))).toSet
+    assert(got == brute)
+    assert(brute.size >= 15) // the planted twins (1-2 flips) all surface
+  }
+
+  test("simhash corpus-wide near-dup: exact dups pair at distance 0, equals brute force") {
+    val fp = docs.select(col("doc_id"),
+      Dedup.simhash64(Dedup.tokens(col("text"))).as("fp"))
+    val all = fp.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, fa) <- all; (ib, fb) <- all
+      if ia < ib && java.lang.Long.bitCount(fa ^ fb) <= 4
+    } yield (ia, ib)).toSet
+    val got = Dedup.simhashNearDuplicates(docs, maxDistance = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute)
+    // the corpus has exact text duplicates -> distance-0 pairs exist
+    assert(Dedup.simhashNearDuplicates(docs, maxDistance = 0).count() > 0)
+  }
+
   test("simhash: identical texts distance 0, near-dups closer than random pairs") {
     import spark.implicits._
     val fp = docs.select(col("doc_id"),
