@@ -1679,6 +1679,23 @@ object SparkEntry {
         .withColumn("fp", md5(encode(col("text_nfc"), "UTF-8")))
         .orderBy(col("doc_id"))
     }),
+    "q_x_events_resample" -> ((s, dir) => {
+      // gap-fill/resample onto a fixed per-key daily grid: empty
+      // buckets EXIST (count zero-filled, sum null), and a forward
+      // fill carries the level — exact integers end to end (value
+      // reduced to cents before summing, the q1 pattern)
+      val ev = t(s, dir, "events")
+      val step = 86400000000L // 1 day in µs
+      val reg = Stats.regularize(
+        ev.withColumn("_us", Tables.eventTsUs(ev)),
+        col("user_id"), col("_us"), step,
+        aggs = Seq(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 100).cast("long")).as("val_cents")),
+        zeroFill = Map("n_events" -> lit(0L)))
+        .withColumn("ffill_cents", col("val_cents"))
+      Stats.forwardFill(reg, col("key"), col("bucket_us"), Seq("ffill_cents"))
+        .orderBy(col("key"), col("bucket_us"))
+    }),
     "q_x_stats_quantiles" -> ((s, dir) => {
       // exact order statistics by radix selection: the k-th smallest
       // element found 16 bits at a time over the order-preserving
@@ -3147,6 +3164,25 @@ object SparkEntry {
         |  md5(nfc_normalize(text || ' ' || 'e' || chr(769) || ' '
         |    || 'a' || chr(771))) AS fp
         |FROM documents ORDER BY 1""".stripMargin,
+    "q_x_events_resample" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS b,
+        |                  CAST(floor(value * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |a AS (SELECT user_id, b, count(*) AS n,
+        |             CAST(sum(cents) AS BIGINT) AS c
+        |      FROM e GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, min(b) AS mn, max(b) AS mx
+        |           FROM a GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(mn, mx + 1)) AS b FROM bounds),
+        |j AS (SELECT g.user_id, g.b, coalesce(a.n, 0) AS n_events, a.c
+        |      FROM grid g LEFT JOIN a ON g.user_id = a.user_id AND g.b = a.b)
+        |SELECT user_id AS key, b * 86400000000 AS bucket_us, n_events,
+        |       c AS val_cents,
+        |       last_value(c IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY b
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS ffill_cents
+        |FROM j ORDER BY 1, 2""".stripMargin,
     "q_x_stats_quantiles" ->
       """WITH v AS (
         |  SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem

@@ -135,6 +135,83 @@ object Stats {
     }.toDF("stratum", "value")
   }
 
+  /** Exact floor division of a long column by a positive long constant
+    * — through decimals, because a double-typed `/` loses integer
+    * precision above 2^53 (an epoch-µs timestamp far from 1970 could
+    * land in the wrong bucket). The numerator is exactly divisible by
+    * construction, so the decimal quotient is an exact integer. */
+  private def ldiv(a: Column, b: Long): Column =
+    ((a - pmod(a, lit(b))).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+      / lit(b)).cast("long")
+
+  /** Regularize an event series onto a fixed time grid — the gap-fill /
+    * resample step of metrics and training-telemetry analytics: every
+    * key gets ONE row per `stepUs` bucket across its own observed
+    * [min, max] time range, including the buckets where nothing
+    * happened (a plain groupBy silently skips those, and downstream
+    * rate/trend math over a grid with holes is wrong). The reference
+    * has no analytics layer; this generalizes its time-range scan
+    * predicate (include/tera/scan.h:96-99) from filtering a series to
+    * shaping one.
+    *
+    * `aggs` are aggregate expressions over the event columns, evaluated
+    * per (key, bucket); `zeroFill` supplies the value an EMPTY bucket
+    * reports per output column (e.g. count → 0); unfilled columns stay
+    * NULL there (see [[forwardFill]] for last-observation-carried-
+    * forward). Output: `(key, bucket_us, <agg columns>)`, where
+    * `bucket_us` is the bucket's inclusive start in epoch-µs (floor
+    * division, correct for pre-epoch timestamps too).
+    *
+    * Scale shape: one hash aggregation over (key, bucket) — the only
+    * corpus-sized exchange; the per-key bounds derive from the
+    * AGGREGATED frame (bucket-count-sized, not event-count-sized) and
+    * the grid explodes one row per OUTPUT bucket, so grid cost is
+    * output-proportional by definition. No windows, no driver state. A
+    * key spanning years at millisecond steps makes a huge grid because
+    * the caller asked for one — that is the contract, not a blowup. */
+  def regularize(events: DataFrame, key: Column, tsUs: Column, stepUs: Long,
+      aggs: Seq[Column], zeroFill: Map[String, Column] = Map.empty): DataFrame = {
+    require(stepUs >= 1, s"stepUs must be >= 1, got $stepUs")
+    require(aggs.nonEmpty, "regularize needs at least one aggregate")
+    val bucketed = events
+      .withColumn("_k", key)
+      .withColumn("_b", ldiv(tsUs, stepUs))
+      .where(col("_k").isNotNull && col("_b").isNotNull)
+    val agg = bucketed.groupBy(col("_k"), col("_b"))
+      .agg(aggs.head, aggs.tail: _*)
+    val aggCols = agg.columns.filterNot(Set("_k", "_b"))
+    zeroFill.keys.foreach(c => require(aggCols.contains(c),
+      s"zeroFill names '$c', which is not an aggregate output column"))
+    val grid = agg.groupBy(col("_k"))
+      .agg(min(col("_b")).as("_mn"), max(col("_b")).as("_mx"))
+      .select(col("_k"), explode(sequence(col("_mn"), col("_mx"))).as("_b"))
+    val joined = grid.join(agg, Seq("_k", "_b"), "left")
+    val filled = zeroFill.foldLeft(joined) { case (df, (name, v)) =>
+      df.withColumn(name, coalesce(col(name), v))
+    }
+    filled.select(col("_k").as("key") +: (col("_b") * stepUs).as("bucket_us") +:
+      aggCols.map(col): _*)
+  }
+
+  /** Last observation carried forward: each named column's NULLs are
+    * replaced by the latest non-null value at or before the row, per
+    * key in `order` — the standard fill for [[regularize]]'s empty
+    * buckets on gauge-like series (counts zero-fill; levels carry).
+    * One window per key partition; `last(ignoreNulls)` over a running
+    * frame keeps O(1) state per row. Leading NULLs (no observation yet)
+    * remain NULL — fabricating a level before the first measurement
+    * would be invention, not fill. */
+  def forwardFill(df: DataFrame, key: Column, order: Column,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "forwardFill needs at least one column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(order)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    cols.foldLeft(df)((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+  }
+
   /** k-th smallest images (1-based ranks) by 16-bit radix rounds — ALL
     * ranks advance through the SAME four scans: each round filters to
     * the union of the live prefixes (broadcast), histograms (prefix,

@@ -84,4 +84,60 @@ class StatsSpec extends AnyFunSuite {
       Stats.exactQuantiles(Seq.empty[Option[Double]].toDF("x"), col("x"), Seq(0.5)))
     assert(e.getMessage.contains("empty"))
   }
+
+  test("regularize: dense per-key grid, empty buckets zero-filled, matches a driver model") {
+    import spark.implicits._
+    val step = 10L
+    // key A: buckets 0,3 (gap 1-2); key B: bucket -2 and 0 (PRE-EPOCH
+    // ts exercises floor division: -15/10 must land in bucket -2);
+    // key C: a single event
+    val events = Seq(
+      ("A", 1L, 5L), ("A", 9L, 7L), ("A", 35L, 11L),
+      ("B", -15L, 100L), ("B", 3L, 1L),
+      ("C", 42L, 9L)).toDF("k", "ts", "v")
+    val got = Stats.regularize(events, col("k"), col("ts"), step,
+        aggs = Seq(count(lit(1)).as("n"), sum(col("v")).as("s")),
+        zeroFill = Map("n" -> lit(0L)))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toSet
+    val expect = Set(
+      ("A", 0L, 2L, Some(12L)), ("A", 10L, 0L, None),
+      ("A", 20L, 0L, None), ("A", 30L, 1L, Some(11L)),
+      ("B", -20L, 1L, Some(100L)), ("B", -10L, 0L, None),
+      ("B", 0L, 1L, Some(1L)),
+      ("C", 40L, 1L, Some(9L)))
+    assert(got == expect)
+  }
+
+  test("forwardFill carries the last observation; leading nulls stay null") {
+    import spark.implicits._
+    val df = Seq(
+      ("A", 0L, None), ("A", 1L, Some(5L)), ("A", 2L, None),
+      ("A", 3L, None), ("A", 4L, Some(8L)), ("A", 5L, None),
+      ("B", 0L, None), ("B", 1L, None)).toDF("k", "b", "v")
+    val got = Stats.forwardFill(df, col("k"), col("b"), Seq("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toSet
+    val expect = Set(
+      ("A", 0L, None), ("A", 1L, Some(5L)), ("A", 2L, Some(5L)),
+      ("A", 3L, Some(5L)), ("A", 4L, Some(8L)), ("A", 5L, Some(8L)),
+      ("B", 0L, None), ("B", 1L, None))
+    assert(got == expect)
+  }
+
+  test("regularize refuses bad arguments") {
+    import spark.implicits._
+    val ev = Seq(("A", 1L, 1L)).toDF("k", "ts", "v")
+    intercept[IllegalArgumentException](
+      Stats.regularize(ev, col("k"), col("ts"), 0L,
+        Seq(count(lit(1)).as("n"))))
+    val e = intercept[IllegalArgumentException](
+      Stats.regularize(ev, col("k"), col("ts"), 10L,
+        Seq(count(lit(1)).as("n")), zeroFill = Map("nope" -> lit(0L))))
+    assert(e.getMessage.contains("nope"))
+  }
 }
