@@ -93,6 +93,10 @@ object SparkEntry {
   private val incFpFixtureDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Per-process append-grown datasheet store (see q_x_corpus_report_store). */
+  private val datasheetFixtureDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Per-process append-grown IVF index fixtures: full-corpus (ANN,
     * see q_x_sim_ivf_index_topk) and corpus-minus-batch (incremental
     * SemDeDup, see q_x_dedup_semantic_incremental). */
@@ -2066,6 +2070,36 @@ object SparkEntry {
       TextAnalysis.corpusReport(t(s, dir, "documents"))
         .orderBy(col("source"))
     }),
+    "q_x_corpus_report_store" -> ((s, dir) => {
+      // the INCREMENTAL datasheet: per-batch mergeable partials folded
+      // at read — built append-grown (3 batches) with a junk batch
+      // absorbed then ERASED by compaction, so the gate also proves the
+      // batch-granular erasure; exact fields equal the one-pass report
+      // (the HLL distinct estimate is the one approximate field and
+      // stays out of the gate)
+      val d = t(s, dir, "documents")
+      val store = datasheetFixtureDirs.getOrElseUpdate(dir, {
+        import s.implicits._
+        val sd = java.nio.file.Files
+          .createTempDirectory("graft-datasheet-store").toString
+        TextAnalysis.writeDatasheetStore(
+          d.where(col("doc_id") % 3 === 0), sd, batch = "b0")
+        TextAnalysis.appendToDatasheetStore(
+          d.where(col("doc_id") % 3 === 1), sd, batch = "b1")
+        TextAnalysis.appendToDatasheetStore(
+          d.where(col("doc_id") % 3 === 2), sd, batch = "b2")
+        TextAnalysis.appendToDatasheetStore(
+          d.limit(100).select((col("doc_id") + 9000000).as("doc_id"),
+            col("text"), col("lang"), col("source"), col("n_chars")),
+          sd, batch = "junk")
+        TextAnalysis.compactDatasheetStore(sd,
+          dropBatches = Some(Seq("junk").toDF("batch")))
+        sd
+      })
+      TextAnalysis.datasheetReport(s, store)
+        .drop("approx_distinct_docs")
+        .orderBy(col("source"))
+    }),
     "q_x_decontaminate_semantic" -> ((s, dir) => {
       // embedding-space decontamination: corpus rows within 0.5 cosine
       // of any benchmark vector (every 50th, standing in for an eval
@@ -3290,6 +3324,17 @@ object SparkEntry {
         |WHERE g.doc_id % 3 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_x_corpus_report" ->
+      """SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(count(CASE WHEN len(string_split(text, ' ')) < 5 THEN 1 END)
+        |       AS BIGINT) AS short_docs,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_x_corpus_report_store" ->
       """SELECT source,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,

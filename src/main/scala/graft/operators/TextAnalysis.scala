@@ -314,6 +314,152 @@ object TextAnalysis {
         max(col("n_chars")).as("max_chars"),
         count_distinct(col("lang")).as("n_langs"))
 
+  // ---- persisted datasheet store (the incremental corpus report) ----
+
+  private val DatasheetPropsFile = "_graft_datasheet.properties"
+
+  /** Mergeable per-(source, lang) partials of [[corpusReport]] for one
+    * batch: every report field restated in a form that folds exactly
+    * under addition/min/max — `n_langs` becomes the (source, lang)
+    * GROUPING itself (count-distinct is not additive; distinct keys
+    * are), and the distinct-content estimate is a DataSketches HLL
+    * sketch of the content fingerprint (union-mergeable by design). */
+  private def datasheetPartials(docs: DataFrame, batch: String,
+      shortDocTokens: Int): DataFrame =
+    graft.sources.Tables.widen(docs)
+      .withColumn("_ntok", size(tokens(col("text"))))
+      .groupBy(col("source"), col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_ntok")).as("n_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        count(when(col("_ntok") < shortDocTokens, 1)).as("short_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        hll_sketch_agg(fingerprint(col("text"))).as("fp_sketch"))
+      .select(lit(batch).as("batch") +: Seq("source", "lang", "n_docs",
+        "n_tokens", "total_chars", "short_docs", "min_chars", "max_chars",
+        "fp_sketch").map(col): _*)
+
+  /** Persist the corpus datasheet as per-batch mergeable partials — the
+    * incremental twin of [[corpusReport]]: at 100 TB the data card must
+    * not rescan the corpus, so each ingest batch appends its OWN tiny
+    * partial rows (`|sources| × |langs|` per batch) and the report
+    * folds them at read time. Same sidecar discipline as the other
+    * persisted stores (minhash/IVF/text/BPE): parquet first, properties
+    * LAST via write-then-rename; the sidecar pins `shortDocTokens` so
+    * a later append cannot silently mix thresholds.
+    *
+    * Erasure granularity is the BATCH: partials are aggregates, so
+    * per-document erasure has nothing to filter — but a batch's whole
+    * contribution removes exactly ([[compactDatasheetStore]]
+    * `dropBatches`, a pure row filter like every store erasure here). */
+  def writeDatasheetStore(docs: DataFrame, dir: String, batch: String = "0",
+      shortDocTokens: Int = 5): Unit = {
+    val spark = docs.sparkSession
+    datasheetPartials(docs, batch, shortDocTokens)
+      .write.mode("overwrite").parquet(dir)
+    writeDatasheetProps(spark, dir, shortDocTokens)
+  }
+
+  /** Grow the datasheet by one batch: aggregate ONLY the batch (at the
+    * sidecar's pinned threshold) and append its partial rows. A batch
+    * id already in the store refuses — re-appending would double-count
+    * every sum. */
+  def appendToDatasheetStore(docs: DataFrame, dir: String,
+      batch: String): Unit = {
+    val spark = docs.sparkSession
+    val shortDocTokens = readDatasheetProps(spark, dir)
+    val dup = spark.read.parquet(dir)
+      .where(col("batch") === batch).limit(1).count()
+    require(dup == 0,
+      s"datasheet store at $dir already holds batch '$batch' — " +
+        "appending it again would double-count; drop it first " +
+        "(compactDatasheetStore dropBatches) or pick a fresh id")
+    val props = new org.apache.hadoop.fs.Path(dir, DatasheetPropsFile)
+    props.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(props, false)
+    datasheetPartials(docs, batch, shortDocTokens)
+      .write.mode("append").parquet(dir)
+    writeDatasheetProps(spark, dir, shortDocTokens)
+  }
+
+  /** The folded datasheet — [[corpusReport]]'s exact columns, derived
+    * from the stored partials alone (no corpus scan): sums add, extremes
+    * re-extremize, `n_langs` counts the surviving distinct (source,
+    * lang) keys, and `approx_distinct_docs` rides along from the HLL
+    * union (the one approximate field, ~±2% at the default sketch
+    * size; drop it when comparing against the exact report). */
+  def datasheetReport(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    readDatasheetProps(spark, dir)
+    spark.read.parquet(dir)
+      .groupBy(col("source")).agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("total_chars")).as("total_chars"),
+        sum(col("short_docs")).as("short_docs"),
+        min(col("min_chars")).as("min_chars"),
+        max(col("max_chars")).as("max_chars"),
+        count_distinct(col("lang")).as("n_langs"),
+        hll_sketch_estimate(hll_union_agg(col("fp_sketch")))
+          .as("approx_distinct_docs"))
+  }
+
+  /** Batch ids currently contributing to the stored datasheet. */
+  def datasheetBatches(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    readDatasheetProps(spark, dir)
+    spark.read.parquet(dir).select(col("batch")).distinct()
+  }
+
+  /** Fold appended segments into one physical layout, optionally
+    * ERASING whole batches first (`dropBatches` rows carry `batch`) —
+    * the right-to-forget path at this store's granularity, a pure row
+    * filter before the fold. Same staged root rewrite as every store:
+    * a mid-compaction crash leaves a refusing directory. Kept batches
+    * keep their identity (the fold only merges parquet segments, it
+    * never collapses batches — erasure granularity survives
+    * compaction). */
+  def compactDatasheetStore(dir: String,
+      dropBatches: Option[DataFrame] = None): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val shortDocTokens = readDatasheetProps(spark, dir)
+    val props = new org.apache.hadoop.fs.Path(dir, DatasheetPropsFile)
+    props.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(props, false)
+    IndexFiles.rewriteRoot(spark, dir,
+      df => IndexFiles.minus(dropBatches, "batch")(df).coalesce(1))
+    writeDatasheetProps(spark, dir, shortDocTokens)
+  }
+
+  private def writeDatasheetProps(spark: org.apache.spark.sql.SparkSession,
+      dir: String, shortDocTokens: Int): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val path = new org.apache.hadoop.fs.Path(dir, DatasheetPropsFile)
+    val tmp = new org.apache.hadoop.fs.Path(dir, DatasheetPropsFile + ".tmp")
+    val fs = path.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"tokenizer=ws\nshort_doc_tokens=$shortDocTokens\n".getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(path, false)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"failed to move $tmp to $path")
+  }
+
+  private def readDatasheetProps(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int = {
+    val path = new org.apache.hadoop.fs.Path(dir, DatasheetPropsFile)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(path),
+      s"no datasheet sidecar at $path — build with writeDatasheetStore " +
+        "(or the previous write/append/compact was torn mid-commit)")
+    val props = new java.util.Properties()
+    val in = fs.open(path)
+    try props.load(in) finally in.close()
+    props.getProperty("short_doc_tokens").toInt
+  }
+
   /** Semantic benchmark decontamination: drop corpus rows whose
     * embedding is within `threshold` cosine of ANY benchmark embedding
     * — the embedding-space sibling of [[decontaminate]] (grams catch

@@ -190,6 +190,44 @@ class StoreLifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("datasheet store: random append/compact/erase sequences track the report model") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    val dir = tmp("fuzz-ds")
+    TextAnalysis.writeDatasheetStore(batch(0), dir, batch = "s0")
+    val present = scala.collection.mutable.Set(0)
+    var unused = (1 until 5).toList
+    def exact(df: DataFrame): Map[String, Seq[Long]] =
+      df.select(col("source"), col("n_docs"), col("n_tokens"),
+          col("total_chars"), col("short_docs"), col("min_chars"),
+          col("max_chars"), col("n_langs"))
+        .collect().map(r => r.getString(0) -> (1 to 7).map(r.getLong(_)))
+        .toMap
+    (0 until 6).foreach { step =>
+      rng.nextInt(3) match {
+        case 0 if unused.nonEmpty =>
+          val b = unused.head; unused = unused.tail
+          TextAnalysis.appendToDatasheetStore(batch(b), dir, batch = s"s$b")
+          present += b
+        case 1 if present.size > 1 =>
+          val drop = present.toSeq(rng.nextInt(present.size))
+          TextAnalysis.compactDatasheetStore(dir,
+            dropBatches = Some(Seq(s"s$drop").toDF("batch")))
+          present -= drop
+        case _ =>
+          TextAnalysis.compactDatasheetStore(dir)
+      }
+      val union = docs.where(pmod(col("doc_id"), lit(5))
+        .isin(present.toSeq: _*))
+      assert(exact(TextAnalysis.datasheetReport(spark, dir)) ==
+        exact(TextAnalysis.corpusReport(union)), s"step $step report")
+      assert(TextAnalysis.datasheetBatches(spark, dir)
+        .collect().map(_.getString(0)).toSet ==
+        present.map(b => s"s$b").toSet, s"step $step batches")
+    }
+  }
+
   test("IVF inverted file: random append/compact/erase sequences track the vector model") {
     val emb = graft.sources.Tables
       .load(spark, "/root/testdata/sf0.001", "embeddings")
