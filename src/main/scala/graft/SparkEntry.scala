@@ -1647,6 +1647,35 @@ object SparkEntry {
       Retrieval.evaluate(run, qrels, k = 10)
         .orderBy(col("query_id"))
     }),
+    "q_x_fuse_ndcg" -> ((s, dir) => {
+      // graded evaluation over the SAME tf-mass run as q_x_fuse_eval,
+      // grades = term matches capped at 4. The nDCG doubles hash-gate
+      // because the rank discounts are one shared literal table
+      // (engine and oracle embed the same doubles) and each query's
+      // gain sum folds in fixed position order — never a cross-row
+      // double aggregation.
+      val docs = t(s, dir, "documents")
+      val idx = textIdxFixture(docs, dir)
+      val queries = docs.where(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(TextIndex.terms(col("text")), 1, 4))
+            .as("text"))
+        .unionByName(s.range(1).select(lit(-1L).as("query_id"),
+          lit("dup merge sort").as("text")))
+      val stats = TextIndex.matchStats(queries, idx)
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("tm"), sum(col("tf")).as("sum_tf"))
+      val wa = Window.partitionBy(col("query_id"))
+        .orderBy(col("sum_tf").desc, col("doc_id"))
+      val run = stats.withColumn("rank", row_number().over(wa))
+        .where(col("rank") <= 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val qrels = stats
+        .select(col("query_id"), col("doc_id"),
+          least(col("tm"), lit(4L)).as("grade"))
+      Retrieval.evaluateGraded(run, qrels, k = 10)
+        .orderBy(col("query_id"))
+    }),
     "q_x_fuse_hybrid" -> ((s, dir) => {
       // hybrid retrieval: BM25 through the inverted text index + exact
       // cosine through the IVF inverted file, RRF-fused. Rows-only
@@ -3191,6 +3220,67 @@ object SparkEntry {
         |FROM qrels LEFT JOIN run
         |  ON qrels.query_id = run.query_id AND qrels.doc_id = run.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_x_fuse_ndcg" -> {
+      // the discount table is THE shared constant: literals printed
+      // from the engine's own doubles (Double round-trips through its
+      // shortest decimal form, so DuckDB parses back the same bits)
+      val discRows = graft.operators.Retrieval.ndcgDiscounts(10)
+        .zipWithIndex.map { case (d, i) => s"(${i + 1}, $d)" }
+        .mkString(", ")
+      s"""WITH toks AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |          t -> t <> '')) AS term FROM documents)
+        |  GROUP BY 1, 2),
+        |q AS (
+        |  SELECT doc_id AS query_id,
+        |    array_to_string(list_slice(list_filter(string_split(lower(text), ' '),
+        |      t -> t <> ''), 1, 4), ' ') AS text
+        |  FROM documents WHERE doc_id % 100 = 0
+        |  UNION ALL SELECT -1, 'dup merge sort'),
+        |qt AS (
+        |  SELECT DISTINCT query_id, unnest(list_filter(string_split(lower(text), ' '),
+        |    t -> t <> '')) AS term FROM q),
+        |bydoc AS (
+        |  SELECT qt.query_id, toks.doc_id,
+        |    CAST(count(*) AS BIGINT) AS tm,
+        |    CAST(sum(toks.tf) AS BIGINT) AS sum_tf
+        |  FROM qt JOIN toks USING (term)
+        |  GROUP BY 1, 2),
+        |run AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY sum_tf DESC, doc_id) AS rank
+        |    FROM bydoc) WHERE rank <= 20),
+        |graded AS (SELECT query_id, doc_id, least(tm, 4) AS grade FROM bydoc),
+        |disc(r, dv) AS (VALUES $discRows),
+        |jj AS (SELECT g.query_id, g.doc_id, g.grade, run.rank
+        |       FROM graded g LEFT JOIN run
+        |         ON g.query_id = run.query_id AND g.doc_id = run.doc_id),
+        |base AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel,
+        |           CAST(count(CASE WHEN rank <= 10 THEN 1 END) AS BIGINT)
+        |             AS hits_at_k
+        |         FROM jj GROUP BY 1),
+        |dcg AS (SELECT query_id,
+        |          list_reduce([0.0] || list(grade * dv ORDER BY rank),
+        |            (a, b) -> a + b) AS dcg
+        |        FROM jj JOIN disc ON jj.rank = disc.r GROUP BY 1),
+        |ig AS (SELECT query_id, grade, row_number() OVER (
+        |         PARTITION BY query_id ORDER BY grade DESC, doc_id) AS pos
+        |       FROM graded),
+        |idcg AS (SELECT query_id,
+        |           list_reduce([0.0] || list(grade * dv ORDER BY pos),
+        |             (a, b) -> a + b) AS idcg
+        |         FROM ig JOIN disc ON ig.pos = disc.r GROUP BY 1)
+        |SELECT base.query_id, n_rel, hits_at_k,
+        |  coalesce(dcg.dcg, 0.0) AS dcg,
+        |  coalesce(idcg.idcg, 0.0) AS idcg,
+        |  CASE WHEN coalesce(idcg.idcg, 0.0) > 0
+        |       THEN coalesce(dcg.dcg, 0.0) / idcg.idcg END AS ndcg
+        |FROM base LEFT JOIN dcg USING (query_id)
+        |  LEFT JOIN idcg USING (query_id)
+        |ORDER BY 1""".stripMargin
+    },
     "q_x_text_nfc" ->
       """SELECT doc_id,
         |  nfc_normalize(text || ' ' || 'e' || chr(769) || ' '

@@ -101,6 +101,67 @@ object Retrieval {
     perQuery
   }
 
+  /** The rank discounts `1/log2(r+1)` for r = 1..k — computed ONCE
+    * here and shared verbatim by [[evaluateGraded]]'s engine side and
+    * the oracle SQL (which embeds these exact doubles as literals), so
+    * no cross-engine `log` implementation difference can reach the
+    * gate. */
+  private[graft] def ndcgDiscounts(k: Int): Seq[Double] =
+    (1 to k).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+
+  /** Graded-relevance evaluation — nDCG@k (Järvelin & Kekäläinen,
+    * TOIS 2002, the linear-gain form) alongside the exact counts of
+    * [[evaluate]]. `qrels` carries `(query_id, doc_id, grade)` with
+    * integer grades ≥ 0 (conflicting duplicate judgments resolve to
+    * the max). Output per judged query: `n_rel` (judged docs), `hits_at_k`
+    * (judged docs retrieved within k), `dcg`, `idcg`, `ndcg`
+    * (NULL when the ideal gain is zero — an all-zero-graded query has
+    * no defined normalization).
+    *
+    * Determinism: the DCG is NOT a cross-row double sum (those are
+    * aggregation-order-dependent and never hash-gate). Each query's
+    * gains land in a rank-keyed map, and the sum folds over positions
+    * 1..k IN ORDER via an `aggregate` lambda — fixed operand order,
+    * fixed literal discount table ([[ndcgDiscounts]]) — so the doubles
+    * are bit-reproducible across engines, the same discipline as the
+    * RRF gate. The ideal side sorts grades descending and folds the
+    * same way. Per-query state is ≤ k map entries plus the judged
+    * grade list — candidate-sized, like every frame in this ring. */
+  def evaluateGraded(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val disc = typedlit(ndcgDiscounts(k))
+    val judged = qrels
+      .select(col("query_id"), col("doc_id"), col("grade").cast("long").as("grade"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(max(col("grade")).as("grade"))
+    val j = judged.join(
+      run.select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as("_rank")),
+      Seq("query_id", "doc_id"), "left")
+    val agg = j.groupBy(col("query_id")).agg(
+      count(lit(1)).as("n_rel"),
+      count(when(col("_rank") <= k, 1)).as("hits_at_k"),
+      map_from_entries(sort_array(collect_list(
+        when(col("_rank") <= k, struct(col("_rank"), col("grade"))))))
+        .as("_m"),
+      sort_array(collect_list(col("grade")), asc = false).as("_g"))
+    val dcg = aggregate(
+      transform(sequence(lit(1), lit(k)), r =>
+        coalesce(element_at(col("_m"), r.cast("long")), lit(0L)).cast("double")
+          * element_at(disc, r)),
+      lit(0.0), (acc, x) => acc + x)
+    val idcg = aggregate(
+      zip_with(slice(col("_g"), 1, k), disc,
+        (g, d) => coalesce(g.cast("double") * d, lit(0.0))),
+      lit(0.0), (acc, x) => acc + x)
+    agg
+      .withColumn("dcg", dcg)
+      .withColumn("idcg", idcg)
+      .withColumn("ndcg", when(col("idcg") > 0, col("dcg") / col("idcg")))
+      .select(col("query_id"), col("n_rel"), col("hits_at_k"),
+        col("dcg"), col("idcg"), col("ndcg"))
+  }
+
   /** Hybrid lexical+dense retrieval over the two persisted indexes:
     * BM25 through the inverted text index and cosine top-k through the
     * IVF inverted file, fused by RRF. `queries` carries `(query_id,

@@ -1808,6 +1808,43 @@ class PipelineOpsSpec extends AnyFunSuite {
       2L -> ((1L, 0L, 0L, None))))
   }
 
+  test("evaluateGraded: nDCG matches a driver-side first-principles model") {
+    import spark.implicits._
+    val k = 5
+    // run: q1 ranks docs 10,20,30,40; q2 ranks 50 only; q3 retrieves
+    // nothing judged. qrels: graded 0..3, incl. a doc outside the run,
+    // a zero grade, a conflicting duplicate judgment (resolves to max),
+    // and q4 judged all-zero (ndcg undefined -> null)
+    val run = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3), (1L, 40L, 9),
+      (2L, 50L, 4), (3L, 60L, 1)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1L, 10L, 3L), (1L, 20L, 0L), (1L, 30L, 1L),
+      (1L, 40L, 2L), (1L, 99L, 2L), (2L, 50L, 1L), (2L, 51L, 3L),
+      (2L, 50L, 0L), // duplicate judgment, max wins -> grade 1
+      (4L, 70L, 0L)).toDF("query_id", "doc_id", "grade")
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    def disc(r: Int) = 1.0 / log2(r + 1.0)
+    // driver model, positions in order
+    def dcgOf(byRank: Map[Int, Long]) =
+      (1 to k).foldLeft(0.0)((a, r) => a + byRank.getOrElse(r, 0L) * disc(r))
+    def idcgOf(grades: Seq[Long]) =
+      grades.sortBy(-_).take(k).zipWithIndex
+        .foldLeft(0.0) { case (a, (g, i)) => a + g * disc(i + 1) }
+    val expect = Map(
+      1L -> (5L, 3L, dcgOf(Map(1 -> 3L, 2 -> 0L, 3 -> 1L)),
+        idcgOf(Seq(3, 0, 1, 2, 2)), true),
+      2L -> (2L, 1L, dcgOf(Map(4 -> 1L)), idcgOf(Seq(1, 3)), true),
+      4L -> (1L, 0L, 0.0, 0.0, false))
+    val got = Retrieval.evaluateGraded(run, qrels, k)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          !r.isNullAt(5))).toMap
+    assert(got == expect)
+    // ndcg value itself where defined
+    val n1 = Retrieval.evaluateGraded(run, qrels, k)
+      .where(col("query_id") === 1L).collect().head.getDouble(5)
+    assert(n1 == dcgOf(Map(1 -> 3L, 2 -> 0L, 3 -> 1L)) / idcgOf(Seq(3, 0, 1, 2, 2)))
+  }
+
   test("hybridTopK equals manual BM25+IVF composition and keeps the strongest single-run vote at the head") {
     import spark.implicits._
     val tDir = java.nio.file.Files.createTempDirectory("graft-hyb-text").toString
