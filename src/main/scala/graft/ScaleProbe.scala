@@ -138,11 +138,17 @@ object ScaleProbe {
     // this accidentally; the probe now does it on purpose.
     val docs = corpus(spark, n)
       .repartition(spark.sparkContext.defaultParallelism)
-    def timed(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val rows = f
-      println(f"""{"probe":"$name","n":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.1f,"rows":$rows}""")
-    }
+    // dev filter: run only the named probes (comma list). Probes that
+    // consume state a skipped sibling writes (the index rings) need
+    // their builders included.
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def timed(name: String)(f: => Long): Unit =
+      if (only.forall(_.contains(name))) {
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"""{"probe":"$name","n":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.1f,"rows":$rows}""")
+      }
     timed("corpus_scan")(docs.count())
     timed("curate")(graft.operators.TextAnalysis.curate(docs, lang = "und").count())
     timed("minhash_neardup") {
@@ -160,6 +166,34 @@ object ScaleProbe {
     }
     timed("dedup_groups")(graft.operators.Dedup.duplicateGroups(docs,
       graft.operators.Dedup.minhashNearDuplicates(docs, 0.8)).count())
+    timed("hamming_neardup") {
+      // the Manku banding at its web-dedup operating point (64-bit
+      // fps, distance <= 3 -> 4 bands of 16 bits): 1% of fingerprints
+      // are 1-3-bit flips of their predecessor, every other pair sits
+      // near distance 32 (random longs) — so the EXACT oracle is
+      // "all planted pairs, nothing else" (P[random pair <= 3] ~ 2e-15)
+      val flips = (1 to 3).map(s => expr(
+        s"shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64(doc_id, $s), 64) AS INT))"))
+        .reduce(_.bitwiseOR(_))
+      val fps = spark.range(0, n, 1, spark.sparkContext.defaultParallelism * 4)
+        .select(col("id").as("doc_id"))
+        .withColumn("_base", xxhash64(
+          when(col("doc_id") % 100 === 1, col("doc_id") - 1)
+            .otherwise(col("doc_id"))))
+        .select(col("doc_id"),
+          when(col("doc_id") % 100 === 1, col("_base").bitwiseXOR(flips))
+            .otherwise(col("_base")).as("fp"))
+      val pairs = graft.operators.Dedup.hammingNearDuplicates(fps,
+        maxDistance = 3)
+      val r = pairs.agg(count(lit(1)),
+        count(when(col("id_b") =!= col("id_a") + 1 ||
+          pmod(col("id_b"), lit(100)) =!= 1, 1))).head
+      val (found, wrong) = (r.getLong(0), r.getLong(1))
+      val planted = n / 100 + (if (n % 100 >= 2) 1 else 0)
+      require(wrong == 0, s"$wrong non-planted hamming pairs surfaced")
+      require(found == planted, s"found $found of $planted planted pairs")
+      found
+    }
     // the production increment ring at the 1M x 100k shape: a persisted
     // corpus index, a new batch matched against it. Index build is
     // timed apart from the match — the build is the once-per-corpus

@@ -336,6 +336,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!topk.contains("CartesianProduct"), topk)
   }
 
+  test("hamming near-dup: band equi-join, no cartesian, single fingerprint scan pair") {
+    import spark.implicits._
+    val fps = spark.range(1000)
+      .select(col("id").as("doc_id"), (col("id") * 2654435761L).as("fp"))
+    val df = graft.operators.Dedup.hammingNearDuplicates(fps, maxDistance = 3)
+    val plan = planOf(df)
+    // the all-pairs baseline would be a cartesian / nested loop; the
+    // banding must plan as a plain (band, bucket) shuffle equi-join
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("regularize: events scan once, grid derives from the aggregated frame, no cartesian") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val df = graft.operators.Stats.regularize(
+      ev.withColumn("_us", Tables.eventTsUs(ev)),
+      col("user_id"), col("_us"), 86400000000L,
+      aggs = Seq(count(lit(1)).as("n")),
+      zeroFill = Map("n" -> lit(0L)))
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the corpus-sized input is scanned ONCE: the per-key grid bounds
+    // fold the AGGREGATED frame, never a second pass over events
+    val evScans = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).count(_.contains("events"))
+    assert(evScans == 1, s"expected 1 events scan, got $evScans:\n$plan")
+  }
+
   test("tfidf: corpus size joins as a broadcast, term joins stay equi") {
     val docs = Tables.load(spark, sfDir, "documents")
     val plan = planOf(graft.operators.TextAnalysis.tfidfTopTerms(docs, 3))
