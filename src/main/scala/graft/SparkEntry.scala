@@ -97,6 +97,11 @@ object SparkEntry {
   private val datasheetFixtureDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Per-process append-grown simhash fingerprint store
+    * (see q_x_dedup_simhash_match). */
+  private val simhashIdxFixtureDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Per-process append-grown IVF index fixtures: full-corpus (ANN,
     * see q_x_sim_ivf_index_topk) and corpus-minus-batch (incremental
     * SemDeDup, see q_x_dedup_semantic_incremental). */
@@ -1973,6 +1978,34 @@ object SparkEntry {
       // above): rows-only like q_x_dedup_simhash — the fingerprint is
       // murmur-based; the ==-brute-force property is spec-proven
       Dedup.simhashNearDuplicates(t(s, dir, "documents"), maxDistance = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_x_dedup_simhash_match" -> ((s, dir) => {
+      // incremental simhash: a batch matched against STORED corpus
+      // fingerprints, over a store built through the full lifecycle
+      // (write evens + append odds + junk batch erased by compaction).
+      // Rows-only (murmur fps); store-tracks-model is fuzz-proven and
+      // the banding is exact-gated by q_x_dedup_hamming.
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val corpus = d.where(col("doc_id") % 10 =!= 7)
+      val batch = d.where(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 10000000).as("doc_id"), col("text"))
+      val store = simhashIdxFixtureDirs.getOrElseUpdate(dir, {
+        val sd = java.nio.file.Files
+          .createTempDirectory("graft-simhash-idx").toString
+        Dedup.writeSimhashIndex(
+          corpus.where(col("doc_id") % 2 === 0), sd)
+        Dedup.appendToSimhashIndex(
+          corpus.where(col("doc_id") % 2 === 1), sd)
+        val junk = d.limit(64)
+          .select((col("doc_id") + 20000000).as("doc_id"), col("text"))
+        Dedup.appendToSimhashIndex(junk, sd)
+        Dedup.compactSimhashIndex(sd,
+          dropDocs = Some(junk.select("doc_id")))
+        sd
+      })
+      Dedup.matchAgainstSimhashIndex(batch, store, maxDistance = 8)
         .orderBy(col("id_a"), col("id_b"))
     }),
     "q_x_sim_cosine_topk" -> ((s, dir) => {

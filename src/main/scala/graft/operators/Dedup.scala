@@ -1053,13 +1053,15 @@ object Dedup {
     * (startBit, width) with widths floor/ceil(64/bands). Disjoint and
     * exhaustive by construction — the pigeonhole completeness of
     * [[hammingNearDuplicates]] rests on exactly that. */
-  private def hammingBlocks(bands: Int): Seq[(Int, Int)] = {
+  private[graft] def hammingBlocks(bands: Int): Seq[(Int, Int)] = {
     val widths = Seq.tabulate(bands)(i => 64 / bands + (if (i < 64 % bands) 1 else 0))
     widths.scanLeft(0)(_ + _).init.zip(widths)
   }
 
-  /** One (band, bucket) row per block of each fingerprint. */
-  private def hammingBandRows(fps: DataFrame, blocks: Seq[(Int, Int)]): DataFrame =
+  /** One (band, bucket) row per block of each fingerprint. Pure
+    * per-row expressions + one explode — usable on a STREAMING frame
+    * as-is (the streaming matcher rides exactly this). */
+  private[graft] def hammingBandRows(fps: DataFrame, blocks: Seq[(Int, Int)]): DataFrame =
     fps.select(col("doc_id"), col("fp"),
       explode(array(blocks.zipWithIndex.map { case ((st, w), i) =>
         struct(lit(i).as("band"),
@@ -1163,5 +1165,89 @@ object Dedup {
     def fp(d: DataFrame) =
       d.select(col("doc_id"), simhash64(tokens(col("text"))).as("fp"))
     hammingMatchesBetween(fp(newDocs), fp(corpus), maxDistance, maxBucketSize)
+  }
+
+  // ---- SimHash fingerprint store (same lifecycle as the others) ----
+  // A fingerprint is 8 bytes per document — the cheapest persisted
+  // near-dup state there is — and unlike the minhash signatures it has
+  // no tunable geometry to bake in (band layout is a QUERY-time choice
+  // derived from maxDistance), so the sidecar pins only the
+  // fingerprint definition (tokenizer + algorithm).
+
+  private val SimhashPropsFile = "_graft_simhash.properties"
+
+  /** Build and persist `(doc_id, fp)` simhash fingerprints of the
+    * corpus — parquet first, sidecar last, like every store here. */
+  def writeSimhashIndex(docs: DataFrame, dir: String): Unit = {
+    docs.select(col("doc_id"), simhash64(tokens(col("text"))).as("fp"))
+      .write.mode("overwrite").parquet(dir)
+    writeSimhashProps(docs.sparkSession, dir)
+  }
+
+  /** Grow the stored fingerprints by one batch (only the batch is
+    * fingerprinted; invalidate-then-revalidate sidecar discipline).
+    * Caller keeps the id space disjoint, as with the minhash index. */
+  def appendToSimhashIndex(newDocs: DataFrame, dir: String): Unit = {
+    val spark = newDocs.sparkSession
+    requireSimhashProps(spark, dir)
+    val props = new org.apache.hadoop.fs.Path(dir, SimhashPropsFile)
+    props.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(props, false)
+    newDocs.select(col("doc_id"), simhash64(tokens(col("text"))).as("fp"))
+      .write.mode("append").parquet(dir)
+    writeSimhashProps(spark, dir)
+  }
+
+  /** The stored fingerprint frame `(doc_id, fp)` — also the static
+    * side of [[graft.streaming.Observers.streamingSimhashMatches]]. */
+  def readSimhashIndex(spark: SparkSession, dir: String): DataFrame = {
+    requireSimhashProps(spark, dir)
+    spark.read.parquet(dir)
+  }
+
+  /** Compact the fingerprint store, optionally erasing documents — a
+    * pure row filter, the same staged root rewrite as the other
+    * stores. */
+  def compactSimhashIndex(dir: String,
+      dropDocs: Option[DataFrame] = None): Unit = {
+    val spark = SparkSession.active
+    requireSimhashProps(spark, dir)
+    val props = new org.apache.hadoop.fs.Path(dir, SimhashPropsFile)
+    props.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(props, false)
+    IndexFiles.rewriteRoot(spark, dir, IndexFiles.minus(dropDocs, "doc_id"))
+    writeSimhashProps(spark, dir)
+  }
+
+  /** [[simhashMatchesBetween]] driven by the stored fingerprints: the
+    * corpus is never re-fingerprinted — an increment moves 8 stored
+    * bytes per corpus doc through the band join and nothing else. */
+  def matchAgainstSimhashIndex(newDocs: DataFrame, dir: String,
+      maxDistance: Int = 3, maxBucketSize: Int = 100000): DataFrame = {
+    val spark = newDocs.sparkSession
+    hammingMatchesBetween(
+      newDocs.select(col("doc_id"), simhash64(tokens(col("text"))).as("fp")),
+      readSimhashIndex(spark, dir), maxDistance, maxBucketSize)
+  }
+
+  private def writeSimhashProps(spark: SparkSession, dir: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val path = new org.apache.hadoop.fs.Path(dir, SimhashPropsFile)
+    val tmp = new org.apache.hadoop.fs.Path(dir, SimhashPropsFile + ".tmp")
+    val fs = path.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write("algo=simhash64\ntokenizer=ws\n".getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(path, false)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"failed to move $tmp to $path")
+  }
+
+  private def requireSimhashProps(spark: SparkSession, dir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir, SimhashPropsFile)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(path),
+      s"no simhash index sidecar at $path — build with writeSimhashIndex " +
+        "(or the previous write/append/compact was torn mid-commit)")
   }
 }

@@ -600,6 +600,46 @@ object Observers {
       .select(col("doc_id"), col("corpus_id"), col("est_jaccard"))
   }
 
+  /** Streaming simhash matching AGAINST stored corpus fingerprints —
+    * the continuous half of
+    * [[graft.operators.Dedup.matchAgainstSimhashIndex]]: each arriving
+    * document fingerprints PER ROW (simhash64 is a stateless
+    * expression), explodes its `maxDistance + 1` bit-block band keys
+    * (the same [[graft.operators.Dedup.hammingBandRows]] expressions
+    * the batch path uses — stream and batch agree bit-for-bit), and
+    * stream-static-joins the corpus side's banded fingerprints. The
+    * verify is EXACT `bit_count(xor) <= maxDistance` — like the
+    * semantic twin there is no estimate and no batch re-check; unlike
+    * it, a pair agreeing on several blocks emits up to
+    * `maxDistance + 1` duplicate rows (membership is what a quarantine
+    * consumer keys on; deduping would buy a stateful operator for
+    * cosmetics). APPEND mode, ZERO stateful operators.
+    *
+    * `corpusFps` is the stored `(doc_id, fp)` frame
+    * ([[graft.operators.Dedup.readSimhashIndex]]) — 8 bytes per corpus
+    * doc; pass the persisted parquet, not an inline fingerprint job
+    * (the static side re-executes per micro-batch). Output:
+    * `(doc_id, corpus_id, distance)`. */
+  def streamingSimhashMatches(docStream: DataFrame, corpusFps: DataFrame,
+      maxDistance: Int = 3): DataFrame = {
+    import graft.operators.Dedup
+    require(maxDistance >= 0 && maxDistance < 64,
+      s"maxDistance must be in [0, 64), got $maxDistance")
+    val blocks = Dedup.hammingBlocks(maxDistance + 1)
+    val streamSide = Dedup.hammingBandRows(
+      docStream.select(col("doc_id"),
+        Dedup.simhash64(Dedup.tokens(col("text"))).as("fp")), blocks)
+    val corpusSide = Dedup.hammingBandRows(
+        corpusFps.select(col("doc_id"), col("fp")), blocks)
+      .select(col("doc_id").as("corpus_id"), col("fp").as("_cfp"),
+        col("band"), col("bucket"))
+    streamSide.join(corpusSide, Seq("band", "bucket"))
+      .withColumn("distance",
+        Dedup.hamming64(col("fp"), col("_cfp")).cast("int"))
+      .where(col("distance") <= maxDistance)
+      .select(col("doc_id"), col("corpus_id"), col("distance"))
+  }
+
   /** Streaming benchmark-contamination matching — the continuous half
     * of [[graft.operators.TextAnalysis.decontaminate]]: each arriving
     * document derives its n-gram hashes PER ROW (the same

@@ -190,6 +190,48 @@ class StoreLifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash store: random append/compact/erase sequences track the fingerprint model") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    val dir = tmp("fuzz-sh")
+    def ids(i: Int): Set[Long] = batch(i).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    Dedup.writeSimhashIndex(batch(0), dir)
+    val present = scala.collection.mutable.Set.empty[Long]
+    present ++= ids(0)
+    var unused = (1 until 5).toList
+    (0 until 6).foreach { step =>
+      rng.nextInt(3) match {
+        case 0 if unused.nonEmpty =>
+          val b = unused.head; unused = unused.tail
+          Dedup.appendToSimhashIndex(batch(b), dir)
+          present ++= ids(b)
+        case 1 if present.nonEmpty =>
+          val drop = present.filter(_ => rng.nextBoolean()).toSet
+          Dedup.compactSimhashIndex(dir,
+            dropDocs = Some(drop.toSeq.toDF("doc_id")))
+          present --= drop
+        case _ =>
+          Dedup.compactSimhashIndex(dir)
+      }
+      // stored fps equal a fresh fingerprinting of exactly the
+      // present docs — values included, not just ids
+      val stored = Dedup.readSimhashIndex(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fresh = docs.where(col("doc_id").isin(present.toSeq: _*))
+        .select(col("doc_id"), Dedup.simhash64(Dedup.tokens(col("text"))))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(stored == fresh, s"step $step simhash fps")
+    }
+    // torn commit refuses
+    val props = new org.apache.hadoop.fs.Path(dir, "_graft_simhash.properties")
+    props.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(props, false)
+    val e = intercept[IllegalArgumentException](
+      Dedup.readSimhashIndex(spark, dir))
+    assert(e.getMessage.contains("sidecar"))
+  }
+
   test("datasheet store: random append/compact/erase sequences track the report model") {
     import graft.operators.TextAnalysis
     import spark.implicits._

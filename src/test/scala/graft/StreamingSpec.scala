@@ -476,6 +476,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(verified == direct && direct.nonEmpty, s"$verified vs $direct")
   }
 
+  test("streaming simhash matches: stateless, exact distances, equals the batch index match") {
+    import spark.implicits._
+    val dir = tmp("simhash-stream")
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = Seq((100L, base),
+      (101L, "phi chi psi omega one two three four five six seven eight " +
+        "nine ten eleven twelve thirteen fourteen fifteen sixteen"))
+      .toDF("doc_id", "text")
+    // store built through the lifecycle (write + append)
+    val ixDir = tmp("simhash-stream-ix")
+    graft.operators.Dedup.writeSimhashIndex(
+      corpus.where(col("doc_id") === 100L), ixDir)
+    graft.operators.Dedup.appendToSimhashIndex(
+      corpus.where(col("doc_id") === 101L), ixDir)
+    val fps = graft.operators.Dedup.readSimhashIndex(spark, ixDir)
+    // stream: an exact copy, a near copy (two tokens swapped), a clean doc
+    Seq((1L, base), (2L, base.replace("alpha beta", "zz1 zz2")),
+        (3L, "unrelated totally different words entirely written here now"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .parquet(dir)
+    val q = Observers.streamingSimhashMatches(stream, fps, maxDistance = 16)
+      .writeStream.format("memory").queryName("shmatches")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(q.lastProgress.stateOperators.isEmpty, q.lastProgress.prettyJson)
+    val got = spark
+      .sql("SELECT DISTINCT doc_id, corpus_id, distance FROM shmatches")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // differential: the batch index match over the same data
+    val batch = graft.operators.Dedup.matchAgainstSimhashIndex(
+        spark.read.parquet(dir), ixDir, maxDistance = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == batch, s"$got vs $batch")
+    // the exact copy matched its source at distance exactly 0
+    assert(got.contains((1L, 100L, 0)))
+    // the near copy matched the same source at a small nonzero distance
+    assert(got.exists { case (d, c, dist) => d == 2L && c == 100L && dist > 0 })
+  }
+
   test("streaming contamination matches agree with the batch decontaminate verdict") {
     import spark.implicits._
     val dir = tmp("contam-stream")
