@@ -3,9 +3,9 @@ package graft
 import graft.functions.cellfunctions._
 import graft.model.{CfSpec, TableDesc}
 import graft.operators.{AsOfJoin, BatchTxn, Bpe, DataSelection, Dedup,
-  KvStore, Multimodal, QualityModel, Retrieval, Stats, ZOrder,
-  PercolatorRead, Resolve, Sampling, ScanFilter, ScanQuery, Similarity,
-  TextAnalysis, TextIndex, TypedValue}
+  EventAnalytics, KvStore, Multimodal, QualityModel, Retrieval, Stats,
+  ZOrder, PercolatorRead, Resolve, Sampling, ScanFilter, ScanQuery,
+  Similarity, TextAnalysis, TextIndex, TypedValue}
 import graft.sources.{CellLogs, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1734,6 +1734,29 @@ object SparkEntry {
       Stats.forwardFill(reg, col("key"), col("bucket_us"), Seq("ffill_cents"))
         .orderBy(col("key"), col("bucket_us"))
     }),
+    "q_x_events_funnel" -> ((s, dir) => {
+      // ordered-step funnel (view -> click -> purchase within 12h),
+      // earliest-chain semantics — every timestamp an exact epoch-µs
+      // long, so the whole frame replays in SQL
+      val ev = t(s, dir, "events")
+      EventAnalytics.funnel(
+        ev.withColumn("_us", Tables.eventTsUs(ev)),
+        col("user_id"), col("_us"),
+        steps = Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"),
+        withinUs = 43200000000L)
+        .orderBy(col("key"))
+    }),
+    "q_x_events_retention" -> ((s, dir) => {
+      // weekly cohort retention: cohort = bucket of first activity,
+      // n_active = distinct users active `age` buckets later
+      val ev = t(s, dir, "events")
+      EventAnalytics.retention(
+        ev.withColumn("_us", Tables.eventTsUs(ev)),
+        col("user_id"), col("_us"), bucketUs = 604800000000L)
+        .orderBy(col("cohort_us"), col("age"))
+    }),
     "q_x_stats_quantiles" -> ((s, dir) => {
       // exact order statistics by radix selection: the k-th smallest
       // element found 16 bits at a time over the order-preserving
@@ -3340,6 +3363,33 @@ object SparkEntry {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |         AS ffill_cents
         |FROM j ORDER BY 1, 2""".stripMargin,
+    "q_x_events_funnel" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, event_type
+        |           FROM events),
+        |s1 AS (SELECT k, min(t) AS t0 FROM e WHERE event_type = 'view'
+        |       GROUP BY 1),
+        |s2 AS (SELECT e.k, min(t) AS t1 FROM e JOIN s1 USING (k)
+        |       WHERE event_type = 'click'
+        |         AND t >= t0 AND t <= t0 + 43200000000
+        |       GROUP BY 1),
+        |s3 AS (SELECT e.k, min(t) AS t2
+        |       FROM e JOIN s2 USING (k) JOIN s1 USING (k)
+        |       WHERE event_type = 'purchase'
+        |         AND t >= t1 AND t <= t0 + 43200000000
+        |       GROUP BY 1)
+        |SELECT s1.k AS key,
+        |  CAST(1 + CAST(t1 IS NOT NULL AS INT)
+        |         + CAST(t2 IS NOT NULL AS INT) AS INT) AS steps_completed,
+        |  t0 AS step1_us, t1 AS step2_us, t2 AS step3_us
+        |FROM s1 LEFT JOIN s2 ON s1.k = s2.k LEFT JOIN s3 ON s1.k = s3.k
+        |ORDER BY 1""".stripMargin,
+    "q_x_events_retention" ->
+      """WITH kb AS (SELECT DISTINCT user_id AS k,
+        |              epoch_us(ts) // 604800000000 AS b FROM events),
+        |coh AS (SELECT k, min(b) AS cb FROM kb GROUP BY 1)
+        |SELECT coh.cb * 604800000000 AS cohort_us, kb.b - coh.cb AS age,
+        |  CAST(count(*) AS BIGINT) AS n_active
+        |FROM kb JOIN coh USING (k) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_x_stats_quantiles" ->
       """WITH v AS (
         |  SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Behavioral event analytics over the cell-log/events surface — the
+  * funnel and cohort shapes every product-events pipeline reports. The
+  * reference stores the events (its north-star workload is exactly
+  * this kind of timestamped activity log); the analytics layer is ours,
+  * expressed as plain aggregations and equi-joins so every number is
+  * an exact integer the oracle replays.
+  *
+  * Scale design: nothing here uses a window function or driver state.
+  * Funnels fold one keyed aggregation per step (k tiny, fixed);
+  * retention is two hash aggregations and one equi-join on the key.
+  * All exchanges hash-partition on the entity key.
+  */
+object EventAnalytics {
+
+  /** Ordered-step funnel with EARLIEST-CHAIN semantics: step 1 anchors
+    * at each key's earliest matching event; each later step takes the
+    * earliest matching event at-or-after the previous step's chosen
+    * time, and the whole chain must complete within `withinUs` of the
+    * anchor. Greedy-from-earliest is deterministic and SQL-replicable
+    * (it can under-count completions a later anchor would admit — the
+    * standard funnel trade, documented rather than hidden; ClickHouse's
+    * windowFunnel makes the same choice in its default mode).
+    *
+    * `steps` are boolean predicates over the event columns, in funnel
+    * order. Output: one row per key that fired step 1 —
+    * `(key, steps_completed, step1_us .. stepK_us)` with NULL times
+    * from the first uncompleted step on. Keys that never fired step 1
+    * emit nothing (a funnel over them is undefined, not zero).
+    *
+    * Scale shape: one filtered min-aggregation per step plus an
+    * equi-join against the (one-row-per-key) accumulator — k shuffles
+    * of key-sized frames for a k-step funnel, never a window, never a
+    * per-key event buffer. Event-time ties: two steps may share one
+    * timestamp (>= is the at-or-after contract); the aggregation is
+    * min, so duplicate events cost nothing.
+    */
+  def funnel(events: DataFrame, key: Column, tsUs: Column,
+      steps: Seq[Column], withinUs: Long = Long.MaxValue): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(withinUs >= 0, s"withinUs must be >= 0, got $withinUs")
+    val k = steps.length
+    val ev = events.select(
+      key.as("_k") +: tsUs.as("_ts") +:
+        steps.zipWithIndex.map { case (p, i) => p.as(s"_s$i") }: _*)
+    var acc = ev.where(col("_s0")).groupBy(col("_k"))
+      .agg(min(col("_ts")).as("_t0"))
+    (1 until k).foreach { i =>
+      val stepMin = ev.where(col(s"_s$i")).join(acc, Seq("_k"))
+        .where(col("_ts") >= col(s"_t${i - 1}") &&
+          (if (withinUs == Long.MaxValue) lit(true)
+           else col("_ts") <= col("_t0") + withinUs))
+        .groupBy(col("_k")).agg(min(col("_ts")).as(s"_t$i"))
+      acc = acc.join(stepMin, Seq("_k"), "left")
+    }
+    val completed = (1 until k)
+      .map(i => when(col(s"_t$i").isNotNull, 1).otherwise(0))
+      .foldLeft(lit(1))(_ + _)
+    acc.select(
+      col("_k").as("key") +: completed.cast("int").as("steps_completed") +:
+        (0 until k).map(i => col(s"_t$i").as(s"step${i + 1}_us")): _*)
+  }
+
+  /** Cohort retention: keys cohort by the bucket of their FIRST
+    * activity; `n_active` counts the cohort's distinct keys active
+    * `age` buckets later (age 0 row = cohort size — every key is
+    * active in its own first bucket). Output:
+    * `(cohort_us, age, n_active)`, exact integers, buckets
+    * floor-divided like [[Stats.regularize]] (pre-epoch safe). Ages
+    * with no active keys emit no row — [[Stats.regularize]] gap-fills
+    * downstream when a dense grid is wanted.
+    *
+    * Scale shape: distinct (key, bucket) is one exchange over the
+    * events; the cohort min and the final (cohort, age) count are
+    * key- and cohort-sized aggregations; the join is a key equi-join.
+    * No windows, no driver state. */
+  def retention(events: DataFrame, key: Column, tsUs: Column,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs >= 1, s"bucketUs must be >= 1, got $bucketUs")
+    val kb = events
+      .select(key.as("_k"), Stats.ldiv(tsUs, bucketUs).as("_b"))
+      .where(col("_k").isNotNull && col("_b").isNotNull)
+      .distinct()
+    val cohort = kb.groupBy(col("_k")).agg(min(col("_b")).as("_c"))
+    kb.join(cohort, Seq("_k"))
+      .groupBy(col("_c"), (col("_b") - col("_c")).as("age"))
+      .agg(count(lit(1)).as("n_active"))
+      .select((col("_c") * bucketUs).as("cohort_us"), col("age"),
+        col("n_active"))
+  }
+}

@@ -140,7 +140,7 @@ object Stats {
     * precision above 2^53 (an epoch-µs timestamp far from 1970 could
     * land in the wrong bucket). The numerator is exactly divisible by
     * construction, so the decimal quotient is an exact integer. */
-  private def ldiv(a: Column, b: Long): Column =
+  private[operators] def ldiv(a: Column, b: Long): Column =
     ((a - pmod(a, lit(b))).cast(org.apache.spark.sql.types.DecimalType(38, 0))
       / lit(b)).cast("long")
 
