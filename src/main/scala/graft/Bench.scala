@@ -24,7 +24,8 @@ object Bench {
       "q_x_sim_ivf_index_quant", "q_x_sim_pq_index_topk",
       "q_x_zorder_scan", "q_x_quality_classifier",
       "q_x_text_index_match", "q_x_curation_incremental",
-      "q_x_bpe_tokenize", "q_x_fuse_hybrid").foreach { name =>
+      "q_x_bpe_tokenize", "q_x_fuse_hybrid",
+      "q_x_corpus_report_store", "q_x_dedup_simhash_match").foreach { name =>
       val q = SparkEntry.queries(name)
       try q(spark, sfDir).count() catch { case _: Throwable => () }
     }

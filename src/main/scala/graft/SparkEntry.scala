@@ -513,6 +513,24 @@ object SparkEntry {
         .select(col("event_id"), col("signup_ts").as("asof_ts"))
         .orderBy(col("event_id"))
     }),
+    "q_j3b_asof_tolerance" -> ((s, dir) => {
+      // as-of with max staleness (the merge_asof tolerance contract):
+      // same shape as q_j3 but a signup older than 3 days before the
+      // purchase no longer matches
+      val ev = t(s, dir, "events")
+      val e = ev.select(
+        col("user_id"), col("event_type"),
+        Tables.eventTsUs(ev).as("ts_us"), col("event_id"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      val signups = e.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts_us").as("signup_ts"))
+      AsOfJoin.join(purchases, signups, "user_id", "ts_us", "signup_ts",
+          Seq("signup_ts"), toleranceUs = 259200000000L)
+        .where(col("signup_ts").isNotNull)
+        .select(col("event_id"), col("signup_ts").as("asof_ts"))
+        .orderBy(col("event_id"))
+    }),
     "q_j4_range_join" -> ((s, dir) => {
       // theta self-join over a bounded key window (StockLevel shape)
       val o1 = t(s, dir, "orders").where(col("o_orderkey") <= 2000)
@@ -2509,6 +2527,11 @@ object SparkEntry {
     "q_j3_asof_join" ->
       """SELECT p.event_id, max(epoch_us(s.ts)) AS asof_ts FROM events p
         |JOIN events s ON s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts
+        |WHERE p.event_type = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_j3b_asof_tolerance" ->
+      """SELECT p.event_id, max(epoch_us(s.ts)) AS asof_ts FROM events p
+        |JOIN events s ON s.user_id = p.user_id AND s.event_type = 'signup'
+        |  AND s.ts <= p.ts AND epoch_us(s.ts) >= epoch_us(p.ts) - 259200000000
         |WHERE p.event_type = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_j4_range_join" ->
       """SELECT o1.o_orderkey AS k1, count(*) AS cnt FROM orders o1

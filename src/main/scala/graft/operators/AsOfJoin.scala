@@ -29,12 +29,18 @@ object AsOfJoin {
     * carried columns, values from different right rows may combine.
     * Carry a single struct column when row-atomic carry is required.
     *
-    * @param left      driving rows
-    * @param right     lookup rows
-    * @param key       join key column name (same name both sides)
-    * @param leftTs    event-time column in `left`
-    * @param rightTs   event-time column in `right`
-    * @param carried   columns of `right` to carry to the matches
+    * @param left        driving rows
+    * @param right       lookup rows
+    * @param key         join key column name (same name both sides)
+    * @param leftTs      event-time column in `left`
+    * @param rightTs     event-time column in `right`
+    * @param carried     columns of `right` to carry to the matches
+    * @param toleranceUs max staleness: a match older than
+    *                    `leftTs - toleranceUs` is discarded (all carried
+    *                    columns null, as if no right row existed) — the
+    *                    pandas merge_asof `tolerance` contract. Requires
+    *                    numeric (epoch-µs) ts columns; the default means
+    *                    unbounded lookback.
     * @return `left` columns + carried right columns (null when no match)
     */
   def join(
@@ -43,7 +49,10 @@ object AsOfJoin {
       key: String,
       leftTs: String,
       rightTs: String,
-      carried: Seq[String]): DataFrame = {
+      carried: Seq[String],
+      toleranceUs: Long = Long.MaxValue): DataFrame = {
+    require(toleranceUs >= 0, s"toleranceUs must be >= 0, got $toleranceUs")
+    val needTol = toleranceUs != Long.MaxValue
 
     val leftCols = left.columns
     val l = left
@@ -51,19 +60,31 @@ object AsOfJoin {
       .withColumn("_tag", lit(1))
       .select(Seq(col(key), col("_ts"), col("_tag")) ++
         leftCols.filterNot(_ == key).map(c => col(c)) ++
-        carried.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+        carried.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")) ++
+        (if (needTol) Seq(lit(null).cast(right.schema(rightTs).dataType)
+          .as("_r__asof_ts")) else Nil): _*)
     val r = right
       .withColumn("_ts", col(rightTs))
       .withColumn("_tag", lit(0))
       .select(Seq(col(key), col("_ts"), col("_tag")) ++
         leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        carried.map(c => col(c).as(s"_r_$c")): _*)
+        carried.map(c => col(c).as(s"_r_$c")) ++
+        (if (needTol) Seq(col(rightTs).as("_r__asof_ts")) else Nil): _*)
 
     val w = Window.partitionBy(col(key))
       .orderBy(col("_ts"), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carriedCols: Seq[Column] =
-      carried.map(c => last(col(s"_r_$c"), ignoreNulls = true).over(w).as(c))
+    // the matched right row's own ts, carried under the same window —
+    // the tolerance gate every carried column shares. (With a stale
+    // match, ALL carried columns null together: staleness is a property
+    // of the matched row, so this stays row-consistent even though the
+    // value carries are per-column.)
+    val matchOk =
+      if (!needTol) lit(true)
+      else last(col("_r__asof_ts"), ignoreNulls = true).over(w) >=
+        col("_ts") - toleranceUs
+    val carriedCols: Seq[Column] = carried.map(c =>
+      when(matchOk, last(col(s"_r_$c"), ignoreNulls = true).over(w)).as(c))
 
     l.unionAll(r)
       .select(Seq(col(key), col("_tag")) ++
@@ -96,17 +117,25 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       carried: Seq[String],
-      buckets: Int = 32): DataFrame = {
+      buckets: Int = 32,
+      toleranceUs: Long = Long.MaxValue): DataFrame = {
+    require(toleranceUs >= 0, s"toleranceUs must be >= 0, got $toleranceUs")
+    require(!carried.contains("_asof_ts"),
+      "carried column name _asof_ts is reserved")
 
     val leftCols = left.columns
-    val st = org.apache.spark.sql.types.StructType(carried.map(right.schema(_)))
+    val st = org.apache.spark.sql.types.StructType(
+      carried.map(right.schema(_)) :+
+        org.apache.spark.sql.types.StructField("_asof_ts",
+          org.apache.spark.sql.types.LongType))
 
     // ts bounds: one tiny aggregation, two driver scalars (the same
     // scalar-handshake class as pagination's resume key)
     val bounds = left.select(col(leftTs).cast("long").as("t"))
       .unionAll(right.select(col(rightTs).cast("long").as("t")))
       .agg(min(col("t")).as("lo"), max(col("t")).as("hi")).collect()(0)
-    if (bounds.isNullAt(0)) return join(left, right, key, leftTs, rightTs, carried)
+    if (bounds.isNullAt(0))
+      return join(left, right, key, leftTs, rightTs, carried, toleranceUs)
     val lo = bounds.getLong(0)
     val width = math.max((bounds.getLong(1) - lo + 1) / buckets, 1L)
     def bucketOf(ts: Column): Column =
@@ -121,7 +150,7 @@ object AsOfJoin {
       .select(Seq(col(key), col("_ts"), lit(0).as("_tag"), lit(-1L).as("_rid")) ++
         leftCols.filterNot(_ == key)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-        struct(carried.map(col): _*).as("_rv"): _*)
+        struct(carried.map(col) :+ col("_ts").as("_asof_ts"): _*).as("_rv"): _*)
 
     val u = lU.unionAll(rU).withColumn("_bkt", bucketOf(col("_ts")))
     val w1 = Window.partitionBy(col(key), col("_bkt"))
@@ -150,8 +179,14 @@ object AsOfJoin {
       .agg(max_by(col("_blast"), col("_blb")).as("_c1"))
     val filled = needFill.drop("_c1").join(fills, Seq("_rid"), "left")
 
+    // tolerance: the struct carries the matched row's own ts, so a
+    // stale match nulls ALL carried columns together (row-atomic here,
+    // unlike join()'s per-column carries)
+    val ok =
+      if (toleranceUs == Long.MaxValue) lit(true)
+      else col("_c1").getField("_asof_ts") >= col("_ts") - toleranceUs
     haveCarry.unionByName(filled, allowMissingColumns = false)
       .select(Seq(col(key)) ++ leftCols.filterNot(_ == key).map(col) ++
-        carried.map(c => col("_c1").getField(c).as(c)): _*)
+        carried.map(c => when(ok, col("_c1").getField(c)).as(c)): _*)
   }
 }

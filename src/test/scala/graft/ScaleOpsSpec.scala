@@ -158,6 +158,45 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salted.sameElements(plain))
   }
 
+  test("as-of tolerance: stale matches null out, both variants agree with a driver model") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val left = ((1 to 2000).map(_ => ("hot", rng.nextInt(10000).toLong * 2)) ++
+      (1 to 200).map(i => (s"k${i % 10}", rng.nextInt(10000).toLong * 2)))
+      .toDF("key", "ts")
+    val right = ((1 to 600).map(_ => ("hot", rng.nextInt(10000).toLong * 2 + 1,
+        rng.nextInt(1000))) ++
+      (1 to 100).map(i => (s"k${i % 10}", rng.nextInt(10000).toLong * 2 + 1,
+        rng.nextInt(1000))))
+      .toDF("key", "rts", "rv")
+      .groupBy("key", "rts").agg(max("rv").as("rv"))
+    val tol = 500L
+    // driver model: newest right at-or-before, discarded when stale
+    val rightRows = right.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val byKey = rightRows.groupBy(_._1)
+    val model = left.collect().map { r =>
+      val (k, t) = (r.getString(0), r.getLong(1))
+      val m = byKey.getOrElse(k, Array.empty).filter(_._2 <= t)
+        .sortBy(_._2).lastOption
+      (k, t, m.filter(_._2 >= t - tol).map(_._3).getOrElse(-1))
+    }.sorted
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("key", "ts", "rv")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2))).sorted
+    val plain = canon(AsOfJoin.join(left, right, "key", "ts", "rts",
+      Seq("rv"), toleranceUs = tol))
+    val salted = canon(AsOfJoin.joinSalted(left, right, "key", "ts", "rts",
+      Seq("rv"), buckets = 16, toleranceUs = tol))
+    assert(plain.sameElements(model))
+    assert(salted.sameElements(model))
+    // tolerance actually bit: some matches exist, some were discarded
+    val unbounded = canon(AsOfJoin.join(left, right, "key", "ts", "rts", Seq("rv")))
+    assert(plain.count(_._3 >= 0) > 0)
+    assert(plain.count(_._3 >= 0) < unbounded.count(_._3 >= 0))
+  }
+
   test("salted two-phase aggregation matches direct aggregation") {
     import spark.implicits._
     val df = ((1 to 5000).map(_ => ("hot", 1L)) ++
