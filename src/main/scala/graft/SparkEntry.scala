@@ -3,9 +3,9 @@ package graft
 import graft.functions.cellfunctions._
 import graft.model.{CfSpec, TableDesc}
 import graft.operators.{AsOfJoin, BatchTxn, Bpe, DataSelection, Dedup,
-  EventAnalytics, KvStore, Multimodal, QualityModel, Retrieval, Stats,
-  ZOrder, PercolatorRead, Resolve, Sampling, ScanFilter, ScanQuery,
-  Similarity, TextAnalysis, TextIndex, TypedValue}
+  EventAnalytics, IntervalJoin, KvStore, Multimodal, QualityModel,
+  Retrieval, Stats, ZOrder, PercolatorRead, Resolve, Sampling, ScanFilter,
+  ScanQuery, Similarity, TextAnalysis, TextIndex, TypedValue}
 import graft.sources.{CellLogs, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -529,6 +529,25 @@ object SparkEntry {
           Seq("signup_ts"), toleranceUs = 259200000000L)
         .where(col("signup_ts").isNotNull)
         .select(col("event_id"), col("signup_ts").as("asof_ts"))
+        .orderBy(col("event_id"))
+    }),
+    "q_j4b_interval_join" -> ((s, dir) => {
+      // time-band fact×fact self-join (clicks within the hour before
+      // each purchase) through the banded equi-join rewrite — a raw
+      // theta band here would plan as a nested loop (IntervalJoinSpec
+      // plan-asserts the rewrite)
+      val ev = t(s, dir, "events")
+      val e = ev.select(col("user_id"), col("event_type"),
+        Tables.eventTsUs(ev).as("ts_us"), col("event_id"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("c_ts"),
+          col("event_id").as("c_id"))
+      IntervalJoin.join(purchases, clicks, key = Some("user_id"),
+          leftTs = "ts_us", rightTs = "c_ts",
+          lowerUs = -3600000000L, upperUs = 0L, carried = Seq("c_id"))
+        .groupBy(col("event_id")).agg(count(lit(1)).as("n_clicks"))
         .orderBy(col("event_id"))
     }),
     "q_j4_range_join" -> ((s, dir) => {
@@ -2537,6 +2556,12 @@ object SparkEntry {
       """SELECT o1.o_orderkey AS k1, count(*) AS cnt FROM orders o1
         |JOIN orders o2 ON o2.o_orderkey >= o1.o_orderkey - 5 AND o2.o_orderkey < o1.o_orderkey
         |WHERE o1.o_orderkey <= 2000 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_j4b_interval_join" ->
+      """SELECT p.event_id, count(*) AS n_clicks FROM events p
+        |JOIN events c ON c.user_id = p.user_id AND c.event_type = 'click'
+        |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+        |  AND epoch_us(c.ts) <= epoch_us(p.ts)
+        |WHERE p.event_type = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_r1_version_resolve" ->
       """WITH ranked AS (
         |  SELECT CAST(user_id AS VARCHAR) AS row_key, event_type AS qualifier, props,

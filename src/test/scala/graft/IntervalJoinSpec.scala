@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.IntervalJoin
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Banded interval join vs a driver-side theta-join model. */
+class IntervalJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  test("keyed interval join equals the brute-force band theta join, pairs unique") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val left = Seq.fill(800)(
+      (rng.nextInt(10).toLong, rng.nextInt(100000).toLong - 50000, rng.nextInt(100)))
+      .zipWithIndex.map { case ((k, t, v), i) => (i.toLong, k, t, v) }
+    val right = Seq.fill(800)(
+      (rng.nextInt(10).toLong, rng.nextInt(100000).toLong - 50000, rng.nextInt(100)))
+      .zipWithIndex.map { case ((k, t, v), i) => (i.toLong, k, t, v) }
+    // asymmetric band incl. negative lower bound; negative ts exercise
+    // floor bucketing
+    val (lo, hi) = (-1500L, 4000L)
+    val got = IntervalJoin.join(
+        left.toDF("lid", "k", "ts", "lv"),
+        right.toDF("rid", "k", "rts", "rv").select(
+          col("rid"), col("k"), col("rts"), col("rv")),
+        key = Some("k"), leftTs = "ts", rightTs = "rts",
+        lowerUs = lo, upperUs = hi, carried = Seq("rid", "rts", "rv"))
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("rid"))).toList.sorted
+    val brute = (for {
+      (lid, lk, lt, _) <- left; (rid, rk, rt, _) <- right
+      if lk == rk && rt >= lt + lo && rt <= lt + hi
+    } yield (lid, rid)).sorted
+    assert(got == brute)      // equality AND multiplicity (no dup pairs)
+    assert(brute.nonEmpty)
+  }
+
+  test("unkeyed band join and degenerate zero-width band") {
+    import spark.implicits._
+    val left = Seq((1L, 100L), (2L, 200L)).toDF("lid", "ts")
+    val right = Seq((10L, 100L), (11L, 150L), (12L, 305L)).toDF("rid", "rts")
+    // zero-width band: exact-ts co-occurrence only
+    val exact = IntervalJoin.join(left, right, None, "ts", "rts", 0L, 0L,
+        Seq("rid")).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(exact == Set((1L, 10L)))
+    // band [ts+100, ts+110]
+    val band = IntervalJoin.join(left, right, None, "ts", "rts", 100L, 110L,
+        Seq("rid")).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(band == Set((2L, 12L)))
+  }
+
+  test("plans as an equi-join: no cartesian, no nested loop") {
+    import spark.implicits._
+    val left = spark.range(10000).select(col("id").as("lid"),
+      (col("id") * 13 % 100000).as("ts"))
+    val right = spark.range(10000).select(col("id").as("rid"),
+      (col("id") * 17 % 100000).as("rts"))
+    val plan = IntervalJoin.join(left, right, None, "ts", "rts",
+        -500L, 500L, Seq("rid"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
