@@ -30,7 +30,13 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
-  /** @param left    anchor rows; all its columns survive
+  /** Streaming note: the left plan is one explode of per-row
+    * expressions plus an inner equi-join — a STREAMING left frame
+    * against a static right works as-is (stream-static interval join,
+    * zero stateful operators, append mode), spec-proven in
+    * StreamingSpec.
+    *
+    * @param left    anchor rows; all its columns survive
     * @param right   probed rows; `carried` columns survive (renamed as
     *                given)
     * @param key     optional equality key column name (same name both

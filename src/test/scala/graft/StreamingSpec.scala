@@ -519,6 +519,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exists { case (d, c, dist) => d == 2L && c == 100L && dist > 0 })
   }
 
+  test("stream-static interval join: stateless, equals the batch band join") {
+    import spark.implicits._
+    val dir = tmp("ivj-stream")
+    val corpus = Seq((10L, 100L, "a"), (11L, 150L, "b"), (12L, 305L, "c"),
+      (13L, 95L, "d")).toDF("rid", "rts", "rv")
+    Seq((1L, 100L), (2L, 200L), (3L, 400L)).toDF("lid", "ts")
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("lid LONG, ts LONG").parquet(dir)
+    val q = graft.operators.IntervalJoin.join(stream, corpus, key = None,
+        leftTs = "ts", rightTs = "rts", lowerUs = -50L, upperUs = 60L,
+        carried = Seq("rid"))
+      .writeStream.format("memory").queryName("ivjoin")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(q.lastProgress.stateOperators.isEmpty, q.lastProgress.prettyJson)
+    val got = spark.sql("SELECT lid, rid FROM ivjoin")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.IntervalJoin.join(
+        spark.read.parquet(dir), corpus, None, "ts", "rts", -50L, 60L,
+        Seq("rid"))
+      .select("lid", "rid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch && got.nonEmpty, s"$got vs $batch")
+  }
+
   test("streaming contamination matches agree with the batch decontaminate verdict") {
     import spark.implicits._
     val dir = tmp("contam-stream")
