@@ -250,6 +250,61 @@ object ScaleProbe {
         found
       }
     }
+    // behavioral-analytics ring at n synthetic events (100 per user,
+    // ts = id so arithmetic IS the oracle): funnel completion classes
+    // planted by user residue, retention a full-grid invariant, the
+    // banded interval join counted in closed form
+    if ((n / 100) % 8 == 0 && n % 100 == 0) {
+      import graft.operators.{EventAnalytics, IntervalJoin}
+      val numUsers = n / 100
+      val ev = spark
+        .range(0, n, 1, spark.sparkContext.defaultParallelism * 4)
+        .select(pmod(col("id"), lit(numUsers)).as("u"),
+          expr(s"id DIV $numUsers").as("j"), col("id").as("ts"))
+        .withColumn("typ",
+          when(col("j") === 0 && col("u") % 2 === 0, "A")
+            .when(col("j") === 1 && col("u") % 2 === 0, "B")
+            .when(col("j") === 2 && col("u") % 8 === 0, "C")
+            .when(col("j") === 50 && col("u") % 8 === 4, "C")
+            .otherwise("X"))
+      timed("events_funnel") {
+        // u%8==0 completes A->B->C within the 10-bucket window;
+        // u%8==4's C sits 50 buckets out (beyond the window);
+        // u%8 in {2,6} never fires C; odd users never anchor
+        val byDepth = EventAnalytics.funnel(ev, col("u"), col("ts"),
+            Seq(col("typ") === "A", col("typ") === "B", col("typ") === "C"),
+            withinUs = 10L * numUsers)
+          .groupBy(col("steps_completed")).agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        require(byDepth == Map(3 -> numUsers / 8, 2 -> 3L * numUsers / 8),
+          s"funnel depth census $byDepth off the planted classes")
+        byDepth.values.sum
+      }
+      timed("events_retention") {
+        // every user is active in all 100 of its buckets -> one cohort,
+        // ages 0..99, each row the full user count
+        val rows = EventAnalytics.retention(ev, col("u"), col("ts"),
+            bucketUs = numUsers)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        require(rows.length == 100 &&
+          rows.forall { case (c, _, a) => c == 0L && a == numUsers },
+          s"retention grid off: ${rows.take(3).mkString(",")}")
+        rows.length.toLong
+      }
+      timed("events_interval_join") {
+        // band [-U, U] pairs each event with itself and its +-1
+        // neighbors: exactly 298 pairs per user
+        val pairs = IntervalJoin.join(
+          ev.select(col("u"), col("ts")),
+          ev.select(col("u"), col("ts").as("rts")),
+          key = Some("u"), leftTs = "ts", rightTs = "rts",
+          lowerUs = -numUsers, upperUs = numUsers, carried = Seq("rts"))
+        val c = pairs.count()
+        require(c == 298L * numUsers,
+          s"interval join found $c of ${298L * numUsers} band pairs")
+        c
+      }
+    }
     timed("mixture_tokens") {
       // one 90% head source + ten 1% tails — the skew shape the
       // bucketed prefix sum exists for (a plain per-source window
