@@ -1060,9 +1060,14 @@ object Dedup {
 
   /** One (band, bucket) row per block of each fingerprint. Pure
     * per-row expressions + one explode — usable on a STREAMING frame
-    * as-is (the streaming matcher rides exactly this). */
+    * as-is (the streaming matcher rides exactly this). Null
+    * fingerprints (a simhash of an empty token array, a null join
+    * input) are excluded here — they carry no bits to band, and a
+    * null bucket key would just be dropped by the equi-join later,
+    * less visibly. */
   private[graft] def hammingBandRows(fps: DataFrame, blocks: Seq[(Int, Int)]): DataFrame =
-    fps.select(col("doc_id"), col("fp"),
+    fps.where(col("fp").isNotNull)
+      .select(col("doc_id"), col("fp"),
       explode(array(blocks.zipWithIndex.map { case ((st, w), i) =>
         struct(lit(i).as("band"),
           shiftrightunsigned(col("fp"), st)

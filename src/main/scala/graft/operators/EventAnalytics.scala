@@ -44,9 +44,13 @@ object EventAnalytics {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(withinUs >= 0, s"withinUs must be >= 0, got $withinUs")
     val k = steps.length
+    // null keys/timestamps carry no funnel semantics and would
+    // otherwise form a phantom null-key group that every later step's
+    // equi-join silently drops half-way — exclude them up front
     val ev = events.select(
       key.as("_k") +: tsUs.as("_ts") +:
         steps.zipWithIndex.map { case (p, i) => p.as(s"_s$i") }: _*)
+      .where(col("_k").isNotNull && col("_ts").isNotNull)
     var acc = ev.where(col("_s0")).groupBy(col("_k"))
       .agg(min(col("_ts")).as("_t0"))
     (1 until k).foreach { i =>

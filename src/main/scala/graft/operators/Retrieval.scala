@@ -130,8 +130,12 @@ object Retrieval {
   def evaluateGraded(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val disc = typedlit(ndcgDiscounts(k))
+    // a null grade is an unusable judgment, and it would poison the
+    // gain fold (null * discount nulls the whole DCG) — drop it rather
+    // than silently zero it
     val judged = qrels
       .select(col("query_id"), col("doc_id"), col("grade").cast("long").as("grade"))
+      .where(col("grade").isNotNull)
       .groupBy(col("query_id"), col("doc_id"))
       .agg(max(col("grade")).as("grade"))
     val j = judged.join(

@@ -85,6 +85,21 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("null keys and timestamps are excluded, not half-joined") {
+    import spark.implicits._
+    val ev = Seq(
+      (Some(1L), Some(10L), "A"), (Some(1L), Some(20L), "B"),
+      (None, Some(5L), "A"), (Some(2L), None, "A"))
+      .toDF("k", "ts", "typ")
+    val got = EventAnalytics.funnel(ev, col("k"), col("ts"),
+        Seq(col("typ") === "A", col("typ") === "B"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L))
+    val r = EventAnalytics.retention(ev, col("k"), col("ts"), 100L)
+      .agg(sum(col("n_active"))).collect().head.getLong(0)
+    assert(r == 1L) // only key 1, one bucket
+  }
+
   test("retention: cohorts by first activity, age counts match a driver model") {
     import spark.implicits._
     val rng = new scala.util.Random(19)

@@ -115,6 +115,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(brute.size >= 15) // the planted twins (1-2 flips) all surface
   }
 
+  test("hamming near-dup: null fingerprints are excluded, not mega-bucketed") {
+    import spark.implicits._
+    val fps = Seq((1L, Some(7L)), (2L, Some(7L)), (3L, None), (4L, None))
+      .toDF("doc_id", "fp")
+    val got = Dedup.hammingNearDuplicates(fps, maxDistance = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L))) // never a null-null "pair"
+  }
+
   test("simhash corpus-wide near-dup: exact dups pair at distance 0, equals brute force") {
     val fp = docs.select(col("doc_id"),
       Dedup.simhash64(Dedup.tokens(col("text"))).as("fp"))
@@ -1843,6 +1852,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     val n1 = Retrieval.evaluateGraded(run, qrels, k)
       .where(col("query_id") === 1L).collect().head.getDouble(5)
     assert(n1 == dcgOf(Map(1 -> 3L, 2 -> 0L, 3 -> 1L)) / idcgOf(Seq(3, 0, 1, 2, 2)))
+  }
+
+  test("evaluateGraded: a null grade drops instead of poisoning the gain fold") {
+    import spark.implicits._
+    val run = Seq((1L, 10L, 1)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1L, 10L, Some(2L)), (1L, 11L, None))
+      .toDF("query_id", "doc_id", "grade")
+    val r = Retrieval.evaluateGraded(run, qrels, k = 5).collect().head
+    assert(r.getLong(1) == 1L)          // n_rel excludes the null judgment
+    assert(!r.getDouble(3).isNaN && r.getDouble(3) > 0) // dcg intact
   }
 
   test("hybridTopK equals manual BM25+IVF composition and keeps the strongest single-run vote at the head") {
