@@ -181,13 +181,23 @@ object Curation {
     * three transitively — the standard incremental-dedup trade; with
     * twins that are pairwise similar (the usual case) the two runs
     * agree, and the equivalence spec pins exactly that. */
+  /** @param datasheet optional `(dir, batchId)`: on absorb, the KEPT
+    *   documents' datasheet partials append to the stored corpus
+    *   datasheet ([[TextAnalysis.appendToDatasheetStore]]) inside the
+    *   same state-guarded multi-store commit — so the data card tracks
+    *   the accumulated corpus without ever rescanning it, and a torn
+    *   commit refuses on the next round like every other store here.
+    *   Round 0 creates the store. The batchId is the caller's round
+    *   name (it is also the erasure unit if the round is later
+    *   retracted). */
   def runIncremental(batch: DataFrame, fpDir: String,
       lang: String = "en", minTokens: Int = 5,
       maxPunctRatio: Double = 0.2,
       nearDup: Option[(String, Double, DataFrame)] = None,
       benchmark: Option[DataFrame] = None,
       extraGates: Seq[(String, org.apache.spark.sql.Column)] = Nil,
-      absorb: Boolean = true): Curated = {
+      absorb: Boolean = true,
+      datasheet: Option[(String, String)] = None): Curated = {
     val spark = batch.sparkSession
     val reserved = Stages.toSet
     extraGates.foreach { case (name, _) =>
@@ -321,6 +331,18 @@ object Curation {
         if (Dedup.hasMinhashIndex(spark, ixDir))
           Dedup.appendToMinhashIndex(kept, ixDir)
         else Dedup.writeMinhashIndex(kept, ixDir)
+      }
+      datasheet.foreach { case (dsDir, batchId) =>
+        val dsPath = new org.apache.hadoop.fs.Path(dsDir)
+        val dsFs = dsPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val dsHasData = dsFs.exists(dsPath) && dsFs.listStatus(dsPath)
+          .exists(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+        if (dsHasData)
+          TextAnalysis.appendToDatasheetStore(kept, dsDir, batchId)
+        else
+          TextAnalysis.writeDatasheetStore(kept, dsDir, batchId,
+            shortDocTokens = minTokens)
       }
       val out = fs.create(statePath, true)
       try out.write("absorbed=true\n".getBytes("UTF-8"))

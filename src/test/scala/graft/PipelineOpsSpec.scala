@@ -1624,6 +1624,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental curation keeps the stored datasheet tracking the kept corpus") {
+    val fpDir = java.nio.file.Files.createTempDirectory("graft-incds-fp").toString
+    val dsDir = java.nio.file.Files.createTempDirectory("graft-incds-ds").toString
+    val a = docs.where(col("doc_id") % 2 === 0)
+    val b = docs.where(col("doc_id") % 2 === 1)
+    val inc0 = Curation.runIncremental(a, fpDir,
+      datasheet = Some((dsDir, "r0")))
+    val inc1 = Curation.runIncremental(b, fpDir,
+      datasheet = Some((dsDir, "r1")))
+    val keptAll = inc0.kept.unionByName(inc1.kept)
+    def exact(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("source"), col("n_docs"), col("n_tokens"),
+          col("total_chars"), col("short_docs"), col("min_chars"),
+          col("max_chars"), col("n_langs"))
+        .collect().map(r => r.getString(0) -> (1 to 7).map(r.getLong(_)))
+        .toMap
+    assert(exact(TextAnalysis.datasheetReport(spark, dsDir)) ==
+      exact(TextAnalysis.corpusReport(keptAll)))
+    assert(TextAnalysis.datasheetBatches(spark, dsDir)
+      .collect().map(_.getString(0)).toSet == Set("r0", "r1"))
+  }
+
   test("snapshotDiff labels every id added/removed/changed/unchanged exactly") {
     val oldSnap = docs.where(col("doc_id") % 7 =!= 0)
     val newSnap = docs.where(col("doc_id") % 5 =!= 0)
