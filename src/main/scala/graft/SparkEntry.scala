@@ -97,6 +97,31 @@ object SparkEntry {
   private val datasheetFixtureDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** The ONE datasheet-store fixture recipe (3 appends + a junk batch
+    * erased by compaction) shared by the report and quantile gates —
+    * hoisted so the two can never silently diverge on what the store
+    * holds. */
+  private def datasheetFixture(s: SparkSession, d: DataFrame,
+      dir: String): String =
+    datasheetFixtureDirs.getOrElseUpdate(dir, {
+      import s.implicits._
+      val sd = java.nio.file.Files
+        .createTempDirectory("graft-datasheet-store").toString
+      TextAnalysis.writeDatasheetStore(
+        d.where(col("doc_id") % 3 === 0), sd, batch = "b0")
+      TextAnalysis.appendToDatasheetStore(
+        d.where(col("doc_id") % 3 === 1), sd, batch = "b1")
+      TextAnalysis.appendToDatasheetStore(
+        d.where(col("doc_id") % 3 === 2), sd, batch = "b2")
+      TextAnalysis.appendToDatasheetStore(
+        d.limit(100).select((col("doc_id") + 9000000).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars")),
+        sd, batch = "junk")
+      TextAnalysis.compactDatasheetStore(sd,
+        dropBatches = Some(Seq("junk").toDF("batch")))
+      sd
+    })
+
   /** Per-process append-grown simhash fingerprint store
     * (see q_x_dedup_simhash_match). */
   private val simhashIdxFixtureDirs =
@@ -2199,28 +2224,21 @@ object SparkEntry {
       // batch-granular erasure; exact fields equal the one-pass report
       // (the HLL distinct estimate is the one approximate field and
       // stays out of the gate)
-      val d = t(s, dir, "documents")
-      val store = datasheetFixtureDirs.getOrElseUpdate(dir, {
-        import s.implicits._
-        val sd = java.nio.file.Files
-          .createTempDirectory("graft-datasheet-store").toString
-        TextAnalysis.writeDatasheetStore(
-          d.where(col("doc_id") % 3 === 0), sd, batch = "b0")
-        TextAnalysis.appendToDatasheetStore(
-          d.where(col("doc_id") % 3 === 1), sd, batch = "b1")
-        TextAnalysis.appendToDatasheetStore(
-          d.where(col("doc_id") % 3 === 2), sd, batch = "b2")
-        TextAnalysis.appendToDatasheetStore(
-          d.limit(100).select((col("doc_id") + 9000000).as("doc_id"),
-            col("text"), col("lang"), col("source"), col("n_chars")),
-          sd, batch = "junk")
-        TextAnalysis.compactDatasheetStore(sd,
-          dropBatches = Some(Seq("junk").toDF("batch")))
-        sd
-      })
+      val store = datasheetFixture(s, t(s, dir, "documents"), dir)
       TextAnalysis.datasheetReport(s, store)
         .drop("approx_distinct_docs")
         .orderBy(col("source"))
+    }),
+    "q_x_corpus_report_quantiles" -> ((s, dir) => {
+      // EXACT per-source length quantiles derived from the STORED
+      // histograms alone (no corpus rescan) — the incremental
+      // data-card median/p99, over the same append+erase fixture
+      val store = datasheetFixture(s, t(s, dir, "documents"), dir)
+      Seq(50, 99).map { p =>
+        TextAnalysis.datasheetQuantile(s, store, p / 100.0)
+          .select(lit(p).as("q_pct"), col("source"), col("value"))
+      }.reduce(_.unionByName(_))
+        .orderBy(col("q_pct"), col("source"))
     }),
     "q_x_decontaminate_semantic" -> ((s, dir) => {
       // embedding-space decontamination: corpus rows within 0.5 cosine
@@ -3566,6 +3584,19 @@ object SparkEntry {
         |  CAST(max(n_chars) AS BIGINT) AS max_chars,
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_x_corpus_report_quantiles" ->
+      """WITH v AS (SELECT source, n_chars FROM documents),
+        |n AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM v GROUP BY 1),
+        |r AS (SELECT source, n_chars, row_number() OVER (
+        |        PARTITION BY source ORDER BY n_chars) AS rn FROM v),
+        |qq AS (SELECT unnest([50, 99]) AS q_pct)
+        |SELECT qq.q_pct, r.source, r.n_chars AS value
+        |FROM qq, n, r
+        |WHERE r.source = n.source
+        |  AND r.rn = greatest(1,
+        |    CAST(ceil((qq.q_pct / 100.0) * n.cnt) AS BIGINT))
+        |ORDER BY 1, 2""".stripMargin,
     "q_x_decontaminate_semantic" ->
       """WITH n AS (
         |  SELECT vec_id, embedding,

@@ -340,10 +340,26 @@ object TextAnalysis {
         "n_tokens", "total_chars", "short_docs", "min_chars", "max_chars",
         "fp_sketch").map(col): _*)
 
+  /** Per-batch length-histogram partials: `(batch, source, n_chars,
+    * n_docs)` — one row per DISTINCT document length per source.
+    * Document lengths have few distinct values relative to corpus
+    * size, so this histogram is tiny, merges by addition, and makes
+    * arbitrary EXACT per-source quantiles (the data-card median/p99)
+    * derivable from the store alone — where a mergeable sketch would
+    * be approximate, the full value histogram is exact at histogram
+    * cost. */
+  private def lengthPartials(docs: DataFrame, batch: String): DataFrame =
+    graft.sources.Tables.widen(docs)
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(lit(batch).as("batch"), col("source"), col("n_chars"),
+        col("n_docs"))
+
   /** Persist the corpus datasheet as per-batch mergeable partials — the
     * incremental twin of [[corpusReport]]: at 100 TB the data card must
     * not rescan the corpus, so each ingest batch appends its OWN tiny
-    * partial rows (`|sources| × |langs|` per batch) and the report
+    * partial rows (`|sources| × |langs|` per batch, plus the
+    * per-source length histograms under `lengths/`) and the report
     * folds them at read time. Same sidecar discipline as the other
     * persisted stores (minhash/IVF/text/BPE): parquet first, properties
     * LAST via write-then-rename; the sidecar pins `shortDocTokens` so
@@ -358,6 +374,10 @@ object TextAnalysis {
     val spark = docs.sparkSession
     datasheetPartials(docs, batch, shortDocTokens)
       .write.mode("overwrite").parquet(dir)
+    // `_`-prefixed so the root read never sees it as a partition dir;
+    // pointed-at directly it reads like any parquet
+    lengthPartials(docs, batch)
+      .write.mode("overwrite").parquet(s"$dir/_lengths")
     writeDatasheetProps(spark, dir, shortDocTokens)
   }
 
@@ -380,6 +400,8 @@ object TextAnalysis {
       .delete(props, false)
     datasheetPartials(docs, batch, shortDocTokens)
       .write.mode("append").parquet(dir)
+    lengthPartials(docs, batch)
+      .write.mode("append").parquet(s"$dir/_lengths")
     writeDatasheetProps(spark, dir, shortDocTokens)
   }
 
@@ -405,6 +427,38 @@ object TextAnalysis {
           .as("approx_distinct_docs"))
   }
 
+  /** EXACT per-source quantile of document length, from the stored
+    * length histograms alone — the incremental data-card median/p99:
+    * merged histograms fold by addition, the per-source rank
+    * `max(1, ceil(q·n))` walks the cumulative counts, and the result
+    * is an ELEMENT of the data (same convention as
+    * [[Stats.exactQuantilesBy]], which computes the identical number
+    * FROM the corpus — this derives it from the store without
+    * rescanning). The cumulative window partitions per source over
+    * distinct-length rows — histogram-sized by construction, never
+    * corpus-sized. Output: `(source, value)`. */
+  def datasheetQuantile(spark: org.apache.spark.sql.SparkSession,
+      dir: String, q: Double): DataFrame = {
+    require(q >= 0 && q <= 1, s"quantile must lie in [0, 1]: $q")
+    readDatasheetProps(spark, dir)
+    val hist = spark.read.parquet(s"$dir/_lengths")
+      .groupBy(col("source"), col("n_chars"))
+      .agg(sum(col("n_docs")).as("_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    hist
+      .withColumn("_cum", sum(col("_c")).over(w))
+      .withColumn("_n", sum(col("_c")).over(wAll))
+      .withColumn("_k", greatest(lit(1L), ceil(lit(q) * col("_n")).cast("long")))
+      .where(col("_cum") >= col("_k") &&
+        col("_cum") - col("_c") < col("_k"))
+      .select(col("source"), col("n_chars").as("value"))
+  }
+
   /** Batch ids currently contributing to the stored datasheet. */
   def datasheetBatches(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
@@ -428,6 +482,8 @@ object TextAnalysis {
     props.getFileSystem(spark.sessionState.newHadoopConf())
       .delete(props, false)
     IndexFiles.rewriteRoot(spark, dir,
+      df => IndexFiles.minus(dropBatches, "batch")(df).coalesce(1))
+    IndexFiles.rewriteRoot(spark, s"$dir/_lengths",
       df => IndexFiles.minus(dropBatches, "batch")(df).coalesce(1))
     writeDatasheetProps(spark, dir, shortDocTokens)
   }

@@ -59,6 +59,32 @@ class DatasheetStoreSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet == Set("b0", "b1", "b2"))
   }
 
+  test("stored length histograms give exact per-source quantiles") {
+    val dir = tmpDir()
+    TextAnalysis.writeDatasheetStore(docs.where(col("doc_id") % 3 === 0),
+      dir, batch = "b0")
+    TextAnalysis.appendToDatasheetStore(docs.where(col("doc_id") % 3 =!= 0),
+      dir, batch = "b1")
+    val bync = docs.select(col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, rs) => s -> rs.map(_._2).sorted }
+    for (q <- Seq(0.0, 0.5, 0.9, 0.99, 1.0)) {
+      val got = TextAnalysis.datasheetQuantile(spark, dir, q)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expect = bync.map { case (s, sorted) =>
+        s -> sorted(math.max(1, math.ceil(q * sorted.length).toLong).toInt - 1)
+      }
+      assert(got == expect, s"q=$q")
+    }
+    // and it agrees with the corpus-side exact selection at the median
+    val fromCorpus = graft.operators.Stats.exactQuantilesBy(
+        docs, col("source"), col("n_chars"), 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1).toLong).toMap
+    val fromStore = TextAnalysis.datasheetQuantile(spark, dir, 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromStore == fromCorpus)
+  }
+
   test("duplicate batch id refuses; torn sidecar refuses") {
     val dir = tmpDir()
     TextAnalysis.writeDatasheetStore(docs, dir, batch = "b0")

@@ -267,6 +267,16 @@ class StoreLifecycleSpec extends AnyFunSuite {
       assert(TextAnalysis.datasheetBatches(spark, dir)
         .collect().map(_.getString(0)).toSet ==
         present.map(b => s"s$b").toSet, s"step $step batches")
+      // the stored length histograms track too: exact per-source median
+      val med = TextAnalysis.datasheetQuantile(spark, dir, 0.5)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val model = union.select(col("source"), col("n_chars"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (s, rs) =>
+          val sorted = rs.map(_._2).sorted
+          s -> sorted((sorted.length + 1) / 2 - 1)
+        }
+      assert(med == model, s"step $step length medians")
     }
   }
 
