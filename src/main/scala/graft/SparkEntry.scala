@@ -2083,7 +2083,10 @@ object SparkEntry {
           corpus.where(col("doc_id") % 2 === 0), sd)
         Dedup.appendToSimhashIndex(
           corpus.where(col("doc_id") % 2 === 1), sd)
-        val junk = d.limit(64)
+        // deterministic junk predicate: the frame is evaluated twice
+        // (append + erase), and limit() without an order can pick
+        // different rows per job
+        val junk = d.where(col("doc_id") % 50 === 3)
           .select((col("doc_id") + 20000000).as("doc_id"), col("text"))
         Dedup.appendToSimhashIndex(junk, sd)
         Dedup.compactSimhashIndex(sd,
@@ -3375,7 +3378,8 @@ object SparkEntry {
         |      PARTITION BY query_id ORDER BY sum_tf DESC, doc_id) AS rank
         |    FROM bydoc) WHERE rank <= 20),
         |graded AS (SELECT query_id, doc_id, least(tm, 4) AS grade FROM bydoc),
-        |disc(r, dv) AS (VALUES $discRows),
+        |disc AS (SELECT r, CAST(dv AS DOUBLE) AS dv
+        |         FROM (VALUES $discRows) t(r, dv)),
         |jj AS (SELECT g.query_id, g.doc_id, g.grade, run.rank
         |       FROM graded g LEFT JOIN run
         |         ON g.query_id = run.query_id AND g.doc_id = run.doc_id),
@@ -3384,14 +3388,14 @@ object SparkEntry {
         |             AS hits_at_k
         |         FROM jj GROUP BY 1),
         |dcg AS (SELECT query_id,
-        |          list_reduce([0.0] || list(grade * dv ORDER BY rank),
+        |          list_reduce([CAST(0.0 AS DOUBLE)] || list(grade * dv ORDER BY rank),
         |            (a, b) -> a + b) AS dcg
         |        FROM jj JOIN disc ON jj.rank = disc.r GROUP BY 1),
         |ig AS (SELECT query_id, grade, row_number() OVER (
         |         PARTITION BY query_id ORDER BY grade DESC, doc_id) AS pos
         |       FROM graded),
         |idcg AS (SELECT query_id,
-        |           list_reduce([0.0] || list(grade * dv ORDER BY pos),
+        |           list_reduce([CAST(0.0 AS DOUBLE)] || list(grade * dv ORDER BY pos),
         |             (a, b) -> a + b) AS idcg
         |         FROM ig JOIN disc ON ig.pos = disc.r GROUP BY 1)
         |SELECT base.query_id, n_rel, hits_at_k,

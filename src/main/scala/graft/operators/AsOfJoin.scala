@@ -35,11 +35,17 @@ object AsOfJoin {
     * @param leftTs      event-time column in `left`
     * @param rightTs     event-time column in `right`
     * @param carried     columns of `right` to carry to the matches
-    * @param toleranceUs max staleness: a match older than
-    *                    `leftTs - toleranceUs` is discarded (all carried
-    *                    columns null, as if no right row existed) — the
-    *                    pandas merge_asof `tolerance` contract. Requires
-    *                    numeric (epoch-µs) ts columns; the default means
+    * @param toleranceUs max staleness: a carried value whose supplying
+    *                    right row is older than `leftTs - toleranceUs`
+    *                    reports null instead — the pandas merge_asof
+    *                    `tolerance` contract. The gate is PER carried
+    *                    column, on the row that actually supplied the
+    *                    value (each column's carry already skips null
+    *                    values independently — see the NOTE above — so
+    *                    gating on the newest matched row alone would let
+    *                    a stale value slip through behind a newer row
+    *                    whose value was null). Requires numeric
+    *                    (epoch-µs) ts columns; the default means
     *                    unbounded lookback.
     * @return `left` columns + carried right columns (null when no match)
     */
@@ -60,31 +66,32 @@ object AsOfJoin {
       .withColumn("_tag", lit(1))
       .select(Seq(col(key), col("_ts"), col("_tag")) ++
         leftCols.filterNot(_ == key).map(c => col(c)) ++
-        carried.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")) ++
-        (if (needTol) Seq(lit(null).cast(right.schema(rightTs).dataType)
-          .as("_r__asof_ts")) else Nil): _*)
+        carried.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
     val r = right
       .withColumn("_ts", col(rightTs))
       .withColumn("_tag", lit(0))
       .select(Seq(col(key), col("_ts"), col("_tag")) ++
         leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        carried.map(c => col(c).as(s"_r_$c")) ++
-        (if (needTol) Seq(col(rightTs).as("_r__asof_ts")) else Nil): _*)
+        carried.map(c => col(c).as(s"_r_$c")): _*)
 
     val w = Window.partitionBy(col(key))
       .orderBy(col("_ts"), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    // the matched right row's own ts, carried under the same window —
-    // the tolerance gate every carried column shares. (With a stale
-    // match, ALL carried columns null together: staleness is a property
-    // of the matched row, so this stays row-consistent even though the
-    // value carries are per-column.)
-    val matchOk =
-      if (!needTol) lit(true)
-      else last(col("_r__asof_ts"), ignoreNulls = true).over(w) >=
-        col("_ts") - toleranceUs
-    val carriedCols: Seq[Column] = carried.map(c =>
-      when(matchOk, last(col(s"_r_$c"), ignoreNulls = true).over(w)).as(c))
+    val carriedCols: Seq[Column] = carried.map { c =>
+      if (!needTol) last(col(s"_r_$c"), ignoreNulls = true).over(w).as(c)
+      else {
+        // carry (supplying ts, value) together, then gate on the
+        // supplier's own age — the newest OVERALL match may carry a
+        // null for this column while an older, beyond-tolerance row
+        // supplies the value; that value must not leak through
+        val cell = last(
+          when(col(s"_r_$c").isNotNull,
+            struct(col("_ts").as("t"), col(s"_r_$c").as("v"))),
+          ignoreNulls = true).over(w)
+        when(cell.getField("t") >= col("_ts") - toleranceUs,
+          cell.getField("v")).as(c)
+      }
+    }
 
     l.unionAll(r)
       .select(Seq(col(key), col("_tag")) ++

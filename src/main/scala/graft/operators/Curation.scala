@@ -180,8 +180,9 @@ object Curation {
     * where a from-scratch run over the whole union would group the
     * three transitively — the standard incremental-dedup trade; with
     * twins that are pairwise similar (the usual case) the two runs
-    * agree, and the equivalence spec pins exactly that. */
-  /** @param datasheet optional `(dir, batchId)`: on absorb, the KEPT
+    * agree, and the equivalence spec pins exactly that.
+    *
+    * @param datasheet optional `(dir, batchId)`: on absorb, the KEPT
     *   documents' datasheet partials append to the stored corpus
     *   datasheet ([[TextAnalysis.appendToDatasheetStore]]) inside the
     *   same state-guarded multi-store commit — so the data card tracks
@@ -215,9 +216,7 @@ object Curation {
     // every batch copy drops
     val fpPath = new org.apache.hadoop.fs.Path(fpDir)
     val fs = fpPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val fpHasData = fs.exists(fpPath) && fs.listStatus(fpPath).exists(s =>
-      s.isFile && !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith("."))
+    val fpHasData = IndexFiles.hasDataFiles(spark, fpDir)
     // absorb is a MULTI-store commit (fp parquet + minhash index); the
     // state sidecar goes down before it and back after, so a torn
     // commit refuses loudly here instead of silently running with
@@ -333,12 +332,7 @@ object Curation {
         else Dedup.writeMinhashIndex(kept, ixDir)
       }
       datasheet.foreach { case (dsDir, batchId) =>
-        val dsPath = new org.apache.hadoop.fs.Path(dsDir)
-        val dsFs = dsPath.getFileSystem(spark.sessionState.newHadoopConf())
-        val dsHasData = dsFs.exists(dsPath) && dsFs.listStatus(dsPath)
-          .exists(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-            !s.getPath.getName.startsWith("."))
-        if (dsHasData)
+        if (IndexFiles.hasDataFiles(spark, dsDir))
           TextAnalysis.appendToDatasheetStore(kept, dsDir, batchId)
         else
           TextAnalysis.writeDatasheetStore(kept, dsDir, batchId,

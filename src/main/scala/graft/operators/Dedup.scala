@@ -151,12 +151,14 @@ object Dedup {
     * dedup's job, not near-dup's.
     */
   private[operators] def capBuckets(buckets: DataFrame, keys: Seq[String],
-      maxSize: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*)
-    buckets.withColumn("_bsize", count(lit(1)).over(w))
-      .where(col("_bsize") <= maxSize).drop("_bsize")
-  }
+      maxSize: Int): DataFrame =
+    if (maxSize == Int.MaxValue) buckets
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+      buckets.withColumn("_bsize", count(lit(1)).over(w))
+        .where(col("_bsize") <= maxSize).drop("_bsize")
+    }
 
   /** LSH band buckets: signature split into `bands` bands of `rowsPerBand`
     * hashes; docs sharing any (band, bucket) become candidate pairs.
@@ -919,13 +921,8 @@ object Dedup {
   /** Whether `dir` holds index data files (regardless of sidecar
     * validity) — true with [[hasMinhashIndex]] false means a torn
     * append/compaction left a refusing directory. */
-  def minhashIndexHasData(spark: SparkSession, dir: String): Boolean = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.exists(path) && fs.listStatus(path).exists(s =>
-      s.isFile && !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith("."))
-  }
+  def minhashIndexHasData(spark: SparkSession, dir: String): Boolean =
+    IndexFiles.hasDataFiles(spark, dir)
 
   /** The stored index's recorded (shingleLen, numHashes) — for callers
     * that must run a SECOND minhash pass consistent with the index's
@@ -1092,20 +1089,25 @@ object Dedup {
     * the exact `bit_count(xor)` verify keeps precision at 1. The
     * result therefore equals the brute-force threshold join — this is
     * a lossless plan rewrite, unlike the probabilistic MinHash-LSH
-    * recall of [[lshCandidatePairs]].
+    * recall of [[lshCandidatePairs]] — and it stays lossless at the
+    * DEFAULT `maxBucketSize` (uncapped).
     *
     * Scale shape: one explode to `bands` narrow rows per fingerprint,
     * one equi-shuffle on the (band, bucket) key, verify as a codegen
-    * bit op on the joined rows. Degenerate buckets (a constant
-    * fingerprint repeated across the corpus) are capped like every
-    * banded join here ([[capBuckets]]) — identical fingerprints are
-    * exact dedup's job. Small `maxDistance` keeps blocks wide
+    * bit op on the joined rows. Small `maxDistance` keeps blocks wide
     * (d=3 → 16-bit blocks, the web-dedup operating point); a large
     * bound degrades toward all-pairs honestly and visibly, it never
-    * loses pairs.
+    * loses pairs. Setting `maxBucketSize` OPTS INTO capping: a
+    * (band, block-value) population above it is dropped whole, which
+    * bounds an adversarial corpus's quadratic bucket but BREAKS the
+    * completeness guarantee for pairs whose only agreeing block was
+    * the capped one (unlike minhash banding there is no "other band
+    * catches it" argument — the pigeonhole may have exactly one
+    * agreeing block). Exactness by default; protection by explicit
+    * choice.
     */
   def hammingNearDuplicates(fps: DataFrame, maxDistance: Int = 3,
-      maxBucketSize: Int = 100000): DataFrame = {
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(maxDistance >= 0 && maxDistance < 64,
       s"maxDistance must be in [0, 64), got $maxDistance")
     val capped = capBuckets(
@@ -1132,7 +1134,7 @@ object Dedup {
     * `id_a` from `newFps`, `id_b` from `corpusFps` (id spaces may
     * overlap freely — sides are never compared to themselves). */
   def hammingMatchesBetween(newFps: DataFrame, corpusFps: DataFrame,
-      maxDistance: Int = 3, maxBucketSize: Int = 100000): DataFrame = {
+      maxDistance: Int = 3, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(maxDistance >= 0 && maxDistance < 64,
       s"maxDistance must be in [0, 64), got $maxDistance")
     val blocks = hammingBlocks(maxDistance + 1)
@@ -1157,7 +1159,7 @@ object Dedup {
     * exact over the fingerprints; simhash itself is the approximation
     * (near-identical token multisets land within small distance). */
   def simhashNearDuplicates(docs: DataFrame, maxDistance: Int = 3,
-      maxBucketSize: Int = 100000): DataFrame =
+      maxBucketSize: Int = Int.MaxValue): DataFrame =
     hammingNearDuplicates(
       docs.select(col("doc_id"), simhash64(tokens(col("text"))).as("fp")),
       maxDistance, maxBucketSize)
@@ -1166,7 +1168,7 @@ object Dedup {
     * — fingerprint the two document sets and Hamming-join them; the
     * simhash analogue of [[minhashNearDuplicatesBetween]]. */
   def simhashMatchesBetween(newDocs: DataFrame, corpus: DataFrame,
-      maxDistance: Int = 3, maxBucketSize: Int = 100000): DataFrame = {
+      maxDistance: Int = 3, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     def fp(d: DataFrame) =
       d.select(col("doc_id"), simhash64(tokens(col("text"))).as("fp"))
     hammingMatchesBetween(fp(newDocs), fp(corpus), maxDistance, maxBucketSize)
@@ -1228,7 +1230,7 @@ object Dedup {
     * corpus is never re-fingerprinted — an increment moves 8 stored
     * bytes per corpus doc through the band join and nothing else. */
   def matchAgainstSimhashIndex(newDocs: DataFrame, dir: String,
-      maxDistance: Int = 3, maxBucketSize: Int = 100000): DataFrame = {
+      maxDistance: Int = 3, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val spark = newDocs.sparkSession
     hammingMatchesBetween(
       newDocs.select(col("doc_id"), simhash64(tokens(col("text"))).as("fp")),

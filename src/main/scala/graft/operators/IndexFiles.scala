@@ -38,6 +38,17 @@ private[operators] object IndexFiles {
     fs.delete(stage, true)
   }
 
+  /** Whether `dir` holds data files (non-hidden, non-metadata) — the
+    * one store-detection predicate every bootstrap/torn-commit check
+    * shares, so the stores cannot diverge on what "has data" means. */
+  def hasDataFiles(spark: SparkSession, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(path) && fs.listStatus(path).exists(s =>
+      s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+  }
+
   /** Left-anti erasure shape shared by the compactions. */
   def minus(drop: Option[DataFrame], idCol: String)(df: DataFrame): DataFrame =
     drop match {

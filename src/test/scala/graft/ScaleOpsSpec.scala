@@ -197,6 +197,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(plain.count(_._3 >= 0) < unbounded.count(_._3 >= 0))
   }
 
+  test("as-of tolerance gates each carried value on its SUPPLYING row") {
+    import spark.implicits._
+    // the newest match (ts=100) carries a null value; the value itself
+    // comes from ts=0 — 110µs stale. A gate keyed on the newest match
+    // alone would leak the stale 7 through.
+    val left = Seq(("a", 110L)).toDF("key", "ts")
+    val right = Seq(("a", 0L, Some(7)), ("a", 100L, None))
+      .toDF("key", "rts", "rv")
+    def rv(tol: Long) = AsOfJoin.join(left, right, "key", "ts", "rts",
+        Seq("rv"), toleranceUs = tol)
+      .collect().map(r => if (r.isNullAt(2)) None else Some(r.getInt(2)))
+      .head
+    assert(rv(50L).isEmpty)        // supplier 110µs stale -> null
+    assert(rv(200L).contains(7))   // within tolerance -> carried
+  }
+
   test("salted two-phase aggregation matches direct aggregation") {
     import spark.implicits._
     val df = ((1 to 5000).map(_ => ("hot", 1L)) ++
