@@ -1743,6 +1743,32 @@ object SparkEntry {
       Retrieval.evaluateGraded(run, qrels, k = 10)
         .orderBy(col("query_id"))
     }),
+    "q_x_fuse_map" -> ((s, dir) => {
+      // exact-rational average precision over the SAME tf-mass run as
+      // q_x_fuse_eval: (ap_num, ap_den) are exact integers over
+      // lcm(1..10) = 2520, so the gate needs no double discipline at
+      // all — the ratio derives downstream
+      val docs = t(s, dir, "documents")
+      val idx = textIdxFixture(docs, dir)
+      val queries = docs.where(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(TextIndex.terms(col("text")), 1, 4))
+            .as("text"))
+        .unionByName(s.range(1).select(lit(-1L).as("query_id"),
+          lit("dup merge sort").as("text")))
+      val stats = TextIndex.matchStats(queries, idx)
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("tm"), sum(col("tf")).as("sum_tf"))
+      val wa = Window.partitionBy(col("query_id"))
+        .orderBy(col("sum_tf").desc, col("doc_id"))
+      val run = stats.withColumn("rank", row_number().over(wa))
+        .where(col("rank") <= 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val qrels = stats.where(col("tm") >= 2)
+        .select(col("query_id"), col("doc_id"))
+      Retrieval.evaluateAveragePrecision(run, qrels, k = 10)
+        .orderBy(col("query_id"))
+    }),
     "q_x_fuse_hybrid" -> ((s, dir) => {
       // hybrid retrieval: BM25 through the inverted text index + exact
       // cosine through the IVF inverted file, RRF-fused. Rows-only
@@ -2284,6 +2310,15 @@ object SparkEntry {
       Dedup.semanticMatchesAgainstIndex(e.where(col("vec_id") % 10 === 7),
           idx, threshold = 0.3, nprobe = 16)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_x_text_compression" -> ((s, dir) => {
+      // compression-ratio quality signal (deflate bytes / raw bytes):
+      // rows-only — SQL has no zlib; determinism + separation are
+      // spec-proven, and the empty-doc NULL convention rides the rows
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.compressionRatio(col("text")).as("comp_ratio"))
+        .orderBy(col("doc_id"))
     }),
     "q_x_text_winnow" -> ((s, dir) => {
       // winnowing fingerprints — no SQL oracle (murmur-based); shared-
@@ -3345,6 +3380,50 @@ object SparkEntry {
         |FROM qrels LEFT JOIN run
         |  ON qrels.query_id = run.query_id AND qrels.doc_id = run.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_x_fuse_map" ->
+      """WITH toks AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |          t -> t <> '')) AS term FROM documents)
+        |  GROUP BY 1, 2),
+        |q AS (
+        |  SELECT doc_id AS query_id,
+        |    array_to_string(list_slice(list_filter(string_split(lower(text), ' '),
+        |      t -> t <> ''), 1, 4), ' ') AS text
+        |  FROM documents WHERE doc_id % 100 = 0
+        |  UNION ALL SELECT -1, 'dup merge sort'),
+        |qt AS (
+        |  SELECT DISTINCT query_id, unnest(list_filter(string_split(lower(text), ' '),
+        |    t -> t <> '')) AS term FROM q),
+        |bydoc AS (
+        |  SELECT qt.query_id, toks.doc_id,
+        |    CAST(count(*) AS BIGINT) AS tm,
+        |    CAST(sum(toks.tf) AS BIGINT) AS sum_tf
+        |  FROM qt JOIN toks USING (term)
+        |  GROUP BY 1, 2),
+        |run AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY sum_tf DESC, doc_id) AS rank
+        |    FROM bydoc) WHERE rank <= 20),
+        |qrels AS (SELECT query_id, doc_id FROM bydoc WHERE tm >= 2),
+        |jj AS (SELECT qrels.query_id, qrels.doc_id, run.rank
+        |       FROM qrels LEFT JOIN run
+        |         ON qrels.query_id = run.query_id
+        |        AND qrels.doc_id = run.doc_id),
+        |base AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+        |         FROM jj GROUP BY 1),
+        |rel AS (SELECT query_id, rank, row_number() OVER (
+        |          PARTITION BY query_id ORDER BY rank) AS i
+        |        FROM jj WHERE rank <= 10),
+        |num AS (SELECT query_id,
+        |          CAST(sum(i * (2520 // rank)) AS BIGINT) AS ap_num
+        |        FROM rel GROUP BY 1)
+        |SELECT base.query_id, n_rel,
+        |  coalesce(num.ap_num, 0) AS ap_num,
+        |  2520 * least(n_rel, 10) AS ap_den
+        |FROM base LEFT JOIN num USING (query_id)
+        |ORDER BY 1""".stripMargin,
     "q_x_fuse_ndcg" -> {
       // the discount table is THE shared constant: literals printed
       // from the engine's own doubles (Double round-trips through its

@@ -188,6 +188,44 @@ case class ByteHistogram(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** zlib helpers behind [[DeflateSize]]. */
+object DeflateOps {
+  /** Deflated size in bytes of a payload at a fixed compression level.
+    * Deterministic for a given zlib build (the JDK bundles one); the
+    * signal consumers threshold on ratios, and the gate row is
+    * rows-only, so a zlib-version drift shifts a few bytes, never
+    * correctness. */
+  def deflatedSize(b: Array[Byte], level: Int): Int = {
+    val d = new java.util.zip.Deflater(level)
+    try {
+      d.setInput(b)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var n = 0
+      while (!d.finished()) n += d.deflate(buf)
+      n
+    } finally d.end()
+  }
+}
+
+/** Deflated byte size of a binary column — the primitive under the
+  * compression-ratio quality signal
+  * ([[graft.operators.TextAnalysis.compressionRatio]]). A custom
+  * expression because there is no built-in compressor function and a
+  * UDF would box every payload; this is one static call per row. */
+case class DeflateSize(child: Expression, level: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    DeflateOps.deflatedSize(v.asInstanceOf[Array[Byte]], level)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.DeflateOps.deflatedSize($c, $level)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Element-wise float/double vector helpers behind [[VecDot]]. */
 object VecOps {
   /** Sequential left-to-right dot product in double — same fold order
@@ -735,6 +773,8 @@ object cellfunctions {
   }
   def key_successor(col: Column): Column = c(KeySuccessor(e(col)))
   def byte_histogram(col: Column): Column = c(ByteHistogram(e(col)))
+  def deflate_size(col: Column, level: Int = 6): Column =
+    c(DeflateSize(e(col), level))
   def double_sortable_bits(col: Column): Column = c(DoubleSortableBits(e(col)))
   def nfc_normalize(col: Column): Column = c(NfcNormalize(e(col)))
   def simhash64(col: Column): Column = c(SimHash64(e(col)))

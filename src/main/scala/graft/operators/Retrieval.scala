@@ -166,6 +166,47 @@ object Retrieval {
         col("dcg"), col("idcg"), col("ndcg"))
   }
 
+  /** Average precision @k as an EXACT RATIONAL — the third evaluation
+    * measure (with [[evaluate]]'s recall/MRR inputs and
+    * [[evaluateGraded]]'s nDCG), kept integer end to end:
+    * `AP@k = (Σ_{relevant r ≤ k} P@r) / min(n_rel, k)` where
+    * `P@r = hits_at_r / r`. Every term is rational with denominator
+    * dividing `lcm(1..k)`, so the output is the exact pair
+    * `(ap_num, ap_den)` with `ap_num/ap_den = AP@k` — no doubles
+    * anywhere, the ratio derives downstream. Queries with no judged
+    * doc retrieved in k report `(0, den)`; `n_rel` rides along.
+    *
+    * Shape: one equi-join + one per-query fold over the ≤k retrieved
+    * judged ranks (sorted array, fixed order — though with integers
+    * the order is only for determinism of nothing; addition is exact). */
+  def evaluateAveragePrecision(run: DataFrame, qrels: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 40,
+      s"k must be in [1, 40] (lcm(1..k) must fit a long), got $k")
+    val lcm = (1 to k).map(BigInt(_)).foldLeft(BigInt(1))(
+      (a, b) => a * b / a.gcd(b)).toLong
+    val judged = qrels.select(col("query_id"), col("doc_id")).distinct()
+    val j = judged.join(
+      run.select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as("_rank")),
+      Seq("query_id", "doc_id"), "left")
+    // per query: the sorted relevant ranks within k; fold
+    // Σ (#relevant ≤ r) * (lcm / r) over them — position i (1-based)
+    // in the sorted array IS the hits count at that rank
+    val agg = j.groupBy(col("query_id")).agg(
+      count(lit(1)).as("n_rel"),
+      sort_array(collect_list(when(col("_rank") <= k, col("_rank"))))
+        .as("_rr"))
+    val apNum = aggregate(
+      zip_with(col("_rr"), sequence(lit(1), size(col("_rr"))),
+        (r, i) => i.cast("long") * (lit(lcm) / r).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    agg
+      .withColumn("ap_num", coalesce(apNum, lit(0L)))
+      .withColumn("ap_den", lit(lcm) * least(col("n_rel"), lit(k.toLong)))
+      .select(col("query_id"), col("n_rel"), col("ap_num"), col("ap_den"))
+  }
+
   /** Hybrid lexical+dense retrieval over the two persisted indexes:
     * BM25 through the inverted text index and cosine top-k through the
     * IVF inverted file, fused by RRF. `queries` carries `(query_id,

@@ -314,6 +314,24 @@ object TextAnalysis {
         max(col("n_chars")).as("max_chars"),
         count_distinct(col("lang")).as("n_langs"))
 
+  /** Compression-ratio quality signal: deflated bytes / raw UTF-8
+    * bytes. The published curation pipelines threshold on exactly this
+    * (highly repetitive or templated text compresses far below prose —
+    * the machine-generated-boilerplate signature; RefinedWeb/MassiveText
+    * both gate on it alongside the n-gram repetition signals, which
+    * catch SHORT-range repetition where deflate's 32 KB window catches
+    * long-range structure). One codegen'd static call per row
+    * ([[graft.functions.cellfunctions.deflate_size]]); NULL for empty
+    * or null text (no bytes, no ratio). Deterministic per zlib build —
+    * a signal, not an oracle-exact value (its gate row is rows-only).
+    */
+  def compressionRatio(text: Column, level: Int = 6): Column = {
+    val bytes = encode(text, "UTF-8")
+    when(length(bytes) > 0,
+      graft.functions.cellfunctions.deflate_size(bytes, level)
+        .cast("double") / length(bytes).cast("double"))
+  }
+
   // ---- persisted datasheet store (the incremental corpus report) ----
 
   private val DatasheetPropsFile = "_graft_datasheet.properties"

@@ -1886,6 +1886,55 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!r.getDouble(3).isNaN && r.getDouble(3) > 0) // dcg intact
   }
 
+  test("compression ratio: repetition compresses far below prose, empty is null, gate-composable") {
+    import spark.implicits._
+    val rep = Seq.fill(200)("spam").mkString(" ")
+    val prose = (1 to 120).map(i => s"w${i * 7919 % 997}x$i").mkString(" ")
+    val df = Seq((1L, rep), (2L, prose), (3L, "")).toDF("doc_id", "text")
+      .withColumn("cr", TextAnalysis.compressionRatio(col("text")))
+    val got = df.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got(1L).get < 0.1, s"repetitive ratio ${got(1L)}")
+    assert(got(2L).get > 0.4, s"prose ratio ${got(2L)}")
+    assert(got(3L).isEmpty)
+    // deterministic across evaluations
+    val again = df.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(again == got)
+    // and it composes as a keep-predicate like any per-row signal
+    val kept = df.where(TextAnalysis.compressionRatio(col("text")) > 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
+
+  test("evaluateAveragePrecision: exact rational AP matches a driver model") {
+    import spark.implicits._
+    val k = 10
+    val run = Seq((1L, 10L, 1), (1L, 20L, 3), (1L, 30L, 4), (1L, 40L, 12),
+      (2L, 50L, 2), (3L, 60L, 1)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1L, 10L), (1L, 30L), (1L, 40L), (1L, 99L),
+      (2L, 50L), (4L, 70L)).toDF("query_id", "doc_id")
+    val got = Retrieval.evaluateAveragePrecision(run, qrels, k)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // driver model: AP = (Σ_{i-th relevant at rank r} i/r) / min(n_rel, k)
+    def ap(relRanks: Seq[Long], nRel: Int): Double = {
+      val s = relRanks.sorted.zipWithIndex
+        .map { case (r, i) => (i + 1).toDouble / r }.sum
+      s / math.min(nRel, k)
+    }
+    assert(got.keySet == Set(1L, 2L, 4L))
+    // q1: relevant at ranks 1, 4 (doc 40@12 beyond k; 99 unretrieved)
+    assert(got(1L)._1 == 4L)
+    assert(got(1L)._2.toDouble / got(1L)._3 == ap(Seq(1L, 4L), 4))
+    // q2: one judged doc at rank 2 -> AP = 1/2
+    assert(got(2L)._2.toDouble / got(2L)._3 == 0.5)
+    // q4: nothing retrieved -> 0/den
+    assert(got(4L)._2 == 0L && got(4L)._3 > 0L)
+    // exactness: lcm(1..10) = 2520 divides every denominator term
+    assert(got(1L)._3 == 2520L * 4)
+  }
+
   test("hybridTopK equals manual BM25+IVF composition and keeps the strongest single-run vote at the head") {
     import spark.implicits._
     val tDir = java.nio.file.Files.createTempDirectory("graft-hyb-text").toString
