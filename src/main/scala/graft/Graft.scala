@@ -468,6 +468,11 @@ object Graft {
       one("f64_encode", F64Encode),
       one("key_successor", KeySuccessor),
       one("simhash64", SimHash64),
+      one("byte_histogram", ByteHistogram),
+      one("nfc_normalize", NfcNormalize),
+      // deflate_size(bytes, level) — level is a literal
+      "deflate_size" -> (es =>
+        DeflateSize(es.head, litOf(es(1)).asInstanceOf[Number].intValue())),
       "vec_dot" -> (es => VecDot(es(0), es(1))),
       one("vec_quant_i8", VecQuantI8),
       "vec_dot_i8" -> (es => VecDotI8(es(0), es(1))),

@@ -737,6 +737,14 @@ class GraftApiSpec extends AnyFunSuite {
         |       le_int_decode(le64_encode(255L), 1, false) AS u8""".stripMargin)
       .collect()(0)
     assert(r2.getDouble(0) == 11.0 && r2.getLong(1) == -7L && r2.getLong(2) == 255L)
+    val r3 = spark.sql(
+      s"""SELECT element_at(byte_histogram(CAST('aab' AS BINARY)), 98) AS a_cnt,
+        |       nfc_normalize('é') AS nfc,
+        |       deflate_size(CAST(repeat('x', 1000) AS BINARY), 6) AS dz""".stripMargin)
+      .collect()(0)
+    assert(r3.getLong(0) == 2L) // 'a' = byte 97 -> bin index 98 (1-based)
+    assert(r3.getString(1) == "é")
+    assert(r3.getInt(2) > 0 && r3.getInt(2) < 50) // 1000 x's deflate tiny
   }
 
   test("GraftExtensions injects the function surface at session build") {
