@@ -367,6 +367,27 @@ class PlanSpec extends AnyFunSuite {
     assert(evScans == 1, s"expected 1 events scan, got $evScans:\n$plan")
   }
 
+  test("funnel and retention: no window functions, no cartesian — aggregations and equi-joins only") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val f = graft.operators.EventAnalytics.funnel(
+      ev.withColumn("_us", Tables.eventTsUs(ev)),
+      col("user_id"), col("_us"),
+      Seq(col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "purchase"), withinUs = 3600000000L)
+    val fPlan = planOf(f)
+    // the naive funnel shape is a per-key ordered window (one task per
+    // hot key); this one must be min-aggregations + key equi-joins
+    assert(!fPlan.contains("Window"), fPlan)
+    assert(!fPlan.contains("CartesianProduct"), fPlan)
+    assert(!fPlan.contains("BroadcastNestedLoopJoin"), fPlan)
+    val r = graft.operators.EventAnalytics.retention(
+      ev.withColumn("_us", Tables.eventTsUs(ev)),
+      col("user_id"), col("_us"), 604800000000L)
+    val rPlan = planOf(r)
+    assert(!rPlan.contains("Window"), rPlan)
+    assert(!rPlan.contains("CartesianProduct"), rPlan)
+  }
+
   test("tfidf: corpus size joins as a broadcast, term joins stay equi") {
     val docs = Tables.load(spark, sfDir, "documents")
     val plan = planOf(graft.operators.TextAnalysis.tfidfTopTerms(docs, 3))
