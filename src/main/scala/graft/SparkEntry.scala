@@ -4,8 +4,8 @@ import graft.functions.cellfunctions._
 import graft.model.{CfSpec, TableDesc}
 import graft.operators.{AsOfJoin, BatchTxn, Bpe, DataSelection, Dedup,
   EventAnalytics, IntervalJoin, KvStore, Multimodal, QualityModel,
-  Retrieval, Stats, ZOrder, PercolatorRead, Resolve, Sampling, ScanFilter,
-  ScanQuery, Similarity, TextAnalysis, TextIndex, TypedValue}
+  Retrieval, Stats, StringJoin, ZOrder, PercolatorRead, Resolve, Sampling,
+  ScanFilter, ScanQuery, Similarity, TextAnalysis, TextIndex, TypedValue}
 import graft.sources.{CellLogs, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -2084,6 +2084,37 @@ object SparkEntry {
       Dedup.hammingNearDuplicates(fps, maxDistance = 11)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_x_dedup_edit" -> ((s, dir) => {
+      // exact edit-distance self-join (PassJoin partitioning, Li-Deng-
+      // Feng PVLDB 2011) over a fixed-width key prefix: a lossless
+      // rewrite of the brute-force levenshtein threshold join, which
+      // the oracle replays literally
+      val strs = t(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("s"))
+      StringJoin.editDistanceNearDuplicates(strs, maxDistance = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_x_dedup_edit_match" -> ((s, dir) => {
+      // incremental twin: a batch (ids shifted into their own space)
+      // edit-matched against the remaining corpus — cross-side pairs
+      // only, same exactness
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("s"))
+      val batch = d.where(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 10000000).as("doc_id"), col("s"))
+      val corpus = d.where(col("doc_id") % 10 =!= 7)
+      StringJoin.editMatchesBetween(batch, corpus, maxDistance = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_x_dedup_jaccard" -> ((s, dir) => {
+      // EXACT Jaccard threshold join (prefix filtering, Bayardo et al.
+      // WWW 2007) over 3-gram shingle sets: every pair >= 1/2 with
+      // certainty — the deterministic counterpart of q_x_dedup_minhash
+      // — and integer (inter, union) output so the gate is double-free
+      StringJoin.jaccardNearDuplicates(t(s, dir, "documents"),
+          shingleLen = 3, tNum = 1, tDen = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_x_dedup_simhash_corpus" -> ((s, dir) => {
       // full-corpus simhash near-dup (vs the consecutive-pairs row
       // above): rows-only like q_x_dedup_simhash — the fingerprint is
@@ -3024,6 +3055,32 @@ object SparkEntry {
         |         CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS distance
         |  FROM f a JOIN f b ON a.doc_id < b.doc_id)
         |WHERE distance <= 11 ORDER BY 1, 2""".stripMargin,
+    "q_x_dedup_edit" ->
+      """WITH t AS (SELECT doc_id, substring(text, 1, 24) AS s FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(levenshtein(a.s, b.s) AS INT) AS distance
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.s, b.s) <= 2 ORDER BY 1, 2""".stripMargin,
+    "q_x_dedup_edit_match" ->
+      """WITH t AS (SELECT doc_id, substring(text, 1, 24) AS s FROM documents),
+        |b AS (SELECT doc_id + 10000000 AS doc_id, s FROM t WHERE doc_id % 10 = 7),
+        |c AS (SELECT doc_id, s FROM t WHERE doc_id % 10 <> 7)
+        |SELECT b.doc_id AS id_a, c.doc_id AS id_b,
+        |       CAST(levenshtein(b.s, c.s) AS INT) AS distance
+        |FROM b JOIN c ON levenshtein(b.s, c.s) <= 2
+        |ORDER BY 1, 2""".stripMargin,
+    "q_x_dedup_jaccard" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |       FROM tok WHERE len(toks) >= 3),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_cnt,
+        |        CAST(len(a.sh) + len(b.sh)
+        |             - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS union_cnt
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, inter_cnt, union_cnt FROM p
+        |WHERE 2 * inter_cnt >= union_cnt ORDER BY 1, 2""".stripMargin,
     "q_x_text_tokens" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS INT) AS n_subtokens

@@ -1,0 +1,278 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact string-similarity joins: every pair within an edit-distance
+  * or Jaccard threshold, WITHOUT the all-pairs product and WITHOUT
+  * the probabilistic recall of MinHash-LSH ([[Dedup.lshCandidatePairs]]).
+  * Both operators are lossless plan rewrites — candidate generation is
+  * complete by a pigeonhole/prefix argument and an exact verify keeps
+  * precision at 1 — so the result EQUALS the brute-force threshold
+  * join, the same contract as [[Dedup.hammingNearDuplicates]].
+  *
+  * The reference's dedup story stops at exact row keys (tera's row
+  * merge, src/io/tablet_writer.cc); these are the content-similarity
+  * analogues a training-data pipeline needs on top.
+  */
+object StringJoin {
+
+  // ---- edit-distance join (PassJoin partitioning) ----
+
+  /** Integer division of a non-negative int column by a positive
+    * literal (exact — int magnitudes sit far inside double's 53-bit
+    * mantissa). */
+  private def idiv(a: Column, b: Int): Column =
+    floor(a.cast("double") / b).cast("int")
+
+  /** Segment geometry for an indexed string of length `l` under
+    * `k = maxDistance + 1` even partitioning: the first `k - (l mod k)`
+    * segments have length `l div k`, the rest one more. Returns
+    * (start, length) as column expressions for 0-based segment `i`. */
+  private def segGeom(l: Column, k: Int, i: Int): (Column, Column) = {
+    val base = idiv(l, k)
+    val rem = pmod(l, lit(k)).cast("int")
+    val len = base + when(lit(i) >= lit(k) - rem, 1).otherwise(0)
+    val start = lit(i) * base + greatest(lit(i) - (lit(k) - rem), lit(0))
+    (start, len)
+  }
+
+  /** Index-side rows: one `(len, seg, key)` row per segment of each
+    * string — `key` is the xxhash64 of (segment index, segment value),
+    * so the band shuffle moves 8-byte longs however long the segments
+    * are. Hash collisions only ADD candidates (string equality implies
+    * hash equality); the exact verify removes them, so losslessness is
+    * preserved. Null strings carry no segments and are excluded. */
+  private[graft] def editIndexRows(strs: DataFrame, maxDistance: Int,
+      idCol: String = "doc_id", strCol: String = "s",
+      /** true additionally carries the source string as `_s` — for the
+        * stream-static matcher, whose verify cannot join back to a
+        * stream. Batch callers leave it off and keep the rows narrow. */
+      carry: Boolean = false): DataFrame = {
+    val k = maxDistance + 1
+    val l = length(col(strCol))
+    val cols = Seq(col(idCol).as("doc_id"), l.as("len"),
+      explode(array((0 until k).map { i =>
+        val (st, w) = segGeom(l, k, i)
+        xxhash64(lit(i), col(strCol).substr(st + 1, w))
+      }: _*)).as("key")) ++
+      (if (carry) Seq(col(strCol).as("_s")) else Nil)
+    strs.where(col(strCol).isNotNull).select(cols: _*)
+  }
+
+  /** Probe-side rows: for a string `r` of length `m`, every substring
+    * that could equal a segment of a matching indexed string — looping
+    * indexed lengths `l in [m-τ, m+τ]` and segments `i in [0, τ]`,
+    * with the multi-match-aware start window of Li, Deng & Feng
+    * ("PASS-JOIN: a partition-based method for similarity joins",
+    * PVLDB 5(3), 2011):
+    *
+    *   x - p_i ∈ [-i, i] ∩ [Δ - (τ-i), Δ + (τ-i)],  Δ = m - l
+    *
+    * (an untouched segment's shift equals the net length change of the
+    * prefix edits, bounded by the edits on each side of it; the lemma
+    * guarantees SOME segment of any true match falls in its window).
+    * Completeness is additionally differential-fuzzed against the
+    * brute-force join in StringJoinSpec. O(τ³) narrow rows per string.
+    */
+  private[graft] def editProbeRows(strs: DataFrame, maxDistance: Int,
+      idCol: String = "doc_id", strCol: String = "s",
+      /** carry the probed string as `_s` (see [[editIndexRows]]). */
+      carry: Boolean = false): DataFrame = {
+    val tau = maxDistance
+    val k = tau + 1
+    val m = length(col(strCol))
+    val emptyInts = array().cast("array<int>")
+    val lRange = sequence(greatest(m - tau, lit(0)).cast("int"), (m + tau).cast("int"))
+    val perL = transform(lRange, l => {
+      val delta = m - l
+      flatten(array((0 until k).map { i =>
+        val (pi, w) = segGeom(l, k, i)
+        val lo = greatest(lit(0), pi - i, pi + delta - (tau - i)).cast("int")
+        val hi = least(m - w, pi + i, pi + delta + (tau - i)).cast("int")
+        val xs = when(lo <= hi, sequence(lo, hi)).otherwise(emptyInts)
+        transform(xs, x =>
+          struct(l.cast("int").as("len"),
+            xxhash64(lit(i), col(strCol).substr(x + 1, w)).as("key")))
+      }: _*))
+    })
+    val keep =
+      Seq(col("doc_id"), col("p.len").as("len"), col("p.key").as("key")) ++
+        (if (carry) Seq(col("_s")) else Nil)
+    strs.where(col(strCol).isNotNull)
+      .select(Seq(col(idCol).as("doc_id"),
+        explode(flatten(perL)).as("p")) ++
+        (if (carry) Seq(col(strCol).as("_s")) else Nil): _*)
+      .select(keep: _*)
+  }
+
+  /** All pairs of strings within edit (Levenshtein) distance
+    * `maxDistance` — EXACTLY, equal to the brute-force threshold join.
+    * Input `strs` carries `(idCol, strCol)`; output
+    * `(id_a, id_b, distance)` with `id_a < id_b`.
+    *
+    * Shape: each string emits `τ+1` index rows and O(τ³) probe rows
+    * (all narrow — 8-byte hashed keys), one equi-shuffle on
+    * `(len, key)` — the indexed length is IN the key, so the ±τ length
+    * filter costs nothing — then the candidate pairs join back to the
+    * strings and verify with the threshold-bounded `levenshtein`
+    * (early-exits above `maxDistance`). No cartesian anywhere;
+    * `maxBucketSize` OPTS INTO capping degenerate `(len, key)`
+    * buckets, which (as with [[Dedup.hammingNearDuplicates]]) trades
+    * the completeness guarantee for skew protection — exact by
+    * default. Intended for short-string fields (titles, names, URLs,
+    * fixed-width prefixes); segment hashing keeps the shuffle narrow
+    * even when the strings are not.
+    */
+  def editDistanceNearDuplicates(strs: DataFrame, maxDistance: Int,
+      idCol: String = "doc_id", strCol: String = "s",
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(maxDistance >= 0, s"maxDistance must be >= 0, got $maxDistance")
+    val base = strs.select(col(idCol).as("doc_id"), col(strCol).as("s"))
+    val idx = Dedup.capBuckets(
+      editIndexRows(base, maxDistance), Seq("len", "key"), maxBucketSize)
+    val prb = Dedup.capBuckets(
+      editProbeRows(base, maxDistance), Seq("len", "key"), maxBucketSize)
+    val cands = prb.select(col("len"), col("key"), col("doc_id").as("_pid"))
+      .join(idx.select(col("len"), col("key"), col("doc_id").as("_iid")),
+        Seq("len", "key"))
+      .where(col("_pid") =!= col("_iid"))
+      .select(least(col("_pid"), col("_iid")).as("id_a"),
+        greatest(col("_pid"), col("_iid")).as("id_b"))
+      .distinct()
+    verifyEditPairs(cands, base, maxDistance)
+  }
+
+  /** Cross-side edit-distance matches of a NEW batch against a CORPUS
+    * — the incremental twin of [[editDistanceNearDuplicates]], same
+    * exactness. Only new×corpus pairs form; the corpus side emits only
+    * its `τ+1` narrow index rows per string (probing is done by the
+    * batch, the smaller side), so the band join stays proportional to
+    * the batch. Output `(id_a, id_b, distance)` with `id_a` from
+    * `newStrs`, `id_b` from `corpusStrs`; id spaces may overlap. */
+  def editMatchesBetween(newStrs: DataFrame, corpusStrs: DataFrame,
+      maxDistance: Int,
+      idCol: String = "doc_id", strCol: String = "s",
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(maxDistance >= 0, s"maxDistance must be >= 0, got $maxDistance")
+    val nw = newStrs.select(col(idCol).as("doc_id"), col(strCol).as("s"))
+    val cp = corpusStrs.select(col(idCol).as("doc_id"), col(strCol).as("s"))
+    val prb = Dedup.capBuckets(
+      editProbeRows(nw, maxDistance), Seq("len", "key"), maxBucketSize)
+    val idx = Dedup.capBuckets(
+      editIndexRows(cp, maxDistance), Seq("len", "key"), maxBucketSize)
+    val cands = prb.select(col("len"), col("key"), col("doc_id").as("id_a"))
+      .join(idx.select(col("len"), col("key"), col("doc_id").as("id_b")),
+        Seq("len", "key"))
+      .select("id_a", "id_b").distinct()
+    val va = nw.select(col("doc_id").as("id_a"), col("s").as("_sa"))
+    val vb = cp.select(col("doc_id").as("id_b"), col("s").as("_sb"))
+    cands.join(va, "id_a").join(vb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("_sa"), col("_sb"), maxDistance).as("distance"))
+      .where(col("distance") >= 0)
+  }
+
+  /** Exact verify: join candidate `(id_a, id_b)` pairs back to their
+    * strings and keep those within the bound. The 3-arg `levenshtein`
+    * abandons a pair as soon as its running distance exceeds the
+    * threshold (returning -1), so verification is O(τ·len) per pair,
+    * not O(len²). */
+  private def verifyEditPairs(cands: DataFrame, base: DataFrame,
+      maxDistance: Int): DataFrame = {
+    val a = base.select(col("doc_id").as("id_a"), col("s").as("_sa"))
+    val b = base.select(col("doc_id").as("id_b"), col("s").as("_sb"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("_sa"), col("_sb"), maxDistance).as("distance"))
+      .where(col("distance") >= 0)
+  }
+
+  // ---- exact Jaccard threshold join (prefix filtering) ----
+
+  /** ceil(num·sz / den) over int columns, in exact integer arithmetic. */
+  private def ceilMul(sz: Column, num: Int, den: Int): Column =
+    idiv(sz * num + (den - 1), den)
+
+  /** All pairs of sets with Jaccard similarity >= `tNum/tDen` —
+    * EXACTLY, equal to the brute-force threshold join, via prefix
+    * filtering (Chaudhuri, Ganti & Kaushik, ICDE 2006; Bayardo, Ma &
+    * Srikant, "Scaling up all pairs similarity search", WWW 2007).
+    * Input is the row representation `(doc_id, s)` of distinct set
+    * elements (any element type — strings, shingle hashes); output
+    * `(id_a, id_b, inter_cnt, union_cnt)` with `id_a < id_b`, all
+    * BIGINT — the threshold test is the integer comparison
+    * `tDen·inter >= tNum·union`, so results are engine-portable with
+    * no double in sight.
+    *
+    * Completeness: a pair with J >= t shares at least
+    * α = ceil(t·max(|a|,|b|)) elements, and under ANY global element
+    * order the SMALLEST shared element lies within the first
+    * `|x| - α + 1` elements of both sides — so ordering elements by
+    * ascending document frequency (rarest first, ties by value) and
+    * joining on the `|x| - ceil(t·|x|) + 1`-element prefixes surfaces
+    * every true pair through its rarest shared element. Buckets are
+    * therefore rare-token-sized by construction; `maxBucketSize`
+    * (default uncapped) is the same explicit completeness trade as the
+    * Hamming/edit caps.
+    *
+    * Shape: one df aggregation, one df equi-join, a per-document
+    * window over its own elements (partition = one document) for the
+    * prefix ranks, the prefix self-join, and the [[Dedup.jaccardForPairs]]
+    * counting joins for the exact verify. Every exchange is narrow;
+    * no cartesian, no window wider than one document's set.
+    */
+  def setSimilarityJoin(rows: DataFrame, tNum: Int, tDen: Int,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold must be a rational in (0, 1], got $tNum/$tDen")
+    val r = rows.select(col("doc_id"), col("s")).where(col("s").isNotNull)
+    val sizes = r.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
+    val df = r.groupBy("s").agg(count(lit(1)).as("_df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("_df").asc, col("s").asc)
+    val prefix = r.join(df, "s")
+      .withColumn("_rn", row_number().over(w))
+      .join(sizes, "doc_id")
+      .where(col("_rn") <= col("sz") - ceilMul(col("sz"), tNum, tDen) + 1)
+      .select(col("s"), col("doc_id"), col("sz"))
+    val capped = Dedup.capBuckets(prefix, Seq("s"), maxBucketSize)
+    val cands = capped.select(col("s"), col("doc_id").as("id_a"), col("sz").as("_za"))
+      .join(capped.select(col("s"), col("doc_id").as("id_b"), col("sz").as("_zb")),
+        "s")
+      .where(col("id_a") < col("id_b"))
+      // size filter: J <= min/max, so J >= t forces tDen·min >= tNum·max
+      .where(least(col("_za"), col("_zb")) * tDen >=
+        greatest(col("_za"), col("_zb")) * tNum)
+      .select("id_a", "id_b").distinct()
+    val inter = cands
+      .join(r.select(col("doc_id").as("id_a"), col("s")), "id_a")
+      .join(r.select(col("doc_id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("_inter"))
+    cands.join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("_za")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("_zb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("_inter"), lit(0L)).as("inter_cnt"),
+        (col("_za").cast("long") + col("_zb") - coalesce(col("_inter"), lit(0L)))
+          .as("union_cnt"))
+      .where(col("inter_cnt") * tDen >= col("union_cnt") * tNum)
+  }
+
+  /** [[setSimilarityJoin]] over documents' distinct n-gram shingle
+    * sets (string shingles — oracle-replicable; for the narrow-shuffle
+    * scale path feed [[Dedup.shingleHashRows]] to [[setSimilarityJoin]]
+    * directly). The EXACT counterpart of
+    * [[Dedup.minhashNearDuplicates]]: same shingling, but every pair
+    * at or above the threshold is found with certainty instead of
+    * LSH's probabilistic recall — the right tool when the corpus slice
+    * is small enough that certainty is worth the prefix join, or when
+    * an audit of the LSH path's recall is itself the goal. */
+  def jaccardNearDuplicates(docs: DataFrame, shingleLen: Int = 3,
+      tNum: Int = 1, tDen: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBucketSize: Int = Int.MaxValue): DataFrame =
+    setSimilarityJoin(
+      Dedup.shingleRows(docs, shingleLen, idCol, textCol),
+      tNum, tDen, maxBucketSize)
+}
