@@ -640,6 +640,43 @@ object Observers {
       .select(col("doc_id"), col("corpus_id"), col("distance"))
   }
 
+  /** Streaming edit-distance matching against a corpus of strings —
+    * the continuous half of
+    * [[graft.operators.StringJoin.editMatchesBetween]]: each arriving
+    * string explodes its PassJoin probe substrings PER ROW (the same
+    * [[graft.operators.StringJoin.editProbeRows]] expressions the
+    * batch path uses — stream and batch agree bit-for-bit on the
+    * candidate keys), stream-static-joins the corpus side's segment
+    * index rows on `(len, key)`, and verifies with the EXACT
+    * threshold-bounded `levenshtein` — no estimate, no batch
+    * re-check, and the PassJoin completeness guarantee carries over
+    * unchanged. APPEND mode, ZERO stateful operators. A pair whose
+    * strings agree on several segment windows emits duplicate rows
+    * (the [[streamingSimhashMatches]] membership contract; deduping
+    * would buy a stateful operator for cosmetics).
+    *
+    * `corpusStrs` is a STORED `(doc_id, s)` frame — the static side
+    * re-executes per micro-batch, so pass persisted parquet, not an
+    * expensive inline job. Both sides carry their strings through the
+    * band join for the verify; the corpus side moves
+    * `maxDistance + 1` rows per string. Output:
+    * `(doc_id, corpus_id, distance)`. */
+  def streamingEditMatches(strStream: DataFrame, corpusStrs: DataFrame,
+      maxDistance: Int = 2): DataFrame = {
+    import graft.operators.StringJoin
+    require(maxDistance >= 0, s"maxDistance must be >= 0, got $maxDistance")
+    val prb = StringJoin.editProbeRows(
+      strStream.select(col("doc_id"), col("s")), maxDistance, carry = true)
+    val idx = StringJoin.editIndexRows(
+        corpusStrs.select(col("doc_id"), col("s")), maxDistance, carry = true)
+      .select(col("doc_id").as("corpus_id"), col("len"), col("key"),
+        col("_s").as("_cs"))
+    prb.join(idx, Seq("len", "key"))
+      .select(col("doc_id"), col("corpus_id"),
+        levenshtein(col("_s"), col("_cs"), maxDistance).as("distance"))
+      .where(col("distance") >= 0)
+  }
+
   /** Streaming benchmark-contamination matching — the continuous half
     * of [[graft.operators.TextAnalysis.decontaminate]]: each arriving
     * document derives its n-gram hashes PER ROW (the same

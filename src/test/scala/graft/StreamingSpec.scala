@@ -519,6 +519,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exists { case (d, c, dist) => d == 2L && c == 100L && dist > 0 })
   }
 
+  test("streaming edit matches: stateless, exact distances, equals the batch between-join") {
+    import spark.implicits._
+    val dir = tmp("edit-stream")
+    val corpus = Seq((100L, "conference"), (101L, "statistics"),
+      (102L, "zebra")).toDF("doc_id", "s")
+    // stream: an exact copy, one edit, two edits, three edits (out of
+    // bound at tau=2), and an unrelated string
+    Seq((1L, "conference"), (2L, "conferende"), (3L, "cnferenceX"),
+        (4L, "cnfxrenceX"), (5L, "acrobatics"))
+      .toDF("doc_id", "s")
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("doc_id LONG, s STRING").parquet(dir)
+    val q = Observers.streamingEditMatches(stream, corpus, maxDistance = 2)
+      .writeStream.format("memory").queryName("editmatches")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(q.lastProgress.stateOperators.isEmpty, q.lastProgress.prettyJson)
+    val got = spark
+      .sql("SELECT DISTINCT doc_id, corpus_id, distance FROM editmatches")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val batch = graft.operators.StringJoin.editMatchesBetween(
+        spark.read.parquet(dir), corpus, maxDistance = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == batch, s"$got vs $batch")
+    assert(got.contains((1L, 100L, 0)))
+    assert(got.contains((2L, 100L, 1)))
+    assert(got.contains((3L, 100L, 2)))
+    assert(!got.exists(_._1 == 4L) && !got.exists(_._1 == 5L), got.toString)
+  }
+
   test("stream-static interval join: stateless, equals the batch band join") {
     import spark.implicits._
     val dir = tmp("ivj-stream")
