@@ -194,6 +194,56 @@ object ScaleProbe {
       require(found == planted, s"found $found of $planted planted pairs")
       found
     }
+    timed("edit_neardup") {
+      // the exact PassJoin self-join at 1M: 32-char hex fingerprints;
+      // doc_id % 100 == 1 carries its predecessor's string with one or
+      // two 'z' substitutions ('z' is outside the hex alphabet, so the
+      // planted distance is exactly 1 or 2, and colliding substitution
+      // positions legitimately collapse to 1). Random pairs sit near
+      // the 32-char diameter (P[ed <= 2] ~ (1/16)^30 per pair), so the
+      // EXACT oracle is "all planted pairs, nothing else".
+      val src = when(col("doc_id") % 100 === 1, col("doc_id") - 1)
+        .otherwise(col("doc_id"))
+      val baseStr = concat(
+        lpad(hex(xxhash64(src, lit(7))), 16, "0"),
+        lpad(hex(xxhash64(src, lit(8))), 16, "0"))
+      val p1 = (pmod(xxhash64(col("doc_id"), lit(11)), lit(32)) + 1).cast("int")
+      val p2 = (pmod(xxhash64(col("doc_id"), lit(13)), lit(32)) + 1).cast("int")
+      val mutated = overlay(
+        when(col("doc_id") % 2 === 1,
+          overlay(baseStr, lit("z"), p2, lit(1))).otherwise(baseStr),
+        lit("z"), p1, lit(1))
+      val strs = spark.range(0, n, 1, spark.sparkContext.defaultParallelism * 4)
+        .select(col("id").as("doc_id"),
+          when(col("doc_id") % 100 === 1, mutated).otherwise(baseStr).as("s"))
+      val pairs = graft.operators.StringJoin
+        .editDistanceNearDuplicates(strs, maxDistance = 2)
+      val r = pairs.agg(count(lit(1)),
+        count(when(col("id_b") =!= col("id_a") + 1 ||
+          pmod(col("id_b"), lit(100)) =!= 1, 1))).head
+      val (found, wrong) = (r.getLong(0), r.getLong(1))
+      val planted = n / 100 + (if (n % 100 >= 2) 1 else 0)
+      require(wrong == 0, s"$wrong non-planted edit pairs surfaced")
+      require(found == planted, s"found $found of $planted planted pairs")
+      found
+    }
+    timed("jaccard_exact_neardup") {
+      // the exact prefix-filter Jaccard join over the SAME corpus the
+      // minhash probe dedups — planted pairs share 46 of 48 3-gram
+      // shingles (true J ~= 0.92), random pairs share only hash-collided
+      // shingles (J ~= 0), so at threshold 1/2 the exact join's oracle
+      // is planted-only, with CERTAIN recall (no LSH band luck)
+      val pairs = graft.operators.StringJoin.setSimilarityJoin(
+        graft.operators.Dedup.shingleHashRows(docs, 3), tNum = 1, tDen = 2)
+      val r = pairs.agg(count(lit(1)),
+        count(when(col("id_b") =!= col("id_a") + 1 ||
+          pmod(col("id_b"), lit(100)) =!= 1, 1))).head
+      val (found, wrong) = (r.getLong(0), r.getLong(1))
+      val planted = n / 100 + (if (n % 100 >= 2) 1 else 0)
+      require(wrong == 0, s"$wrong non-planted jaccard pairs surfaced")
+      require(found == planted, s"found $found of $planted planted pairs")
+      found
+    }
     // the production increment ring at the 1M x 100k shape: a persisted
     // corpus index, a new batch matched against it. Index build is
     // timed apart from the match — the build is the once-per-corpus

@@ -1918,6 +1918,22 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("pps_hits"))
         .orderBy(col("doc_id"))
     }),
+    "q_x_sample_weighted" -> ((s, dir) => {
+      // exactly-k weighted draw WITHOUT replacement (Efraimidis-
+      // Spirakis A-ES): top-k by the deterministic md5-seeded
+      // exponential race key -ln(u)/w. Rows-only by the repo's own
+      // gate discipline — the race key crosses ln() and cross-engine
+      // transcendental comparison is what the nDCG/MAP gates
+      // deliberately avoid; the selection is spec-proven equal to a
+      // driver replay of the same key (PipelineOpsSpec).
+      val docs = t(s, dir, "documents")
+      Sampling.weightedSample(
+          docs.select(col("doc_id"), col("source"),
+            col("n_chars").cast("double").as("w")),
+          col("doc_id"), col("w"), k = 40, seed = "aesgate")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
     "q_x_bpe_tokenize" -> ((s, dir) => {
       // real subword token accounting: a BPE model trained on the
       // corpus's own word dictionary (Sennrich et al. 2016 — merges

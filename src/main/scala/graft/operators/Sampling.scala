@@ -297,6 +297,63 @@ object Sampling {
         "_mix_cum", "_mix_off")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis,
+    * "Weighted random sampling with a reservoir", IPL 97(5), 2006 —
+    * the A-ES scheme): every row draws a deterministic uniform
+    * u ∈ (0, 1] from md5 bits of `(seed, id)` — the same keyed-
+    * permutation idiom as [[shuffleKey]] — and the k rows with the
+    * largest u^(1/w) are the sample. Equivalently (and as computed
+    * here, the numerically stable form) the k SMALLEST exponential
+    * race keys `-ln(u) / w`: a row's chance of winning any given draw
+    * is proportional to its weight among the rows still unsampled,
+    * which is the sequential weighted-urn-without-replacement
+    * semantics [[ppsSample]]'s with-multiplicity design cannot give.
+    * Deterministic and reproducible across runs and partitionings (the
+    * key is a pure function of id and seed), but NOT SQL-replayable:
+    * the key crosses `ln`, and cross-engine transcendental comparison
+    * is exactly what this repo's gates avoid (see the nDCG discount
+    * literals) — so the gate row is rows-only and the exactness
+    * contract is spec-proven against a driver replay instead.
+    *
+    * Rows with weight <= 0 or null cannot win a draw (an urn with no
+    * tickets) and are excluded. `k` bounds driver memory through the
+    * standard top-k plan (TakeOrderedAndProject — per-partition heaps,
+    * one k-row merge; use [[ppsSampleBy]]/[[weightedSampleBy]] shapes
+    * for per-stratum budgets instead of one giant global k).
+    */
+  def weightedSample(df: DataFrame, id: Column, weight: Column, k: Int,
+      seed: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.where(weight.isNotNull && weight > 0)
+      .withColumn("_ws_key", aesKey(id, weight, seed))
+      .orderBy(col("_ws_key"))
+      .limit(k)
+      .drop("_ws_key")
+  }
+
+  /** Per-stratum [[weightedSample]]: an independent k-row weighted
+    * draw inside every stratum (null strata flow as their own
+    * stratum). The rank filter over the per-stratum key order plans as
+    * WindowGroupLimit — per-partition partial top-k before the
+    * stratum shuffle — so few-strata corpora do not funnel through
+    * |strata| tasks. */
+  def weightedSampleBy(df: DataFrame, stratum: Column, id: Column,
+      weight: Column, kPerStratum: Int, seed: String): DataFrame = {
+    require(kPerStratum >= 1, s"kPerStratum must be >= 1, got $kPerStratum")
+    val base = df.where(weight.isNotNull && weight > 0)
+      .withColumn("_ws_key", aesKey(id, weight, seed))
+    ranked(base, Seq(stratum), col("_ws_key"))(_ <= kPerStratum)
+      .drop("_ws_key")
+  }
+
+  /** The A-ES race key `-ln(u) / w` with u ∈ (0, 1] from the first 13
+    * md5 hex chars of `(seed, id)` (52 bits — a double's full
+    * precision; +1 keeps u strictly positive so ln is finite). */
+  private def aesKey(id: Column, weight: Column, seed: String): Column =
+    -log((conv(substring(md5(concat(lit(seed), id.cast("string"))), 1, 13),
+      16, 10).cast("double") + 1d) / math.pow(16d, 13d)) /
+      weight.cast("double")
+
   /** Systematic probability-proportional-to-size sampling (the classic
     * PPS design, e.g. Madow 1949): lay every row's integer `weight`
     * end-to-end along a line in `orderHex` order, then take one row at

@@ -1768,6 +1768,67 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(got.size - 37) <= 5, s"drew ${got.size} for k=37")
   }
 
+  /** Driver replay of [[Sampling.weightedSample]]'s A-ES race key:
+    * same md5-derived uniform, same JVM `math.log` (Spark's Log
+    * expression calls the same libm), so the comparison is exact. */
+  private def aesKeyReplay(seed: String, id: Long, w: Double): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest((seed + id.toString).getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 13)
+    val u = (java.lang.Long.parseLong(hex, 16).toDouble + 1d) / math.pow(16d, 13d)
+    -math.log(u) / w
+  }
+
+  test("weightedSample: equals the driver A-ES replay; k >= n keeps all; w <= 0 excluded") {
+    import spark.implicits._
+    val base = docs.select(col("doc_id"), col("source"),
+      col("n_chars").cast("double").as("w"))
+    val got = Sampling.weightedSample(base, col("doc_id"), col("w"),
+        k = 25, seed = "aes1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = base.select("doc_id", "w").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val expect = all.map { case (id, w) => (aesKeyReplay("aes1", id, w), id) }
+      .sortBy(_._1).take(25).map(_._2).toSet
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+    // k >= n: the whole positive-weight population, exactly once each
+    val full = Sampling.weightedSample(base, col("doc_id"), col("w"),
+      k = 100000, seed = "aes1").select("doc_id").collect().map(_.getLong(0))
+    assert(full.length == all.length && full.toSet.size == full.length)
+    // zero/negative/null weights never win a draw
+    val mixed = Seq((1L, 5.0), (2L, 0.0), (3L, -1.0), (4L, 2.0))
+      .toDF("doc_id", "w")
+      .union(Seq((5L, Option.empty[Double])).toDF("doc_id", "w"))
+    val kept = Sampling.weightedSample(mixed, col("doc_id"), col("w"),
+      k = 10, seed = "s").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L))
+    // a dominant weight is (deterministically, this seed) in the draw
+    val skewed = (0L until 200L).map(i => (i, if (i == 77L) 1e9 else 1.0))
+      .toDF("doc_id", "w")
+    val picked = Sampling.weightedSample(skewed, col("doc_id"), col("w"),
+      k = 5, seed = "aes2").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(picked.contains(77L), picked.toString)
+  }
+
+  test("weightedSampleBy: per-stratum A-ES replay; WindowGroupLimit in the plan") {
+    import spark.implicits._
+    val base = docs.select(col("doc_id"), col("source"),
+      col("n_chars").cast("double").as("w"))
+    val out = Sampling.weightedSampleBy(base, col("source"), col("doc_id"),
+      col("w"), kPerStratum = 7, seed = "aesby")
+    val got = out.select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val expect = base.select("source", "doc_id", "w").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+        rows.map { case (_, id, w) => (aesKeyReplay("aesby", id, w), id) }
+          .sortBy(_._1).take(7).map(src -> _._2)
+      }.toSet
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("ppsSampleBy: each stratum draws on its own line — per-stratum differential replay") {
     import spark.implicits._
     val keyed = Sampling.shuffleKey(
