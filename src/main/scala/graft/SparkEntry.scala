@@ -1918,6 +1918,17 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("pps_hits"))
         .orderBy(col("doc_id"))
     }),
+    "q_x_stats_profile" -> ((s, dir) => {
+      // one-pass exact column profile (counts, exact NDV, native-order
+      // min/max rendered as strings): one aggregation via the standard
+      // multi-distinct Expand; hash-gated per column over bigint, int,
+      // string, date, and a derived nullable column
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_shipdate").cast("date").as("ship_date"),
+        nullif(col("l_returnflag"), lit("N")).as("rf_nullable"))
+      Stats.profile(li).orderBy(col("col_name"))
+    }),
     "q_x_sample_weighted" -> ((s, dir) => {
       // exactly-k weighted draw WITHOUT replacement (Efraimidis-
       // Spirakis A-ES): top-k by the deterministic md5-seeded
@@ -3085,6 +3096,21 @@ object SparkEntry {
         |       CAST(levenshtein(b.s, c.s) AS INT) AS distance
         |FROM b JOIN c ON levenshtein(b.s, c.s) <= 2
         |ORDER BY 1, 2""".stripMargin,
+    "q_x_stats_profile" -> {
+      val li = """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  CAST(l_shipdate AS DATE) AS ship_date,
+        |  nullif(l_returnflag, 'N') AS rf_nullable FROM lineitem""".stripMargin
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count($c) AS n_nonnull, count(*) - count($c) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value FROM li""".stripMargin
+      val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag",
+        "ship_date", "rf_nullable")
+      s"WITH li AS ($li)\n" + cols.map(one).mkString("\nUNION ALL\n") +
+        "\nORDER BY col_name"
+    },
     "q_x_dedup_jaccard" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),

@@ -135,6 +135,64 @@ object Stats {
     }.toDF("stratum", "value")
   }
 
+  /** One-pass column profile — the data-card / scan-planning summary
+    * for any relational table: per column, row count, non-null and
+    * null counts, EXACT distinct count, and min/max (computed in the
+    * column's native order, then rendered as strings so the output
+    * schema is uniform). Output: one row per profiled column —
+    * `(col_name, n_rows, n_nonnull, n_null, n_distinct, min_value,
+    * max_value)`.
+    *
+    * Shape: ONE aggregation. The exact multi-column distincts plan as
+    * Spark's standard multi-distinct Expand — the input replicates
+    * once per distinct-counted column plus once for the plain
+    * aggregates, all inside a single shuffle with map-side partials.
+    * That is the honest cost of exact NDV on every column; profile in
+    * column batches if the table is very wide, or drop to the HLL
+    * sketch (`approx_count_distinct`) when ±2% is acceptable. The
+    * driver never sees data — the one result row unpivots through an
+    * expression, not a collect.
+    *
+    * Only atomic-typed columns are profiled: with an explicit
+    * `columns` list a non-atomic name is an error; with the default
+    * (all columns) array/map/struct columns are skipped — a container
+    * column has no total order for min/max, so "profile everything
+    * else" is the useful default.
+    */
+  def profile(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    def atomic(c: String): Boolean = df.schema(c).dataType match {
+      case _: ArrayType | _: MapType | _: StructType => false
+      case _ => true
+    }
+    val cols =
+      if (columns.nonEmpty) {
+        val missing = columns.filterNot(df.columns.contains)
+        require(missing.isEmpty, s"no such columns: ${missing.mkString(", ")}")
+        val bad = columns.filterNot(atomic)
+        require(bad.isEmpty,
+          s"non-atomic columns cannot be profiled: ${bad.mkString(", ")}")
+        columns
+      } else df.columns.toSeq.filter(atomic)
+    require(cols.nonEmpty, "no atomic columns to profile")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"_nn_$c"),
+        count_distinct(col(c)).as(s"_nd_$c"),
+        min(col(c)).cast("string").as(s"_mn_$c"),
+        max(col(c)).cast("string").as(s"_mx_$c"))
+    } :+ count(lit(1)).as("_n")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col("_n").as("n_rows"),
+        col(s"_nn_$c").as("n_nonnull"),
+        (col("_n") - col(s"_nn_$c")).as("n_null"),
+        col(s"_nd_$c").as("n_distinct"),
+        col(s"_mn_$c").as("min_value"),
+        col(s"_mx_$c").as("max_value"))): _*)).as("_p"))
+      .select(col("_p.*"))
+  }
+
   /** Exact floor division of a long column by a positive long constant
     * — through decimals, because a double-typed `/` loses integer
     * precision above 2^53 (an epoch-µs timestamp far from 1970 could

@@ -129,6 +129,41 @@ class StatsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("profile: exact per-column counts/NDV/min-max; native order before stringify") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(10), Some("b")),
+      (2L, Some(9), None),
+      (3L, Some(10), Some("a")),
+      (4L, None, Some("a")))
+      .toDF("id", "n", "s")
+    val got = Stats.profile(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getString(6)))).toMap
+    assert(got("id") == ((4L, 4L, 0L, 4L, "1", "4")))
+    // native INT order: min is 9, not lexicographic "10"
+    assert(got("n") == ((4L, 3L, 1L, 2L, "9", "10")))
+    assert(got("s") == ((4L, 3L, 1L, 2L, "a", "b")))
+    // ONE aggregation: the multi-distinct Expand, no extra shuffles
+    val plan = Stats.profile(df).queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan)
+    assert("Exchange".r.findAllIn(plan).size <= 2, plan)
+  }
+
+  test("profile: explicit non-atomic column refuses; default skips containers") {
+    import spark.implicits._
+    val df = Seq((1L, Seq("x"))).toDF("id", "arr")
+    val e = intercept[IllegalArgumentException](
+      Stats.profile(df, Seq("arr")))
+    assert(e.getMessage.contains("arr"))
+    val names = Stats.profile(df).select("col_name")
+      .collect().map(_.getString(0)).toSet
+    assert(names == Set("id"))
+    val e2 = intercept[IllegalArgumentException](
+      Stats.profile(df, Seq("nope")))
+    assert(e2.getMessage.contains("nope"))
+  }
+
   test("regularize refuses bad arguments") {
     import spark.implicits._
     val ev = Seq(("A", 1L, 1L)).toDF("k", "ts", "v")
