@@ -2133,6 +2133,18 @@ object SparkEntry {
       StringJoin.editMatchesBetween(batch, corpus, maxDistance = 2)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_x_dedup_edit_groups" -> ((s, dir) => {
+      // ring composition: the EXACT edit-distance pairs drive the same
+      // large-star/small-star CC + grouping the minhash ring uses —
+      // and because the pairs are deterministic (no LSH luck), the
+      // whole composition replays in SQL: the oracle closes the
+      // levenshtein join transitively with a recursive CTE
+      val strs = t(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("s"))
+      Dedup.duplicateGroups(strs,
+          StringJoin.editDistanceNearDuplicates(strs, maxDistance = 2))
+        .orderBy(col("doc_id"))
+    }),
     "q_x_dedup_jaccard" -> ((s, dir) => {
       // EXACT Jaccard threshold join (prefix filtering, Bayardo et al.
       // WWW 2007) over 3-gram shingle sets: every pair >= 1/2 with
@@ -3111,6 +3123,18 @@ object SparkEntry {
       s"WITH li AS ($li)\n" + cols.map(one).mkString("\nUNION ALL\n") +
         "\nORDER BY col_name"
     },
+    "q_x_dedup_edit_groups" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, substring(text, 1, 24) AS s FROM documents),
+        |e AS (SELECT a.doc_id AS u, b.doc_id AS v FROM t a JOIN t b
+        |        ON a.doc_id <> b.doc_id AND levenshtein(a.s, b.s) <= 2),
+        |r(id, lab) AS (
+        |  SELECT doc_id, doc_id FROM t
+        |  UNION
+        |  SELECT e.u, r.lab FROM e JOIN r ON r.id = e.v
+        |)
+        |SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS group_id
+        |FROM r GROUP BY id ORDER BY 1""".stripMargin,
     "q_x_dedup_jaccard" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
