@@ -2154,6 +2154,19 @@ object SparkEntry {
           shingleLen = 3, tNum = 1, tDen = 2)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_x_dedup_jaccard_match" -> ((s, dir) => {
+      // incremental exact-Jaccard: a batch (ids shifted) matched
+      // against the remaining corpus, cross-side pairs only, under ONE
+      // combined-frequency element order — the exact counterpart of
+      // q_x_dedup_incremental's LSH path
+      val d = t(s, dir, "documents")
+      val batch = d.where(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 10000000).as("doc_id"), col("text"))
+      val corpus = d.where(col("doc_id") % 10 =!= 7)
+      StringJoin.jaccardMatchesBetween(batch, corpus,
+          shingleLen = 3, tNum = 1, tDen = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_x_dedup_simhash_corpus" -> ((s, dir) => {
       // full-corpus simhash near-dup (vs the consecutive-pairs row
       // above): rows-only like q_x_dedup_simhash — the fingerprint is
@@ -3145,6 +3158,20 @@ object SparkEntry {
         |        CAST(len(a.sh) + len(b.sh)
         |             - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS union_cnt
         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, inter_cnt, union_cnt FROM p
+        |WHERE 2 * inter_cnt >= union_cnt ORDER BY 1, 2""".stripMargin,
+    "q_x_dedup_jaccard_match" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |       FROM tok WHERE len(toks) >= 3),
+        |b AS (SELECT doc_id + 10000000 AS doc_id, sh FROM sh WHERE doc_id % 10 = 7),
+        |c AS (SELECT doc_id, sh FROM sh WHERE doc_id % 10 <> 7),
+        |p AS (SELECT b.doc_id AS id_a, c.doc_id AS id_b,
+        |        CAST(len(list_intersect(b.sh, c.sh)) AS BIGINT) AS inter_cnt,
+        |        CAST(len(b.sh) + len(c.sh)
+        |             - len(list_intersect(b.sh, c.sh)) AS BIGINT) AS union_cnt
+        |      FROM b, c)
         |SELECT id_a, id_b, inter_cnt, union_cnt FROM p
         |WHERE 2 * inter_cnt >= union_cnt ORDER BY 1, 2""".stripMargin,
     "q_x_text_tokens" ->

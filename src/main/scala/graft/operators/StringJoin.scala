@@ -259,6 +259,73 @@ object StringJoin {
       .where(col("inter_cnt") * tDen >= col("union_cnt") * tNum)
   }
 
+  /** Cross-side exact Jaccard matches of a NEW batch's sets against a
+    * CORPUS — the incremental twin of [[setSimilarityJoin]], same
+    * exactness, never forming new×new or corpus×corpus candidates.
+    * The prefix lemma needs ONE global element order spanning both
+    * sides, so document frequencies combine across them (an outer-join
+    * sum — the corpus df table is corpus-shaped, the batch's
+    * batch-shaped) before each side selects its rarest-first prefix.
+    * Id spaces may overlap freely (the verify keys each side's rows
+    * separately). Output `(id_a from new, id_b from corpus, inter_cnt,
+    * union_cnt)`, integers. */
+  def setSimilarityJoinBetween(newRows: DataFrame, corpusRows: DataFrame,
+      tNum: Int, tDen: Int, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold must be a rational in (0, 1], got $tNum/$tDen")
+    val rn = newRows.select(col("doc_id"), col("s")).where(col("s").isNotNull)
+    val rc = corpusRows.select(col("doc_id"), col("s")).where(col("s").isNotNull)
+    val df = rn.groupBy("s").agg(count(lit(1)).as("_dfn"))
+      .join(rc.groupBy("s").agg(count(lit(1)).as("_dfc")), Seq("s"), "full")
+      .select(col("s"),
+        (coalesce(col("_dfn"), lit(0L)) + coalesce(col("_dfc"), lit(0L)))
+          .as("_df"))
+    def prefix(r: DataFrame) = {
+      val sizes = r.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("_df").asc, col("s").asc)
+      Dedup.capBuckets(
+        r.join(df, "s")
+          .withColumn("_rn", row_number().over(w))
+          .join(sizes, "doc_id")
+          .where(col("_rn") <= col("sz") - ceilMul(col("sz"), tNum, tDen) + 1)
+          .select(col("s"), col("doc_id"), col("sz")),
+        Seq("s"), maxBucketSize)
+    }
+    val cands = prefix(rn)
+      .select(col("s"), col("doc_id").as("id_a"), col("sz").as("_za"))
+      .join(prefix(rc)
+        .select(col("s"), col("doc_id").as("id_b"), col("sz").as("_zb")), "s")
+      .where(least(col("_za"), col("_zb")) * tDen >=
+        greatest(col("_za"), col("_zb")) * tNum)
+      .select("id_a", "id_b").distinct()
+    val inter = cands
+      .join(rn.select(col("doc_id").as("id_a"), col("s")), "id_a")
+      .join(rc.select(col("doc_id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("_inter"))
+    val szn = rn.groupBy("doc_id").agg(count(lit(1)).as("_za"))
+    val szc = rc.groupBy("doc_id").agg(count(lit(1)).as("_zb"))
+    cands.join(inter, Seq("id_a", "id_b"), "left")
+      .join(szn.withColumnRenamed("doc_id", "id_a"), "id_a")
+      .join(szc.withColumnRenamed("doc_id", "id_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("_inter"), lit(0L)).as("inter_cnt"),
+        (col("_za") + col("_zb") - coalesce(col("_inter"), lit(0L)))
+          .as("union_cnt"))
+      .where(col("inter_cnt") * tDen >= col("union_cnt") * tNum)
+  }
+
+  /** [[setSimilarityJoinBetween]] over documents' distinct n-gram
+    * shingle sets — the exact cross-side counterpart of
+    * [[Dedup.minhashNearDuplicatesBetween]]. */
+  def jaccardMatchesBetween(newDocs: DataFrame, corpus: DataFrame,
+      shingleLen: Int = 3, tNum: Int = 1, tDen: Int = 2,
+      maxBucketSize: Int = Int.MaxValue): DataFrame =
+    setSimilarityJoinBetween(
+      Dedup.shingleRows(newDocs, shingleLen),
+      Dedup.shingleRows(corpus, shingleLen),
+      tNum, tDen, maxBucketSize)
+
   /** [[setSimilarityJoin]] over documents' distinct n-gram shingle
     * sets (string shingles — oracle-replicable; for the narrow-shuffle
     * scale path feed [[Dedup.shingleHashRows]] to [[setSimilarityJoin]]

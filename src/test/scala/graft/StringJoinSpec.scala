@@ -162,6 +162,37 @@ class StringJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("setSimilarityJoinBetween equals brute-force cross join, overlapping id spaces") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(17L)
+    val vocab = (0 until 12).map(i => s"t$i")
+    def draw(): Set[String] =
+      Array.fill(1 + rng.nextInt(7))(vocab(rng.nextInt(vocab.size))).toSet
+    for ((tNum, tDen) <- Seq((1, 2), (3, 4))) {
+      val corpus = (0 until 50).map(i => (i.toLong, draw()))
+      // batch ids deliberately collide with corpus ids; half the batch
+      // reuses a corpus set verbatim (certain matches)
+      val batch = (0 until 25).map { j =>
+        val ts = if (j % 2 == 0) corpus(rng.nextInt(corpus.size))._2 else draw()
+        (j.toLong, ts)
+      }
+      def rows(sets: Seq[(Long, Set[String])]) =
+        sets.flatMap { case (id, ts) => ts.map(t => (id, t)) }.toDF("doc_id", "s")
+      val got = StringJoin.setSimilarityJoinBetween(
+          rows(batch), rows(corpus), tNum, tDen).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val want = (for {
+        (ia, sa) <- batch; (ib, sb) <- corpus
+        inter = (sa & sb).size.toLong
+        union = (sa | sb).size.toLong
+        if inter * tDen >= union * tNum
+      } yield (ia, ib, inter, union)).toSet
+      assert(got == want,
+        s"t=$tNum/$tDen missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
   test("jaccardNearDuplicates: shingle-set convenience ≡ brute force on text") {
     val s = spark
     import s.implicits._
