@@ -2149,8 +2149,15 @@ object SparkEntry {
       // EXACT Jaccard threshold join (prefix filtering, Bayardo et al.
       // WWW 2007) over 3-gram shingle sets: every pair >= 1/2 with
       // certainty — the deterministic counterpart of q_x_dedup_minhash
-      // — and integer (inter, union) output so the gate is double-free
-      StringJoin.jaccardNearDuplicates(t(s, dir, "documents"),
+      // — and integer (inter, union) output so the gate is double-free.
+      // Bounded to 2000 docs like q_x_dedup_hamming (no-op at the
+      // sf0.01 oracle scale): the synthetic corpus's 31-word vocabulary
+      // makes every shingle frequent, so the prefix filter degrades
+      // toward all-pairs HONESTLY (documented completeness-first
+      // behavior); the 1M ScaleProbe with realistic vocabulary carries
+      // the scale claim
+      StringJoin.jaccardNearDuplicates(
+          t(s, dir, "documents").where(col("doc_id") < 2000),
           shingleLen = 3, tNum = 1, tDen = 2)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -2158,8 +2165,9 @@ object SparkEntry {
       // incremental exact-Jaccard: a batch (ids shifted) matched
       // against the remaining corpus, cross-side pairs only, under ONE
       // combined-frequency element order — the exact counterpart of
-      // q_x_dedup_incremental's LSH path
-      val d = t(s, dir, "documents")
+      // q_x_dedup_incremental's LSH path. Same 2000-doc bound as
+      // q_x_dedup_jaccard (no-op at the oracle scale; see there)
+      val d = t(s, dir, "documents").where(col("doc_id") < 2000)
       val batch = d.where(col("doc_id") % 10 === 7)
         .select((col("doc_id") + 10000000).as("doc_id"), col("text"))
       val corpus = d.where(col("doc_id") % 10 =!= 7)
@@ -3149,7 +3157,8 @@ object SparkEntry {
         |SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS group_id
         |FROM r GROUP BY id ORDER BY 1""".stripMargin,
     "q_x_dedup_jaccard" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |             FROM documents WHERE doc_id < 2000),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
         |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
         |       FROM tok WHERE len(toks) >= 3),
@@ -3161,7 +3170,8 @@ object SparkEntry {
         |SELECT id_a, id_b, inter_cnt, union_cnt FROM p
         |WHERE 2 * inter_cnt >= union_cnt ORDER BY 1, 2""".stripMargin,
     "q_x_dedup_jaccard_match" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |             FROM documents WHERE doc_id < 2000),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
         |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
         |       FROM tok WHERE len(toks) >= 3),
