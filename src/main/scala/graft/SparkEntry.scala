@@ -127,6 +127,10 @@ object SparkEntry {
   private val simhashIdxFixtureDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Per-process append-grown string store (see q_x_dedup_edit_store). */
+  private val stringIdxFixtureDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Per-process append-grown IVF index fixtures: full-corpus (ANN,
     * see q_x_sim_ivf_index_topk) and corpus-minus-batch (incremental
     * SemDeDup, see q_x_dedup_semantic_incremental). */
@@ -2161,6 +2165,36 @@ object SparkEntry {
           shingleLen = 3, tNum = 1, tDen = 2)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_x_dedup_edit_store" -> ((s, dir) => {
+      // the edit ring's store lifecycle under the EXACT gate: corpus
+      // strings written evens + appended odds, a junk batch appended
+      // and erased by compaction, then the batch edit-matched against
+      // the store. Unlike q_x_dedup_simhash_match the state here is
+      // oracle-replicable strings, so the whole lifecycle hash-gates —
+      // the oracle is the brute-force levenshtein join over exactly
+      // the surviving corpus.
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("s"))
+      val corpus = d.where(col("doc_id") % 10 =!= 7)
+      val batch = d.where(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 10000000).as("doc_id"), col("s"))
+      val store = stringIdxFixtureDirs.getOrElseUpdate(dir, {
+        val sd = java.nio.file.Files
+          .createTempDirectory("graft-string-idx").toString
+        StringJoin.writeStringIndex(
+          corpus.where(col("doc_id") % 2 === 0), sd)
+        StringJoin.appendToStringIndex(
+          corpus.where(col("doc_id") % 2 === 1), sd)
+        val junk = d.where(col("doc_id") % 50 === 3)
+          .select((col("doc_id") + 20000000).as("doc_id"), col("s"))
+        StringJoin.appendToStringIndex(junk, sd)
+        StringJoin.compactStringIndex(sd,
+          dropDocs = Some(junk.select("doc_id")))
+        sd
+      })
+      StringJoin.matchAgainstStringIndex(batch, store, maxDistance = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_x_dedup_jaccard_match" -> ((s, dir) => {
       // incremental exact-Jaccard: a batch (ids shifted) matched
       // against the remaining corpus, cross-side pairs only, under ONE
@@ -3169,6 +3203,14 @@ object SparkEntry {
         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, inter_cnt, union_cnt FROM p
         |WHERE 2 * inter_cnt >= union_cnt ORDER BY 1, 2""".stripMargin,
+    "q_x_dedup_edit_store" ->
+      """WITH t AS (SELECT doc_id, substring(text, 1, 24) AS s FROM documents),
+        |b AS (SELECT doc_id + 10000000 AS doc_id, s FROM t WHERE doc_id % 10 = 7),
+        |c AS (SELECT doc_id, s FROM t WHERE doc_id % 10 <> 7)
+        |SELECT b.doc_id AS id_a, c.doc_id AS id_b,
+        |       CAST(levenshtein(b.s, c.s) AS INT) AS distance
+        |FROM b JOIN c ON levenshtein(b.s, c.s) <= 2
+        |ORDER BY 1, 2""".stripMargin,
     "q_x_dedup_jaccard_match" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
         |             FROM documents WHERE doc_id < 2000),

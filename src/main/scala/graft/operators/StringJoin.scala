@@ -326,6 +326,89 @@ object StringJoin {
       Dedup.shingleRows(corpus, shingleLen),
       tNum, tDen, maxBucketSize)
 
+  // ---- persisted string index (the edit ring's corpus store) ----
+
+  private val StringPropsFile = "_graft_strindex.properties"
+
+  /** Persist a `(doc_id, s)` string corpus as the edit ring's store —
+    * the cheapest near-dup state after the simhash store (the strings
+    * ARE the state; segmentation is a query-time choice, so no
+    * geometry bakes in, only the sidecar's torn-commit discipline).
+    * Serves [[matchAgainstStringIndex]] and is the static side of
+    * [[graft.streaming.Observers.streamingEditMatches]]. */
+  def writeStringIndex(strs: DataFrame, dir: String): Unit = {
+    strs.select(col("doc_id"), col("s")).where(col("s").isNotNull)
+      .write.mode("overwrite").parquet(dir)
+    writeStringProps(strs.sparkSession, dir)
+  }
+
+  /** Grow the stored strings by one batch (invalidate-then-revalidate
+    * sidecar discipline; caller keeps the id space disjoint, as with
+    * the minhash/simhash indexes). */
+  def appendToStringIndex(newStrs: DataFrame, dir: String): Unit = {
+    val spark = newStrs.sparkSession
+    requireStringProps(spark, dir)
+    val props = new org.apache.hadoop.fs.Path(dir, StringPropsFile)
+    props.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(props, false)
+    newStrs.select(col("doc_id"), col("s")).where(col("s").isNotNull)
+      .write.mode("append").parquet(dir)
+    writeStringProps(spark, dir)
+  }
+
+  /** The stored `(doc_id, s)` frame. */
+  def readStringIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    requireStringProps(spark, dir)
+    spark.read.parquet(dir)
+  }
+
+  /** Compact the string store, optionally erasing documents — a pure
+    * row filter through the same staged root rewrite as the other
+    * stores. */
+  def compactStringIndex(dir: String,
+      dropDocs: Option[DataFrame] = None): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    requireStringProps(spark, dir)
+    val props = new org.apache.hadoop.fs.Path(dir, StringPropsFile)
+    props.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(props, false)
+    IndexFiles.rewriteRoot(spark, dir, IndexFiles.minus(dropDocs, "doc_id"))
+    writeStringProps(spark, dir)
+  }
+
+  /** [[editMatchesBetween]] driven by the stored corpus: the store
+    * emits only its τ+1 narrow hashed index rows per string per
+    * increment; probing stays batch-proportional. */
+  def matchAgainstStringIndex(newStrs: DataFrame, dir: String,
+      maxDistance: Int = 2, maxBucketSize: Int = Int.MaxValue): DataFrame =
+    editMatchesBetween(newStrs,
+      readStringIndex(newStrs.sparkSession, dir),
+      maxDistance, maxBucketSize = maxBucketSize)
+
+  private def writeStringProps(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val path = new org.apache.hadoop.fs.Path(dir, StringPropsFile)
+    val tmp = new org.apache.hadoop.fs.Path(dir, StringPropsFile + ".tmp")
+    val fs = path.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write("algo=passjoin\nkey=s\n".getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(path, false)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"failed to move $tmp to $path")
+  }
+
+  private def requireStringProps(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir, StringPropsFile)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(path),
+      s"no string index sidecar at $path — build with writeStringIndex " +
+        "(or the previous write/append/compact was torn mid-commit)")
+  }
+
   /** [[setSimilarityJoin]] over documents' distinct n-gram shingle
     * sets (string shingles — oracle-replicable; for the narrow-shuffle
     * scale path feed [[Dedup.shingleHashRows]] to [[setSimilarityJoin]]

@@ -232,6 +232,58 @@ class StoreLifecycleSpec extends AnyFunSuite {
     assert(e.getMessage.contains("sidecar"))
   }
 
+  test("string store: random append/compact/erase sequences track the string model") {
+    import graft.operators.StringJoin
+    import spark.implicits._
+    val rng = new scala.util.Random(47)
+    val dir = tmp("fuzz-str")
+    def strBatch(i: Int): DataFrame = batch(i)
+      .select(col("doc_id"), substring(col("text"), 1, 24).as("s"))
+    def model(i: Int): Map[Long, String] = strBatch(i)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    StringJoin.writeStringIndex(strBatch(0), dir)
+    val present = scala.collection.mutable.Map.empty[Long, String]
+    present ++= model(0)
+    var unused = (1 until 5).toList
+    (0 until 6).foreach { step =>
+      rng.nextInt(3) match {
+        case 0 if unused.nonEmpty =>
+          val b = unused.head; unused = unused.tail
+          StringJoin.appendToStringIndex(strBatch(b), dir)
+          present ++= model(b)
+        case 1 if present.nonEmpty =>
+          val drop = present.keySet.filter(_ => rng.nextBoolean()).toSet
+          StringJoin.compactStringIndex(dir,
+            dropDocs = Some(drop.toSeq.toDF("doc_id")))
+          present --= drop
+        case _ =>
+          StringJoin.compactStringIndex(dir)
+      }
+      val stored = StringJoin.readStringIndex(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(stored == present.toMap, s"step $step strings")
+    }
+    // the surviving store still answers, and exactly: an index match
+    // equals the direct between-join over the surviving strings
+    if (present.nonEmpty) {
+      val probe = strBatch(0)
+        .select((col("doc_id") + 5000000).as("doc_id"), col("s"))
+      val viaStore = StringJoin.matchAgainstStringIndex(probe, dir, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val direct = StringJoin.editMatchesBetween(probe,
+          present.toSeq.toDF("doc_id", "s"), 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(viaStore == direct)
+    }
+    // torn commit refuses
+    val props = new org.apache.hadoop.fs.Path(dir, "_graft_strindex.properties")
+    props.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(props, false)
+    val e = intercept[IllegalArgumentException](
+      StringJoin.readStringIndex(spark, dir))
+    assert(e.getMessage.contains("sidecar"))
+  }
+
   test("datasheet store: random append/compact/erase sequences track the report model") {
     import graft.operators.TextAnalysis
     import spark.implicits._
