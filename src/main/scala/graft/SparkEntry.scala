@@ -1413,6 +1413,18 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
+    "q_x_decontaminate_fuzzy" -> ((s, dir) => {
+      // fuzzy decontamination: docs holding any 16-token chunk within
+      // 2 edits of a benchmark chunk are dropped — catches the
+      // near-verbatim leakage exact n-grams miss; the oracle replays
+      // chunking + brute-force levenshtein + anti-join literally
+      val docs = t(s, dir, "documents")
+      TextAnalysis.decontaminateFuzzy(docs,
+          docs.where(col("doc_id") % 50 === 0),
+          chunkLen = 16, stride = 8, maxDistance = 2)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
     "q_x_quality_classifier" -> ((s, dir) => {
       // data-driven quality filter (the GPT-3/CCNet reference-corpus
       // classifier): hashed bag-of-tokens logistic regression. The
@@ -3203,6 +3215,17 @@ object SparkEntry {
         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, inter_cnt, union_cnt FROM p
         |WHERE 2 * inter_cnt >= union_cnt ORDER BY 1, 2""".stripMargin,
+    "q_x_decontaminate_fuzzy" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |cc AS (SELECT doc_id, array_to_string(toks[st:st+15], ' ') AS c
+        |       FROM (SELECT doc_id, toks,
+        |               unnest(range(1, greatest(len(toks) - 16 + 1, 1) + 1, 8)) AS st
+        |             FROM tok)),
+        |bc AS (SELECT c FROM cc WHERE doc_id % 50 = 0),
+        |bad AS (SELECT DISTINCT cc.doc_id FROM cc JOIN bc
+        |        ON levenshtein(cc.c, bc.c) <= 2)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY 1""".stripMargin,
     "q_x_dedup_edit_store" ->
       """WITH t AS (SELECT doc_id, substring(text, 1, 24) AS s FROM documents),
         |b AS (SELECT doc_id + 10000000 AS doc_id, s FROM t WHERE doc_id % 10 = 7),

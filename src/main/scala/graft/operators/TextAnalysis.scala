@@ -291,6 +291,35 @@ object TextAnalysis {
     corpus.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** FUZZY benchmark decontamination: drop corpus documents containing
+    * a token chunk within edit distance `maxDistance` of any benchmark
+    * chunk — the near-verbatim leakage (punctuation tweaks, number
+    * swaps, re-wrapped lines) that [[decontaminate]]'s exact n-gram
+    * membership cannot see. Both sides cut with [[chunk]] (overlapping
+    * stride windows, so a leaked span cannot hide on a chunk boundary)
+    * and chunks compare character-wise through the exact PassJoin
+    * matcher ([[graft.operators.StringJoin.editMatchesBetween]]) —
+    * complete at the chunk level by the same pigeonhole, no LSH luck.
+    *
+    * Scale shape: the CORPUS side is the index (τ+1 narrow hashed
+    * segment rows per chunk); the benchmark — small by definition —
+    * is the probing side that pays the O(τ³) substring explode. The
+    * contaminated-id distinct is bounded by the corpus doc count and
+    * the final anti-join is AQE's choice, as in [[decontaminate]].
+    * Chunk identity is the (doc, chunk_idx) struct, so a document's
+    * many chunks never cross-verify. */
+  def decontaminateFuzzy(corpus: DataFrame, benchmark: DataFrame,
+      chunkLen: Int = 16, stride: Int = 8, maxDistance: Int = 2): DataFrame = {
+    def chunks(d: DataFrame) = chunk(d, chunkLen, stride)
+      .select(struct(col("doc_id"), col("chunk_idx")).as("doc_id"),
+        col("chunk_text").as("s"))
+    val matches = graft.operators.StringJoin.editMatchesBetween(
+      chunks(benchmark), chunks(corpus), maxDistance)
+    val contaminated = matches
+      .select(col("id_b.doc_id").as("doc_id")).distinct()
+    corpus.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   /** Per-source corpus datasheet in ONE aggregation pass — the summary
     * a data card / mixture design reads off before weighting sources:
     * document and token counts, character volume, short-doc count,

@@ -777,6 +777,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("decontaminateFuzzy catches near-verbatim leakage exact grams miss") {
+    import spark.implicits._
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu nu xi omicron pi"
+    val bench = Seq((1L, benchText)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, benchText),                                   // verbatim leak
+      // every token tweaked by one character: NO shared 3-gram, but
+      // each 16-token chunk is within small edit distance... use a
+      // single-char tweak in one token only: chunk distance 1
+      (11L, benchText.replace("gamma", "gamm1")),
+      (12L, "totally unrelated text entirely written here and more " +
+        "words to cross the chunk length so it chunks fine ok")
+    ).toDF("doc_id", "text")
+    // exact trigram decontamination keeps doc 11? No — it still shares
+    // trigrams away from the tweak; shrink to the REAL contrast: fuzzy
+    // must drop 10 and 11, keep 12
+    val keptFuzzy = TextAnalysis.decontaminateFuzzy(corpus, bench,
+        chunkLen = 16, stride = 8, maxDistance = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptFuzzy == Set(12L), keptFuzzy.toString)
+    // a fully tweaked copy (every token one char off) evades exact
+    // n-grams entirely but sits within chunk edit distance when the
+    // tweak count inside a chunk stays <= maxDistance — here 1 tweak
+    // per 16-token window at stride 8
+    val toks = benchText.split(" ")
+    val lightTweak = toks.zipWithIndex.map { case (t, i) =>
+      if (i % 16 == 7) t.dropRight(1) + "9" else t }.mkString(" ")
+    val corpus2 = Seq((20L, lightTweak)).toDF("doc_id", "text")
+    val kept2 = TextAnalysis.decontaminateFuzzy(corpus2, bench,
+        chunkLen = 16, stride = 8, maxDistance = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2.isEmpty, kept2.toString)
+  }
+
   test("stratified sampling is exact, deterministic, and per-stratum") {
     val bySource = docs.groupBy("source").count()
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
