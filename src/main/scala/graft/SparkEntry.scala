@@ -2149,6 +2149,17 @@ object SparkEntry {
       StringJoin.editMatchesBetween(batch, corpus, maxDistance = 2)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_x_dedup_overlap" -> ((s, dir) => {
+      // exact T-overlap join: pairs sharing >= 40 3-gram shingles —
+      // the absolute-count predicate shared-passage analyses want
+      // where a ratio would reward tiny sets. Same 2000-doc bound and
+      // low-vocab caveat as q_x_dedup_jaccard.
+      StringJoin.overlapSimilarityJoin(
+          Dedup.shingleRows(
+            t(s, dir, "documents").where(col("doc_id") < 2000)),
+          minOverlap = 40)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_x_dedup_edit_groups" -> ((s, dir) => {
       // ring composition: the EXACT edit-distance pairs drive the same
       // large-star/small-star CC + grouping the minhash ring uses —
@@ -3190,6 +3201,17 @@ object SparkEntry {
       s"WITH li AS ($li)\n" + cols.map(one).mkString("\nUNION ALL\n") +
         "\nORDER BY col_name"
     },
+    "q_x_dedup_overlap" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |             FROM documents WHERE doc_id < 2000),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |       FROM tok WHERE len(toks) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_cnt
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh)) >= 40
+        |ORDER BY 1, 2""".stripMargin,
     "q_x_dedup_edit_groups" ->
       """WITH RECURSIVE
         |t AS (SELECT doc_id, substring(text, 1, 24) AS s FROM documents),

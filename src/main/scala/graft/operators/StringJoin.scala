@@ -259,6 +259,48 @@ object StringJoin {
       .where(col("inter_cnt") * tDen >= col("union_cnt") * tNum)
   }
 
+  /** All pairs of sets sharing at least `minOverlap` elements —
+    * EXACTLY, via the same prefix-filter lemma as [[setSimilarityJoin]]
+    * with the overlap bound α = `minOverlap` given directly instead of
+    * derived from a Jaccard threshold: prefixes are the
+    * `|x| - minOverlap + 1` rarest-first elements, the smallest shared
+    * element of any qualifying pair provably lands in both, and the
+    * count verify keeps precision at 1. The third classic
+    * set-similarity predicate (T-overlap joins, Chaudhuri-Ganti-
+    * Kaushik ICDE 2006) — the one shared-passage and co-citation
+    * analyses threshold on when a RATIO would reward tiny sets.
+    * Output `(id_a, id_b, inter_cnt)` with `id_a < id_b`, integers. */
+  def overlapSimilarityJoin(rows: DataFrame, minOverlap: Int,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
+    val r = rows.select(col("doc_id"), col("s")).where(col("s").isNotNull)
+    val df = r.groupBy("s").agg(count(lit(1)).as("_df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("_df").asc, col("s").asc)
+    val prefix = Dedup.capBuckets(
+      r.join(df, "s")
+        .withColumn("_rn", row_number().over(w))
+        .withColumn("_bound", size_minus_overlap(minOverlap))
+        .where(col("_rn") <= col("_bound"))
+        .select(col("s"), col("doc_id")),
+      Seq("s"), maxBucketSize)
+    val cands = prefix.select(col("s"), col("doc_id").as("id_a"))
+      .join(prefix.select(col("s"), col("doc_id").as("id_b")), "s")
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(r.select(col("doc_id").as("id_a"), col("s")), "id_a")
+      .join(r.select(col("doc_id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter_cnt"))
+      .where(col("inter_cnt") >= minOverlap)
+  }
+
+  /** `_rn <= |x| - minOverlap + 1` needs the set size; counting it over
+    * the same per-doc window avoids a second aggregation-join. */
+  private def size_minus_overlap(minOverlap: Int): Column =
+    count(lit(1)).over(org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")) - (minOverlap - 1)
+
   /** Cross-side exact Jaccard matches of a NEW batch's sets against a
     * CORPUS — the incremental twin of [[setSimilarityJoin]], same
     * exactness, never forming new×new or corpus×corpus candidates.

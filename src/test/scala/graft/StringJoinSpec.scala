@@ -218,6 +218,30 @@ class StringJoinSpec extends AnyFunSuite {
       s"diff=${got.diff(bruteJaccard(sets, 1, 2))} / ${bruteJaccard(sets, 1, 2).diff(got)}")
   }
 
+  test("overlapSimilarityJoin equals brute force (fuzz, several bounds)") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(23L)
+    val vocab = (0 until 10).map(i => s"t$i")
+    for (c <- Seq(1, 2, 4)) {
+      val sets = (0 until 60).map { i =>
+        (i.toLong, Array.fill(1 + rng.nextInt(6))(
+          vocab(rng.nextInt(vocab.size))).toSet)
+      }
+      val rows = sets.flatMap { case (id, ts) => ts.map(t => (id, t)) }
+        .toDF("doc_id", "s")
+      val got = StringJoin.overlapSimilarityJoin(rows, c).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets
+        if ia < ib
+        inter = (sa & sb).size.toLong
+        if inter >= c
+      } yield (ia, ib, inter)).toSet
+      assert(got == want, s"c=$c missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
   test("jaccard join: no cartesian/nested-loop in the plan") {
     val s = spark
     import s.implicits._
