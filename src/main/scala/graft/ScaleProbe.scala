@@ -209,9 +209,13 @@ object ScaleProbe {
         lpad(hex(xxhash64(src, lit(8))), 16, "0"))
       val p1 = (pmod(xxhash64(col("doc_id"), lit(11)), lit(32)) + 1).cast("int")
       val p2 = (pmod(xxhash64(col("doc_id"), lit(13)), lit(32)) + 1).cast("int")
+      // alternate one- and two-edit plants by the SOURCE index (every
+      // planted doc_id is odd — id % 100 == 1 — so an id-parity test
+      // would be dead and plant distance 2 everywhere)
+      val twoEdits = pmod(floor(col("doc_id") / 100).cast("long"), lit(2)) === 1
       val mutated = overlay(
-        when(col("doc_id") % 2 === 1,
-          overlay(baseStr, lit("z"), p2, lit(1))).otherwise(baseStr),
+        when(twoEdits, overlay(baseStr, lit("z"), p2, lit(1)))
+          .otherwise(baseStr),
         lit("z"), p1, lit(1))
       val strs = spark.range(0, n, 1, spark.sparkContext.defaultParallelism * 4)
         .select(col("id").as("doc_id"),

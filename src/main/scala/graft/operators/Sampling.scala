@@ -315,20 +315,24 @@ object Sampling {
     * literals) — so the gate row is rows-only and the exactness
     * contract is spec-proven against a driver replay instead.
     *
-    * Rows with weight <= 0 or null cannot win a draw (an urn with no
-    * tickets) and are excluded. `k` bounds driver memory through the
-    * standard top-k plan (TakeOrderedAndProject — per-partition heaps,
-    * one k-row merge; use [[ppsSampleBy]]/[[weightedSampleBy]] shapes
-    * for per-stratum budgets instead of one giant global k).
+    * Rows with weight <= 0, null, or NaN cannot win a draw (an urn
+    * with no tickets — NaN needs its own test: Spark's comparison
+    * semantics order NaN above every number, so `weight > 0` alone
+    * would let NaN through with a NaN race key). `k` bounds driver
+    * memory through the standard top-k plan (TakeOrderedAndProject —
+    * per-partition heaps, one k-row merge; use
+    * [[ppsSampleBy]]/[[weightedSampleBy]] shapes for per-stratum
+    * budgets instead of one giant global k).
     */
   def weightedSample(df: DataFrame, id: Column, weight: Column, k: Int,
       seed: String): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    df.where(weight.isNotNull && weight > 0)
-      .withColumn("_ws_key", aesKey(id, weight, seed))
-      .orderBy(col("_ws_key"))
+    val kc = wsKeyName(df)
+    df.where(ticketed(weight))
+      .withColumn(kc, aesKey(id, weight, seed))
+      .orderBy(col(kc))
       .limit(k)
-      .drop("_ws_key")
+      .drop(kc)
   }
 
   /** Per-stratum [[weightedSample]]: an independent k-row weighted
@@ -340,11 +344,21 @@ object Sampling {
   def weightedSampleBy(df: DataFrame, stratum: Column, id: Column,
       weight: Column, kPerStratum: Int, seed: String): DataFrame = {
     require(kPerStratum >= 1, s"kPerStratum must be >= 1, got $kPerStratum")
-    val base = df.where(weight.isNotNull && weight > 0)
-      .withColumn("_ws_key", aesKey(id, weight, seed))
-    ranked(base, Seq(stratum), col("_ws_key"))(_ <= kPerStratum)
-      .drop("_ws_key")
+    val kc = wsKeyName(df)
+    val base = df.where(ticketed(weight))
+      .withColumn(kc, aesKey(id, weight, seed))
+    ranked(base, Seq(stratum), col(kc))(_ <= kPerStratum)
+      .drop(kc)
   }
+
+  /** A weight holds tickets iff it is a positive real number. */
+  private def ticketed(weight: Column): Column =
+    weight.isNotNull && !isnan(weight.cast("double")) && weight > 0
+
+  /** Collision-safe race-key column name (the [[ranked]] idiom). */
+  private def wsKeyName(df: DataFrame): String =
+    Iterator.from(0).map(i => s"_ws_key$i")
+      .find(n => !df.columns.contains(n)).get
 
   /** The A-ES race key `-ln(u) / w` with u ∈ (0, 1] from the first 13
     * md5 hex chars of `(seed, id)` (52 bits — a double's full

@@ -175,21 +175,25 @@ object Stats {
         columns
       } else df.columns.toSeq.filter(atomic)
     require(cols.nonEmpty, "no atomic columns to profile")
+    // backtick-quote every reference: a column named "a.b" (legal, and
+    // common from JSON/CSV sources) would otherwise parse as struct
+    // field access and fail to resolve
+    def q(c: String): Column = col(s"`${c.replace("`", "``")}`")
     val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"_nn_$c"),
-        count_distinct(col(c)).as(s"_nd_$c"),
-        min(col(c)).cast("string").as(s"_mn_$c"),
-        max(col(c)).cast("string").as(s"_mx_$c"))
+      Seq(count(q(c)).as(s"_nn_$c"),
+        count_distinct(q(c)).as(s"_nd_$c"),
+        min(q(c)).cast("string").as(s"_mn_$c"),
+        max(q(c)).cast("string").as(s"_mx_$c"))
     } :+ count(lit(1)).as("_n")
     df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(cols.map(c => struct(
         lit(c).as("col_name"),
         col("_n").as("n_rows"),
-        col(s"_nn_$c").as("n_nonnull"),
-        (col("_n") - col(s"_nn_$c")).as("n_null"),
-        col(s"_nd_$c").as("n_distinct"),
-        col(s"_mn_$c").as("min_value"),
-        col(s"_mx_$c").as("max_value"))): _*)).as("_p"))
+        q(s"_nn_$c").as("n_nonnull"),
+        (col("_n") - q(s"_nn_$c")).as("n_null"),
+        q(s"_nd_$c").as("n_distinct"),
+        q(s"_mn_$c").as("min_value"),
+        q(s"_mx_$c").as("max_value"))): _*)).as("_p"))
       .select(col("_p.*"))
   }
 

@@ -140,7 +140,7 @@ object StringJoin {
       .select(least(col("_pid"), col("_iid")).as("id_a"),
         greatest(col("_pid"), col("_iid")).as("id_b"))
       .distinct()
-    verifyEditPairs(cands, base, maxDistance)
+    verifyEditPairs(cands, base, base, maxDistance)
   }
 
   /** Cross-side edit-distance matches of a NEW batch against a CORPUS
@@ -165,23 +165,19 @@ object StringJoin {
       .join(idx.select(col("len"), col("key"), col("doc_id").as("id_b")),
         Seq("len", "key"))
       .select("id_a", "id_b").distinct()
-    val va = nw.select(col("doc_id").as("id_a"), col("s").as("_sa"))
-    val vb = cp.select(col("doc_id").as("id_b"), col("s").as("_sb"))
-    cands.join(va, "id_a").join(vb, "id_b")
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("_sa"), col("_sb"), maxDistance).as("distance"))
-      .where(col("distance") >= 0)
+    verifyEditPairs(cands, nw, cp, maxDistance)
   }
 
   /** Exact verify: join candidate `(id_a, id_b)` pairs back to their
-    * strings and keep those within the bound. The 3-arg `levenshtein`
-    * abandons a pair as soon as its running distance exceeds the
-    * threshold (returning -1), so verification is O(τ·len) per pair,
-    * not O(len²). */
-  private def verifyEditPairs(cands: DataFrame, base: DataFrame,
-      maxDistance: Int): DataFrame = {
-    val a = base.select(col("doc_id").as("id_a"), col("s").as("_sa"))
-    val b = base.select(col("doc_id").as("id_b"), col("s").as("_sb"))
+    * strings (`id_a` resolves against `aSide`, `id_b` against `bSide`
+    * — the self-join passes the same frame twice) and keep those
+    * within the bound. The 3-arg `levenshtein` abandons a pair as soon
+    * as its running distance exceeds the threshold (returning -1), so
+    * verification is O(τ·len) per pair, not O(len²). */
+  private def verifyEditPairs(cands: DataFrame, aSide: DataFrame,
+      bSide: DataFrame, maxDistance: Int): DataFrame = {
+    val a = aSide.select(col("doc_id").as("id_a"), col("s").as("_sa"))
+    val b = bSide.select(col("doc_id").as("id_b"), col("s").as("_sb"))
     cands.join(a, "id_a").join(b, "id_b")
       .select(col("id_a"), col("id_b"),
         levenshtein(col("_sa"), col("_sb"), maxDistance).as("distance"))
@@ -190,9 +186,27 @@ object StringJoin {
 
   // ---- exact Jaccard threshold join (prefix filtering) ----
 
-  /** ceil(num·sz / den) over int columns, in exact integer arithmetic. */
+  /** ceil(num·sz / den) over int-sized columns, exactly: the product
+    * crosses a LONG (an int32 `sz * num` would overflow for large sets
+    * under fine-grained thresholds — ANSI crash or silent wrap), and
+    * with `num, den <= 2^20` (enforced at the public entry points) it
+    * stays below 2^51, inside the division helper's double-exact
+    * range. */
   private def ceilMul(sz: Column, num: Int, den: Int): Column =
-    idiv(sz * num + (den - 1), den)
+    idiv(sz.cast("long") * num + (den - 1), den)
+
+  /** The rational-threshold bound that keeps every product in this
+    * file's integer arithmetic exact (2^31 set size × 2^20 ≈ 2^51 <
+    * 2^53). A millionth-granularity threshold is far finer than any
+    * similarity use case needs. */
+  private val MaxThresholdPart = 1 << 20
+
+  private def requireThreshold(tNum: Int, tDen: Int): Unit = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold must be a rational in (0, 1], got $tNum/$tDen")
+    require(tDen <= MaxThresholdPart,
+      s"threshold denominator must be <= $MaxThresholdPart, got $tDen")
+  }
 
   /** All pairs of sets with Jaccard similarity >= `tNum/tDen` —
     * EXACTLY, equal to the brute-force threshold join, via prefix
@@ -224,8 +238,7 @@ object StringJoin {
     */
   def setSimilarityJoin(rows: DataFrame, tNum: Int, tDen: Int,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    require(tNum > 0 && tDen > 0 && tNum <= tDen,
-      s"threshold must be a rational in (0, 1], got $tNum/$tDen")
+    requireThreshold(tNum, tDen)
     val r = rows.select(col("doc_id"), col("s")).where(col("s").isNotNull)
     val sizes = r.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
     val df = r.groupBy("s").agg(count(lit(1)).as("_df"))
@@ -242,8 +255,9 @@ object StringJoin {
         "s")
       .where(col("id_a") < col("id_b"))
       // size filter: J <= min/max, so J >= t forces tDen·min >= tNum·max
-      .where(least(col("_za"), col("_zb")) * tDen >=
-        greatest(col("_za"), col("_zb")) * tNum)
+      // (long products — see ceilMul's overflow note)
+      .where(least(col("_za"), col("_zb")).cast("long") * tDen >=
+        greatest(col("_za"), col("_zb")).cast("long") * tNum)
       .select("id_a", "id_b").distinct()
     val inter = cands
       .join(r.select(col("doc_id").as("id_a"), col("s")), "id_a")
@@ -313,8 +327,7 @@ object StringJoin {
     * union_cnt)`, integers. */
   def setSimilarityJoinBetween(newRows: DataFrame, corpusRows: DataFrame,
       tNum: Int, tDen: Int, maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    require(tNum > 0 && tDen > 0 && tNum <= tDen,
-      s"threshold must be a rational in (0, 1], got $tNum/$tDen")
+    requireThreshold(tNum, tDen)
     val rn = newRows.select(col("doc_id"), col("s")).where(col("s").isNotNull)
     val rc = corpusRows.select(col("doc_id"), col("s")).where(col("s").isNotNull)
     val df = rn.groupBy("s").agg(count(lit(1)).as("_dfn"))
@@ -322,8 +335,12 @@ object StringJoin {
       .select(col("s"),
         (coalesce(col("_dfn"), lit(0L)) + coalesce(col("_dfc"), lit(0L)))
           .as("_df"))
-    def prefix(r: DataFrame) = {
-      val sizes = r.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
+    // ONE size aggregation per side, shared by the prefix bound and
+    // the final union arithmetic — identical subtrees, so the exchange
+    // reuses instead of shuffling the element rows twice
+    val szn = rn.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
+    val szc = rc.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
+    def prefix(r: DataFrame, sizes: DataFrame) = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(col("_df").asc, col("s").asc)
       Dedup.capBuckets(
@@ -334,25 +351,23 @@ object StringJoin {
           .select(col("s"), col("doc_id"), col("sz")),
         Seq("s"), maxBucketSize)
     }
-    val cands = prefix(rn)
+    val cands = prefix(rn, szn)
       .select(col("s"), col("doc_id").as("id_a"), col("sz").as("_za"))
-      .join(prefix(rc)
+      .join(prefix(rc, szc)
         .select(col("s"), col("doc_id").as("id_b"), col("sz").as("_zb")), "s")
-      .where(least(col("_za"), col("_zb")) * tDen >=
-        greatest(col("_za"), col("_zb")) * tNum)
+      .where(least(col("_za"), col("_zb")).cast("long") * tDen >=
+        greatest(col("_za"), col("_zb")).cast("long") * tNum)
       .select("id_a", "id_b").distinct()
     val inter = cands
       .join(rn.select(col("doc_id").as("id_a"), col("s")), "id_a")
       .join(rc.select(col("doc_id").as("id_b"), col("s")), Seq("id_b", "s"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("_inter"))
-    val szn = rn.groupBy("doc_id").agg(count(lit(1)).as("_za"))
-    val szc = rc.groupBy("doc_id").agg(count(lit(1)).as("_zb"))
     cands.join(inter, Seq("id_a", "id_b"), "left")
-      .join(szn.withColumnRenamed("doc_id", "id_a"), "id_a")
-      .join(szc.withColumnRenamed("doc_id", "id_b"), "id_b")
+      .join(szn.select(col("doc_id").as("id_a"), col("sz").as("_za")), "id_a")
+      .join(szc.select(col("doc_id").as("id_b"), col("sz").as("_zb")), "id_b")
       .select(col("id_a"), col("id_b"),
         coalesce(col("_inter"), lit(0L)).as("inter_cnt"),
-        (col("_za") + col("_zb") - coalesce(col("_inter"), lit(0L)))
+        (col("_za").cast("long") + col("_zb") - coalesce(col("_inter"), lit(0L)))
           .as("union_cnt"))
       .where(col("inter_cnt") * tDen >= col("union_cnt") * tNum)
   }

@@ -1830,13 +1830,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     val full = Sampling.weightedSample(base, col("doc_id"), col("w"),
       k = 100000, seed = "aes1").select("doc_id").collect().map(_.getLong(0))
     assert(full.length == all.length && full.toSet.size == full.length)
-    // zero/negative/null weights never win a draw
-    val mixed = Seq((1L, 5.0), (2L, 0.0), (3L, -1.0), (4L, 2.0))
-      .toDF("doc_id", "w")
+    // zero/negative/null/NaN weights never win a draw (NaN needs its
+    // own check: Spark's NaN-is-largest ordering passes `w > 0`)
+    val mixed = Seq((1L, 5.0), (2L, 0.0), (3L, -1.0), (4L, 2.0),
+      (6L, Double.NaN)).toDF("doc_id", "w")
       .union(Seq((5L, Option.empty[Double])).toDF("doc_id", "w"))
     val kept = Sampling.weightedSample(mixed, col("doc_id"), col("w"),
       k = 10, seed = "s").select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 4L))
+    // a caller's own _ws_key column survives untouched
+    val withKey = Seq((1L, 5.0, "mine"), (2L, 2.0, "yours"))
+      .toDF("doc_id", "w", "_ws_key0")
+    val keyKept = Sampling.weightedSample(withKey, col("doc_id"), col("w"),
+      k = 2, seed = "s").select("_ws_key0").collect().map(_.getString(0)).toSet
+    assert(keyKept == Set("mine", "yours"))
     // a dominant weight is (deterministically, this seed) in the draw
     val skewed = (0L until 200L).map(i => (i, if (i == 77L) 1e9 else 1.0))
       .toDF("doc_id", "w")

@@ -164,6 +164,14 @@ class StatsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("nope"))
   }
 
+  test("profile handles dotted column names (no struct-field misparse)") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "a.b")
+    val got = Stats.profile(df).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(got == Map("id" -> 2L, "a.b" -> 2L))
+  }
+
   test("regularize refuses bad arguments") {
     import spark.implicits._
     val ev = Seq(("A", 1L, 1L)).toDF("k", "ts", "v")

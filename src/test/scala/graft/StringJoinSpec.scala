@@ -242,6 +242,22 @@ class StringJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("setSimilarityJoin: fine-grained threshold on large sets (no int overflow)") {
+    val s = spark
+    import s.implicits._
+    // sz * tNum would overflow int32 at sz >= 2148 with a millionth-
+    // granularity threshold; the long-crossing arithmetic must not
+    val rows = (0 until 3000).flatMap(i =>
+      Seq((1L, s"e$i"), (2L, s"e$i"))).toDF("doc_id", "s")
+    val got = StringJoin.setSimilarityJoin(rows, 999999, 1000000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((1L, 2L, 3000L, 3000L)))
+    // and the denominator bound refuses past the exactness envelope
+    val e = intercept[IllegalArgumentException](
+      StringJoin.setSimilarityJoin(rows, 1, (1 << 20) + 1))
+    assert(e.getMessage.contains("denominator"))
+  }
+
   test("jaccard join: no cartesian/nested-loop in the plan") {
     val s = spark
     import s.implicits._
