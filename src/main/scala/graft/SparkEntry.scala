@@ -2160,6 +2160,18 @@ object SparkEntry {
           minOverlap = 40)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_x_dedup_containment" -> ((s, dir) => {
+      // exact directed containment: >= 9/10 of a doc's 3-gram shingles
+      // inside another doc's — the subsumption predicate (fragment in
+      // page, truncation in original) Jaccard underweights across
+      // size gaps. Same 2000-doc bound and low-vocab caveat as
+      // q_x_dedup_jaccard.
+      StringJoin.containmentJoin(
+          Dedup.shingleRows(
+            t(s, dir, "documents").where(col("doc_id") < 2000)),
+          tNum = 9, tDen = 10)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_x_dedup_edit_groups" -> ((s, dir) => {
       // ring composition: the EXACT edit-distance pairs drive the same
       // large-star/small-star CC + grouping the minhash ring uses —
@@ -3201,6 +3213,18 @@ object SparkEntry {
       s"WITH li AS ($li)\n" + cols.map(one).mkString("\nUNION ALL\n") +
         "\nORDER BY col_name"
     },
+    "q_x_dedup_containment" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |             FROM documents WHERE doc_id < 2000),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |       FROM tok WHERE len(toks) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_cnt,
+        |       CAST(len(a.sh) AS BIGINT) AS a_sz
+        |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        |WHERE 10 * len(list_intersect(a.sh, b.sh)) >= 9 * len(a.sh)
+        |ORDER BY 1, 2""".stripMargin,
     "q_x_dedup_overlap" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
         |             FROM documents WHERE doc_id < 2000),

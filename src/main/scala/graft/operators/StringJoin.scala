@@ -315,6 +315,57 @@ object StringJoin {
     count(lit(1)).over(org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id")) - (minOverlap - 1)
 
+  /** All DIRECTED pairs where at least `tNum/tDen` of `id_a`'s set is
+    * contained in `id_b`'s — EXACTLY: the asymmetric subsumption
+    * predicate (a boilerplate fragment inside a full page, a truncated
+    * doc inside its original) that Jaccard underweights when the sides
+    * differ in size. Completes the classic set-predicate family
+    * (ratio / absolute overlap / containment).
+    *
+    * Candidates form from the CONTAINED side's prefix against the FULL
+    * element rows of the containing side: the required overlap
+    * α = ceil(t·|a|) depends only on `a`, so `a`'s
+    * `|a| - α + 1` rarest-first prefix must hold a shared element
+    * (shared elements outside it number < α), while `b` cannot be
+    * prefix-filtered without knowing its partner — the full side's
+    * buckets are element-frequency-sized, which `a`'s rarest-first
+    * prefix keeps as small as the data allows (and `maxBucketSize`
+    * caps explicitly, same trade as everywhere else). Output
+    * `(id_a, id_b, inter_cnt, a_sz)` with `id_a != id_b`, both
+    * directions evaluated independently, integers throughout. */
+  def containmentJoin(rows: DataFrame, tNum: Int, tDen: Int,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    requireThreshold(tNum, tDen)
+    val r = rows.select(col("doc_id"), col("s")).where(col("s").isNotNull)
+    val sizes = r.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
+    val df = r.groupBy("s").agg(count(lit(1)).as("_df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("_df").asc, col("s").asc)
+    val prefix = Dedup.capBuckets(
+      r.join(df, "s")
+        .withColumn("_rn", row_number().over(w))
+        .join(sizes, "doc_id")
+        .where(col("_rn") <= col("sz") - ceilMul(col("sz"), tNum, tDen) + 1)
+        .select(col("s"), col("doc_id"), col("sz")),
+      Seq("s"), maxBucketSize)
+    val full = Dedup.capBuckets(r, Seq("s"), maxBucketSize)
+    val cands = prefix
+      .select(col("s"), col("doc_id").as("id_a"), col("sz").as("_za"))
+      .join(full.select(col("s"), col("doc_id").as("id_b")), "s")
+      .where(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val inter = cands
+      .join(r.select(col("doc_id").as("id_a"), col("s")), "id_a")
+      .join(r.select(col("doc_id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("_inter"))
+    cands.join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("_za")), "id_a")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("_inter"), lit(0L)).as("inter_cnt"),
+        col("_za").cast("long").as("a_sz"))
+      .where(col("inter_cnt") * tDen >= col("a_sz") * tNum)
+  }
+
   /** Cross-side exact Jaccard matches of a NEW batch's sets against a
     * CORPUS — the incremental twin of [[setSimilarityJoin]], same
     * exactness, never forming new×new or corpus×corpus candidates.

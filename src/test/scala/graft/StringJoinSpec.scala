@@ -242,6 +242,35 @@ class StringJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("containmentJoin equals brute force (fuzz, directed, several thresholds)") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(31L)
+    val vocab = (0 until 12).map(i => s"t$i")
+    for ((tNum, tDen) <- Seq((1, 2), (9, 10), (1, 1))) {
+      val sets = (0 until 50).map { i =>
+        (i.toLong, Array.fill(1 + rng.nextInt(7))(
+          vocab(rng.nextInt(vocab.size))).toSet)
+      } ++ Seq((900L, Set("t0", "t1")), (901L, vocab.toSet)) // strict subset pair
+      val rows = sets.flatMap { case (id, ts) => ts.map(t => (id, t)) }
+        .toDF("doc_id", "s")
+      val got = StringJoin.containmentJoin(rows, tNum, tDen).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val want = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets
+        if ia != ib
+        inter = (sa & sb).size.toLong
+        if inter * tDen >= sa.size.toLong * tNum
+      } yield (ia, ib, inter, sa.size.toLong)).toSet
+      assert(got == want,
+        s"t=$tNum/$tDen missing=${want -- got} extra=${got -- want}")
+      // directionality: the subset pair contains forward, not backward
+      if (tNum == tDen)
+        assert(got.contains((900L, 901L, 2L, 2L)) &&
+          !got.exists(p => p._1 == 901L && p._2 == 900L))
+    }
+  }
+
   test("setSimilarityJoin: fine-grained threshold on large sets (no int overflow)") {
     val s = spark
     import s.implicits._
