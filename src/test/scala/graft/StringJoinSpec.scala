@@ -287,6 +287,44 @@ class StringJoinSpec extends AnyFunSuite {
     assert(e.getMessage.contains("denominator"))
   }
 
+  test("the exact join audits LSH recall: superset always, catches weak-banding misses") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(53L)
+    // docs with planted near-dups whose Jaccard sits near the 0.8
+    // threshold: 40-token base, twin tweaks its last 4 tokens
+    // (shingle overlap ~ 32/44 .. 34/42 around 0.75-0.8)
+    val words = (0 until 500).map(i => s"w$i")
+    def base(): Array[String] =
+      Array.fill(40)(words(rng.nextInt(words.size)))
+    val docs = (0 until 40).flatMap { i =>
+      val b = base()
+      val twin = b.clone()
+      for (j <- 36 until 40) twin(j) = words(rng.nextInt(words.size))
+      Seq((i.toLong * 2, b.mkString(" ")), (i.toLong * 2 + 1, twin.mkString(" ")))
+    }.toDF("doc_id", "text")
+    def pairSet(dfm: org.apache.spark.sql.DataFrame) =
+      dfm.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val threshold = (7, 10)
+    // truth: the exact prefix-filter join at J >= 0.7
+    val truth = pairSet(StringJoin.jaccardNearDuplicates(
+      docs, 3, threshold._1, threshold._2))
+    assert(truth.nonEmpty)
+    // LSH with DEGENERATE banding (2 bands of 32 rows): P[candidate]
+    // at J~0.75 is ~2·0.75^32 ≈ 1e-4 — the audit must surface misses
+    val weak = pairSet(graft.operators.Dedup.minhashNearDuplicates(
+      docs, threshold = 0.7, shingleLen = 3, numHashes = 64, bands = 2))
+    assert(weak.subsetOf(truth), s"LSH found non-pairs: ${weak -- truth}")
+    assert((truth -- weak).nonEmpty,
+      "weak banding was expected to miss borderline pairs on this seed")
+    // standard banding (16 x 4): recall 1.0 on this corpus — the audit
+    // certifies the production configuration instead of trusting it
+    val std = pairSet(graft.operators.Dedup.minhashNearDuplicates(
+      docs, threshold = 0.7, shingleLen = 3, numHashes = 64, bands = 16))
+    assert(std == truth, s"missing=${truth -- std} extra=${std -- truth}")
+  }
+
   test("jaccard join: no cartesian/nested-loop in the plan") {
     val s = spark
     import s.implicits._
