@@ -242,14 +242,7 @@ object StringJoin {
     val r = rows.select(col("doc_id"), col("s")).where(col("s").isNotNull)
     val sizes = r.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
     val df = r.groupBy("s").agg(count(lit(1)).as("_df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("_df").asc, col("s").asc)
-    val prefix = r.join(df, "s")
-      .withColumn("_rn", row_number().over(w))
-      .join(sizes, "doc_id")
-      .where(col("_rn") <= col("sz") - ceilMul(col("sz"), tNum, tDen) + 1)
-      .select(col("s"), col("doc_id"), col("sz"))
-    val capped = Dedup.capBuckets(prefix, Seq("s"), maxBucketSize)
+    val capped = prefixRows(r, df, sizes, tNum, tDen, maxBucketSize)
     val cands = capped.select(col("s"), col("doc_id").as("id_a"), col("sz").as("_za"))
       .join(capped.select(col("s"), col("doc_id").as("id_b"), col("sz").as("_zb")),
         "s")
@@ -271,6 +264,26 @@ object StringJoin {
         (col("_za").cast("long") + col("_zb") - coalesce(col("_inter"), lit(0L)))
           .as("union_cnt"))
       .where(col("inter_cnt") * tDen >= col("union_cnt") * tNum)
+  }
+
+  /** The ONE definition of the rarest-first prefix (shared by the
+    * ratio, cross-side, and containment joins): elements ordered by
+    * ascending document frequency (ties by value), ranks kept up to
+    * `sz - ceil(t·sz) + 1`, degenerate element buckets capped. `df`
+    * and `sizes` are caller-supplied so a cross-side caller can feed
+    * the COMBINED frequency table and each side's own sizes. Output
+    * `(s, doc_id, sz)`. */
+  private def prefixRows(r: DataFrame, df: DataFrame, sizes: DataFrame,
+      tNum: Int, tDen: Int, maxBucketSize: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("_df").asc, col("s").asc)
+    Dedup.capBuckets(
+      r.join(df, "s")
+        .withColumn("_rn", row_number().over(w))
+        .join(sizes, "doc_id")
+        .where(col("_rn") <= col("sz") - ceilMul(col("sz"), tNum, tDen) + 1)
+        .select(col("s"), col("doc_id"), col("sz")),
+      Seq("s"), maxBucketSize)
   }
 
   /** All pairs of sets sharing at least `minOverlap` elements —
@@ -339,20 +352,16 @@ object StringJoin {
     val r = rows.select(col("doc_id"), col("s")).where(col("s").isNotNull)
     val sizes = r.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
     val df = r.groupBy("s").agg(count(lit(1)).as("_df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("_df").asc, col("s").asc)
-    val prefix = Dedup.capBuckets(
-      r.join(df, "s")
-        .withColumn("_rn", row_number().over(w))
-        .join(sizes, "doc_id")
-        .where(col("_rn") <= col("sz") - ceilMul(col("sz"), tNum, tDen) + 1)
-        .select(col("s"), col("doc_id"), col("sz")),
-      Seq("s"), maxBucketSize)
-    val full = Dedup.capBuckets(r, Seq("s"), maxBucketSize)
+    val prefix = prefixRows(r, df, sizes, tNum, tDen, maxBucketSize)
+    val full = Dedup.capBuckets(r.join(sizes, "doc_id"), Seq("s"), maxBucketSize)
     val cands = prefix
       .select(col("s"), col("doc_id").as("id_a"), col("sz").as("_za"))
-      .join(full.select(col("s"), col("doc_id").as("id_b")), "s")
+      .join(full.select(col("s"), col("doc_id").as("id_b"), col("sz").as("_zb")),
+        "s")
       .where(col("id_a") =!= col("id_b"))
+      // the containing side can't be smaller than the required overlap:
+      // inter <= |b|, so tDen·|b| >= tNum·|a| or the pair can't qualify
+      .where(col("_zb").cast("long") * tDen >= col("_za").cast("long") * tNum)
       .select("id_a", "id_b").distinct()
     val inter = cands
       .join(r.select(col("doc_id").as("id_a"), col("s")), "id_a")
@@ -386,25 +395,16 @@ object StringJoin {
       .select(col("s"),
         (coalesce(col("_dfn"), lit(0L)) + coalesce(col("_dfc"), lit(0L)))
           .as("_df"))
-    // ONE size aggregation per side, shared by the prefix bound and
-    // the final union arithmetic — identical subtrees, so the exchange
-    // reuses instead of shuffling the element rows twice
+    // ONE size aggregation definition per side, shared by the prefix
+    // bound and the final union arithmetic (the values are identical;
+    // whether the planner can physically reuse the subtree depends on
+    // the exchange types its consumers demand — a plan probe showed
+    // hash vs broadcast here, so no ReusedExchange is promised)
     val szn = rn.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
     val szc = rc.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
-    def prefix(r: DataFrame, sizes: DataFrame) = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(col("_df").asc, col("s").asc)
-      Dedup.capBuckets(
-        r.join(df, "s")
-          .withColumn("_rn", row_number().over(w))
-          .join(sizes, "doc_id")
-          .where(col("_rn") <= col("sz") - ceilMul(col("sz"), tNum, tDen) + 1)
-          .select(col("s"), col("doc_id"), col("sz")),
-        Seq("s"), maxBucketSize)
-    }
-    val cands = prefix(rn, szn)
+    val cands = prefixRows(rn, df, szn, tNum, tDen, maxBucketSize)
       .select(col("s"), col("doc_id").as("id_a"), col("sz").as("_za"))
-      .join(prefix(rc, szc)
+      .join(prefixRows(rc, df, szc, tNum, tDen, maxBucketSize)
         .select(col("s"), col("doc_id").as("id_b"), col("sz").as("_zb")), "s")
       .where(least(col("_za"), col("_zb")).cast("long") * tDen >=
         greatest(col("_za"), col("_zb")).cast("long") * tNum)
