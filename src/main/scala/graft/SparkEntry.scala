@@ -3,7 +3,7 @@ package graft
 import graft.functions.cellfunctions._
 import graft.model.{CfSpec, TableDesc}
 import graft.operators.{AsOfJoin, BatchTxn, Bpe, DataSelection, Dedup,
-  EventAnalytics, IntervalJoin, KvStore, Multimodal, QualityModel,
+  EventAnalytics, Graph, IntervalJoin, KvStore, Multimodal, QualityModel,
   Retrieval, Stats, StringJoin, ZOrder, PercolatorRead, Resolve, Sampling,
   ScanFilter, ScanQuery, Similarity, TextAnalysis, TextIndex, TypedValue}
 import graft.sources.{CellLogs, Tables}
@@ -1934,6 +1934,22 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("pps_hits"))
         .orderBy(col("doc_id"))
     }),
+    "q_x_graph_pagerank" -> ((s, dir) => {
+      // fixed-point integer PageRank (3 sweeps, d = 17/20) over a
+      // deterministic part->supplier edge set: the recurrence is pure
+      // integer floor arithmetic, so the oracle UNROLLS the three
+      // iterations in SQL and the ranks hash-match bit for bit —
+      // the exact-rational discipline applied to an iterative graph
+      // operator (aggregation is not allowed in a recursive CTE term,
+      // hence the unroll)
+      val edges = t(s, dir, "lineitem")
+        .where(col("l_orderkey") <= 2000)
+        .select((col("l_partkey") % 100).as("src"),
+          (col("l_suppkey") % 100).as("dst"))
+        .distinct()
+      Graph.pageRankFixedPoint(edges, iterations = 3)
+        .orderBy(col("node"))
+    }),
     "q_x_stats_profile" -> ((s, dir) => {
       // one-pass exact column profile (counts, exact NDV, native-order
       // min/max rendered as strings): one aggregation via the standard
@@ -3198,6 +3214,30 @@ object SparkEntry {
         |       CAST(levenshtein(b.s, c.s) AS INT) AS distance
         |FROM b JOIN c ON levenshtein(b.s, c.s) <= 2
         |ORDER BY 1, 2""".stripMargin,
+    "q_x_graph_pagerank" -> {
+      def iter(prev: String, cur: Int): String =
+        s"""d$cur AS (SELECT COALESCE(sum(r.rank), 0) AS dang
+           |      FROM $prev r LEFT JOIN outd o USING (node) WHERE o.node IS NULL),
+           |c$cur AS (SELECT e.dst AS node, sum(r.rank // o.outc) AS contrib
+           |      FROM $prev r JOIN outd o USING (node) JOIN e ON e.src = r.node
+           |      GROUP BY 1),
+           |r$cur AS (SELECT nn.node,
+           |        CAST((1000000000000 // 20 * 3 // n)
+           |        + (17 * (COALESCE(c.contrib, 0) + dang // n)) // 20
+           |          AS BIGINT) AS rank
+           |      FROM nodes nn LEFT JOIN c$cur c ON c.node = nn.node, d$cur, par)"""
+          .stripMargin
+      s"""WITH e AS (SELECT DISTINCT l_partkey % 100 AS src, l_suppkey % 100 AS dst
+         |           FROM lineitem WHERE l_orderkey <= 2000),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |outd AS (SELECT src AS node, count(*) AS outc FROM e GROUP BY 1),
+         |par AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT node, 1000000000000 // n AS rank FROM nodes, par),
+         |${iter("r0", 1)},
+         |${iter("r1", 2)},
+         |${iter("r2", 3)}
+         |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
+    },
     "q_x_stats_profile" -> {
       val li = """SELECT l_orderkey, l_linenumber, l_returnflag,
         |  CAST(l_shipdate AS DATE) AS ship_date,

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over plain edge DataFrames — the
+  * companion family to [[Dedup.connectedComponents]] (large-star/
+  * small-star), for the link-style signals a corpus-curation pipeline
+  * weighs documents by (domain authority, citation mass).
+  *
+  * Everything here follows the repo's exactness discipline: ranks are
+  * FIXED-POINT LONGS with floor division at every step, so the
+  * iteration is a deterministic integer recurrence that any engine
+  * replays bit-for-bit — no cross-engine doubles, no "close enough"
+  * convergence claims. (The reference has no graph surface; this is
+  * pipeline-driven, like the dedup/ANN rings.)
+  */
+object Graph {
+
+  /** Fixed-point scale: ranks are stored as multiples of 1e-12. Total
+    * mass N·SCALE stays below 2^62 for N up to ~4.6M nodes per unit —
+    * and per-node ranks far below that; the damping products are the
+    * binding constraint (see require below). */
+  val Scale: Long = 1000000000000L
+
+  /** PageRank as an EXACT integer recurrence (fixed iteration count,
+    * fixed-point arithmetic, floor division everywhere):
+    *
+    *   rank₀(v)   = SCALE div N
+    *   out(v)     = out-degree of v
+    *   contrib(v) = Σ_{(u,v) ∈ E} (rank(u) div out(u))
+    *   dang       = Σ_{out(u) = 0} rank(u)
+    *   base       = SCALE div dDen · (dDen - dNum) div N
+    *   rankᵢ₊₁(v) = base + (dNum · (contrib(v) + dang div N)) div dDen
+    *
+    * with damping d = dNum/dDen (default 17/20 = 0.85). This is the
+    * standard power iteration with dangling-mass redistribution,
+    * quantized: each step loses at most 1 fixed-point unit per node
+    * per division to floors (≤ 3e-12 per node per step) — the
+    * deterministic price of a recurrence two engines can agree on
+    * exactly. Output: `(node, rank)` — rank in SCALE units; divide by
+    * SCALE.toDouble for display.
+    *
+    * Node set = every vertex appearing as src or dst. Scale shape per
+    * iteration: one equi-join of ranks onto edges (on src), one hash
+    * aggregation onto dst, one tiny dangling aggregate (a one-row
+    * broadcast, no driver collect of data — the iteration driver loop
+    * only rotates localCheckpoints, the same discipline as
+    * [[Dedup.connectedComponents]]). Iterations are a FIXED parameter
+    * — a curation signal wants k deterministic sweeps, not a
+    * convergence race.
+    */
+  def pageRankFixedPoint(edges: DataFrame, iterations: Int,
+      dampNum: Int = 17, dampDen: Int = 20): DataFrame = {
+    require(iterations >= 0 && iterations <= 50,
+      s"iterations must be in [0, 50], got $iterations")
+    require(dampNum > 0 && dampDen > 0 && dampNum < dampDen,
+      s"damping must be a rational in (0, 1), got $dampNum/$dampDen")
+    require(dampDen <= 1000, s"dampDen must be <= 1000, got $dampDen")
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val outDeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out")).localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "pageRank over an empty edge set")
+    // exact long floor division (non-negative operands): subtract the
+    // remainder, then the double division is of an exact multiple —
+    // quotients here are <= SCALE, far inside double's mantissa
+    def ldiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val base = Scale / dampDen * (dampDen - dampNum) / n
+    var ranks = nodes.withColumn("rank", lit(Scale / n))
+      .localCheckpoint(true)
+    var prev: DataFrame = null
+    for (_ <- 0 until iterations) {
+      val withOut = ranks.join(outDeg, Seq("node"), "left")
+      val dang = withOut.where(col("out").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("_dang"))
+      val contrib = withOut.where(col("out").isNotNull)
+        .select(col("node").as("src"), ldiv(col("rank"), col("out")).as("_c"))
+        .join(e, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("_c")).as("_contrib"))
+      val next = nodes
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (lit(base) + ldiv(
+            lit(dampNum) * (coalesce(col("_contrib"), lit(0L)) +
+              ldiv(col("_dang"), lit(n))),
+            lit(dampDen))).as("rank"))
+      prev = ranks
+      ranks = next.localCheckpoint(true)
+      if (prev != null) prev.unpersist(false)
+    }
+    ranks
+  }
+}

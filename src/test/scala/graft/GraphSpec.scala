@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The fixed-point PageRank is a deterministic integer recurrence —
+  * so the spec replays it literally on the driver and demands
+  * equality, plus structural properties (authority ordering, mass
+  * behavior) on known shapes. */
+class GraphSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Driver replay of the exact recurrence in Graph.pageRankFixedPoint. */
+  private def replay(edges: Seq[(Long, Long)], iters: Int,
+      dNum: Long = 17L, dDen: Long = 20L): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.size.toLong
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val base = Graph.Scale / dDen * (dDen - dNum) / n
+    var rank = nodes.map(_ -> Graph.Scale / n).toMap
+    for (_ <- 0 until iters) {
+      val dang = nodes.filterNot(out.contains).map(rank).sum
+      val contrib = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => rank(s) / out(s) }.sum
+      }
+      rank = nodes.map(v =>
+        v -> (base + dNum * (contrib.getOrElse(v, 0L) + dang / n) / dDen)).toMap
+    }
+    rank
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    Graph.pageRankFixedPoint(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("pageRank equals the driver integer replay — random graph with dangling nodes") {
+    val rng = new scala.util.Random(11L)
+    val edges = (0 until 200).map(_ =>
+      (rng.nextInt(30).toLong, rng.nextInt(40).toLong)).distinct
+    // nodes 30..39 appear only as dst -> dangling; exercised by design
+    for (iters <- Seq(0, 1, 4)) {
+      val got = run(edges, iters)
+      val want = replay(edges, iters)
+      assert(got == want, s"iters=$iters")
+    }
+  }
+
+  test("authority: the hub of a star out-ranks its spokes; symmetric cycle stays uniform") {
+    val star = (1L to 9L).map(i => (i, 0L))
+    val ranks = run(star, 5)
+    assert(ranks(0L) > ranks(1L) * 3, ranks.toString)
+    assert((1L to 9L).map(ranks).distinct.size == 1)
+    // 2-cycle: perfect symmetry, both nodes equal at every iteration
+    val cyc = run(Seq((1L, 2L), (2L, 1L)), 7)
+    assert(cyc(1L) == cyc(2L))
+  }
+
+  test("bad arguments refuse") {
+    val s = spark
+    import s.implicits._
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    intercept[IllegalArgumentException](Graph.pageRankFixedPoint(e, -1))
+    intercept[IllegalArgumentException](
+      Graph.pageRankFixedPoint(e, 1, dampNum = 20, dampDen = 20))
+    intercept[IllegalArgumentException](
+      Graph.pageRankFixedPoint(e.where("src > 99"), 1))
+  }
+}
