@@ -1950,6 +1950,18 @@ object SparkEntry {
       Graph.pageRankFixedPoint(edges, iterations = 3)
         .orderBy(col("node"))
     }),
+    "q_x_graph_triangles" -> ((s, dir) => {
+      // exact per-node triangle counts via degree orientation (the
+      // no-hot-reducer wedge algorithm) over the same derived edge
+      // set as q_x_graph_pagerank; the oracle enumerates ordered
+      // triangles directly
+      val edges = t(s, dir, "lineitem")
+        .where(col("l_orderkey") <= 2000)
+        .select((col("l_partkey") % 100).as("src"),
+          (col("l_suppkey") % 100).as("dst"))
+      Graph.triangleCounts(edges)
+        .orderBy(col("node"))
+    }),
     "q_x_stats_profile" -> ((s, dir) => {
       // one-pass exact column profile (counts, exact NDV, native-order
       // min/max rendered as strings): one aggregation via the standard
@@ -3214,6 +3226,22 @@ object SparkEntry {
         |       CAST(levenshtein(b.s, c.s) AS INT) AS distance
         |FROM b JOIN c ON levenshtein(b.s, c.s) <= 2
         |ORDER BY 1, 2""".stripMargin,
+    "q_x_graph_triangles" ->
+      """WITH raw AS (SELECT l_partkey % 100 AS src, l_suppkey % 100 AS dst
+        |             FROM lineitem WHERE l_orderkey <= 2000),
+        |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |      FROM raw WHERE src <> dst),
+        |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+        |t AS (SELECT a.u AS x, a.v AS y, b.v AS z
+        |      FROM e a JOIN e b ON b.u = a.v
+        |                JOIN e c ON c.u = a.u AND c.v = b.v),
+        |cnt AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+        |          SELECT x AS node FROM t
+        |          UNION ALL SELECT y FROM t
+        |          UNION ALL SELECT z FROM t)
+        |        GROUP BY 1)
+        |SELECT n.node, COALESCE(cnt.triangles, 0) AS triangles
+        |FROM nodes n LEFT JOIN cnt USING (node) ORDER BY 1""".stripMargin,
     "q_x_graph_pagerank" -> {
       def iter(prev: String, cur: Int): String =
         s"""d$cur AS (SELECT COALESCE(sum(r.rank), 0) AS dang

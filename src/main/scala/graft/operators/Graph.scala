@@ -98,4 +98,65 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node triangle counts (exact) by degree orientation — the
+    * MapReduce-era fix for "the curse of the last reducer" (Suri &
+    * Vassilvitskii, WWW 2011): orient each undirected edge from its
+    * lower-(degree, id) endpoint to its higher one, form wedges only
+    * at each triangle's MINIMUM vertex under that order, and close
+    * them against the oriented edge set. A hub of degree D generates
+    * O(D²) wedges naively; oriented, every vertex's out-degree is
+    * bounded by O(√|E|), so the wedge join cannot be sunk by one hot
+    * node. Output `(node, triangles)` — one row per vertex, zeros
+    * included; self-loops and duplicate/reverse edges are
+    * canonicalized away first.
+    *
+    * Shape: a degree aggregation, the orientation join, one
+    * wedge self-join on the apex, one closing equi-join on the
+    * (b, c) pair, and the final explode + count. All equi-joins,
+    * all exact. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v") &&
+        col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+    val nodes = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node"))).distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("_deg"))
+    // orient x -> y iff (deg(x), x) < (deg(y), y): a strict total
+    // order, so each undirected edge gets exactly one direction
+    val withDeg = und
+      .join(deg.select(col("node").as("u"), col("_deg").as("_du")), "u")
+      .join(deg.select(col("node").as("v"), col("_deg").as("_dv")), "v")
+    val oriented = withDeg.select(
+        when(col("_du") < col("_dv") ||
+          (col("_du") === col("_dv") && col("u") < col("v")),
+          struct(col("u").as("x"), col("v").as("y")))
+          .otherwise(struct(col("v").as("x"), col("u").as("y"))).as("_e"))
+      .select(col("_e.x").as("x"), col("_e.y").as("y"))
+      .localCheckpoint(true)
+    // wedges at the apex a (the triangle's minimum vertex): out-pairs
+    // (b, c) with key(b) < key(c) — equivalently b -> c oriented, so
+    // closing is ONE equi-join against the oriented edges
+    val keyed = oriented
+      .join(deg.select(col("node").as("y"), col("_deg").as("_dy")), "y")
+    val wedges = keyed.select(col("x").as("a"), col("y").as("b"),
+        col("_dy").as("_db"))
+      .join(keyed.select(col("x").as("a"), col("y").as("c"),
+        col("_dy").as("_dc")), "a")
+      .where(col("_db") < col("_dc") ||
+        (col("_db") === col("_dc") && col("b") < col("c")))
+    val tris = wedges
+      .join(oriented.select(col("x").as("b"), col("y").as("c")), Seq("b", "c"))
+      .select(col("a"), col("b"), col("c"))
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    nodes.join(perNode, Seq("node"), "left")
+      .select(col("node"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
 }

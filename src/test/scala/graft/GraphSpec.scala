@@ -64,6 +64,39 @@ class GraphSpec extends AnyFunSuite {
     assert(cyc(1L) == cyc(2L))
   }
 
+  test("triangleCounts equals brute-force enumeration — random graphs, K4, star, messy input") {
+    val s = spark
+    import s.implicits._
+    def brute(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val und = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      val nodes = und.flatMap(e => Seq(e._1, e._2))
+      val tris = for {
+        a <- nodes.toSeq; b <- nodes.toSeq if a < b; c <- nodes.toSeq if b < c
+        if und((a, b)) && und((b, c)) && und((a, c))
+      } yield (a, b, c)
+      val counts = tris.flatMap(t => Seq(t._1, t._2, t._3))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+      nodes.map(n => n -> counts.getOrElse(n, 0L)).toMap
+    }
+    def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      Graph.triangleCounts(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rng = new scala.util.Random(19L)
+    for (round <- 0 until 3) {
+      val edges = (0 until 150).map(_ =>
+        (rng.nextInt(20).toLong, rng.nextInt(20).toLong))
+      assert(run(edges) == brute(edges), s"round $round")
+    }
+    // K4: every node in 3 triangles; messy input (self-loops, reverse
+    // duplicates) canonicalizes away
+    val k4 = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+      (2L,1L),(3L,3L),(4L,2L))
+    assert(run(k4) == Map(1L->3L, 2L->3L, 3L->3L, 4L->3L))
+    // star: no triangles anywhere
+    assert(run((1L to 6L).map(i => (0L, i))).values.forall(_ == 0L))
+  }
+
   test("bad arguments refuse") {
     val s = spark
     import s.implicits._
