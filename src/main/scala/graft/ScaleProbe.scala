@@ -248,6 +248,42 @@ object ScaleProbe {
       require(found == planted, s"found $found of $planted planted pairs")
       found
     }
+    timed("graph_pagerank") {
+      // 1M-node directed ring (i -> i+1 mod n): perfect symmetry makes
+      // the fixed-point recurrence CLOSED-FORM — every node's rank is
+      // the same single-value iteration (contrib = rank, no dangling),
+      // so the exact oracle at 1M is "all ranks equal the scalar
+      // replay", bit for bit
+      val ring = spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
+        .select(col("id").as("src"), ((col("id") + 1) % n).as("dst"))
+      val iters = 3
+      val ranks = graft.operators.Graph.pageRankFixedPoint(ring, iters)
+      var expect = graft.operators.Graph.Scale / n
+      val base = graft.operators.Graph.Scale / 20 * 3 / n
+      for (_ <- 0 until iters) expect = base + 17L * expect / 20
+      val r = ranks.agg(count(lit(1)),
+        count(when(col("rank") =!= expect, 1))).head
+      require(r.getLong(1) == 0, s"${r.getLong(1)} ranks off closed form")
+      require(r.getLong(0) == n, s"got ${r.getLong(0)} of $n nodes")
+      r.getLong(0)
+    }
+    timed("graph_triangles") {
+      // n/3 disjoint triangles (3k, 3k+1, 3k+2): every node closes
+      // exactly one — an exact oracle at any scale, and the worst
+      // honest shape for orientation ties (all degrees equal)
+      val m = n - n % 3
+      val base3 = spark.range(0, m, 1, spark.sparkContext.defaultParallelism)
+        .select(col("id"))
+      val edges = base3.select(col("id").as("src"),
+        (col("id") - pmod(col("id"), lit(3)) + pmod(col("id") + 1, lit(3)))
+          .as("dst"))
+      val counts = graft.operators.Graph.triangleCounts(edges)
+      val r = counts.agg(count(lit(1)),
+        count(when(col("triangles") =!= 1L, 1))).head
+      require(r.getLong(1) == 0, s"${r.getLong(1)} nodes off one triangle")
+      require(r.getLong(0) == m, s"got ${r.getLong(0)} of $m nodes")
+      r.getLong(0)
+    }
     // the production increment ring at the 1M x 100k shape: a persisted
     // corpus index, a new batch matched against it. Index build is
     // timed apart from the match — the build is the once-per-corpus
