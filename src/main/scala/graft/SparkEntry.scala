@@ -1962,6 +1962,22 @@ object SparkEntry {
       Graph.triangleCounts(edges)
         .orderBy(col("node"))
     }),
+    "q_x_graph_pagerank_weighted" -> ((s, dir) => {
+      // weighted fixed-point PageRank: edge weight = multiplicity of
+      // the part->supplier link; rank splits over out-edges in weight
+      // proportion via the overflow-safe unit quantization
+      // w_e * (rank div W_u) — still pure integer arithmetic, so the
+      // oracle unrolls the three sweeps exactly like the unweighted
+      // gate
+      val edges = t(s, dir, "lineitem")
+        .where(col("l_orderkey") <= 2000)
+        .groupBy((col("l_partkey") % 100).as("src"),
+          (col("l_suppkey") % 100).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      Graph.pageRankFixedPoint(edges, iterations = 3,
+          weightCol = Some("w"))
+        .orderBy(col("node"))
+    }),
     "q_x_stats_profile" -> ((s, dir) => {
       // one-pass exact column profile (counts, exact NDV, native-order
       // min/max rendered as strings): one aggregation via the standard
@@ -3226,6 +3242,33 @@ object SparkEntry {
         |       CAST(levenshtein(b.s, c.s) AS INT) AS distance
         |FROM b JOIN c ON levenshtein(b.s, c.s) <= 2
         |ORDER BY 1, 2""".stripMargin,
+    "q_x_graph_pagerank_weighted" -> {
+      def iter(prev: String, cur: Int): String =
+        s"""d$cur AS (SELECT COALESCE(sum(r.rank), 0) AS dang
+           |      FROM $prev r LEFT JOIN outd o USING (node) WHERE o.node IS NULL),
+           |c$cur AS (SELECT e.dst AS node,
+           |        CAST(sum(e.w * (r.rank // o.wsum)) AS BIGINT) AS contrib
+           |      FROM $prev r JOIN outd o USING (node) JOIN e ON e.src = r.node
+           |      GROUP BY 1),
+           |r$cur AS (SELECT nn.node,
+           |        CAST((1000000000000 // 20 * 3 // n)
+           |        + (17 * (COALESCE(c.contrib, 0) + dang // n)) // 20
+           |          AS BIGINT) AS rank
+           |      FROM nodes nn LEFT JOIN c$cur c ON c.node = nn.node, d$cur, par)"""
+          .stripMargin
+      s"""WITH e AS (SELECT l_partkey % 100 AS src, l_suppkey % 100 AS dst,
+         |             CAST(count(*) AS BIGINT) AS w
+         |           FROM lineitem WHERE l_orderkey <= 2000 GROUP BY 1, 2),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |outd AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS wsum
+         |         FROM e GROUP BY 1),
+         |par AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT node, 1000000000000 // n AS rank FROM nodes, par),
+         |${iter("r0", 1)},
+         |${iter("r1", 2)},
+         |${iter("r2", 3)}
+         |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
+    },
     "q_x_graph_triangles" ->
       """WITH raw AS (SELECT l_partkey % 100 AS src, l_suppkey % 100 AS dst
         |             FROM lineitem WHERE l_orderkey <= 2000),

@@ -51,19 +51,33 @@ object Graph {
     * convergence race.
     */
   def pageRankFixedPoint(edges: DataFrame, iterations: Int,
-      dampNum: Int = 17, dampDen: Int = 20): DataFrame = {
+      dampNum: Int = 17, dampDen: Int = 20,
+      /** optional positive integer edge-weight column: a node's rank
+        * splits over its out-edges in weight proportion. To stay
+        * overflow- and double-exact at any weight magnitude, the share
+        * is quantized as `w_e · (rank div W_u)` (unit-of-total-weight
+        * times edge weight) — bounded by the rank itself, never by the
+        * weights — at the price of up to `W_u - 1` fixed-point units
+        * of dropped mass per node per sweep. Weights <= 0 or null are
+        * an error, not a silent drop. */
+      weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 0 && iterations <= 50,
       s"iterations must be in [0, 50], got $iterations")
     require(dampNum > 0 && dampDen > 0 && dampNum < dampDen,
       s"damping must be a rational in (0, 1), got $dampNum/$dampDen")
     require(dampDen <= 1000, s"dampDen must be <= 1000, got $dampDen")
-    val e = edges.select(col("src"), col("dst"))
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val e = edges.select(col("src"), col("dst"), w.as("_w"))
       .where(col("src").isNotNull && col("dst").isNotNull)
+    weightCol.foreach { c =>
+      val bad = e.where(col("_w").isNull || col("_w") <= 0).limit(1).count()
+      require(bad == 0, s"weight column $c has null/non-positive entries")
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
     val outDeg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("out")).localCheckpoint(true)
+      .agg(sum(col("_w")).as("out")).localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "pageRank over an empty edge set")
     // exact long floor division (non-negative operands): subtract the
@@ -83,7 +97,7 @@ object Graph {
         .select(col("node").as("src"), ldiv(col("rank"), col("out")).as("_c"))
         .join(e, "src")
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("_c")).as("_contrib"))
+        .agg(sum(col("_c") * col("_w")).as("_contrib"))
       val next = nodes
         .join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dang))

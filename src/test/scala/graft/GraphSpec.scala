@@ -64,6 +64,58 @@ class GraphSpec extends AnyFunSuite {
     assert(cyc(1L) == cyc(2L))
   }
 
+  /** Driver replay of the WEIGHTED recurrence: share = w_e · (rank div W_u). */
+  private def replayWeighted(edges: Seq[(Long, Long, Long)], iters: Int,
+      dNum: Long = 17L, dDen: Long = 20L): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.size.toLong
+    val wOut = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val base = Graph.Scale / dDen * (dDen - dNum) / n
+    var rank = nodes.map(_ -> Graph.Scale / n).toMap
+    for (_ <- 0 until iters) {
+      val dang = nodes.filterNot(wOut.contains).map(rank).sum
+      val contrib = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _, w) => w * (rank(s) / wOut(s)) }.sum
+      }
+      rank = nodes.map(v =>
+        v -> (base + dNum * (contrib.getOrElse(v, 0L) + dang / n) / dDen)).toMap
+    }
+    rank
+  }
+
+  test("weighted pageRank equals the driver replay; weight 1 equals the unweighted path") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(29L)
+    val edges = (0 until 150).map(_ =>
+      (rng.nextInt(25).toLong, rng.nextInt(30).toLong, 1L + rng.nextInt(5)))
+      .distinct
+    val got = Graph.pageRankFixedPoint(edges.toDF("src", "dst", "w"),
+        iterations = 3, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == replayWeighted(edges, 3))
+    // all-ones weights reproduce the unweighted recurrence exactly
+    val unw = edges.map(e => (e._1, e._2))
+    val ones = Graph.pageRankFixedPoint(
+        unw.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w"),
+        iterations = 3, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ones == run(unw, 3))
+    // authority follows weight: one source splits 9:1 over two sinks
+    // (both sinks dangle, so redistribution narrows the gap — the
+    // ordering is the stable property, and the exact values are
+    // already pinned by the replay equality above)
+    val skew = Seq((0L, 1L, 9L), (0L, 2L, 1L)).toDF("src", "dst", "w")
+    val sk = Graph.pageRankFixedPoint(skew, 2, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sk(1L) > sk(2L), sk.toString)
+    assert(sk == replayWeighted(Seq((0L, 1L, 9L), (0L, 2L, 1L)), 2))
+    // non-positive weights refuse
+    intercept[IllegalArgumentException](
+      Graph.pageRankFixedPoint(Seq((1L, 2L, 0L)).toDF("src", "dst", "w"),
+        1, weightCol = Some("w")))
+  }
+
   test("triangleCounts equals brute-force enumeration — random graphs, K4, star, messy input") {
     val s = spark
     import s.implicits._
