@@ -4,7 +4,7 @@ import graft.functions.cellfunctions._
 import graft.model.{CfSpec, TableDesc}
 import graft.operators.{AsOfJoin, BatchTxn, Bpe, DataSelection, Dedup,
   EventAnalytics, Graph, IntervalJoin, KvStore, Multimodal, QualityModel,
-  Retrieval, Stats, StringJoin, ZOrder, PercolatorRead, Resolve, Sampling,
+  Retrieval, Skew, Stats, StringJoin, ZOrder, PercolatorRead, Resolve, Sampling,
   ScanFilter, ScanQuery, Similarity, TextAnalysis, TextIndex, TypedValue}
 import graft.sources.{CellLogs, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1860,6 +1860,22 @@ object SparkEntry {
         ev.withColumn("_us", Tables.eventTsUs(ev)),
         col("user_id"), col("_us"), bucketUs = 604800000000L)
         .orderBy(col("cohort_us"), col("age"))
+    }),
+    "q_x_skew_salted_agg" -> ((s, dir) => {
+      // hot-key aggregation through the explicit two-phase salt:
+      // l_returnflag has 3 values over the whole table — exactly the
+      // AQE-can't-split shape (skew-join handles joins; a hot GROUP BY
+      // key lands on one reducer). saltedAgg ≡ plain groupBy by
+      // construction, so the unsalted DuckDB aggregation is a free
+      // exact oracle.
+      val li = t(s, dir, "lineitem")
+        .withColumn("qty_cents", floor(col("l_quantity") * 100).cast("long"))
+      Skew.saltedAgg(li, col("l_returnflag"), salts = 16,
+        Seq(Skew.SaltableAgg.Sum("qty_cents", "sum_qty_cents"),
+          Skew.SaltableAgg.Count("cnt"),
+          Skew.SaltableAgg.Min("l_orderkey", "min_order"),
+          Skew.SaltableAgg.Max("l_suppkey", "max_supp")))
+        .orderBy(col("l_returnflag"))
     }),
     "q_x_stats_quantiles" -> ((s, dir) => {
       // exact order statistics by radix selection: the k-th smallest
@@ -3921,6 +3937,22 @@ object SparkEntry {
         |SELECT coh.cb * 604800000000 AS cohort_us, kb.b - coh.cb AS age,
         |  CAST(count(*) AS BIGINT) AS n_active
         |FROM kb JOIN coh USING (k) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_x_skew_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_qty_cents,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  min(l_orderkey) AS min_order,
+        |  max(l_suppkey) AS max_supp
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_x_zorder_scan" ->
+      """SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  max(l_suppkey) AS max_supp
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 60
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_x_stats_quantiles" ->
       """WITH v AS (
         |  SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem

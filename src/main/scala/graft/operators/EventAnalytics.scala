@@ -17,6 +17,38 @@ import org.apache.spark.sql.functions._
   */
 object EventAnalytics {
 
+  /** Chain-advance semantics for [[funnel]] — the four modes analysts
+    * know from ClickHouse's `windowFunnel` (same names, same intent),
+    * each defined here as a DETERMINISTIC rule so the whole funnel
+    * replays in plain SQL:
+    *
+    *  - [[FunnelMode.Greedy]] (default): earliest match at-or-after
+    *    the previous step's time (`>=` — two steps may share a
+    *    timestamp).
+    *  - [[FunnelMode.StrictIncrease]]: as Greedy but strictly after
+    *    (`>`) — a shared timestamp cannot satisfy two steps.
+    *  - [[FunnelMode.StrictOrder]]: the chain must be CONSECUTIVE —
+    *    step i+1 must be the very next event after step i's time; any
+    *    intervening event (matching a funnel condition or not) breaks
+    *    the chain. Tie rule: an unrelated event SHARING the matching
+    *    event's timestamp does not break (both are "the next event").
+    *  - [[FunnelMode.StrictDedup]]: a repeat of an ALREADY-MATCHED
+    *    step's condition strictly between the previous step's time and
+    *    the candidate match breaks the chain. Tie rule: a duplicate at
+    *    exactly the candidate's timestamp does not break (advance
+    *    wins).
+    *
+    * Strict modes compare with `>` (strictly after the previous step);
+    * only Greedy keeps the `>=` share-a-timestamp contract.
+    */
+  sealed trait FunnelMode
+  object FunnelMode {
+    case object Greedy extends FunnelMode
+    case object StrictIncrease extends FunnelMode
+    case object StrictOrder extends FunnelMode
+    case object StrictDedup extends FunnelMode
+  }
+
   /** Ordered-step funnel with EARLIEST-CHAIN semantics: step 1 anchors
     * at each key's earliest matching event; each later step takes the
     * earliest matching event at-or-after the previous step's chosen
@@ -40,7 +72,8 @@ object EventAnalytics {
     * min, so duplicate events cost nothing.
     */
   def funnel(events: DataFrame, key: Column, tsUs: Column,
-      steps: Seq[Column], withinUs: Long = Long.MaxValue): DataFrame = {
+      steps: Seq[Column], withinUs: Long = Long.MaxValue,
+      mode: FunnelMode = FunnelMode.Greedy): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(withinUs >= 0, s"withinUs must be >= 0, got $withinUs")
     val k = steps.length
@@ -51,14 +84,43 @@ object EventAnalytics {
       key.as("_k") +: tsUs.as("_ts") +:
         steps.zipWithIndex.map { case (p, i) => p.as(s"_s$i") }: _*)
       .where(col("_k").isNotNull && col("_ts").isNotNull)
+    // Greedy keeps at-or-after (>=); every strict mode is strictly-after
+    val after: (Column, Column) => Column = mode match {
+      case FunnelMode.Greedy => _ >= _
+      case _                 => _ > _
+    }
     var acc = ev.where(col("_s0")).groupBy(col("_k"))
       .agg(min(col("_ts")).as("_t0"))
     (1 until k).foreach { i =>
-      val stepMin = ev.where(col(s"_s$i")).join(acc, Seq("_k"))
-        .where(col("_ts") >= col(s"_t${i - 1}") &&
-          (if (withinUs == Long.MaxValue) lit(true)
-           else col("_ts") <= col("_t0") + withinUs))
-        .groupBy(col("_k")).agg(min(col("_ts")).as(s"_t$i"))
+      val windowOk =
+        if (withinUs == Long.MaxValue) lit(true)
+        else col("_ts") <= col("_t0") + withinUs
+      // earliest in-window candidate for step i (all modes need it)
+      val cand = ev.where(col(s"_s$i")).join(acc, Seq("_k"))
+        .where(after(col("_ts"), col(s"_t${i - 1}")) && windowOk)
+        .groupBy(col("_k")).agg(min(col("_ts")).as("_b"))
+      val stepMin = (mode match {
+        case FunnelMode.Greedy | FunnelMode.StrictIncrease => cand
+        case FunnelMode.StrictOrder =>
+          // the candidate must be the very NEXT event: min over ALL
+          // events strictly after t_{i-1} (window-free — if an earlier
+          // event intervenes it breaks regardless; it cannot be a
+          // matching one, else it would be the candidate)
+          val next = ev.join(acc, Seq("_k"))
+            .where(col("_ts") > col(s"_t${i - 1}"))
+            .groupBy(col("_k")).agg(min(col("_ts")).as("_m"))
+          cand.join(next, Seq("_k")).where(col("_b") === col("_m"))
+        case FunnelMode.StrictDedup =>
+          // a repeat of any ALREADY-matched condition strictly between
+          // t_{i-1} and the candidate breaks the chain; a repeat at
+          // exactly the candidate's timestamp does not (advance wins)
+          val dupPred = (0 until i).map(j => col(s"_s$j")).reduce(_ || _)
+          val dup = ev.where(dupPred).join(acc, Seq("_k"))
+            .where(col("_ts") > col(s"_t${i - 1}"))
+            .groupBy(col("_k")).agg(min(col("_ts")).as("_d"))
+          cand.join(dup, Seq("_k"), "left")
+            .where(col("_d").isNull || col("_b") <= col("_d"))
+      }).select(col("_k"), col("_b").as(s"_t$i"))
       acc = acc.join(stepMin, Seq("_k"), "left")
     }
     val completed = (1 until k)

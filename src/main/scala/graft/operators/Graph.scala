@@ -17,10 +17,22 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Free a superseded localCheckpoint's blocks (the
+    * [[Dedup.connectedComponents]] idiom — `Dataset.unpersist` talks
+    * to the cache manager and does NOT release checkpoint RDD blocks). */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Fixed-point scale: ranks are stored as multiples of 1e-12. Total
-    * mass N·SCALE stays below 2^62 for N up to ~4.6M nodes per unit —
-    * and per-node ranks far below that; the damping products are the
-    * binding constraint (see require below). */
+    * rank mass is ≈ SCALE (rank₀ = SCALE div N each, and each sweep
+    * preserves-or-shrinks it), so no per-node rank ever exceeds SCALE;
+    * the binding overflow bound is the damping product
+    * dampNum · (contrib + dang div N) ≤ dampNum · SCALE ≤ 1000 · 2^40,
+    * far inside 2^62 (see the dampDen require below). */
   val Scale: Long = 1000000000000L
 
   /** PageRank as an EXACT integer recurrence (fixed iteration count,
@@ -76,8 +88,19 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
-    val outDeg = e.groupBy(col("src").as("node"))
-      .agg(sum(col("_w")).as("out")).localCheckpoint(true)
+    // the per-node out-weight total is summed as decimal(38,0) so a
+    // pathological weight set (~2^62 per edge) overflows into an ERROR
+    // below, never into ldiv-corrupted ranks — the repo's exactness
+    // bounds are explicit everywhere else (cf. StringJoin
+    // MaxThresholdPart) and this one was silent
+    val outDegDec = e.groupBy(col("src").as("node"))
+      .agg(sum(col("_w").cast("decimal(38,0)")).as("_outd"))
+    val overW = outDegDec
+      .where(col("_outd") > lit(Long.MaxValue)).limit(1).count()
+    require(overW == 0,
+      "a node's total out-weight exceeds Long.MaxValue — rescale weights")
+    val outDeg = outDegDec.select(col("node"),
+      col("_outd").cast("long").as("out")).localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "pageRank over an empty edge set")
     // exact long floor division (non-negative operands): subtract the
@@ -88,7 +111,6 @@ object Graph {
     val base = Scale / dampDen * (dampDen - dampNum) / n
     var ranks = nodes.withColumn("rank", lit(Scale / n))
       .localCheckpoint(true)
-    var prev: DataFrame = null
     for (_ <- 0 until iterations) {
       val withOut = ranks.join(outDeg, Seq("node"), "left")
       val dang = withOut.where(col("out").isNull)
@@ -106,10 +128,15 @@ object Graph {
             lit(dampNum) * (coalesce(col("_contrib"), lit(0L)) +
               ldiv(col("_dang"), lit(n))),
             lit(dampDen))).as("rank"))
-      prev = ranks
+      val prev = ranks
       ranks = next.localCheckpoint(true)
-      if (prev != null) prev.unpersist(false)
+      unpersistCheckpoint(prev)
     }
+    // the setup frames are only inputs to the (now materialized) final
+    // ranks — release their blocks instead of holding them to session
+    // end (the CC loop's unpersist discipline)
+    unpersistCheckpoint(nodes)
+    unpersistCheckpoint(outDeg)
     ranks
   }
 

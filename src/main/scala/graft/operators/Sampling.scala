@@ -17,12 +17,12 @@ object Sampling {
   /** Rank rows within (parts, order) and keep those whose rank passes
     * `keep` — under a rank column name that cannot collide with (and
     * silently drop) a caller's own column. */
-  private def ranked(df: DataFrame, parts: Seq[Column], order: Column)
+  private def ranked(df: DataFrame, parts: Seq[Column], orders: Column*)
       (keep: Column => Column): DataFrame = {
     val rn = Iterator.from(0).map(i => s"_rn$i")
       .find(n => !df.columns.contains(n)).get
     df.withColumn(rn,
-        row_number().over(Window.partitionBy(parts: _*).orderBy(order)))
+        row_number().over(Window.partitionBy(parts: _*).orderBy(orders: _*)))
       .where(keep(col(rn)))
       .drop(rn)
   }
@@ -328,9 +328,13 @@ object Sampling {
       seed: String): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val kc = wsKeyName(df)
+    // id tie-breaks the race: duplicate ids draw IDENTICAL keys (the
+    // key is a pure function of (seed, id)), so a key-only sort would
+    // make the k-boundary depend on partitioning — the secondary sort
+    // keeps the documented reproducibility contract even then
     df.where(ticketed(weight))
       .withColumn(kc, aesKey(id, weight, seed))
-      .orderBy(col(kc))
+      .orderBy(col(kc), id)
       .limit(k)
       .drop(kc)
   }
@@ -347,7 +351,7 @@ object Sampling {
     val kc = wsKeyName(df)
     val base = df.where(ticketed(weight))
       .withColumn(kc, aesKey(id, weight, seed))
-    ranked(base, Seq(stratum), col(kc))(_ <= kPerStratum)
+    ranked(base, Seq(stratum), col(kc), id)(_ <= kPerStratum)
       .drop(kc)
   }
 

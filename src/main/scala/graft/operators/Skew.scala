@@ -27,7 +27,11 @@ object Skew {
 
   /** Two-phase aggregation over a skewed key: per-(key, salt) partials
     * then a final merge per key — the partial/final pair for each
-    * aggregate is derived internally so they always compose.
+    * aggregate is derived internally so they always compose. The
+    * output key keeps the caller's column name (`df.select(key)`'s
+    * resolved name — alias an expression key with `.as` to control
+    * it), so downstream code and oracles see the same schema a plain
+    * `groupBy(key)` would produce.
     */
   def saltedAgg(
       df: DataFrame,
@@ -35,6 +39,10 @@ object Skew {
       salts: Int,
       aggs: Seq[SaltableAgg]): DataFrame = {
     import SaltableAgg._
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val keyName = df.select(key).columns.head
+    val saltCol = Iterator.from(0).map(i => s"_salt$i")
+      .find(n => !df.columns.contains(n) && n != keyName).get
     val partials = aggs.map {
       case Sum(c, as)  => sum(c).as(as)
       case Count(as)   => count(lit(1)).as(as)
@@ -47,10 +55,13 @@ object Skew {
       case Min(_, as) => min(as).as(as)
       case Max(_, as) => max(as).as(as)
     }
-    df.withColumn("_salt", pmod(monotonically_increasing_id(), lit(salts)))
-      .groupBy(key.as("_key"), col("_salt"))
+    // the salt only spreads rows — any value works; the row-id variant
+    // round-robins so one hot key fans over all `salts` partials even
+    // when its rows arrive clustered
+    df.withColumn(saltCol, pmod(monotonically_increasing_id(), lit(salts)))
+      .groupBy(key.as(keyName), col(saltCol))
       .agg(partials.head, partials.tail: _*)
-      .groupBy(col("_key"))
+      .groupBy(col(keyName))
       .agg(finals.head, finals.tail: _*)
   }
 
@@ -64,6 +75,11 @@ object Skew {
       dim: DataFrame,
       key: String,
       salts: Int): DataFrame = {
+    // correct under task retry (the dim side is replicated across ALL
+    // salts, so every salt value matches) but row→salt placement is
+    // NONDETERMINISTIC across runs: monotonically_increasing_id
+    // depends on partitioning. Join RESULTS are deterministic; only
+    // the shuffle routing varies.
     val saltedFact = fact.withColumn("_salt",
       pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts)))
     val replicatedDim = dim.withColumn("_salt",

@@ -85,6 +85,101 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("funnel strict modes: hand-built edge cases") {
+    import spark.implicits._
+    import EventAnalytics.FunnelMode
+    val ev = Seq(
+      // u1: consecutive A@10 B@20 C@30 — completes in every mode
+      (1L, 10L, "A"), (1L, 20L, "B"), (1L, 30L, "C"),
+      // u2: A@10 X@15 B@20 — StrictOrder breaks at X; others complete
+      (2L, 10L, "A"), (2L, 15L, "X"), (2L, 20L, "B"),
+      // u3: A@10 A@15 B@20 — StrictDedup breaks at the duplicate A;
+      // StrictOrder breaks too (A@15 intervenes); Greedy completes
+      (3L, 10L, "A"), (3L, 15L, "A"), (3L, 20L, "B"),
+      // u4: tie A@10 B@10 — Greedy admits (>=); strict modes need > so
+      // B@10 is NOT after A@10; the B@40 is beyond the window
+      (4L, 10L, "A"), (4L, 10L, "B"), (4L, 40L, "B"),
+      // u5: StrictOrder tie rule — B@20 with unrelated X@20 at the SAME
+      // ts does not break (both are "the next event")
+      (5L, 10L, "A"), (5L, 20L, "B"), (5L, 20L, "X"),
+      // u6: StrictDedup tie rule — duplicate A at exactly the candidate
+      // B's timestamp does not break (advance wins)
+      (6L, 10L, "A"), (6L, 20L, "B"), (6L, 20L, "A"))
+      .toDF("k", "ts", "typ")
+    val steps = Seq(col("typ") === "A", col("typ") === "B", col("typ") === "C")
+    def run(m: EventAnalytics.FunnelMode): Map[Long, Int] =
+      EventAnalytics.funnel(ev, col("k"), col("ts"), steps,
+        withinUs = 25L, mode = m)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(run(FunnelMode.Greedy) ==
+      Map(1L -> 3, 2L -> 2, 3L -> 2, 4L -> 2, 5L -> 2, 6L -> 2))
+    assert(run(FunnelMode.StrictIncrease) ==
+      Map(1L -> 3, 2L -> 2, 3L -> 2, 4L -> 1, 5L -> 2, 6L -> 2))
+    assert(run(FunnelMode.StrictOrder) ==
+      Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 1, 5L -> 2, 6L -> 2))
+    assert(run(FunnelMode.StrictDedup) ==
+      Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 1, 5L -> 2, 6L -> 2))
+  }
+
+  test("funnel strict modes: random events match driver-side models") {
+    import spark.implicits._
+    import EventAnalytics.FunnelMode
+    val rng = new scala.util.Random(23)
+    val types = Seq("A", "B", "C", "X")
+    // coarse timestamps force plenty of ties and duplicates
+    val events = Seq.fill(3000)(
+      (rng.nextInt(60).toLong, rng.nextInt(120).toLong,
+        types(rng.nextInt(types.size))))
+    val within = 40L
+    val conds = Seq("A", "B", "C")
+    // mirrors the aggregation definitions, not a scan: b = earliest
+    // in-window candidate strictly after; per-mode advance rule
+    def model(mode: EventAnalytics.FunnelMode)
+        : Map[Long, (Int, Seq[Option[Long]])] =
+      events.groupBy(_._1).flatMap { case (k, evs) =>
+        def minWhere(p: ((Long, Long, String)) => Boolean): Option[Long] =
+          evs.filter(p).map(_._2).minOption
+        minWhere(_._3 == "A").map { t0 =>
+          var times = Seq[Option[Long]](Some(t0))
+          var tPrev: Option[Long] = Some(t0)
+          (1 until conds.size).foreach { i =>
+            val next = tPrev.flatMap { tp =>
+              val b = minWhere(e =>
+                e._3 == conds(i) && e._2 > tp && e._2 <= t0 + within)
+              mode match {
+                case FunnelMode.StrictIncrease => b
+                case FunnelMode.StrictOrder =>
+                  val m = minWhere(_._2 > tp)
+                  b.filter(bb => m.contains(bb))
+                case FunnelMode.StrictDedup =>
+                  val d = minWhere(e =>
+                    conds.take(i).contains(e._3) && e._2 > tp)
+                  b.filter(bb => d.forall(bb <= _))
+                case FunnelMode.Greedy => sys.error("not modeled here")
+              }
+            }
+            times :+= next
+            tPrev = next
+          }
+          k -> (times.count(_.isDefined), times)
+        }
+      }.toMap
+    Seq(FunnelMode.StrictIncrease, FunnelMode.StrictOrder,
+        FunnelMode.StrictDedup).foreach { m =>
+      val got = EventAnalytics.funnel(events.toDF("k", "ts", "typ"),
+          col("k"), col("ts"), conds.map(c => col("typ") === c),
+          withinUs = within, mode = m)
+        .collect().map(r => r.getLong(0) -> (r.getInt(1),
+          (2 to 4).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i)))
+            .toSeq))
+        .toMap
+      assert(got == model(m), s"mode $m")
+      assert(got.nonEmpty)
+      // the fixture must actually exercise breaks: some keys stop early
+      assert(got.values.exists(_._1 < 3), s"mode $m never breaks")
+    }
+  }
+
   test("null keys and timestamps are excluded, not half-joined") {
     import spark.implicits._
     val ev = Seq(
