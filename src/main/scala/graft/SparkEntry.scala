@@ -1852,6 +1852,38 @@ object SparkEntry {
         withinUs = 43200000000L)
         .orderBy(col("key"))
     }),
+    "q_x_events_funnel_strict" -> ((s, dir) => {
+      // strict_order mode: the chain must be CONSECUTIVE — any
+      // intervening event (matching or not) breaks it. Same k-agg
+      // shape as the greedy funnel plus one window-free "next event"
+      // min per step; the oracle replays the exact min-aggregation
+      // definitions (7-day window so step-2 matches exist at sf0.01)
+      val ev = t(s, dir, "events")
+      EventAnalytics.funnel(
+        ev.withColumn("_us", Tables.eventTsUs(ev)),
+        col("user_id"), col("_us"),
+        steps = Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"),
+        withinUs = 604800000000L,
+        mode = EventAnalytics.FunnelMode.StrictOrder)
+        .orderBy(col("key"))
+    }),
+    "q_x_events_funnel_dedup" -> ((s, dir) => {
+      // strict_dedup mode: a repeat of an already-matched condition
+      // strictly between steps breaks the chain (duplicate at the
+      // candidate's own timestamp: advance wins — documented tie rule)
+      val ev = t(s, dir, "events")
+      EventAnalytics.funnel(
+        ev.withColumn("_us", Tables.eventTsUs(ev)),
+        col("user_id"), col("_us"),
+        steps = Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"),
+        withinUs = 604800000000L,
+        mode = EventAnalytics.FunnelMode.StrictDedup)
+        .orderBy(col("key"))
+    }),
     "q_x_events_retention" -> ((s, dir) => {
       // weekly cohort retention: cohort = bucket of first activity,
       // n_active = distinct users active `age` buckets later
@@ -3924,6 +3956,63 @@ object SparkEntry {
         |       WHERE event_type = 'purchase'
         |         AND t >= t1 AND t <= t0 + 43200000000
         |       GROUP BY 1)
+        |SELECT s1.k AS key,
+        |  CAST(1 + CAST(t1 IS NOT NULL AS INT)
+        |         + CAST(t2 IS NOT NULL AS INT) AS INT) AS steps_completed,
+        |  t0 AS step1_us, t1 AS step2_us, t2 AS step3_us
+        |FROM s1 LEFT JOIN s2 ON s1.k = s2.k LEFT JOIN s3 ON s1.k = s3.k
+        |ORDER BY 1""".stripMargin,
+    "q_x_events_funnel_strict" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, event_type
+        |           FROM events),
+        |s1 AS (SELECT k, min(t) AS t0 FROM e WHERE event_type = 'view'
+        |       GROUP BY 1),
+        |c2 AS (SELECT e.k, min(t) AS b FROM e JOIN s1 USING (k)
+        |       WHERE event_type = 'click'
+        |         AND t > t0 AND t <= t0 + 604800000000
+        |       GROUP BY 1),
+        |m2 AS (SELECT e.k, min(t) AS m FROM e JOIN s1 USING (k)
+        |       WHERE t > t0 GROUP BY 1),
+        |s2 AS (SELECT c2.k, c2.b AS t1 FROM c2 JOIN m2 ON c2.k = m2.k
+        |       WHERE c2.b = m2.m),
+        |c3 AS (SELECT e.k, min(t) AS b
+        |       FROM e JOIN s2 USING (k) JOIN s1 USING (k)
+        |       WHERE event_type = 'purchase'
+        |         AND t > t1 AND t <= t0 + 604800000000
+        |       GROUP BY 1),
+        |m3 AS (SELECT e.k, min(t) AS m FROM e JOIN s2 USING (k)
+        |       WHERE t > t1 GROUP BY 1),
+        |s3 AS (SELECT c3.k, c3.b AS t2 FROM c3 JOIN m3 ON c3.k = m3.k
+        |       WHERE c3.b = m3.m)
+        |SELECT s1.k AS key,
+        |  CAST(1 + CAST(t1 IS NOT NULL AS INT)
+        |         + CAST(t2 IS NOT NULL AS INT) AS INT) AS steps_completed,
+        |  t0 AS step1_us, t1 AS step2_us, t2 AS step3_us
+        |FROM s1 LEFT JOIN s2 ON s1.k = s2.k LEFT JOIN s3 ON s1.k = s3.k
+        |ORDER BY 1""".stripMargin,
+    "q_x_events_funnel_dedup" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, event_type
+        |           FROM events),
+        |s1 AS (SELECT k, min(t) AS t0 FROM e WHERE event_type = 'view'
+        |       GROUP BY 1),
+        |c2 AS (SELECT e.k, min(t) AS b FROM e JOIN s1 USING (k)
+        |       WHERE event_type = 'click'
+        |         AND t > t0 AND t <= t0 + 604800000000
+        |       GROUP BY 1),
+        |d2 AS (SELECT e.k, min(t) AS d FROM e JOIN s1 USING (k)
+        |       WHERE event_type = 'view' AND t > t0 GROUP BY 1),
+        |s2 AS (SELECT c2.k, c2.b AS t1 FROM c2 LEFT JOIN d2 ON c2.k = d2.k
+        |       WHERE d2.d IS NULL OR c2.b <= d2.d),
+        |c3 AS (SELECT e.k, min(t) AS b
+        |       FROM e JOIN s2 USING (k) JOIN s1 USING (k)
+        |       WHERE event_type = 'purchase'
+        |         AND t > t1 AND t <= t0 + 604800000000
+        |       GROUP BY 1),
+        |d3 AS (SELECT e.k, min(t) AS d FROM e JOIN s2 USING (k)
+        |       WHERE event_type IN ('view', 'click') AND t > t1
+        |       GROUP BY 1),
+        |s3 AS (SELECT c3.k, c3.b AS t2 FROM c3 LEFT JOIN d3 ON c3.k = d3.k
+        |       WHERE d3.d IS NULL OR c3.b <= d3.d)
         |SELECT s1.k AS key,
         |  CAST(1 + CAST(t1 IS NOT NULL AS INT)
         |         + CAST(t2 IS NOT NULL AS INT) AS INT) AS steps_completed,
