@@ -34,7 +34,7 @@ object IntervalJoin {
     * expressions plus an inner equi-join — a STREAMING left frame
     * against a static right works as-is (stream-static interval join,
     * zero stateful operators, append mode), spec-proven in
-    * StreamingSpec.
+    * StreamingSpec. For BOTH sides streaming, use [[joinStreams]].
     *
     * @param left    anchor rows; all its columns survive
     * @param right   probed rows; `carried` columns survive (renamed as
@@ -82,6 +82,72 @@ object IntervalJoin {
     l.join(r, cond)
       .where(col("_rts") >= col(leftTs) + lowerUs &&
         col("_rts") <= col(leftTs) + upperUs)
+      .select(left.columns.map(col) ++
+        carried.map(c => col(s"_c_$c").as(c)): _*)
+  }
+
+  /** BOTH-SIDES-STREAMING interval join (Flink's interval join shape):
+    * the same banded equi-join rewrite, planned as Spark's symmetric
+    * stateful stream-stream join with WATERMARK-BOUNDED state on both
+    * sides. Spark refuses a stream-stream join without an equality
+    * predicate — the band bucket IS that equality key here, so even
+    * the keyless band shape plans (the bucket inherits the band's
+    * locality; a raw theta condition would be rejected outright).
+    *
+    * State bound: the band predicate is expressed as a time-range
+    * condition between the two sides' watermarked event-time columns
+    * (epoch-µs longs lifted via `timestamp_micros` — exact at µs
+    * resolution, so the timestamp band ≡ the long band), which is
+    * exactly what Spark's state cleanup derives eviction thresholds
+    * from: each side retains only rows within
+    * `band + watermark delay` of the global watermark, independent of
+    * stream length. Inner join, append mode.
+    *
+    * Columns mirror [[join]]: all left columns survive plus `carried`
+    * right columns. `delay` is each side's `withWatermark` threshold
+    * (how far out-of-order events may arrive, e.g. "10 minutes").
+    * Spec-proven equal to the batch [[join]] on a replayed feed pair,
+    * with `stateOperators` present (it IS stateful — that is the
+    * point) in StreamingSpec.
+    */
+  def joinStreams(left: DataFrame, right: DataFrame, key: Option[String],
+      leftTs: String, rightTs: String, lowerUs: Long, upperUs: Long,
+      carried: Seq[String], delay: String): DataFrame = {
+    require(upperUs >= lowerUs,
+      s"upperUs ($upperUs) must be >= lowerUs ($lowerUs)")
+    require(carried.nonEmpty, "carry at least one right column")
+    val clash = carried.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty,
+      s"carried columns collide with left columns: ${clash.mkString(", ")} " +
+        "— alias them on the right side first")
+    val width = math.max(upperUs - lowerUs, 1L)
+    def bucketOf(ts: Column): Column = Stats.ldiv(ts, width)
+    val l = left
+      .withColumn("_levt", timestamp_micros(col(leftTs)))
+      .withWatermark("_levt", delay)
+      .withColumn("_lb", bucketOf(col(leftTs) + lowerUs))
+      .withColumn("_ub", bucketOf(col(leftTs) + upperUs))
+      .withColumn("_bkt", explode(sequence(col("_lb"), col("_ub"))))
+      .drop("_lb", "_ub")
+    val r = right
+      .select(col(rightTs).as("_rts") +:
+        (key.toSeq.map(k => col(k).as("_rkey")) ++
+          carried.map(c => col(c).as(s"_c_$c"))): _*)
+      .withColumn("_revt", timestamp_micros(col("_rts")))
+      .withWatermark("_revt", delay)
+      .withColumn("_rbkt", bucketOf(col("_rts")))
+    // the band as event-time arithmetic: state eviction reads these
+    // range conditions off the join predicate (a post-join filter on
+    // the long columns would leave state unbounded)
+    val band =
+      col("_revt") >= col("_levt") + expr(s"INTERVAL '$lowerUs' MICROSECOND") &&
+      col("_revt") <= col("_levt") + expr(s"INTERVAL '$upperUs' MICROSECOND")
+    val cond = key match {
+      case Some(k) =>
+        col("_bkt") === col("_rbkt") && col(k) === col("_rkey") && band
+      case None => col("_bkt") === col("_rbkt") && band
+    }
+    l.join(r, cond)
       .select(left.columns.map(col) ++
         carried.map(c => col(s"_c_$c").as(c)): _*)
   }

@@ -576,6 +576,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch && got.nonEmpty, s"$got vs $batch")
   }
 
+  test("stream-stream interval join: watermark-bounded state, equals the batch band join") {
+    import spark.implicits._
+    val ldir = tmp("ivj2-left")
+    val rdir = tmp("ivj2-right")
+    // band [-50, +60] around each left ts; pairs straddle bucket
+    // boundaries (width 110) and include a no-match on each side
+    Seq((1L, 100L), (2L, 200L), (3L, 400L), (4L, 999L)).toDF("lid", "ts")
+      .write.mode("overwrite").parquet(ldir)
+    Seq((10L, 100L, "a"), (11L, 150L, "b"), (12L, 305L, "c"),
+      (13L, 95L, "d"), (14L, 700L, "e"))
+      .toDF("rid", "rts", "rv")
+      .write.mode("overwrite").parquet(rdir)
+    val ls = spark.readStream.schema("lid LONG, ts LONG").parquet(ldir)
+    val rs = spark.readStream.schema("rid LONG, rts LONG, rv STRING")
+      .parquet(rdir)
+    val q = graft.operators.IntervalJoin.joinStreams(ls, rs, key = None,
+        leftTs = "ts", rightTs = "rts", lowerUs = -50L, upperUs = 60L,
+        carried = Seq("rid"), delay = "1 hour")
+      .writeStream.format("memory").queryName("ivj2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    // stateful by design — the symmetric hash join holds both sides'
+    // in-band rows; the watermark + band bound that state
+    assert(q.lastProgress.stateOperators.nonEmpty, q.lastProgress.prettyJson)
+    val got = spark.sql("SELECT lid, rid FROM ivj2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.IntervalJoin.join(
+        spark.read.parquet(ldir), spark.read.parquet(rdir), None,
+        "ts", "rts", -50L, 60L, Seq("rid"))
+      .select("lid", "rid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch && got.nonEmpty, s"$got vs $batch")
+    assert(!got.exists(_._1 == 4L) && !got.exists(_._2 == 14L), got.toString)
+  }
+
+  test("stream-stream interval join: keyed variant matches the keyed batch join") {
+    import spark.implicits._
+    val ldir = tmp("ivj3-left")
+    val rdir = tmp("ivj3-right")
+    // same timestamps, two keys — the key equality must prune the
+    // cross-key in-band pairs the band alone would admit
+    Seq(("k1", 1L, 100L), ("k2", 2L, 100L), ("k1", 3L, 300L))
+      .toDF("k", "lid", "ts").write.mode("overwrite").parquet(ldir)
+    Seq(("k1", 10L, 120L), ("k2", 11L, 120L), ("k1", 12L, 310L))
+      .toDF("k", "rid", "rts").write.mode("overwrite").parquet(rdir)
+    val ls = spark.readStream.schema("k STRING, lid LONG, ts LONG")
+      .parquet(ldir)
+    val rs = spark.readStream.schema("k STRING, rid LONG, rts LONG")
+      .parquet(rdir)
+    val q = graft.operators.IntervalJoin.joinStreams(ls, rs,
+        key = Some("k"), leftTs = "ts", rightTs = "rts",
+        lowerUs = 0L, upperUs = 30L, carried = Seq("rid"),
+        delay = "1 hour")
+      .writeStream.format("memory").queryName("ivj3")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.sql("SELECT lid, rid FROM ivj3")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.IntervalJoin.join(
+        spark.read.parquet(ldir), spark.read.parquet(rdir), Some("k"),
+        "ts", "rts", 0L, 30L, Seq("rid"))
+      .select("lid", "rid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch, s"$got vs $batch")
+    assert(got == Set((1L, 10L), (2L, 11L), (3L, 12L)), got.toString)
+  }
+
   test("streaming contamination matches agree with the batch decontaminate verdict") {
     import spark.implicits._
     val dir = tmp("contam-stream")
