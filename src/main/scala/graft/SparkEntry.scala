@@ -1884,6 +1884,20 @@ object SparkEntry {
         mode = EventAnalytics.FunnelMode.StrictDedup)
         .orderBy(col("key"))
     }),
+    "q_x_events_funnel_increase" -> ((s, dir) => {
+      // strict_increase mode: strictly-after (>) instead of the greedy
+      // at-or-after (>=) — shared timestamps cannot satisfy two steps
+      val ev = t(s, dir, "events")
+      EventAnalytics.funnel(
+        ev.withColumn("_us", Tables.eventTsUs(ev)),
+        col("user_id"), col("_us"),
+        steps = Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"),
+        withinUs = 43200000000L,
+        mode = EventAnalytics.FunnelMode.StrictIncrease)
+        .orderBy(col("key"))
+    }),
     "q_x_events_retention" -> ((s, dir) => {
       // weekly cohort retention: cohort = bucket of first activity,
       // n_active = distinct users active `age` buckets later
@@ -1908,6 +1922,21 @@ object SparkEntry {
           Skew.SaltableAgg.Min("l_orderkey", "min_order"),
           Skew.SaltableAgg.Max("l_suppkey", "max_supp")))
         .orderBy(col("l_returnflag"))
+    }),
+    "q_x_skew_salted_join" -> ((s, dir) => {
+      // the explicit salted join: lineitem fact × supplier dim on the
+      // supplier key, dim replicated across 8 salts so a hot key
+      // spreads over 8 shuffle partitions. Results ≡ the plain join by
+      // construction — the unsalted DuckDB join is the exact oracle.
+      val fact = t(s, dir, "lineitem").select(
+        col("l_suppkey").as("suppkey"),
+        floor(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+      val dim = t(s, dir, "supplier").select(
+        col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      Skew.saltedJoin(fact, dim, "suppkey", salts = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("cnt"), sum(col("price_cents")).as("sum_cents"))
+        .orderBy(col("s_nationkey"))
     }),
     "q_x_stats_quantiles" -> ((s, dir) => {
       // exact order statistics by radix selection: the k-th smallest
@@ -3962,6 +3991,26 @@ object SparkEntry {
         |  t0 AS step1_us, t1 AS step2_us, t2 AS step3_us
         |FROM s1 LEFT JOIN s2 ON s1.k = s2.k LEFT JOIN s3 ON s1.k = s3.k
         |ORDER BY 1""".stripMargin,
+    "q_x_events_funnel_increase" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, event_type
+        |           FROM events),
+        |s1 AS (SELECT k, min(t) AS t0 FROM e WHERE event_type = 'view'
+        |       GROUP BY 1),
+        |s2 AS (SELECT e.k, min(t) AS t1 FROM e JOIN s1 USING (k)
+        |       WHERE event_type = 'click'
+        |         AND t > t0 AND t <= t0 + 43200000000
+        |       GROUP BY 1),
+        |s3 AS (SELECT e.k, min(t) AS t2
+        |       FROM e JOIN s2 USING (k) JOIN s1 USING (k)
+        |       WHERE event_type = 'purchase'
+        |         AND t > t1 AND t <= t0 + 43200000000
+        |       GROUP BY 1)
+        |SELECT s1.k AS key,
+        |  CAST(1 + CAST(t1 IS NOT NULL AS INT)
+        |         + CAST(t2 IS NOT NULL AS INT) AS INT) AS steps_completed,
+        |  t0 AS step1_us, t1 AS step2_us, t2 AS step3_us
+        |FROM s1 LEFT JOIN s2 ON s1.k = s2.k LEFT JOIN s3 ON s1.k = s3.k
+        |ORDER BY 1""".stripMargin,
     "q_x_events_funnel_strict" ->
       """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, event_type
         |           FROM events),
@@ -4034,6 +4083,12 @@ object SparkEntry {
         |  min(l_orderkey) AS min_order,
         |  max(l_suppkey) AS max_supp
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_x_skew_salted_join" ->
+      """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_x_zorder_scan" ->
       """SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)

@@ -114,6 +114,18 @@ class GraphSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Graph.pageRankFixedPoint(Seq((1L, 2L, 0L)).toDF("src", "dst", "w"),
         1, weightCol = Some("w")))
+    // an out-weight total past Long.MaxValue is an ERROR, not silent
+    // ldiv corruption (the sum crosses decimal(38,0) before the check)
+    val huge = Seq((0L, 1L, Long.MaxValue), (0L, 2L, Long.MaxValue))
+      .toDF("src", "dst", "w")
+    val ex = intercept[IllegalArgumentException](
+      Graph.pageRankFixedPoint(huge, 1, weightCol = Some("w")))
+    assert(ex.getMessage.contains("out-weight"))
+    // ...but a single maximal weight (sum exactly Long.MaxValue) is fine
+    val edge = Graph.pageRankFixedPoint(
+      Seq((0L, 1L, Long.MaxValue)).toDF("src", "dst", "w"),
+      1, weightCol = Some("w"))
+    assert(edge.count() == 2)
   }
 
   test("triangleCounts equals brute-force enumeration — random graphs, K4, star, messy input") {

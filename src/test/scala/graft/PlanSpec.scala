@@ -380,6 +380,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!fPlan.contains("Window"), fPlan)
     assert(!fPlan.contains("CartesianProduct"), fPlan)
     assert(!fPlan.contains("BroadcastNestedLoopJoin"), fPlan)
+    // strict modes add only more min-aggregations and equi-joins —
+    // the no-window, no-cartesian discipline must hold for them too
+    Seq(graft.operators.EventAnalytics.FunnelMode.StrictOrder,
+        graft.operators.EventAnalytics.FunnelMode.StrictDedup).foreach { m =>
+      val sp = planOf(graft.operators.EventAnalytics.funnel(
+        ev.withColumn("_us", Tables.eventTsUs(ev)),
+        col("user_id"), col("_us"),
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"), withinUs = 3600000000L,
+        mode = m))
+      assert(!sp.contains("Window"), s"$m: $sp")
+      assert(!sp.contains("CartesianProduct"), s"$m: $sp")
+      assert(!sp.contains("BroadcastNestedLoopJoin"), s"$m: $sp")
+    }
     val r = graft.operators.EventAnalytics.retention(
       ev.withColumn("_us", Tables.eventTsUs(ev)),
       col("user_id"), col("_us"), 604800000000L)
