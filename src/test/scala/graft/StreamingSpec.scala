@@ -645,6 +645,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L), (2L, 11L), (3L, 12L)), got.toString)
   }
 
+  test("stream-stream interval join: random feeds equal the batch join (differential)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    // several band shapes incl. negative-only and zero-width; multiple
+    // parquet files per side force multi-batch AvailableNow processing
+    for (((lo, hi), round) <- Seq((-50L, 60L), (-40L, -10L), (0L, 0L),
+        (25L, 90L)).zipWithIndex) {
+      val ldir = tmp(s"ivjf-l$round")
+      val rdir = tmp(s"ivjf-r$round")
+      val left = Seq.fill(300)((rng.nextInt(1000).toLong,
+        rng.nextInt(5000).toLong))
+        .zipWithIndex.map { case ((_, ts), i) => (i.toLong, ts) }
+      val right = Seq.fill(300)((rng.nextInt(1000).toLong,
+        rng.nextInt(5000).toLong))
+        .zipWithIndex.map { case ((_, ts), i) => (i.toLong + 1000L, ts) }
+      left.toDF("lid", "ts").repartition(3)
+        .write.mode("overwrite").parquet(ldir)
+      right.toDF("rid", "rts").repartition(3)
+        .write.mode("overwrite").parquet(rdir)
+      val ls = spark.readStream.schema("lid LONG, ts LONG").parquet(ldir)
+      val rs = spark.readStream.schema("rid LONG, rts LONG").parquet(rdir)
+      val q = graft.operators.IntervalJoin.joinStreams(ls, rs, key = None,
+          leftTs = "ts", rightTs = "rts", lowerUs = lo, upperUs = hi,
+          carried = Seq("rid"), delay = "1 hour")
+        .writeStream.format("memory").queryName(s"ivjf$round")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      val got = spark.sql(s"SELECT lid, rid FROM ivjf$round")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // ground truth from first principles, not from the batch operator
+      val brute = (for {
+        (lid, ts) <- left; (rid, rts) <- right
+        if rts >= ts + lo && rts <= ts + hi
+      } yield (lid, rid)).toSet
+      assert(got == brute, s"band [$lo,$hi]: ${got.size} vs ${brute.size}")
+      assert(round > 0 || got.nonEmpty)
+    }
+  }
+
   test("streaming contamination matches agree with the batch decontaminate verdict") {
     import spark.implicits._
     val dir = tmp("contam-stream")
