@@ -1907,6 +1907,21 @@ object SparkEntry {
         col("user_id"), col("_us"), bucketUs = 604800000000L)
         .orderBy(col("cohort_us"), col("age"))
     }),
+    "q_x_graph_kcore" -> ((s, dir) => {
+      // 22-core of the customer–part purchase graph (bipartite: even
+      // node ids are customers, odd are parts). Iterative peeling runs
+      // to its fixpoint (5 rounds at sf0.01); the oracle unrolls 8
+      // peel rounds — peeling is IDEMPOTENT at the fixpoint, so extra
+      // unrolled rounds are free and the two agree exactly whenever
+      // convergence lands within the unroll (asserted by the Spark
+      // side's own convergence require).
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val edges = o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+      Graph.kCore(edges, k = 22).orderBy(col("node"))
+    }),
     "q_x_skew_salted_agg" -> ((s, dir) => {
       // hot-key aggregation through the explicit two-phase salt:
       // l_returnflag has 3 values over the whole table — exactly the
@@ -4075,6 +4090,60 @@ object SparkEntry {
         |SELECT coh.cb * 604800000000 AS cohort_us, kb.b - coh.cb AS age,
         |  CAST(count(*) AS BIGINT) AS n_active
         |FROM kb JOIN coh USING (k) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_x_graph_kcore" ->
+      """WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS u, l_partkey * 2 + 1 AS v
+        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |d1 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e0
+        |        UNION ALL SELECT v FROM e0) t1 GROUP BY 1),
+        |k1 AS (SELECT node FROM d1 WHERE d >= 22),
+        |e1 AS MATERIALIZED (SELECT u, v FROM e0
+        |        JOIN k1 a1 ON e0.u = a1.node
+        |        JOIN k1 b1 ON e0.v = b1.node),
+        |d2 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e1
+        |        UNION ALL SELECT v FROM e1) t2 GROUP BY 1),
+        |k2 AS (SELECT node FROM d2 WHERE d >= 22),
+        |e2 AS MATERIALIZED (SELECT u, v FROM e1
+        |        JOIN k2 a2 ON e1.u = a2.node
+        |        JOIN k2 b2 ON e1.v = b2.node),
+        |d3 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e2
+        |        UNION ALL SELECT v FROM e2) t3 GROUP BY 1),
+        |k3 AS (SELECT node FROM d3 WHERE d >= 22),
+        |e3 AS MATERIALIZED (SELECT u, v FROM e2
+        |        JOIN k3 a3 ON e2.u = a3.node
+        |        JOIN k3 b3 ON e2.v = b3.node),
+        |d4 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e3
+        |        UNION ALL SELECT v FROM e3) t4 GROUP BY 1),
+        |k4 AS (SELECT node FROM d4 WHERE d >= 22),
+        |e4 AS MATERIALIZED (SELECT u, v FROM e3
+        |        JOIN k4 a4 ON e3.u = a4.node
+        |        JOIN k4 b4 ON e3.v = b4.node),
+        |d5 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e4
+        |        UNION ALL SELECT v FROM e4) t5 GROUP BY 1),
+        |k5 AS (SELECT node FROM d5 WHERE d >= 22),
+        |e5 AS MATERIALIZED (SELECT u, v FROM e4
+        |        JOIN k5 a5 ON e4.u = a5.node
+        |        JOIN k5 b5 ON e4.v = b5.node),
+        |d6 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e5
+        |        UNION ALL SELECT v FROM e5) t6 GROUP BY 1),
+        |k6 AS (SELECT node FROM d6 WHERE d >= 22),
+        |e6 AS MATERIALIZED (SELECT u, v FROM e5
+        |        JOIN k6 a6 ON e5.u = a6.node
+        |        JOIN k6 b6 ON e5.v = b6.node),
+        |d7 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e6
+        |        UNION ALL SELECT v FROM e6) t7 GROUP BY 1),
+        |k7 AS (SELECT node FROM d7 WHERE d >= 22),
+        |e7 AS MATERIALIZED (SELECT u, v FROM e6
+        |        JOIN k7 a7 ON e6.u = a7.node
+        |        JOIN k7 b7 ON e6.v = b7.node),
+        |d8 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e7
+        |        UNION ALL SELECT v FROM e7) t8 GROUP BY 1),
+        |k8 AS (SELECT node FROM d8 WHERE d >= 22),
+        |e8 AS MATERIALIZED (SELECT u, v FROM e7
+        |        JOIN k8 a8 ON e7.u = a8.node
+        |        JOIN k8 b8 ON e7.v = b8.node)
+        |SELECT node, CAST(count(*) AS BIGINT) AS degree
+        |FROM (SELECT u AS node FROM e8 UNION ALL SELECT v FROM e8) tf
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_x_skew_salted_agg" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)

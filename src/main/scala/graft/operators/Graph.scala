@@ -140,6 +140,72 @@ object Graph {
     ranks
   }
 
+  /** The k-CORE of an undirected graph — the (unique) maximal subgraph
+    * in which every node has degree >= `k` — by iterative peeling:
+    * repeatedly drop nodes whose current degree is below `k` until
+    * none remain. The result is order-independent (the k-core is a
+    * fixpoint regardless of peel order), so the operator is exact and
+    * engine-portable: peeling is IDEMPOTENT at the fixpoint, which
+    * lets a SQL oracle unroll a fixed number of peel rounds and agree
+    * bit-for-bit whenever convergence happened within them
+    * (q_x_graph_kcore). Classic curation signal: the dense core of a
+    * link/co-occurrence graph separates hub-grade sources from
+    * stragglers (Seidman, "Network structure and minimum degree",
+    * Social Networks 1983).
+    *
+    * Input edges canonicalize like [[triangleCounts]] (undirected,
+    * self-loops and duplicate/reverse edges removed). Output
+    * `(node, degree)` — the surviving nodes with their degree INSIDE
+    * the core; empty when no k-core exists.
+    *
+    * Scale shape per round: one degree aggregation and two semi-style
+    * equi-joins back onto the edge list, localCheckpoint rotation with
+    * superseded-block release (the CC discipline). Rounds are bounded
+    * by `maxRounds` (an error, not a silent partial result, if
+    * exceeded); each round strictly shrinks the edge set, and the
+    * edge-count handshake per round is a one-number driver read.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1 && maxRounds <= 500,
+      s"maxRounds must be in [1, 500], got $maxRounds")
+    var e = edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v") &&
+        col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    var prevEdges = e.count()
+    var converged = prevEdges == 0L
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val deg = e.select(col("u").as("node"))
+        .union(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("_deg"))
+      val keep = deg.where(col("_deg") >= k).select(col("node"))
+      val next = e
+        .join(keep.select(col("node").as("u")), "u")
+        .join(keep.select(col("node").as("v")), "v")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+      val nextEdges = next.count()
+      unpersistCheckpoint(e)
+      e = next
+      // dropping any node removes at least one edge (every node in `e`
+      // has degree >= 1), so an unchanged count IS the fixpoint
+      converged = nextEdges == prevEdges || nextEdges == 0L
+      prevEdges = nextEdges
+      rounds += 1
+    }
+    require(converged, s"k-core did not converge in $maxRounds rounds")
+    // the final checkpoint stays alive — the returned frame reads it
+    // (unpersisting here would truncate the lineage under the caller)
+    e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+  }
+
   /** Per-node triangle counts (exact) by degree orientation — the
     * MapReduce-era fix for "the curse of the last reducer" (Suri &
     * Vassilvitskii, WWW 2011): orient each undirected edge from its

@@ -161,6 +161,49 @@ class GraphSpec extends AnyFunSuite {
     assert(run((1L to 6L).map(i => (0L, i))).values.forall(_ == 0L))
   }
 
+  test("kCore equals brute-force peeling — random graphs, structures, empty cores") {
+    val s = spark
+    import s.implicits._
+    def brute(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+      var und = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      var changed = true
+      while (changed) {
+        val deg = und.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (n, xs) => n -> xs.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = und.filter(e => keep(e._1) && keep(e._2))
+        changed = next.size != und.size
+        und = next
+      }
+      und.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    }
+    def run(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+      Graph.kCore(edges.toDF("src", "dst"), k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rng = new scala.util.Random(37L)
+    for (round <- 0 until 3; k <- Seq(2, 3)) {
+      val edges = (0 until 120).map(_ =>
+        (rng.nextInt(25).toLong, rng.nextInt(25).toLong))
+      assert(run(edges, k) == brute(edges, k), s"round $round k=$k")
+    }
+    // triangle with a pendant tail: 2-core is the triangle alone
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    assert(run(tri, 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // a tree has no 2-core; K4 survives 3-core whole; messy input
+    // (self-loops, reverse duplicates) canonicalizes away first
+    assert(run(Seq((1L, 2L), (2L, 3L), (2L, 4L)), 2).isEmpty)
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (2L, 1L), (3L, 3L))
+    assert(run(k4, 3) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // maxRounds exceeded is an error, not a partial result: a long
+    // path peels one layer per round under k=2
+    val path = (1L to 12L).sliding(2).map(p => (p.head, p.last)).toSeq
+    intercept[IllegalArgumentException](
+      Graph.kCore(path.toDF("src", "dst"), 2, maxRounds = 2))
+  }
+
   test("bad arguments refuse") {
     val s = spark
     import s.implicits._
