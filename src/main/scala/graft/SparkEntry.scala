@@ -4140,9 +4140,33 @@ object SparkEntry {
         |k8 AS (SELECT node FROM d8 WHERE d >= 22),
         |e8 AS MATERIALIZED (SELECT u, v FROM e7
         |        JOIN k8 a8 ON e7.u = a8.node
-        |        JOIN k8 b8 ON e7.v = b8.node)
+        |        JOIN k8 b8 ON e7.v = b8.node),
+        |d9 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e8
+        |        UNION ALL SELECT v FROM e8) t9 GROUP BY 1),
+        |k9 AS (SELECT node FROM d9 WHERE d >= 22),
+        |e9 AS MATERIALIZED (SELECT u, v FROM e8
+        |        JOIN k9 a9 ON e8.u = a9.node
+        |        JOIN k9 b9 ON e8.v = b9.node),
+        |d10 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e9
+        |        UNION ALL SELECT v FROM e9) t10 GROUP BY 1),
+        |k10 AS (SELECT node FROM d10 WHERE d >= 22),
+        |e10 AS MATERIALIZED (SELECT u, v FROM e9
+        |        JOIN k10 a10 ON e9.u = a10.node
+        |        JOIN k10 b10 ON e9.v = b10.node),
+        |d11 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e10
+        |        UNION ALL SELECT v FROM e10) t11 GROUP BY 1),
+        |k11 AS (SELECT node FROM d11 WHERE d >= 22),
+        |e11 AS MATERIALIZED (SELECT u, v FROM e10
+        |        JOIN k11 a11 ON e10.u = a11.node
+        |        JOIN k11 b11 ON e10.v = b11.node),
+        |d12 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e11
+        |        UNION ALL SELECT v FROM e11) t12 GROUP BY 1),
+        |k12 AS (SELECT node FROM d12 WHERE d >= 22),
+        |e12 AS MATERIALIZED (SELECT u, v FROM e11
+        |        JOIN k12 a12 ON e11.u = a12.node
+        |        JOIN k12 b12 ON e11.v = b12.node)
         |SELECT node, CAST(count(*) AS BIGINT) AS degree
-        |FROM (SELECT u AS node FROM e8 UNION ALL SELECT v FROM e8) tf
+        |FROM (SELECT u AS node FROM e12 UNION ALL SELECT v FROM e12) tf
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_x_skew_salted_agg" ->
       """SELECT l_returnflag,
