@@ -365,6 +365,33 @@ object ScaleProbe {
       require(r.getLong(0) == n, s"got ${r.getLong(0)} of $n nodes")
       r.getLong(0)
     }
+    timed("graph_kcore") {
+      // exact closed-form k-core at scale: an n-node undirected ring
+      // (degree 2 everywhere) plus a circulant core over the n/100
+      // nodes with id % 100 == 0 (each connects to its next 12
+      // multiples-of-100, so core nodes add degree 24). At k = 3 the
+      // first peel drops every pure-ring node (degree 2); ring edges
+      // between 100-spaced ids never exist, so the fixpoint is EXACTLY
+      // the circulant: m = n/100 nodes, each of degree 24 (m > 24
+      // keeps the circulant simple — offsets don't wrap into overlap)
+      val m = n / 100
+      require(m > 24, s"kcore probe needs n >= 2500, got n=$n")
+      val par = spark.sparkContext.defaultParallelism
+      val ring = spark.range(0, n, 1, par)
+        .select(col("id").as("src"), ((col("id") + 1) % n).as("dst"))
+      val core = spark.range(0, m, 1, par)
+        .select(col("id").as("_i"),
+          explode(array((1 to 12).map(lit): _*)).as("_o"))
+        .select((col("_i") * 100).as("src"),
+          (pmod(col("_i") + col("_o"), lit(m)) * 100).as("dst"))
+      val got = graft.operators.Graph.kCore(ring.union(core), k = 3)
+      val r = got.agg(count(lit(1)),
+        count(when(col("degree") =!= 24L ||
+          pmod(col("node"), lit(100)) =!= 0, 1))).head
+      require(r.getLong(1) == 0, s"${r.getLong(1)} nodes off the closed form")
+      require(r.getLong(0) == m, s"got ${r.getLong(0)} of $m core nodes")
+      r.getLong(0)
+    }
     timed("graph_triangles") {
       // n/3 disjoint triangles (3k, 3k+1, 3k+2): every node closes
       // exactly one — an exact oracle at any scale, and the worst
