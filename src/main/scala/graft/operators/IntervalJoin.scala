@@ -106,6 +106,9 @@ object IntervalJoin {
     * Columns mirror [[join]]: all left columns survive plus `carried`
     * right columns. `delay` is each side's `withWatermark` threshold
     * (how far out-of-order events may arrive, e.g. "10 minutes").
+    * Event times must be within `timestamp_micros` range (±~292k
+    * years) — the batch [[join]] has no such bound; no real event
+    * feed does either.
     * Spec-proven equal to the batch [[join]] on a replayed feed pair,
     * with `stateOperators` present (it IS stateful — that is the
     * point) in StreamingSpec.

@@ -40,9 +40,18 @@ object Skew {
       aggs: Seq[SaltableAgg]): DataFrame = {
     import SaltableAgg._
     require(salts >= 1, s"salts must be >= 1, got $salts")
+    require(aggs.nonEmpty, "saltedAgg needs at least one aggregate")
     val keyName = df.select(key).columns.head
+    // an output alias equal to the key (or a duplicate alias) would
+    // make the final groupBy ambiguous — refuse loudly
+    val aliases = aggs.map(_.as)
+    require(aliases.distinct.size == aliases.size,
+      s"duplicate aggregate aliases: ${aliases.mkString(", ")}")
+    require(!aliases.contains(keyName),
+      s"aggregate alias collides with the key column '$keyName'")
     val saltCol = Iterator.from(0).map(i => s"_salt$i")
-      .find(n => !df.columns.contains(n) && n != keyName).get
+      .find(n => !df.columns.contains(n) && n != keyName &&
+        !aliases.contains(n)).get
     val partials = aggs.map {
       case Sum(c, as)  => sum(c).as(as)
       case Count(as)   => count(lit(1)).as(as)
