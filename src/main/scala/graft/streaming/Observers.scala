@@ -812,6 +812,151 @@ object Observers {
         col("session_window.end").as("session_end"), col("row_key"), col("cnt"))
   }
 
+  /** One retained event of a live streaming-funnel chain. */
+  case class FunnelEv(ts: Long, mask: Int)
+
+  /** Per-key streaming-funnel state: the current anchor (`Long.MaxValue`
+    * until a step-1 event arrives), the one-emission tombstone, and the
+    * retained in-horizon events. */
+  case class FunnelState(t0: Long, emitted: Boolean, events: List[FunnelEv])
+
+  /** A finalized funnel row (times use `Long.MinValue` as the
+    * not-reached sentinel until the column projection nulls them). */
+  case class FunnelHit(key: String, steps_completed: Int, times: Seq[Long])
+
+  /** STREAMING twin of [[graft.operators.EventAnalytics.funnel]]
+    * (greedy mode): per-key custom state via `flatMapGroupsWithState`
+    * emits each key's funnel row once, when the event-time watermark
+    * passes `anchor + withinUs` — at that point every event that could
+    * participate in the chain has arrived (given the `delay`
+    * out-of-orderness contract), so the emitted row EQUALS the batch
+    * funnel on the same feed, spec-proven on replayed random streams.
+    *
+    * Contracts and bounds:
+    *  - `withinUs` must be finite here (the open-ended batch default
+    *    has no finalization point a stream can reach);
+    *  - exactness holds when event disorder stays within `delay` —
+    *    the same caveat as every watermarked operator;
+    *  - state per key is the retained event list, bounded by the
+    *    events inside a `withinUs + delay` horizon (older events evict
+    *    as the watermark passes them unless they sit inside the live
+    *    anchor window), plus a 2-field tombstone after emission (one
+    *    row per key, ever — a later second anchor epoch does NOT
+    *    re-emit, where the batch funnel would fold it into the same
+    *    single row anyway);
+    *  - keys that never anchor clear their state as the watermark
+    *    passes their events; keys whose window never closes before the
+    *    feed ends emit on the next round over the same checkpoint once
+    *    something advances the watermark (the observers' sequential
+    *    AvailableNow cadence).
+    *
+    * Output mirrors the batch funnel: `(key, steps_completed,
+    * step1_us .. stepK_us)` with the key cast to string (typed state
+    * needs one concrete key type).
+    */
+  def streamingFunnel(events: DataFrame, key: Column, tsUs: Column,
+      steps: Seq[Column], withinUs: Long, delay: String): DataFrame = {
+    require(steps.nonEmpty && steps.size <= 30,
+      s"funnel needs 1..30 steps, got ${steps.size}")
+    require(withinUs >= 0 && withinUs <= (1L << 60),
+      s"withinUs must be a finite window in [0, 2^60], got $withinUs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val k = steps.length
+    val mask = steps.zipWithIndex.map { case (p, i) =>
+      when(p, lit(1 << i)).otherwise(lit(0)) }
+      .reduce((a, b) => a.bitwiseOR(b))
+    val ev = events
+      .select(key.cast("string").as("_k"), tsUs.cast("long").as("_ts"),
+        mask.as("_mask"))
+      .where(col("_k").isNotNull && col("_ts").isNotNull)
+      .withColumn("_evt", timestamp_micros(col("_ts")))
+      .withWatermark("_evt", delay)
+    // non-step (mask 0) events are NOT filtered here: a deterministic
+    // filter gets pushed below the EventTimeWatermark operator by the
+    // optimizer, and then quiet-feed heartbeat events would never
+    // advance the clock that closes windows — the state function skips
+    // them instead
+    def msOf(us: Long): Long = Math.floorDiv(us, 1000L)
+    // the watermarked _evt column must survive into the stateful
+    // operator's child (the event-time-timeout checker requires it);
+    // the function itself reads only (_k, _ts, _mask)
+    val out = ev.select(col("_k"), col("_ts"), col("_mask"), col("_evt"))
+      .as[(String, Long, Int, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (kk, rows, state) =>
+          val st = state.getOption.getOrElse(
+            FunnelState(Long.MaxValue, emitted = false, Nil))
+          if (st.emitted) {
+            rows.size // drain; one emission per key, ever
+            Iterator.empty
+          } else if (state.hasTimedOut) {
+            // watermark passed t0 + withinUs: the chain is final —
+            // replicate the batch greedy fold over the retained events
+            var times = List(st.t0)
+            var tPrev = st.t0
+            var done = false
+            (1 until k).foreach { i =>
+              if (!done) {
+                val ti = st.events.iterator
+                  .filter(e => (e.mask & (1 << i)) != 0 &&
+                    e.ts >= tPrev && e.ts - st.t0 <= withinUs)
+                  .map(_.ts).minOption
+                ti match {
+                  case Some(t) => times ::= t; tPrev = t
+                  case None => done = true
+                }
+              }
+            }
+            val completed = times.size
+            val full = times.reverse ++
+              List.fill(k - completed)(Long.MinValue)
+            state.update(FunnelState(st.t0, emitted = true, Nil))
+            Iterator.single(FunnelHit(kk, completed, full))
+          } else {
+            var t0 = st.t0
+            var evs = st.events
+            rows.foreach { case (_, ts, m, _) =>
+              if (m != 0) { // step events only; heartbeats just tick the clock
+                if ((m & 1) != 0 && ts < t0) t0 = ts
+                evs = FunnelEv(ts, m) :: evs
+              }
+            }
+            // evict what no feasible chain can use: a FUTURE anchor
+            // only lowers t0 (it is a min) and arrives at or above the
+            // watermark, so once the watermark passes an event it
+            // matters only inside the live anchor window
+            val wm = state.getCurrentWatermarkMs()
+            evs = evs.filter { e =>
+              val inWindow = t0 != Long.MaxValue &&
+                e.ts >= t0 && e.ts - t0 <= withinUs
+              inWindow || wm <= 0L || msOf(e.ts) >= wm
+            }
+            if (t0 == Long.MaxValue && evs.isEmpty) state.remove()
+            else {
+              state.update(FunnelState(t0, emitted = false, evs))
+              if (t0 != Long.MaxValue) {
+                // fire once the watermark clears the window end; a
+                // late-learned anchor whose window already closed fires
+                // on the next clock tick
+                val target = msOf(t0 + withinUs) + 1
+                state.setTimeoutTimestamp(math.max(target, wm + 1))
+              }
+            }
+            Iterator.empty
+          }
+      }
+    out.select(
+      col("key") +: col("steps_completed") +:
+        (0 until k).map { i =>
+          val t = element_at(col("times"), i + 1)
+          when(t =!= Long.MinValue, t).as(s"step${i + 1}_us")
+        }: _*)
+  }
+
   /** Custom keyed state (tera observers keep per-row processing state via
     * row locks; here arbitrary state via flatMapGroupsWithState):
     * running per-row cell counter emitted on every update.

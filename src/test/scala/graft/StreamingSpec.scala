@@ -685,6 +685,56 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming funnel equals the batch funnel once the watermark closes windows") {
+    import graft.operators.EventAnalytics
+    import spark.implicits._
+    val dir = tmp("funnel-stream")
+    val ckpt = tmp("funnel-ckpt")
+    val rng = new scala.util.Random(41)
+    val types = Seq("A", "B", "C", "X")
+    // dense random feed: plenty of ties, duplicates, and mid-chain noise
+    val events = Seq.fill(2000)((rng.nextInt(40).toLong,
+      rng.nextInt(5000).toLong * 1000, types(rng.nextInt(types.size))))
+    events.toDF("k", "ts", "typ").repartition(3)
+      .write.mode("overwrite").parquet(dir)
+    val within = 400000L
+    val steps = Seq(col("typ") === "A", col("typ") === "B",
+      col("typ") === "C")
+    val results = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    def round(): Unit = {
+      val stream = spark.readStream.schema("k LONG, ts LONG, typ STRING")
+        .parquet(dir)
+      val q = Observers.streamingFunnel(stream, col("k"), col("ts"), steps,
+          withinUs = within, delay = "10 seconds")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          results.synchronized { results ++= b.collect() }; ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    round()
+    // flush round: one far-future NON-step event pushes the watermark
+    // past every live window; the same checkpoint resumes, timers fire
+    Seq((999L, 100000000L * 1000, "X")).toDF("k", "ts", "typ")
+      .write.mode("append").parquet(dir)
+    round() // timers fire in this round's trailing no-data batch
+    val got = results
+      .map(r => r.getString(0) -> (r.getInt(1), (2 to 4).map(i =>
+        if (r.isNullAt(i)) None else Some(r.getLong(i))).toSeq))
+      .toMap
+    assert(results.size == got.size, "a key emitted twice")
+    val batch = EventAnalytics.funnel(spark.read.parquet(dir),
+        col("k"), col("ts"), steps, withinUs = within)
+      .collect()
+      .map(r => r.getLong(0).toString -> (r.getInt(1), (2 to 4).map(i =>
+        if (r.isNullAt(i)) None else Some(r.getLong(i))).toSeq))
+      .toMap
+    assert(got == batch, s"${got.size} streamed vs ${batch.size} batch keys")
+    assert(got.nonEmpty && got.values.exists(_._1 > 1))
+  }
+
   test("streaming contamination matches agree with the batch decontaminate verdict") {
     import spark.implicits._
     val dir = tmp("contam-stream")
