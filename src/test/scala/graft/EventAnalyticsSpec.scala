@@ -180,6 +180,57 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel modes: window-size sweep (zero-width, tight, effectively open)") {
+    import spark.implicits._
+    import EventAnalytics.FunnelMode
+    val rng = new scala.util.Random(29)
+    val types = Seq("A", "B", "C", "X")
+    val events = Seq.fill(1200)((rng.nextInt(25).toLong,
+      rng.nextInt(60).toLong, types(rng.nextInt(types.size))))
+    val conds = Seq("A", "B", "C")
+    def model(mode: EventAnalytics.FunnelMode, within: Long)
+        : Map[Long, Int] =
+      events.groupBy(_._1).flatMap { case (k, evs) =>
+        def minWhere(p: ((Long, Long, String)) => Boolean): Option[Long] =
+          evs.filter(p).map(_._2).minOption
+        minWhere(_._3 == "A").map { t0 =>
+          var n = 1
+          var tPrev: Option[Long] = Some(t0)
+          (1 until conds.size).foreach { i =>
+            val next = tPrev.flatMap { tp =>
+              val after: Long => Boolean = mode match {
+                case FunnelMode.Greedy => _ >= tp
+                case _                 => _ > tp
+              }
+              val b = minWhere(e => e._3 == conds(i) && after(e._2) &&
+                e._2 <= t0 + within)
+              mode match {
+                case FunnelMode.Greedy | FunnelMode.StrictIncrease => b
+                case FunnelMode.StrictOrder =>
+                  b.filter(bb => minWhere(_._2 > tp).contains(bb))
+                case FunnelMode.StrictDedup =>
+                  val d = minWhere(e =>
+                    conds.take(i).contains(e._3) && e._2 > tp)
+                  b.filter(bb => d.forall(bb <= _))
+              }
+            }
+            if (next.isDefined) n += 1
+            tPrev = next
+          }
+          k -> n
+        }
+      }.toMap
+    for (within <- Seq(0L, 7L, 1000000L);
+         m <- Seq(FunnelMode.Greedy, FunnelMode.StrictIncrease,
+           FunnelMode.StrictOrder, FunnelMode.StrictDedup)) {
+      val got = EventAnalytics.funnel(events.toDF("k", "ts", "typ"),
+          col("k"), col("ts"), conds.map(c => col("typ") === c),
+          withinUs = within, mode = m)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == model(m, within), s"mode $m within $within")
+    }
+  }
+
   test("null keys and timestamps are excluded, not half-joined") {
     import spark.implicits._
     val ev = Seq(
