@@ -2070,6 +2070,59 @@ object SparkEntry {
           weightCol = Some("w"))
         .orderBy(col("node"))
     }),
+    "q_x_graph_sssp" -> ((s, dir) => {
+      // multi-source BFS hop distance over the undirected customer–
+      // part purchase graph (even ids customers, odd ids parts),
+      // seeded at nation-0 customers. The frontier Bellman-Ford
+      // fixpoint is pure integer arithmetic, so the oracle replays it
+      // as a depth-bounded recursive CTE (min over all walks = the
+      // BFS distance); maxRounds = 16 makes "fixpoint inside the
+      // oracle's depth bound" a Spark-side REQUIRE, not a hope.
+      // Reachable nodes only; sources (ordered or not) at 0.
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val c = t(s, dir, "customer")
+      val edges = o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+      val sources = c.where(col("c_nationkey") === 0)
+        .select((col("c_custkey") * 2).as("node"))
+      Graph.shortestPaths(edges, sources, directed = false,
+          maxRounds = 16)
+        .orderBy(col("node"))
+    }),
+    "q_x_graph_sssp_weighted" -> ((s, dir) => {
+      // weighted shortest paths on the same undirected purchase graph
+      // — edge cost = l_quantity (whole-valued double, cast exact to
+      // long; parallel edges keep their individual costs and the
+      // cheapest wins). Aggregation is not allowed in a recursive CTE
+      // term, so the oracle UNROLLS 16 full Bellman-Ford relaxation
+      // rounds (the k-core unroll idiom); the Spark side's own
+      // convergence require at maxRounds = 16 guarantees the fixpoint
+      // lands inside the unroll.
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val c = t(s, dir, "customer")
+      val edges = o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"),
+          col("l_quantity").cast("long").as("w"))
+      val sources = c.where(col("c_nationkey") === 0)
+        .select((col("c_custkey") * 2).as("node"))
+      Graph.shortestPaths(edges, sources, weightCol = Some("w"),
+          directed = false, maxRounds = 16)
+        .orderBy(col("node"))
+    }),
+    "q_x_stats_heavy" -> ((s, dir) => {
+      // EXACT heavy hitters (keys with > n/1500 of the rows) through
+      // the count-min candidate pre-pass + exact recount — the sketch
+      // only PRUNES, the output counts are real, so the plain
+      // GROUP BY/HAVING is a free exact oracle (the q_x_skew_salted_agg
+      // identity discipline)
+      val li = t(s, dir, "lineitem")
+      Stats.heavyHitters(li, col("l_partkey"), 1L, 1500L)
+        .orderBy(col("l_partkey"))
+    }),
     "q_x_stats_profile" -> ((s, dir) => {
       // one-pass exact column profile (counts, exact NDV, native-order
       // min/max rendered as strings): one aggregation via the standard
@@ -3401,6 +3454,39 @@ object SparkEntry {
          |${iter("r2", 3)}
          |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
     },
+    "q_x_graph_sssp" ->
+      """WITH RECURSIVE e AS (SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+        |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |eb AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |walk(node, d) AS (
+        |  SELECT c_custkey * 2, CAST(0 AS BIGINT)
+        |  FROM customer WHERE c_nationkey = 0
+        |  UNION
+        |  SELECT eb.dst, walk.d + 1 FROM walk JOIN eb ON walk.node = eb.src
+        |  WHERE walk.d < 16)
+        |SELECT node, min(d) AS dist FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_x_graph_sssp_weighted" -> {
+      def relax(prev: Int, cur: Int): String =
+        s"""d$cur AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+           |      SELECT node, d FROM d$prev UNION ALL
+           |      SELECT eb.dst AS node, p.d + eb.w AS d
+           |      FROM d$prev p JOIN eb ON p.node = eb.src) u$cur
+           |      GROUP BY 1)""".stripMargin
+      s"""WITH e AS MATERIALIZED (SELECT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst,
+         |           CAST(l_quantity AS BIGINT) AS w
+         |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |eb AS MATERIALIZED (SELECT src, dst, w FROM e
+         |      UNION ALL SELECT dst, src, w FROM e),
+         |d0 AS (SELECT DISTINCT c_custkey * 2 AS node, CAST(0 AS BIGINT) AS d
+         |       FROM customer WHERE c_nationkey = 0),
+         |${(1 to 16).map(i => relax(i - 1, i)).mkString(",\n")}
+         |SELECT node, d AS dist FROM d16 ORDER BY 1""".stripMargin
+    },
+    "q_x_stats_heavy" ->
+      """SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt FROM lineitem
+        |GROUP BY 1
+        |HAVING count(*) * 1500 > (SELECT count(*) FROM lineitem) * 1
+        |ORDER BY 1""".stripMargin,
     "q_x_stats_profile" -> {
       val li = """SELECT l_orderkey, l_linenumber, l_returnflag,
         |  CAST(l_shipdate AS DATE) AS ship_date,

@@ -206,6 +206,99 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("degree"))
   }
 
+  /** Single/multi-source SHORTEST PATHS over positive integer edge
+    * weights — exact Bellman-Ford relaxation driven by an improvement
+    * frontier (only nodes whose distance improved last round relax
+    * their out-edges this round), so quiescent regions of the graph
+    * cost nothing after they settle. Distances are plain longs: with
+    * positive integer weights the recurrence
+    *
+    *   dist₀(v)   = 0 for v ∈ sources
+    *   distᵢ₊₁(v) = min(distᵢ(v), min_{(u,v,w) ∈ E} distᵢ(u) + w)
+    *
+    * is a deterministic integer fixpoint any engine replays
+    * bit-for-bit (Bellman 1958; the frontier form is the classic
+    * queue-driven refinement). Curation use: hop/weighted distance
+    * from a trusted seed set grades documents by link proximity.
+    *
+    * Output `(node, dist)` — REACHABLE nodes only (sources at 0);
+    * unreachable nodes are absent, not null. `weightCol` must be
+    * positive integers (null/<=0 is an error, not a silent drop);
+    * omitted = hop-count BFS. `directed = false` relaxes each edge
+    * both ways. Convergence must land within `maxRounds` (an error,
+    * not a silent partial result, if exceeded — with positive weights
+    * the fixpoint arrives within the longest shortest-path hop
+    * count). Overflow is an ERROR by construction: the max edge
+    * weight is bounded so `maxRounds · max(w)` stays inside Long.
+    *
+    * Scale shape per round: one equi-join of the frontier onto the
+    * edge list, one min-aggregation, one merge aggregation with the
+    * standing distance frame — all keyed on node, no windows;
+    * localCheckpoint rotation with superseded-block release and a
+    * one-number frontier-count handshake per round (the
+    * [[kCore]]/[[Dedup.connectedComponents]] discipline).
+    */
+  def shortestPaths(edges: DataFrame, sources: DataFrame,
+      weightCol: Option[String] = None, directed: Boolean = true,
+      maxRounds: Int = 50): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 500,
+      s"maxRounds must be in [1, 500], got $maxRounds")
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val fwd = edges.select(col("src"), col("dst"), w.as("_w"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val e = if (directed) fwd else fwd.union(
+      fwd.select(col("dst").as("src"), col("src").as("dst"), col("_w")))
+    weightCol.foreach { c =>
+      val bad = e.where(col("_w").isNull || col("_w") <= 0).limit(1).count()
+      require(bad == 0, s"weight column $c has null/non-positive entries")
+      // dist <= hops · max(w) with hops <= maxRounds: bound max(w) so
+      // the sum cannot wrap — an error up front, never silent corruption
+      val wMax = e.agg(max(col("_w"))).head.getLong(0)
+      require(wMax <= Long.MaxValue / (maxRounds + 1L),
+        s"max edge weight $wMax too large for $maxRounds rounds — rescale")
+    }
+    val srcCol = sources.columns.head
+    var dist = sources.select(col(srcCol).as("node"))
+      .where(col("node").isNotNull).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    require(dist.count() > 0, "shortestPaths over an empty source set")
+    var frontier = dist
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val cand = frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node"), (col("dist") + col("_w")).as("_nd"))
+        .groupBy("node").agg(min(col("_nd")).as("_nd"))
+      val improved = cand.join(dist, Seq("node"), "left")
+        .where(col("dist").isNull || col("_nd") < col("dist"))
+        .select(col("node"), col("_nd").as("dist"))
+        .localCheckpoint(true)
+      val nImproved = improved.count()
+      if (nImproved == 0L) {
+        unpersistCheckpoint(improved)
+        converged = true
+      } else {
+        // improved strictly beats the standing entry (or is new), so
+        // the min-merge keeps exactly the improved value per node
+        val next = dist.union(improved)
+          .groupBy("node").agg(min(col("dist")).as("dist"))
+          .localCheckpoint(true)
+        val prevDist = dist
+        val prevFrontier = frontier
+        dist = next
+        frontier = improved
+        unpersistCheckpoint(prevDist)
+        if (prevFrontier ne prevDist) unpersistCheckpoint(prevFrontier)
+        rounds += 1
+      }
+    }
+    require(converged, s"shortestPaths did not converge in $maxRounds rounds")
+    // the final checkpoints stay alive — the returned frame reads them
+    dist
+  }
+
   /** Per-node triangle counts (exact) by degree orientation — the
     * MapReduce-era fix for "the curse of the last reducer" (Suri &
     * Vassilvitskii, WWW 2011): orient each undirected edge from its

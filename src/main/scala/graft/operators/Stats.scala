@@ -197,6 +197,88 @@ object Stats {
       .select(col("_p.*"))
   }
 
+  /** Heavy-hitter bucket count per hash table — kept at the radix
+    * histogram width so the driver handshake stays in the documented
+    * bounded-collect class. */
+  private val HhBuckets = 65536L
+
+  /** EXACT heavy hitters — every key whose row count strictly exceeds
+    * `phiNum/phiDen` of the table — without shuffling the full key
+    * space. The standard exact plan (`GROUP BY key HAVING cnt > φ·n`)
+    * shuffles one row per DISTINCT key; over a 100 TB corpus keyed by
+    * URL/fingerprint the partial aggregation barely compresses and the
+    * exchange is the job. This runs the count-min filter idea
+    * (Cormode & Muthukrishnan, J. Algorithms 2005) as a two-pass
+    * EXACT plan:
+    *
+    *  1. one map-side-combinable histogram over (hash-table, bucket)
+    *     — two independent xxhash64 tables of 65,536 buckets each, the
+    *     same bounded-handshake width as the radix quantile rounds. A
+    *     key with count > φ·n sits in a bucket counting ≥ it, so the
+    *     buckets that strictly clear the threshold form a GUARANTEED
+    *     candidate superset; since bucket counts sum to n, fewer than
+    *     phiDen/phiNum buckets can qualify per table (bounded, by
+    *     construction, no matter the data).
+    *  2. one exact recount of the rows whose key lands in a qualifying
+    *     bucket of BOTH tables (two broadcast joins on the bucket id),
+    *     filtered by the exact strict threshold. A light key survives
+    *     the pre-filter only by colliding with heavy buckets in both
+    *     tables (~(phiDen/phiNum / 65536)² of them) — it then gets an
+    *     exact count and drops out, so collisions cost a little work,
+    *     never correctness.
+    *
+    * The result is EXACT (the sketch only prunes; the final counts
+    * are real), deterministic, and the only corpus-wide exchange is
+    * the fixed-width histogram. Null keys are excluded (a null is a
+    * missing key, not a key). Output: `(<key column name>, cnt)`,
+    * strict `cnt · phiDen > n · phiNum`.
+    */
+  def heavyHitters(df: DataFrame, key: Column,
+      phiNum: Long, phiDen: Long): DataFrame = {
+    require(phiNum >= 1 && phiDen > phiNum,
+      s"phi must be a rational in (0, 1): $phiNum/$phiDen")
+    require(phiDen / phiNum <= 8192,
+      s"phi below 1/8192 makes the candidate bucket list unbounded — " +
+        s"got $phiNum/$phiDen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyName = df.select(key).columns.head
+    val keyed = df.select(key.as(keyName))
+      .where(col(keyName).isNotNull)
+      .withColumn("_b1",
+        pmod(xxhash64(lit(1), col(keyName)), lit(HhBuckets)))
+      .withColumn("_b2",
+        pmod(xxhash64(lit(2), col(keyName)), lit(HhBuckets)))
+    val hist = keyed
+      .select(explode(array(
+        struct(lit(1).as("h"), col("_b1").as("b")),
+        struct(lit(2).as("h"), col("_b2").as("b")))).as("_hb"))
+      .groupBy(col("_hb.h").as("_h"), col("_hb.b").as("_b"))
+      .agg(count(lit(1)).as("_c"))
+      .collect()
+    val n = hist.iterator.filter(_.getInt(0) == 1).map(_.getLong(2)).sum
+    if (n == 0) {
+      keyed.select(col(keyName)).limit(0)
+        .withColumn("cnt", lit(0L)).where(lit(false))
+    } else {
+      require(n <= Long.MaxValue / phiDen,
+        s"n · phiDen would overflow Long — n=$n phiDen=$phiDen")
+      def cand(h: Int): Seq[Long] = hist.iterator
+        .filter(r => r.getInt(0) == h && r.getLong(2) * phiDen > n * phiNum)
+        .map(_.getLong(1)).toSeq
+      val (c1, c2) = (cand(1), cand(2))
+      if (c1.isEmpty || c2.isEmpty)
+        keyed.select(col(keyName)).limit(0)
+          .withColumn("cnt", lit(0L)).where(lit(false))
+      else keyed
+        .join(broadcast(c1.toDF("_b1")), "_b1")
+        .join(broadcast(c2.toDF("_b2")), "_b2")
+        .groupBy(col(keyName))
+        .agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") * phiDen > lit(n * phiNum))
+    }
+  }
+
   /** Exact floor division of a long column by a positive long constant
     * — through decimals, because a double-typed `/` loses integer
     * precision above 2^53 (an epoch-µs timestamp far from 1970 could

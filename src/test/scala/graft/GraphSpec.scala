@@ -204,6 +204,89 @@ class GraphSpec extends AnyFunSuite {
       Graph.kCore(path.toDF("src", "dst"), 2, maxRounds = 2))
   }
 
+  /** Driver Dijkstra over an adjacency list — the independent model
+    * for the Bellman-Ford fixpoint. */
+  private def dijkstra(edges: Seq[(Long, Long, Long)], sources: Set[Long],
+      directed: Boolean): Map[Long, Long] = {
+    val all = if (directed) edges
+      else edges ++ edges.map(e => (e._2, e._1, e._3))
+    val adj = all.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(e => (e._2, e._3))
+    }
+    val dist = scala.collection.mutable.Map[Long, Long]()
+    val pq = scala.collection.mutable.PriorityQueue[(Long, Long)]()(
+      Ordering.by[(Long, Long), Long](_._1).reverse)
+    sources.foreach { s => dist(s) = 0L; pq.enqueue((0L, s)) }
+    while (pq.nonEmpty) {
+      val (d, u) = pq.dequeue()
+      if (dist(u) == d) adj.getOrElse(u, Nil).foreach { case (v, w) =>
+        if (!dist.contains(v) || d + w < dist(v)) {
+          dist(v) = d + w; pq.enqueue((d + w, v))
+        }
+      }
+    }
+    dist.toMap
+  }
+
+  test("shortestPaths equals driver Dijkstra — random weighted graphs, both directions") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(43L)
+    for (round <- 0 until 3; directed <- Seq(true, false)) {
+      val edges = (0 until 160).map(_ =>
+        (rng.nextInt(30).toLong, rng.nextInt(30).toLong, 1L + rng.nextInt(9)))
+      val sources = Set(0L, 7L)
+      val got = Graph.shortestPaths(edges.toDF("src", "dst", "w"),
+          sources.toSeq.toDF("node"), weightCol = Some("w"),
+          directed = directed)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == dijkstra(edges, sources, directed),
+        s"round $round directed=$directed")
+    }
+  }
+
+  test("shortestPaths: BFS hops, unreachable absent, cheap-long-path, errors") {
+    val s = spark
+    import s.implicits._
+    def run(edges: Seq[(Long, Long)], srcs: Seq[Long]): Map[Long, Long] =
+      Graph.shortestPaths(edges.toDF("src", "dst"), srcs.toDF("node"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // directed path: hop count; nodes upstream of the source are
+    // unreachable and ABSENT (not null)
+    val path = (1L to 6L).sliding(2).map(p => (p.head, p.last)).toSeq
+    assert(run(path, Seq(3L)) == Map(3L -> 0L, 4L -> 1L, 5L -> 2L, 6L -> 3L))
+    // a source not in the edge set still reports itself at 0
+    assert(run(path, Seq(99L)) == Map(99L -> 0L))
+    // the cheap long way beats the expensive direct edge — the case a
+    // single-relaxation (non-iterated) implementation gets wrong
+    val cheap = Seq((0L, 9L, 100L), (0L, 1L, 1L), (1L, 2L, 1L), (2L, 9L, 1L))
+    val got = Graph.shortestPaths(cheap.toDF("src", "dst", "w"),
+        Seq(0L).toDF("node"), weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(9L) == 3L, got.toString)
+    // multi-edges: the lightest parallel edge wins
+    val multi = Seq((0L, 1L, 5L), (0L, 1L, 2L)).toDF("src", "dst", "w")
+    val m = Graph.shortestPaths(multi, Seq(0L).toDF("node"),
+      weightCol = Some("w")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == 2L)
+    // maxRounds exceeded is an error, not a silent partial frontier
+    intercept[IllegalArgumentException](
+      Graph.shortestPaths(path.toDF("src", "dst"), Seq(1L).toDF("node"),
+        maxRounds = 2))
+    // non-positive weights refuse; empty sources refuse; a max weight
+    // that could wrap Long over maxRounds hops refuses up front
+    intercept[IllegalArgumentException](
+      Graph.shortestPaths(Seq((0L, 1L, 0L)).toDF("src", "dst", "w"),
+        Seq(0L).toDF("node"), weightCol = Some("w")))
+    intercept[IllegalArgumentException](
+      Graph.shortestPaths(path.toDF("src", "dst"),
+        Seq.empty[Long].toDF("node")))
+    val huge = Seq((0L, 1L, Long.MaxValue / 10)).toDF("src", "dst", "w")
+    val ex = intercept[IllegalArgumentException](
+      Graph.shortestPaths(huge, Seq(0L).toDF("node"), weightCol = Some("w")))
+    assert(ex.getMessage.contains("weight"))
+  }
+
   test("bad arguments refuse") {
     val s = spark
     import s.implicits._

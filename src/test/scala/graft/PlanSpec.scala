@@ -367,6 +367,23 @@ class PlanSpec extends AnyFunSuite {
     assert(evScans == 1, s"expected 1 events scan, got $evScans:\n$plan")
   }
 
+  test("exact heavy hitters: candidate buckets broadcast into the recount, partial-combined aggregates") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val hh = graft.operators.Stats.heavyHitters(li, col("l_partkey"), 1L, 1500L)
+    val plan = planOf(hh)
+    // the recount scans the corpus once, prunes through TWO broadcast
+    // bucket joins (never a shuffled join on the bucket id), and
+    // aggregates the survivors with map-side partial combine — the
+    // full-key-space exchange the operator exists to avoid must not
+    // reappear as a plan artifact
+    assert(plan.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 2, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
   test("funnel and retention: no window functions, no cartesian — aggregations and equi-joins only") {
     val ev = Tables.load(spark, sfDir, "events")
     val f = graft.operators.EventAnalytics.funnel(

@@ -172,6 +172,61 @@ class StatsSpec extends AnyFunSuite {
     assert(got == Map("id" -> 2L, "a.b" -> 2L))
   }
 
+  test("heavyHitters equals the exact GROUP BY/HAVING — zipf streams, threshold straddlers") {
+    import spark.implicits._
+    def brute(keys: Seq[String], num: Long, den: Long): Map[String, Long] = {
+      val n = keys.length.toLong
+      keys.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+        .filter { case (_, c) => c * den > n * num }
+    }
+    def run(keys: Seq[Option[String]], num: Long, den: Long): Map[String, Long] =
+      Stats.heavyHitters(keys.toDF("k"), col("k"), num, den)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rng = new scala.util.Random(61L)
+    for (round <- 0 until 3) {
+      // zipf-ish: key i with probability ∝ 1/(i+1); ~40 distinct keys
+      val keys = Seq.fill(4000) {
+        val u = rng.nextDouble()
+        var acc = 0.0; var i = 0
+        val norm = (1 to 40).map(1.0 / _).sum
+        while (acc < u * norm && i < 40) { i += 1; acc += 1.0 / i }
+        s"key_$i"
+      }
+      for ((num, den) <- Seq((1L, 20L), (1L, 100L), (3L, 100L)))
+        assert(run(keys.map(Option(_)), num, den) == brute(keys, num, den),
+          s"round $round phi=$num/$den")
+    }
+    // strictness at the exact boundary: 4 keys × 25 rows each, φ=1/4 —
+    // every count equals n·φ exactly, so NOTHING is heavy (strict >)
+    val flat = (0 until 100).map(i => s"k${i % 4}")
+    assert(run(flat.map(Option(_)), 1L, 4L).isEmpty)
+    // ... but φ=24/100 admits all four
+    assert(run(flat.map(Option(_)), 24L, 100L).keySet ==
+      Set("k0", "k1", "k2", "k3"))
+    // null keys are excluded from both the count base and the output
+    val withNulls = Seq.fill(30)(Some("hot")) ++ Seq.fill(20)(None) ++
+      (0 until 10).map(i => Some(s"c$i"))
+    assert(run(withNulls, 1L, 2L) == Map("hot" -> 30L))
+    // single dominant key; empty input
+    assert(run(Seq.fill(50)(Some("only")), 1L, 2L) == Map("only" -> 50L))
+    assert(run(Seq.empty[Option[String]], 1L, 10L).isEmpty)
+    // output key column keeps the caller's name
+    val named = Stats.heavyHitters(
+      Seq("a", "a", "b").toDF("my_key"), col("my_key"), 1L, 2L)
+    assert(named.columns.toSeq == Seq("my_key", "cnt"))
+    // long-typed keys work through the same hash path (7 appears 40
+    // planted times plus once in the 1..20 run = 41 of 60 rows)
+    val longs = Stats.heavyHitters(
+        (Seq.fill(40)(7L) ++ (1L to 20L)).toDF("id"), col("id"), 1L, 3L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(longs == Map(7L -> 41L))
+    // unbounded phi refuses; degenerate phi refuses
+    intercept[IllegalArgumentException](
+      Stats.heavyHitters(Seq("a").toDF("k"), col("k"), 1L, 100000L))
+    intercept[IllegalArgumentException](
+      Stats.heavyHitters(Seq("a").toDF("k"), col("k"), 3L, 3L))
+  }
+
   test("regularize refuses bad arguments") {
     import spark.implicits._
     val ev = Seq(("A", 1L, 1L)).toDF("k", "ts", "v")
