@@ -1898,6 +1898,27 @@ object SparkEntry {
         mode = EventAnalytics.FunnelMode.StrictIncrease)
         .orderBy(col("key"))
     }),
+    "q_x_events_transitions" -> ((s, dir) => {
+      // event-flow bigram counts (the sankey/Markov edge weights):
+      // consecutive-event label pairs per user, ties ordered by label
+      // so the sequence — and therefore every count — is a pure
+      // function of the data both engines replay identically
+      val ev = t(s, dir, "events")
+      EventAnalytics.transitions(
+        ev.withColumn("_us", Tables.eventTsUs(ev)),
+        col("user_id"), col("_us"), col("event_type"))
+        .orderBy(col("from_label"), col("to_label"))
+    }),
+    "q_x_stats_winsorize" -> ((s, dir) => {
+      // outlier clamp at the EXACT p01/p99 elements (radix selection,
+      // rank = max(1, ceil(q·n))): the clipped column replays in SQL
+      // because the bounds are actual elements, not interpolations
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      Stats.winsorizeLong(li, col("cents"), 0.01, 0.99, "clipped")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
     "q_x_events_retention" -> ((s, dir) => {
       // weekly cohort retention: cohort = bucket of first activity,
       // n_active = distinct users active `age` buckets later
@@ -4169,6 +4190,32 @@ object SparkEntry {
         |  t0 AS step1_us, t1 AS step2_us, t2 AS step3_us
         |FROM s1 LEFT JOIN s2 ON s1.k = s2.k LEFT JOIN s3 ON s1.k = s3.k
         |ORDER BY 1""".stripMargin,
+    "q_x_events_transitions" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, event_type AS l
+        |           FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |             AND event_type IS NOT NULL),
+        |nx AS (SELECT l AS from_label,
+        |         lead(l) OVER (PARTITION BY k ORDER BY t, l) AS to_label
+        |       FROM e)
+        |SELECT from_label, to_label, CAST(count(*) AS BIGINT) AS n
+        |FROM nx WHERE to_label IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_x_stats_winsorize" ->
+      """WITH v AS (SELECT l_orderkey, l_linenumber,
+        |             CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        |           FROM lineitem),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM v),
+        |r AS (SELECT cents AS x, row_number() OVER (ORDER BY cents) AS rn
+        |      FROM v),
+        |b AS (SELECT
+        |   (SELECT x FROM r, n
+        |    WHERE rn = greatest(1, CAST(ceil(0.01 * n.cnt) AS BIGINT))) AS lo,
+        |   (SELECT x FROM r, n
+        |    WHERE rn = greatest(1, CAST(ceil(0.99 * n.cnt) AS BIGINT))) AS hi)
+        |SELECT l_orderkey, l_linenumber, cents,
+        |  least(greatest(cents, b.lo), b.hi) AS clipped
+        |FROM v, b ORDER BY 1, 2""".stripMargin,
     "q_x_events_retention" ->
       """WITH kb AS (SELECT DISTINCT user_id AS k,
         |              epoch_us(ts) // 604800000000 AS b FROM events),

@@ -131,6 +131,39 @@ object EventAnalytics {
         (0 until k).map(i => col(s"_t$i").as(s"step${i + 1}_us")): _*)
   }
 
+  /** Event-flow TRANSITIONS — how many times each `(from, to)` label
+    * pair occurs as CONSECUTIVE events of the same key (the edge
+    * weights of a user-journey/sankey graph; the empirical Markov
+    * transition counts of the event process). Output:
+    * `(from_label, to_label, n)`.
+    *
+    * Determinism under ties: events of one key sharing a timestamp are
+    * ordered by label, so the LABEL SEQUENCE is a pure function of the
+    * data (rows duplicated on (key, ts, label) are interchangeable) —
+    * the count replays exactly in any engine with the same
+    * `(ts, label)` ordering rule. Null keys/timestamps/labels carry no
+    * sequence semantics and are excluded up front.
+    *
+    * Scale shape: ONE window per key partition (`lead` keeps O(1)
+    * rolling state per row — the [[Stats.forwardFill]] per-key-series
+    * shape, never a corpus-wide window) followed by a label-pair hash
+    * aggregation with map-side partials. A pathologically hot key
+    * serializes its own partition only — the documented per-key-series
+    * trade, same as sessionize. */
+  def transitions(events: DataFrame, key: Column, tsUs: Column,
+      label: Column): DataFrame = {
+    val ev = events
+      .select(key.as("_k"), tsUs.as("_ts"), label.cast("string").as("_l"))
+      .where(col("_k").isNotNull && col("_ts").isNotNull &&
+        col("_l").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_k")).orderBy(col("_ts"), col("_l"))
+    ev.withColumn("_next", lead(col("_l"), 1).over(w))
+      .where(col("_next").isNotNull)
+      .groupBy(col("_l").as("from_label"), col("_next").as("to_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Cohort retention: keys cohort by the bucket of their FIRST
     * activity; `n_active` counts the cohort's distinct keys active
     * `age` buckets later (age 0 row = cohort size — every key is

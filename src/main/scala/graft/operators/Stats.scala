@@ -279,6 +279,40 @@ object Stats {
     }
   }
 
+  /** WINSORIZE a double column at its EXACT quantile bounds — the
+    * outlier clamp of feature/label preprocessing (clip at p01/p99
+    * before normalization), with the bounds found by the same radix
+    * selection as [[exactQuantiles]] so they are actual elements and
+    * the clamp replays bit-exactly in any engine. Adds `as` holding
+    * `min(max(value, q_lo), q_hi)`. NULLs stay NULL and NaNs stay NaN
+    * (Spark's `least`/`greatest` skip nulls and sort NaN above every
+    * number — unguarded, a null would silently BECOME the lower bound
+    * and a NaN the upper; a missing measurement must not turn into a
+    * fabricated boundary value). Cost: the two-rank selection (≤ 4
+    * histogram passes) plus one per-row projection. */
+  def winsorize(df: DataFrame, value: Column, loQ: Double, hiQ: Double,
+      as: String): DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ <= hiQ,
+      s"need 0 <= loQ <= hiQ <= 1, got $loQ, $hiQ")
+    val Seq(lo, hi) = exactQuantiles(df, value, Seq(loQ, hiQ))
+    val v = value.cast("double")
+    df.withColumn(as,
+      when(v.isNull || isnan(v), v)
+        .otherwise(least(greatest(v, lit(lo)), lit(hi))))
+  }
+
+  /** [[winsorize]] for integral columns — bounds from
+    * [[exactQuantilesLong]], clamp in exact long arithmetic. */
+  def winsorizeLong(df: DataFrame, value: Column, loQ: Double, hiQ: Double,
+      as: String): DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ <= hiQ,
+      s"need 0 <= loQ <= hiQ <= 1, got $loQ, $hiQ")
+    val Seq(lo, hi) = exactQuantilesLong(df, value, Seq(loQ, hiQ))
+    val v = value.cast("long")
+    df.withColumn(as,
+      when(v.isNull, v).otherwise(least(greatest(v, lit(lo)), lit(hi))))
+  }
+
   /** Exact floor division of a long column by a positive long constant
     * — through decimals, because a double-typed `/` loses integer
     * precision above 2^53 (an epoch-µs timestamp far from 1970 could

@@ -246,6 +246,38 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r == 1L) // only key 1, one bucket
   }
 
+  test("transitions: bigram counts match a driver model — tie-heavy streams, null hygiene") {
+    import spark.implicits._
+    def model(ev: Seq[(Long, Long, String)]): Map[(String, String), Long] =
+      ev.groupBy(_._1).values.flatMap { es =>
+        // the operator's ordering rule: (ts, label)
+        val seq = es.map(e => (e._2, e._3)).sorted.map(_._2)
+        seq.zip(seq.drop(1))
+      }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    def run(df: org.apache.spark.sql.DataFrame): Map[(String, String), Long] =
+      EventAnalytics.transitions(df, col("k"), col("ts"), col("l"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val rng = new scala.util.Random(31)
+    for (round <- 0 until 3) {
+      // few keys, tiny timestamp range, 4 labels: ties everywhere
+      val ev = Seq.fill(600)((rng.nextInt(12).toLong,
+        rng.nextInt(25).toLong, s"e${rng.nextInt(4)}"))
+      assert(run(ev.toDF("k", "ts", "l")) == model(ev), s"round $round")
+    }
+    // duplicate (key, ts, label) rows: the label sequence — and so the
+    // counts — stay deterministic (a,a,b at one ts → (a,a) and (a,b))
+    val dup = Seq((1L, 5L, "a"), (1L, 5L, "a"), (1L, 5L, "b"))
+    assert(run(dup.toDF("k", "ts", "l")) ==
+      Map(("a", "a") -> 1L, ("a", "b") -> 1L))
+    // single-event keys produce no pairs; null key/ts/label excluded
+    val nulls = Seq(
+      (Some(1L), Some(10L), Some("a")), (Some(1L), Some(20L), Some("b")),
+      (None, Some(30L), Some("c")), (Some(1L), None, Some("c")),
+      (Some(1L), Some(15L), None), (Some(2L), Some(1L), Some("z")))
+    assert(run(nulls.toDF("k", "ts", "l")) == Map(("a", "b") -> 1L))
+  }
+
   test("retention: cohorts by first activity, age counts match a driver model") {
     import spark.implicits._
     val rng = new scala.util.Random(19)

@@ -227,6 +227,39 @@ class StatsSpec extends AnyFunSuite {
       Stats.heavyHitters(Seq("a").toDF("k"), col("k"), 3L, 3L))
   }
 
+  test("winsorize clamps at the exact quantile elements; null/NaN pass through untouched") {
+    import spark.implicits._
+    val rng = new scala.util.Random(47L)
+    val values = Seq.fill(500)(rng.nextGaussian() * 1000.0)
+    val df = (values.map(Option(_)) ++ Seq(None, Some(Double.NaN)))
+      .toDF("x")
+    val got = Stats.winsorize(df, col("x"), 0.05, 0.95, "clipped")
+      .collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getDouble(0))) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val sorted = values.sorted
+    val lo = sorted(rank(0.05, values.length) - 1)
+    val hi = sorted(rank(0.95, values.length) - 1)
+    values.foreach { v =>
+      assert(got(Some(v)) == Some(math.min(math.max(v, lo), hi)), v.toString)
+    }
+    // a null must NOT become the lower bound (Spark greatest skips
+    // nulls); a NaN must NOT become the upper bound (NaN sorts above)
+    assert(got(None).isEmpty)
+    assert(got.keys.exists(_.exists(_.isNaN)) &&
+      got.collect { case (Some(k), v) if k.isNaN => v }.head.exists(_.isNaN))
+    // long variant: exact integer clamp, nulls stay null
+    val ldf = ((1L to 100L).map(Option(_)) ++ Seq(None)).toDF("v")
+    val lgot = Stats.winsorizeLong(ldf, col("v"), 0.10, 0.90, "c")
+      .collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(lgot(Some(1L)) == Some(10L) && lgot(Some(50L)) == Some(50L) &&
+      lgot(Some(100L)) == Some(90L) && lgot(None).isEmpty)
+    intercept[IllegalArgumentException](
+      Stats.winsorize(df, col("x"), 0.9, 0.1, "c"))
+  }
+
   test("regularize refuses bad arguments") {
     import spark.implicits._
     val ev = Seq(("A", 1L, 1L)).toDF("k", "ts", "v")
