@@ -409,6 +409,98 @@ object ScaleProbe {
       require(r.getLong(0) == m, s"got ${r.getLong(0)} of $m nodes")
       r.getLong(0)
     }
+    // binary-jump graph for the shortest-path probes: edges i -> i+2^j
+    // for every j with i + 2^j < n. From source 0 the BFS distance is
+    // CLOSED-FORM: the minimal number of powers of two summing to i is
+    // its binary representation, so dist(i) = bit_count(i) — diameter
+    // ~log2(n) hops, exactly the small-world shape the frontier design
+    // targets (a ring would honestly take n/2 rounds; that is a graph
+    // property, not an operator property).
+    def jumpEdges(maxJ: Int) = {
+      val par = spark.sparkContext.defaultParallelism
+      spark.range(0, n, 1, par)
+        .select(col("id").as("src"),
+          explode(array((0 to maxJ).map(j => lit(1L << j)): _*)).as("_step"))
+        .where(col("id") + col("_step") < n)
+        .select(col("src"), (col("src") + col("_step")).as("dst"),
+          col("_step"))
+    }
+    val maxJ = (63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))).toInt
+    timed("graph_sssp") {
+      val sources = spark.range(0, 1).select(col("id").as("node"))
+      val dist = graft.operators.Graph.shortestPaths(
+        jumpEdges(maxJ), sources, maxRounds = maxJ + 3)
+      val r = dist.agg(count(lit(1)),
+        count(when(col("dist") =!= bit_count(col("node")).cast("long"), 1)))
+        .head
+      require(r.getLong(1) == 0, s"${r.getLong(1)} nodes off bit_count")
+      require(r.getLong(0) == n, s"got ${r.getLong(0)} of $n nodes")
+      r.getLong(0)
+    }
+    timed("graph_sssp_weighted") {
+      // weight(i -> i+2^j) = 2^j + 1: every path 0 -> i costs
+      // i + (#steps), so the optimum is i + bit_count(i) — exact at
+      // any scale, and the +1 per hop forces the relaxation to find
+      // the minimal-step representation, not just any representation
+      val sources = spark.range(0, 1).select(col("id").as("node"))
+      val e = jumpEdges(maxJ)
+        .select(col("src"), col("dst"), (col("_step") + 1).as("w"))
+      val dist = graft.operators.Graph.shortestPaths(
+        e, sources, weightCol = Some("w"), maxRounds = maxJ + 3)
+      val r = dist.agg(count(lit(1)),
+        count(when(col("dist") =!=
+          col("node") + bit_count(col("node")).cast("long"), 1))).head
+      require(r.getLong(1) == 0,
+        s"${r.getLong(1)} nodes off node + bit_count")
+      require(r.getLong(0) == n, s"got ${r.getLong(0)} of $n nodes")
+      r.getLong(0)
+    }
+    // heavy hitters at the adversarial cardinality shape: one hot key
+    // on 5% of rows, every other row a UNIQUE key — the plain
+    // GROUP BY/HAVING must exchange ~0.95n distinct keys, the sketch
+    // path exchanges two 65,536-bucket histograms plus the hot rows
+    locally {
+      val hot = docs.select(
+        when(col("doc_id") % 20 === 0, lit("hot"))
+          .otherwise(concat(lit("k"), col("doc_id"))).as("key"))
+      timed("heavy_plain") {
+        val total = hot.count()
+        val r = hot.groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+          .where(col("cnt") * 100 > lit(total))
+          .collect()
+        require(r.length == 1 && r.head.getString(0) == "hot" &&
+          r.head.getLong(1) == (n + 19) / 20, r.mkString(","))
+        r.length.toLong
+      }
+      timed("heavy_hitters") {
+        val r = graft.operators.Stats.heavyHitters(hot, col("key"), 1L, 100L)
+          .collect()
+        require(r.length == 1 && r.head.getString(0) == "hot" &&
+          r.head.getLong(1) == (n + 19) / 20, r.mkString(","))
+        r.length.toLong
+      }
+    }
+    timed("events_transitions") {
+      // 10k keys, labels cycling 0,1,2,3 along each key's timeline:
+      // every key contributes L-1 transitions (L = its event count),
+      // each from label j%4 to (j+1)%4 — so the total is exactly
+      // n - (#keys) and only the four cyclic pairs appear
+      val keys = math.min(10000L, math.max(1L, n / 100))
+      val ev = spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
+        .select((col("id") % keys).as("k"), col("id").as("ts"),
+          concat(lit("e"),
+            pmod(((col("id") - pmod(col("id"), lit(keys))) / keys)
+              .cast("long"), lit(4L))).as("l"))
+      val tr = graft.operators.EventAnalytics.transitions(
+        ev, col("k"), col("ts"), col("l"))
+      val r = tr.agg(sum(col("n")), count(lit(1)),
+        count(when(!(col("to_label").substr(2, 1).cast("int") ===
+          (col("from_label").substr(2, 1).cast("int") + 1) % 4), 1))).head
+      require(r.getLong(0) == n - keys,
+        s"total ${r.getLong(0)} != ${n - keys}")
+      require(r.getLong(2) == 0, s"${r.getLong(2)} non-cyclic pairs")
+      r.getLong(0)
+    }
     // the production increment ring at the 1M x 100k shape: a persisted
     // corpus index, a new batch matched against it. Index build is
     // timed apart from the match — the build is the once-per-corpus
