@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pipe the forked run's stdout straight through instead of re-logging
+// it with an "[info] " prefix: the bench driver parses the final JSON
+// line of stdout, and the prefix has broken that parse every round
+// (BENCH_rN.json "parsed": null since round 1).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -579,6 +579,27 @@ object SparkEntry {
         .groupBy(col("event_id")).agg(count(lit(1)).as("n_clicks"))
         .orderBy(col("event_id"))
     }),
+    "q_j4c_interval_left_join" -> ((s, dir) => {
+      // LEFT-OUTER banded interval join: every purchase keeps its row
+      // (n_clicks = 0 when no click landed in the hour before it).
+      // The explode flips to the right side so each purchase exists
+      // exactly once and the null row is unique — count(c_id) then
+      // counts matches only, mirroring the SQL LEFT JOIN oracle.
+      val ev = t(s, dir, "events")
+      val e = ev.select(col("user_id"), col("event_type"),
+        Tables.eventTsUs(ev).as("ts_us"), col("event_id"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("c_ts"),
+          col("event_id").as("c_id"))
+      IntervalJoin.join(purchases, clicks, key = Some("user_id"),
+          leftTs = "ts_us", rightTs = "c_ts",
+          lowerUs = -3600000000L, upperUs = 0L, carried = Seq("c_id"),
+          joinType = "left_outer")
+        .groupBy(col("event_id")).agg(count(col("c_id")).as("n_clicks"))
+        .orderBy(col("event_id"))
+    }),
     "q_j4_range_join" -> ((s, dir) => {
       // theta self-join over a bounded key window (StockLevel shape)
       val o1 = t(s, dir, "orders").where(col("o_orderkey") <= 2000)
@@ -1931,17 +1952,17 @@ object SparkEntry {
     "q_x_graph_kcore" -> ((s, dir) => {
       // 22-core of the customer–part purchase graph (bipartite: even
       // node ids are customers, odd are parts). Iterative peeling runs
-      // to its fixpoint (5 rounds at sf0.01); the oracle unrolls 8
+      // to its fixpoint (5 rounds at sf0.01); the oracle unrolls 12
       // peel rounds — peeling is IDEMPOTENT at the fixpoint, so extra
-      // unrolled rounds are free and the two agree exactly whenever
-      // convergence lands within the unroll (asserted by the Spark
-      // side's own convergence require).
+      // unrolled rounds are free. maxRounds = 12 matches the oracle's
+      // unroll depth: convergence past 12 rounds is an ERROR, never a
+      // silent divergence (the q_x_graph_sssp idiom).
       val o = t(s, dir, "orders")
       val li = t(s, dir, "lineitem")
       val edges = o.join(li, o("o_orderkey") === li("l_orderkey"))
         .select((col("o_custkey") * 2).as("src"),
           (col("l_partkey") * 2 + 1).as("dst"))
-      Graph.kCore(edges, k = 22).orderBy(col("node"))
+      Graph.kCore(edges, k = 22, maxRounds = 12).orderBy(col("node"))
     }),
     "q_x_skew_salted_agg" -> ((s, dir) => {
       // hot-key aggregation through the explicit two-phase salt:
@@ -2132,6 +2153,70 @@ object SparkEntry {
         .select((col("c_custkey") * 2).as("node"))
       Graph.shortestPaths(edges, sources, weightCol = Some("w"),
           directed = false, maxRounds = 16)
+        .orderBy(col("node"))
+    }),
+    "q_x_graph_trustrank" -> ((s, dir) => {
+      // personalized PageRank (TrustRank): teleport AND dangling mass
+      // go to a 7-node seed set instead of uniformly, so trust decays
+      // with link distance from the seeds — the canonical link-quality
+      // curation signal. Same exact integer recurrence as
+      // q_x_graph_pagerank, so the oracle unrolls the three sweeps
+      // with the seed indicator folded into the teleport/dangling
+      // terms and the ranks hash-match bit for bit.
+      val edges = t(s, dir, "lineitem")
+        .where(col("l_orderkey") <= 2000)
+        .select((col("l_partkey") % 100).as("src"),
+          (col("l_suppkey") % 100).as("dst"))
+        .distinct()
+      val seeds = edges.where(col("src") < 7)
+        .select(col("src").as("node")).distinct()
+      Graph.personalizedPageRank(edges, seeds, iterations = 3)
+        .orderBy(col("node"))
+    }),
+    "q_x_graph_coreness" -> ((s, dir) => {
+      // full coreness decomposition on a three-tier CLOSED-FORM graph
+      // (the ScaleProbe oracle idiom as a green hash gate): a K9
+      // clique (coreness 8), a 100-node circulant ring with offsets
+      // 1..3 (6-regular -> coreness 6), a 20-leaf star (coreness 1),
+      // and two bridges (0-100, 101-300) — bridges never raise
+      // coreness, the peel drops them with their weaker side; the
+      // star unravels in a two-round cascade; the oracle is the
+      // closed form itself.
+      val clique = s.range(9).select(col("id").as("_i"))
+        .crossJoin(s.range(9).select(col("id").as("_j")))
+        .where(col("_i") < col("_j"))
+        .select(col("_i").as("src"), col("_j").as("dst"))
+      val ring = s.range(100).select(col("id").as("_i"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("_o"))
+        .select((col("_i") + 100).as("src"),
+          (pmod(col("_i") + col("_o"), lit(100L)) + 100).as("dst"))
+      val star = s.range(20)
+        .select(lit(300L).as("src"), (col("id") + 301).as("dst"))
+      val bridges = s.range(1)
+        .select(lit(0L).as("src"), lit(100L).as("dst"))
+        .union(s.range(1).select(lit(101L).as("src"), lit(300L).as("dst")))
+      Graph.coreness(clique.union(ring).union(star).union(bridges))
+        .orderBy(col("node"))
+    }),
+    "q_x_graph_sssp_pred" -> ((s, dir) => {
+      // shortest-path PROVENANCE: the weighted purchase-graph
+      // distances plus a pred column — the smallest source over TIGHT
+      // in-edges (dist(u) + w = dist(v)), a pure function of the
+      // converged distances, so the oracle extends the 16-round
+      // unroll with the same one-join post-pass. Sources stay NULL
+      // (w > 0 admits no tight in-edge at dist 0); following pred
+      // pointers walks one exact shortest path back to a source.
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val c = t(s, dir, "customer")
+      val edges = o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"),
+          col("l_quantity").cast("long").as("w"))
+      val sources = c.where(col("c_nationkey") === 0)
+        .select((col("c_custkey") * 2).as("node"))
+      Graph.shortestPaths(edges, sources, weightCol = Some("w"),
+          directed = false, maxRounds = 16, withPredecessors = true)
         .orderBy(col("node"))
     }),
     "q_x_stats_heavy" -> ((s, dir) => {
@@ -2988,6 +3073,13 @@ object SparkEntry {
         |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
         |  AND epoch_us(c.ts) <= epoch_us(p.ts)
         |WHERE p.event_type = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_j4c_interval_left_join" ->
+      """SELECT p.event_id, count(c.event_id) AS n_clicks FROM events p
+        |LEFT JOIN events c ON c.user_id = p.user_id
+        |  AND c.event_type = 'click'
+        |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+        |  AND epoch_us(c.ts) <= epoch_us(p.ts)
+        |WHERE p.event_type = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_r1_version_resolve" ->
       """WITH ranked AS (
         |  SELECT CAST(user_id AS VARCHAR) AS row_key, event_type AS qualifier, props,
@@ -3503,6 +3595,69 @@ object SparkEntry {
          |${(1 to 16).map(i => relax(i - 1, i)).mkString(",\n")}
          |SELECT node, d AS dist FROM d16 ORDER BY 1""".stripMargin
     },
+    "q_x_graph_sssp_pred" -> {
+      def relax(prev: Int, cur: Int): String =
+        s"""d$cur AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+           |      SELECT node, d FROM d$prev UNION ALL
+           |      SELECT eb.dst AS node, p.d + eb.w AS d
+           |      FROM d$prev p JOIN eb ON p.node = eb.src) u$cur
+           |      GROUP BY 1)""".stripMargin
+      s"""WITH e AS MATERIALIZED (SELECT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst,
+         |           CAST(l_quantity AS BIGINT) AS w
+         |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |eb AS MATERIALIZED (SELECT src, dst, w FROM e
+         |      UNION ALL SELECT dst, src, w FROM e),
+         |d0 AS (SELECT DISTINCT c_custkey * 2 AS node, CAST(0 AS BIGINT) AS d
+         |       FROM customer WHERE c_nationkey = 0),
+         |${(1 to 16).map(i => relax(i - 1, i)).mkString(",\n")},
+         |tight AS (SELECT eb.dst AS node, min(eb.src) AS pred
+         |      FROM d16 u JOIN eb ON u.node = eb.src
+         |      JOIN d16 v ON v.node = eb.dst AND u.d + eb.w = v.d
+         |      GROUP BY 1)
+         |SELECT d.node, d.d AS dist, t.pred
+         |FROM d16 d LEFT JOIN tight t ON t.node = d.node
+         |ORDER BY 1""".stripMargin
+    },
+    "q_x_graph_trustrank" -> {
+      def iter(prev: String, cur: Int): String =
+        s"""d$cur AS (SELECT COALESCE(sum(r.rank), 0) AS dang
+           |      FROM $prev r LEFT JOIN outd o USING (node) WHERE o.node IS NULL),
+           |c$cur AS (SELECT e.dst AS node, sum(r.rank // o.outc) AS contrib
+           |      FROM $prev r JOIN outd o USING (node) JOIN e ON e.src = r.node
+           |      GROUP BY 1),
+           |r$cur AS (SELECT sn.node,
+           |        CAST(CASE WHEN sn.is_seed
+           |               THEN 1000000000000 // 20 * 3 // ns ELSE 0 END
+           |        + (17 * (COALESCE(c.contrib, 0)
+           |           + CASE WHEN sn.is_seed THEN dang // ns ELSE 0 END)) // 20
+           |          AS BIGINT) AS rank
+           |      FROM sn LEFT JOIN c$cur c ON c.node = sn.node, d$cur, par)"""
+          .stripMargin
+      s"""WITH e AS (SELECT DISTINCT l_partkey % 100 AS src, l_suppkey % 100 AS dst
+         |           FROM lineitem WHERE l_orderkey <= 2000),
+         |seeds AS (SELECT DISTINCT src AS node FROM e WHERE src < 7),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e
+         |          UNION SELECT node FROM seeds),
+         |outd AS (SELECT src AS node, count(*) AS outc FROM e GROUP BY 1),
+         |par AS (SELECT count(*) AS ns FROM seeds),
+         |sn AS (SELECT n.node, (s.node IS NOT NULL) AS is_seed
+         |       FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+         |r0 AS (SELECT node, CASE WHEN is_seed THEN 1000000000000 // ns
+         |                    ELSE 0 END AS rank FROM sn, par),
+         |${iter("r0", 1)},
+         |${iter("r1", 2)},
+         |${iter("r2", 3)}
+         |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
+    },
+    "q_x_graph_coreness" ->
+      """WITH nodes AS (
+        |  SELECT range AS node FROM range(0, 9)
+        |  UNION ALL SELECT range + 100 FROM range(0, 100)
+        |  UNION ALL SELECT range + 300 FROM range(0, 21))
+        |SELECT node, CAST(CASE WHEN node < 9 THEN 8
+        |                       WHEN node < 300 THEN 6
+        |                       ELSE 1 END AS BIGINT) AS coreness
+        |FROM nodes ORDER BY node""".stripMargin,
     "q_x_stats_heavy" ->
       """SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt FROM lineitem
         |GROUP BY 1

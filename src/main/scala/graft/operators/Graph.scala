@@ -82,6 +82,13 @@ object Graph {
     val e = edges.select(col("src"), col("dst"), w.as("_w"))
       .where(col("src").isNotNull && col("dst").isNotNull)
     weightCol.foreach { c =>
+      // validate BEFORE the long cast: a fractional weight (1.7)
+      // truncates to 1 and would sail through the positivity check —
+      // the contract is error, not silent truncation
+      val frac = edges.where(col(c).isNotNull &&
+        col(c) =!= col(c).cast("long")).limit(1).count()
+      require(frac == 0, s"weight column $c has non-integer entries — " +
+        "the fixed-point recurrence needs exact integer weights")
       val bad = e.where(col("_w").isNull || col("_w") <= 0).limit(1).count()
       require(bad == 0, s"weight column $c has null/non-positive entries")
     }
@@ -138,6 +145,109 @@ object Graph {
     unpersistCheckpoint(nodes)
     unpersistCheckpoint(outDeg)
     ranks
+  }
+
+  /** PERSONALIZED PageRank (TrustRank) — the same exact integer
+    * recurrence as [[pageRankFixedPoint]], with the teleport (and the
+    * dangling mass) directed at a SEED SET instead of uniformly at all
+    * nodes (Haveliwala, "Topic-sensitive PageRank", WWW 2002;
+    * Gyöngyi/Garcia-Molina/Pedersen, "Combating web spam with
+    * TrustRank", VLDB 2004):
+    *
+    *   rank₀(v)   = [v ∈ S] · (SCALE div |S|)
+    *   tele       = SCALE div dDen · (dDen - dNum) div |S|
+    *   rankᵢ₊₁(v) = [v ∈ S] · tele
+    *              + (dNum · (contrib(v) + [v ∈ S] · (dang div |S|))) div dDen
+    *
+    * so trust flows OUT from the seeds and decays with link distance —
+    * the canonical link-quality curation signal: seed a handful of
+    * vetted domains, rank the rest of the corpus by how much seed
+    * trust reaches them. All arithmetic is fixed-point longs with
+    * floor division (the [[pageRankFixedPoint]] discipline), so a SQL
+    * oracle unrolls the sweeps and the ranks hash-match bit for bit.
+    *
+    * Node set = edge endpoints ∪ seeds (a seed outside the edge set
+    * keeps its teleport mass and simply never receives link mass).
+    * Nodes unreached after `iterations` sweeps carry rank 0 — they are
+    * emitted, not dropped, so the output is always one row per node.
+    * Overflow bound: total mass ≤ SCALE as in the uniform recurrence
+    * (the seed restriction only concentrates it), so the same
+    * `dampDen <= 1000` guard applies. Scale shape per iteration is
+    * identical to [[pageRankFixedPoint]]: one equi-join of ranks onto
+    * edges, one hash aggregation onto dst, a one-row dangling
+    * broadcast, localCheckpoint rotation.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iterations: Int, dampNum: Int = 17, dampDen: Int = 20,
+      weightCol: Option[String] = None): DataFrame = {
+    require(iterations >= 0 && iterations <= 50,
+      s"iterations must be in [0, 50], got $iterations")
+    require(dampNum > 0 && dampDen > 0 && dampNum < dampDen,
+      s"damping must be a rational in (0, 1), got $dampNum/$dampDen")
+    require(dampDen <= 1000, s"dampDen must be <= 1000, got $dampDen")
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val e = edges.select(col("src"), col("dst"), w.as("_w"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    weightCol.foreach { c =>
+      val frac = edges.where(col(c).isNotNull &&
+        col(c) =!= col(c).cast("long")).limit(1).count()
+      require(frac == 0, s"weight column $c has non-integer entries — " +
+        "the fixed-point recurrence needs exact integer weights")
+      val bad = e.where(col("_w").isNull || col("_w") <= 0).limit(1).count()
+      require(bad == 0, s"weight column $c has null/non-positive entries")
+    }
+    val seedCol = seeds.columns.head
+    val s = seeds.select(col(seedCol).as("node"))
+      .where(col("node").isNotNull).distinct().localCheckpoint(true)
+    val nS = s.count()
+    require(nS > 0, "personalizedPageRank needs a non-empty seed set")
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .union(s.select(col("node"))).distinct()
+      .join(s.withColumn("_seed", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("_seed"), lit(false)).as("_seed"))
+      .localCheckpoint(true)
+    val outDegDec = e.groupBy(col("src").as("node"))
+      .agg(sum(col("_w").cast("decimal(38,0)")).as("_outd"))
+    val overW = outDegDec
+      .where(col("_outd") > lit(Long.MaxValue)).limit(1).count()
+    require(overW == 0,
+      "a node's total out-weight exceeds Long.MaxValue — rescale weights")
+    val outDeg = outDegDec.select(col("node"),
+      col("_outd").cast("long").as("out")).localCheckpoint(true)
+    def ldiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val tele = Scale / dampDen * (dampDen - dampNum) / nS
+    var ranks = nodes
+      .select(col("node"), col("_seed"),
+        when(col("_seed"), lit(Scale / nS)).otherwise(lit(0L)).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iterations) {
+      val withOut = ranks.join(outDeg, Seq("node"), "left")
+      val dang = withOut.where(col("out").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("_dang"))
+      val contrib = withOut.where(col("out").isNotNull)
+        .select(col("node").as("src"), ldiv(col("rank"), col("out")).as("_c"))
+        .join(e, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("_c") * col("_w")).as("_contrib"))
+      val next = nodes
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"), col("_seed"),
+          (when(col("_seed"), lit(tele)).otherwise(lit(0L)) + ldiv(
+            lit(dampNum) * (coalesce(col("_contrib"), lit(0L)) +
+              when(col("_seed"), ldiv(col("_dang"), lit(nS)))
+                .otherwise(lit(0L))),
+            lit(dampDen))).as("rank"))
+      val prev = ranks
+      ranks = next.localCheckpoint(true)
+      unpersistCheckpoint(prev)
+    }
+    unpersistCheckpoint(nodes)
+    unpersistCheckpoint(outDeg)
+    unpersistCheckpoint(s)
+    ranks.select(col("node"), col("rank"))
   }
 
   /** The k-CORE of an undirected graph — the (unique) maximal subgraph
@@ -206,6 +316,101 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("degree"))
   }
 
+  /** FULL CORENESS DECOMPOSITION — every node labeled with its core
+    * number (the largest k such that the node survives in the k-core),
+    * by parallel peeling with threshold jumps (the distributed form of
+    * Batagelj–Zaveršnik, "An O(m) algorithm for cores decomposition of
+    * networks", 2003; Montresor et al. distribute the same peel): at
+    * threshold t, every node whose current degree is below t peels,
+    * cascades run t at a time, and nodes removed while peeling at
+    * threshold t have coreness exactly t - 1 (they sat in the
+    * (t-1)-core fixpoint but not the t-core). The peel order within a
+    * threshold is irrelevant (each k-core is a unique fixpoint), so
+    * the labels are exact and engine-portable — a closed-form oracle
+    * gates them (q_x_graph_coreness), and a [[kCore]] consistency law
+    * (coreness(v) >= k ⟺ v ∈ k-core) is spec-checked on random graphs.
+    *
+    * THRESHOLD JUMPS keep the driver loop short: when nothing peels at
+    * t (the t-core fixpoint), the next threshold is min-degree + 1
+    * directly — skipping the empty thresholds in between, so the
+    * number of driver rounds tracks the number of distinct peel EVENTS
+    * (≈ the number of distinct core levels plus cascade depth), not
+    * the maximum degree. Curation use: coreness grades every node at
+    * once where [[kCore]] answers one k — the standard dense-subgraph
+    * quality tier for link/co-occurrence corpora.
+    *
+    * Input canonicalizes like [[kCore]] (undirected, self-loops and
+    * duplicate/reverse edges dropped). Output `(node, coreness)`, one
+    * row per node of the edge set, coreness >= 1. Scale shape per
+    * round: one degree aggregation, a one-row min-degree read, two
+    * semi-style equi-joins shrinking the edge list, localCheckpoint
+    * rotation with superseded-block release (the [[kCore]]
+    * discipline); every round removes at least one node, and
+    * `maxRounds` bounds the loop with an error, not a silent partial
+    * result.
+    */
+  def coreness(edges: DataFrame, maxRounds: Int = 200): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 2000,
+      s"maxRounds must be in [1, 2000], got $maxRounds")
+    var e = edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v") &&
+        col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    var alive = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node"))).distinct()
+      .localCheckpoint(true)
+    var nAlive = alive.count()
+    // labels accumulate as materialized per-round slices; the final
+    // union is a plain read of bounded-many checkpoints (maxRounds),
+    // never an iterated lineage
+    val slices = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var k = 1L
+    var rounds = 0
+    while (nAlive > 0 && rounds < maxRounds) {
+      val deg = e.select(col("u").as("node"))
+        .union(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("_deg"))
+      // alive nodes absent from the edge list mid-cascade have degree 0
+      val degAll = alive.join(deg, Seq("node"), "left")
+        .select(col("node"), coalesce(col("_deg"), lit(0L)).as("_deg"))
+        .localCheckpoint(true)
+      val minDeg = degAll.agg(min(col("_deg"))).head.getLong(0)
+      // the jump: below the current threshold mid-cascade keep t = k;
+      // at a fixpoint (minDeg >= k) go straight to the threshold that
+      // peels the min-degree nodes
+      val t = math.max(k, minDeg + 1)
+      val removed = degAll.where(col("_deg") < t)
+        .select(col("node"), lit(t - 1).as("coreness"))
+        .localCheckpoint(true)
+      val kept = degAll.where(col("_deg") >= t).select(col("node"))
+      val nextE = e
+        .join(kept.select(col("node").as("u")), "u")
+        .join(kept.select(col("node").as("v")), "v")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+      val nextAlive = kept.localCheckpoint(true)
+      slices += removed
+      val (prevE, prevAlive) = (e, alive)
+      e = nextE
+      alive = nextAlive
+      nAlive = alive.count()
+      unpersistCheckpoint(prevE)
+      unpersistCheckpoint(prevAlive)
+      unpersistCheckpoint(degAll)
+      k = t
+      rounds += 1
+    }
+    require(nAlive == 0,
+      s"coreness did not finish peeling in $maxRounds rounds")
+    unpersistCheckpoint(e)
+    unpersistCheckpoint(alive)
+    if (slices.isEmpty) e.select(col("u").as("node"), lit(0L).as("coreness"))
+    else slices.reduce(_ union _)
+  }
+
   /** Single/multi-source SHORTEST PATHS over positive integer edge
     * weights — exact Bellman-Ford relaxation driven by an improvement
     * frontier (only nodes whose distance improved last round relax
@@ -231,24 +436,52 @@ object Graph {
     * count). Overflow is an ERROR by construction: the max edge
     * weight is bounded so `maxRounds · max(w)` stays inside Long.
     *
-    * Scale shape per round: one equi-join of the frontier onto the
-    * edge list, one min-aggregation, one merge aggregation with the
-    * standing distance frame — all keyed on node, no windows;
+    * `withPredecessors = true` adds a `pred` column — path provenance
+    * for audit/debug ("WHY is this document 3 hops from the seeds?"):
+    * pred(v) = the smallest u over all TIGHT in-edges
+    * (dist(u) + w(u,v) = dist(v)), a pure function of the final
+    * distances (smallest-predecessor tie rule, deterministic in any
+    * engine), computed as ONE post-pass equi-join of the edge list
+    * against the converged distances — never threaded through the
+    * iteration. Sources (dist = 0) carry a NULL pred: with positive
+    * weights no in-edge can be tight at 0. Following pred pointers
+    * from any node walks one exact shortest path back to a source.
+    *
+    * Scale shape per round: the edge list is hash-partitioned on src
+    * ONCE up front (a checkpointed exchange), so each round's
+    * frontier-relax join reshuffles only the frontier — settled
+    * regions of the graph never move again; the improved-distance
+    * merge is a full-outer equi-join of two frames both already
+    * hash-partitioned on node (the aggregation/checkpoint partitioning
+    * carries through), so it plans exchange-free. One min-aggregation
+    * per round onto dst is the only full-width shuffle;
     * localCheckpoint rotation with superseded-block release and a
     * one-number frontier-count handshake per round (the
     * [[kCore]]/[[Dedup.connectedComponents]] discipline).
     */
   def shortestPaths(edges: DataFrame, sources: DataFrame,
       weightCol: Option[String] = None, directed: Boolean = true,
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50, withPredecessors: Boolean = false): DataFrame = {
     require(maxRounds >= 1 && maxRounds <= 500,
       s"maxRounds must be in [1, 500], got $maxRounds")
     val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     val fwd = edges.select(col("src"), col("dst"), w.as("_w"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-    val e = if (directed) fwd else fwd.union(
+    val eRaw = if (directed) fwd else fwd.union(
       fwd.select(col("dst").as("src"), col("src").as("dst"), col("_w")))
+    // partition the (static) edge list on the join key ONCE: every
+    // round's frontier-relax join then reuses this layout and shuffles
+    // only the frontier — without it each round re-exchanges the FULL
+    // edge list, the dominant cost once the frontier shrinks
+    val e = eRaw.repartition(col("src")).localCheckpoint(true)
     weightCol.foreach { c =>
+      // integrality before the cast — a fractional weight truncates
+      // silently otherwise (the same error-not-drop contract as the
+      // null/<=0 check below)
+      val frac = edges.where(col(c).isNotNull &&
+        col(c) =!= col(c).cast("long")).limit(1).count()
+      require(frac == 0, s"weight column $c has non-integer entries — " +
+        "exact shortest paths need integer weights")
       val bad = e.where(col("_w").isNull || col("_w") <= 0).limit(1).count()
       require(bad == 0, s"weight column $c has null/non-positive entries")
       // dist <= hops · max(w) with hops <= maxRounds: bound max(w) so
@@ -281,9 +514,15 @@ object Graph {
         converged = true
       } else {
         // improved strictly beats the standing entry (or is new), so
-        // the min-merge keeps exactly the improved value per node
-        val next = dist.union(improved)
-          .groupBy("node").agg(min(col("dist")).as("dist"))
+        // a full-outer merge taking the improved value where present
+        // equals the min-merge — and both sides arrive hash-partitioned
+        // on node (checkpoint/aggregation partitioning carries
+        // through), so unlike a union+groupBy this plans WITHOUT
+        // re-exchanging the whole standing distance frame each round
+        val next = dist.withColumnRenamed("dist", "_old")
+          .join(improved, Seq("node"), "full")
+          .select(col("node"),
+            coalesce(col("dist"), col("_old")).as("dist"))
           .localCheckpoint(true)
         val prevDist = dist
         val prevFrontier = frontier
@@ -295,8 +534,28 @@ object Graph {
       }
     }
     require(converged, s"shortestPaths did not converge in $maxRounds rounds")
-    // the final checkpoints stay alive — the returned frame reads them
-    dist
+    if (!withPredecessors) {
+      // the final checkpoints stay alive — the returned frame reads
+      // them (e's blocks are reachable only until this frame is
+      // dropped; the session cleaner reclaims them with it)
+      dist
+    } else {
+      // provenance post-pass: pred(v) = min src over TIGHT in-edges
+      // dist(src) + w = dist(v) — one equi-join of the (already
+      // partitioned) edge list against the converged distances, with
+      // the smallest-predecessor tie rule making the column a pure
+      // function of the distances. Sources (dist = 0) have no tight
+      // in-edge (w > 0), so the left join leaves their pred NULL.
+      val du = dist.select(col("node").as("src"), col("dist").as("_du"))
+      val tight = e.join(du, "src")
+        .select(col("dst").as("node"), (col("_du") + col("_w")).as("_cd"),
+          col("src").as("_p"))
+        .join(dist, Seq("node"))
+        .where(col("_cd") === col("dist"))
+        .groupBy("node").agg(min(col("_p")).as("pred"))
+      dist.join(tight, Seq("node"), "left")
+        .select(col("node"), col("dist"), col("pred"))
+    }
   }
 
   /** Per-node triangle counts (exact) by degree orientation — the

@@ -48,42 +48,73 @@ object IntervalJoin {
     * @param upperUs band end relative to left.ts (inclusive; must be
     *                >= lowerUs)
     * @param carried columns of `right` to carry into the output
+    * @param joinType "inner" (default) or "left_outer" — left_outer
+    *                 keeps unmatched left rows with NULL carried
+    *                 columns, and flips the explode to the RIGHT side
+    *                 (each right row registers in the ≤ 3 left buckets
+    *                 it can serve) so every left row appears exactly
+    *                 once un-duplicated; matched pairs still share
+    *                 exactly one bucket coordinate
     * @return one row per matching pair: left columns + carried columns
+    *         (plus one NULL-carried row per unmatched left row when
+    *         left_outer)
     */
   def join(left: DataFrame, right: DataFrame, key: Option[String],
       leftTs: String, rightTs: String, lowerUs: Long, upperUs: Long,
-      carried: Seq[String]): DataFrame = {
+      carried: Seq[String], joinType: String = "inner"): DataFrame = {
     require(upperUs >= lowerUs,
       s"upperUs ($upperUs) must be >= lowerUs ($lowerUs)")
     require(carried.nonEmpty, "carry at least one right column")
+    require(joinType == "inner" || joinType == "left_outer",
+      s"joinType must be inner or left_outer, got $joinType")
     val clash = carried.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty,
       s"carried columns collide with left columns: ${clash.mkString(", ")} " +
         "— alias them on the right side first")
     val width = math.max(upperUs - lowerUs, 1L)
     def bucketOf(ts: Column): Column = Stats.ldiv(ts, width)
-    // the band [ts+lower, ts+upper] spans at most 2 width-sized
-    // buckets, plus 1 for the boundary — probe exactly the covered
-    // range (sequence is 2 or 3 elements, computed per row)
-    val l = left
-      .withColumn("_lb", bucketOf(col(leftTs) + lowerUs))
-      .withColumn("_ub", bucketOf(col(leftTs) + upperUs))
-      .withColumn("_bkt", explode(sequence(col("_lb"), col("_ub"))))
-      .drop("_lb", "_ub")
-    val r = right
-      .withColumn("_bkt", bucketOf(col(rightTs)))
-      .select(col("_bkt").as("_rbkt") +: col(rightTs).as("_rts") +:
-        (key.toSeq.map(k => col(k).as("_rkey")) ++
-          carried.map(c => col(c).as(s"_c_$c"))): _*)
-    val cond = key match {
-      case Some(k) => col("_bkt") === col("_rbkt") && col(k) === col("_rkey")
-      case None => col("_bkt") === col("_rbkt")
+    val rCols = col(rightTs).as("_rts") +:
+      (key.toSeq.map(k => col(k).as("_rkey")) ++
+        carried.map(c => col(c).as(s"_c_$c")))
+    val band = col("_rts") >= col(leftTs) + lowerUs &&
+      col("_rts") <= col(leftTs) + upperUs
+    def keyEq(c: Column) = key match {
+      case Some(k) => c && col(k) === col("_rkey")
+      case None => c
     }
-    l.join(r, cond)
-      .where(col("_rts") >= col(leftTs) + lowerUs &&
-        col("_rts") <= col(leftTs) + upperUs)
-      .select(left.columns.map(col) ++
-        carried.map(c => col(s"_c_$c").as(c)): _*)
+    if (joinType == "inner") {
+      // the band [ts+lower, ts+upper] spans at most 2 width-sized
+      // buckets, plus 1 for the boundary — probe exactly the covered
+      // range (sequence is 2 or 3 elements, computed per row)
+      val l = left
+        .withColumn("_lb", bucketOf(col(leftTs) + lowerUs))
+        .withColumn("_ub", bucketOf(col(leftTs) + upperUs))
+        .withColumn("_bkt", explode(sequence(col("_lb"), col("_ub"))))
+        .drop("_lb", "_ub")
+      val r = right
+        .withColumn("_bkt", bucketOf(col(rightTs)))
+        .select(col("_bkt").as("_rbkt") +: rCols: _*)
+      l.join(r, keyEq(col("_bkt") === col("_rbkt")))
+        .where(band)
+        .select(left.columns.map(col) ++
+          carried.map(c => col(s"_c_$c").as(c)): _*)
+    } else {
+      // left_outer: the LEFT side must stay un-exploded (an exploded
+      // left would emit one null row per unmatched probe bucket), so
+      // the RIGHT side registers in every left bucket it can serve —
+      // leftTs ∈ [rightTs - upper, rightTs - lower] spans the same
+      // ≤ 3 buckets. The band moves INTO the join condition: a
+      // post-join filter would erase the unmatched rows it just kept.
+      val l = left.withColumn("_bkt", bucketOf(col(leftTs)))
+      val r = right
+        .withColumn("_sl", bucketOf(col(rightTs) - upperUs))
+        .withColumn("_su", bucketOf(col(rightTs) - lowerUs))
+        .withColumn("_rbkt", explode(sequence(col("_sl"), col("_su"))))
+        .select(col("_rbkt") +: rCols: _*)
+      l.join(r, keyEq(col("_bkt") === col("_rbkt")) && band, "left_outer")
+        .select(left.columns.map(col) ++
+          carried.map(c => col(s"_c_$c").as(c)): _*)
+    }
   }
 
   /** BOTH-SIDES-STREAMING interval join (Flink's interval join shape):
@@ -109,36 +140,60 @@ object IntervalJoin {
     * Event times must be within `timestamp_micros` range (±~292k
     * years) — the batch [[join]] has no such bound; no real event
     * feed does either.
-    * Spec-proven equal to the batch [[join]] on a replayed feed pair,
-    * with `stateOperators` present (it IS stateful — that is the
-    * point) in StreamingSpec.
+    *
+    * `joinType = "left_outer"` keeps unmatched left rows (NULL carried
+    * columns), emitted when the watermark proves no match can still
+    * arrive — Spark's outer stream-stream contract. As in the batch
+    * [[join]], the explode flips to the RIGHT side so each left row
+    * exists exactly once and the null row is unique per unmatched
+    * left row.
+    *
+    * Spec-proven equal to the batch [[join]] on a replayed feed pair
+    * (both join types), with `stateOperators` present (it IS stateful
+    * — that is the point) in StreamingSpec.
     */
   def joinStreams(left: DataFrame, right: DataFrame, key: Option[String],
       leftTs: String, rightTs: String, lowerUs: Long, upperUs: Long,
-      carried: Seq[String], delay: String): DataFrame = {
+      carried: Seq[String], delay: String,
+      joinType: String = "inner"): DataFrame = {
     require(upperUs >= lowerUs,
       s"upperUs ($upperUs) must be >= lowerUs ($lowerUs)")
     require(carried.nonEmpty, "carry at least one right column")
+    require(joinType == "inner" || joinType == "left_outer",
+      s"joinType must be inner or left_outer, got $joinType")
     val clash = carried.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty,
       s"carried columns collide with left columns: ${clash.mkString(", ")} " +
         "— alias them on the right side first")
     val width = math.max(upperUs - lowerUs, 1L)
     def bucketOf(ts: Column): Column = Stats.ldiv(ts, width)
-    val l = left
+    val lBase = left
       .withColumn("_levt", timestamp_micros(col(leftTs)))
       .withWatermark("_levt", delay)
-      .withColumn("_lb", bucketOf(col(leftTs) + lowerUs))
-      .withColumn("_ub", bucketOf(col(leftTs) + upperUs))
-      .withColumn("_bkt", explode(sequence(col("_lb"), col("_ub"))))
-      .drop("_lb", "_ub")
-    val r = right
+    val rBase = right
       .select(col(rightTs).as("_rts") +:
         (key.toSeq.map(k => col(k).as("_rkey")) ++
           carried.map(c => col(c).as(s"_c_$c"))): _*)
       .withColumn("_revt", timestamp_micros(col("_rts")))
       .withWatermark("_revt", delay)
-      .withColumn("_rbkt", bucketOf(col("_rts")))
+    // explode the INNER side's probes on the left, the OUTER join's
+    // on the right — the preserved side must stay un-duplicated or an
+    // unmatched left row would emit one null row per probe bucket
+    val (l, r) =
+      if (joinType == "inner") (
+        lBase
+          .withColumn("_lb", bucketOf(col(leftTs) + lowerUs))
+          .withColumn("_ub", bucketOf(col(leftTs) + upperUs))
+          .withColumn("_bkt", explode(sequence(col("_lb"), col("_ub"))))
+          .drop("_lb", "_ub"),
+        rBase.withColumn("_rbkt", bucketOf(col("_rts"))))
+      else (
+        lBase.withColumn("_bkt", bucketOf(col(leftTs))),
+        rBase
+          .withColumn("_sl", bucketOf(col("_rts") - upperUs))
+          .withColumn("_su", bucketOf(col("_rts") - lowerUs))
+          .withColumn("_rbkt", explode(sequence(col("_sl"), col("_su"))))
+          .drop("_sl", "_su"))
     // the band as event-time arithmetic: state eviction reads these
     // range conditions off the join predicate (a post-join filter on
     // the long columns would leave state unbounded)
@@ -150,7 +205,7 @@ object IntervalJoin {
         col("_bkt") === col("_rbkt") && col(k) === col("_rkey") && band
       case None => col("_bkt") === col("_rbkt") && band
     }
-    l.join(r, cond)
+    l.join(r, cond, joinType)
       .select(left.columns.map(col) ++
         carried.map(c => col(s"_c_$c").as(c)): _*)
   }

@@ -824,13 +824,26 @@ object Observers {
     * not-reached sentinel until the column projection nulls them). */
   case class FunnelHit(key: String, steps_completed: Int, times: Seq[Long])
 
-  /** STREAMING twin of [[graft.operators.EventAnalytics.funnel]]
-    * (greedy mode): per-key custom state via `flatMapGroupsWithState`
-    * emits each key's funnel row once, when the event-time watermark
-    * passes `anchor + withinUs` — at that point every event that could
+  /** STREAMING twin of [[graft.operators.EventAnalytics.funnel]]:
+    * per-key custom state via `flatMapGroupsWithState` emits each
+    * key's funnel row once, when the event-time watermark passes
+    * `anchor + withinUs` — at that point every event that could
     * participate in the chain has arrived (given the `delay`
     * out-of-orderness contract), so the emitted row EQUALS the batch
     * funnel on the same feed, spec-proven on replayed random streams.
+    *
+    * All four batch chain-advance `mode`s are supported — the timeout
+    * replay applies the SAME deterministic rule as the batch fold
+    * over the retained in-window events, which is sound because every
+    * event a strict rule can inspect lies in `(t_{i-1}, candidate)`
+    * ⊆ the anchor window (the candidate itself is in-window):
+    *  - Greedy / StrictIncrease: `>=` vs `>` on the previous step time;
+    *  - StrictOrder: the candidate must be the very next event — ANY
+    *    retained event strictly between breaks the chain, so
+    *    non-step (mask 0) events are retained too in this mode (the
+    *    one mode whose state must hold them);
+    *  - StrictDedup: a repeat of an already-matched condition strictly
+    *    between breaks the chain (a repeat AT the candidate does not).
     *
     * Contracts and bounds:
     *  - `withinUs` must be finite here (the open-ended batch default
@@ -845,17 +858,23 @@ object Observers {
     *    re-emit, where the batch funnel would fold it into the same
     *    single row anyway);
     *  - keys that never anchor clear their state as the watermark
-    *    passes their events; keys whose window never closes before the
-    *    feed ends emit on the next round over the same checkpoint once
-    *    something advances the watermark (the observers' sequential
-    *    AvailableNow cadence).
+    *    passes their events (an event-time timeout on the last
+    *    retained event enforces it — without one,
+    *    flatMapGroupsWithState never revisits a quiet key); keys
+    *    whose window never closes before the feed ends emit on the
+    *    next round over the same checkpoint once something advances
+    *    the watermark (the observers' sequential AvailableNow
+    *    cadence).
     *
     * Output mirrors the batch funnel: `(key, steps_completed,
     * step1_us .. stepK_us)` with the key cast to string (typed state
     * needs one concrete key type).
     */
   def streamingFunnel(events: DataFrame, key: Column, tsUs: Column,
-      steps: Seq[Column], withinUs: Long, delay: String): DataFrame = {
+      steps: Seq[Column], withinUs: Long, delay: String,
+      mode: graft.operators.EventAnalytics.FunnelMode =
+        graft.operators.EventAnalytics.FunnelMode.Greedy): DataFrame = {
+    import graft.operators.EventAnalytics.FunnelMode
     require(steps.nonEmpty && steps.size <= 30,
       s"funnel needs 1..30 steps, got ${steps.size}")
     require(withinUs >= 0 && withinUs <= (1L << 60),
@@ -893,18 +912,47 @@ object Observers {
           if (st.emitted) {
             rows.size // drain; one emission per key, ever
             Iterator.empty
+          } else if (state.hasTimedOut && st.t0 == Long.MaxValue) {
+            // anchor-less timeout: it was set to the watermark passing
+            // the LAST retained event, so no future anchor (which must
+            // arrive at/above the watermark, at a ts <= the event's)
+            // can use any of them — evict the whole state
+            state.remove()
+            Iterator.empty
           } else if (state.hasTimedOut) {
             // watermark passed t0 + withinUs: the chain is final —
-            // replicate the batch greedy fold over the retained events
+            // replicate the batch fold (the selected mode's rule) over
+            // the retained events
+            val strict = mode != FunnelMode.Greedy
             var times = List(st.t0)
             var tPrev = st.t0
             var done = false
             (1 until k).foreach { i =>
               if (!done) {
-                val ti = st.events.iterator
+                val cand = st.events.iterator
                   .filter(e => (e.mask & (1 << i)) != 0 &&
-                    e.ts >= tPrev && e.ts - st.t0 <= withinUs)
+                    (if (strict) e.ts > tPrev else e.ts >= tPrev) &&
+                    e.ts - st.t0 <= withinUs)
                   .map(_.ts).minOption
+                val ti = cand.filter { b =>
+                  mode match {
+                    case FunnelMode.Greedy | FunnelMode.StrictIncrease =>
+                      true
+                    case FunnelMode.StrictOrder =>
+                      // the candidate must be the very NEXT event: any
+                      // retained event strictly between t_{i-1} and it
+                      // breaks (all such events are in-window, so the
+                      // retained list is complete for this check)
+                      !st.events.exists(e => e.ts > tPrev && e.ts < b)
+                    case FunnelMode.StrictDedup =>
+                      // a repeat of an already-matched condition
+                      // strictly between breaks; a repeat AT the
+                      // candidate's timestamp does not (advance wins)
+                      val dupMask = (1 << i) - 1
+                      !st.events.exists(e => (e.mask & dupMask) != 0 &&
+                        e.ts > tPrev && e.ts < b)
+                  }
+                }
                 ti match {
                   case Some(t) => times ::= t; tPrev = t
                   case None => done = true
@@ -920,7 +968,11 @@ object Observers {
             var t0 = st.t0
             var evs = st.events
             rows.foreach { case (_, ts, m, _) =>
-              if (m != 0) { // step events only; heartbeats just tick the clock
+              // step events always retain; StrictOrder also retains
+              // non-step (mask 0) events — its "very next event" rule
+              // is the one rule an unrelated event can break. In every
+              // other mode heartbeats just tick the clock.
+              if (m != 0 || mode == FunnelMode.StrictOrder) {
                 if ((m & 1) != 0 && ts < t0) t0 = ts
                 evs = FunnelEv(ts, m) :: evs
               }
@@ -943,6 +995,14 @@ object Observers {
                 // late-learned anchor whose window already closed fires
                 // on the next clock tick
                 val target = msOf(t0 + withinUs) + 1
+                state.setTimeoutTimestamp(math.max(target, wm + 1))
+              } else {
+                // anchor-less retained events: flatMapGroupsWithState
+                // never revisits a quiet key without a timeout, so set
+                // one at the watermark passing the LAST retained event
+                // — the timeout handler above then evicts the state
+                // (without this, one-off keys accumulate state forever)
+                val target = msOf(evs.iterator.map(_.ts).max) + 1
                 state.setTimeoutTimestamp(math.max(target, wm + 1))
               }
             }

@@ -297,4 +297,167 @@ class GraphSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Graph.pageRankFixedPoint(e.where("src > 99"), 1))
   }
+
+  test("fractional weights refuse — no silent truncation to long") {
+    val s = spark
+    import s.implicits._
+    val e = Seq((0L, 1L, 1.7), (1L, 2L, 2.0)).toDF("src", "dst", "w")
+    val ex1 = intercept[IllegalArgumentException](
+      Graph.shortestPaths(e, Seq(0L).toDF("node"), weightCol = Some("w")))
+    assert(ex1.getMessage.contains("non-integer"))
+    val ex2 = intercept[IllegalArgumentException](
+      Graph.pageRankFixedPoint(e, 1, weightCol = Some("w")))
+    assert(ex2.getMessage.contains("non-integer"))
+    // whole-valued doubles are exact and pass
+    val ok = Seq((0L, 1L, 2.0)).toDF("src", "dst", "w")
+    assert(Graph.shortestPaths(ok, Seq(0L).toDF("node"),
+      weightCol = Some("w")).count() == 2)
+  }
+
+  /** Driver replay of the personalized recurrence (seed teleport +
+    * seed-directed dangling mass). */
+  private def replaySeeded(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      iters: Int, dNum: Long = 17L, dDen: Long = 20L): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2) ++ seeds).distinct
+    val sset = seeds.toSet
+    val nS = sset.size.toLong
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val tele = Graph.Scale / dDen * (dDen - dNum) / nS
+    var rank = nodes.map(v =>
+      v -> (if (sset(v)) Graph.Scale / nS else 0L)).toMap
+    for (_ <- 0 until iters) {
+      val dang = nodes.filterNot(out.contains).map(rank).sum
+      val contrib = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => rank(s) / out(s) }.sum
+      }
+      rank = nodes.map { v =>
+        val seedTerm = if (sset(v)) dang / nS else 0L
+        v -> ((if (sset(v)) tele else 0L) +
+          dNum * (contrib.getOrElse(v, 0L) + seedTerm) / dDen)
+      }.toMap
+    }
+    rank
+  }
+
+  test("personalizedPageRank equals the driver replay; trust stays near seeds") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(23L)
+    val edges = (0 until 200).map(_ =>
+      (rng.nextInt(30).toLong, rng.nextInt(40).toLong)).distinct
+    // seed 100 sits OUTSIDE the edge set: it keeps its teleport share
+    // and never receives link mass
+    val seeds = Seq(3L, 7L, 100L)
+    for (iters <- Seq(0, 1, 4)) {
+      val got = Graph.personalizedPageRank(edges.toDF("src", "dst"),
+          seeds.toDF("node"), iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = replaySeeded(edges, seeds, iters)
+      assert(got == want, s"iters=$iters")
+    }
+    // a two-component graph: trust seeded in one component never
+    // reaches the other (ranks there are exactly 0)
+    val twoComp = Seq((0L, 1L), (1L, 0L), (10L, 11L), (11L, 10L))
+    val r = Graph.personalizedPageRank(twoComp.toDF("src", "dst"),
+        Seq(0L).toDF("node"), 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(10L) == 0L && r(11L) == 0L)
+    assert(r(0L) > 0L && r(1L) > 0L)
+    intercept[IllegalArgumentException](
+      Graph.personalizedPageRank(twoComp.toDF("src", "dst"),
+        Seq.empty[Long].toDF("node"), 1))
+  }
+
+  /** Brute-force coreness: sequential min-degree peel (the textbook
+    * Batagelj–Zaveršnik order). */
+  private def bruteCoreness(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    var adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    und.foreach { case (a, b) =>
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a
+    }
+    val core = scala.collection.mutable.Map.empty[Long, Long]
+    var k = 0L
+    while (adj.nonEmpty) {
+      val minDeg = adj.valuesIterator.map(_.size).min
+      k = math.max(k, minDeg.toLong)
+      val v = adj.filter(_._2.size == minDeg).keys.min
+      core(v) = k
+      adj(v).foreach(u => adj(u) = adj(u) - v)
+      adj.remove(v)
+    }
+    core.toMap
+  }
+
+  test("coreness equals brute-force peel; kCore consistency law holds") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(31L)
+    for (trial <- 0 until 4) {
+      val n = 20 + trial * 10
+      val edges = (0 until n * 4).map(_ =>
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val got = Graph.coreness(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = bruteCoreness(edges)
+      assert(got == want, s"trial=$trial")
+      // law: coreness(v) >= k  <=>  v is in the k-core
+      for (k <- Seq(2, 3)) {
+        val inCore = Graph.kCore(edges.toDF("src", "dst"), k)
+          .collect().map(_.getLong(0)).toSet
+        val byLabel = got.filter(_._2 >= k).keySet
+        assert(inCore == byLabel, s"trial=$trial k=$k")
+      }
+    }
+    // closed forms: a clique K5 is uniformly 4; a path is uniformly 1;
+    // a bridge between them never raises either side
+    val k5 = for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val path = Seq((10L, 11L), (11L, 12L), (12L, 13L))
+    val bridged = k5 ++ path ++ Seq((0L, 10L))
+    val c = Graph.coreness(bridged.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 4L).forall(c(_) == 4L), c.toString)
+    assert((10L to 13L).forall(c(_) == 1L), c.toString)
+  }
+
+  test("shortestPaths withPredecessors: smallest tight in-edge, sources null, chain walks home") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(41L)
+    val edges = (0 until 150).map(_ => (rng.nextInt(25).toLong,
+      rng.nextInt(25).toLong, (rng.nextInt(9) + 1).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val sources = Seq(0L, 13L)
+    val out = Graph.shortestPaths(edges.toDF("src", "dst", "w"),
+        sources.toDF("node"), weightCol = Some("w"),
+        withPredecessors = true)
+      .collect().map(r => (r.getLong(0),
+        r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    val dist = out.map(t => t._1 -> t._2).toMap
+    out.foreach { case (v, d, pred) =>
+      if (d == 0L) assert(pred.isEmpty, s"source $v must have null pred")
+      else {
+        // pred = the SMALLEST u with dist(u) + w(u,v) = dist(v)
+        val tight = edges.filter(e => e._2 == v &&
+          dist.get(e._1).exists(_ + e._3 == d)).map(_._1)
+        assert(tight.nonEmpty && pred.contains(tight.min),
+          s"node $v dist $d pred $pred tight $tight")
+      }
+    }
+    // following pred pointers reaches a source in <= n hops, and each
+    // hop shrinks the distance (w > 0) — an exact shortest path
+    out.filter(_._2 > 0).take(10).foreach { case (v0, _, _) =>
+      var v = v0
+      var hops = 0
+      while (dist(v) > 0 && hops <= 25) {
+        val p = out.find(_._1 == v).get._3.get
+        assert(dist(p) < dist(v))
+        v = p; hops += 1
+      }
+      assert(dist(v) == 0L, s"pred chain from $v0 did not reach a source")
+    }
+  }
 }

@@ -56,6 +56,50 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(band == Set((2L, 12L)))
   }
 
+  test("left-outer interval join: brute-force equality, one null row per unmatched left") {
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    // ts range small enough that even the zero-width band matches
+    // (~600·600/(8·6000) ≈ 7.5 expected exact-ts pairs per run)
+    val left = Seq.fill(600)(
+      (rng.nextInt(8).toLong, rng.nextInt(6000).toLong - 3000))
+      .zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+    val right = Seq.fill(600)(
+      (rng.nextInt(8).toLong, rng.nextInt(6000).toLong - 3000))
+      .zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+    var sawNull = false
+    var sawMatch = false
+    for ((lo, hi) <- Seq((-1500L, 4000L), (-40L, -10L), (0L, 0L))) {
+      val got = IntervalJoin.join(
+          left.toDF("lid", "k", "ts"),
+          right.toDF("rid", "k", "rts"),
+          key = Some("k"), leftTs = "ts", rightTs = "rts",
+          lowerUs = lo, upperUs = hi, carried = Seq("rid"),
+          joinType = "left_outer")
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .toList.sortBy(p => (p._1, p._2.getOrElse(-1L)))
+      val inner = (for {
+        (lid, lk, lt) <- left; (rid, rk, rt) <- right
+        if lk == rk && rt >= lt + lo && rt <= lt + hi
+      } yield (lid, Some(rid))).toList
+      val matchedLids = inner.map(_._1).toSet
+      val brute = (inner ++ left.collect {
+        case (lid, _, _) if !matchedLids(lid) => (lid, None)
+      }).sortBy(p => (p._1, p._2.getOrElse(-1L)))
+      assert(got == brute, s"band [$lo,$hi]")   // equality AND multiplicity
+      sawNull ||= got.exists(_._2.isEmpty)
+      sawMatch ||= got.exists(_._2.nonEmpty)
+    }
+    // across the band shapes both row kinds materialized
+    assert(sawNull && sawMatch, s"degenerate: null=$sawNull match=$sawMatch")
+    // bad joinType refuses
+    intercept[IllegalArgumentException](IntervalJoin.join(
+      left.toDF("lid", "k", "ts"), right.toDF("rid", "k", "rts"),
+      Some("k"), "ts", "rts", 0L, 1L, Seq("rid"), joinType = "full"))
+  }
+
   test("plans as an equi-join: no cartesian, no nested loop") {
     import spark.implicits._
     val left = spark.range(10000).select(col("id").as("lid"),

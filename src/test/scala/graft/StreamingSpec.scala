@@ -735,6 +735,123 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.values.exists(_._1 > 1))
   }
 
+  test("stream-stream LEFT-OUTER interval join equals the batch left-outer (differential)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(53)
+    val ldir = tmp("ivjo-left")
+    val rdir = tmp("ivjo-right")
+    val ckpt = tmp("ivjo-ckpt")
+    val (lo, hi) = (-50L, 60L)
+    val left = (0 until 250).map(i => (i.toLong,
+      rng.nextInt(5000).toLong * 1000))
+    val right = (0 until 250).map(i => (i.toLong + 1000L,
+      rng.nextInt(5000).toLong * 1000))
+    left.toDF("lid", "ts").repartition(3)
+      .write.mode("overwrite").parquet(ldir)
+    right.toDF("rid", "rts").repartition(3)
+      .write.mode("overwrite").parquet(rdir)
+    val results = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    def round(): Unit = {
+      val ls = spark.readStream.schema("lid LONG, ts LONG").parquet(ldir)
+      val rs = spark.readStream.schema("rid LONG, rts LONG").parquet(rdir)
+      val q = graft.operators.IntervalJoin.joinStreams(ls, rs, key = None,
+          leftTs = "ts", rightTs = "rts", lowerUs = lo, upperUs = hi,
+          carried = Seq("rid"), delay = "1 second",
+          joinType = "left_outer")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          results.synchronized { results ++= b.select("lid", "rid").collect() }; ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    round()
+    // flush: far-future rows on BOTH sides push the global watermark
+    // past every left row's match horizon so the unmatched nulls emit
+    // (their own timestamps are band-disjoint across sides)
+    Seq((9999L, 100000000L * 1000)).toDF("lid", "ts")
+      .write.mode("append").parquet(ldir)
+    Seq((9998L, 200000000L * 1000)).toDF("rid", "rts")
+      .write.mode("append").parquet(rdir)
+    round()
+    // the left flush row's own horizon never closes (nothing advances
+    // the watermark past it) — exclude it from the comparison; every
+    // ORIGINAL left row must agree exactly
+    val got = results
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .filter(_._1 != 9999L)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val batch = graft.operators.IntervalJoin.join(
+        spark.read.parquet(ldir), spark.read.parquet(rdir), None,
+        "ts", "rts", lo, hi, Seq("rid"), joinType = "left_outer")
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .filter(_._1 != 9999L)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == batch, s"${got.size} streamed vs ${batch.size} batch")
+    // the outer rows actually materialized
+    assert(got.keys.exists(_._2.isEmpty), "no null-carried rows emitted")
+    assert(got.keys.exists(_._2.nonEmpty))
+  }
+
+  test("streaming strict-mode funnels equal their batch twins (differential)") {
+    import graft.operators.EventAnalytics
+    import graft.operators.EventAnalytics.FunnelMode
+    import spark.implicits._
+    val rng = new scala.util.Random(47)
+    val types = Seq("A", "B", "C", "X")
+    for ((mode, tag) <- Seq(FunnelMode.StrictIncrease -> "inc",
+        FunnelMode.StrictOrder -> "ord", FunnelMode.StrictDedup -> "ded")) {
+      val dir = tmp(s"funnel-$tag")
+      val ckpt = tmp(s"funnel-$tag-ckpt")
+      // coarse timestamps force ties; X rows are mid-chain noise that
+      // only StrictOrder may break on. Timestamps start at 10000, not
+      // 0: an epoch-0 event is dropped as late by the initial
+      // watermark's ts <= wm(=0) boundary — a 1970-only artifact no
+      // real feed hits, not an operator property under test
+      val events = Seq.fill(1500)((rng.nextInt(30).toLong,
+        (rng.nextInt(400).toLong + 1) * 10000, types(rng.nextInt(types.size))))
+      events.toDF("k", "ts", "typ").repartition(3)
+        .write.mode("overwrite").parquet(dir)
+      val within = 800000L
+      val steps = Seq(col("typ") === "A", col("typ") === "B",
+        col("typ") === "C")
+      val results = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      def round(): Unit = {
+        val stream = spark.readStream.schema("k LONG, ts LONG, typ STRING")
+          .parquet(dir)
+        val q = Observers.streamingFunnel(stream, col("k"), col("ts"),
+            steps, withinUs = within, delay = "10 seconds", mode = mode)
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            results.synchronized { results ++= b.collect() }; ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      }
+      round()
+      Seq((999L, 100000000L * 1000, "X")).toDF("k", "ts", "typ")
+        .write.mode("append").parquet(dir)
+      round()
+      val got = results
+        .map(r => r.getString(0) -> (r.getInt(1), (2 to 4).map(i =>
+          if (r.isNullAt(i)) None else Some(r.getLong(i))).toSeq))
+        .toMap
+      assert(results.size == got.size, s"$tag: a key emitted twice")
+      val batch = EventAnalytics.funnel(spark.read.parquet(dir),
+          col("k"), col("ts"), steps, withinUs = within, mode = mode)
+        .collect()
+        .map(r => r.getLong(0).toString -> (r.getInt(1), (2 to 4).map(i =>
+          if (r.isNullAt(i)) None else Some(r.getLong(i))).toSeq))
+        .toMap
+      assert(got == batch,
+        s"$tag: ${got.size} streamed vs ${batch.size} batch keys")
+      assert(got.nonEmpty && got.values.exists(_._1 > 1), tag)
+    }
+  }
+
   test("streaming contamination matches agree with the batch decontaminate verdict") {
     import spark.implicits._
     val dir = tmp("contam-stream")
