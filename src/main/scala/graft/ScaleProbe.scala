@@ -455,6 +455,77 @@ object ScaleProbe {
       require(r.getLong(0) == n, s"got ${r.getLong(0)} of $n nodes")
       r.getLong(0)
     }
+    timed("graph_trustrank") {
+      // personalized PageRank on the directed ring, seeded at node 0:
+      // trust flows one hop per sweep, so after 3 sweeps exactly nodes
+      // 0..3 carry rank and each value is a CLOSED-FORM driver replay
+      // (tele at the seed; the 17/20 floor chain down the ring) —
+      // everything else is exactly 0
+      val ring = spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
+        .select(col("id").as("src"), ((col("id") + 1) % n).as("dst"))
+      val seeds = spark.range(0, 1).select(col("id").as("node"))
+      val ranks = graft.operators.Graph.personalizedPageRank(ring, seeds, 3)
+      val tele = graft.operators.Graph.Scale / 20 * 3
+      def f(x: Long): Long = 17L * x / 20
+      val expect = Map(0L -> tele, 1L -> f(tele), 2L -> f(f(tele)),
+        3L -> f(f(f(graft.operators.Graph.Scale))))
+      val expCol = col("node").cast("long")
+      val want = expect.foldLeft(lit(0L)) { case (acc, (v, r)) =>
+        when(expCol === v, lit(r)).otherwise(acc) }
+      val r = ranks.agg(count(lit(1)),
+        count(when(col("rank") =!= want, 1))).head
+      require(r.getLong(1) == 0, s"${r.getLong(1)} ranks off closed form")
+      require(r.getLong(0) == n, s"got ${r.getLong(0)} of $n nodes")
+      r.getLong(0)
+    }
+    timed("graph_coreness") {
+      // full decomposition on the kcore probe's graph (n-ring + 24-
+      // regular circulant over the multiples of 100): closed form is
+      // TWO tiers — coreness 24 on the circulant, 2 everywhere else —
+      // and the threshold-jump loop must finish in exactly two peel
+      // rounds regardless of n (jump 1 -> 3 clears the ring, jump ->
+      // 25 clears the circulant)
+      val m = n / 100
+      require(m > 24, s"coreness probe needs n >= 2500, got n=$n")
+      val par = spark.sparkContext.defaultParallelism
+      val ring = spark.range(0, n, 1, par)
+        .select(col("id").as("src"), ((col("id") + 1) % n).as("dst"))
+      val core = spark.range(0, m, 1, par)
+        .select(col("id").as("_i"),
+          explode(array((1 to 12).map(lit): _*)).as("_o"))
+        .select((col("_i") * 100).as("src"),
+          (pmod(col("_i") + col("_o"), lit(m)) * 100).as("dst"))
+      val got = graft.operators.Graph.coreness(ring.union(core))
+      val r = got.agg(count(lit(1)),
+        count(when(col("coreness") =!=
+          when(pmod(col("node"), lit(100)) === 0, 24L).otherwise(2L), 1)))
+        .head
+      require(r.getLong(1) == 0, s"${r.getLong(1)} nodes off the closed form")
+      require(r.getLong(0) == n, s"got ${r.getLong(0)} of $n nodes")
+      r.getLong(0)
+    }
+    timed("graph_sssp_pred") {
+      // predecessors on the binary-jump BFS: a tight in-edge into v
+      // removes one set bit, and the SMALLEST such u removes the
+      // HIGHEST set bit — pred(v) = v - 2^msb(v), closed-form via the
+      // bin-string length; sources stay NULL
+      val sources = spark.range(0, 1).select(col("id").as("node"))
+      val dist = graft.operators.Graph.shortestPaths(
+        jumpEdges(maxJ), sources, maxRounds = maxJ + 3,
+        withPredecessors = true)
+      val wantPred = expr(
+        "node - shiftleft(CAST(1 AS BIGINT), CAST(length(bin(node)) AS INT) - 1)")
+      val r = dist.agg(count(lit(1)),
+        count(when(col("dist") =!= bit_count(col("node")).cast("long"), 1)),
+        count(when(col("node") === 0 && col("pred").isNotNull, 1)),
+        count(when(col("node") > 0 && (col("pred").isNull ||
+          col("pred") =!= wantPred), 1))).head
+      require(r.getLong(1) == 0, s"${r.getLong(1)} dists off bit_count")
+      require(r.getLong(2) == 0, "source grew a predecessor")
+      require(r.getLong(3) == 0, s"${r.getLong(3)} preds off v - 2^msb")
+      require(r.getLong(0) == n, s"got ${r.getLong(0)} of $n nodes")
+      r.getLong(0)
+    }
     // heavy hitters at the adversarial cardinality shape: one hot key
     // on 5% of rows, every other row a UNIQUE key — the plain
     // GROUP BY/HAVING must exchange ~0.95n distinct keys, the sketch

@@ -2173,6 +2173,23 @@ object SparkEntry {
       Graph.personalizedPageRank(edges, seeds, iterations = 3)
         .orderBy(col("node"))
     }),
+    "q_x_graph_trustrank_weighted" -> ((s, dir) => {
+      // weighted TrustRank: trust splits over out-edges in weight
+      // proportion (edge weight = link multiplicity) via the same
+      // overflow-safe unit quantization as q_x_graph_pagerank_weighted
+      // — seed teleport and seed-directed dangling mass unchanged, so
+      // the oracle merges the two unroll idioms
+      val edges = t(s, dir, "lineitem")
+        .where(col("l_orderkey") <= 2000)
+        .groupBy((col("l_partkey") % 100).as("src"),
+          (col("l_suppkey") % 100).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val seeds = edges.where(col("src") < 7)
+        .select(col("src").as("node")).distinct()
+      Graph.personalizedPageRank(edges, seeds, iterations = 3,
+          weightCol = Some("w"))
+        .orderBy(col("node"))
+    }),
     "q_x_graph_coreness" -> ((s, dir) => {
       // full coreness decomposition on a three-tier CLOSED-FORM graph
       // (the ScaleProbe oracle idiom as a green hash gate): a K9
@@ -3639,6 +3656,40 @@ object SparkEntry {
          |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e
          |          UNION SELECT node FROM seeds),
          |outd AS (SELECT src AS node, count(*) AS outc FROM e GROUP BY 1),
+         |par AS (SELECT count(*) AS ns FROM seeds),
+         |sn AS (SELECT n.node, (s.node IS NOT NULL) AS is_seed
+         |       FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+         |r0 AS (SELECT node, CASE WHEN is_seed THEN 1000000000000 // ns
+         |                    ELSE 0 END AS rank FROM sn, par),
+         |${iter("r0", 1)},
+         |${iter("r1", 2)},
+         |${iter("r2", 3)}
+         |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
+    },
+    "q_x_graph_trustrank_weighted" -> {
+      def iter(prev: String, cur: Int): String =
+        s"""d$cur AS (SELECT COALESCE(sum(r.rank), 0) AS dang
+           |      FROM $prev r LEFT JOIN outd o USING (node) WHERE o.node IS NULL),
+           |c$cur AS (SELECT e.dst AS node,
+           |        CAST(sum(e.w * (r.rank // o.wsum)) AS BIGINT) AS contrib
+           |      FROM $prev r JOIN outd o USING (node) JOIN e ON e.src = r.node
+           |      GROUP BY 1),
+           |r$cur AS (SELECT sn.node,
+           |        CAST(CASE WHEN sn.is_seed
+           |               THEN 1000000000000 // 20 * 3 // ns ELSE 0 END
+           |        + (17 * (COALESCE(c.contrib, 0)
+           |           + CASE WHEN sn.is_seed THEN dang // ns ELSE 0 END)) // 20
+           |          AS BIGINT) AS rank
+           |      FROM sn LEFT JOIN c$cur c ON c.node = sn.node, d$cur, par)"""
+          .stripMargin
+      s"""WITH e AS (SELECT l_partkey % 100 AS src, l_suppkey % 100 AS dst,
+         |             CAST(count(*) AS BIGINT) AS w
+         |           FROM lineitem WHERE l_orderkey <= 2000 GROUP BY 1, 2),
+         |seeds AS (SELECT DISTINCT src AS node FROM e WHERE src < 7),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e
+         |          UNION SELECT node FROM seeds),
+         |outd AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS wsum
+         |         FROM e GROUP BY 1),
          |par AS (SELECT count(*) AS ns FROM seeds),
          |sn AS (SELECT n.node, (s.node IS NOT NULL) AS is_seed
          |       FROM nodes n LEFT JOIN seeds s ON s.node = n.node),

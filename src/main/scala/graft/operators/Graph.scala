@@ -458,12 +458,27 @@ object Graph {
     * localCheckpoint rotation with superseded-block release and a
     * one-number frontier-count handshake per round (the
     * [[kCore]]/[[Dedup.connectedComponents]] discipline).
+    *
+    * AQE NOTE: the loop runs with `spark.sql.adaptive.enabled=false`
+    * (prior value restored on exit). Under AQE a localCheckpoint's
+    * LogicalRDD reports UnknownPartitioning — every reuse above would
+    * silently degrade to a full re-exchange of the edge AND distance
+    * frames each round (plan-asserted in GraphSpec). The loop's
+    * shapes are fixed-size equi-joins and aggregations that gain
+    * nothing from runtime re-planning, so partitioning reuse wins;
+    * other queries planned concurrently on the same session during
+    * the (short) iteration also see AQE off — the documented trade.
     */
   def shortestPaths(edges: DataFrame, sources: DataFrame,
       weightCol: Option[String] = None, directed: Boolean = true,
       maxRounds: Int = 50, withPredecessors: Boolean = false): DataFrame = {
     require(maxRounds >= 1 && maxRounds <= 500,
       s"maxRounds must be in [1, 500], got $maxRounds")
+    val session = edges.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = session.conf.get(aqeKey, "true")
+    session.conf.set(aqeKey, "false")
+    try {
     val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     val fwd = edges.select(col("src"), col("dst"), w.as("_w"))
       .where(col("src").isNotNull && col("dst").isNotNull)
@@ -535,9 +550,9 @@ object Graph {
     }
     require(converged, s"shortestPaths did not converge in $maxRounds rounds")
     if (!withPredecessors) {
-      // the final checkpoints stay alive — the returned frame reads
-      // them (e's blocks are reachable only until this frame is
-      // dropped; the session cleaner reclaims them with it)
+      // dist is its own checkpoint — the partitioned edge copy's
+      // blocks can release now
+      unpersistCheckpoint(e)
       dist
     } else {
       // provenance post-pass: pred(v) = min src over TIGHT in-edges
@@ -553,9 +568,16 @@ object Graph {
         .join(dist, Seq("node"))
         .where(col("_cd") === col("dist"))
         .groupBy("node").agg(min(col("_p")).as("pred"))
-      dist.join(tight, Seq("node"), "left")
+      val out = dist.join(tight, Seq("node"), "left")
         .select(col("node"), col("dist"), col("pred"))
+        // the returned frame must not depend on the loop-scoped AQE
+        // toggle — materialize it before the conf restores
+        .localCheckpoint(true)
+      unpersistCheckpoint(e)
+      unpersistCheckpoint(dist)
+      out
     }
+    } finally session.conf.set(aqeKey, aqePrev)
   }
 
   /** Per-node triangle counts (exact) by degree orientation — the

@@ -423,6 +423,39 @@ class GraphSpec extends AnyFunSuite {
     assert((10L to 13L).forall(c(_) == 1L), c.toString)
   }
 
+  test("the frontier merge shape plans exchange-free with AQE off (the loop's conf)") {
+    // the shortestPaths per-round merge relies on localCheckpoint
+    // PRESERVING the aggregation's hash partitioning. Under AQE the
+    // checkpoint's LogicalRDD reports UnknownPartitioning and BOTH
+    // sides re-exchange — which is exactly why the operator runs its
+    // loop with adaptive execution disabled. Assert both facts so a
+    // Spark behavior change resurfaces here, not as a silent 10M slow
+    // down.
+    import org.apache.spark.sql.functions._
+    def merge(): String = {
+      val a = spark.range(1000)
+        .select(pmod(col("id"), lit(97)).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("dist"))
+        .localCheckpoint(true)
+      val b = spark.range(500)
+        .select(pmod(col("id"), lit(89)).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("nd"))
+        .localCheckpoint(true)
+      a.withColumnRenamed("dist", "_old")
+        .join(b, Seq("node"), "full")
+        .select(col("node"), coalesce(col("nd"), col("_old")).as("dist"))
+        .queryExecution.executedPlan.toString
+    }
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      assert(!merge().contains("Exchange"))
+      spark.conf.set(key, "true")
+      assert(merge().contains("Exchange")) // the AQE trap stays real
+    } finally spark.conf.set(key, prev)
+  }
+
   test("shortestPaths withPredecessors: smallest tight in-edge, sources null, chain walks home") {
     val s = spark
     import s.implicits._
