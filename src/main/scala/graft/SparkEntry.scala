@@ -2215,6 +2215,28 @@ object SparkEntry {
       Graph.coreness(clique.union(ring).union(star).union(bridges))
         .orderBy(col("node"))
     }),
+    "q_x_graph_coreness_band" -> ((s, dir) => {
+      // coreness on REAL testdata, gated on the band [44, 45] of the
+      // dense part-supplier modular graph (the q_x_graph_pagerank
+      // edge set made bipartite-undirected — 200 nodes, ~5.5k edges
+      // at sf0.01, so the full decomposition stays a bench-friendly
+      // handful of peel rounds; the FULL purchase graph's
+      // decomposition walks every threshold and is a multi-minute
+      // query — measured and rejected for the gate set).
+      // coreness(v) = k ⟺ v survives the k-core peel but not the
+      // (k+1)-core: the oracle materializes the 44/45/46-core
+      // fixpoints with the q_x_graph_kcore unroll idiom (12 rounds
+      // each — convergence past the unroll hash-FAILS loudly) and
+      // labels the differences. The full decomposition law is gated
+      // closed-form in q_x_graph_coreness; this pins it to testdata.
+      val edges = t(s, dir, "lineitem")
+        .where(col("l_orderkey") <= 2000)
+        .select(((col("l_partkey") % 100) * 2).as("src"),
+          ((col("l_suppkey") % 100) * 2 + 1).as("dst"))
+      Graph.coreness(edges)
+        .where(col("coreness") >= 44 && col("coreness") <= 45)
+        .orderBy(col("node"))
+    }),
     "q_x_graph_sssp_pred" -> ((s, dir) => {
       // shortest-path PROVENANCE: the weighted purchase-graph
       // distances plus a pred column — the smallest source over TIGHT
@@ -3709,6 +3731,39 @@ object SparkEntry {
         |                       WHEN node < 300 THEN 6
         |                       ELSE 1 END AS BIGINT) AS coreness
         |FROM nodes ORDER BY node""".stripMargin,
+    "q_x_graph_coreness_band" -> {
+      // coreness(v) = k ⟺ v ∈ k-core \ (k+1)-core: materialize the
+      // 44/45/46-core fixpoints (the q_x_graph_kcore 12-round unroll,
+      // once per k) and label the differences
+      def peel(k: Int): String = {
+        def round(i: Int): String =
+          s"""d${k}_$i AS MATERIALIZED (SELECT node, count(*) AS d FROM (
+             |    SELECT u AS node FROM e${k}_${i - 1}
+             |    UNION ALL SELECT v FROM e${k}_${i - 1}) t${k}_$i GROUP BY 1),
+             |k${k}_$i AS (SELECT node FROM d${k}_$i WHERE d >= $k),
+             |e${k}_$i AS MATERIALIZED (SELECT ee.u, ee.v FROM e${k}_${i - 1} ee
+             |    JOIN k${k}_$i a${k}_$i ON ee.u = a${k}_$i.node
+             |    JOIN k${k}_$i b${k}_$i ON ee.v = b${k}_$i.node)""".stripMargin
+        s"""e${k}_0 AS (SELECT u, v FROM e0),
+           |${(1 to 12).map(round).mkString(",\n")},
+           |core$k AS (SELECT u AS node FROM e${k}_12
+           |           UNION SELECT v FROM e${k}_12)""".stripMargin
+      }
+      s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT (l_partkey % 100) * 2 AS u,
+         |        (l_suppkey % 100) * 2 + 1 AS v
+         |      FROM lineitem WHERE l_orderkey <= 2000),
+         |${peel(44)},
+         |${peel(45)},
+         |${peel(46)}
+         |SELECT c44.node,
+         |  CAST(CASE WHEN c45.node IS NULL THEN 44 ELSE 45 END AS BIGINT)
+         |    AS coreness
+         |FROM core44 c44
+         |LEFT JOIN core45 c45 ON c45.node = c44.node
+         |LEFT JOIN core46 c46 ON c46.node = c44.node
+         |WHERE c46.node IS NULL
+         |ORDER BY 1""".stripMargin
+    },
     "q_x_stats_heavy" ->
       """SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt FROM lineitem
         |GROUP BY 1
