@@ -27,6 +27,19 @@ object Graph {
       case _ => ()
     }
 
+  /** Eager localCheckpoint with REPAIRED statistics. A raw
+    * localCheckpoint carries the origin plan's stats, and Catalyst
+    * multiplies child sizes at every inner join — in a loop that
+    * checkpoints a k-way join per round the stats' digit count grows
+    * k-fold per round until the driver hangs in BigInteger.multiply
+    * (a 39-edge path graph hit 47 s/round by round 14 of the coreness
+    * peel). The repair reads the checkpoint's TRUE byte size from the
+    * block manager — constant-sized, truthful, broadcast-friendly.
+    * See [[org.apache.spark.sql.graft.CheckpointStats]]. */
+  private def checkpointed(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.CheckpointStats
+      .withMeasuredStats(df.localCheckpoint(true))
+
   /** Fixed-point scale: ranks are stored as multiples of 1e-12. Total
     * rank mass is ≈ SCALE (rank₀ = SCALE div N each, and each sweep
     * preserves-or-shrinks it), so no per-node rank ever exceeds SCALE;
@@ -94,7 +107,7 @@ object Graph {
     }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+      .transform(checkpointed)
     // the per-node out-weight total is summed as decimal(38,0) so a
     // pathological weight set (~2^62 per edge) overflows into an ERROR
     // below, never into ldiv-corrupted ranks — the repo's exactness
@@ -107,7 +120,7 @@ object Graph {
     require(overW == 0,
       "a node's total out-weight exceeds Long.MaxValue — rescale weights")
     val outDeg = outDegDec.select(col("node"),
-      col("_outd").cast("long").as("out")).localCheckpoint(true)
+      col("_outd").cast("long").as("out")).transform(checkpointed)
     val n = nodes.count()
     require(n > 0, "pageRank over an empty edge set")
     // exact long floor division (non-negative operands): subtract the
@@ -117,7 +130,7 @@ object Graph {
       ((a - pmod(a, b)) / b).cast("long")
     val base = Scale / dampDen * (dampDen - dampNum) / n
     var ranks = nodes.withColumn("rank", lit(Scale / n))
-      .localCheckpoint(true)
+      .transform(checkpointed)
     for (_ <- 0 until iterations) {
       val withOut = ranks.join(outDeg, Seq("node"), "left")
       val dang = withOut.where(col("out").isNull)
@@ -136,7 +149,7 @@ object Graph {
               ldiv(col("_dang"), lit(n))),
             lit(dampDen))).as("rank"))
       val prev = ranks
-      ranks = next.localCheckpoint(true)
+      ranks = next.transform(checkpointed)
       unpersistCheckpoint(prev)
     }
     // the setup frames are only inputs to the (now materialized) final
@@ -198,7 +211,7 @@ object Graph {
     }
     val seedCol = seeds.columns.head
     val s = seeds.select(col(seedCol).as("node"))
-      .where(col("node").isNotNull).distinct().localCheckpoint(true)
+      .where(col("node").isNotNull).distinct().transform(checkpointed)
     val nS = s.count()
     require(nS > 0, "personalizedPageRank needs a non-empty seed set")
     val nodes = e.select(col("src").as("node"))
@@ -206,7 +219,7 @@ object Graph {
       .union(s.select(col("node"))).distinct()
       .join(s.withColumn("_seed", lit(true)), Seq("node"), "left")
       .select(col("node"), coalesce(col("_seed"), lit(false)).as("_seed"))
-      .localCheckpoint(true)
+      .transform(checkpointed)
     val outDegDec = e.groupBy(col("src").as("node"))
       .agg(sum(col("_w").cast("decimal(38,0)")).as("_outd"))
     val overW = outDegDec
@@ -214,14 +227,14 @@ object Graph {
     require(overW == 0,
       "a node's total out-weight exceeds Long.MaxValue — rescale weights")
     val outDeg = outDegDec.select(col("node"),
-      col("_outd").cast("long").as("out")).localCheckpoint(true)
+      col("_outd").cast("long").as("out")).transform(checkpointed)
     def ldiv(a: Column, b: Column): Column =
       ((a - pmod(a, b)) / b).cast("long")
     val tele = Scale / dampDen * (dampDen - dampNum) / nS
     var ranks = nodes
       .select(col("node"), col("_seed"),
         when(col("_seed"), lit(Scale / nS)).otherwise(lit(0L)).as("rank"))
-      .localCheckpoint(true)
+      .transform(checkpointed)
     for (_ <- 0 until iterations) {
       val withOut = ranks.join(outDeg, Seq("node"), "left")
       val dang = withOut.where(col("out").isNull)
@@ -241,7 +254,7 @@ object Graph {
                 .otherwise(lit(0L))),
             lit(dampDen))).as("rank"))
       val prev = ranks
-      ranks = next.localCheckpoint(true)
+      ranks = next.transform(checkpointed)
       unpersistCheckpoint(prev)
     }
     unpersistCheckpoint(nodes)
@@ -285,7 +298,7 @@ object Graph {
       .where(col("u") =!= col("v") &&
         col("u").isNotNull && col("v").isNotNull)
       .distinct()
-      .localCheckpoint(true)
+      .transform(checkpointed)
     var prevEdges = e.count()
     var converged = prevEdges == 0L
     var rounds = 0
@@ -298,7 +311,7 @@ object Graph {
         .join(keep.select(col("node").as("u")), "u")
         .join(keep.select(col("node").as("v")), "v")
         .select(col("u"), col("v"))
-        .localCheckpoint(true)
+        .transform(checkpointed)
       val nextEdges = next.count()
       unpersistCheckpoint(e)
       e = next
@@ -358,10 +371,10 @@ object Graph {
       .where(col("u") =!= col("v") &&
         col("u").isNotNull && col("v").isNotNull)
       .distinct()
-      .localCheckpoint(true)
+      .transform(checkpointed)
     var alive = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node"))).distinct()
-      .localCheckpoint(true)
+      .transform(checkpointed)
     var nAlive = alive.count()
     // labels accumulate as materialized per-round slices; the final
     // union is a plain read of bounded-many checkpoints (maxRounds),
@@ -376,7 +389,7 @@ object Graph {
       // alive nodes absent from the edge list mid-cascade have degree 0
       val degAll = alive.join(deg, Seq("node"), "left")
         .select(col("node"), coalesce(col("_deg"), lit(0L)).as("_deg"))
-        .localCheckpoint(true)
+        .transform(checkpointed)
       val minDeg = degAll.agg(min(col("_deg"))).head.getLong(0)
       // the jump: below the current threshold mid-cascade keep t = k;
       // at a fixpoint (minDeg >= k) go straight to the threshold that
@@ -384,14 +397,14 @@ object Graph {
       val t = math.max(k, minDeg + 1)
       val removed = degAll.where(col("_deg") < t)
         .select(col("node"), lit(t - 1).as("coreness"))
-        .localCheckpoint(true)
+        .transform(checkpointed)
       val kept = degAll.where(col("_deg") >= t).select(col("node"))
       val nextE = e
         .join(kept.select(col("node").as("u")), "u")
         .join(kept.select(col("node").as("v")), "v")
         .select(col("u"), col("v"))
-        .localCheckpoint(true)
-      val nextAlive = kept.localCheckpoint(true)
+        .transform(checkpointed)
+      val nextAlive = kept.transform(checkpointed)
       slices += removed
       val (prevE, prevAlive) = (e, alive)
       e = nextE
@@ -488,7 +501,7 @@ object Graph {
     // round's frontier-relax join then reuses this layout and shuffles
     // only the frontier — without it each round re-exchanges the FULL
     // edge list, the dominant cost once the frontier shrinks
-    val e = eRaw.repartition(col("src")).localCheckpoint(true)
+    val e = eRaw.repartition(col("src")).transform(checkpointed)
     weightCol.foreach { c =>
       // integrality before the cast — a fractional weight truncates
       // silently otherwise (the same error-not-drop contract as the
@@ -509,7 +522,7 @@ object Graph {
     var dist = sources.select(col(srcCol).as("node"))
       .where(col("node").isNotNull).distinct()
       .withColumn("dist", lit(0L))
-      .localCheckpoint(true)
+      .transform(checkpointed)
     require(dist.count() > 0, "shortestPaths over an empty source set")
     var frontier = dist
     var rounds = 0
@@ -522,7 +535,7 @@ object Graph {
       val improved = cand.join(dist, Seq("node"), "left")
         .where(col("dist").isNull || col("_nd") < col("dist"))
         .select(col("node"), col("_nd").as("dist"))
-        .localCheckpoint(true)
+        .transform(checkpointed)
       val nImproved = improved.count()
       if (nImproved == 0L) {
         unpersistCheckpoint(improved)
@@ -538,7 +551,7 @@ object Graph {
           .join(improved, Seq("node"), "full")
           .select(col("node"),
             coalesce(col("dist"), col("_old")).as("dist"))
-          .localCheckpoint(true)
+          .transform(checkpointed)
         val prevDist = dist
         val prevFrontier = frontier
         dist = next
@@ -572,7 +585,7 @@ object Graph {
         .select(col("node"), col("dist"), col("pred"))
         // the returned frame must not depend on the loop-scoped AQE
         // toggle — materialize it before the conf restores
-        .localCheckpoint(true)
+        .transform(checkpointed)
       unpersistCheckpoint(e)
       unpersistCheckpoint(dist)
       out
@@ -619,7 +632,7 @@ object Graph {
           struct(col("u").as("x"), col("v").as("y")))
           .otherwise(struct(col("v").as("x"), col("u").as("y"))).as("_e"))
       .select(col("_e.x").as("x"), col("_e.y").as("y"))
-      .localCheckpoint(true)
+      .transform(checkpointed)
     // wedges at the apex a (the triangle's minimum vertex): out-pairs
     // (b, c) with key(b) < key(c) — equivalently b -> c oriented, so
     // closing is ONE equi-join against the oriented edges

@@ -368,6 +368,28 @@ class GraphSpec extends AnyFunSuite {
         Seq.empty[Long].toDF("node"), 1))
   }
 
+  test("personalizedPageRank fuzz: random graphs x seed sets x damping vs the replay") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(29L)
+    for (trial <- 0 until 4) {
+      val n = 15 + rng.nextInt(25)
+      val edges = (0 until n * 5).map(_ =>
+        (rng.nextInt(n).toLong, rng.nextInt(n + 5).toLong)).distinct
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      val seeds = rng.shuffle(nodes).take(1 + rng.nextInt(4))
+      val dDen = 10 + rng.nextInt(90)
+      val dNum = 1 + rng.nextInt(dDen - 1)
+      val iters = rng.nextInt(5)
+      val got = Graph.personalizedPageRank(edges.toDF("src", "dst"),
+          seeds.toDF("node"), iters, dampNum = dNum, dampDen = dDen)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = replaySeeded(edges, seeds, iters, dNum.toLong, dDen.toLong)
+      assert(got == want,
+        s"trial=$trial d=$dNum/$dDen iters=$iters seeds=$seeds")
+    }
+  }
+
   /** Brute-force coreness: sequential min-degree peel (the textbook
     * Batagelj–Zaveršnik order). */
   private def bruteCoreness(edges: Seq[(Long, Long)]): Map[Long, Long] = {
@@ -421,6 +443,16 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((0L to 4L).forall(c(_) == 4L), c.toString)
     assert((10L to 13L).forall(c(_) == 1L), c.toString)
+    // the worst cascade shape: a long path peels ~2 endpoints per
+    // round (threshold jumps cannot shortcut a cascade) — 40 nodes
+    // finish well inside maxRounds and all carry coreness 1
+    val longPath = (0L until 39L).map(i => (i, i + 1))
+    val pc = Graph.coreness(longPath.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pc.size == 40 && pc.values.forall(_ == 1L), pc.toString)
+    // and the loud failure contract when the cascade exceeds the bound
+    intercept[IllegalArgumentException](
+      Graph.coreness(longPath.toDF("src", "dst"), maxRounds = 5))
   }
 
   test("the frontier merge shape plans exchange-free with AQE off (the loop's conf)") {

@@ -801,8 +801,15 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     val rng = new scala.util.Random(47)
     val types = Seq("A", "B", "C", "X")
-    for ((mode, tag) <- Seq(FunnelMode.StrictIncrease -> "inc",
-        FunnelMode.StrictOrder -> "ord", FunnelMode.StrictDedup -> "ded")) {
+    // window sweep: a tight window exercises the in-window eviction
+    // rule, a wide one the chain-length extremes — ON TOP of the mode
+    // sweep (StrictOrder gets both windows, the costliest state shape)
+    for ((mode, tag, within) <- Seq(
+        (FunnelMode.StrictIncrease, "inc", 800000L),
+        (FunnelMode.StrictOrder, "ord", 800000L),
+        (FunnelMode.StrictOrder, "ordw", 200000L),
+        (FunnelMode.StrictDedup, "ded", 800000L),
+        (FunnelMode.StrictDedup, "dedw", 3000000L))) {
       val dir = tmp(s"funnel-$tag")
       val ckpt = tmp(s"funnel-$tag-ckpt")
       // coarse timestamps force ties; X rows are mid-chain noise that
@@ -814,7 +821,6 @@ class StreamingSpec extends AnyFunSuite {
         (rng.nextInt(400).toLong + 1) * 10000, types(rng.nextInt(types.size))))
       events.toDF("k", "ts", "typ").repartition(3)
         .write.mode("overwrite").parquet(dir)
-      val within = 800000L
       val steps = Seq(col("typ") === "A", col("typ") === "B",
         col("typ") === "C")
       val results = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
