@@ -488,6 +488,32 @@ class GraphSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("CheckpointStats repair: measured sizes, partitioning survives the rebuild") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.CheckpointStats
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      def agg(n: Int, m: Int, c: String) = CheckpointStats.withMeasuredStats(
+        spark.range(n).select(pmod(col("id"), lit(m)).as("node"))
+          .groupBy("node").agg(count(lit(1)).as(c)).localCheckpoint(true))
+      val a = agg(1000, 97, "dist")
+      val b = agg(500, 89, "nd")
+      // the repaired stats are the TRUE block size, not an inherited
+      // estimate — a 97-row frame measures in KBs, not joins-of-MaxValue
+      val size = a.queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(size > 0 && size < BigInt(1L << 22), size.toString)
+      // the rebuild keeps the aggregation's hash partitioning: the
+      // frontier-merge shape still plans with zero exchanges
+      val plan = a.withColumnRenamed("dist", "_old")
+        .join(b, Seq("node"), "full")
+        .select(col("node"), coalesce(col("nd"), col("_old")).as("dist"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("shortestPaths withPredecessors: smallest tight in-edge, sources null, chain walks home") {
     val s = spark
     import s.implicits._
