@@ -111,5 +111,13 @@ class IntervalJoinSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the left_outer rewrite keeps the bucket equality in the ON
+    // clause, so it must ALSO plan as an equi-join — a band-only ON
+    // would silently degrade to a nested loop
+    val outer = IntervalJoin.join(left, right, None, "ts", "rts",
+        -500L, 500L, Seq("rid"), joinType = "left_outer")
+      .queryExecution.executedPlan.toString
+    assert(!outer.contains("CartesianProduct"), outer)
+    assert(!outer.contains("BroadcastNestedLoopJoin"), outer)
   }
 }
