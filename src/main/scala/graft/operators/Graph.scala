@@ -27,6 +27,36 @@ object Graph {
       case _ => ()
     }
 
+  /** Validate an optional edge-weight column in ONE aggregated action
+    * over the null-endpoint-filtered rows (an edge that the operator
+    * drops anyway must not be able to fail the call): non-integer
+    * entries (which would truncate silently through the long cast),
+    * null/non-positive values, and — when `maxRounds` is given — a max
+    * weight large enough to wrap Long over that many relaxation hops.
+    * Each is an ERROR, never a silent drop. */
+  private def validateWeights(edges: DataFrame, c: String,
+      maxRounds: Option[Int]): Unit = {
+    val raw = col(c)
+    val stats = edges
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .agg(
+        count(when(raw.isNotNull && raw =!= raw.cast("long"), 1)).as("_frac"),
+        count(when(raw.isNull || raw.cast("long") <= 0, 1)).as("_bad"),
+        max(raw.cast("long")).as("_max"))
+      .head()
+    require(stats.getLong(0) == 0, s"weight column $c has non-integer " +
+      "entries — the exact integer recurrence needs integer weights")
+    require(stats.getLong(1) == 0,
+      s"weight column $c has null/non-positive entries")
+    maxRounds.foreach { mr =>
+      // dist <= hops · max(w) with hops <= maxRounds: bound max(w) so
+      // the sum cannot wrap — an error up front, never corruption
+      val wMax = if (stats.isNullAt(2)) 0L else stats.getLong(2)
+      require(wMax <= Long.MaxValue / (mr + 1L),
+        s"max edge weight $wMax too large for $mr rounds — rescale")
+    }
+  }
+
   /** Eager localCheckpoint with REPAIRED statistics. A raw
     * localCheckpoint carries the origin plan's stats, and Catalyst
     * multiplies child sizes at every inner join — in a loop that
@@ -94,17 +124,7 @@ object Graph {
     val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     val e = edges.select(col("src"), col("dst"), w.as("_w"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-    weightCol.foreach { c =>
-      // validate BEFORE the long cast: a fractional weight (1.7)
-      // truncates to 1 and would sail through the positivity check —
-      // the contract is error, not silent truncation
-      val frac = edges.where(col(c).isNotNull &&
-        col(c) =!= col(c).cast("long")).limit(1).count()
-      require(frac == 0, s"weight column $c has non-integer entries — " +
-        "the fixed-point recurrence needs exact integer weights")
-      val bad = e.where(col("_w").isNull || col("_w") <= 0).limit(1).count()
-      require(bad == 0, s"weight column $c has null/non-positive entries")
-    }
+    weightCol.foreach(c => validateWeights(edges, c, None))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .transform(checkpointed)
@@ -201,14 +221,7 @@ object Graph {
     val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     val e = edges.select(col("src"), col("dst"), w.as("_w"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-    weightCol.foreach { c =>
-      val frac = edges.where(col(c).isNotNull &&
-        col(c) =!= col(c).cast("long")).limit(1).count()
-      require(frac == 0, s"weight column $c has non-integer entries — " +
-        "the fixed-point recurrence needs exact integer weights")
-      val bad = e.where(col("_w").isNull || col("_w") <= 0).limit(1).count()
-      require(bad == 0, s"weight column $c has null/non-positive entries")
-    }
+    weightCol.foreach(c => validateWeights(edges, c, None))
     val seedCol = seeds.columns.head
     val s = seeds.select(col(seedCol).as("node"))
       .where(col("node").isNotNull).distinct().transform(checkpointed)
@@ -472,26 +485,38 @@ object Graph {
     * one-number frontier-count handshake per round (the
     * [[kCore]]/[[Dedup.connectedComponents]] discipline).
     *
-    * AQE NOTE: the loop runs with `spark.sql.adaptive.enabled=false`
-    * (prior value restored on exit). Under AQE a localCheckpoint's
+    * AQE NOTE: the loop plans with `spark.sql.adaptive.enabled=false`
+    * — on an ISOLATED session (`newSession()` over the same context;
+    * shuffle-partition count copied from the caller), never by
+    * flipping the caller's shared conf. Under AQE a localCheckpoint's
     * LogicalRDD reports UnknownPartitioning — every reuse above would
     * silently degrade to a full re-exchange of the edge AND distance
     * frames each round (plan-asserted in GraphSpec). The loop's
     * shapes are fixed-size equi-joins and aggregations that gain
     * nothing from runtime re-planning, so partitioning reuse wins;
-    * other queries planned concurrently on the same session during
-    * the (short) iteration also see AQE off — the documented trade.
+    * queries planned concurrently on the caller's session are
+    * untouched (GraphSpec asserts the caller conf survives a run),
+    * and two overlapping shortestPaths calls cannot race a
+    * save/restore — each owns its session. The returned frame is
+    * re-bound to the CALLER's session, so downstream planning uses
+    * the caller's own conf again.
     */
   def shortestPaths(edges: DataFrame, sources: DataFrame,
       weightCol: Option[String] = None, directed: Boolean = true,
       maxRounds: Int = 50, withPredecessors: Boolean = false): DataFrame = {
     require(maxRounds >= 1 && maxRounds <= 500,
       s"maxRounds must be in [1, 500], got $maxRounds")
-    val session = edges.sparkSession
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqePrev = session.conf.get(aqeKey, "true")
-    session.conf.set(aqeKey, "false")
-    try {
+    val caller = edges.sparkSession
+    val isolated = caller.newSession()
+    isolated.conf.set("spark.sql.adaptive.enabled", "false")
+    // newSession starts from the CONTEXT conf — carry over the one
+    // runtime setting that shapes every loop exchange
+    isolated.conf.set("spark.sql.shuffle.partitions",
+      caller.conf.get("spark.sql.shuffle.partitions"))
+    def onIsolated(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.CheckpointStats
+        .withMeasuredStats(df.localCheckpoint(true), isolated)
+    weightCol.foreach(c => validateWeights(edges, c, Some(maxRounds)))
     val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     val fwd = edges.select(col("src"), col("dst"), w.as("_w"))
       .where(col("src").isNotNull && col("dst").isNotNull)
@@ -500,29 +525,21 @@ object Graph {
     // partition the (static) edge list on the join key ONCE: every
     // round's frontier-relax join then reuses this layout and shuffles
     // only the frontier — without it each round re-exchanges the FULL
-    // edge list, the dominant cost once the frontier shrinks
-    val e = eRaw.repartition(col("src")).transform(checkpointed)
-    weightCol.foreach { c =>
-      // integrality before the cast — a fractional weight truncates
-      // silently otherwise (the same error-not-drop contract as the
-      // null/<=0 check below)
-      val frac = edges.where(col(c).isNotNull &&
-        col(c) =!= col(c).cast("long")).limit(1).count()
-      require(frac == 0, s"weight column $c has non-integer entries — " +
-        "exact shortest paths need integer weights")
-      val bad = e.where(col("_w").isNull || col("_w") <= 0).limit(1).count()
-      require(bad == 0, s"weight column $c has null/non-positive entries")
-      // dist <= hops · max(w) with hops <= maxRounds: bound max(w) so
-      // the sum cannot wrap — an error up front, never silent corruption
-      val wMax = e.agg(max(col("_w"))).head.getLong(0)
-      require(wMax <= Long.MaxValue / (maxRounds + 1L),
-        s"max edge weight $wMax too large for $maxRounds rounds — rescale")
-    }
+    // edge list, the dominant cost once the frontier shrinks. The
+    // repartition must PLAN under the isolated (AQE-off) session too:
+    // an AdaptiveSparkPlan checkpoint reports UnknownPartitioning and
+    // the reuse never arms.
+    val e = org.apache.spark.sql.graft.CheckpointStats
+      .rebind(eRaw.repartition(col("src")), isolated)
+      .transform(onIsolated)
     val srcCol = sources.columns.head
-    var dist = sources.select(col(srcCol).as("node"))
-      .where(col("node").isNotNull).distinct()
-      .withColumn("dist", lit(0L))
-      .transform(checkpointed)
+    var dist = org.apache.spark.sql.graft.CheckpointStats
+      .rebind(
+        sources.select(col(srcCol).as("node"))
+          .where(col("node").isNotNull).distinct()
+          .withColumn("dist", lit(0L)),
+        isolated)
+      .transform(onIsolated)
     require(dist.count() > 0, "shortestPaths over an empty source set")
     var frontier = dist
     var rounds = 0
@@ -562,7 +579,11 @@ object Graph {
       }
     }
     require(converged, s"shortestPaths did not converge in $maxRounds rounds")
-    if (!withPredecessors) {
+    // the last improved frame is superseded at convergence (frontier
+    // ne dist on both paths: the converged round leaves frontier as
+    // the PRIOR round's improvement) — release its blocks too
+    if (frontier ne dist) unpersistCheckpoint(frontier)
+    val result = if (!withPredecessors) {
       // dist is its own checkpoint — the partitioned edge copy's
       // blocks can release now
       unpersistCheckpoint(e)
@@ -583,14 +604,16 @@ object Graph {
         .groupBy("node").agg(min(col("_p")).as("pred"))
       val out = dist.join(tight, Seq("node"), "left")
         .select(col("node"), col("dist"), col("pred"))
-        // the returned frame must not depend on the loop-scoped AQE
-        // toggle — materialize it before the conf restores
+        // materialize under the isolated session — the caller must
+        // never replan the loop-shaped lineage under its own conf
         .transform(checkpointed)
       unpersistCheckpoint(e)
       unpersistCheckpoint(dist)
       out
     }
-    } finally session.conf.set(aqeKey, aqePrev)
+    // hand the materialized result back on the CALLER's session so
+    // downstream operators plan with the caller's conf (AQE included)
+    org.apache.spark.sql.graft.CheckpointStats.rebind(result, caller)
   }
 
   /** Per-node triangle counts (exact) by degree orientation — the

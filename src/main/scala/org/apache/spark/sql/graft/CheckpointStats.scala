@@ -39,15 +39,33 @@ import org.apache.spark.sql.{DataFrame, Row}
   * constructor and `Dataset.ofRows` are `private[sql]` — the standard
   * extension-shim idiom, kept to this one narrowly-scoped file.
   */
-object CheckpointStats {
+object CheckpointStats extends org.apache.spark.internal.Logging {
 
   def withMeasuredStats(df: DataFrame): DataFrame =
+    withMeasuredStats(df, df.sparkSession)
+
+  /** As [[withMeasuredStats]], but the rebuilt frame is BOUND to
+    * `target` — subsequent operators chained on it plan with the
+    * target session's conf. This is how an iterative loop isolates a
+    * conf toggle (e.g. AQE off for partitioning reuse) on a cloned
+    * session instead of flipping the caller's shared conf. */
+  def withMeasuredStats(df: DataFrame,
+      target: org.apache.spark.sql.SparkSession): DataFrame =
     df.queryExecution.analyzed match {
       case lr: LogicalRDD =>
-        val spark = df.sparkSession.asInstanceOf[SparkSession]
+        val spark = target.asInstanceOf[SparkSession]
         val measured = spark.sparkContext.getRDDStorageInfo
           .find(_.id == lr.rdd.id)
           .map(i => BigInt(i.memSize + i.diskSize).max(1))
+        if (measured.isEmpty) {
+          // defaultSizeInBytes (Long.MaxValue unless tuned) forbids
+          // every broadcast the measured repair would allow — still
+          // constant per round (the explosion cannot re-arm), but the
+          // silent pessimisation deserves a signal
+          logWarning("CheckpointStats: no storage info for checkpoint " +
+            s"RDD ${lr.rdd.id} — falling back to defaultSizeInBytes " +
+            "(broadcast-hostile); was the checkpoint evicted?")
+        }
         val size = measured.getOrElse(
           BigInt(spark.sessionState.conf.defaultSizeInBytes))
         val repaired = LogicalRDD(
@@ -57,4 +75,16 @@ object CheckpointStats {
         Dataset.ofRows(spark, repaired)
       case _ => df
     }
+
+  /** Re-binds a frame's (already analyzed) plan to another session of
+    * the same SparkContext — planning then uses the target session's
+    * conf while the plan itself (including a LogicalRDD's measured
+    * stats and partitioning) carries over unchanged. The public
+    * alternative, `createDataFrame(df.rdd, schema)`, erases
+    * partitioning — the one property the iterative loops exist to
+    * preserve. */
+  def rebind(df: DataFrame,
+      target: org.apache.spark.sql.SparkSession): DataFrame =
+    Dataset.ofRows(target.asInstanceOf[SparkSession],
+      df.queryExecution.analyzed)
 }

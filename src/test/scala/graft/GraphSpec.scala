@@ -514,6 +514,33 @@ class GraphSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("shortestPaths isolates its AQE-off loop — the caller session's conf is untouched") {
+    val s = spark
+    import s.implicits._
+    // the loop plans on a private newSession(); the caller's adaptive
+    // flag must hold its value through (and after) a run — there is no
+    // save/restore on the shared conf left to race, and a query
+    // planned on the caller MID-LOOP would see AQE on. The returned
+    // frame must also be caller-bound so downstream planning uses the
+    // caller's conf again.
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      for (callerVal <- Seq("true", "false")) {
+        spark.conf.set(key, callerVal)
+        val edges = (0L until 30L).map(i => (i, i + 1, 1L + (i % 3)))
+        val out = Graph.shortestPaths(edges.toDF("src", "dst", "w"),
+          Seq(0L).toDF("node"), weightCol = Some("w"))
+        assert(spark.conf.get(key) == callerVal,
+          s"caller conf mutated from $callerVal")
+        assert(out.sparkSession eq spark, "result must re-bind to the caller")
+        // and the distances are still the exact fixpoint
+        val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == dijkstra(edges, Set(0L), directed = true))
+      }
+    } finally spark.conf.set(key, prev)
+  }
+
   test("shortestPaths withPredecessors: smallest tight in-edge, sources null, chain walks home") {
     val s = spark
     import s.implicits._
