@@ -504,6 +504,71 @@ object ScaleProbe {
       require(r.getLong(0) == n, s"got ${r.getLong(0)} of $n nodes")
       r.getLong(0)
     }
+    timed("graph_coreness_skewed") {
+      // the regular probes above measure threshold JUMPS; real link
+      // graphs are heavy-tailed, where the cost driver is the peel
+      // CASCADE. This graph is a power-law tree — every node i >= 2
+      // hangs off the highest power of two below it, so hub 2^k
+      // carries 2^k children (degree doubles per hub, millions of
+      // degree-1 leaves: a Zipf-style tail with a single hub at ~n/2)
+      // — plus a planted K51 clique bridged to node 1. Closed form:
+      // tree nodes coreness 1 (any tree peels at threshold 2), clique
+      // nodes coreness 50; the cascade peels the leaf tiers first,
+      // then the ~log2(n) hub path end-inward — ~1.5·log2(n) driver
+      // rounds, and one hub's degree aggregation row is the hot key
+      // the shape has to survive
+      val par = spark.sparkContext.defaultParallelism
+      val tree = spark.range(2, n, 1, par)
+        .select(col("id").as("src"), expr(
+          "shiftleft(CAST(1 AS BIGINT), CAST(length(bin(id - 1)) AS INT) - 1)")
+          .as("dst"))
+      val clique = spark.range(0, 51).select(col("id").as("_i"))
+        .crossJoin(spark.range(0, 51).select(col("id").as("_j")))
+        .where(col("_i") < col("_j"))
+        .select((col("_i") + n).as("src"), (col("_j") + n).as("dst"))
+      val bridge = spark.range(0, 1)
+        .select(lit(1L).as("src"), lit(n).as("dst"))
+      val got = graft.operators.Graph.coreness(
+        tree.union(clique).union(bridge), maxRounds = 200)
+      val r = got.agg(count(lit(1)),
+        count(when(col("coreness") =!=
+          when(col("node") >= n, 50L).otherwise(1L), 1))).head
+      require(r.getLong(1) == 0, s"${r.getLong(1)} nodes off the closed form")
+      require(r.getLong(0) == n - 1 + 51,
+        s"got ${r.getLong(0)} of ${n - 1 + 51} nodes")
+      r.getLong(0)
+    }
+    timed("graph_communities") {
+      // deterministic LPA on 1M disjoint 10-cliques chained by
+      // bridges (node 10c+9 — node 10(c+1)): sweep 1 pulls every
+      // clique to its min id except the min node itself (which takes
+      // the bridge/second-smallest label), sweep 2 snaps the whole
+      // clique onto the min id — 9 in-clique votes beat the 1-vote
+      // bridge forever after — so after 3 sweeps the closed form is
+      // label(v) = 10·(v div 10), exactly
+      require(n >= 100 && n % 10 == 0, s"communities probe needs 10|n, got $n")
+      val par = spark.sparkContext.defaultParallelism
+      val ids = spark.range(0, n, 1, par)
+      // (filter i%10 == 9 out first: sequence(10, 9) would generate a
+      // DESCENDING probe, not an empty one)
+      val cliques = ids.where(pmod(col("id"), lit(10L)) < 9)
+        .select(col("id").as("_i"),
+          explode(sequence((pmod(col("id"), lit(10L)) + 1).cast("long"),
+            lit(9L))).as("_o"))
+        .select(col("_i").as("src"),
+          (col("_i") - pmod(col("_i"), lit(10L)) + col("_o")).as("dst"))
+      val bridges = ids.where(pmod(col("id"), lit(10L)) === 9 &&
+          col("id") + 1 < n)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      val got = graft.operators.Graph.labelPropagation(
+        cliques.union(bridges), sweeps = 3)
+      val r = got.agg(count(lit(1)),
+        count(when(col("label") =!=
+          col("node") - pmod(col("node"), lit(10L)), 1))).head
+      require(r.getLong(1) == 0, s"${r.getLong(1)} labels off the closed form")
+      require(r.getLong(0) == n, s"got ${r.getLong(0)} of $n nodes")
+      r.getLong(0)
+    }
     timed("graph_sssp_pred") {
       // predecessors on the binary-jump BFS: a tight in-edge into v
       // removes one set bit, and the SMALLEST such u removes the

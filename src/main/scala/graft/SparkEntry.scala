@@ -2237,6 +2237,21 @@ object SparkEntry {
         .where(col("coreness") >= 44 && col("coreness") <= 45)
         .orderBy(col("node"))
     }),
+    "q_x_graph_communities" -> ((s, dir) => {
+      // deterministic label-propagation communities (synchronous
+      // min-label LPA, 3 fixed sweeps) over the undirected customer–
+      // part purchase graph: each sweep is a pure integer vote
+      // (neighbor-label counts, argmax with min-label ties), so the
+      // oracle unrolls the three sweeps in SQL — the vote as a
+      // GROUP BY, the tie rule as ORDER BY c DESC, label ASC /
+      // row_number = 1 — and the labels hash-match bit for bit.
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val edges = o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+      Graph.labelPropagation(edges, sweeps = 3).orderBy(col("node"))
+    }),
     "q_x_graph_sssp_pred" -> ((s, dir) => {
       // shortest-path PROVENANCE: the weighted purchase-graph
       // distances plus a pred column — the smallest source over TIGHT
@@ -3721,6 +3736,27 @@ object SparkEntry {
          |${iter("r1", 2)},
          |${iter("r2", 3)}
          |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
+    },
+    "q_x_graph_communities" -> {
+      def sweep(prev: String, cur: Int): String =
+        s"""c$cur AS (SELECT eb.dst AS node, l.label, count(*) AS c
+           |      FROM $prev l JOIN eb ON l.node = eb.src GROUP BY 1, 2),
+           |l$cur AS MATERIALIZED (SELECT node, label FROM (
+           |      SELECT node, label, row_number() OVER (
+           |        PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+           |      FROM c$cur) t$cur
+           |      WHERE rn = 1)""".stripMargin
+      s"""WITH raw AS (SELECT o_custkey * 2 AS a, l_partkey * 2 + 1 AS b
+         |             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+         |      FROM raw WHERE a <> b),
+         |eb AS MATERIALIZED (SELECT u AS src, v AS dst FROM e
+         |      UNION ALL SELECT v, u FROM e),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM eb),
+         |${sweep("l0", 1)},
+         |${sweep("l1", 2)},
+         |${sweep("l2", 3)}
+         |SELECT node, label FROM l3 ORDER BY node""".stripMargin
     },
     "q_x_graph_coreness" ->
       """WITH nodes AS (

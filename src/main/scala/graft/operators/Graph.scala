@@ -276,6 +276,80 @@ object Graph {
     ranks.select(col("node"), col("rank"))
   }
 
+  /** COMMUNITY DETECTION by DETERMINISTIC label propagation — the
+    * standard near-linear community labeling (Raghavan, Albert &
+    * Kumara, "Near linear time algorithm to detect community
+    * structures in large-scale networks", Phys. Rev. E 2007) with its
+    * two nondeterminisms replaced by fixed rules so the result is an
+    * exact integer recurrence any engine replays bit-for-bit (the
+    * [[pageRankFixedPoint]] discipline):
+    *
+    *   label₀(v)   = v
+    *   labelᵢ₊₁(v) = the label carried by the LARGEST number of v's
+    *                 neighbors in sweep i; ties broken by the SMALLEST
+    *                 label — all nodes update SYNCHRONOUSLY
+    *
+    * (the published algorithm updates asynchronously in random order
+    * with random tie-breaks; min-label synchronous sweeps are the
+    * deterministic variant, the same choice the CC/PageRank operators
+    * make). A fixed sweep count is the contract — communities are a
+    * curation SIGNAL ("group domains into sites"), and k deterministic
+    * sweeps gate through a SQL unroll where a convergence race never
+    * could. Synchronous LPA can oscillate on bipartite-ish structure
+    * instead of converging; fixed sweeps make that a defined result,
+    * not a hang.
+    *
+    * Input edges are undirected ([[kCore]] canonicalization:
+    * least/greatest, self-loops and duplicate/reverse edges dropped).
+    * Output `(node, label)`, one row per edge endpoint; nodes sharing
+    * a label after the final sweep are one community. Isolated nodes
+    * (no edges) are absent by construction.
+    *
+    * Scale shape per sweep: one equi-join of labels onto the (static,
+    * checkpointed) directed edge list, one (node, label) vote count,
+    * one per-node argmax — the min-of-struct idiom, so the tie rule
+    * rides ordinary aggregation, no window. localCheckpoint rotation
+    * with superseded-block release; stock AQE (full-width sweeps — the
+    * PageRank-family A/B measured stock AQE faster than
+    * partitioning-reuse for sweeps that touch every node). */
+  def labelPropagation(edges: DataFrame, sweeps: Int): DataFrame = {
+    require(sweeps >= 0 && sweeps <= 50,
+      s"sweeps must be in [0, 50], got $sweeps")
+    val und = edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v") &&
+        col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+    val eb = und.select(col("u").as("src"), col("v").as("dst"))
+      .union(und.select(col("v").as("src"), col("u").as("dst")))
+      .transform(checkpointed)
+    // every endpoint appears as src in eb (both directions), so the
+    // src projection IS the node set
+    var labels = eb.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .transform(checkpointed)
+    for (_ <- 0 until sweeps) {
+      val votes = labels.select(col("node").as("src"), col("label"))
+        .join(eb, "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("_c"))
+      // argmax with min-label ties as a MIN over (-count, label)
+      // structs: lexicographic struct order gives highest count first,
+      // then smallest label — one aggregation, engine-portable
+      val next = votes
+        .groupBy("node")
+        .agg(min(struct((-col("_c")).as("_nc"), col("label").as("_lb")))
+          .as("_best"))
+        .select(col("node"), col("_best._lb").as("label"))
+      val prev = labels
+      labels = next.transform(checkpointed)
+      unpersistCheckpoint(prev)
+    }
+    unpersistCheckpoint(eb)
+    labels
+  }
+
   /** The k-CORE of an undirected graph — the (unique) maximal subgraph
     * in which every node has degree >= `k` — by iterative peeling:
     * repeatedly drop nodes whose current degree is below `k` until

@@ -390,6 +390,54 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  /** Driver replay of deterministic synchronous min-label LPA. */
+  private def replayLpa(edges: Seq[(Long, Long)], sweeps: Int): Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val adj = (und ++ und.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    var labels = adj.keys.map(v => v -> v).toMap
+    for (_ <- 0 until sweeps) {
+      labels = adj.map { case (v, nbrs) =>
+        val votes = nbrs.map(labels).groupBy(identity)
+          .map { case (l, xs) => (l, xs.size) }
+        val maxC = votes.values.max
+        v -> votes.collect { case (l, c) if c == maxC => l }.min
+      }
+    }
+    labels
+  }
+
+  test("labelPropagation equals the driver replay — random graphs, all sweep counts") {
+    val s = spark
+    import s.implicits._
+    def run(edges: Seq[(Long, Long)], sweeps: Int): Map[Long, Long] =
+      Graph.labelPropagation(edges.toDF("src", "dst"), sweeps)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rng = new scala.util.Random(53L)
+    for (trial <- 0 until 3; sweeps <- Seq(0, 1, 3)) {
+      val n = 15 + trial * 10
+      val edges = (0 until n * 3).map(_ =>
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      assert(run(edges, sweeps) == replayLpa(edges, sweeps),
+        s"trial=$trial sweeps=$sweeps")
+    }
+    // two cliques + one bridge: each clique settles on its min id in
+    // 2 sweeps and the bridge cannot flip either side (1 vote vs m-1)
+    val cl = (0L to 4L).flatMap(i => ((i + 1) to 4L).map(j => (i, j))) ++
+      (10L to 14L).flatMap(i => ((i + 1) to 14L).map(j => (i, j))) ++
+      Seq((4L, 10L))
+    val got = run(cl, 3)
+    assert((0L to 4L).forall(got(_) == 0L), got.toString)
+    assert((10L to 14L).forall(got(_) == 10L), got.toString)
+    // messy input (self-loops, reverse duplicates) canonicalizes;
+    // sweeps = 0 returns identity labels
+    val messy = Seq((1L, 2L), (2L, 1L), (3L, 3L), (2L, 3L))
+    assert(run(messy, 0) == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    intercept[IllegalArgumentException](
+      Graph.labelPropagation(messy.toDF("src", "dst"), 51))
+  }
+
   /** Brute-force coreness: sequential min-degree peel (the textbook
     * Batagelj–Zaveršnik order). */
   private def bruteCoreness(edges: Seq[(Long, Long)]): Map[Long, Long] = {
