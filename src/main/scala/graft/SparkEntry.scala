@@ -1940,6 +1940,23 @@ object SparkEntry {
       Stats.winsorizeLong(li, col("cents"), 0.01, 0.99, "clipped")
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
+    "q_x_stats_winsorize_by" -> ((s, dir) => {
+      // PER-STRATUM outlier clamp (the per-source data-card clip):
+      // every l_returnflag group clipped at its OWN exact p01/p99
+      // cents elements — both bounds of all strata found in the same
+      // 8 radix passes, applied through one broadcast join. Bounds
+      // are actual elements at rank max(1, ceil(q·n_g)), so the clamp
+      // replays in SQL; cents ≤ ~1e7 sit exactly in the double image.
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      Stats.winsorizeBy(li, col("l_returnflag"), col("cents"),
+          0.01, 0.99, "clipped")
+        .withColumn("clipped", col("clipped").cast("long"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("cents"), col("clipped"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
     "q_x_events_retention" -> ((s, dir) => {
       // weekly cohort retention: cohort = bucket of first activity,
       // n_active = distinct users active `age` buckets later
@@ -4513,6 +4530,25 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber, cents,
         |  least(greatest(cents, b.lo), b.hi) AS clipped
         |FROM v, b ORDER BY 1, 2""".stripMargin,
+    "q_x_stats_winsorize_by" ->
+      """WITH v AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+        |             CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        |           FROM lineitem),
+        |r AS (SELECT l_returnflag AS rf, cents,
+        |        row_number() OVER (PARTITION BY l_returnflag
+        |                           ORDER BY cents) AS rn,
+        |        count(*) OVER (PARTITION BY l_returnflag) AS n
+        |      FROM v),
+        |b AS (SELECT rf,
+        |        min(CASE WHEN rn = greatest(1,
+        |          CAST(ceil(0.01 * n) AS BIGINT)) THEN cents END) AS lo,
+        |        max(CASE WHEN rn = greatest(1,
+        |          CAST(ceil(0.99 * n) AS BIGINT)) THEN cents END) AS hi
+        |      FROM r GROUP BY 1)
+        |SELECT v.l_orderkey, v.l_linenumber, v.l_returnflag, v.cents,
+        |  least(greatest(v.cents, b.lo), b.hi) AS clipped
+        |FROM v JOIN b ON b.rf = v.l_returnflag
+        |ORDER BY 1, 2""".stripMargin,
     "q_x_events_retention" ->
       """WITH kb AS (SELECT DISTINCT user_id AS k,
         |              epoch_us(ts) // 604800000000 AS b FROM events),

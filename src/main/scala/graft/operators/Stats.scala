@@ -84,55 +84,132 @@ object Stats {
     require(q >= 0 && q <= 1, s"quantile must lie in [0, 1]: $q")
     val spark = df.sparkSession
     import spark.implicits._
-    val imgs = df
-      .select(stratum.cast("string").as("_s"), value.cast("double").as("_v"))
+    stratumQuantileImages(stratumImages(df, stratum, value), Seq(q))
+      .toSeq.map { case (s, imgs) =>
+        (s, Codecs.sortableBitsToDouble(imgs.head))
+      }.toDF("stratum", "value")
+  }
+
+  /** Per-stratum WINSORIZE — every stratum clipped at its OWN exact
+    * [loQ, hiQ] elements, the per-source data-card clamp ("clip each
+    * source at its own p01/p99 before mixing"): bounds come from the
+    * same 8-pass multi-stratum radix selection as [[exactQuantilesBy]]
+    * — BOTH quantiles of EVERY stratum advance through one shared
+    * histogram per round, so the whole frame still costs 8 aggregation
+    * passes — and apply through one broadcast join (|strata| rows).
+    * Adds `as` = `min(max(value, lo_stratum), hi_stratum)` as a
+    * double. NULL values stay NULL and NaNs stay NaN ([[winsorize]]'s
+    * contract); rows with a NULL stratum, or in a stratum with no
+    * non-null finite values, pass through UNCLIPPED — an absent census
+    * has no bounds, and fabricating global ones would leak mass across
+    * sources. */
+  def winsorizeBy(df: DataFrame, stratum: Column, value: Column,
+      loQ: Double, hiQ: Double, as: String): DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ <= hiQ,
+      s"need 0 <= loQ <= hiQ <= 1, got $loQ, $hiQ")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bounds = stratumQuantileImages(
+        stratumImages(df, stratum, value), Seq(loQ, hiQ))
+      .toSeq.map { case (s, imgs) =>
+        (s, Codecs.sortableBitsToDouble(imgs.head),
+          Codecs.sortableBitsToDouble(imgs(1)))
+      }.toDF("_s", "_lo", "_hi")
+    val v = value.cast("double")
+    df.withColumn("_s", stratum.cast("string"))
+      .join(broadcast(bounds), Seq("_s"), "left")
+      .withColumn(as,
+        when(v.isNull || isnan(v) || col("_lo").isNull, v)
+          .otherwise(least(greatest(v, col("_lo")), col("_hi"))))
+      .drop("_s", "_lo", "_hi")
+  }
+
+  /** (stratum, order-preserving long image) rows — nulls, NaNs, and
+    * null strata excluded (shared by the per-stratum selections). */
+  private def stratumImages(df: DataFrame, stratum: Column,
+      value: Column): DataFrame =
+    df.select(stratum.cast("string").as("_s"), value.cast("double").as("_v"))
       .where(col("_s").isNotNull && col("_v").isNotNull && !isnan(col("_v")))
       .select(col("_s"), double_sortable_bits(col("_v")).as("_img"))
+
+  /** The multi-rank kernel behind [[exactQuantilesBy]]/[[winsorizeBy]]:
+    * for every stratum, the exact image element at rank
+    * max(1, ceil(q·n_stratum)) for EACH q — all strata and all ranks
+    * advancing through the SAME 8 byte-radix rounds. Per round: one
+    * histogram aggregation over (stratum, found-prefix, next 8 bits),
+    * collected at ≤ |strata| · |qs| · 256 rows (the bounded-census
+    * driver handshake), and the driver walks every (stratum, q)
+    * state's bucket list from the shared collect. */
+  private def stratumQuantileImages(imgs: DataFrame,
+      qs: Seq[Double]): Map[String, Seq[Long]] = {
+    require(qs.nonEmpty, "need at least one quantile")
+    val spark = imgs.sparkSession
+    import spark.implicits._
     val counts = imgs.groupBy(col("_s")).agg(count(lit(1)).as("_n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // state per stratum: (prefix so far, remaining rank)
-    var state = counts.map { case (s, n) =>
-      s -> (0L, math.max(1L, math.ceil(q * n).toLong))
+    // per stratum, per q: (prefix so far, remaining rank within it)
+    var state: Map[String, Seq[(Long, Long)]] = counts.map { case (s, n) =>
+      s -> qs.map(q => (0L, math.max(1L, math.ceil(q * n).toLong)))
+    }
+    def walk(buckets: Seq[(Long, Long)], prefix: Long, kk: Long,
+        first: Boolean, s: String): (Long, Long) = {
+      var k = kk
+      var p = prefix
+      var found = false
+      buckets.foreach { case (b, c) =>
+        if (!found) {
+          if (k <= c) {
+            // first round keeps the SIGNED bucket unmasked so negative
+            // prefixes compare correctly downstream
+            p = if (first) b else (p << 8) | (b & 0xffL)
+            found = true
+          } else k -= c
+        }
+      }
+      require(found, s"stratum $s walked past its histogram")
+      (p, k)
     }
     (7 to 0 by -1).foreach { round =>
       val shift = round * 8
-      // fix each stratum's found prefix via a broadcast join (first
-      // round: no prefix yet — every row participates)
-      val scoped = if (round == 7) imgs else {
-        val pf = state.toSeq.map { case (s, (p, _)) => (s, p) }
-          .toDF("_s", "_pf")
-        imgs.join(broadcast(pf), Seq("_s"))
-          .where(shiftright(col("_img"), shift + 8) === col("_pf"))
-      }
-      val bucket =
-        if (round == 7) shiftright(col("_img"), 56)
-        else shiftright(col("_img"), shift).bitwiseAND(lit(0xffL))
-      val hist = scoped.groupBy(col("_s"), bucket.as("_b"))
-        .agg(count(lit(1)).as("_c"))
-        .collect()
-        .groupBy(_.getString(0))
-        .map { case (s, rows) =>
-          s -> rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      if (round == 7) {
+        // no prefixes yet: one histogram over (stratum, top signed byte),
+        // every (stratum, q) walks its stratum's shared bucket list
+        val hist = imgs
+          .groupBy(col("_s"), shiftright(col("_img"), 56).as("_b"))
+          .agg(count(lit(1)).as("_c"))
+          .collect()
+          .groupBy(_.getString(0))
+          .map { case (s, rows) =>
+            s -> rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+          }
+        state = state.map { case (s, sts) =>
+          s -> sts.map { case (p, k) => walk(hist(s), p, k, first = true, s) }
         }
-      state = state.map { case (s, (prefix, kk)) =>
-        var k = kk
-        var p = prefix
-        var found = false
-        hist(s).foreach { case (b, c) =>
-          if (!found) {
-            if (k <= c) {
-              p = if (round == 7) b else (p << 8) | (b & 0xffL)
-              found = true
-            } else k -= c
+      } else {
+        // different qs hold different prefixes now: scope rows to the
+        // live (stratum, prefix) pairs (each row matches at most one —
+        // its own shifted image) and histogram per pair
+        val pf = state.toSeq
+          .flatMap { case (s, sts) => sts.map { case (p, _) => (s, p) } }
+          .distinct.toDF("_s", "_pf")
+        val hist = imgs.join(broadcast(pf), Seq("_s"))
+          .where(shiftright(col("_img"), shift + 8) === col("_pf"))
+          .groupBy(col("_s"), col("_pf"),
+            shiftright(col("_img"), shift).bitwiseAND(lit(0xffL)).as("_b"))
+          .agg(count(lit(1)).as("_c"))
+          .collect()
+          .groupBy(r => (r.getString(0), r.getLong(1)))
+          .map { case (k, rows) =>
+            k -> rows.map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1)
+          }
+        state = state.map { case (s, sts) =>
+          s -> sts.map { case (p, k) =>
+            walk(hist((s, p)), p, k, first = false, s)
           }
         }
-        require(found, s"stratum $s walked past its histogram")
-        s -> (p, k)
       }
     }
-    state.toSeq.map { case (s, (img, _)) =>
-      (s, Codecs.sortableBitsToDouble(img))
-    }.toDF("stratum", "value")
+    state.map { case (s, sts) => s -> sts.map(_._1) }
   }
 
   /** One-pass column profile — the data-card / scan-planning summary

@@ -260,6 +260,51 @@ class StatsSpec extends AnyFunSuite {
       Stats.winsorize(df, col("x"), 0.9, 0.1, "c"))
   }
 
+  test("winsorizeBy clips each stratum at its own exact bounds; null stratum/value/NaN pass through") {
+    import spark.implicits._
+    val rng = new scala.util.Random(61L)
+    // skewed strata + a singleton + a short stratum; nulls and a NaN
+    val rows: Seq[(Option[String], Option[Double])] =
+      Seq.tabulate(3000)(_ => (Some("big"), Some(rng.nextGaussian() * 100))) ++
+      Seq.tabulate(23)(i => (Some("small"), Some(-40.0 + i))) ++
+      Seq((Some("one"), Some(13.5)),
+        (Some("big"), None), (Some("big"), Some(Double.NaN)),
+        (None, Some(99999.0)))
+    val got = Stats.winsorizeBy(rows.toDF("s", "x"), col("s"), col("x"),
+        0.05, 0.95, "clipped")
+      .collect().map(r => (
+        if (r.isNullAt(0)) None else Some(r.getString(0)),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val bounds = rows.collect { case (Some(s), Some(v)) if !v.isNaN => (s, v) }
+      .groupBy(_._1).map { case (s, vs) =>
+        val sorted = vs.map(_._2).toArray
+        java.util.Arrays.sort(sorted)
+        s -> (sorted(rank(0.05, sorted.length) - 1),
+          sorted(rank(0.95, sorted.length) - 1))
+      }
+    got.foreach {
+      case (Some(s), Some(v), c) if !v.isNaN =>
+        val (lo, hi) = bounds(s)
+        assert(c == Some(math.min(math.max(v, lo), hi)), s"($s, $v)")
+      case (Some(_), Some(v), c) => // the NaN row
+        assert(c.exists(_.isNaN))
+      case (Some(_), None, c) => assert(c.isEmpty) // null value stays null
+      case (None, v, c) => assert(c == v) // null stratum: unclipped
+    }
+    // a singleton stratum clips to its only element
+    assert(got.collect { case (Some("one"), _, c) => c }.head == Some(13.5))
+    // equal quantiles degenerate to a constant per stratum
+    val const = Stats.winsorizeBy(rows.toDF("s", "x"), col("s"), col("x"),
+        0.5, 0.5, "c")
+      .where(col("s") === "small" && col("x").isNotNull && !isnan(col("x")))
+      .select(col("c")).distinct().collect()
+    assert(const.length == 1)
+    intercept[IllegalArgumentException](
+      Stats.winsorizeBy(rows.toDF("s", "x"), col("s"), col("x"),
+        0.9, 0.1, "c"))
+  }
+
   test("regularize refuses bad arguments") {
     import spark.implicits._
     val ev = Seq(("A", 1L, 1L)).toDF("k", "ts", "v")
