@@ -600,6 +600,28 @@ object SparkEntry {
         .groupBy(col("event_id")).agg(count(col("c_id")).as("n_clicks"))
         .orderBy(col("event_id"))
     }),
+    "q_j4d_interval_full_join" -> ((s, dir) => {
+      // FULL-OUTER banded interval join: purchases with no click in
+      // the hour before them AND clicks that precede no purchase, in
+      // one pass — the left_outer construction unioned with an anti
+      // join of the un-exploded clicks against the purchases' probe
+      // buckets (unmatched-right exactly once, by construction). Raw
+      // (event_id, c_id) pairs; unmatched sides carry NULLs.
+      val ev = t(s, dir, "events")
+      val e = ev.select(col("user_id"), col("event_type"),
+        Tables.eventTsUs(ev).as("ts_us"), col("event_id"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("c_ts"),
+          col("event_id").as("c_id"))
+      IntervalJoin.join(purchases, clicks, key = Some("user_id"),
+          leftTs = "ts_us", rightTs = "c_ts",
+          lowerUs = -3600000000L, upperUs = 0L, carried = Seq("c_id"),
+          joinType = "full_outer")
+        .select(col("event_id"), col("c_id"))
+        .orderBy(col("event_id"), col("c_id"))
+    }),
     "q_j4_range_join" -> ((s, dir) => {
       // theta self-join over a bounded key window (StockLevel shape)
       val o1 = t(s, dir, "orders").where(col("o_orderkey") <= 2000)
@@ -3151,6 +3173,16 @@ object SparkEntry {
         |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
         |  AND epoch_us(c.ts) <= epoch_us(p.ts)
         |WHERE p.event_type = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_j4d_interval_full_join" ->
+      """SELECT p.event_id, c.event_id AS c_id
+        |FROM (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+        |      FROM events WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+        |           FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        |  AND c.ts_us >= p.ts_us - 3600000000
+        |  AND c.ts_us <= p.ts_us
+        |ORDER BY 1, 2""".stripMargin,
     "q_r1_version_resolve" ->
       """WITH ranked AS (
         |  SELECT CAST(user_id AS VARCHAR) AS row_key, event_type AS qualifier, props,

@@ -48,16 +48,27 @@ object IntervalJoin {
     * @param upperUs band end relative to left.ts (inclusive; must be
     *                >= lowerUs)
     * @param carried columns of `right` to carry into the output
-    * @param joinType "inner" (default) or "left_outer" — left_outer
-    *                 keeps unmatched left rows with NULL carried
-    *                 columns, and flips the explode to the RIGHT side
-    *                 (each right row registers in the ≤ 3 left buckets
-    *                 it can serve) so every left row appears exactly
-    *                 once un-duplicated; matched pairs still share
-    *                 exactly one bucket coordinate
+    * @param joinType "inner" (default), "left_outer", or "full_outer".
+    *                 left_outer keeps unmatched left rows with NULL
+    *                 carried columns, and flips the explode to the
+    *                 RIGHT side (each right row registers in the ≤ 3
+    *                 left buckets it can serve) so every left row
+    *                 appears exactly once un-duplicated; matched pairs
+    *                 still share exactly one bucket coordinate.
+    *                 full_outer ADDITIONALLY emits one all-NULL-left
+    *                 row per right row that matches nothing ("clicks
+    *                 that precede no purchase"): an exploded side's
+    *                 unmatched COPIES can't know a sibling bucket
+    *                 matched, so the pair space splits by construction
+    *                 — the left_outer pass (matched + unmatched-left)
+    *                 unioned with an ANTI join of the un-exploded
+    *                 right against the left's probe buckets
+    *                 (unmatched-right, exactly once) — two banded
+    *                 equi-joins, no distinct, no cartesian
     * @return one row per matching pair: left columns + carried columns
     *         (plus one NULL-carried row per unmatched left row when
-    *         left_outer)
+    *         left_outer/full_outer, and one NULL-left row per
+    *         unmatched right row when full_outer)
     */
   def join(left: DataFrame, right: DataFrame, key: Option[String],
       leftTs: String, rightTs: String, lowerUs: Long, upperUs: Long,
@@ -65,8 +76,8 @@ object IntervalJoin {
     require(upperUs >= lowerUs,
       s"upperUs ($upperUs) must be >= lowerUs ($lowerUs)")
     require(carried.nonEmpty, "carry at least one right column")
-    require(joinType == "inner" || joinType == "left_outer",
-      s"joinType must be inner or left_outer, got $joinType")
+    require(Set("inner", "left_outer", "full_outer").contains(joinType),
+      s"joinType must be inner, left_outer or full_outer, got $joinType")
     val clash = carried.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty,
       s"carried columns collide with left columns: ${clash.mkString(", ")} " +
@@ -111,9 +122,34 @@ object IntervalJoin {
         .withColumn("_su", bucketOf(col(rightTs) - lowerUs))
         .withColumn("_rbkt", explode(sequence(col("_sl"), col("_su"))))
         .select(col("_rbkt") +: rCols: _*)
-      l.join(r, keyEq(col("_bkt") === col("_rbkt")) && band, "left_outer")
+      val lo = l.join(r, keyEq(col("_bkt") === col("_rbkt")) && band,
+          "left_outer")
         .select(left.columns.map(col) ++
           carried.map(c => col(s"_c_$c").as(c)): _*)
+      if (joinType == "left_outer") lo
+      else {
+        // full_outer = the left_outer pass (matched pairs once +
+        // unmatched-left once) ∪ the rights no pair touches, found by
+        // an ANTI join of the UN-exploded right against the left's
+        // probe buckets: every true pair shares a probe coordinate,
+        // so "no probe matches" ⟺ globally unmatched — one row per
+        // unmatched right, by construction
+        val lProbe = left
+          .withColumn("_lb", bucketOf(col(leftTs) + lowerUs))
+          .withColumn("_ub", bucketOf(col(leftTs) + upperUs))
+          .withColumn("_bkt", explode(sequence(col("_lb"), col("_ub"))))
+          .drop("_lb", "_ub")
+        val rKeyed = right
+          .withColumn("_rbkt", bucketOf(col(rightTs)))
+          .select(col("_rbkt") +: rCols: _*)
+        val ro = rKeyed
+          .join(lProbe, keyEq(col("_bkt") === col("_rbkt")) && band,
+            "left_anti")
+          .select(left.columns.map(c =>
+            lit(null).cast(left.schema(c).dataType).as(c)) ++
+            carried.map(c => col(s"_c_$c").as(c)): _*)
+        lo.unionByName(ro)
+      }
     }
   }
 
@@ -148,9 +184,20 @@ object IntervalJoin {
     * exists exactly once and the null row is unique per unmatched
     * left row.
     *
+    * `joinType = "full_outer"` additionally emits one NULL-left row
+    * per right row the watermark proves unmatched. As in the batch
+    * [[join]], an exploded side's unmatched copies can't know a
+    * sibling bucket matched, so the shape is TWO symmetric stateful
+    * joins unioned — the left_outer pass above, plus a right_outer
+    * pass (left exploded, right un-exploded) filtered to its
+    * null-left rows via a literal marker column (a left row can carry
+    * legitimate NULLs; the marker can't). Each pass keeps its own
+    * watermark-bounded state — the honest 2× cost of full-outer under
+    * the bucket rewrite; both evict by the same band + delay horizon.
+    *
     * Spec-proven equal to the batch [[join]] on a replayed feed pair
-    * (both join types), with `stateOperators` present (it IS stateful
-    * — that is the point) in StreamingSpec.
+    * (all three join types), with `stateOperators` present (it IS
+    * stateful — that is the point) in StreamingSpec.
     */
   def joinStreams(left: DataFrame, right: DataFrame, key: Option[String],
       leftTs: String, rightTs: String, lowerUs: Long, upperUs: Long,
@@ -159,8 +206,8 @@ object IntervalJoin {
     require(upperUs >= lowerUs,
       s"upperUs ($upperUs) must be >= lowerUs ($lowerUs)")
     require(carried.nonEmpty, "carry at least one right column")
-    require(joinType == "inner" || joinType == "left_outer",
-      s"joinType must be inner or left_outer, got $joinType")
+    require(Set("inner", "left_outer", "full_outer").contains(joinType),
+      s"joinType must be inner, left_outer or full_outer, got $joinType")
     val clash = carried.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty,
       s"carried columns collide with left columns: ${clash.mkString(", ")} " +
@@ -176,24 +223,22 @@ object IntervalJoin {
           carried.map(c => col(c).as(s"_c_$c"))): _*)
       .withColumn("_revt", timestamp_micros(col("_rts")))
       .withWatermark("_revt", delay)
-    // explode the INNER side's probes on the left, the OUTER join's
-    // on the right — the preserved side must stay un-duplicated or an
-    // unmatched left row would emit one null row per probe bucket
-    val (l, r) =
-      if (joinType == "inner") (
-        lBase
-          .withColumn("_lb", bucketOf(col(leftTs) + lowerUs))
-          .withColumn("_ub", bucketOf(col(leftTs) + upperUs))
-          .withColumn("_bkt", explode(sequence(col("_lb"), col("_ub"))))
-          .drop("_lb", "_ub"),
-        rBase.withColumn("_rbkt", bucketOf(col("_rts"))))
-      else (
-        lBase.withColumn("_bkt", bucketOf(col(leftTs))),
-        rBase
-          .withColumn("_sl", bucketOf(col("_rts") - upperUs))
-          .withColumn("_su", bucketOf(col("_rts") - lowerUs))
-          .withColumn("_rbkt", explode(sequence(col("_sl"), col("_su"))))
-          .drop("_sl", "_su"))
+    // probe-explode the left (the inner shape); serve-explode the right
+    // (the outer shapes) — an outer join's preserved side must stay
+    // un-duplicated or an unmatched row would emit one null row per
+    // exploded bucket
+    def lProbe = lBase
+      .withColumn("_lb", bucketOf(col(leftTs) + lowerUs))
+      .withColumn("_ub", bucketOf(col(leftTs) + upperUs))
+      .withColumn("_bkt", explode(sequence(col("_lb"), col("_ub"))))
+      .drop("_lb", "_ub")
+    def lPlain = lBase.withColumn("_bkt", bucketOf(col(leftTs)))
+    def rServe = rBase
+      .withColumn("_sl", bucketOf(col("_rts") - upperUs))
+      .withColumn("_su", bucketOf(col("_rts") - lowerUs))
+      .withColumn("_rbkt", explode(sequence(col("_sl"), col("_su"))))
+      .drop("_sl", "_su")
+    def rPlain = rBase.withColumn("_rbkt", bucketOf(col("_rts")))
     // the band as event-time arithmetic: state eviction reads these
     // range conditions off the join predicate (a post-join filter on
     // the long columns would leave state unbounded)
@@ -205,8 +250,25 @@ object IntervalJoin {
         col("_bkt") === col("_rbkt") && col(k) === col("_rkey") && band
       case None => col("_bkt") === col("_rbkt") && band
     }
-    l.join(r, cond, joinType)
-      .select(left.columns.map(col) ++
-        carried.map(c => col(s"_c_$c").as(c)): _*)
+    val outCols = left.columns.map(col) ++
+      carried.map(c => col(s"_c_$c").as(c))
+    joinType match {
+      case "inner" => lProbe.join(rPlain, cond, "inner").select(outCols: _*)
+      case "left_outer" =>
+        lPlain.join(rServe, cond, "left_outer").select(outCols: _*)
+      case _ =>
+        // full_outer: the left_outer pass (matched once + unmatched-
+        // left once) ∪ the right_outer pass reduced to its null-left
+        // rows (unmatched-right once — matched pairs already emitted
+        // by the first pass, and the marker filter drops them here)
+        val lo = lPlain.join(rServe, cond, "left_outer").select(outCols: _*)
+        val ro = lProbe.withColumn("_lmark", lit(1))
+          .join(rPlain, cond, "right_outer")
+          .where(col("_lmark").isNull)
+          .select(left.columns.map(c =>
+            lit(null).cast(left.schema(c).dataType).as(c)) ++
+            carried.map(c => col(s"_c_$c").as(c)): _*)
+        lo.unionByName(ro)
+    }
   }
 }

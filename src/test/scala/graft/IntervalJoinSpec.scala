@@ -100,6 +100,60 @@ class IntervalJoinSpec extends AnyFunSuite {
       Some("k"), "ts", "rts", 0L, 1L, Seq("rid"), joinType = "full"))
   }
 
+  test("full-outer interval join: brute-force equality, both unmatched sides exactly once") {
+    import spark.implicits._
+    val rng = new scala.util.Random(37)
+    val left = Seq.fill(500)(
+      (rng.nextInt(8).toLong, rng.nextInt(6000).toLong - 3000))
+      .zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+    val right = Seq.fill(500)(
+      (rng.nextInt(8).toLong, rng.nextInt(6000).toLong - 3000))
+      .zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+    var (sawL, sawR, sawM) = (false, false, false)
+    for ((lo, hi) <- Seq((-1500L, 4000L), (-40L, -10L), (0L, 0L))) {
+      // carry the right id so unmatched-right rows are identifiable
+      val got = IntervalJoin.join(
+          left.toDF("lid", "k", "ts"),
+          right.toDF("rid", "k", "rts"),
+          key = Some("k"), leftTs = "ts", rightTs = "rts",
+          lowerUs = lo, upperUs = hi, carried = Seq("rid"),
+          joinType = "full_outer")
+        .collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .toList.sortBy(p => (p._1.getOrElse(-1L), p._2.getOrElse(-1L)))
+      val inner = (for {
+        (lid, lk, lt) <- left; (rid, rk, rt) <- right
+        if lk == rk && rt >= lt + lo && rt <= lt + hi
+      } yield (Some(lid), Some(rid))).toList
+      val mL = inner.flatMap(_._1).toSet
+      val mR = inner.flatMap(_._2).toSet
+      val brute = (inner ++
+        left.collect { case (lid, _, _) if !mL(lid) => (Some(lid), None) } ++
+        right.collect { case (rid, _, _) if !mR(rid) => (None, Some(rid)) })
+        .sortBy(p => (p._1.getOrElse(-1L), p._2.getOrElse(-1L)))
+      assert(got == brute, s"band [$lo,$hi]")  // equality AND multiplicity
+      sawL ||= got.exists(p => p._2.isEmpty)
+      sawR ||= got.exists(p => p._1.isEmpty)
+      sawM ||= got.exists(p => p._1.nonEmpty && p._2.nonEmpty)
+    }
+    // across the band shapes all three row kinds materialized
+    assert(sawL && sawR && sawM, s"degenerate: L=$sawL R=$sawR M=$sawM")
+    // a right row matching in ONE of its serve buckets must not leak a
+    // null-left ghost from its other buckets: single pair straddling a
+    // bucket boundary (band width 100 -> bucket 100; lt=95, rt=105
+    // share no bucket with the pair's coordinate duplicated)
+    val g2 = IntervalJoin.join(
+        Seq((1L, 95L)).toDF("lid", "ts"),
+        Seq((7L, 105L)).toDF("rid", "rts"),
+        key = None, leftTs = "ts", rightTs = "rts",
+        lowerUs = 0L, upperUs = 100L, carried = Seq("rid"),
+        joinType = "full_outer")
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getLong(2)))
+    assert(g2.toSeq == Seq((Some(1L), 7L)), g2.mkString(","))
+  }
+
   test("plans as an equi-join: no cartesian, no nested loop") {
     import spark.implicits._
     val left = spark.range(10000).select(col("id").as("lid"),
@@ -119,5 +173,11 @@ class IntervalJoinSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!outer.contains("CartesianProduct"), outer)
     assert(!outer.contains("BroadcastNestedLoopJoin"), outer)
+    // full_outer = left_outer pass + anti pass: both banded equi-joins
+    val full = IntervalJoin.join(left, right, None, "ts", "rts",
+        -500L, 500L, Seq("rid"), joinType = "full_outer")
+      .queryExecution.executedPlan.toString
+    assert(!full.contains("CartesianProduct"), full)
+    assert(!full.contains("BroadcastNestedLoopJoin"), full)
   }
 }

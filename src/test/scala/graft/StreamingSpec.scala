@@ -795,6 +795,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.keys.exists(_._2.nonEmpty))
   }
 
+  test("stream-stream FULL-OUTER interval join equals the batch full-outer (differential)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(59)
+    val ldir = tmp("ivjfo-left")
+    val rdir = tmp("ivjfo-right")
+    val ckpt = tmp("ivjfo-ckpt")
+    val (lo, hi) = (-50L, 60L)
+    // sparser than the left-outer feed so BOTH unmatched kinds occur
+    val left = (0 until 150).map(i => (i.toLong,
+      rng.nextInt(20000).toLong * 1000))
+    val right = (0 until 150).map(i => (i.toLong + 1000L,
+      rng.nextInt(20000).toLong * 1000))
+    left.toDF("lid", "ts").repartition(3)
+      .write.mode("overwrite").parquet(ldir)
+    right.toDF("rid", "rts").repartition(3)
+      .write.mode("overwrite").parquet(rdir)
+    val results = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    def round(): Unit = {
+      val ls = spark.readStream.schema("lid LONG, ts LONG").parquet(ldir)
+      val rs = spark.readStream.schema("rid LONG, rts LONG").parquet(rdir)
+      val q = graft.operators.IntervalJoin.joinStreams(ls, rs, key = None,
+          leftTs = "ts", rightTs = "rts", lowerUs = lo, upperUs = hi,
+          carried = Seq("rid"), delay = "1 second",
+          joinType = "full_outer")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          results.synchronized { results ++= b.select("lid", "rid").collect() }; ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    round()
+    // flush rows on BOTH sides close every original row's horizon; the
+    // flush rows' own horizons never close — exclude them
+    Seq((9999L, 100000000L * 1000)).toDF("lid", "ts")
+      .write.mode("append").parquet(ldir)
+    Seq((9998L, 200000000L * 1000)).toDF("rid", "rts")
+      .write.mode("append").parquet(rdir)
+    round()
+    def keyOf(r: org.apache.spark.sql.Row) = (
+      if (r.isNullAt(0)) None else Some(r.getLong(0)),
+      if (r.isNullAt(1)) None else Some(r.getLong(1)))
+    val got = results.map(keyOf)
+      .filter(p => !p._1.contains(9999L) && !p._2.contains(9998L))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val batch = graft.operators.IntervalJoin.join(
+        spark.read.parquet(ldir), spark.read.parquet(rdir), None,
+        "ts", "rts", lo, hi, Seq("rid"), joinType = "full_outer")
+      .select("lid", "rid").collect().map(keyOf)
+      .filter(p => !p._1.contains(9999L) && !p._2.contains(9998L))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == batch, s"${got.size} streamed vs ${batch.size} batch")
+    // all three row kinds materialized
+    assert(got.keys.exists(_._1.isEmpty), "no unmatched-right rows emitted")
+    assert(got.keys.exists(_._2.isEmpty), "no unmatched-left rows emitted")
+    assert(got.keys.exists(p => p._1.nonEmpty && p._2.nonEmpty))
+  }
+
   test("streaming strict-mode funnels equal their batch twins (differential)") {
     import graft.operators.EventAnalytics
     import graft.operators.EventAnalytics.FunnelMode
