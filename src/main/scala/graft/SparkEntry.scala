@@ -2229,6 +2229,25 @@ object SparkEntry {
           weightCol = Some("w"))
         .orderBy(col("node"))
     }),
+    "q_x_graph_trustrank_seeded" -> ((s, dir) => {
+      // SEED-WEIGHTED TrustRank: the teleport (and seed-directed
+      // dangling mass) splits over the 7 seeds in weight proportion
+      // (w = node + 1) through the overflow-safe unit quantization
+      // w_s · (mass div W) — still pure integer arithmetic, so the
+      // oracle unrolls the three sweeps with the weighted seed terms
+      // and the ranks hash-match bit for bit
+      val edges = t(s, dir, "lineitem")
+        .where(col("l_orderkey") <= 2000)
+        .select((col("l_partkey") % 100).as("src"),
+          (col("l_suppkey") % 100).as("dst"))
+        .distinct()
+      val seeds = edges.where(col("src") < 7)
+        .select(col("src").as("node")).distinct()
+        .withColumn("sw", col("node") + 1)
+      Graph.personalizedPageRank(edges, seeds, iterations = 3,
+          seedWeightCol = Some("sw"))
+        .orderBy(col("node"))
+    }),
     "q_x_graph_coreness" -> ((s, dir) => {
       // full coreness decomposition on a three-tier CLOSED-FORM graph
       // (the ScaleProbe oracle idiom as a green hash gate): a K9
@@ -3781,6 +3800,40 @@ object SparkEntry {
          |       FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
          |r0 AS (SELECT node, CASE WHEN is_seed THEN 1000000000000 // ns
          |                    ELSE 0 END AS rank FROM sn, par),
+         |${iter("r0", 1)},
+         |${iter("r1", 2)},
+         |${iter("r2", 3)}
+         |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
+    },
+    "q_x_graph_trustrank_seeded" -> {
+      def iter(prev: String, cur: Int): String =
+        s"""d$cur AS (SELECT COALESCE(sum(r.rank), 0) AS dang
+           |      FROM $prev r LEFT JOIN outd o USING (node) WHERE o.node IS NULL),
+           |c$cur AS (SELECT e.dst AS node, sum(r.rank // o.outc) AS contrib
+           |      FROM $prev r JOIN outd o USING (node) JOIN e ON e.src = r.node
+           |      GROUP BY 1),
+           |r$cur AS (SELECT sn.node,
+           |        CAST(CASE WHEN sn.w IS NOT NULL
+           |               THEN sn.w * (1000000000000 // 20 * 3 // tw) ELSE 0 END
+           |        + (17 * (COALESCE(c.contrib, 0)
+           |           + CASE WHEN sn.w IS NOT NULL
+           |               THEN sn.w * (dang // tw) ELSE 0 END)) // 20
+           |          AS BIGINT) AS rank
+           |      FROM sn LEFT JOIN c$cur c ON c.node = sn.node, d$cur, par)"""
+          .stripMargin
+      s"""WITH e AS (SELECT DISTINCT l_partkey % 100 AS src, l_suppkey % 100 AS dst
+         |           FROM lineitem WHERE l_orderkey <= 2000),
+         |sw AS (SELECT DISTINCT src AS node, CAST(src + 1 AS BIGINT) AS w
+         |       FROM e WHERE src < 7),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e
+         |          UNION SELECT node FROM sw),
+         |outd AS (SELECT src AS node, count(*) AS outc FROM e GROUP BY 1),
+         |par AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM sw),
+         |sn AS (SELECT n.node, s.w
+         |       FROM nodes n LEFT JOIN sw s ON s.node = n.node),
+         |r0 AS (SELECT node, CASE WHEN w IS NOT NULL
+         |         THEN w * (1000000000000 // tw) ELSE 0 END AS rank
+         |       FROM sn, par),
          |${iter("r0", 1)},
          |${iter("r1", 2)},
          |${iter("r2", 3)}

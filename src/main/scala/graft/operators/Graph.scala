@@ -187,10 +187,14 @@ object Graph {
     * Gyöngyi/Garcia-Molina/Pedersen, "Combating web spam with
     * TrustRank", VLDB 2004):
     *
-    *   rank₀(v)   = [v ∈ S] · (SCALE div |S|)
-    *   tele       = SCALE div dDen · (dDen - dNum) div |S|
-    *   rankᵢ₊₁(v) = [v ∈ S] · tele
-    *              + (dNum · (contrib(v) + [v ∈ S] · (dang div |S|))) div dDen
+    *   rank₀(v)   = [v ∈ S] · w_v · (SCALE div W)
+    *   teleUnit   = SCALE div dDen · (dDen - dNum) div W
+    *   rankᵢ₊₁(v) = [v ∈ S] · w_v · teleUnit
+    *              + (dNum · (contrib(v) + [v ∈ S] · w_v · (dang div W))) div dDen
+    *
+    * with w_v the optional per-seed weight (1 when unweighted) and W
+    * the total seed weight (= |S| when unweighted, recovering the
+    * classic uniform split exactly)
     *
     * so trust flows OUT from the seeds and decays with link distance —
     * the canonical link-quality curation signal: seed a handful of
@@ -212,7 +216,20 @@ object Graph {
     */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
       iterations: Int, dampNum: Int = 17, dampDen: Int = 20,
-      weightCol: Option[String] = None): DataFrame = {
+      weightCol: Option[String] = None,
+      /** optional positive integer SEED-weight column in `seeds`: the
+        * teleport (and the seed-directed dangling mass) splits over
+        * the seeds in weight proportion instead of uniformly — the
+        * published general form of TrustRank's static score
+        * distribution (Gyöngyi VLDB 2004 §4.2 biases d to the seed
+        * set; the weight vector is any non-uniform bias over it).
+        * Quantized overflow-safe like edge weights: each seed gets
+        * `w_s · (mass div W)` with `W` the total seed weight, at the
+        * price of up to W−1 fixed-point units of dropped mass per
+        * term — keep seed weights small integers. Duplicate seed rows
+        * SUM their weights; uniform (None) is exactly the weight-1
+        * case. */
+      seedWeightCol: Option[String] = None): DataFrame = {
     require(iterations >= 0 && iterations <= 50,
       s"iterations must be in [0, 50], got $iterations")
     require(dampNum > 0 && dampDen > 0 && dampNum < dampDen,
@@ -223,15 +240,43 @@ object Graph {
       .where(col("src").isNotNull && col("dst").isNotNull)
     weightCol.foreach(c => validateWeights(edges, c, None))
     val seedCol = seeds.columns.head
-    val s = seeds.select(col(seedCol).as("node"))
-      .where(col("node").isNotNull).distinct().transform(checkpointed)
+    val sRaw = seeds.select(col(seedCol).as("node"),
+        seedWeightCol.map(col).getOrElse(lit(1L)).as("_swraw"))
+      .where(col("node").isNotNull)
+    seedWeightCol.foreach { c =>
+      val st = sRaw.agg(
+        count(when(col("_swraw").isNotNull &&
+          col("_swraw") =!= col("_swraw").cast("long"), 1)),
+        count(when(col("_swraw").isNull ||
+          col("_swraw").cast("long") <= 0, 1))).head()
+      require(st.getLong(0) == 0, s"seed weight column $c has non-integer " +
+        "entries — the fixed-point recurrence needs integer weights")
+      require(st.getLong(1) == 0,
+        s"seed weight column $c has null/non-positive entries")
+    }
+    // duplicates sum; the per-seed and total sums cross decimal(38,0)
+    // so pathological weights ERROR instead of corrupting the division
+    val sDec = sRaw.groupBy("node")
+      .agg(sum(col("_swraw").cast("long").cast("decimal(38,0)")).as("_swd"))
+    val overS = sDec.where(col("_swd") > lit(Long.MaxValue)).limit(1).count()
+    require(overS == 0,
+      "a seed's total weight exceeds Long.MaxValue — rescale seed weights")
+    val s = sDec.select(col("node"), col("_swd").cast("long").as("_sw"))
+      .transform(checkpointed)
     val nS = s.count()
     require(nS > 0, "personalizedPageRank needs a non-empty seed set")
+    // W = total seed weight; uniform seeds make W = |S| and every
+    // weighted term below reduces to the published uniform recurrence
+    val totW = s.agg(sum(col("_sw").cast("decimal(38,0)"))).head()
+      .getDecimal(0)
+    require(totW.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) <= 0,
+      "total seed weight exceeds Long.MaxValue — rescale seed weights")
+    val bigW = totW.longValueExact()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .union(s.select(col("node"))).distinct()
-      .join(s.withColumn("_seed", lit(true)), Seq("node"), "left")
-      .select(col("node"), coalesce(col("_seed"), lit(false)).as("_seed"))
+      .join(s, Seq("node"), "left")
+      .select(col("node"), col("_sw").isNotNull.as("_seed"), col("_sw"))
       .transform(checkpointed)
     val outDegDec = e.groupBy(col("src").as("node"))
       .agg(sum(col("_w").cast("decimal(38,0)")).as("_outd"))
@@ -243,10 +288,14 @@ object Graph {
       col("_outd").cast("long").as("out")).transform(checkpointed)
     def ldiv(a: Column, b: Column): Column =
       ((a - pmod(a, b)) / b).cast("long")
-    val tele = Scale / dampDen * (dampDen - dampNum) / nS
+    // per-seed teleport = w_s · (T div W); uniform seeds (w_s = 1,
+    // W = |S|) reduce every term to the classic T div |S| exactly
+    val teleUnit = Scale / dampDen * (dampDen - dampNum) / bigW
+    val rankUnit = Scale / bigW
     var ranks = nodes
       .select(col("node"), col("_seed"),
-        when(col("_seed"), lit(Scale / nS)).otherwise(lit(0L)).as("rank"))
+        when(col("_seed"), col("_sw") * lit(rankUnit))
+          .otherwise(lit(0L)).as("rank"))
       .transform(checkpointed)
     for (_ <- 0 until iterations) {
       val withOut = ranks.join(outDeg, Seq("node"), "left")
@@ -261,9 +310,10 @@ object Graph {
         .join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dang))
         .select(col("node"), col("_seed"),
-          (when(col("_seed"), lit(tele)).otherwise(lit(0L)) + ldiv(
+          (when(col("_seed"), col("_sw") * lit(teleUnit))
+            .otherwise(lit(0L)) + ldiv(
             lit(dampNum) * (coalesce(col("_contrib"), lit(0L)) +
-              when(col("_seed"), ldiv(col("_dang"), lit(nS)))
+              when(col("_seed"), col("_sw") * ldiv(col("_dang"), lit(bigW)))
                 .otherwise(lit(0L))),
             lit(dampDen))).as("rank"))
       val prev = ranks

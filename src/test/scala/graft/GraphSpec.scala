@@ -368,6 +368,80 @@ class GraphSpec extends AnyFunSuite {
         Seq.empty[Long].toDF("node"), 1))
   }
 
+  /** Driver replay of the SEED-WEIGHTED recurrence: every seed term is
+    * w_v · (mass div W). */
+  private def replaySeedWeighted(edges: Seq[(Long, Long)],
+      seeds: Seq[(Long, Long)], iters: Int,
+      dNum: Long = 17L, dDen: Long = 20L): Map[Long, Long] = {
+    val sw = seeds.groupBy(_._1).map { case (v, ws) => v -> ws.map(_._2).sum }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2) ++ sw.keys).distinct
+    val bigW = sw.values.sum
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val teleUnit = Graph.Scale / dDen * (dDen - dNum) / bigW
+    val rankUnit = Graph.Scale / bigW
+    var rank = nodes.map(v => v -> sw.get(v).map(_ * rankUnit).getOrElse(0L)).toMap
+    for (_ <- 0 until iters) {
+      val dang = nodes.filterNot(out.contains).map(rank).sum
+      val contrib = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => rank(s) / out(s) }.sum
+      }
+      rank = nodes.map { v =>
+        val w = sw.getOrElse(v, 0L)
+        val seedTerm = if (sw.contains(v)) w * (dang / bigW) else 0L
+        v -> ((if (sw.contains(v)) w * teleUnit else 0L) +
+          dNum * (contrib.getOrElse(v, 0L) + seedTerm) / dDen)
+      }.toMap
+    }
+    rank
+  }
+
+  test("seed-weighted personalizedPageRank equals the replay; all-ones equals uniform; duplicates sum") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(67L)
+    val edges = (0 until 180).map(_ =>
+      (rng.nextInt(28).toLong, rng.nextInt(36).toLong)).distinct
+    val seeds = Seq((2L, 5L), (9L, 1L), (100L, 3L)) // incl. off-graph seed
+    for (iters <- Seq(0, 1, 4)) {
+      val got = Graph.personalizedPageRank(edges.toDF("src", "dst"),
+          seeds.toDF("node", "sw"), iters, seedWeightCol = Some("sw"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == replaySeedWeighted(edges, seeds, iters), s"iters=$iters")
+    }
+    // all-ones weights reproduce the uniform recurrence EXACTLY
+    val unif = Seq(3L, 7L, 11L)
+    val ones = Graph.personalizedPageRank(edges.toDF("src", "dst"),
+        unif.map((_, 1L)).toDF("node", "sw"), 3, seedWeightCol = Some("sw"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = Graph.personalizedPageRank(edges.toDF("src", "dst"),
+        unif.toDF("node"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ones == plain)
+    // duplicate seed rows SUM their weights
+    val dup = Graph.personalizedPageRank(edges.toDF("src", "dst"),
+        Seq((2L, 3L), (2L, 2L), (9L, 1L)).toDF("node", "sw"), 2,
+        seedWeightCol = Some("sw"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dup == replaySeedWeighted(edges, Seq((2L, 5L), (9L, 1L)), 2))
+    // heavier seed holds more teleport mass: two ISOMORPHIC disjoint
+    // chains, seeds weighted 9:1 — every node of the heavy chain must
+    // out-rank its twin (a 2-cycle would NOT do: rank oscillates
+    // around the cycle, so parity, not weight, decides a single node)
+    val twin = Seq((1L, 2L), (11L, 12L))
+    val skw = Graph.personalizedPageRank(twin.toDF("src", "dst"),
+        Seq((1L, 9L), (11L, 1L)).toDF("node", "sw"), 3,
+        seedWeightCol = Some("sw"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(skw(1L) > skw(11L) && skw(2L) > skw(12L), skw.toString)
+    // fractional / non-positive seed weights refuse
+    intercept[IllegalArgumentException](
+      Graph.personalizedPageRank(edges.toDF("src", "dst"),
+        Seq((2L, 1.5)).toDF("node", "sw"), 1, seedWeightCol = Some("sw")))
+    intercept[IllegalArgumentException](
+      Graph.personalizedPageRank(edges.toDF("src", "dst"),
+        Seq((2L, 0L)).toDF("node", "sw"), 1, seedWeightCol = Some("sw")))
+  }
+
   test("personalizedPageRank fuzz: random graphs x seed sets x damping vs the replay") {
     val s = spark
     import s.implicits._
