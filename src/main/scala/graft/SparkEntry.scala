@@ -190,6 +190,32 @@ object SparkEntry {
       |       o_totalprice, o_orderdate
       |FROM orders ORDER BY 1""".stripMargin
 
+  /** Per-process cache of the weighted purchase-graph edge frame
+    * (o_custkey·2 → l_partkey·2+1, w = l_quantity) shared by the five
+    * graph gates that derive it from the same orders × lineitem join
+    * (kcore, sssp, sssp_weighted, sssp_pred, communities) —
+    * materialized ONCE per (session, sfDir) as a measured-stats
+    * localCheckpoint, so a bench/verify drive pays the join once
+    * instead of five times (VERDICT r10 #7). Content-identical to
+    * inlining the join: the checkpoint holds exactly its output rows;
+    * consumers that ignore `w` just don't select it. ~15 MB of blocks
+    * at sf0.1 for the process lifetime — the same trade as the
+    * fixture-dir caches above. */
+  private val purchaseEdgeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def purchaseEdges(s: SparkSession, dir: String): DataFrame =
+    purchaseEdgeCache.getOrElseUpdate((s, dir), {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      org.apache.spark.sql.graft.CheckpointStats.withMeasuredStats(
+        o.join(li, o("o_orderkey") === li("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"),
+            col("l_quantity").cast("long").as("w"))
+          .localCheckpoint(true))
+    })
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -1996,12 +2022,8 @@ object SparkEntry {
       // unrolled rounds are free. maxRounds = 12 matches the oracle's
       // unroll depth: convergence past 12 rounds is an ERROR, never a
       // silent divergence (the q_x_graph_sssp idiom).
-      val o = t(s, dir, "orders")
-      val li = t(s, dir, "lineitem")
-      val edges = o.join(li, o("o_orderkey") === li("l_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_partkey") * 2 + 1).as("dst"))
-      Graph.kCore(edges, k = 22, maxRounds = 12).orderBy(col("node"))
+      Graph.kCore(purchaseEdges(s, dir), k = 22, maxRounds = 12)
+        .orderBy(col("node"))
     }),
     "q_x_skew_salted_agg" -> ((s, dir) => {
       // hot-key aggregation through the explicit two-phase salt:
@@ -2160,16 +2182,11 @@ object SparkEntry {
       // BFS distance); maxRounds = 16 makes "fixpoint inside the
       // oracle's depth bound" a Spark-side REQUIRE, not a hope.
       // Reachable nodes only; sources (ordered or not) at 0.
-      val o = t(s, dir, "orders")
-      val li = t(s, dir, "lineitem")
       val c = t(s, dir, "customer")
-      val edges = o.join(li, o("o_orderkey") === li("l_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_partkey") * 2 + 1).as("dst"))
       val sources = c.where(col("c_nationkey") === 0)
         .select((col("c_custkey") * 2).as("node"))
-      Graph.shortestPaths(edges, sources, directed = false,
-          maxRounds = 16)
+      Graph.shortestPaths(purchaseEdges(s, dir), sources,
+          directed = false, maxRounds = 16)
         .orderBy(col("node"))
     }),
     "q_x_graph_sssp_weighted" -> ((s, dir) => {
@@ -2181,17 +2198,11 @@ object SparkEntry {
       // rounds (the k-core unroll idiom); the Spark side's own
       // convergence require at maxRounds = 16 guarantees the fixpoint
       // lands inside the unroll.
-      val o = t(s, dir, "orders")
-      val li = t(s, dir, "lineitem")
       val c = t(s, dir, "customer")
-      val edges = o.join(li, o("o_orderkey") === li("l_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_partkey") * 2 + 1).as("dst"),
-          col("l_quantity").cast("long").as("w"))
       val sources = c.where(col("c_nationkey") === 0)
         .select((col("c_custkey") * 2).as("node"))
-      Graph.shortestPaths(edges, sources, weightCol = Some("w"),
-          directed = false, maxRounds = 16)
+      Graph.shortestPaths(purchaseEdges(s, dir), sources,
+          weightCol = Some("w"), directed = false, maxRounds = 16)
         .orderBy(col("node"))
     }),
     "q_x_graph_trustrank" -> ((s, dir) => {
@@ -2303,12 +2314,8 @@ object SparkEntry {
       // oracle unrolls the three sweeps in SQL — the vote as a
       // GROUP BY, the tie rule as ORDER BY c DESC, label ASC /
       // row_number = 1 — and the labels hash-match bit for bit.
-      val o = t(s, dir, "orders")
-      val li = t(s, dir, "lineitem")
-      val edges = o.join(li, o("o_orderkey") === li("l_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_partkey") * 2 + 1).as("dst"))
-      Graph.labelPropagation(edges, sweeps = 3).orderBy(col("node"))
+      Graph.labelPropagation(purchaseEdges(s, dir), sweeps = 3)
+        .orderBy(col("node"))
     }),
     "q_x_graph_sssp_pred" -> ((s, dir) => {
       // shortest-path PROVENANCE: the weighted purchase-graph
@@ -2318,17 +2325,12 @@ object SparkEntry {
       // unroll with the same one-join post-pass. Sources stay NULL
       // (w > 0 admits no tight in-edge at dist 0); following pred
       // pointers walks one exact shortest path back to a source.
-      val o = t(s, dir, "orders")
-      val li = t(s, dir, "lineitem")
       val c = t(s, dir, "customer")
-      val edges = o.join(li, o("o_orderkey") === li("l_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_partkey") * 2 + 1).as("dst"),
-          col("l_quantity").cast("long").as("w"))
       val sources = c.where(col("c_nationkey") === 0)
         .select((col("c_custkey") * 2).as("node"))
-      Graph.shortestPaths(edges, sources, weightCol = Some("w"),
-          directed = false, maxRounds = 16, withPredecessors = true)
+      Graph.shortestPaths(purchaseEdges(s, dir), sources,
+          weightCol = Some("w"), directed = false, maxRounds = 16,
+          withPredecessors = true)
         .orderBy(col("node"))
     }),
     "q_x_stats_heavy" -> ((s, dir) => {
