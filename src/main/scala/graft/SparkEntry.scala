@@ -2317,6 +2317,25 @@ object SparkEntry {
       Graph.labelPropagation(purchaseEdges(s, dir), sweeps = 3)
         .orderBy(col("node"))
     }),
+    "q_x_graph_communities_weighted" -> ((s, dir) => {
+      // WEIGHTED label propagation: a neighbor's vote counts its edge
+      // weight (purchase quantity, parallel links summed during
+      // canonicalization) — heavier ties pull harder, with the same
+      // min-label tie rule on exact integer vote sums, so the oracle
+      // unrolls the sweeps with sum(w) votes and hash-matches
+      Graph.labelPropagation(purchaseEdges(s, dir), sweeps = 3,
+          weightCol = Some("w"))
+        .orderBy(col("node"))
+    }),
+    "q_x_graph_community_stats" -> ((s, dir) => {
+      // community census (the exact integers behind Newman–Girvan
+      // modularity): per 3-sweep LPA label, node count, internal edge
+      // count, and degree mass — all plain integers, so the oracle
+      // appends three census aggregations to the same sweep unroll
+      val e = purchaseEdges(s, dir)
+      Graph.communityStats(e, Graph.labelPropagation(e, sweeps = 3))
+        .orderBy(col("label"))
+    }),
     "q_x_graph_sssp_pred" -> ((s, dir) => {
       // shortest-path PROVENANCE: the weighted purchase-graph
       // distances plus a pred column — the smallest source over TIGHT
@@ -3861,6 +3880,65 @@ object SparkEntry {
          |${sweep("l1", 2)},
          |${sweep("l2", 3)}
          |SELECT node, label FROM l3 ORDER BY node""".stripMargin
+    },
+    "q_x_graph_communities_weighted" -> {
+      def sweep(prev: String, cur: Int): String =
+        s"""c$cur AS (SELECT eb.dst AS node, l.label,
+           |        CAST(sum(eb.w) AS BIGINT) AS c
+           |      FROM $prev l JOIN eb ON l.node = eb.src GROUP BY 1, 2),
+           |l$cur AS MATERIALIZED (SELECT node, label FROM (
+           |      SELECT node, label, row_number() OVER (
+           |        PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+           |      FROM c$cur) t$cur
+           |      WHERE rn = 1)""".stripMargin
+      s"""WITH raw AS (SELECT o_custkey * 2 AS a, l_partkey * 2 + 1 AS b,
+         |               CAST(l_quantity AS BIGINT) AS w
+         |             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (SELECT least(a, b) AS u, greatest(a, b) AS v,
+         |        CAST(sum(w) AS BIGINT) AS w
+         |      FROM raw WHERE a <> b GROUP BY 1, 2),
+         |eb AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM e
+         |      UNION ALL SELECT v, u, w FROM e),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM eb),
+         |${sweep("l0", 1)},
+         |${sweep("l1", 2)},
+         |${sweep("l2", 3)}
+         |SELECT node, label FROM l3 ORDER BY node""".stripMargin
+    },
+    "q_x_graph_community_stats" -> {
+      def sweep(prev: String, cur: Int): String =
+        s"""c$cur AS (SELECT eb.dst AS node, l.label, count(*) AS c
+           |      FROM $prev l JOIN eb ON l.node = eb.src GROUP BY 1, 2),
+           |l$cur AS MATERIALIZED (SELECT node, label FROM (
+           |      SELECT node, label, row_number() OVER (
+           |        PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+           |      FROM c$cur) t$cur
+           |      WHERE rn = 1)""".stripMargin
+      s"""WITH raw AS (SELECT o_custkey * 2 AS a, l_partkey * 2 + 1 AS b
+         |             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+         |      FROM raw WHERE a <> b),
+         |eb AS MATERIALIZED (SELECT u AS src, v AS dst FROM e
+         |      UNION ALL SELECT v, u FROM e),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM eb),
+         |${sweep("l0", 1)},
+         |${sweep("l1", 2)},
+         |${sweep("l2", 3)},
+         |nn AS (SELECT label, CAST(count(*) AS BIGINT) AS n_nodes
+         |       FROM l3 GROUP BY 1),
+         |i AS (SELECT a.label, CAST(count(*) AS BIGINT) AS internal_edges
+         |      FROM e JOIN l3 a ON e.u = a.node JOIN l3 b ON e.v = b.node
+         |      WHERE a.label = b.label GROUP BY 1),
+         |g AS (SELECT l.label, CAST(count(*) AS BIGINT) AS degree_sum
+         |      FROM (SELECT u AS node FROM e
+         |            UNION ALL SELECT v FROM e) d
+         |      JOIN l3 l USING (node) GROUP BY 1)
+         |SELECT nn.label, nn.n_nodes,
+         |  COALESCE(i.internal_edges, 0) AS internal_edges,
+         |  COALESCE(g.degree_sum, 0) AS degree_sum
+         |FROM nn LEFT JOIN i ON i.label = nn.label
+         |LEFT JOIN g ON g.label = nn.label
+         |ORDER BY 1""".stripMargin
     },
     "q_x_graph_coreness" ->
       """WITH nodes AS (

@@ -362,17 +362,41 @@ object Graph {
     * with superseded-block release; stock AQE (full-width sweeps — the
     * PageRank-family A/B measured stock AQE faster than
     * partitioning-reuse for sweeps that touch every node). */
-  def labelPropagation(edges: DataFrame, sweeps: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, sweeps: Int,
+      /** optional positive integer edge-weight column: a neighbor's
+        * vote counts its edge weight instead of 1 (the weighted form
+        * of the published update — heavier co-citation ties pull
+        * harder). Parallel duplicate edges SUM their weights during
+        * canonicalization; weights on the two directions of the same
+        * undirected pair also sum. Null/non-positive/fractional
+        * weights are an error, not a silent drop. */
+      weightCol: Option[String] = None): DataFrame = {
     require(sweeps >= 0 && sweeps <= 50,
       s"sweeps must be in [0, 50], got $sweeps")
-    val und = edges.select(
+    weightCol.foreach(c => validateWeights(edges, c, None))
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val undRaw = edges.select(
         least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
+        greatest(col("src"), col("dst")).as("v"),
+        w.as("_w"))
       .where(col("u") =!= col("v") &&
         col("u").isNotNull && col("v").isNotNull)
-      .distinct()
-    val eb = und.select(col("u").as("src"), col("v").as("dst"))
-      .union(und.select(col("v").as("src"), col("u").as("dst")))
+    // weights are positive, so every vote sum is bounded by the TOTAL
+    // weight mass — one decimal-crossing check makes overflow an
+    // ERROR, never a wrapped vote (the pageRank out-weight idiom)
+    weightCol.foreach { _ =>
+      val tot = undRaw
+        .agg(sum(col("_w").cast("decimal(38,0)"))).head().getDecimal(0)
+      require(tot == null ||
+        tot.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) <= 0,
+        "total edge weight exceeds Long.MaxValue — rescale weights")
+    }
+    val und = undRaw
+      .groupBy(col("u"), col("v"))
+      .agg((if (weightCol.isEmpty) lit(1L)
+        else sum(col("_w"))).as("_w"))
+    val eb = und.select(col("u").as("src"), col("v").as("dst"), col("_w"))
+      .union(und.select(col("v").as("src"), col("u").as("dst"), col("_w")))
       .transform(checkpointed)
     // every endpoint appears as src in eb (both directions), so the
     // src projection IS the node set
@@ -383,7 +407,7 @@ object Graph {
       val votes = labels.select(col("node").as("src"), col("label"))
         .join(eb, "src")
         .groupBy(col("dst").as("node"), col("label"))
-        .agg(count(lit(1)).as("_c"))
+        .agg(sum(col("_w")).as("_c"))
       // argmax with min-label ties as a MIN over (-count, label)
       // structs: lexicographic struct order gives highest count first,
       // then smallest label — one aggregation, engine-portable
@@ -398,6 +422,68 @@ object Graph {
     }
     unpersistCheckpoint(eb)
     labels
+  }
+
+  /** COMMUNITY CENSUS — the exact integers behind modularity. Per
+    * label: node count, INTERNAL undirected edge count m_c (both
+    * endpoints share the label), and total degree mass d_c (sum of
+    * members' degrees). Newman–Girvan modularity
+    * `Q = Σ_c (m_c/m − (d_c/2m)²)` (Phys. Rev. E 2004) follows by
+    * arithmetic; the census reports the INTEGERS so the cross-engine
+    * gate is exact and the caller picks the ratio's precision. The
+    * natural consumer of [[labelPropagation]]'s output ("how big/dense
+    * did the communities come out?") and of any external labeling.
+    *
+    * `labels` must be `(node, label)` with EXACTLY one row per node of
+    * the edge set (extra labeled nodes are fine — they census with
+    * degree 0); a missing or duplicated node is an ERROR, not a tier —
+    * a labeling that doesn't cover the graph is a bug upstream. Edges
+    * canonicalize like [[kCore]]. Output
+    * `(label, n_nodes, internal_edges, degree_sum)`, one row per
+    * distinct label.
+    *
+    * Shape: two broadcast-or-shuffle label joins onto the
+    * canonicalized edge list and three aggregations — no iteration,
+    * no windows; the two validation handshakes are one-number reads. */
+  def communityStats(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val lab = labels.select(col("node"), col("label"))
+    val labChk = lab.agg(count(lit(1)).as("_n"),
+      count_distinct(col("node")).as("_nd"),
+      count(when(col("label").isNull, 1)).as("_nullLab")).head()
+    require(labChk.getLong(0) == labChk.getLong(1),
+      "labels must carry exactly one row per node — duplicates found")
+    require(labChk.getLong(2) == 0, "labels must be non-null")
+    val und = edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v") &&
+        col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+    val tagged = und
+      .join(lab.select(col("node").as("u"), col("label").as("_lu")),
+        Seq("u"), "left")
+      .join(lab.select(col("node").as("v"), col("label").as("_lv")),
+        Seq("v"), "left")
+    val missing = tagged
+      .where(col("_lu").isNull || col("_lv").isNull).limit(1).count()
+    require(missing == 0,
+      "labels are missing nodes of the edge set — label the whole graph")
+    val nNodes = lab.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val internal = tagged.where(col("_lu") === col("_lv"))
+      .groupBy(col("_lu").as("label"))
+      .agg(count(lit(1)).as("internal_edges"))
+    val degMass = und
+      .select(explode(array(col("u"), col("v"))).as("node"))
+      .join(lab, Seq("node"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("degree_sum"))
+    nNodes
+      .join(internal, Seq("label"), "left")
+      .join(degMass, Seq("label"), "left")
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        coalesce(col("degree_sum"), lit(0L)).as("degree_sum"))
   }
 
   /** The k-CORE of an undirected graph — the (unique) maximal subgraph

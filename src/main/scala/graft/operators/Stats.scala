@@ -114,14 +114,14 @@ object Stats {
       .toSeq.map { case (s, imgs) =>
         (s, Codecs.sortableBitsToDouble(imgs.head),
           Codecs.sortableBitsToDouble(imgs(1)))
-      }.toDF("_s", "_lo", "_hi")
+      }.toDF("_wb_s", "_wb_lo", "_wb_hi")
     val v = value.cast("double")
-    df.withColumn("_s", stratum.cast("string"))
-      .join(broadcast(bounds), Seq("_s"), "left")
+    df.withColumn("_wb_s", stratum.cast("string"))
+      .join(broadcast(bounds), Seq("_wb_s"), "left")
       .withColumn(as,
-        when(v.isNull || isnan(v) || col("_lo").isNull, v)
-          .otherwise(least(greatest(v, col("_lo")), col("_hi"))))
-      .drop("_s", "_lo", "_hi")
+        when(v.isNull || isnan(v) || col("_wb_lo").isNull, v)
+          .otherwise(least(greatest(v, col("_wb_lo")), col("_wb_hi"))))
+      .drop("_wb_s", "_wb_lo", "_wb_hi")
   }
 
   /** (stratum, order-preserving long image) rows — nulls, NaNs, and

@@ -512,6 +512,103 @@ class GraphSpec extends AnyFunSuite {
       Graph.labelPropagation(messy.toDF("src", "dst"), 51))
   }
 
+  /** Driver replay of WEIGHTED min-label LPA: votes sum edge weights;
+    * weights on duplicate/reverse pairs sum during canonicalization. */
+  private def replayLpaW(edges: Seq[(Long, Long, Long)],
+      sweeps: Int): Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => ((math.min(e._1, e._2), math.max(e._1, e._2)), e._3))
+      .groupBy(_._1).map { case (k, ws) => (k._1, k._2, ws.map(_._2).sum) }
+      .toSeq
+    val adj = (und ++ und.map(e => (e._2, e._1, e._3)))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(e => (e._2, e._3)) }
+    var labels = adj.keys.map(v => v -> v).toMap
+    for (_ <- 0 until sweeps) {
+      labels = adj.map { case (v, nbrs) =>
+        val votes = nbrs.groupBy(n => labels(n._1))
+          .map { case (l, xs) => (l, xs.map(_._2).sum) }
+        val maxC = votes.values.max
+        v -> votes.collect { case (l, c) if c == maxC => l }.min
+      }
+    }
+    labels
+  }
+
+  test("weighted labelPropagation equals the replay; all-ones equals unweighted; heavy tie-breaker") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(71L)
+    for (trial <- 0 until 3) {
+      val n = 18 + trial * 8
+      val edges = (0 until n * 3).map(_ => (rng.nextInt(n).toLong,
+        rng.nextInt(n).toLong, 1L + rng.nextInt(7)))
+      val got = Graph.labelPropagation(edges.toDF("src", "dst", "w"),
+          3, weightCol = Some("w"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == replayLpaW(edges, 3), s"trial=$trial")
+      // all-ones ≡ unweighted EXACTLY — on a CANONICAL input: the
+      // weighted path sums duplicate AND reverse pairs to their
+      // multiplicity (a 1→2 plus a 2→1 is weight 2), the unweighted
+      // path dedups them, so the equivalence needs undirected-distinct
+      // edges
+      val ded = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        .filter(e => e._1 != e._2).distinct
+      val ones = Graph.labelPropagation(
+          ded.map(e => (e._1, e._2, 1L)).toDF("src", "dst", "w"),
+          3, weightCol = Some("w"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val plain = Graph.labelPropagation(ded.toDF("src", "dst"), 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(ones == plain, s"trial=$trial")
+    }
+    // one heavy tie: node 3 hears label 1 (weight 5) and label 2
+    // (weight 2+2=4 summed over parallel edges) — weight wins over
+    // the min-label rule, which only breaks EQUAL counts
+    val heavy = Seq((1L, 3L, 5L), (2L, 3L, 2L), (3L, 2L, 2L))
+    val h = Graph.labelPropagation(heavy.toDF("src", "dst", "w"),
+        1, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(3L) == 1L, h.toString)
+    // fractional / non-positive weights refuse
+    intercept[IllegalArgumentException](Graph.labelPropagation(
+      Seq((1L, 2L, 0L)).toDF("src", "dst", "w"), 1, weightCol = Some("w")))
+    intercept[IllegalArgumentException](Graph.labelPropagation(
+      Seq((1L, 2L, 1.5)).toDF("src", "dst", "w"), 1, weightCol = Some("w")))
+  }
+
+  test("communityStats census equals a driver count; coverage violations refuse") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(73L)
+    val edges = (0 until 200).map(_ =>
+      (rng.nextInt(30).toLong, rng.nextInt(30).toLong))
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).distinct
+    val labeling = nodes.map(v => (v, v % 4)) :+ (999L, 7L) // extra node ok
+    val got = Graph.communityStats(edges.toDF("src", "dst"),
+        labeling.toDF("node", "label"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val want = labeling.map(_._2).distinct.map { l =>
+      val members = labeling.filter(_._2 == l).map(_._1).toSet
+      val internal = und.count(e => members(e._1) && members(e._2)).toLong
+      val degSum = und.flatMap(e => Seq(e._1, e._2)).count(members).toLong
+      l -> (members.size.toLong, internal, degSum)
+    }.toMap
+    assert(got == want)
+    // modularity sanity on the census: Σ m_c <= m and Σ d_c = 2m
+    assert(got.values.map(_._2).sum <= und.size)
+    assert(got.values.map(_._3).sum == 2L * und.size)
+    // incomplete labeling refuses; duplicate node refuses
+    intercept[IllegalArgumentException](Graph.communityStats(
+      edges.toDF("src", "dst"),
+      labeling.tail.toDF("node", "label")))
+    intercept[IllegalArgumentException](Graph.communityStats(
+      edges.toDF("src", "dst"),
+      (labeling :+ (labeling.head._1, 9L)).toDF("node", "label")))
+  }
+
   /** Brute-force coreness: sequential min-degree peel (the textbook
     * Batagelj–Zaveršnik order). */
   private def bruteCoreness(edges: Seq[(Long, Long)]): Map[Long, Long] = {
