@@ -569,6 +569,137 @@ object ScaleProbe {
       require(r.getLong(0) == n, s"got ${r.getLong(0)} of $n nodes")
       r.getLong(0)
     }
+    timed("graph_modularity") {
+      // exact-rational modularity of the true clique labeling on the
+      // communities probe graph (n/10 10-cliques + chain bridges):
+      // m = 45·C + (C−1), every clique has m_c = 45 (bridges cross),
+      // d_c = 90 + bridge endpoints (2 interior, 1 at the two chain
+      // ends) — the census + score at 46M edges is two label joins
+      // and three aggregations, NO iteration
+      require(n >= 100 && n % 10 == 0, s"modularity probe needs 10|n, got $n")
+      val par = spark.sparkContext.defaultParallelism
+      val ids = spark.range(0, n, 1, par)
+      val cliques = ids.where(pmod(col("id"), lit(10L)) < 9)
+        .select(col("id").as("_i"),
+          explode(sequence((pmod(col("id"), lit(10L)) + 1).cast("long"),
+            lit(9L))).as("_o"))
+        .select(col("_i").as("src"),
+          (col("_i") - pmod(col("_i"), lit(10L)) + col("_o")).as("dst"))
+      val bridges = ids.where(pmod(col("id"), lit(10L)) === 9 &&
+          col("id") + 1 < n)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      val labels = ids.select(col("id").as("node"),
+        (col("id") - pmod(col("id"), lit(10L))).as("label"))
+      val c = n / 10
+      val m2 = 2L * (45L * c + (c - 1)) // Σ d_c = 2m
+      val got = graft.operators.Graph.modularity(
+        cliques.union(bridges), labels)
+      val wantDc = when(col("label") === 0 ||
+        col("label") === (n - 10), lit(91L)).otherwise(lit(92L))
+      val r = got.agg(count(lit(1)),
+        count(when(col("q_num") =!=
+          lit(m2) * 45L * 2L - wantDc * wantDc, 1)),
+        count(when(col("q_den") =!= lit(m2 * m2), 1))).head
+      require(r.getLong(1) == 0, s"${r.getLong(1)} q_num off the closed form")
+      require(r.getLong(2) == 0, s"${r.getLong(2)} q_den off (2m)^2")
+      require(r.getLong(0) == c, s"got ${r.getLong(0)} of $c labels")
+      r.getLong(0)
+    }
+    timed("graph_coproject") {
+      // bipartite projection with a SLIDING-WINDOW closed form: anchor
+      // a links products {a .. a+9}, so pair (i, j) with 0 < j−i ≤ 9
+      // co-occurs under anchors [max(0, j−9), min(i, A−1)] — weight
+      // 10−(j−i) in the interior, clipped at the two boundaries. A
+      // planted hot anchor linking 10·cap products is EXCLUDED by the
+      // cap and must not disturb the closed form. ~9 pairs per node,
+      // one self-join on the anchor key, fan-out bounded by the cap.
+      val par = spark.sparkContext.defaultParallelism
+      val win = spark.range(0, n, 1, par)
+        .select(col("id").as("src"),
+          explode(sequence(lit(0L), lit(9L))).as("_o"))
+        .select(col("src"), (col("src") + col("_o") + 1000000000L).as("dst"))
+      val cap = 64
+      val hot = spark.range(0, 10L * cap)
+        .select(lit(-1L).as("src"), (col("id") + 1000000000L).as("dst"))
+      val got = graft.operators.Graph.bipartiteProjection(
+        win.union(hot), maxAnchorDegree = cap)
+      // decode product ids back to 0-based for the closed form
+      val i = col("a") - 1000000000L
+      val j = col("b") - 1000000000L
+      val wantW = least(i, lit(n - 1)) - greatest(j - 9, lit(0L)) + 1
+      val r = got.agg(count(lit(1)),
+        count(when(j - i > 9 || col("w") =!= wantW, 1))).head
+      require(r.getLong(1) == 0, s"${r.getLong(1)} pairs off the closed form")
+      // pair census: the product set is [0, n+9); pair (i, i+d) with
+      // d ≤ 9 always shares at least the clipped anchor, so the count
+      // per gap d is n+9−d
+      val wantPairs = (1L to 9L).map(d => n + 9 - d).sum
+      require(r.getLong(0) == wantPairs,
+        s"got ${r.getLong(0)} pairs, want $wantPairs")
+      r.getLong(0)
+    }
+    timed("graph_link_predict") {
+      // link prediction on an n-path plus a hub wired to H = 100k even
+      // nodes: UNCAPPED the hub apex alone contributes ~H²/2 wedge
+      // pairs — the cap (the operator's scale lever) excludes it. The
+      // closed-form top-k: the hub and an interior ODD node j < 2H−1
+      // share the two spoke apexes j−1, j+1 (cn = 2, the strongest
+      // evidence in the graph; jac_den = H + 2 − 2 = H), so under
+      // (cn DESC, a ASC, b ASC) with a = −1 < every path id the top-k
+      // is exactly (−1, 1), (−1, 3), …, (−1, 2k−1). The wedge space
+      // actually exercised is the n-path (one wedge per interior node)
+      // plus 3 per spoke — linear, because the cap did its job.
+      require(n >= 10000, s"link_predict probe needs n >= 10000, got $n")
+      val par = spark.sparkContext.defaultParallelism
+      val path = spark.range(0, n - 1, 1, par)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      val hubSpokes = math.min(100000L, n / 4)
+      val hub = spark.range(0, hubSpokes, 1, par)
+        .select(lit(-1L).as("src"), (col("id") * 2).as("dst"))
+      val k = 1000
+      val got = graft.operators.Graph.linkPredict(
+        path.union(hub), k, maxHubDegree = 1000)
+      val r = got.agg(count(lit(1)),
+        count(when(col("a") =!= -1L || col("cn") =!= 2L ||
+          col("jac_num") =!= 2L || col("jac_den") =!= hubSpokes ||
+          col("b") % 2 =!= 1 || col("b") > 2 * k, 1)),
+        count_distinct(col("b"))).head
+      require(r.getLong(1) == 0, s"${r.getLong(1)} rows off the closed form")
+      require(r.getLong(0) == k, s"got ${r.getLong(0)} of $k rows")
+      require(r.getLong(2) == k, "duplicate candidate pairs surfaced")
+      r.getLong(0)
+    }
+    timed("graph_scc") {
+      // SCC on n/10 DISJOINT directed 10-cycles (the parallel-
+      // extraction shape: ALL cycles are certified in ONE color +
+      // extract pass — ~10 color sweeps, ~9 backward rounds, whatever
+      // n is) plus a 3-tier fan DAG (hub → 1000 → 1000) that the bulk
+      // TRIM clears in two rounds. Closed form: cycle node v ∈ SCC
+      // 10·⌊v/10⌋, every DAG node a singleton. The adversarial
+      // opposite — a CHAIN of SCCs, one certified per pass — is pinned
+      // as an error case in GraphSpec; like a ring's diameter under
+      // sssp, pass count is a graph property, not an operator property.
+      require(n >= 100 && n % 10 == 0, s"scc probe needs 10|n, got $n")
+      val par = spark.sparkContext.defaultParallelism
+      val r10 = pmod(col("id"), lit(10L))
+      val cycles = spark.range(0, n, 1, par)
+        .select(col("id").as("src"),
+          (col("id") - r10 + pmod(r10 + 1, lit(10L))).as("dst"))
+      val t1 = spark.range(1, 1001)
+        .select(lit(n).as("src"), (col("id") + n).as("dst"))
+      val t2 = spark.range(1, 1001)
+        .select((col("id") + n).as("src"), (col("id") + n + 1000).as("dst"))
+      val got = graft.operators.Graph.stronglyConnectedComponents(
+        cycles.union(t1).union(t2), maxRounds = 100)
+      val want = when(col("node") < n,
+        col("node") - pmod(col("node"), lit(10L))).otherwise(col("node"))
+      val r = got.agg(count(lit(1)),
+        count(when(col("scc_id") =!= want, 1))).head
+      require(r.getLong(1) == 0, s"${r.getLong(1)} nodes off the closed form")
+      require(r.getLong(0) == n + 2001,
+        s"got ${r.getLong(0)} of ${n + 2001} nodes")
+      r.getLong(0)
+    }
     timed("graph_sssp_pred") {
       // predecessors on the binary-jump BFS: a tight in-edge into v
       // removes one set bit, and the SMALLEST such u removes the

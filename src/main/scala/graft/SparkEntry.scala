@@ -216,6 +216,19 @@ object SparkEntry {
           .localCheckpoint(true))
     })
 
+  /** Per-process cache of the 3-sweep unweighted LPA labeling of the
+    * purchase graph — shared by the communities / census / modularity
+    * gates (labelPropagation already returns a checkpointed frame, so
+    * caching it is free; one LPA run per (session, sfDir) instead of
+    * one per gate — the purchaseEdgeCache trade applied one level up,
+    * VERDICT r10 #7's bench-creep lever). */
+  private val purchaseLabelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def purchaseLabels(s: SparkSession, dir: String): DataFrame =
+    purchaseLabelCache.getOrElseUpdate((s, dir),
+      Graph.labelPropagation(purchaseEdges(s, dir), sweeps = 3))
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -2314,8 +2327,7 @@ object SparkEntry {
       // oracle unrolls the three sweeps in SQL — the vote as a
       // GROUP BY, the tie rule as ORDER BY c DESC, label ASC /
       // row_number = 1 — and the labels hash-match bit for bit.
-      Graph.labelPropagation(purchaseEdges(s, dir), sweeps = 3)
-        .orderBy(col("node"))
+      purchaseLabels(s, dir).orderBy(col("node"))
     }),
     "q_x_graph_communities_weighted" -> ((s, dir) => {
       // WEIGHTED label propagation: a neighbor's vote counts its edge
@@ -2332,9 +2344,92 @@ object SparkEntry {
       // modularity): per 3-sweep LPA label, node count, internal edge
       // count, and degree mass — all plain integers, so the oracle
       // appends three census aggregations to the same sweep unroll
-      val e = purchaseEdges(s, dir)
-      Graph.communityStats(e, Graph.labelPropagation(e, sweeps = 3))
+      Graph.communityStats(purchaseEdges(s, dir), purchaseLabels(s, dir))
         .orderBy(col("label"))
+    }),
+    "q_x_graph_modularity" -> ((s, dir) => {
+      // Newman–Girvan modularity of the 3-sweep LPA labeling as EXACT
+      // RATIONALS: per label q_num = 4·m·m_c − d_c² over the shared
+      // q_den = 4m² (Q = Σ q_num / q_den) — pure integer arithmetic on
+      // the census, so the oracle appends the total and the quadratic
+      // terms to the same sweep unroll and hash-matches bit for bit
+      Graph.modularity(purchaseEdges(s, dir), purchaseLabels(s, dir))
+        .orderBy(col("label"))
+    }),
+    "q_x_graph_modularity_weighted" -> ((s, dir) => {
+      // WEIGHTED modularity (Newman 2004): the same LPA labeling
+      // scored on the weighted purchase graph — edge mass = purchase
+      // quantity, parallel links summed during canonicalization — so
+      // q_num = 4·W·w_c − s_c² over q_den = 4W², still exact integers;
+      // the oracle swaps weighted sums into the census arithmetic
+      Graph.modularity(purchaseEdges(s, dir), purchaseLabels(s, dir),
+          weightCol = Some("w"))
+        .orderBy(col("label"))
+    }),
+    "q_x_graph_coproject" -> ((s, dir) => {
+      // bipartite co-occurrence projection: suppliers weighted by the
+      // number of DISTINCT parts they co-supply (anchor = part,
+      // multiplicities don't stack), with the scale cap exercised —
+      // parts linking more than 55 suppliers are excluded from pair
+      // generation (the hot-anchor bound, cutting ~half the anchors at
+      // sf0.01; deterministic, so the oracle replays the cap with a
+      // HAVING on anchor degree)
+      val edges = t(s, dir, "lineitem")
+        .where(col("l_orderkey") <= 2000)
+        .select((col("l_partkey") % 100).as("src"),
+          (col("l_suppkey") % 100).as("dst"))
+      Graph.bipartiteProjection(edges, maxAnchorDegree = 55)
+        .orderBy(col("a"), col("b"))
+    }),
+    "q_x_graph_link_predict" -> ((s, dir) => {
+      // common-neighbor link prediction over the undirected part–
+      // supplier graph (the coreness_band edge encoding): top-100
+      // NON-adjacent pairs by shared-neighbor count with the exact-
+      // rational neighborhood Jaccard alongside — all integers and a
+      // total order (cn DESC, a, b), so the oracle's wedge self-join
+      // replays it exactly
+      val edges = t(s, dir, "lineitem")
+        .where(col("l_orderkey") <= 2000)
+        .select(((col("l_partkey") % 100) * 2).as("src"),
+          ((col("l_suppkey") % 100) * 2 + 1).as("dst"))
+      Graph.linkPredict(edges, k = 100)
+    }),
+    "q_x_graph_scc" -> ((s, dir) => {
+      // strongly connected components of a DIRECTED part–supplier
+      // graph: part → supplier for every purchase link, supplier →
+      // part only for heavy links (l_quantity >= 30) — the asymmetry
+      // creates a nontrivial SCC core plus one-way fringes (the web
+      // bowtie in miniature). The decomposition is an exact set
+      // recurrence, and the oracle is GENUINELY independent: DuckDB
+      // computes the transitive closure with a recursive CTE and takes
+      // min over each node's mutual-reachability set — no unroll, no
+      // shared construction.
+      val li = t(s, dir, "lineitem").where(col("l_orderkey") <= 2000)
+      val fwd = li.select(((col("l_partkey") % 100) * 2).as("src"),
+        ((col("l_suppkey") % 100) * 2 + 1).as("dst"))
+      val back = li.where(col("l_quantity") >= 30)
+        .select(((col("l_suppkey") % 100) * 2 + 1).as("src"),
+          ((col("l_partkey") % 100) * 2).as("dst"))
+      Graph.stronglyConnectedComponents(fwd.union(back), maxRounds = 200)
+        .orderBy(col("node"))
+    }),
+    "q_x_graph_coproject_communities" -> ((s, dir) => {
+      // the classic two-step curation pipeline COMPOSED: project the
+      // bipartite purchase links onto the supplier side (weight =
+      // co-supplied parts under the same cap as q_x_graph_coproject),
+      // then run 2-sweep WEIGHTED label propagation on the projected
+      // graph — "group suppliers into co-supply communities". Both
+      // stages are exact integer recurrences, so the oracle chains the
+      // projection SQL into the weighted sweep unroll and the labels
+      // hash-match bit for bit.
+      val edges = t(s, dir, "lineitem")
+        .where(col("l_orderkey") <= 2000)
+        .select((col("l_partkey") % 100).as("src"),
+          (col("l_suppkey") % 100).as("dst"))
+      val proj = Graph.bipartiteProjection(edges, maxAnchorDegree = 55)
+        .select(col("a").as("src"), col("b").as("dst"), col("w"))
+      Graph.labelPropagation(proj, sweeps = 2, weightCol = Some("w"))
+        .orderBy(col("node"))
     }),
     "q_x_graph_sssp_pred" -> ((s, dir) => {
       // shortest-path PROVENANCE: the weighted purchase-graph
@@ -3939,6 +4034,161 @@ object SparkEntry {
          |FROM nn LEFT JOIN i ON i.label = nn.label
          |LEFT JOIN g ON g.label = nn.label
          |ORDER BY 1""".stripMargin
+    },
+    "q_x_graph_modularity" -> {
+      // the census unroll plus the exact-rational score arithmetic:
+      // 2m = Σ_c d_c (labels cover every node), q_num = 2m·2·m_c − d_c²,
+      // q_den = (2m)²
+      def sweep(prev: String, cur: Int): String =
+        s"""c$cur AS (SELECT eb.dst AS node, l.label, count(*) AS c
+           |      FROM $prev l JOIN eb ON l.node = eb.src GROUP BY 1, 2),
+           |l$cur AS MATERIALIZED (SELECT node, label FROM (
+           |      SELECT node, label, row_number() OVER (
+           |        PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+           |      FROM c$cur) t$cur
+           |      WHERE rn = 1)""".stripMargin
+      s"""WITH raw AS (SELECT o_custkey * 2 AS a, l_partkey * 2 + 1 AS b
+         |             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+         |      FROM raw WHERE a <> b),
+         |eb AS MATERIALIZED (SELECT u AS src, v AS dst FROM e
+         |      UNION ALL SELECT v, u FROM e),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM eb),
+         |${sweep("l0", 1)},
+         |${sweep("l1", 2)},
+         |${sweep("l2", 3)},
+         |i AS (SELECT a.label, CAST(count(*) AS BIGINT) AS mc
+         |      FROM e JOIN l3 a ON e.u = a.node JOIN l3 b ON e.v = b.node
+         |      WHERE a.label = b.label GROUP BY 1),
+         |g AS (SELECT l.label, CAST(count(*) AS BIGINT) AS dc
+         |      FROM (SELECT u AS node FROM e
+         |            UNION ALL SELECT v FROM e) d
+         |      JOIN l3 l USING (node) GROUP BY 1),
+         |census AS (SELECT g.label, COALESCE(i.mc, 0) AS mc, g.dc
+         |      FROM g LEFT JOIN i ON i.label = g.label),
+         |tot AS (SELECT CAST(sum(dc) AS BIGINT) AS m2 FROM census)
+         |SELECT c.label, CAST(t.m2 * c.mc * 2 - c.dc * c.dc AS BIGINT)
+         |    AS q_num,
+         |  CAST(t.m2 * t.m2 AS BIGINT) AS q_den
+         |FROM census c, tot t ORDER BY 1""".stripMargin
+    },
+    "q_x_graph_modularity_weighted" -> {
+      // the same UNWEIGHTED label unroll, scored on the WEIGHTED
+      // canonical edges: w_c and s_c swap in for m_c and d_c, the
+      // total is 2W = Σ_c s_c
+      def sweep(prev: String, cur: Int): String =
+        s"""c$cur AS (SELECT eb.dst AS node, l.label, count(*) AS c
+           |      FROM $prev l JOIN eb ON l.node = eb.src GROUP BY 1, 2),
+           |l$cur AS MATERIALIZED (SELECT node, label FROM (
+           |      SELECT node, label, row_number() OVER (
+           |        PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+           |      FROM c$cur) t$cur
+           |      WHERE rn = 1)""".stripMargin
+      s"""WITH raw AS (SELECT o_custkey * 2 AS a, l_partkey * 2 + 1 AS b,
+         |               CAST(l_quantity AS BIGINT) AS w
+         |             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |ew AS (SELECT least(a, b) AS u, greatest(a, b) AS v,
+         |        CAST(sum(w) AS BIGINT) AS w
+         |      FROM raw WHERE a <> b GROUP BY 1, 2),
+         |e AS (SELECT u, v FROM ew),
+         |eb AS MATERIALIZED (SELECT u AS src, v AS dst FROM e
+         |      UNION ALL SELECT v, u FROM e),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM eb),
+         |${sweep("l0", 1)},
+         |${sweep("l1", 2)},
+         |${sweep("l2", 3)},
+         |i AS (SELECT a.label, CAST(sum(ew.w) AS BIGINT) AS mc
+         |      FROM ew JOIN l3 a ON ew.u = a.node JOIN l3 b ON ew.v = b.node
+         |      WHERE a.label = b.label GROUP BY 1),
+         |g AS (SELECT l.label, CAST(sum(d.w) AS BIGINT) AS dc
+         |      FROM (SELECT u AS node, w FROM ew
+         |            UNION ALL SELECT v, w FROM ew) d
+         |      JOIN l3 l USING (node) GROUP BY 1),
+         |census AS (SELECT g.label, COALESCE(i.mc, 0) AS mc, g.dc
+         |      FROM g LEFT JOIN i ON i.label = g.label),
+         |tot AS (SELECT CAST(sum(dc) AS BIGINT) AS m2 FROM census)
+         |SELECT c.label, CAST(t.m2 * c.mc * 2 - c.dc * c.dc AS BIGINT)
+         |    AS q_num,
+         |  CAST(t.m2 * t.m2 AS BIGINT) AS q_den
+         |FROM census c, tot t ORDER BY 1""".stripMargin
+    },
+    "q_x_graph_coproject" ->
+      """WITH e AS (SELECT DISTINCT l_partkey % 100 AS src,
+        |        l_suppkey % 100 AS dst
+        |      FROM lineitem WHERE l_orderkey <= 2000),
+        |kept AS (SELECT src FROM e GROUP BY 1 HAVING count(*) <= 55),
+        |ek AS (SELECT e.src, e.dst FROM e JOIN kept USING (src))
+        |SELECT x.dst AS a, y.dst AS b, CAST(count(*) AS BIGINT) AS w
+        |FROM ek x JOIN ek y ON x.src = y.src AND x.dst < y.dst
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_x_graph_link_predict" ->
+      """WITH raw AS (SELECT DISTINCT (l_partkey % 100) * 2 AS a,
+        |        (l_suppkey % 100) * 2 + 1 AS b
+        |      FROM lineitem WHERE l_orderkey <= 2000),
+        |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+        |      FROM raw),
+        |adj AS (SELECT u AS node, v AS nbr FROM e
+        |        UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+        |        FROM adj GROUP BY 1),
+        |pairs AS (SELECT x.node AS a, y.node AS b,
+        |        CAST(count(*) AS BIGINT) AS cn
+        |      FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+        |      GROUP BY 1, 2),
+        |cand AS (SELECT p.a, p.b, p.cn FROM pairs p
+        |      WHERE NOT EXISTS (SELECT 1 FROM e
+        |                        WHERE e.u = p.a AND e.v = p.b))
+        |SELECT c.a, c.b, c.cn, c.cn AS jac_num,
+        |  da.d + db.d - c.cn AS jac_den
+        |FROM cand c JOIN deg da ON da.node = c.a
+        |JOIN deg db ON db.node = c.b
+        |ORDER BY c.cn DESC, c.a, c.b LIMIT 100""".stripMargin,
+    "q_x_graph_scc" ->
+      """WITH RECURSIVE
+        |e AS (SELECT DISTINCT (l_partkey % 100) * 2 AS src,
+        |        (l_suppkey % 100) * 2 + 1 AS dst
+        |      FROM lineitem WHERE l_orderkey <= 2000
+        |      UNION
+        |      SELECT (l_suppkey % 100) * 2 + 1, (l_partkey % 100) * 2
+        |      FROM lineitem
+        |      WHERE l_orderkey <= 2000 AND l_quantity >= 30),
+        |reach(s, d) AS (SELECT src, dst FROM e
+        |      UNION
+        |      SELECT r.s, e2.dst FROM reach r JOIN e e2 ON r.d = e2.src),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |mutual AS (SELECT a.s AS v, a.d AS u FROM reach a
+        |      JOIN reach b ON a.s = b.d AND a.d = b.s)
+        |SELECT n.node,
+        |  CAST(least(n.node, COALESCE(min(m.u), n.node)) AS BIGINT)
+        |    AS scc_id
+        |FROM nodes n LEFT JOIN mutual m ON m.v = n.node
+        |GROUP BY n.node ORDER BY 1""".stripMargin,
+    "q_x_graph_coproject_communities" -> {
+      // the projection CTEs chained into the weighted sweep unroll
+      def sweep(prev: String, cur: Int): String =
+        s"""c$cur AS (SELECT eb.dst AS node, l.label,
+           |        CAST(sum(eb.w) AS BIGINT) AS c
+           |      FROM $prev l JOIN eb ON l.node = eb.src GROUP BY 1, 2),
+           |l$cur AS MATERIALIZED (SELECT node, label FROM (
+           |      SELECT node, label, row_number() OVER (
+           |        PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+           |      FROM c$cur) t$cur
+           |      WHERE rn = 1)""".stripMargin
+      s"""WITH be AS (SELECT DISTINCT l_partkey % 100 AS src,
+         |        l_suppkey % 100 AS dst
+         |      FROM lineitem WHERE l_orderkey <= 2000),
+         |kept AS (SELECT src FROM be GROUP BY 1 HAVING count(*) <= 55),
+         |ek AS (SELECT be.src, be.dst FROM be JOIN kept USING (src)),
+         |proj AS (SELECT x.dst AS u, y.dst AS v,
+         |        CAST(count(*) AS BIGINT) AS w
+         |      FROM ek x JOIN ek y ON x.src = y.src AND x.dst < y.dst
+         |      GROUP BY 1, 2),
+         |eb AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM proj
+         |      UNION ALL SELECT v, u, w FROM proj),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM eb),
+         |${sweep("l0", 1)},
+         |${sweep("l1", 2)}
+         |SELECT node, label FROM l2 ORDER BY node""".stripMargin
     },
     "q_x_graph_coreness" ->
       """WITH nodes AS (

@@ -440,12 +440,18 @@ object Graph {
     * a labeling that doesn't cover the graph is a bug upstream. Edges
     * canonicalize like [[kCore]]. Output
     * `(label, n_nodes, internal_edges, degree_sum)`, one row per
-    * distinct label.
+    * distinct label; with `weightCol`, two more columns
+    * `(internal_weight, weighted_degree_sum)` — the weighted census
+    * behind WEIGHTED modularity (Newman, "Analysis of weighted
+    * networks", Phys. Rev. E 2004), with parallel/reverse duplicate
+    * weights summed during canonicalization (the [[labelPropagation]]
+    * rule) and the total mass bounded by one decimal-crossing check.
     *
     * Shape: two broadcast-or-shuffle label joins onto the
     * canonicalized edge list and three aggregations — no iteration,
     * no windows; the two validation handshakes are one-number reads. */
-  def communityStats(edges: DataFrame, labels: DataFrame): DataFrame = {
+  def communityStats(edges: DataFrame, labels: DataFrame,
+      weightCol: Option[String] = None): DataFrame = {
     val lab = labels.select(col("node"), col("label"))
     val labChk = lab.agg(count(lit(1)).as("_n"),
       count_distinct(col("node")).as("_nd"),
@@ -453,12 +459,26 @@ object Graph {
     require(labChk.getLong(0) == labChk.getLong(1),
       "labels must carry exactly one row per node — duplicates found")
     require(labChk.getLong(2) == 0, "labels must be non-null")
-    val und = edges.select(
+    weightCol.foreach(c => validateWeights(edges, c, None))
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val undRaw = edges.select(
         least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
+        greatest(col("src"), col("dst")).as("v"),
+        w.as("_w"))
       .where(col("u") =!= col("v") &&
         col("u").isNotNull && col("v").isNotNull)
-      .distinct()
+    weightCol.foreach { _ =>
+      // positive weights: every census sum is bounded by the total
+      // mass — one decimal-crossing check makes overflow an ERROR,
+      // never a wrapped count (the labelPropagation idiom)
+      val tot = undRaw
+        .agg(sum(col("_w").cast("decimal(38,0)"))).head().getDecimal(0)
+      require(tot == null ||
+        tot.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) <= 0,
+        "total edge weight exceeds Long.MaxValue — rescale weights")
+    }
+    val und = undRaw.groupBy(col("u"), col("v"))
+      .agg((if (weightCol.isEmpty) lit(1L) else sum(col("_w"))).as("_w"))
     val tagged = und
       .join(lab.select(col("node").as("u"), col("label").as("_lu")),
         Seq("u"), "left")
@@ -472,18 +492,76 @@ object Graph {
       .agg(count(lit(1)).as("n_nodes"))
     val internal = tagged.where(col("_lu") === col("_lv"))
       .groupBy(col("_lu").as("label"))
-      .agg(count(lit(1)).as("internal_edges"))
+      .agg(count(lit(1)).as("internal_edges"),
+        sum(col("_w")).as("internal_weight"))
     val degMass = und
-      .select(explode(array(col("u"), col("v"))).as("node"))
+      .select(explode(array(
+        struct(col("u").as("node"), col("_w")),
+        struct(col("v").as("node"), col("_w")))).as("_e"))
+      .select(col("_e.node").as("node"), col("_e._w").as("_w"))
       .join(lab, Seq("node"))
       .groupBy(col("label"))
-      .agg(count(lit(1)).as("degree_sum"))
-    nNodes
+      .agg(count(lit(1)).as("degree_sum"),
+        sum(col("_w")).as("weighted_degree_sum"))
+    val base = nNodes
       .join(internal, Seq("label"), "left")
       .join(degMass, Seq("label"), "left")
-      .select(col("label"), col("n_nodes"),
-        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
-        coalesce(col("degree_sum"), lit(0L)).as("degree_sum"))
+    val plain = Seq(col("label"), col("n_nodes"),
+      coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+      coalesce(col("degree_sum"), lit(0L)).as("degree_sum"))
+    val weighted = Seq(
+      coalesce(col("internal_weight"), lit(0L)).as("internal_weight"),
+      coalesce(col("weighted_degree_sum"), lit(0L))
+        .as("weighted_degree_sum"))
+    base.select((if (weightCol.isEmpty) plain else plain ++ weighted): _*)
+  }
+
+  /** NEWMAN–GIRVAN MODULARITY as EXACT RATIONALS — the community-
+    * quality score `Q = Σ_c (m_c/m − (d_c/2m)²)` (Newman/Girvan,
+    * Phys. Rev. E 2004; weighted form Newman 2004 with edge mass W in
+    * place of edge count m), reported per label as an integer
+    * numerator over the shared denominator:
+    *
+    *   q_num(c) = 4·m·m_c − d_c²       q_den = 4·m²     Q = Σ q_num / q_den
+    *
+    * so the cross-engine gate is exact and the caller picks the
+    * ratio's precision — the repo's exact-rational discipline (BM25's
+    * idiom) applied to the community score. The per-label rows ARE the
+    * standard per-community contribution decomposition ("which
+    * communities carry the structure"); sum q_num for the global Q.
+    *
+    * `labels` contract as in [[communityStats]] (exactly one label per
+    * node, full coverage — errors otherwise). Overflow is an ERROR up
+    * front, never a wrapped score: d_c ≤ 2m and m_c ≤ m, so every term
+    * is bounded by (2m)² — the require bounds 2m (2W weighted) by
+    * floor(√Long.MaxValue); rescale weights past ~1.5e9 edge mass (at
+    * which point Q needs only the census integers anyway, which
+    * [[communityStats]] reports unbounded).
+    *
+    * Output `(label, q_num, q_den)`, one row per label. Shape: the
+    * [[communityStats]] census plus ONE one-row total broadcast back
+    * onto it — no extra edge scan. */
+  def modularity(edges: DataFrame, labels: DataFrame,
+      weightCol: Option[String] = None): DataFrame = {
+    // one row per label: tiny — checkpoint so the total handshake and
+    // the output selection pay the census's edge joins ONCE (the
+    // result keeps the blocks alive, the labelPropagation return idiom)
+    val census = checkpointed(communityStats(edges, labels, weightCol))
+    val (mc, dc) =
+      if (weightCol.isEmpty) (col("internal_edges"), col("degree_sum"))
+      else (col("internal_weight"), col("weighted_degree_sum"))
+    // Σ_c d_c = 2m exactly (labels cover every node, each edge
+    // endpoint counted once) — the total rides the census, no second
+    // edge scan
+    val tot = census.agg(sum(dc).as("_m2")).head()
+    val m2 = if (tot.isNullAt(0)) 0L else tot.getLong(0)
+    require(m2 > 0, "modularity over an empty edge set")
+    require(m2 <= 3037000499L, // floor(sqrt(Long.MaxValue))
+      s"edge mass 2m = $m2 too large for exact long arithmetic — " +
+        "rescale weights or read the census integers directly")
+    census.select(col("label"),
+      (lit(m2) * mc * 2L - dc * dc).as("q_num"),
+      lit(m2 * m2).as("q_den"))
   }
 
   /** The k-CORE of an undirected graph — the (unique) maximal subgraph
@@ -885,5 +963,297 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("triangles"))
     nodes.join(perNode, Seq("node"), "left")
       .select(col("node"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  /** BIPARTITE CO-OCCURRENCE PROJECTION — from bipartite edges
+    * `(src=anchor side, dst=projected side)`, the weighted graph on
+    * the dst side where `w(a, b)` = number of distinct anchors linking
+    * to BOTH a and b (customers → the co-purchase graph on products;
+    * documents → the co-citation graph on domains). The classic
+    * construction feeding [[labelPropagation]]'s `weightCol` and
+    * weighted [[pageRankFixedPoint]] — "group products into
+    * co-purchase communities" is this projection plus one LPA call.
+    *
+    * `maxAnchorDegree` is the scale bound: an anchor of degree d emits
+    * d·(d−1)/2 pairs, so one hot anchor (the crawler that links
+    * everything) makes the projection quadratic. Anchors with MORE
+    * distinct dst neighbors than the cap are EXCLUDED from pair
+    * generation entirely — the standard, deterministic practice
+    * (ubiquitous anchors carry no co-occurrence signal; cf. the idf
+    * intuition and StringJoin's capBuckets), an explicit parameter of
+    * the semantics that any oracle replays exactly. The default
+    * `Int.MaxValue` is the exact uncapped projection.
+    *
+    * Edges canonicalize to distinct non-null (src, dst) pairs;
+    * multiplicities do NOT stack (an anchor vouches for a pair once).
+    * Output `(a, b, w)` with `a < b`, only pairs with w ≥ 1.
+    *
+    * Shape: one degree aggregation, one semi-style cap filter, ONE
+    * self-equi-join on the anchor key (no cartesian — the pair space
+    * is per-anchor), one count aggregation. All shuffles are on the
+    * anchor/pair keys; the cap bounds the join's fan-out per key. */
+  def bipartiteProjection(edges: DataFrame,
+      maxAnchorDegree: Int = Int.MaxValue): DataFrame = {
+    require(maxAnchorDegree >= 1,
+      s"maxAnchorDegree must be >= 1, got $maxAnchorDegree")
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val kept = e.groupBy(col("src"))
+      .agg(count(lit(1)).as("_deg"))
+      .where(col("_deg") <= maxAnchorDegree)
+      .select(col("src"))
+    val eK = e.join(kept, Seq("src"), "left_semi")
+    eK.select(col("src"), col("dst").as("a"))
+      .join(eK.select(col("src"), col("dst").as("b")), "src")
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** LINK PREDICTION by common-neighbor counting — for every
+    * NON-adjacent node pair at distance 2 in the undirected graph, the
+    * number of shared neighbors `cn` and the neighborhood-Jaccard
+    * score as an EXACT RATIONAL `jac_num / jac_den`
+    * (= cn / (deg(a) + deg(b) − cn)) — the two classic unsupervised
+    * predictors (Liben-Nowell/Kleinberg, "The link prediction problem
+    * for social networks", CIKM 2003). Integer-exact end to end, so
+    * the cross-engine gate hash-matches; the caller divides for
+    * display or ranks on (cn, jac) directly.
+    *
+    * Returns the global top-`k` candidate pairs under the TOTAL order
+    * (cn DESC, a ASC, b ASC) — deterministic, engine-portable.
+    *
+    * `maxHubDegree` is the scale bound, the [[bipartiteProjection]]
+    * cap applied to wedge APEXES: a shared neighbor of degree d sits
+    * on d·(d−1)/2 candidate pairs, so hubs make the wedge space
+    * quadratic — apexes above the cap are excluded from wedge
+    * generation (they contribute the least-specific evidence; the idf
+    * intuition again). Degrees in `jac_den` stay the TRUE degrees —
+    * the cap only prunes which pairs surface and caps their cn
+    * evidence, a documented, deterministic part of the semantics.
+    * Default `Int.MaxValue` = exact.
+    *
+    * Edges canonicalize like [[triangleCounts]]. Shape: one degree
+    * aggregation, one wedge self-join on the apex (fan-out bounded by
+    * the cap), one pair aggregation, one ANTI join against the edge
+    * set (candidates must be non-adjacent), two degree joins, then a
+    * TakeOrderedAndProject top-k — no cartesian, no windows. */
+  def linkPredict(edges: DataFrame, k: Int,
+      maxHubDegree: Int = Int.MaxValue): DataFrame = {
+    require(k >= 1 && k <= 1000000, s"k must be in [1, 1e6], got $k")
+    require(maxHubDegree >= 1,
+      s"maxHubDegree must be >= 1, got $maxHubDegree")
+    val und = edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v") &&
+        col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+    val adj = und.select(col("u").as("node"), col("v").as("nbr"))
+      .union(und.select(col("v").as("node"), col("u").as("nbr")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("_deg"))
+    // wedges a — apex — b with a < b; apexes above the cap excluded
+    val apexOk = deg.where(col("_deg") <= maxHubDegree)
+      .select(col("node").as("apex"))
+    val adjK = adj.select(col("nbr").as("apex"), col("node"))
+      .join(apexOk, Seq("apex"), "left_semi")
+    val pairs = adjK.select(col("apex"), col("node").as("a"))
+      .join(adjK.select(col("apex"), col("node").as("b")), "apex")
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"))
+      // candidates are NON-edges: drop pairs already linked
+      .join(und.select(col("u").as("a"), col("v").as("b")),
+        Seq("a", "b"), "left_anti")
+    pairs
+      .join(deg.select(col("node").as("a"), col("_deg").as("_da")), "a")
+      .join(deg.select(col("node").as("b"), col("_deg").as("_db")), "b")
+      .select(col("a"), col("b"), col("cn"),
+        col("cn").as("jac_num"),
+        (col("_da") + col("_db") - col("cn")).as("jac_den"))
+      .orderBy(col("cn").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  /** STRONGLY CONNECTED COMPONENTS of a DIRECTED graph — the classic
+    * web-graph structure signal (Broder et al., "Graph structure in
+    * the web", WWW 2000: the bowtie's SCC core vs the IN/OUT fringes
+    * is a first-class crawl-quality feature). Deterministic
+    * trim-then-color decomposition (Orzan's coloring scheme, as in
+    * McSherry/Isard/Murray and Slota/Rajamanickam/Madduri's Multistep;
+    * every step here is an exact set recurrence, so the output is
+    * engine-portable and a closure-based SQL oracle agrees exactly):
+    *
+    *   repeat until empty:
+    *     TRIM   — nodes with no in-edge or no out-edge are singleton
+    *              SCCs; peel them (and their edges) to fixpoint
+    *     COLOR  — propagate `color(v) = min({v} ∪ in-reachable set)`
+    *              forward to fixpoint
+    *     EXTRACT— roots are nodes with color(v) = v; the SCC of root c
+    *              is every v with color c that REACHES c through
+    *              color-c nodes (backward BFS within the color class;
+    *              all color classes in parallel)
+    *     remove extracted SCCs and repeat on the remainder
+    *
+    * Output `(node, scc_id)` with scc_id = the SCC's minimum node id,
+    * one row per edge-endpoint node. Self-loops are dropped (a
+    * self-loop never merges SCCs); parallel edges collapse.
+    *
+    * Round budget: `maxRounds` bounds the TOTAL number of driver
+    * rounds across all phases (each round = one Spark action handshake
+    * + localCheckpoint rotation, the [[kCore]] discipline) — exceeded
+    * is an ERROR, never a silent partial decomposition. Color rounds
+    * per outer pass ≈ the graph's forward diameter; backward-BFS
+    * rounds ≈ the largest SCC's diameter; OUTER passes = the depth of
+    * the condensation DAG in the worst case (a chain of k SCCs where
+    * each pass only certifies the globally-minimal one takes k passes
+    * — a graph property, not an operator property, exactly like a
+    * ring's diameter under [[shortestPaths]]; real link graphs are
+    * bowtie-shaped and decompose in a handful of passes, the trim
+    * clearing the IN/OUT fringes in bulk).
+    *
+    * Scale shape per round: equi-joins on src/dst plus one-number
+    * change handshakes — no windows, no cartesian, no driver data. */
+  def stronglyConnectedComponents(edges: DataFrame,
+      maxRounds: Int = 100): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 10000,
+      s"maxRounds must be in [1, 10000], got $maxRounds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val base = edges.select(col("src"), col("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    var e = base.where(col("src") =!= col("dst"))
+      .distinct()
+      .transform(checkpointed)
+    var done = Seq.empty[DataFrame]
+    var rounds = 0
+    def tick(phase: String): Unit = {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"SCC did not converge within $maxRounds driver rounds " +
+          s"(in $phase) — a condensation chain this deep needs a " +
+          "larger maxRounds")
+    }
+    // node set from the PRE-self-loop edges: a node whose only edge is
+    // a self-loop is still an endpoint — it trims out as a singleton
+    var nodesLeft = base.select(col("src").as("node"))
+      .union(base.select(col("dst").as("node"))).distinct()
+      .transform(checkpointed)
+    var leftCount = nodesLeft.count()
+    while (leftCount > 0) {
+      // TRIM to fixpoint: a node missing from dst has no in-edge, a
+      // node missing from src has no out-edge — either way no cycle
+      // passes through it: a singleton SCC. Peeling exposes the next
+      // fringe tier, so loop until stable.
+      var trimming = true
+      while (trimming && leftCount > 0) {
+        tick("trim")
+        val hasIn = e.select(col("dst").as("node")).distinct()
+        val hasOut = e.select(col("src").as("node")).distinct()
+        val cyclic = nodesLeft
+          .join(hasIn, Seq("node"), "left_semi")
+          .join(hasOut, Seq("node"), "left_semi")
+          .transform(checkpointed)
+        val cyclicCount = cyclic.count()
+        if (cyclicCount == leftCount) {
+          trimming = false
+          unpersistCheckpoint(cyclic)
+        } else {
+          val trimmed = nodesLeft.join(cyclic, Seq("node"), "left_anti")
+            .select(col("node"), col("node").as("scc_id"))
+            .transform(checkpointed)
+          done :+= trimmed
+          val prevN = nodesLeft
+          val prevE = e
+          nodesLeft = cyclic
+          e = e.join(nodesLeft.select(col("node").as("src")),
+              Seq("src"), "left_semi")
+            .join(nodesLeft.select(col("node").as("dst")),
+              Seq("dst"), "left_semi")
+            .select(col("src"), col("dst"))
+            .transform(checkpointed)
+          unpersistCheckpoint(prevN)
+          unpersistCheckpoint(prevE)
+          leftCount = cyclicCount
+        }
+      }
+      if (leftCount > 0) {
+        // COLOR: forward min propagation to fixpoint —
+        // color(v) = min({v} ∪ {u : u reaches v})
+        var color = nodesLeft.select(col("node"), col("node").as("color"))
+          .transform(checkpointed)
+        var changed = 1L
+        while (changed > 0) {
+          tick("color")
+          val incoming = color.select(col("node").as("src"), col("color"))
+            .join(e, "src")
+            .groupBy(col("dst").as("node"))
+            .agg(min(col("color")).as("_inc"))
+          val next = color.join(incoming, Seq("node"), "left")
+            .select(col("node"),
+              least(col("color"), coalesce(col("_inc"), col("color")))
+                .as("color"),
+              (col("_inc").isNotNull && col("_inc") < col("color"))
+                .as("_chg"))
+            .transform(checkpointed)
+          changed = next.where(col("_chg")).limit(1).count()
+          unpersistCheckpoint(color)
+          color = next.select(col("node"), col("color"))
+        }
+        // EXTRACT: backward BFS from each root within its color class
+        // — frontier-shaped: each round joins the edges against only
+        // the NEWLY added members, not the whole set
+        var member = color.where(col("color") === col("node"))
+          .transform(checkpointed)
+        var frontier = member
+        var frontierCount = member.count()
+        while (frontierCount > 0) {
+          tick("extract")
+          // u joins when some edge u -> v lands on a frontier member v
+          // of u's own color class
+          val viaEdge = e
+            .join(frontier.select(col("node").as("dst"), col("color")),
+              "dst")
+            .select(col("src").as("node"), col("color"))
+          val added = viaEdge
+            .join(color, Seq("node", "color"), "left_semi")
+            .join(member, Seq("node"), "left_anti")
+            .distinct()
+            .transform(checkpointed)
+          frontierCount = added.count()
+          if (frontier.ne(member)) unpersistCheckpoint(frontier)
+          if (frontierCount > 0) {
+            val prevM = member
+            member = member.union(added).transform(checkpointed)
+            unpersistCheckpoint(prevM)
+          }
+          frontier = added
+        }
+        if (frontier.ne(member)) unpersistCheckpoint(frontier)
+        val scc = member.select(col("node"), col("color").as("scc_id"))
+          .transform(checkpointed)
+        done :+= scc
+        unpersistCheckpoint(color)
+        unpersistCheckpoint(member)
+        val prevN = nodesLeft
+        val prevE = e
+        nodesLeft = nodesLeft.join(scc, Seq("node"), "left_anti")
+          .transform(checkpointed)
+        e = e.join(nodesLeft.select(col("node").as("src")),
+            Seq("src"), "left_semi")
+          .join(nodesLeft.select(col("node").as("dst")),
+            Seq("dst"), "left_semi")
+          .select(col("src"), col("dst"))
+          .transform(checkpointed)
+        unpersistCheckpoint(prevN)
+        unpersistCheckpoint(prevE)
+        leftCount = nodesLeft.count()
+      }
+    }
+    unpersistCheckpoint(e)
+    unpersistCheckpoint(nodesLeft)
+    if (done.isEmpty) Seq.empty[(Long, Long)].toDF("node", "scc_id")
+    else done.reduce(_ union _)
   }
 }

@@ -797,4 +797,256 @@ class GraphSpec extends AnyFunSuite {
       assert(dist(v) == 0L, s"pred chain from $v0 did not reach a source")
     }
   }
+
+  test("weighted communityStats: canonical weight sums; all-ones equals unweighted") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(91L)
+    // parallel + reverse duplicates on purpose: weights must SUM
+    val edges = (0 until 150).map(_ => (rng.nextInt(20).toLong,
+      rng.nextInt(20).toLong, rng.nextInt(9).toLong + 1))
+    val canon = edges.filter(e => e._1 != e._2)
+      .groupBy(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .map { case (k, es) => (k._1, k._2, es.map(_._3).sum) }.toSeq
+    val nodes = canon.flatMap(e => Seq(e._1, e._2)).distinct
+    val labeling = nodes.map(v => (v, v % 3))
+    val got = Graph.communityStats(edges.toDF("src", "dst", "w"),
+        labeling.toDF("node", "label"), weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toMap
+    val want = labeling.map(_._2).distinct.map { l =>
+      val members = labeling.filter(_._2 == l).map(_._1).toSet
+      val internalE = canon.filter(e => members(e._1) && members(e._2))
+      val touching = canon.flatMap(e => Seq((e._1, e._3), (e._2, e._3)))
+        .filter(t => members(t._1))
+      l -> (members.size.toLong, internalE.size.toLong,
+        touching.size.toLong, internalE.map(_._3).sum,
+        touching.map(_._2).sum)
+    }.toMap
+    assert(got == want)
+    // all-ones weights reproduce the unweighted census columns exactly
+    val ones = Graph.communityStats(
+        edges.map(e => (e._1, e._2, 1L)).toDF("src", "dst", "w"),
+        labeling.toDF("node", "label"), weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val un = Graph.communityStats(edges.toDF("src", "dst", "w"),
+        labeling.toDF("node", "label"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(ones == un)
+    // fractional / non-positive weights refuse
+    intercept[IllegalArgumentException](Graph.communityStats(
+      Seq((1L, 2L, 1.5)).toDF("src", "dst", "w"),
+      Seq((1L, 0L), (2L, 0L)).toDF("node", "label"),
+      weightCol = Some("w")))
+  }
+
+  test("modularity: two disjoint cliques score 1/2 exactly; one label scores 0; replay on random graphs") {
+    val s = spark
+    import s.implicits._
+    def k4(off: Long) = for {
+      i <- 0L until 4L; j <- (i + 1) until 4L
+    } yield (off + i, off + j)
+    val twoCliques = k4(0) ++ k4(10)
+    val byClique = (0L until 4L).map(v => (v, 0L)) ++
+      (0L until 4L).map(v => (v + 10, 1L))
+    val got = Graph.modularity(twoCliques.toDF("src", "dst"),
+        byClique.toDF("node", "label"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // m = 12, per clique m_c = 6, d_c = 12: q_num = 4·12·6 − 144 = 144,
+    // q_den = 576 — Q = 288/576 = 1/2, the textbook two-clique value
+    assert(got.toSet == Set((0L, 144L, 576L), (1L, 144L, 576L)))
+    // everything in one label: Q = 0 exactly
+    val oneLabel = byClique.map(t => (t._1, 0L))
+    val flat = Graph.modularity(twoCliques.toDF("src", "dst"),
+        oneLabel.toDF("node", "label"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(flat.toSeq == Seq((0L, 0L, 576L)))
+    // random graphs, weighted and not, vs a literal driver replay
+    val rng = new scala.util.Random(17L)
+    for (trial <- 0 until 3) {
+      val edges = (0 until 120).map(_ => (rng.nextInt(15).toLong,
+        rng.nextInt(15).toLong, rng.nextInt(5).toLong + 1))
+      val canon = edges.filter(e => e._1 != e._2)
+        .groupBy(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        .map { case (k, es) => (k._1, k._2, es.map(_._3).sum) }.toSeq
+      val nodes = canon.flatMap(e => Seq(e._1, e._2)).distinct
+      val labeling = nodes.map(v => (v, v % (2 + trial)))
+      def replayQ(w: Boolean): Map[Long, (Long, Long)] = {
+        def mass(e: (Long, Long, Long)) = if (w) e._3 else 1L
+        val m2 = 2L * canon.map(mass).sum
+        labeling.map(_._2).distinct.map { l =>
+          val mem = labeling.filter(_._2 == l).map(_._1).toSet
+          val mc = canon.filter(e => mem(e._1) && mem(e._2)).map(mass).sum
+          val dc = canon.flatMap(e => Seq((e._1, mass(e)), (e._2, mass(e))))
+            .filter(t => mem(t._1)).map(_._2).sum
+          l -> (m2 * mc * 2 - dc * dc, m2 * m2)
+        }.toMap
+      }
+      for (w <- Seq(false, true)) {
+        val out = Graph.modularity(edges.toDF("src", "dst", "w"),
+            labeling.toDF("node", "label"),
+            weightCol = if (w) Some("w") else None)
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+        assert(out == replayQ(w), s"trial $trial weighted=$w")
+        // the global score is a proper fraction: |Σ q_num| <= q_den
+        assert(math.abs(out.values.map(_._1).sum) <= out.values.head._2)
+      }
+    }
+    intercept[IllegalArgumentException](Graph.modularity(
+      Seq.empty[(Long, Long)].toDF("src", "dst"),
+      Seq.empty[(Long, Long)].toDF("node", "label")))
+  }
+
+  test("bipartiteProjection equals brute force; hot anchors excluded; multiplicities don't stack") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(41L)
+    // duplicate edges on purpose: an anchor vouches for a pair ONCE
+    val edges = (0 until 300).map(_ =>
+      (rng.nextInt(12).toLong, rng.nextInt(25).toLong + 100))
+    def brute(cap: Int): Map[(Long, Long), Long] = {
+      val dedup = edges.distinct
+      val byAnchor = dedup.groupBy(_._1).filter(_._2.size <= cap)
+      byAnchor.values.flatMap { es =>
+        val ds = es.map(_._2).sorted
+        for (i <- ds.indices; j <- (i + 1) until ds.size)
+          yield (ds(i), ds(j))
+      }.groupBy(identity).map { case (p, hits) => p -> hits.size.toLong }
+    }
+    def run(cap: Int): Map[(Long, Long), Long] =
+      Graph.bipartiteProjection(edges.toDF("src", "dst"), cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    for (cap <- Seq(3, 10, Int.MaxValue)) assert(run(cap) == brute(cap))
+    // the cap actually bites on this data (some anchor exceeds 3)
+    assert(brute(3) != brute(Int.MaxValue))
+    intercept[IllegalArgumentException](
+      Graph.bipartiteProjection(edges.toDF("src", "dst"), 0))
+  }
+
+  test("linkPredict equals brute force — non-adjacent pairs only, exact jaccard, hub cap, top-k order") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(59L)
+    val edges = (0 until 80).map(_ =>
+      (rng.nextInt(18).toLong, rng.nextInt(18).toLong))
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val adjacent = und.toSet
+    val nbrs = und.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    def brute(k: Int, cap: Int): Seq[(Long, Long, Long, Long, Long)] = {
+      val verts = nbrs.keys.toSeq.sorted
+      val cands = for {
+        i <- verts.indices; j <- (i + 1) until verts.size
+        a = verts(i); b = verts(j)
+        if !adjacent((a, b))
+        cn = (nbrs(a) intersect nbrs(b)).count(x => nbrs(x).size <= cap)
+        if cn > 0
+      } yield (a, b, cn.toLong, cn.toLong,
+        nbrs(a).size.toLong + nbrs(b).size - cn)
+      cands.sortBy(t => (-t._3, t._1, t._2)).take(k)
+    }
+    def run(k: Int, cap: Int): Seq[(Long, Long, Long, Long, Long)] =
+      Graph.linkPredict(edges.toDF("src", "dst"), k, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    for ((k, cap) <- Seq((5, Int.MaxValue), (1000, Int.MaxValue),
+        (1000, 4), (3, 6))) {
+      assert(run(k, cap) == brute(k, cap), s"k=$k cap=$cap")
+    }
+    // candidates never include an existing edge
+    assert(run(1000, Int.MaxValue).forall(t => !adjacent((t._1, t._2))))
+    intercept[IllegalArgumentException](
+      Graph.linkPredict(und.toDF("src", "dst"), 0))
+  }
+
+  /** Driver Tarjan (iterative) — the independent SCC ground truth. */
+  private def tarjanScc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+      .withDefaultValue(Seq.empty)
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val index = scala.collection.mutable.Map.empty[Long, Int]
+    val low = scala.collection.mutable.Map.empty[Long, Int]
+    val onStack = scala.collection.mutable.Set.empty[Long]
+    val stack = scala.collection.mutable.Stack.empty[Long]
+    val sccOf = scala.collection.mutable.Map.empty[Long, Long]
+    var counter = 0
+    for (start <- nodes if !index.contains(start)) {
+      // explicit work stack: (node, child iterator position)
+      val work = scala.collection.mutable.Stack((start, 0))
+      index(start) = counter; low(start) = counter; counter += 1
+      stack.push(start); onStack += start
+      while (work.nonEmpty) {
+        val (v, i) = work.pop()
+        val kids = adj(v)
+        if (i < kids.size) {
+          work.push((v, i + 1))
+          val w = kids(i)
+          if (!index.contains(w)) {
+            index(w) = counter; low(w) = counter; counter += 1
+            stack.push(w); onStack += w
+            work.push((w, 0))
+          } else if (onStack(w)) low(v) = math.min(low(v), index(w))
+        } else {
+          if (low(v) == index(v)) {
+            var members = List.empty[Long]
+            var done = false
+            while (!done) {
+              val w = stack.pop(); onStack -= w; members ::= w
+              done = w == v
+            }
+            val id = members.min
+            members.foreach(m => sccOf(m) = id)
+          }
+          if (work.nonEmpty) {
+            val p = work.top._1
+            low(p) = math.min(low(p), low(v))
+          }
+        }
+      }
+    }
+    sccOf.toMap
+  }
+
+  test("stronglyConnectedComponents equals driver Tarjan — structures and random digraphs") {
+    val s = spark
+    import s.implicits._
+    def run(edges: Seq[(Long, Long)], maxRounds: Int = 100): Map[Long, Long] =
+      Graph.stronglyConnectedComponents(edges.toDF("src", "dst"), maxRounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one big cycle; a DAG chain (all singletons); two cycles bridged
+    // one-way (stay separate SCCs); self-loops and parallel edges noise
+    val cycle = (0L until 6L).map(i => (i, (i + 1) % 6))
+    assert(run(cycle) == (0L until 6L).map(_ -> 0L).toMap)
+    val chain = (0L until 5L).map(i => (i, i + 1))
+    assert(run(chain) == (0L to 5L).map(v => v -> v).toMap)
+    val twoCycles = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (10L, 11L), (11L, 10L), (2L, 10L), (5L, 5L), (0L, 1L))
+    assert(run(twoCycles) == Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      10L -> 10L, 11L -> 10L, 5L -> 5L))
+    // random digraphs vs Tarjan
+    val rng = new scala.util.Random(23L)
+    for (trial <- 0 until 4) {
+      val m = 40 + trial * 30
+      val edges = (0 until m).map(_ =>
+        (rng.nextInt(16).toLong, rng.nextInt(16).toLong))
+      assert(run(edges) == tarjanScc(edges), s"trial $trial: $edges")
+    }
+    // a condensation chain deeper than the budget errors, never a
+    // silent partial answer: 6 2-cycles linked in a one-way chain
+    // (each pass certifies only the globally-minimal SCC — the
+    // documented worst case)
+    val deep = (0L until 6L).flatMap(c => Seq((2 * c, 2 * c + 1),
+      (2 * c + 1, 2 * c)) ++
+      (if (c > 0) Seq((2 * (c - 1), 2 * c)) else Nil))
+    intercept[IllegalArgumentException](run(deep, maxRounds = 4))
+    assert(run(deep, maxRounds = 100) ==
+      (0L until 12L).map(v => v -> (v - v % 2)).toMap)
+    intercept[IllegalArgumentException](run(cycle, maxRounds = 0))
+  }
 }
