@@ -700,6 +700,42 @@ object ScaleProbe {
         s"got ${r.getLong(0)} of ${n + 2001} nodes")
       r.getLong(0)
     }
+    timed("graph_bowtie") {
+      // the full bowtie census at scale, SHALLOW by construction (every
+      // BFS is 1-2 hops and the core is a binary-jump circulant with
+      // ~10-hop diameter — the web shape, not a chain): a 1000-node
+      // strongly-connected core, ~n/2 IN nodes each one hop into it,
+      // ~n/2 OUT nodes each one hop out of it, 1000 tendrils hanging
+      // off IN. Closed form by id range; the wall cost is the SCC pass
+      // plus four short BFS reaches and one weak-components run over
+      // ~n edges.
+      require(n >= 10000, s"bowtie probe needs n >= 10000, got $n")
+      val par = spark.sparkContext.defaultParallelism
+      val core = spark.range(0, 1000)
+        .select(col("id").as("src"),
+          explode(array((0 to 9).map(j => lit(1L << j)): _*)).as("_s"))
+        .select(col("src"), pmod(col("src") + col("_s"), lit(1000L)).as("dst"))
+      val inn = spark.range(1000, n / 2, 1, par)
+        .select(col("id").as("src"), pmod(col("id"), lit(1000L)).as("dst"))
+      val outn = spark.range(n / 2, n - 1000, 1, par)
+        .select(pmod(col("id"), lit(1000L)).as("src"), col("id").as("dst"))
+      val tendrils = spark.range(n - 1000, n, 1, par)
+        .select((pmod(col("id"), lit(1000L)) + 1000).as("src"),
+          col("id").as("dst"))
+      val g = core.union(inn).union(outn).union(tendrils)
+      val got = graft.operators.Graph.bowtieRegions(g,
+        graft.operators.Graph.stronglyConnectedComponents(g, maxRounds = 100),
+        maxRounds = 100)
+      val want = when(col("node") < 1000, "core")
+        .when(col("node") < n / 2, "in")
+        .when(col("node") < n - 1000, "out")
+        .otherwise("tendril")
+      val r = got.agg(count(lit(1)),
+        count(when(col("region") =!= want, 1))).head
+      require(r.getLong(1) == 0, s"${r.getLong(1)} nodes off the closed form")
+      require(r.getLong(0) == n, s"got ${r.getLong(0)} of $n nodes")
+      r.getLong(0)
+    }
     timed("graph_sssp_pred") {
       // predecessors on the binary-jump BFS: a tight in-edge into v
       // removes one set bit, and the SMALLEST such u removes the

@@ -2413,6 +2413,25 @@ object SparkEntry {
       Graph.stronglyConnectedComponents(fwd.union(back), maxRounds = 200)
         .orderBy(col("node"))
     }),
+    "q_x_graph_bowtie" -> ((s, dir) => {
+      // the Broder BOWTIE census COMPOSED on the q_x_graph_scc digraph:
+      // classify every node against the largest SCC — core / in / out /
+      // tube / tendril / other / disconnected. Four BFS reaches, one
+      // weak-components run, flag joins — all exact set recurrences,
+      // and the oracle derives every region from the same independent
+      // recursive-CTE closure as the scc gate (directed AND undirected).
+      val li = t(s, dir, "lineitem").where(col("l_orderkey") <= 2000)
+      val fwd = li.select(((col("l_partkey") % 100) * 2).as("src"),
+        ((col("l_suppkey") % 100) * 2 + 1).as("dst"))
+      val back = li.where(col("l_quantity") >= 30)
+        .select(((col("l_suppkey") % 100) * 2 + 1).as("src"),
+          ((col("l_partkey") % 100) * 2).as("dst"))
+      val g = fwd.union(back)
+      Graph.bowtieRegions(g,
+          Graph.stronglyConnectedComponents(g, maxRounds = 200),
+          maxRounds = 200)
+        .orderBy(col("node"))
+    }),
     "q_x_graph_coproject_communities" -> ((s, dir) => {
       // the classic two-step curation pipeline COMPOSED: project the
       // bipartite purchase links onto the supplier side (weight =
@@ -2429,6 +2448,30 @@ object SparkEntry {
       val proj = Graph.bipartiteProjection(edges, maxAnchorDegree = 55)
         .select(col("a").as("src"), col("b").as("dst"), col("w"))
       Graph.labelPropagation(proj, sweeps = 2, weightCol = Some("w"))
+        .orderBy(col("node"))
+    }),
+    "q_x_graph_score" -> ((s, dir) => {
+      // the s-CORE (weighted k-core): peel to the maximal subgraph
+      // where every node carries >= 400 units of purchase mass — the
+      // weighted density signal on the purchase graph (survives in 2-4
+      // peel rounds at every SF, measured; the oracle unrolls 12 and
+      // maxRounds = 12 makes divergence past the unroll an ERROR, the
+      // q_x_graph_kcore pin)
+      Graph.sCore(purchaseEdges(s, dir), s = 400, weightCol = "w",
+          maxRounds = 12)
+        .orderBy(col("node"))
+    }),
+    "q_x_graph_clustering" -> ((s, dir) => {
+      // local clustering coefficients as EXACT RATIONALS over the
+      // part–supplier co-id graph (the q_x_graph_triangles edge set):
+      // cc_num = 2·triangles, cc_den = deg·(deg−1) — the oracle
+      // appends a degree join and the quadratic terms to the ordered
+      // triangle enumeration and every column hash-matches
+      val edges = t(s, dir, "lineitem")
+        .where(col("l_orderkey") <= 2000)
+        .select((col("l_partkey") % 100).as("src"),
+          (col("l_suppkey") % 100).as("dst"))
+      Graph.clusteringCoefficients(edges)
         .orderBy(col("node"))
     }),
     "q_x_graph_sssp_pred" -> ((s, dir) => {
@@ -4144,18 +4187,25 @@ object SparkEntry {
         |JOIN deg db ON db.node = c.b
         |ORDER BY c.cn DESC, c.a, c.b LIMIT 100""".stripMargin,
     "q_x_graph_scc" ->
+      // NOTE: inside WITH RECURSIVE, DuckDB does NOT set-dedup a
+      // non-recursive `a UNION b` CTE — every union here is an
+      // explicit DISTINCT over UNION ALL (measured; the recursive
+      // reach() unions do dedup, or the iteration would not terminate)
       """WITH RECURSIVE
-        |e AS (SELECT DISTINCT (l_partkey % 100) * 2 AS src,
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |      SELECT (l_partkey % 100) * 2 AS src,
         |        (l_suppkey % 100) * 2 + 1 AS dst
         |      FROM lineitem WHERE l_orderkey <= 2000
-        |      UNION
+        |      UNION ALL
         |      SELECT (l_suppkey % 100) * 2 + 1, (l_partkey % 100) * 2
         |      FROM lineitem
-        |      WHERE l_orderkey <= 2000 AND l_quantity >= 30),
+        |      WHERE l_orderkey <= 2000 AND l_quantity >= 30) e_u),
         |reach(s, d) AS (SELECT src, dst FROM e
         |      UNION
         |      SELECT r.s, e2.dst FROM reach r JOIN e e2 ON r.d = e2.src),
-        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nodes AS (SELECT DISTINCT node FROM (
+        |      SELECT src AS node FROM e
+        |      UNION ALL SELECT dst FROM e) n_u),
         |mutual AS (SELECT a.s AS v, a.d AS u FROM reach a
         |      JOIN reach b ON a.s = b.d AND a.d = b.s)
         |SELECT n.node,
@@ -4163,6 +4213,70 @@ object SparkEntry {
         |    AS scc_id
         |FROM nodes n LEFT JOIN mutual m ON m.v = n.node
         |GROUP BY n.node ORDER BY 1""".stripMargin,
+    "q_x_graph_bowtie" ->
+      // same DuckDB WITH RECURSIVE caveat as q_x_graph_scc: every
+      // non-recursive union is DISTINCT over UNION ALL
+      """WITH RECURSIVE
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |      SELECT (l_partkey % 100) * 2 AS src,
+        |        (l_suppkey % 100) * 2 + 1 AS dst
+        |      FROM lineitem WHERE l_orderkey <= 2000
+        |      UNION ALL
+        |      SELECT (l_suppkey % 100) * 2 + 1, (l_partkey % 100) * 2
+        |      FROM lineitem
+        |      WHERE l_orderkey <= 2000 AND l_quantity >= 30) e_u),
+        |reach(s, d) AS (SELECT src, dst FROM e
+        |      UNION
+        |      SELECT r.s, e2.dst FROM reach r JOIN e e2 ON r.d = e2.src),
+        |nodes AS (SELECT DISTINCT node FROM (
+        |      SELECT src AS node FROM e
+        |      UNION ALL SELECT dst FROM e) n_u),
+        |mutual AS (SELECT a.s AS v, a.d AS u FROM reach a
+        |      JOIN reach b ON a.s = b.d AND a.d = b.s),
+        |sccs AS (SELECT n.node,
+        |      least(n.node, COALESCE(min(m.u), n.node)) AS scc_id
+        |      FROM nodes n LEFT JOIN mutual m ON m.v = n.node
+        |      GROUP BY n.node),
+        |core AS (SELECT scc_id FROM (SELECT scc_id, count(*) AS c
+        |      FROM sccs GROUP BY 1) t ORDER BY c DESC, scc_id LIMIT 1),
+        |coren AS (SELECT node FROM sccs JOIN core USING (scc_id)),
+        |outn AS (SELECT DISTINCT r.d AS node FROM reach r
+        |      JOIN coren c ON r.s = c.node
+        |      WHERE r.d NOT IN (SELECT node FROM coren)),
+        |inn AS (SELECT DISTINCT r.s AS node FROM reach r
+        |      JOIN coren c ON r.d = c.node
+        |      WHERE r.s NOT IN (SELECT node FROM coren)),
+        |fi AS (SELECT DISTINCT node FROM (
+        |      SELECT node FROM inn
+        |      UNION ALL
+        |      SELECT r.d FROM reach r JOIN inn i ON r.s = i.node) f_u),
+        |bo AS (SELECT DISTINCT node FROM (
+        |      SELECT node FROM outn
+        |      UNION ALL
+        |      SELECT r.s FROM reach r JOIN outn o ON r.d = o.node) b_u),
+        |und AS (SELECT DISTINCT s, d FROM (
+        |      SELECT src AS s, dst AS d FROM e
+        |      UNION ALL SELECT dst, src FROM e) u_u),
+        |reachu(s, d) AS (SELECT s, d FROM und
+        |      UNION
+        |      SELECT r.s, u.d FROM reachu r JOIN und u ON r.d = u.s),
+        |wcc AS (SELECT n.node,
+        |      least(n.node, COALESCE(min(r.d), n.node)) AS grp
+        |      FROM nodes n LEFT JOIN reachu r ON r.s = n.node
+        |      GROUP BY n.node),
+        |cw AS (SELECT min(w.grp) AS g FROM wcc w
+        |      JOIN coren c ON w.node = c.node)
+        |SELECT n.node,
+        |  CASE WHEN n.node IN (SELECT node FROM coren) THEN 'core'
+        |       WHEN n.node IN (SELECT node FROM inn) THEN 'in'
+        |       WHEN n.node IN (SELECT node FROM outn) THEN 'out'
+        |       WHEN w.grp <> (SELECT g FROM cw) THEN 'disconnected'
+        |       WHEN n.node IN (SELECT node FROM fi)
+        |            AND n.node IN (SELECT node FROM bo) THEN 'tube'
+        |       WHEN n.node IN (SELECT node FROM fi)
+        |            OR n.node IN (SELECT node FROM bo) THEN 'tendril'
+        |       ELSE 'other' END AS region
+        |FROM nodes n JOIN wcc w USING (node) ORDER BY 1""".stripMargin,
     "q_x_graph_coproject_communities" -> {
       // the projection CTEs chained into the weighted sweep unroll
       def sweep(prev: String, cur: Int): String =
@@ -4190,6 +4304,54 @@ object SparkEntry {
          |${sweep("l1", 2)}
          |SELECT node, label FROM l2 ORDER BY node""".stripMargin
     },
+    "q_x_graph_score" -> {
+      // the q_x_graph_kcore unroll idiom with STRENGTH (sum of
+      // canonical weights) in place of degree; the s-core fixpoint is
+      // idempotent, so 12 unrolled rounds agree whenever the engine
+      // converged inside them (its maxRounds = 12 require)
+      def round(i: Int): String =
+        s"""s$i AS (SELECT node, CAST(sum(w) AS BIGINT) AS s FROM (
+           |    SELECT u AS node, w FROM e${i - 1}
+           |    UNION ALL SELECT v, w FROM e${i - 1}) t$i GROUP BY 1),
+           |k$i AS (SELECT node FROM s$i WHERE s >= 400),
+           |e$i AS MATERIALIZED (SELECT ee.u, ee.v, ee.w FROM e${i - 1} ee
+           |    JOIN k$i a$i ON ee.u = a$i.node
+           |    JOIN k$i b$i ON ee.v = b$i.node)""".stripMargin
+      s"""WITH raw AS (SELECT o_custkey * 2 AS a, l_partkey * 2 + 1 AS b,
+         |               CAST(l_quantity AS BIGINT) AS w
+         |             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e0 AS MATERIALIZED (SELECT least(a, b) AS u, greatest(a, b) AS v,
+         |        CAST(sum(w) AS BIGINT) AS w
+         |      FROM raw WHERE a <> b GROUP BY 1, 2),
+         |${(1 to 12).map(round).mkString(",\n")}
+         |SELECT node, CAST(sum(w) AS BIGINT) AS strength
+         |FROM (SELECT u AS node, w FROM e12
+         |      UNION ALL SELECT v, w FROM e12) f
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "q_x_graph_clustering" ->
+      """WITH raw AS (SELECT l_partkey % 100 AS src, l_suppkey % 100 AS dst
+        |             FROM lineitem WHERE l_orderkey <= 2000),
+        |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |      FROM raw WHERE src <> dst),
+        |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+        |t AS (SELECT a.u AS x, a.v AS y, b.v AS z
+        |      FROM e a JOIN e b ON b.u = a.v
+        |                JOIN e c ON c.u = a.u AND c.v = b.v),
+        |cnt AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+        |          SELECT x AS node FROM t
+        |          UNION ALL SELECT y FROM t
+        |          UNION ALL SELECT z FROM t)
+        |        GROUP BY 1),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        |          SELECT u AS node FROM e
+        |          UNION ALL SELECT v FROM e)
+        |        GROUP BY 1)
+        |SELECT n.node, COALESCE(cnt.triangles, 0) AS triangles, d.degree,
+        |  CAST(COALESCE(cnt.triangles, 0) * 2 AS BIGINT) AS cc_num,
+        |  CAST(d.degree * (d.degree - 1) AS BIGINT) AS cc_den
+        |FROM nodes n LEFT JOIN cnt USING (node)
+        |JOIN deg d ON d.node = n.node ORDER BY 1""".stripMargin,
     "q_x_graph_coreness" ->
       """WITH nodes AS (
         |  SELECT range AS node FROM range(0, 9)

@@ -630,6 +630,106 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("degree"))
   }
 
+  /** WEIGHTED k-core — the s-CORE (Eidsaa/Almaas, "s-core network
+    * decomposition", Phys. Rev. E 2013): the maximal subgraph in which
+    * every node's STRENGTH (sum of incident edge weights) is >= `s`,
+    * by the same iterative peel as [[kCore]]. On a co-occurrence
+    * projection ([[bipartiteProjection]]) this is the natural core:
+    * ties are weighted, so "supported by >= s units of co-occurrence
+    * mass" beats "has >= k neighbors" as the density signal.
+    *
+    * Weights follow the [[labelPropagation]] canonicalization —
+    * positive integers, parallel/reverse duplicates SUM, total mass
+    * bounded by one decimal-crossing check (fractional/non-positive/
+    * overflow are errors, never silent). The s-core is a unique
+    * fixpoint (peel order irrelevant), so the output is exact and a
+    * SQL oracle unrolls the peel rounds. Output `(node, strength)` —
+    * strength INSIDE the core; empty when no s-core exists.
+    *
+    * Scale shape per round = [[kCore]]: one strength aggregation, two
+    * semi-joins, checkpoint rotation, a one-number edge-count
+    * handshake; each round strictly shrinks the edge set. */
+  def sCore(edges: DataFrame, s: Long, weightCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    require(s >= 1, s"s must be >= 1, got $s")
+    require(maxRounds >= 1 && maxRounds <= 500,
+      s"maxRounds must be in [1, 500], got $maxRounds")
+    validateWeights(edges, weightCol, None)
+    val undRaw = edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"),
+        col(weightCol).cast("long").as("_w"))
+      .where(col("u") =!= col("v") &&
+        col("u").isNotNull && col("v").isNotNull)
+    val tot = undRaw
+      .agg(sum(col("_w").cast("decimal(38,0)"))).head().getDecimal(0)
+    require(tot == null ||
+      tot.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) <= 0,
+      "total edge weight exceeds Long.MaxValue — rescale weights")
+    var e = undRaw.groupBy(col("u"), col("v"))
+      .agg(sum(col("_w")).as("_w"))
+      .transform(checkpointed)
+    var prevEdges = e.count()
+    var converged = prevEdges == 0L
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val strength = e.select(col("u").as("node"), col("_w"))
+        .union(e.select(col("v").as("node"), col("_w")))
+        .groupBy("node").agg(sum(col("_w")).as("_s"))
+      val keep = strength.where(col("_s") >= s).select(col("node"))
+      val next = e
+        .join(keep.select(col("node").as("u")), "u")
+        .join(keep.select(col("node").as("v")), "v")
+        .select(col("u"), col("v"), col("_w"))
+        .transform(checkpointed)
+      val nextEdges = next.count()
+      unpersistCheckpoint(e)
+      e = next
+      converged = nextEdges == prevEdges || nextEdges == 0L
+      prevEdges = nextEdges
+      rounds += 1
+    }
+    require(converged, s"s-core did not converge in $maxRounds rounds")
+    e.select(col("u").as("node"), col("_w"))
+      .union(e.select(col("v").as("node"), col("_w")))
+      .groupBy("node").agg(sum(col("_w")).as("strength"))
+  }
+
+  /** LOCAL CLUSTERING COEFFICIENTS as EXACT RATIONALS — per node, the
+    * fraction of its neighbor pairs that are themselves linked
+    * (Watts/Strogatz, "Collective dynamics of small-world networks",
+    * Nature 1998): `cc = 2·triangles / (deg·(deg−1))`, reported as
+    * `(node, triangles, degree, cc_num, cc_den)` with
+    * cc_num = 2·triangles and cc_den = deg·(deg−1) — the exact-
+    * rational discipline, so the cross-engine gate hash-matches and
+    * the caller picks the display precision. Degree-0/1 nodes report
+    * (0, 0): no pair to close, the conventional zero.
+    *
+    * Rides [[triangleCounts]] (the degree-oriented wedge shape — no
+    * hot reducer) plus one degree aggregation and one equi-join.
+    * Overflow is an ERROR up front: deg² needs deg ≤ √Long.MaxValue,
+    * checked with a one-number max-degree handshake (a graph past
+    * ~3e9-degree hubs has no computable wedge space anyway). */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v") &&
+        col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val degChk = deg.agg(coalesce(max(col("degree")), lit(0L))).head()
+    require(degChk.getLong(0) <= 3037000499L, // floor(sqrt(Long.MaxValue))
+      s"max degree ${degChk.getLong(0)} too large for exact deg² arithmetic")
+    triangleCounts(edges)
+      .join(deg, Seq("node"))
+      .select(col("node"), col("triangles"), col("degree"),
+        (col("triangles") * 2L).as("cc_num"),
+        (col("degree") * (col("degree") - 1L)).as("cc_den"))
+  }
+
   /** FULL CORENESS DECOMPOSITION — every node labeled with its core
     * number (the largest k such that the node survives in the k-core),
     * by parallel peeling with threshold jumps (the distributed form of
@@ -1255,5 +1355,145 @@ object Graph {
     unpersistCheckpoint(nodesLeft)
     if (done.isEmpty) Seq.empty[(Long, Long)].toDF("node", "scc_id")
     else done.reduce(_ union _)
+  }
+
+  /** BOWTIE DECOMPOSITION of a directed graph around its largest SCC
+    * (Broder et al., "Graph structure in the web", WWW 2000 — the
+    * canonical census of a crawl's link structure). Takes the edge
+    * list and a [[stronglyConnectedComponents]] labeling (computed
+    * once, reused here) and assigns every node a region:
+    *
+    *   core         — the largest SCC (ties broken by smallest scc_id)
+    *   in           — reaches the core, not in it
+    *   out          — reachable from the core, not in it
+    *   tube         — neither, same weak component: on an in→out
+    *                  bypass (reachable from IN and reaches OUT)
+    *   tendril      — neither, same weak component: hangs off one side
+    *                  (reachable from IN xor reaches OUT)
+    *   other        — same weak component, no directed relation to
+    *                  IN/OUT (e.g. a tendril of a tendril)
+    *   disconnected — a different weak component entirely
+    *
+    * IN and OUT are provably disjoint (a node in both would be in the
+    * core's SCC). Every step is an exact set recurrence — four
+    * frontier BFS passes (forward/backward from the core, forward
+    * from IN, backward from OUT), one [[Dedup.connectedComponents]]
+    * run for the weak components, and flag joins — so a closure-based
+    * SQL oracle agrees exactly.
+    *
+    * `scc` must label every edge-endpoint node exactly once (the
+    * [[communityStats]] coverage contract; extra nodes are ignored).
+    * `maxRounds` bounds the TOTAL driver rounds across the four BFS
+    * passes (≈ 4 × diameter) — exceeded is an error. Output
+    * `(node, region)`. */
+  def bowtieRegions(edges: DataFrame, scc: DataFrame,
+      maxRounds: Int = 100): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 10000,
+      s"maxRounds must be in [1, 10000], got $maxRounds")
+    val base = edges.select(col("src"), col("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val e = base.where(col("src") =!= col("dst"))
+      .distinct()
+      .transform(checkpointed)
+    val nodes = base.select(col("src").as("node"))
+      .union(base.select(col("dst").as("node"))).distinct()
+      .transform(checkpointed)
+    val nodeCount = nodes.count()
+    require(nodeCount > 0, "bowtie over an empty edge set")
+    val lab = scc.select(col("node"), col("scc_id"))
+    val chk = lab.agg(count(lit(1)).as("_n"),
+      count_distinct(col("node")).as("_nd"),
+      count(when(col("scc_id").isNull, 1)).as("_null")).head()
+    require(chk.getLong(0) == chk.getLong(1),
+      "scc must carry exactly one row per node — duplicates found")
+    require(chk.getLong(2) == 0, "scc_id must be non-null")
+    val onGraph = lab.join(nodes, Seq("node"), "left_semi")
+      .transform(checkpointed)
+    require(onGraph.count() == nodeCount,
+      "scc labeling is missing nodes of the edge set")
+    // the largest SCC, ties to the smallest id — a one-row handshake
+    val coreId = onGraph.groupBy(col("scc_id"))
+      .agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("scc_id")).limit(1)
+      .head().get(0)
+    val core = onGraph.where(col("scc_id") === lit(coreId))
+      .select(col("node")).transform(checkpointed)
+    var rounds = 0
+    def tick(): Unit = {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"bowtie BFS did not converge within $maxRounds driver rounds")
+    }
+    // frontier BFS over e — returns seeds ∪ reachable, checkpointed
+    def reach(seeds: DataFrame, forward: Boolean): DataFrame = {
+      var member = seeds.select(col("node")).transform(checkpointed)
+      var frontier = member
+      var fc = member.count()
+      while (fc > 0) {
+        tick()
+        val step =
+          if (forward)
+            e.join(frontier.select(col("node").as("src")), "src")
+              .select(col("dst").as("node"))
+          else
+            e.join(frontier.select(col("node").as("dst")), "dst")
+              .select(col("src").as("node"))
+        val added = step.distinct()
+          .join(member, Seq("node"), "left_anti")
+          .transform(checkpointed)
+        fc = added.count()
+        if (frontier.ne(member)) unpersistCheckpoint(frontier)
+        if (fc > 0) {
+          val prevM = member
+          member = member.union(added).transform(checkpointed)
+          unpersistCheckpoint(prevM)
+        }
+        frontier = added
+      }
+      if (frontier.ne(member)) unpersistCheckpoint(frontier)
+      member
+    }
+    val fwdCore = reach(core, forward = true)
+    val bwdCore = reach(core, forward = false)
+    val outN = fwdCore.join(core, Seq("node"), "left_anti")
+      .transform(checkpointed)
+    val inN = bwdCore.join(core, Seq("node"), "left_anti")
+      .transform(checkpointed)
+    unpersistCheckpoint(fwdCore)
+    unpersistCheckpoint(bwdCore)
+    val fwdIn = reach(inN, forward = true)
+    val bwdOut = reach(outN, forward = false)
+    // weak components over the symmetrized edges; a node whose only
+    // edge was a self-loop has no pair — its own singleton component
+    val cc = Dedup.connectedComponents(
+      e.select(col("src").as("id_a"), col("dst").as("id_b")))
+    val coreWccRow = cc.join(core, Seq("node"), "left_semi")
+      .agg(min(col("group_id"))).head()
+    // a core with no surviving edge (singleton in a self-loop-only
+    // graph) weak-groups as itself
+    val coreWcc =
+      if (coreWccRow.isNullAt(0))
+        core.agg(min(col("node"))).head().get(0)
+      else coreWccRow.get(0)
+    def flag(df: DataFrame, name: String): DataFrame =
+      df.select(col("node"), lit(true).as(name))
+    val grp = coalesce(col("group_id"), col("node"))
+    nodes
+      .join(flag(core, "_core"), Seq("node"), "left")
+      .join(flag(inN, "_in"), Seq("node"), "left")
+      .join(flag(outN, "_out"), Seq("node"), "left")
+      .join(flag(fwdIn, "_fi"), Seq("node"), "left")
+      .join(flag(bwdOut, "_bo"), Seq("node"), "left")
+      .join(cc, Seq("node"), "left")
+      .select(col("node"),
+        when(coalesce(col("_core"), lit(false)), "core")
+          .when(coalesce(col("_in"), lit(false)), "in")
+          .when(coalesce(col("_out"), lit(false)), "out")
+          .when(grp =!= lit(coreWcc), "disconnected")
+          .when(coalesce(col("_fi"), lit(false)) &&
+            coalesce(col("_bo"), lit(false)), "tube")
+          .when(coalesce(col("_fi"), lit(false)) ||
+            coalesce(col("_bo"), lit(false)), "tendril")
+          .otherwise("other").as("region"))
   }
 }

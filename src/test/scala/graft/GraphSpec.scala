@@ -1049,4 +1049,170 @@ class GraphSpec extends AnyFunSuite {
       (0L until 12L).map(v => v -> (v - v % 2)).toMap)
     intercept[IllegalArgumentException](run(cycle, maxRounds = 0))
   }
+
+  test("sCore equals brute-force strength peel; all-ones s-core equals k-core") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(83L)
+    def brute(edges: Seq[(Long, Long, Long)], th: Long): Map[Long, Long] = {
+      var canon = edges.filter(e => e._1 != e._2)
+        .groupBy(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        .map { case (k, es) => (k._1, k._2, es.map(_._3).sum) }.toSeq
+      var stable = false
+      while (!stable) {
+        val st = canon.flatMap(e => Seq((e._1, e._3), (e._2, e._3)))
+          .groupBy(_._1).map { case (v, ws) => v -> ws.map(_._2).sum }
+        val keep = st.filter(_._2 >= th).keySet
+        val next = canon.filter(e => keep(e._1) && keep(e._2))
+        stable = next.size == canon.size
+        canon = next
+      }
+      canon.flatMap(e => Seq((e._1, e._3), (e._2, e._3)))
+        .groupBy(_._1).map { case (v, ws) => v -> ws.map(_._2).sum }
+    }
+    def run(edges: Seq[(Long, Long, Long)], th: Long): Map[Long, Long] =
+      Graph.sCore(edges.toDF("src", "dst", "w"), th, "w")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (trial <- 0 until 3) {
+      val edges = (0 until 150).map(_ => (rng.nextInt(25).toLong,
+        rng.nextInt(25).toLong, rng.nextInt(7).toLong + 1))
+      for (th <- Seq(5L, 20L, 60L, 1000L))
+        assert(run(edges, th) == brute(edges, th), s"trial $trial th=$th")
+      // all-ones weights on DEDUPED canonical edges: the s-core IS the
+      // k-core (strength = degree; on raw duplicates the weights SUM by
+      // design — the labelPropagation canonicalization — so the law
+      // needs the deduped pair set)
+      val ones = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        .distinct.map(e => (e._1, e._2, 1L))
+      val k = 3L
+      val kc = Graph.kCore(ones.toDF("src", "dst", "w"), k.toInt)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(run(ones, k) == kc, s"trial $trial s-core != k-core")
+    }
+    intercept[IllegalArgumentException](
+      Graph.sCore(Seq((1L, 2L, 1.5)).toDF("src", "dst", "w"), 1, "w"))
+    intercept[IllegalArgumentException](
+      Graph.sCore(Seq((1L, 2L, 1L)).toDF("src", "dst", "w"), 0, "w"))
+  }
+
+  test("clusteringCoefficients: exact rationals vs brute force; K4 closes at 1; leaves at (0,0)") {
+    val s = spark
+    import s.implicits._
+    // K4 plus a pendant leaf: clique nodes cc = 1 (with the leaf's
+    // extra pair opening node 0), leaf cc = (0, 0)
+    val k4 = for { i <- 0L until 4L; j <- (i + 1) until 4L } yield (i, j)
+    val edges = k4 :+ (0L, 9L)
+    val got = Graph.clusteringCoefficients(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(
+      0L -> (3L, 4L, 6L, 12L), // 3 triangles, deg 4 (leaf): 6/12 = 1/2
+      1L -> (3L, 3L, 6L, 6L), 2L -> (3L, 3L, 6L, 6L),
+      3L -> (3L, 3L, 6L, 6L),
+      9L -> (0L, 1L, 0L, 0L)))
+    // random graphs vs brute force
+    val rng = new scala.util.Random(67L)
+    for (trial <- 0 until 3) {
+      val es = (0 until 100).map(_ =>
+        (rng.nextInt(14).toLong, rng.nextInt(14).toLong))
+      val und = es.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val nbrs = und.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+        .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+      val want = nbrs.map { case (v, nb) =>
+        val tri = nb.toSeq.combinations(2)
+          .count(p => nbrs(p(0)).contains(p(1))).toLong
+        val d = nb.size.toLong
+        v -> (tri, d, 2 * tri, d * (d - 1))
+      }
+      val out = Graph.clusteringCoefficients(es.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(out == want, s"trial $trial")
+    }
+  }
+
+  /** Driver bowtie replay: closure by iteration, SCC by Tarjan. */
+  private def bruteBowtie(edges: Seq[(Long, Long)]): Map[Long, String] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val e = edges.filter(t => t._1 != t._2).distinct
+    // forward-reachable sets to fixpoint
+    var fwd = nodes.map(v => v ->
+      e.filter(_._1 == v).map(_._2).toSet).toMap
+    var stable = false
+    while (!stable) {
+      val next = fwd.map { case (v, s2) =>
+        v -> (s2 ++ s2.flatMap(fwd)) }
+      stable = next == fwd
+      fwd = next
+    }
+    val scc = tarjanScc(e)
+    val coreId = scc.values.toSeq.groupBy(identity)
+      .map { case (id, xs) => (id, xs.size) }.toSeq
+      .sortBy { case (id, c) => (-c, id) }.head._1
+    val core = scc.filter(_._2 == coreId).keySet
+    val inS = nodes.filter(v => !core(v) && fwd(v).exists(core)).toSet
+    val outS = nodes.filter(v => !core(v) &&
+      core.exists(c => fwd(c).contains(v))).toSet
+    val fi = inS ++ nodes.filter(v => inS.exists(i => fwd(i).contains(v)))
+    val bo = outS ++ nodes.filter(v => fwd(v).exists(outS))
+    // weak components: undirected closure
+    var grp = nodes.map(v => v -> v).toMap
+    var moved = true
+    while (moved) {
+      moved = false
+      e.foreach { case (a, b) =>
+        val m = math.min(grp(a), grp(b))
+        if (grp(a) != m || grp(b) != m) {
+          grp += a -> m; grp += b -> m; moved = true
+        }
+      }
+    }
+    val coreW = grp(core.min)
+    nodes.map { v =>
+      v -> (if (core(v)) "core"
+      else if (inS(v)) "in"
+      else if (outS(v)) "out"
+      else if (grp(v) != coreW) "disconnected"
+      else if (fi(v) && bo(v)) "tube"
+      else if (fi(v) || bo(v)) "tendril"
+      else "other")
+    }.toMap
+  }
+
+  test("bowtieRegions: the textbook bowtie classifies exactly; random digraphs match the replay") {
+    val s = spark
+    import s.implicits._
+    def run(edges: Seq[(Long, Long)]): Map[Long, String] = {
+      val df = edges.toDF("src", "dst")
+      Graph.bowtieRegions(df, Graph.stronglyConnectedComponents(df))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    // core cycle {10,11,12}; chain into it (in), chain out of it (out),
+    // an in->out bypass (tube), tendrils off both sides, a
+    // tendril-of-a-tendril (other), a separate component (disconnected)
+    val bow = Seq((10L, 11L), (11L, 12L), (12L, 10L),
+      (0L, 1L), (1L, 10L), (12L, 20L), (20L, 21L),
+      (1L, 30L), (30L, 20L), (1L, 40L), (40L, 41L), (50L, 20L),
+      (60L, 40L), (70L, 71L))
+    assert(run(bow) == Map(
+      0L -> "in", 1L -> "in",
+      10L -> "core", 11L -> "core", 12L -> "core",
+      20L -> "out", 21L -> "out",
+      30L -> "tube", 40L -> "tendril", 41L -> "tendril",
+      50L -> "tendril", 60L -> "other",
+      70L -> "disconnected", 71L -> "disconnected"))
+    assert(run(bow) == bruteBowtie(bow))
+    // random digraphs vs the replay
+    val rng = new scala.util.Random(37L)
+    for (trial <- 0 until 4) {
+      val edges = (0 until 50 + trial * 25).map(_ =>
+        (rng.nextInt(18).toLong, rng.nextInt(18).toLong))
+      assert(run(edges) == bruteBowtie(edges), s"trial $trial: $edges")
+    }
+    // coverage violations refuse
+    intercept[IllegalArgumentException](Graph.bowtieRegions(
+      bow.toDF("src", "dst"), Seq((10L, 10L)).toDF("node", "scc_id")))
+  }
 }
