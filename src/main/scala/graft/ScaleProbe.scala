@@ -736,6 +736,26 @@ object ScaleProbe {
       require(r.getLong(0) == n, s"got ${r.getLong(0)} of $n nodes")
       r.getLong(0)
     }
+    timed("graph_walks") {
+      // random walks at full width: 1 walk per node, 8 steps, on the
+      // directed ring — every node has exactly ONE out-neighbor, so
+      // the closed form is node = (start + step) mod n and the probe
+      // measures the step machinery (degree join + (src, rank) join +
+      // checkpoint per step, n live walks each round) at 10M × 9
+      // positions = 90M emitted rows, with the md5 ranking arithmetic
+      // on the hot path
+      val par = spark.sparkContext.defaultParallelism
+      val ring = spark.range(0, n, 1, par)
+        .select(col("id").as("src"), ((col("id") + 1) % n).as("dst"))
+      val got = graft.operators.Graph.randomWalks(ring, walkLength = 8,
+        walksPerNode = 1, seed = "p")
+      val r = got.agg(count(lit(1)),
+        count(when(col("node") =!=
+          pmod(col("start") + col("step"), lit(n)), 1))).head
+      require(r.getLong(1) == 0, s"${r.getLong(1)} rows off the closed form")
+      require(r.getLong(0) == 9L * n, s"got ${r.getLong(0)} of ${9L * n}")
+      r.getLong(0)
+    }
     timed("graph_sssp_pred") {
       // predecessors on the binary-jump BFS: a tight in-edge into v
       // removes one set bit, and the SMALLEST such u removes the

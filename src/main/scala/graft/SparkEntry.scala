@@ -229,6 +229,28 @@ object SparkEntry {
     purchaseLabelCache.getOrElseUpdate((s, dir),
       Graph.labelPropagation(purchaseEdges(s, dir), sweeps = 3))
 
+  /** Per-process cache of the CONVERGED weighted sssp run WITH
+    * predecessors on the purchase graph (nation-0 sources) — the
+    * weighted-distance gate is the same frame minus the pred column
+    * (the post-pass never touches distances), so one 16-round
+    * relaxation feeds both q_x_graph_sssp_weighted and
+    * q_x_graph_sssp_pred (VERDICT r10 #7's remaining fold). ~35k rows
+    * at sf0.1, checkpointed with measured stats. */
+  private val purchasePredCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def purchasePredDistances(s: SparkSession, dir: String): DataFrame =
+    purchasePredCache.getOrElseUpdate((s, dir), {
+      val sources = t(s, dir, "customer")
+        .where(col("c_nationkey") === 0)
+        .select((col("c_custkey") * 2).as("node"))
+      org.apache.spark.sql.graft.CheckpointStats.withMeasuredStats(
+        Graph.shortestPaths(purchaseEdges(s, dir), sources,
+            weightCol = Some("w"), directed = false, maxRounds = 16,
+            withPredecessors = true)
+          .localCheckpoint(true))
+    })
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -2210,12 +2232,11 @@ object SparkEntry {
       // term, so the oracle UNROLLS 16 full Bellman-Ford relaxation
       // rounds (the k-core unroll idiom); the Spark side's own
       // convergence require at maxRounds = 16 guarantees the fixpoint
-      // lands inside the unroll.
-      val c = t(s, dir, "customer")
-      val sources = c.where(col("c_nationkey") === 0)
-        .select((col("c_custkey") * 2).as("node"))
-      Graph.shortestPaths(purchaseEdges(s, dir), sources,
-          weightCol = Some("w"), directed = false, maxRounds = 16)
+      // lands inside the unroll. The run is SHARED with
+      // q_x_graph_sssp_pred (this gate is the cached converged frame
+      // minus the pred column — the post-pass never touches distances).
+      purchasePredDistances(s, dir)
+        .select(col("node"), col("dist"))
         .orderBy(col("node"))
     }),
     "q_x_graph_trustrank" -> ((s, dir) => {
@@ -2432,6 +2453,23 @@ object SparkEntry {
           maxRounds = 200)
         .orderBy(col("node"))
     }),
+    "q_x_graph_walks" -> ((s, dir) => {
+      // deterministic random walks (the DeepWalk corpus generator) on
+      // the q_x_graph_scc digraph: 2 walks per node, 4 steps, stepping
+      // to the neighbor ranked hex52(md5(seed:start:wnum:k:v)) mod
+      // degree — the md5 keyed-uniform idiom, so the oracle replays
+      // every token with the same ranked adjacency and hex arithmetic
+      // and the walks hash-match row for row (dead ends truncate)
+      val li = t(s, dir, "lineitem").where(col("l_orderkey") <= 2000)
+      val fwd = li.select(((col("l_partkey") % 100) * 2).as("src"),
+        ((col("l_suppkey") % 100) * 2 + 1).as("dst"))
+      val back = li.where(col("l_quantity") >= 30)
+        .select(((col("l_suppkey") % 100) * 2 + 1).as("src"),
+          ((col("l_partkey") % 100) * 2).as("dst"))
+      Graph.randomWalks(fwd.union(back), walkLength = 4,
+          walksPerNode = 2, seed = "w11")
+        .orderBy(col("start"), col("wnum"), col("step"))
+    }),
     "q_x_graph_coproject_communities" -> ((s, dir) => {
       // the classic two-step curation pipeline COMPOSED: project the
       // bipartite purchase links onto the supplier side (weight =
@@ -2482,12 +2520,9 @@ object SparkEntry {
       // unroll with the same one-join post-pass. Sources stay NULL
       // (w > 0 admits no tight in-edge at dist 0); following pred
       // pointers walks one exact shortest path back to a source.
-      val c = t(s, dir, "customer")
-      val sources = c.where(col("c_nationkey") === 0)
-        .select((col("c_custkey") * 2).as("node"))
-      Graph.shortestPaths(purchaseEdges(s, dir), sources,
-          weightCol = Some("w"), directed = false, maxRounds = 16,
-          withPredecessors = true)
+      // One cached converged run feeds this gate AND
+      // q_x_graph_sssp_weighted.
+      purchasePredDistances(s, dir)
         .orderBy(col("node"))
     }),
     "q_x_stats_heavy" -> ((s, dir) => {
@@ -4277,6 +4312,47 @@ object SparkEntry {
         |            OR n.node IN (SELECT node FROM bo) THEN 'tendril'
         |       ELSE 'other' END AS region
         |FROM nodes n JOIN wcc w USING (node) ORDER BY 1""".stripMargin,
+    "q_x_graph_walks" -> {
+      // ranked adjacency + the hex52(md5) mod degree step, 4 steps
+      // chained; '0x'||hex casts to BIGINT in DuckDB, matching Spark's
+      // conv(hex, 16, 10)
+      def step(k: Int): String =
+        s"""w$k AS (SELECT w.start, w.wnum, a.dst AS node
+           |  FROM w${k - 1} w JOIN deg g ON g.src = w.node
+           |  JOIN adj a ON a.src = w.node AND a.rk =
+           |    CAST(('0x' || substr(md5('w11:' || w.start || ':' ||
+           |      w.wnum || ':' || ${k - 1} || ':' || w.node), 1, 13))
+           |      AS BIGINT) % g.d)""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT src, dst FROM (
+         |      SELECT (l_partkey % 100) * 2 AS src,
+         |        (l_suppkey % 100) * 2 + 1 AS dst
+         |      FROM lineitem WHERE l_orderkey <= 2000
+         |      UNION ALL
+         |      SELECT (l_suppkey % 100) * 2 + 1, (l_partkey % 100) * 2
+         |      FROM lineitem
+         |      WHERE l_orderkey <= 2000 AND l_quantity >= 30) e_u),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+         |      FROM e GROUP BY 1),
+         |adj AS (SELECT src, dst,
+         |      CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+         |        AS BIGINT) AS rk
+         |      FROM e),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |      SELECT src AS node FROM e
+         |      UNION ALL SELECT dst FROM e) n_u),
+         |w0 AS (SELECT node AS start, CAST(t.r AS BIGINT) AS wnum, node
+         |      FROM nodes, (VALUES (0), (1)) t(r)),
+         |${step(1)},
+         |${step(2)},
+         |${step(3)},
+         |${step(4)}
+         |SELECT start, wnum, CAST(0 AS BIGINT) AS step, node FROM w0
+         |UNION ALL SELECT start, wnum, 1, node FROM w1
+         |UNION ALL SELECT start, wnum, 2, node FROM w2
+         |UNION ALL SELECT start, wnum, 3, node FROM w3
+         |UNION ALL SELECT start, wnum, 4, node FROM w4
+         |ORDER BY 1, 2, 3""".stripMargin
+    },
     "q_x_graph_coproject_communities" -> {
       // the projection CTEs chained into the weighted sweep unroll
       def sweep(prev: String, cur: Int): String =

@@ -1418,6 +1418,9 @@ object Graph {
       .head().get(0)
     val core = onGraph.where(col("scc_id") === lit(coreId))
       .select(col("node")).transform(checkpointed)
+    // the labeling's job is done (validated + core extracted) —
+    // release its blocks before the BFS passes start holding theirs
+    unpersistCheckpoint(onGraph)
     var rounds = 0
     def tick(): Unit = {
       rounds += 1
@@ -1464,9 +1467,13 @@ object Graph {
     val fwdIn = reach(inN, forward = true)
     val bwdOut = reach(outN, forward = false)
     // weak components over the symmetrized edges; a node whose only
-    // edge was a self-loop has no pair — its own singleton component
+    // edge was a self-loop has no pair — its own singleton component.
+    // cc is materialized as a checkpoint so the edge frame's blocks
+    // can release before the final assembly.
     val cc = Dedup.connectedComponents(
-      e.select(col("src").as("id_a"), col("dst").as("id_b")))
+        e.select(col("src").as("id_a"), col("dst").as("id_b")))
+      .transform(checkpointed)
+    unpersistCheckpoint(e)
     val coreWccRow = cc.join(core, Seq("node"), "left_semi")
       .agg(min(col("group_id"))).head()
     // a core with no surviving edge (singleton in a self-loop-only
@@ -1475,15 +1482,24 @@ object Graph {
       if (coreWccRow.isNullAt(0))
         core.agg(min(col("node"))).head().get(0)
       else coreWccRow.get(0)
-    def flag(df: DataFrame, name: String): DataFrame =
-      df.select(col("node"), lit(true).as(name))
+    // flag assembly as ONE tag union + hash aggregation (map-side
+    // combinable) instead of five separate joins — at 10M nodes the
+    // join chain held six sort/hash buffers at once and starved
+    // execution memory under the default heap
+    def tag(df: DataFrame, t: String): DataFrame =
+      df.select(col("node"), lit(t).as("_t"))
+    val tags = tag(core, "c")
+      .union(tag(inN, "i")).union(tag(outN, "o"))
+      .union(tag(fwdIn, "f")).union(tag(bwdOut, "b"))
+      .groupBy(col("node"))
+      .agg(max(col("_t") === "c").as("_core"),
+        max(col("_t") === "i").as("_in"),
+        max(col("_t") === "o").as("_out"),
+        max(col("_t") === "f").as("_fi"),
+        max(col("_t") === "b").as("_bo"))
     val grp = coalesce(col("group_id"), col("node"))
     nodes
-      .join(flag(core, "_core"), Seq("node"), "left")
-      .join(flag(inN, "_in"), Seq("node"), "left")
-      .join(flag(outN, "_out"), Seq("node"), "left")
-      .join(flag(fwdIn, "_fi"), Seq("node"), "left")
-      .join(flag(bwdOut, "_bo"), Seq("node"), "left")
+      .join(tags, Seq("node"), "left")
       .join(cc, Seq("node"), "left")
       .select(col("node"),
         when(coalesce(col("_core"), lit(false)), "core")
@@ -1495,5 +1511,86 @@ object Graph {
           .when(coalesce(col("_fi"), lit(false)) ||
             coalesce(col("_bo"), lit(false)), "tendril")
           .otherwise("other").as("region"))
+  }
+
+  /** DETERMINISTIC RANDOM WALKS — the DeepWalk/node2vec corpus
+    * generator (Perozzi et al. KDD 2014; Grover/Leskovec KDD 2016)
+    * with the sampling made engine-portable: at position k the walk at
+    * node v steps to the neighbor whose RANK (dense 0-based, neighbors
+    * ordered by id) equals
+    *
+    *   hex52(md5(seed:start:wnum:k:v)) mod out-degree(v)
+    *
+    * — the repo's md5 keyed-uniform idiom ([[Sampling.shuffleKey]] /
+    * assignSplits), so every step is uniform over the neighbors,
+    * reproducible under any engine with md5, and a SQL oracle replays
+    * the walks token for token. Walks STOP at a node with no
+    * out-neighbor (the standard truncation); self-loops are dropped;
+    * `directed = false` walks the symmetrized edge set.
+    *
+    * Output `(start, wnum, step, node)` — one row per visited
+    * position, step 0 = the start itself; `walksPerNode` walks per
+    * start node, distinguished by `wnum` inside the hash key.
+    *
+    * Scale shape: the ranked adjacency builds ONCE (a row_number
+    * window per src — the one-time index-build cost, like TextIndex
+    * posting construction; a mega-hub serializes its own partition for
+    * that one pass), then every step is TWO equi-joins (degree, then
+    * (src, rank) — fan-out exactly 1 per live walk) with checkpoint
+    * rotation. Cost per step ∝ live walks, never edge count. */
+  def randomWalks(edges: DataFrame, walkLength: Int,
+      walksPerNode: Int = 1, seed: String = "walk",
+      directed: Boolean = true): DataFrame = {
+    require(walkLength >= 1 && walkLength <= 100,
+      s"walkLength must be in [1, 100], got $walkLength")
+    require(walksPerNode >= 1 && walksPerNode <= 100,
+      s"walksPerNode must be in [1, 100], got $walksPerNode")
+    require(!seed.contains(":"), "seed must not contain ':'")
+    val e0 = edges.select(col("src"), col("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val e = (if (directed) e0
+      else e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))))
+      .distinct()
+      .transform(checkpointed)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("_deg"))
+      .transform(checkpointed)
+    val adj = e.select(col("src"), col("dst"),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src")).orderBy(col("dst"))) - 1)
+          .cast("long").as("_rk"))
+      .transform(checkpointed)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var cur = nodes.select(col("node").as("start"),
+        explode(sequence(lit(0), lit(walksPerNode - 1))).as("wnum"))
+      .select(col("start"), col("wnum").cast("long").as("wnum"),
+        col("start").as("node"))
+      .transform(checkpointed)
+    var out = Seq(cur.select(col("start"), col("wnum"),
+      lit(0L).as("step"), col("node")))
+    for (k <- 1 to walkLength) {
+      val key = concat_ws(":", lit(seed), col("start"), col("wnum"),
+        lit(k - 1), col("node"))
+      val next = cur
+        .join(deg.select(col("src").as("node"), col("_deg")), "node")
+        .select(col("start"), col("wnum"), col("node").as("src"),
+          pmod(conv(substring(md5(key), 1, 13), 16, 10).cast("long"),
+            col("_deg")).as("_rk"))
+        .join(adj, Seq("src", "_rk"))
+        .select(col("start"), col("wnum"), col("dst").as("node"))
+        .transform(checkpointed)
+      // every step frame IS part of the output — no rotation here;
+      // each checkpoint lives as long as the returned walks do
+      out :+= next.select(col("start"), col("wnum"),
+        lit(k.toLong).as("step"), col("node"))
+      cur = next
+    }
+    // the setup frames fed only the (eagerly materialized) step
+    // checkpoints — release them
+    unpersistCheckpoint(e)
+    unpersistCheckpoint(deg)
+    unpersistCheckpoint(adj)
+    out.reduce(_ union _)
   }
 }

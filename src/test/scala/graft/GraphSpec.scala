@@ -1215,4 +1215,92 @@ class GraphSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Graph.bowtieRegions(
       bow.toDF("src", "dst"), Seq((10L, 10L)).toDF("node", "scc_id")))
   }
+
+  test("randomWalks equals the md5 driver replay — directed, undirected, dead ends truncate") {
+    val s = spark
+    import s.implicits._
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def replay(edges: Seq[(Long, Long)], len: Int, per: Int,
+        seed: String, directed: Boolean): Set[(Long, Long, Long, Long)] = {
+      val e0 = edges.filter(t => t._1 != t._2).distinct
+      val e = (if (directed) e0 else e0 ++ e0.map(t => (t._2, t._1))).distinct
+      val adj = e.groupBy(_._1)
+        .map { case (v, es) => v -> es.map(_._2).distinct.sorted }
+      val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+      val out = scala.collection.mutable.Set.empty[(Long, Long, Long, Long)]
+      for (start <- nodes; w <- 0 until per) {
+        var cur = start
+        out += ((start, w.toLong, 0L, start))
+        var k = 1
+        var dead = false
+        while (k <= len && !dead) {
+          adj.get(cur) match {
+            case Some(nbrs) =>
+              val hex = md5hex(s"$seed:$start:$w:${k - 1}:$cur").take(13)
+              val idx = (BigInt(hex, 16) % nbrs.size).toInt
+              cur = nbrs(idx)
+              out += ((start, w.toLong, k.toLong, cur))
+            case None => dead = true
+          }
+          k += 1
+        }
+      }
+      out.toSet
+    }
+    def run(edges: Seq[(Long, Long)], len: Int, per: Int,
+        seed: String, directed: Boolean): Set[(Long, Long, Long, Long)] =
+      Graph.randomWalks(edges.toDF("src", "dst"), len, per, seed, directed)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val rng = new scala.util.Random(29L)
+    for (trial <- 0 until 3) {
+      val edges = (0 until 60).map(_ =>
+        (rng.nextInt(15).toLong, rng.nextInt(15).toLong))
+      for (directed <- Seq(true, false)) {
+        val got = run(edges, 5, 2, s"t$trial", directed)
+        assert(got == replay(edges, 5, 2, s"t$trial", directed),
+          s"trial $trial directed=$directed")
+      }
+    }
+    // dead ends truncate: a 3-chain DAG walk stops at the sink
+    val chain = Seq((0L, 1L), (1L, 2L))
+    assert(run(chain, 5, 1, "c", directed = true) == Set(
+      (0L, 0L, 0L, 0L), (0L, 0L, 1L, 1L), (0L, 0L, 2L, 2L),
+      (1L, 0L, 0L, 1L), (1L, 0L, 1L, 2L),
+      (2L, 0L, 0L, 2L)))
+    // the seed matters (different corpora) and the call is deterministic
+    val dense = (0 until 40).map(_ =>
+      (rng.nextInt(8).toLong, rng.nextInt(8).toLong))
+    assert(run(dense, 4, 1, "a", true) == run(dense, 4, 1, "a", true))
+    assert(run(dense, 4, 1, "a", true) != run(dense, 4, 1, "b", true))
+    intercept[IllegalArgumentException](
+      Graph.randomWalks(chain.toDF("src", "dst"), 0))
+    intercept[IllegalArgumentException](
+      Graph.randomWalks(chain.toDF("src", "dst"), 3, seed = "a:b"))
+  }
+
+  test("coproject / linkPredict / modularity plan equi-joins — no cartesian, no nested loop") {
+    val s = spark
+    import s.implicits._
+    val edges = (0 until 60).map(i =>
+      ((i % 7).toLong, (i % 11).toLong + 100))
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val shapes = Seq(
+      "coproject" -> planOf(
+        Graph.bipartiteProjection(edges.toDF("src", "dst"), 100)),
+      "linkPredict" -> planOf(
+        Graph.linkPredict(edges.toDF("src", "dst"), 10)),
+      "modularity" -> planOf(Graph.modularity(
+        edges.toDF("src", "dst"),
+        (0L until 7L).map(v => (v, 0L))
+          .++((100L until 111L).map(v => (v, 1L))).toDF("node", "label"))))
+    shapes.foreach { case (name, plan) =>
+      assert(!plan.contains("CartesianProduct"), s"$name: $plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name: $plan")
+    }
+  }
 }
