@@ -736,6 +736,22 @@ object ScaleProbe {
       require(r.getLong(0) == n, s"got ${r.getLong(0)} of $n nodes")
       r.getLong(0)
     }
+    timed("graph_hits") {
+      // unnormalized HITS on the directed n-ring: every node has one
+      // in- and one out-edge, so hub = authority = 1 is the exact
+      // fixpoint at any sweep — the probe measures the per-sweep
+      // machinery (two equi-joins + two hash aggregations + the
+      // decimal crossing checks) at full 10M width, 3 sweeps
+      val par = spark.sparkContext.defaultParallelism
+      val ring = spark.range(0, n, 1, par)
+        .select(col("id").as("src"), ((col("id") + 1) % n).as("dst"))
+      val got = graft.operators.Graph.hits(ring, iterations = 3)
+      val r = got.agg(count(lit(1)),
+        count(when(col("hub") =!= 1L || col("authority") =!= 1L, 1))).head
+      require(r.getLong(1) == 0, s"${r.getLong(1)} scores off the closed form")
+      require(r.getLong(0) == n, s"got ${r.getLong(0)} of $n nodes")
+      r.getLong(0)
+    }
     timed("graph_walks") {
       // random walks at full width: 1 walk per node, 8 steps, on the
       // directed ring — every node has exactly ONE out-neighbor, so

@@ -2470,6 +2470,22 @@ object SparkEntry {
           walksPerNode = 2, seed = "w11")
         .orderBy(col("start"), col("wnum"), col("step"))
     }),
+    "q_x_graph_hits" -> ((s, dir) => {
+      // HITS hubs-and-authorities in the exact unnormalized form (the
+      // per-sweep norm is a global scalar — the RANKING is identical,
+      // and the raw mutual recursion is pure integer path counts), so
+      // the oracle unrolls the three sweeps in SQL and the scores
+      // hash-match bit for bit; per-sweep decimal crossing checks make
+      // overflow an error, never a wrapped count
+      val li = t(s, dir, "lineitem").where(col("l_orderkey") <= 2000)
+      val fwd = li.select(((col("l_partkey") % 100) * 2).as("src"),
+        ((col("l_suppkey") % 100) * 2 + 1).as("dst"))
+      val back = li.where(col("l_quantity") >= 30)
+        .select(((col("l_suppkey") % 100) * 2 + 1).as("src"),
+          ((col("l_partkey") % 100) * 2).as("dst"))
+      Graph.hits(fwd.union(back), iterations = 3)
+        .orderBy(col("node"))
+    }),
     "q_x_graph_coproject_communities" -> ((s, dir) => {
       // the classic two-step curation pipeline COMPOSED: project the
       // bipartite purchase links onto the supplier side (weight =
@@ -4352,6 +4368,39 @@ object SparkEntry {
          |UNION ALL SELECT start, wnum, 3, node FROM w3
          |UNION ALL SELECT start, wnum, 4, node FROM w4
          |ORDER BY 1, 2, 3""".stripMargin
+    },
+    "q_x_graph_hits" -> {
+      // the unnormalized mutual recursion unrolled: auth_i from
+      // hub_{i-1}, hub_i from auth_i, zeros kept via LEFT JOINs
+      def sweep(prev: String, cur: Int): String =
+        s"""a$cur AS (SELECT e.dst AS node, CAST(sum(s.hub) AS BIGINT) AS a
+           |      FROM $prev s JOIN e ON e.src = s.node GROUP BY 1),
+           |af$cur AS (SELECT n.node, COALESCE(a$cur.a, 0) AS a
+           |      FROM nodes n LEFT JOIN a$cur USING (node)),
+           |h$cur AS (SELECT e.src AS node, CAST(sum(af.a) AS BIGINT) AS h
+           |      FROM af$cur af JOIN e ON e.dst = af.node GROUP BY 1),
+           |s$cur AS (SELECT n.node, COALESCE(h$cur.h, 0) AS hub,
+           |        af$cur.a AS auth
+           |      FROM nodes n LEFT JOIN h$cur USING (node)
+           |      JOIN af$cur USING (node))""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT src, dst FROM (
+         |      SELECT (l_partkey % 100) * 2 AS src,
+         |        (l_suppkey % 100) * 2 + 1 AS dst
+         |      FROM lineitem WHERE l_orderkey <= 2000
+         |      UNION ALL
+         |      SELECT (l_suppkey % 100) * 2 + 1, (l_partkey % 100) * 2
+         |      FROM lineitem
+         |      WHERE l_orderkey <= 2000 AND l_quantity >= 30) e_u),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |      SELECT src AS node FROM e
+         |      UNION ALL SELECT dst FROM e) n_u),
+         |s0 AS (SELECT node, CAST(1 AS BIGINT) AS hub,
+         |        CAST(1 AS BIGINT) AS auth FROM nodes),
+         |${sweep("s0", 1)},
+         |${sweep("s1", 2)},
+         |${sweep("s2", 3)}
+         |SELECT node, hub, auth AS authority FROM s3
+         |ORDER BY node""".stripMargin
     },
     "q_x_graph_coproject_communities" -> {
       // the projection CTEs chained into the weighted sweep unroll

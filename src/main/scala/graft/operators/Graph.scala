@@ -1298,13 +1298,18 @@ object Graph {
                 .as("_chg"))
             .transform(checkpointed)
           changed = next.where(col("_chg")).limit(1).count()
-          unpersistCheckpoint(color)
-          color = next.select(col("node"), col("color"))
+          // rotate the BARE checkpoint frames — unpersistCheckpoint
+          // matches a LogicalRDD root, so a select-over-checkpoint
+          // here would silently leak one frame per round
+          val prevC = color
+          color = next
+          unpersistCheckpoint(prevC)
         }
         // EXTRACT: backward BFS from each root within its color class
         // — frontier-shaped: each round joins the edges against only
         // the NEWLY added members, not the whole set
         var member = color.where(col("color") === col("node"))
+          .select(col("node"), col("color"))
           .transform(checkpointed)
         var frontier = member
         var frontierCount = member.count()
@@ -1511,6 +1516,90 @@ object Graph {
           .when(coalesce(col("_fi"), lit(false)) ||
             coalesce(col("_bo"), lit(false)), "tendril")
           .otherwise("other").as("region"))
+  }
+
+  /** HITS hubs-and-authorities (Kleinberg, "Authoritative sources in a
+    * hyperlinked environment", JACM 1999) in the EXACT unnormalized
+    * form: the classic iteration divides by a global norm each sweep —
+    * a single scalar that never changes the RANKING — so with a fixed
+    * iteration count the raw mutual recursion
+    *
+    *   auth₀ = hub₀ = 1
+    *   authᵢ(v) = Σ_{(u,v) ∈ E} hubᵢ₋₁(u)
+    *   hubᵢ(v)  = Σ_{(v,w) ∈ E} authᵢ(w)
+    *
+    * is a pure INTEGER recurrence (the values are path counts), and a
+    * SQL oracle unrolls the sweeps bit for bit — the exactness
+    * discipline applied to the second classic link-analysis ranking.
+    * Callers display `score / max(score)`; the ordering is identical
+    * to normalized HITS at the same iteration count.
+    *
+    * Counts grow ~(max degree)^(2i), so overflow is an ERROR up front,
+    * never a wrapped score: each sweep's sums are re-checked against
+    * Long range through one decimal(38,0) aggregate (the
+    * [[labelPropagation]] crossing-check idiom, one number per sweep).
+    * Edges canonicalize to distinct non-null pairs (self-loops KEPT —
+    * a self-link is a real hub-authority edge in HITS). Output
+    * `(node, hub, authority)`, one row per endpoint.
+    *
+    * Scale shape per sweep: two equi-joins and two hash aggregations,
+    * localCheckpoint rotation — the PageRank shape without the
+    * dangling bookkeeping. */
+  def hits(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 20,
+      s"iterations must be in [1, 20], got $iterations")
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .transform(checkpointed)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .transform(checkpointed)
+    var scores = nodes.select(col("node"),
+        lit(1L).as("hub"), lit(1L).as("authority"))
+      .transform(checkpointed)
+    def overflowCheck(df: DataFrame, c: String, what: String): Unit = {
+      val m = df.agg(max(col(c).cast("decimal(38,0)"))).head().getDecimal(0)
+      require(m == null ||
+        m.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) <= 0,
+        s"HITS $what counts exceed Long range — fewer iterations")
+    }
+    for (_ <- 0 until iterations) {
+      // auth(v) = Σ hub(u) over in-edges — summed wide as decimal,
+      // range-checked, THEN narrowed to long
+      val authDec = scores.select(col("node").as("src"), col("hub"))
+        .join(e, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("hub").cast("decimal(38,0)")).as("_a"))
+      val auth = nodes.join(authDec, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("_a"), lit(0)).as("_a"))
+        .transform(checkpointed)
+      overflowCheck(auth, "_a", "authority")
+      val hubDec = auth.select(col("node").as("dst"),
+          col("_a").cast("long").as("_av"))
+        .join(e, "dst")
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("_av").cast("decimal(38,0)")).as("_h"))
+      val next = nodes.join(hubDec, Seq("node"), "left")
+        .join(auth, Seq("node"))
+        .select(col("node"),
+          coalesce(col("_h"), lit(0)).as("_h"),
+          col("_a"))
+        .transform(checkpointed)
+      overflowCheck(next, "_h", "hub")
+      val prev = scores
+      scores = next.select(col("node"),
+          col("_h").cast("long").as("hub"),
+          col("_a").cast("long").as("authority"))
+        .transform(checkpointed)
+      unpersistCheckpoint(prev)
+      unpersistCheckpoint(auth)
+      unpersistCheckpoint(next)
+    }
+    unpersistCheckpoint(e)
+    unpersistCheckpoint(nodes)
+    scores
   }
 
   /** DETERMINISTIC RANDOM WALKS — the DeepWalk/node2vec corpus

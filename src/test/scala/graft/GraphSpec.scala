@@ -1216,6 +1216,49 @@ class GraphSpec extends AnyFunSuite {
       bow.toDF("src", "dst"), Seq((10L, 10L)).toDF("node", "scc_id")))
   }
 
+  test("hits equals the driver path-count replay; star hub/authority shapes; overflow refuses") {
+    val s = spark
+    import s.implicits._
+    def replay(edges: Seq[(Long, Long)], iters: Int)
+        : Map[Long, (Long, Long)] = {
+      val e = edges.distinct
+      val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+      var hub = nodes.map(_ -> 1L).toMap
+      var auth = nodes.map(_ -> 1L).toMap
+      for (_ <- 0 until iters) {
+        auth = nodes.map(v =>
+          v -> e.filter(_._2 == v).map(t => hub(t._1)).sum).toMap
+        hub = nodes.map(v =>
+          v -> e.filter(_._1 == v).map(t => auth(t._2)).sum).toMap
+      }
+      nodes.map(v => v -> (hub(v), auth(v))).toMap
+    }
+    def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] =
+      Graph.hits(edges.toDF("src", "dst"), iters)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    // star out of a hub: the center is the best hub, spokes best
+    // authorities; reversed star flips the roles
+    val star = (1L to 5L).map(i => (0L, i))
+    val starGot = run(star, 2)
+    assert(starGot(0L)._1 > starGot(1L)._1, "center must out-hub spokes")
+    assert(starGot(1L)._2 > starGot(0L)._2, "spokes must out-auth center")
+    // random digraphs (with self-loops kept — a real HITS edge)
+    val rng = new scala.util.Random(53L)
+    for (trial <- 0 until 3; iters <- Seq(1, 3)) {
+      val edges = (0 until 70).map(_ =>
+        (rng.nextInt(12).toLong, rng.nextInt(12).toLong))
+      assert(run(edges, iters) == replay(edges, iters),
+        s"trial $trial iters=$iters")
+    }
+    // a dense clique at 20 iterations overflows Long — an error,
+    // never a wrapped count
+    val k12 = for { i <- 0L until 12L; j <- 0L until 12L; if i != j }
+      yield (i, j)
+    intercept[IllegalArgumentException](run(k12, 20))
+    intercept[IllegalArgumentException](run(star, 0))
+  }
+
   test("randomWalks equals the md5 driver replay — directed, undirected, dead ends truncate") {
     val s = spark
     import s.implicits._
