@@ -2486,6 +2486,26 @@ object SparkEntry {
       Graph.hits(fwd.union(back), iterations = 3)
         .orderBy(col("node"))
     }),
+    "q_x_graph_walks_biased" -> ((s, dir) => {
+      // node2vec SECOND-ORDER walks on the symmetrized scc digraph
+      // with (wReturn, wNear, wFar) = (1, 2, 4) — i.e. p = 2, q = 1/2
+      // scaled to integers: backtracks damped, excursions favored. The
+      // pick is the neighbor whose cumulative-weight interval contains
+      // hex52(md5(seed:start:wnum:k:prev:cur)) mod total, neighbors
+      // ordered by id — fully deterministic, so the oracle unrolls the
+      // four steps with the same windows and hex arithmetic and the
+      // walks hash-match token for token (step 1 uniform, no prev)
+      val li = t(s, dir, "lineitem").where(col("l_orderkey") <= 2000)
+      val fwd = li.select(((col("l_partkey") % 100) * 2).as("src"),
+        ((col("l_suppkey") % 100) * 2 + 1).as("dst"))
+      val back = li.where(col("l_quantity") >= 30)
+        .select(((col("l_suppkey") % 100) * 2 + 1).as("src"),
+          ((col("l_partkey") % 100) * 2).as("dst"))
+      Graph.biasedRandomWalks(fwd.union(back), walkLength = 4,
+          walksPerNode = 1, seed = "wb", wReturn = 1, wNear = 2,
+          wFar = 4, directed = false)
+        .orderBy(col("start"), col("wnum"), col("step"))
+    }),
     "q_x_graph_coproject_communities" -> ((s, dir) => {
       // the classic two-step curation pipeline COMPOSED: project the
       // bipartite purchase links onto the supplier side (weight =
@@ -4401,6 +4421,57 @@ object SparkEntry {
          |${sweep("s2", 3)}
          |SELECT node, hub, auth AS authority FROM s3
          |ORDER BY node""".stripMargin
+    },
+    "q_x_graph_walks_biased" -> {
+      // candidates with node2vec class weights -> cumulative windows
+      // -> the hex52 interval pick, unrolled per step
+      def step(k: Int): String =
+        s"""c$k AS (SELECT w.start, w.wnum, w.prev, w.node, eu.dst AS nbr,
+           |    CASE WHEN w.prev IS NULL THEN 1
+           |         WHEN eu.dst = w.prev THEN 1
+           |         WHEN n$k.dst IS NOT NULL THEN 2
+           |         ELSE 4 END AS wt
+           |  FROM w${k - 1} w JOIN eu ON eu.src = w.node
+           |  LEFT JOIN eu n$k ON n$k.src = w.prev AND n$k.dst = eu.dst),
+           |p$k AS (SELECT c$k.*,
+           |    sum(wt) OVER (PARTITION BY start, wnum ORDER BY nbr
+           |      ROWS UNBOUNDED PRECEDING) AS cum,
+           |    sum(wt) OVER (PARTITION BY start, wnum) AS tot
+           |  FROM c$k),
+           |x$k AS (SELECT p$k.*,
+           |    CAST(('0x' || substr(md5('wb:' || start || ':' || wnum ||
+           |      ':' || ${k - 1} || ':' ||
+           |      COALESCE(CAST(prev AS VARCHAR), '-') || ':' || node),
+           |      1, 13)) AS BIGINT) % tot AS idx
+           |  FROM p$k),
+           |w$k AS (SELECT start, wnum, node AS prev, nbr AS node
+           |  FROM x$k WHERE idx >= cum - wt AND idx < cum)""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT src, dst FROM (
+         |      SELECT (l_partkey % 100) * 2 AS src,
+         |        (l_suppkey % 100) * 2 + 1 AS dst
+         |      FROM lineitem WHERE l_orderkey <= 2000
+         |      UNION ALL
+         |      SELECT (l_suppkey % 100) * 2 + 1, (l_partkey % 100) * 2
+         |      FROM lineitem
+         |      WHERE l_orderkey <= 2000 AND l_quantity >= 30) e_u),
+         |eu AS (SELECT DISTINCT src, dst FROM (
+         |      SELECT src, dst FROM e
+         |      UNION ALL SELECT dst, src FROM e) s_u),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |      SELECT src AS node FROM eu
+         |      UNION ALL SELECT dst FROM eu) n_u),
+         |w0 AS (SELECT node AS start, CAST(0 AS BIGINT) AS wnum,
+         |      CAST(NULL AS BIGINT) AS prev, node FROM nodes),
+         |${step(1)},
+         |${step(2)},
+         |${step(3)},
+         |${step(4)}
+         |SELECT start, wnum, CAST(0 AS BIGINT) AS step, node FROM w0
+         |UNION ALL SELECT start, wnum, 1, node FROM w1
+         |UNION ALL SELECT start, wnum, 2, node FROM w2
+         |UNION ALL SELECT start, wnum, 3, node FROM w3
+         |UNION ALL SELECT start, wnum, 4, node FROM w4
+         |ORDER BY 1, 2, 3""".stripMargin
     },
     "q_x_graph_coproject_communities" -> {
       // the projection CTEs chained into the weighted sweep unroll

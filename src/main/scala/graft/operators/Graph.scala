@@ -1682,4 +1682,101 @@ object Graph {
     unpersistCheckpoint(adj)
     out.reduce(_ union _)
   }
+
+  /** node2vec BIASED WALKS (Grover/Leskovec, KDD 2016) — the
+    * second-order extension of [[randomWalks]], deterministic and
+    * engine-portable. From position k ≥ 2 the walk at `cur` (having
+    * arrived from `prev`) weighs each neighbor by its node2vec class:
+    *
+    *   wReturn — nbr == prev            (node2vec 1/p, the backtrack)
+    *   wNear   — (prev, nbr) is an edge (distance 1 from prev)
+    *   wFar    — otherwise              (node2vec 1/q, the excursion)
+    *
+    * as POSITIVE INTEGER weights (scale node2vec's (1/p, 1, 1/q) by a
+    * common factor — e.g. p = 2, q = 1/2 is (wReturn, wNear, wFar) =
+    * (1, 2, 4)). The pick is the neighbor whose cumulative-weight
+    * interval (neighbors ordered by id) contains
+    * `hex52(md5(seed:start:wnum:k:prev:cur)) mod totalWeight` — the
+    * md5 keyed idiom again, so each step samples the exact node2vec
+    * distribution quantized to the integer weights, and a SQL oracle
+    * replays every token. The FIRST step (no prev) is uniform,
+    * matching [[randomWalks]]. Dead ends truncate; `directed = false`
+    * walks the symmetrized edge set (the published setting; for
+    * directed input, "distance 1" means the edge prev → nbr exists).
+    *
+    * Output `(start, wnum, step, node)`. Scale shape per step:
+    * adjacency fan-out deg(cur) per live walk, one membership
+    * left-join against the edge set on (prev, nbr), and a cumulative
+    * window PARTITIONED BY WALK — bounded by max degree, never a hot
+    * key. Cost per step ∝ Σ deg(cur) over live walks (the price of
+    * second-order bias; [[randomWalks]] stays the O(1)-per-walk
+    * first-order path). */
+  def biasedRandomWalks(edges: DataFrame, walkLength: Int,
+      walksPerNode: Int = 1, seed: String = "walk",
+      wReturn: Long = 1L, wNear: Long = 1L, wFar: Long = 1L,
+      directed: Boolean = false): DataFrame = {
+    require(walkLength >= 1 && walkLength <= 100,
+      s"walkLength must be in [1, 100], got $walkLength")
+    require(walksPerNode >= 1 && walksPerNode <= 100,
+      s"walksPerNode must be in [1, 100], got $walksPerNode")
+    require(!seed.contains(":"), "seed must not contain ':'")
+    require(wReturn >= 1 && wNear >= 1 && wFar >= 1,
+      "class weights must be positive integers")
+    require(wReturn.max(wNear).max(wFar) <= 1000000L,
+      "class weights above 1e6 — rescale (hex52 mod needs headroom)")
+    val e0 = edges.select(col("src"), col("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val e = (if (directed) e0
+      else e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))))
+      .distinct()
+      .transform(checkpointed)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // state carries (start, wnum, prev, node); step 1 is uniform
+    var cur = nodes.select(col("node").as("start"),
+        explode(sequence(lit(0), lit(walksPerNode - 1))).as("wnum"))
+      .select(col("start"), col("wnum").cast("long").as("wnum"),
+        lit(null).cast("long").as("prev"), col("start").as("node"))
+      .transform(checkpointed)
+    var out = Seq(cur.select(col("start"), col("wnum"),
+      lit(0L).as("step"), col("node")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("start"), col("wnum")).orderBy(col("_nbr"))
+    for (k <- 1 to walkLength) {
+      val key = concat_ws(":", lit(seed), col("start"), col("wnum"),
+        lit(k - 1), coalesce(col("prev").cast("string"), lit("-")),
+        col("node"))
+      val cands = cur
+        .join(e.select(col("src").as("node"), col("dst").as("_nbr")),
+          "node")
+        .join(e.select(col("src").as("prev"), col("dst").as("_nbr"),
+          lit(true).as("_near")), Seq("prev", "_nbr"), "left")
+        .select(col("start"), col("wnum"), col("prev"),
+          col("node"), col("_nbr"),
+          when(col("prev").isNull, lit(1L)) // step 1: uniform
+            .when(col("_nbr") === col("prev"), lit(wReturn))
+            .when(coalesce(col("_near"), lit(false)), lit(wNear))
+            .otherwise(lit(wFar)).as("_w"))
+      val picked = cands
+        .withColumn("_cum", sum(col("_w")).over(w))
+        .withColumn("_tot",
+          sum(col("_w")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("start"), col("wnum"))))
+        .withColumn("_idx",
+          pmod(conv(substring(md5(key), 1, 13), 16, 10).cast("long"),
+            col("_tot")))
+        .where(col("_idx") >= col("_cum") - col("_w") &&
+          col("_idx") < col("_cum"))
+      val next = picked
+        .select(col("start"), col("wnum"),
+          col("node").as("prev"), col("_nbr").as("node"))
+        .transform(checkpointed)
+      out :+= next.select(col("start"), col("wnum"),
+        lit(k.toLong).as("step"), col("node"))
+      cur = next
+    }
+    unpersistCheckpoint(e)
+    out.reduce(_ union _)
+  }
 }

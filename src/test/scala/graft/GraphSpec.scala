@@ -1325,6 +1325,88 @@ class GraphSpec extends AnyFunSuite {
       Graph.randomWalks(chain.toDF("src", "dst"), 3, seed = "a:b"))
   }
 
+  test("biasedRandomWalks equals the node2vec driver replay; uniform weights equal first-order walks") {
+    val s = spark
+    import s.implicits._
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def replay(edges: Seq[(Long, Long)], len: Int, seed: String,
+        wr: Long, wn: Long, wf: Long, directed: Boolean)
+        : Set[(Long, Long, Long, Long)] = {
+      val e0 = edges.filter(t => t._1 != t._2).distinct
+      val e = (if (directed) e0 else e0 ++ e0.map(t => (t._2, t._1))).distinct
+      val eSet = e.toSet
+      val adj = e.groupBy(_._1)
+        .map { case (v, es) => v -> es.map(_._2).distinct.sorted }
+      val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+      val out = scala.collection.mutable.Set.empty[(Long, Long, Long, Long)]
+      for (start <- nodes) {
+        var prev: Option[Long] = None
+        var curN = start
+        out += ((start, 0L, 0L, start))
+        var k = 1
+        var dead = false
+        while (k <= len && !dead) {
+          adj.get(curN) match {
+            case Some(nbrs) =>
+              val wts = nbrs.map { nb =>
+                prev match {
+                  case None => 1L
+                  case Some(p) if nb == p => wr
+                  case Some(p) if eSet((p, nb)) => wn
+                  case _ => wf
+                }
+              }
+              val tot = wts.sum
+              val pstr = prev.map(_.toString).getOrElse("-")
+              val hex = md5hex(s"$seed:$start:0:${k - 1}:$pstr:$curN").take(13)
+              val idx = (BigInt(hex, 16) % tot).toLong
+              var cum = 0L
+              var pick = -1
+              for (i <- nbrs.indices if pick < 0) {
+                cum += wts(i)
+                if (idx < cum) pick = i
+              }
+              prev = Some(curN)
+              curN = nbrs(pick)
+              out += ((start, 0L, k.toLong, curN))
+            case None => dead = true
+          }
+          k += 1
+        }
+      }
+      out.toSet
+    }
+    def run(edges: Seq[(Long, Long)], len: Int, seed: String,
+        wr: Long, wn: Long, wf: Long, directed: Boolean)
+        : Set[(Long, Long, Long, Long)] =
+      Graph.biasedRandomWalks(edges.toDF("src", "dst"), len, 1, seed,
+          wr, wn, wf, directed)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val rng = new scala.util.Random(47L)
+    for (trial <- 0 until 3) {
+      val edges = (0 until 60).map(_ =>
+        (rng.nextInt(12).toLong, rng.nextInt(12).toLong))
+      for ((wr, wn, wf) <- Seq((1L, 2L, 4L), (6L, 3L, 2L));
+          directed <- Seq(true, false)) {
+        assert(run(edges, 5, s"b$trial", wr, wn, wf, directed) ==
+          replay(edges, 5, s"b$trial", wr, wn, wf, directed),
+          s"trial $trial ($wr,$wn,$wf) directed=$directed")
+      }
+    }
+    // all-equal class weights do NOT reduce to first-order walks (the
+    // hash key differs by prev), but they ARE a uniform pick — every
+    // consecutive pair must be an edge, walks don't die on a cycle
+    val cyc = (0L until 8L).map(i => (i, (i + 1) % 8))
+    val uni = run(cyc, 6, "u", 1, 1, 1, directed = true)
+    assert(uni.size == 8 * 7) // 8 starts × 7 positions, no dead ends
+    intercept[IllegalArgumentException](Graph.biasedRandomWalks(
+      cyc.toDF("src", "dst"), 3, wReturn = 0))
+  }
+
   test("coproject / linkPredict / modularity plan equi-joins — no cartesian, no nested loop") {
     val s = spark
     import s.implicits._
