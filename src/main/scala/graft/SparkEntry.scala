@@ -279,6 +279,16 @@ object SparkEntry {
       Graph.stronglyConnectedComponents(sccDigraph(s, dir),
         maxRounds = 200))
 
+  /** The q_x_graph_walks corpus, shared with the skip-gram pair gate
+    * (the walk output is already a union of step checkpoints). */
+  private val sccWalksCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def sccWalks(s: SparkSession, dir: String): DataFrame =
+    sccWalksCache.getOrElseUpdate((s, dir),
+      Graph.randomWalks(sccDigraph(s, dir), walkLength = 4,
+        walksPerNode = 2, seed = "w11"))
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -2475,9 +2485,18 @@ object SparkEntry {
       // degree — the md5 keyed-uniform idiom, so the oracle replays
       // every token with the same ranked adjacency and hex arithmetic
       // and the walks hash-match row for row (dead ends truncate)
-      Graph.randomWalks(sccDigraph(s, dir), walkLength = 4,
-          walksPerNode = 2, seed = "w11")
-        .orderBy(col("start"), col("wnum"), col("step"))
+      sccWalks(s, dir).orderBy(col("start"), col("wnum"), col("step"))
+    }),
+    "q_x_graph_walk_pairs" -> ((s, dir) => {
+      // skip-gram pair extraction over the q_x_graph_walks corpus —
+      // every (center, context) pair within 2 positions on the same
+      // walk with its corpus-wide multiplicity: the co-occurrence
+      // table word2vec/SGNS trains on. Pure composition (one
+      // step-band self-join + one count aggregation on the cached
+      // walk output), so the oracle chains the walks unroll into the
+      // same self-join and the counts hash-match.
+      Graph.skipGramPairs(sccWalks(s, dir), window = 2)
+        .orderBy(col("center"), col("context"), col("offset"))
     }),
     "q_x_graph_hits" -> ((s, dir) => {
       // HITS hubs-and-authorities in the exact unnormalized form (the
@@ -4385,6 +4404,53 @@ object SparkEntry {
          |UNION ALL SELECT start, wnum, 3, node FROM w3
          |UNION ALL SELECT start, wnum, 4, node FROM w4
          |ORDER BY 1, 2, 3""".stripMargin
+    },
+    "q_x_graph_walk_pairs" -> {
+      // the walks unroll chained into the skip-gram step-band
+      // self-join
+      def step(k: Int): String =
+        s"""w$k AS (SELECT w.start, w.wnum, a.dst AS node
+           |  FROM w${k - 1} w JOIN deg g ON g.src = w.node
+           |  JOIN adj a ON a.src = w.node AND a.rk =
+           |    CAST(('0x' || substr(md5('w11:' || w.start || ':' ||
+           |      w.wnum || ':' || ${k - 1} || ':' || w.node), 1, 13))
+           |      AS BIGINT) % g.d)""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT src, dst FROM (
+         |      SELECT (l_partkey % 100) * 2 AS src,
+         |        (l_suppkey % 100) * 2 + 1 AS dst
+         |      FROM lineitem WHERE l_orderkey <= 2000
+         |      UNION ALL
+         |      SELECT (l_suppkey % 100) * 2 + 1, (l_partkey % 100) * 2
+         |      FROM lineitem
+         |      WHERE l_orderkey <= 2000 AND l_quantity >= 30) e_u),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+         |      FROM e GROUP BY 1),
+         |adj AS (SELECT src, dst,
+         |      CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+         |        AS BIGINT) AS rk
+         |      FROM e),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |      SELECT src AS node FROM e
+         |      UNION ALL SELECT dst FROM e) n_u),
+         |w0 AS (SELECT node AS start, CAST(t.r AS BIGINT) AS wnum, node
+         |      FROM nodes, (VALUES (0), (1)) t(r)),
+         |${step(1)},
+         |${step(2)},
+         |${step(3)},
+         |${step(4)},
+         |steps AS (
+         |  SELECT start, wnum, CAST(0 AS BIGINT) AS step, node FROM w0
+         |  UNION ALL SELECT start, wnum, 1, node FROM w1
+         |  UNION ALL SELECT start, wnum, 2, node FROM w2
+         |  UNION ALL SELECT start, wnum, 3, node FROM w3
+         |  UNION ALL SELECT start, wnum, 4, node FROM w4)
+         |SELECT l.node AS center, r.node AS context,
+         |  CAST(r.step - l.step AS BIGINT) AS offset,
+         |  CAST(count(*) AS BIGINT) AS cnt
+         |FROM steps l JOIN steps r
+         |  ON l.start = r.start AND l.wnum = r.wnum
+         |  AND r.step <> l.step AND abs(r.step - l.step) <= 2
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
     },
     "q_x_graph_hits" -> {
       // the unnormalized mutual recursion unrolled: auth_i from

@@ -1779,4 +1779,34 @@ object Graph {
     unpersistCheckpoint(e)
     out.reduce(_ union _)
   }
+
+  /** SKIP-GRAM PAIR EXTRACTION — the training-data product of the walk
+    * corpus (DeepWalk's co-occurrence step: every (center, context)
+    * node pair within `window` positions on the same walk, the input
+    * word2vec/SGNS consumes). Takes a [[randomWalks]] /
+    * [[biasedRandomWalks]] output `(start, wnum, step, node)` and
+    * emits `(center, context, offset)` rows with
+    * `1 ≤ |offset| ≤ window` (offset = context step − center step;
+    * both directions emitted, the standard symmetric window), plus
+    * the pair MULTIPLICITY summed across the whole corpus as `cnt` —
+    * the aggregate form SGNS samplers and PMI matrices want.
+    *
+    * Pure composition: one self-equi-join on the walk key
+    * (start, wnum) with a step-band predicate — per-walk fan-out ≤
+    * 2·window, no windows, no cartesian — and one count aggregation.
+    * Exact, so the gate chains the walks oracle into a self-join. */
+  def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1 && window <= 100,
+      s"window must be in [1, 100], got $window")
+    val l = walks.select(col("start"), col("wnum"),
+      col("step").as("_cs"), col("node").as("center"))
+    val r = walks.select(col("start"), col("wnum"),
+      col("step").as("_xs"), col("node").as("context"))
+    l.join(r, Seq("start", "wnum"))
+      .where(col("_xs") =!= col("_cs") &&
+        abs(col("_xs") - col("_cs")) <= window)
+      .groupBy(col("center"), col("context"),
+        (col("_xs") - col("_cs")).as("offset"))
+      .agg(count(lit(1)).as("cnt"))
+  }
 }

@@ -1407,6 +1407,51 @@ class GraphSpec extends AnyFunSuite {
       cyc.toDF("src", "dst"), 3, wReturn = 0))
   }
 
+  test("skipGramPairs equals brute force over the walk corpus; windows clip; truncated walks pair less") {
+    val s = spark
+    import s.implicits._
+    // hand-built corpus with a truncated walk and a repeated pair
+    val corpus = Seq(
+      (0L, 0L, 0L, 10L), (0L, 0L, 1L, 11L), (0L, 0L, 2L, 10L),
+      (0L, 0L, 3L, 12L),
+      (5L, 0L, 0L, 10L), (5L, 0L, 1L, 11L)) // truncated at step 1
+    def brute(win: Int): Map[(Long, Long, Long), Long] =
+      corpus.groupBy(t => (t._1, t._2)).values.flatMap { walk =>
+        for {
+          a <- walk; b <- walk
+          if a._3 != b._3 && math.abs(a._3 - b._3) <= win
+        } yield (a._4, b._4, b._3 - a._3)
+      }.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    def run(win: Int): Map[(Long, Long, Long), Long] =
+      Graph.skipGramPairs(
+          corpus.toDF("start", "wnum", "step", "node"), win)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+        .toMap
+    for (win <- Seq(1, 2, 3)) assert(run(win) == brute(win), s"win=$win")
+    // composition over real walks: every pair's endpoints co-occur on
+    // some walk, and window 1 pairs are exactly consecutive steps
+    val rng = new scala.util.Random(19L)
+    val edges = (0 until 50).map(_ =>
+      (rng.nextInt(10).toLong, rng.nextInt(10).toLong))
+    val walks = Graph.randomWalks(edges.toDF("src", "dst"), 4, 1, "sg")
+    val byWalk = walks.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
+    val got = Graph.skipGramPairs(walks, 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val want = byWalk.values.flatMap { steps =>
+      steps.sliding(2).filter(_.length == 2).flatMap { pair =>
+        val (a, b) = (pair(0), pair(1))
+        Seq((a._2, b._2, 1L), (b._2, a._2, -1L)) }
+    }.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    assert(got == want)
+    intercept[IllegalArgumentException](
+      Graph.skipGramPairs(walks, 0))
+  }
+
   test("coproject / linkPredict / modularity plan equi-joins — no cartesian, no nested loop") {
     val s = spark
     import s.implicits._
