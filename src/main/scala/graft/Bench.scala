@@ -44,22 +44,49 @@ object Bench {
         require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
         SparkEntry.queries.filter { case (n, _) => args.contains(n) }
       }
-    val results = selected.map { case (name, fn) =>
-      val times = (0 until repeat).map { _ =>
+    // Load-robustness (judge-adjudicated round 11: a sustained external
+    // load window poisoned all three back-to-back repeats of four
+    // queries, inflating the round artifact 439s over a real 166s).
+    // Two defenses:
+    //  1. The `repeat` passes run ROUND-ROBIN across the whole suite
+    //     (run 1 of every query, then run 2 of every query, ...) so a
+    //     load window spanning minutes shifts many medians slightly
+    //     instead of poisoning one query's all three samples.
+    //  2. The artifact records per-query MIN alongside the median, plus
+    //     the OS 1-minute load average at drive start and end — a
+    //     corrupted drive is then detectable from the artifact alone
+    //     (median >> min with high load; the min column stays stable).
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
+    val names = selected.keys.toIndexedSeq
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    (0 until repeat).foreach { _ =>
+      names.foreach { name =>
+        val fn = selected(name)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(times.length / 2) // median (== the run for repeat=1)
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+      }
     }
+    val loadEnd = osBean.getSystemLoadAverage
+    val results = names.map { name =>
+      val ts = samples(name).sorted
+      name -> ts(ts.length / 2) // median (== the run for repeat=1)
+    }
+    val mins = names.map { name => name -> samples(name).min }
     def fmt(v: Double): String = f"$v%.3f"
     def qjson(rs: Iterable[(String, Double)]): String = rs
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
+    val totalMin = mins.map(_._2).sum
+    val loadJson = s""""load_avg":{"start":${fmt(loadStart)},"end":${fmt(loadEnd)}}"""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""stat":"median-of-$repeat","n_queries":${results.size},""" +
-      s""""queries":${qjson(results)},"sf":"$sfDir"}"""
+      s""""stat":"median-of-$repeat","total_min":${fmt(totalMin)},""" +
+      s"""$loadJson,"n_queries":${results.size},""" +
+      s""""queries":${qjson(results)},"queries_min":${qjson(mins)},""" +
+      s""""sf":"$sfDir"}"""
     // the driver records only the last ~2000 chars of stdout; a
     // 180-query map exceeds that and has truncated mid-JSON three
     // rounds running (BENCH_rN.json "parsed": null). Print the full
@@ -72,14 +99,17 @@ object Bench {
         java.nio.file.Paths.get("bench_last.json"),
         (line + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }
-      val slowest = results.toSeq.sortBy(-_._2)
+      val slowest = results.sortBy(-_._2)
         .foldLeft(Seq.empty[(String, Double)]) { (acc, kv) =>
           // keep the summary line safely under the 2000-char tail
-          if (qjson(acc :+ kv).length < 1500) acc :+ kv else acc
+          if (qjson(acc :+ kv).length < 1200) acc :+ kv else acc
         }
+      val minByName = mins.toMap
       println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-        s""""stat":"median-of-$repeat","n_queries":${results.size},""" +
+        s""""stat":"median-of-$repeat","total_min":${fmt(totalMin)},""" +
+        s"""$loadJson,"n_queries":${results.size},""" +
         s""""queries":${qjson(slowest)},""" +
+        s""""queries_min":${qjson(slowest.map { case (k, _) => k -> minByName(k) })},""" +
         s""""queries_omitted":${results.size - slowest.size},""" +
         s""""queries_full":"bench_last.json","sf":"$sfDir"}""")
     }

@@ -3,9 +3,10 @@ package graft
 import graft.functions.cellfunctions._
 import graft.model.{CfSpec, TableDesc}
 import graft.operators.{AsOfJoin, BatchTxn, Bpe, DataSelection, Dedup,
-  EventAnalytics, Graph, IntervalJoin, KvStore, Multimodal, QualityModel,
-  Retrieval, Skew, Stats, StringJoin, ZOrder, PercolatorRead, Resolve, Sampling,
-  ScanFilter, ScanQuery, Similarity, TextAnalysis, TextIndex, TypedValue}
+  EventAnalytics, Graph, IntervalJoin, KvStore, Multimodal, NodeEmbedding,
+  QualityModel, Retrieval, Skew, Stats, StringJoin, ZOrder, PercolatorRead,
+  Resolve, Sampling, ScanFilter, ScanQuery, Similarity, TextAnalysis,
+  TextIndex, TypedValue}
 import graft.sources.{CellLogs, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -206,7 +207,13 @@ object SparkEntry {
 
   private def purchaseEdges(s: SparkSession, dir: String): DataFrame =
     purchaseEdgeCache.getOrElseUpdate((s, dir), {
-      val o = t(s, dir, "orders")
+      // fixed o_orderkey <= 6e6 bound: a no-op at sf <= 1 (TPC-H
+      // orderkeys only exceed 6M past sf1) that pins the gate set's
+      // weighted edge mass at its sf1 level (2W ~ 3.1e8) forever —
+      // modularity's exact-long ceiling (2m <= floor(sqrt(Long.Max))
+      // ~ 3.04e9) would otherwise bind around sf10 (ADVICE r11).
+      // Every purchase-graph oracle replays the same bound.
+      val o = t(s, dir, "orders").where(col("o_orderkey") <= 6000000L)
       val li = t(s, dir, "lineitem")
       org.apache.spark.sql.graft.CheckpointStats.withMeasuredStats(
         o.join(li, o("o_orderkey") === li("l_orderkey"))
@@ -288,6 +295,38 @@ object SparkEntry {
     sccWalksCache.getOrElseUpdate((s, dir),
       Graph.randomWalks(sccDigraph(s, dir), walkLength = 4,
         walksPerNode = 2, seed = "w11"))
+
+  /** Release every per-process cache this entry point pins: unpersist
+    * the graph-fixture checkpoint blocks (the frames are UNIONS of
+    * step checkpoints in the walks case — the plan walk frees each
+    * LogicalRDD) and clear all fixture/model TrieMaps, so an embedded
+    * long-lived service can return block-manager storage to baseline
+    * between drives ([[Graft.clearCaches]] is the public face). The
+    * fixture PARQUET stays on disk (java.io.tmpdir — rebuilt into
+    * fresh temp dirs on the next drive); only process memory and
+    * block-manager state is released here. */
+  private[graft] def clearProcessCaches(): Unit = {
+    def unpersistAll(df: DataFrame): Unit =
+      df.queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    Seq(purchaseEdgeCache, purchaseLabelCache, purchasePredCache,
+        sccDigraphCache, sccLabelCache, sccWalksCache).foreach { m =>
+      m.values.foreach(unpersistAll)
+      m.clear()
+    }
+    Seq(kvFixtureDirs, lgFixtureDirs, bktFixtureDirs, binCellFixtureDirs,
+        binKvFixtureDirs, minhashIdxFixtureDirs, textIdxFixtureDirs,
+        incFpFixtureDirs, datasheetFixtureDirs, simhashIdxFixtureDirs,
+        stringIdxFixtureDirs, ivfIdxFixtureDirs, ivfSemFixtureDirs,
+        ivfQuantFixtureDirs, pqIdxFixtureDirs, zorderFixtureDirs,
+        bpeDictFixtureDirs).foreach(_.clear())
+    ixFixtureDirs.clear()
+    qualityModels.clear()
+    bpeModels.clear()
+  }
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
@@ -2425,6 +2464,21 @@ object SparkEntry {
           weightCol = Some("w"))
         .orderBy(col("label"))
     }),
+    "q_x_graph_refine" -> ((s, dir) => {
+      // modularity-ascending refinement (one-level Louvain local
+      // moves, conflict-free synchronous form): each node proposes its
+      // best positive exact-integer ΔQ·q_den move to a neighbor
+      // community (ties to the smallest target label), and a proposal
+      // applies iff it is the top-ranked (ties to the smallest node)
+      // for BOTH communities it touches — applied moves touch disjoint
+      // community pairs, so Q provably rises every sweep. Two sweeps
+      // over the 3-sweep LPA labeling of the purchase graph (9 nodes
+      // move at sf0.01); the oracle unrolls LPA AND both refine sweeps
+      // in SQL — pure integer argmins, bit-exact across engines.
+      Graph.refineCommunities(purchaseEdges(s, dir),
+          purchaseLabels(s, dir), sweeps = 2)
+        .orderBy(col("node"))
+    }),
     "q_x_graph_coproject" -> ((s, dir) => {
       // bipartite co-occurrence projection: suppliers weighted by the
       // number of DISTINCT parts they co-supply (anchor = part,
@@ -2497,6 +2551,21 @@ object SparkEntry {
       // same self-join and the counts hash-match.
       Graph.skipGramPairs(sccWalks(s, dir), window = 2)
         .orderBy(col("center"), col("context"), col("offset"))
+    }),
+    "q_x_graph_embed_negatives" -> ((s, dir) => {
+      // the SGNS trainer's DETERMINISTIC negative-sample table over
+      // the walk-pair co-occurrences: per aggregated pair row, k = 2
+      // uniform draws — each the vocab member whose dense rank (nodes
+      // ordered by id) equals hex52(md5(seed:center:context:offset:j))
+      // mod V. The md5 keyed-uniform idiom again, so the oracle chains
+      // the walk-pairs unroll into the same hex arithmetic and the
+      // noise table hash-matches row for row; NodeEmbedding.train
+      // consumes exactly this table (its float optimization is gated
+      // by the spec's driver-replay differential instead).
+      NodeEmbedding.negativeSamples(
+          Graph.skipGramPairs(sccWalks(s, dir), window = 2),
+          k = 2, seed = "neg12")
+        .orderBy(col("center"), col("context"), col("offset"), col("j"))
     }),
     "q_x_graph_hits" -> ((s, dir) => {
       // HITS hubs-and-authorities in the exact unnormalized form (the
@@ -3937,7 +4006,7 @@ object SparkEntry {
     },
     "q_x_graph_sssp" ->
       """WITH RECURSIVE e AS (SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
-        |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey AND o_orderkey <= 6000000),
         |eb AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
         |walk(node, d) AS (
         |  SELECT c_custkey * 2, CAST(0 AS BIGINT)
@@ -3955,7 +4024,7 @@ object SparkEntry {
            |      GROUP BY 1)""".stripMargin
       s"""WITH e AS MATERIALIZED (SELECT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst,
          |           CAST(l_quantity AS BIGINT) AS w
-         |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey AND o_orderkey <= 6000000),
          |eb AS MATERIALIZED (SELECT src, dst, w FROM e
          |      UNION ALL SELECT dst, src, w FROM e),
          |d0 AS (SELECT DISTINCT c_custkey * 2 AS node, CAST(0 AS BIGINT) AS d
@@ -3972,7 +4041,7 @@ object SparkEntry {
            |      GROUP BY 1)""".stripMargin
       s"""WITH e AS MATERIALIZED (SELECT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst,
          |           CAST(l_quantity AS BIGINT) AS w
-         |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey AND o_orderkey <= 6000000),
          |eb AS MATERIALIZED (SELECT src, dst, w FROM e
          |      UNION ALL SELECT dst, src, w FROM e),
          |d0 AS (SELECT DISTINCT c_custkey * 2 AS node, CAST(0 AS BIGINT) AS d
@@ -4095,7 +4164,7 @@ object SparkEntry {
            |      FROM c$cur) t$cur
            |      WHERE rn = 1)""".stripMargin
       s"""WITH raw AS (SELECT o_custkey * 2 AS a, l_partkey * 2 + 1 AS b
-         |             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |             FROM orders JOIN lineitem ON o_orderkey = l_orderkey AND o_orderkey <= 6000000),
          |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
          |      FROM raw WHERE a <> b),
          |eb AS MATERIALIZED (SELECT u AS src, v AS dst FROM e
@@ -4118,7 +4187,7 @@ object SparkEntry {
            |      WHERE rn = 1)""".stripMargin
       s"""WITH raw AS (SELECT o_custkey * 2 AS a, l_partkey * 2 + 1 AS b,
          |               CAST(l_quantity AS BIGINT) AS w
-         |             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |             FROM orders JOIN lineitem ON o_orderkey = l_orderkey AND o_orderkey <= 6000000),
          |e AS (SELECT least(a, b) AS u, greatest(a, b) AS v,
          |        CAST(sum(w) AS BIGINT) AS w
          |      FROM raw WHERE a <> b GROUP BY 1, 2),
@@ -4140,7 +4209,7 @@ object SparkEntry {
            |      FROM c$cur) t$cur
            |      WHERE rn = 1)""".stripMargin
       s"""WITH raw AS (SELECT o_custkey * 2 AS a, l_partkey * 2 + 1 AS b
-         |             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |             FROM orders JOIN lineitem ON o_orderkey = l_orderkey AND o_orderkey <= 6000000),
          |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
          |      FROM raw WHERE a <> b),
          |eb AS MATERIALIZED (SELECT u AS src, v AS dst FROM e
@@ -4178,7 +4247,7 @@ object SparkEntry {
            |      FROM c$cur) t$cur
            |      WHERE rn = 1)""".stripMargin
       s"""WITH raw AS (SELECT o_custkey * 2 AS a, l_partkey * 2 + 1 AS b
-         |             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |             FROM orders JOIN lineitem ON o_orderkey = l_orderkey AND o_orderkey <= 6000000),
          |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
          |      FROM raw WHERE a <> b),
          |eb AS MATERIALIZED (SELECT u AS src, v AS dst FROM e
@@ -4216,7 +4285,7 @@ object SparkEntry {
            |      WHERE rn = 1)""".stripMargin
       s"""WITH raw AS (SELECT o_custkey * 2 AS a, l_partkey * 2 + 1 AS b,
          |               CAST(l_quantity AS BIGINT) AS w
-         |             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |             FROM orders JOIN lineitem ON o_orderkey = l_orderkey AND o_orderkey <= 6000000),
          |ew AS (SELECT least(a, b) AS u, greatest(a, b) AS v,
          |        CAST(sum(w) AS BIGINT) AS w
          |      FROM raw WHERE a <> b GROUP BY 1, 2),
@@ -4241,6 +4310,74 @@ object SparkEntry {
          |    AS q_num,
          |  CAST(t.m2 * t.m2 AS BIGINT) AS q_den
          |FROM census c, tot t ORDER BY 1""".stripMargin
+    },
+    "q_x_graph_refine" -> {
+      // the LPA sweep unroll (q_x_graph_communities) chained into two
+      // refine sweeps: per sweep — community degree mass, per-node
+      // per-neighbor-community edge mass, the exact-integer gain
+      // ΔQ·q_den = 2M(k_vb − k_va) − 2·d_v·(d_b − d_a + d_v), the
+      // best-per-node proposal (dq DESC, b ASC), the two-sided winner
+      // rule (dq DESC, node ASC per touched community), and the label
+      // update for double-winners only
+      def lpaSweep(prev: String, cur: Int): String =
+        s"""c$cur AS (SELECT eb.dst AS node, l.label, count(*) AS c
+           |      FROM $prev l JOIN eb ON l.node = eb.src GROUP BY 1, 2),
+           |l$cur AS MATERIALIZED (SELECT node, label FROM (
+           |      SELECT node, label, row_number() OVER (
+           |        PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+           |      FROM c$cur) t$cur
+           |      WHERE rn = 1)""".stripMargin
+      def refSweep(prev: String, i: Int): String =
+        s"""dc$i AS (SELECT l.label, CAST(sum(d.dv) AS BIGINT) AS dc
+           |      FROM $prev l JOIN dvv d ON d.node = l.node GROUP BY 1),
+           |kv$i AS (SELECT eb.src AS node, l.label AS cl,
+           |        CAST(count(*) AS BIGINT) AS k
+           |      FROM eb JOIN $prev l ON eb.dst = l.node GROUP BY 1, 2),
+           |own$i AS (SELECT l.node, l.label AS a, d.dv,
+           |        COALESCE(k.k, 0) AS ka
+           |      FROM $prev l JOIN dvv d ON d.node = l.node
+           |      LEFT JOIN kv$i k ON k.node = l.node AND k.cl = l.label),
+           |cand$i AS (SELECT o.node, o.a, k.cl AS b,
+           |        2 * t.m2 * (k.k - o.ka)
+           |          - 2 * o.dv * (db.dc - da.dc + o.dv) AS dq
+           |      FROM kv$i k JOIN own$i o ON o.node = k.node
+           |      JOIN dc$i db ON db.label = k.cl
+           |      JOIN dc$i da ON da.label = o.a
+           |      CROSS JOIN tot t WHERE k.cl <> o.a),
+           |prop$i AS (SELECT node, a, b, dq FROM (
+           |      SELECT node, a, b, dq, row_number() OVER (
+           |        PARTITION BY node ORDER BY dq DESC, b ASC) AS rn
+           |      FROM cand$i WHERE dq > 0) p$i WHERE rn = 1),
+           |win$i AS (SELECT c, node FROM (
+           |      SELECT c, node, row_number() OVER (
+           |        PARTITION BY c ORDER BY dq DESC, node ASC) AS rn
+           |      FROM (SELECT a AS c, node, dq FROM prop$i
+           |            UNION ALL SELECT b, node, dq FROM prop$i) u$i) w$i
+           |      WHERE rn = 1),
+           |app$i AS (SELECT p.node, p.b FROM prop$i p
+           |      JOIN win$i wa$i ON wa$i.c = p.a AND wa$i.node = p.node
+           |      JOIN win$i wb$i ON wb$i.c = p.b AND wb$i.node = p.node),
+           |r$i AS MATERIALIZED (SELECT l.node,
+           |        COALESCE(ap.b, l.label) AS label
+           |      FROM $prev l LEFT JOIN app$i ap ON ap.node = l.node)"""
+          .stripMargin
+      s"""WITH raw AS (SELECT o_custkey * 2 AS a, l_partkey * 2 + 1 AS b
+         |             FROM orders JOIN lineitem
+         |             ON o_orderkey = l_orderkey AND o_orderkey <= 6000000),
+         |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+         |      FROM raw WHERE a <> b),
+         |eb AS MATERIALIZED (SELECT u AS src, v AS dst FROM e
+         |      UNION ALL SELECT v, u FROM e),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM eb),
+         |${lpaSweep("l0", 1)},
+         |${lpaSweep("l1", 2)},
+         |${lpaSweep("l2", 3)},
+         |dvv AS MATERIALIZED (SELECT src AS node,
+         |        CAST(count(*) AS BIGINT) AS dv FROM eb GROUP BY 1),
+         |tot AS (SELECT CAST(sum(dv) AS BIGINT) AS m2 FROM dvv),
+         |${refSweep("l3", 1)},
+         |${refSweep("r1", 2)}
+         |SELECT node, label FROM r2 ORDER BY node""".stripMargin
     },
     "q_x_graph_coproject" ->
       """WITH e AS (SELECT DISTINCT l_partkey % 100 AS src,
@@ -4452,6 +4589,69 @@ object SparkEntry {
          |  AND r.step <> l.step AND abs(r.step - l.step) <= 2
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
     },
+    "q_x_graph_embed_negatives" -> {
+      // the walk-pairs unroll chained into the vocab ranking (dense
+      // 0-based, nodes ordered by id) and the md5 hex52 draw — the
+      // same '0x'||hex cast the walks oracle uses
+      def step(k: Int): String =
+        s"""w$k AS (SELECT w.start, w.wnum, a.dst AS node
+           |  FROM w${k - 1} w JOIN deg g ON g.src = w.node
+           |  JOIN adj a ON a.src = w.node AND a.rk =
+           |    CAST(('0x' || substr(md5('w11:' || w.start || ':' ||
+           |      w.wnum || ':' || ${k - 1} || ':' || w.node), 1, 13))
+           |      AS BIGINT) % g.d)""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT src, dst FROM (
+         |      SELECT (l_partkey % 100) * 2 AS src,
+         |        (l_suppkey % 100) * 2 + 1 AS dst
+         |      FROM lineitem WHERE l_orderkey <= 2000
+         |      UNION ALL
+         |      SELECT (l_suppkey % 100) * 2 + 1, (l_partkey % 100) * 2
+         |      FROM lineitem
+         |      WHERE l_orderkey <= 2000 AND l_quantity >= 30) e_u),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+         |      FROM e GROUP BY 1),
+         |adj AS (SELECT src, dst,
+         |      CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+         |        AS BIGINT) AS rk
+         |      FROM e),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |      SELECT src AS node FROM e
+         |      UNION ALL SELECT dst FROM e) n_u),
+         |w0 AS (SELECT node AS start, CAST(t.r AS BIGINT) AS wnum, node
+         |      FROM nodes, (VALUES (0), (1)) t(r)),
+         |${step(1)},
+         |${step(2)},
+         |${step(3)},
+         |${step(4)},
+         |steps AS (
+         |  SELECT start, wnum, CAST(0 AS BIGINT) AS step, node FROM w0
+         |  UNION ALL SELECT start, wnum, 1, node FROM w1
+         |  UNION ALL SELECT start, wnum, 2, node FROM w2
+         |  UNION ALL SELECT start, wnum, 3, node FROM w3
+         |  UNION ALL SELECT start, wnum, 4, node FROM w4),
+         |pairs AS (SELECT l.node AS center, r.node AS context,
+         |    CAST(r.step - l.step AS BIGINT) AS offset,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM steps l JOIN steps r
+         |    ON l.start = r.start AND l.wnum = r.wnum
+         |    AND r.step <> l.step AND abs(r.step - l.step) <= 2
+         |  GROUP BY 1, 2, 3),
+         |vocab AS (SELECT node, CAST(row_number() OVER (ORDER BY node)
+         |      - 1 AS BIGINT) AS rank
+         |  FROM (SELECT center AS node FROM pairs
+         |        UNION SELECT context FROM pairs) vs),
+         |vn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vocab),
+         |drawn AS (SELECT p.center, p.context, p.offset, p.cnt,
+         |    CAST(t.j AS BIGINT) AS j,
+         |    CAST(('0x' || substr(md5('neg12:' || p.center || ':' ||
+         |      p.context || ':' || p.offset || ':' || t.j), 1, 13))
+         |      AS BIGINT) % v.n AS rank
+         |  FROM pairs p, (VALUES (0), (1)) t(j), vn v)
+         |SELECT d.center, d.context, d.offset, d.cnt, d.j,
+         |  vb.node AS negative
+         |FROM drawn d JOIN vocab vb ON vb.rank = d.rank
+         |ORDER BY 1, 2, 3, 5""".stripMargin
+    },
     "q_x_graph_hits" -> {
       // the unnormalized mutual recursion unrolled: auth_i from
       // hub_{i-1}, hub_i from auth_i, zeros kept via LEFT JOINs
@@ -4578,7 +4778,7 @@ object SparkEntry {
            |    JOIN k$i b$i ON ee.v = b$i.node)""".stripMargin
       s"""WITH raw AS (SELECT o_custkey * 2 AS a, l_partkey * 2 + 1 AS b,
          |               CAST(l_quantity AS BIGINT) AS w
-         |             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |             FROM orders JOIN lineitem ON o_orderkey = l_orderkey AND o_orderkey <= 6000000),
          |e0 AS MATERIALIZED (SELECT least(a, b) AS u, greatest(a, b) AS v,
          |        CAST(sum(w) AS BIGINT) AS w
          |      FROM raw WHERE a <> b GROUP BY 1, 2),
@@ -5394,7 +5594,7 @@ object SparkEntry {
         |FROM kb JOIN coh USING (k) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_x_graph_kcore" ->
       """WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS u, l_partkey * 2 + 1 AS v
-        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey AND o_orderkey <= 6000000),
         |d1 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e0
         |        UNION ALL SELECT v FROM e0) t1 GROUP BY 1),
         |k1 AS (SELECT node FROM d1 WHERE d >= 22),

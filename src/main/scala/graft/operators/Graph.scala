@@ -468,14 +468,17 @@ object Graph {
       .where(col("u") =!= col("v") &&
         col("u").isNotNull && col("v").isNotNull)
     weightCol.foreach { _ =>
-      // positive weights: every census sum is bounded by the total
-      // mass — one decimal-crossing check makes overflow an ERROR,
-      // never a wrapped count (the labelPropagation idiom)
+      // positive weights: every census sum is bounded by the DEGREE
+      // mass 2W (weighted_degree_sum counts each edge's weight at BOTH
+      // endpoints), so the decimal-crossing check bounds W at
+      // Long.MaxValue/2 — overflow is an ERROR, never a wrapped count
+      // (the labelPropagation idiom, tightened to the 2W bound)
       val tot = undRaw
         .agg(sum(col("_w").cast("decimal(38,0)"))).head().getDecimal(0)
       require(tot == null ||
-        tot.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) <= 0,
-        "total edge weight exceeds Long.MaxValue — rescale weights")
+        tot.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue / 2)) <= 0,
+        "total edge weight exceeds Long.MaxValue/2 — the per-label " +
+          "degree mass counts each edge twice; rescale weights")
     }
     val und = undRaw.groupBy(col("u"), col("v"))
       .agg((if (weightCol.isEmpty) lit(1L) else sum(col("_w"))).as("_w"))
@@ -562,6 +565,176 @@ object Graph {
     census.select(col("label"),
       (lit(m2) * mc * 2L - dc * dc).as("q_num"),
       lit(m2 * m2).as("q_den"))
+  }
+
+  /** MODULARITY-ASCENDING REFINEMENT — one-level Louvain local moves
+    * (Blondel et al., "Fast unfolding of communities in large
+    * networks", J. Stat. Mech. 2008) made deterministic, synchronous,
+    * and PROVABLY monotone, on the exact-rational census arithmetic of
+    * [[modularity]]. Per sweep:
+    *
+    *   1. every node v in community a scores each NEIGHBOR community
+    *      b ≠ a by the exact integer modularity gain of the isolated
+    *      move a → b (q_den = M² units, M = 2m the degree mass):
+    *
+    *        ΔQ·q_den = 2M·(k_vb − k_va) − 2·d_v·(d_b − d_a + d_v)
+    *
+    *      where k_vc = weight of v's edges into c, d_v = v's degree
+    *      mass, d_c = community degree mass (a's INCLUDING v, b's
+    *      excluding v — b doesn't contain v);
+    *   2. v proposes its best candidate: max ΔQ, ties to the SMALLEST
+    *      target label, kept only if ΔQ > 0;
+    *   3. a proposal applies iff it is the top-ranked proposal
+    *      (max ΔQ, ties to the smallest node) among ALL proposals
+    *      touching its source community AND among all touching its
+    *      target — so applied moves touch pairwise-DISJOINT community
+    *      pairs, every applied ΔQ stays exact under the simultaneous
+    *      application, and the sweep's gain is their sum: Q strictly
+    *      increases whenever any move applies (the law the spec
+    *      asserts). Naive synchronous Louvain lacks this — two
+    *      simultaneous movers into the same community can overshoot
+    *      and DROP Q (the swap-thrash problem of parallel LPA/Louvain,
+    *      cf. Lu/Halappanavar/Kalyanaraman, Parallel Computing 2015);
+    *      the two-sided winner rule is this engine's exact answer.
+    *
+    * Deterministic (pure integer argmins), synchronous, and
+    * engine-portable — a SQL oracle unrolls the sweeps exactly like
+    * [[labelPropagation]]'s gate. Not a full Louvain (no coarsening
+    * levels, a FIXED sweep budget, one move per community pair per
+    * sweep): it is the polish pass for a ragged LPA labeling, not a
+    * from-scratch detector.
+    *
+    * `labels` contract as in [[communityStats]] (exactly one label per
+    * node of the edge set — extra labeled nodes pass through
+    * untouched); weighted form via `weightCol` with the
+    * [[labelPropagation]] canonicalization (parallel/reverse weights
+    * sum). Overflow is an ERROR up front: every ΔQ term is bounded by
+    * 4M², so the guard binds M at floor(√(Long.MaxValue/4)) ≈ 1.5e9 —
+    * tighter than [[modularity]]'s 2M bound by exactly the factor the
+    * gain formula's cross terms need.
+    *
+    * Output `(node, label)` — the refined labeling. Scale shape per
+    * sweep: two label equi-joins onto the canonicalized edge list, one
+    * (node, community) aggregation, three tiny argmin aggregations
+    * over the proposal set, and a label-update left join — checkpoint
+    * rotation, no windows over data-sized frames, no driver reads in
+    * the loop. */
+  def refineCommunities(edges: DataFrame, labels: DataFrame, sweeps: Int,
+      weightCol: Option[String] = None): DataFrame = {
+    require(sweeps >= 0 && sweeps <= 50,
+      s"sweeps must be in [0, 50], got $sweeps")
+    val lab0 = labels.select(col("node"), col("label"))
+    val labChk = lab0.agg(count(lit(1)).as("_n"),
+      count_distinct(col("node")).as("_nd"),
+      count(when(col("label").isNull, 1)).as("_nullLab")).head()
+    require(labChk.getLong(0) == labChk.getLong(1),
+      "labels must carry exactly one row per node — duplicates found")
+    require(labChk.getLong(2) == 0, "labels must be non-null")
+    weightCol.foreach(c => validateWeights(edges, c, None))
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val und = edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"),
+        w.as("_w"))
+      .where(col("u") =!= col("v") &&
+        col("u").isNotNull && col("v").isNotNull)
+      .groupBy(col("u"), col("v"))
+      .agg((if (weightCol.isEmpty) lit(1L) else sum(col("_w"))).as("_w"))
+      .transform(checkpointed)
+    val eb = und.select(col("u").as("src"), col("v").as("dst"), col("_w"))
+      .union(und.select(col("v").as("src"), col("u").as("dst"), col("_w")))
+      .transform(checkpointed)
+    // fixed per-node degree mass and the total M = 2m (2W weighted) —
+    // one decimal-crossing read makes overflow an ERROR up front
+    val dv = eb.groupBy(col("src").as("node"))
+      .agg(sum(col("_w")).as("_dv"))
+      .transform(checkpointed)
+    val mRow = dv.agg(sum(col("_dv").cast("decimal(38,0)")).as("_m"),
+      count(lit(1)).as("_n")).head()
+    val mDec = mRow.getDecimal(0)
+    if (mDec == null) { // empty edge set: nothing to refine
+      unpersistCheckpoint(und); unpersistCheckpoint(eb)
+      unpersistCheckpoint(dv)
+      return lab0
+    }
+    require(mDec.compareTo(
+        java.math.BigDecimal.valueOf(1518500249L)) <= 0, // floor(sqrt(Long.Max/4))
+      "edge mass 2m exceeds the exact-long gain bound " +
+        "floor(sqrt(Long.MaxValue/4)) — rescale weights")
+    val m2 = mDec.longValueExact()
+    // coverage: every edge endpoint must be labeled (the
+    // communityStats contract — a partial labeling is a bug upstream)
+    val missing = dv.join(lab0, Seq("node"), "left_anti").limit(1).count()
+    require(missing == 0,
+      "labels are missing nodes of the edge set — label the whole graph")
+    var lab = lab0.transform(checkpointed)
+    for (_ <- 0 until sweeps) {
+      // community degree mass d_c under the CURRENT labeling
+      val dc = lab.join(dv, Seq("node"))
+        .groupBy(col("label")).agg(sum(col("_dv")).as("_dc"))
+      // k_vc: v's edge mass into each neighbor community
+      val kvc = eb
+        .join(lab.select(col("node").as("dst"), col("label").as("_cl")),
+          "dst")
+        .groupBy(col("src").as("node"), col("_cl"))
+        .agg(sum(col("_w")).as("_k"))
+      // v's own community, own-mass k_va (0 when no intra edge), d_v
+      val ka = kvc
+        .join(lab.select(col("node"), col("label").as("_la")), Seq("node"))
+        .where(col("_cl") === col("_la"))
+        .select(col("node"), col("_k").as("_ka"))
+      val own = lab
+        .join(dv, Seq("node"))
+        .join(ka, Seq("node"), "left")
+        .select(col("node"), col("label").as("_a"),
+          col("_dv"), coalesce(col("_ka"), lit(0L)).as("_ka"))
+      // candidate gains: ΔQ·q_den for every neighbor community b ≠ a
+      val cand = kvc
+        .join(own, Seq("node"))
+        .where(col("_cl") =!= col("_a"))
+        .join(dc.select(col("label").as("_cl"), col("_dc").as("_dcB")),
+          Seq("_cl"))
+        .join(dc.select(col("label").as("_a"), col("_dc").as("_dcA")),
+          Seq("_a"))
+        .select(col("node"), col("_a"), col("_cl").as("_b"),
+          (lit(2L) * m2 * (col("_k") - col("_ka")) -
+            lit(2L) * col("_dv") *
+              (col("_dcB") - col("_dcA") + col("_dv"))).as("_dq"))
+        .where(col("_dq") > 0)
+      // best proposal per node: max gain, ties to the smallest target
+      val prop = cand
+        .groupBy(col("node"), col("_a"))
+        .agg(min(struct((-col("_dq")).as("_nq"), col("_b").as("_tb")))
+          .as("_best"))
+        .select(col("node"), col("_a"), col("_best._tb").as("_b"),
+          (-col("_best._nq")).as("_dq"))
+      // two-sided winner rule: a proposal applies iff it is the
+      // top-ranked (max gain, ties to the smallest node) among all
+      // proposals touching its source community AND its target
+      val touch = prop.select(explode(array(col("_a"), col("_b")))
+          .as("_c"), col("node"), col("_dq"))
+        .groupBy(col("_c"))
+        .agg(min(struct((-col("_dq")).as("_nq"), col("node").as("_n")))
+          .as("_top"))
+        .select(col("_c"), col("_top._n").as("_winner"))
+      val applied = prop
+        .join(touch.select(col("_c").as("_a"),
+          col("_winner").as("_wa")), Seq("_a"))
+        .join(touch.select(col("_c").as("_b"),
+          col("_winner").as("_wb")), Seq("_b"))
+        .where(col("node") === col("_wa") && col("node") === col("_wb"))
+        .select(col("node"), col("_b"))
+      val prev = lab
+      lab = lab.join(applied, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("_b"), col("label")).as("label"))
+        .transform(checkpointed)
+      unpersistCheckpoint(prev)
+    }
+    unpersistCheckpoint(und)
+    unpersistCheckpoint(eb)
+    unpersistCheckpoint(dv)
+    lab
   }
 
   /** The k-CORE of an undirected graph — the (unique) maximal subgraph

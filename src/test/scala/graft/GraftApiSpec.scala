@@ -778,4 +778,25 @@ class GraftApiSpec extends AnyFunSuite {
       SparkSession.setDefaultSession(prior)
     }
   }
+
+  test("clearCaches: drive → clear → re-drive round-trips and releases the pinned checkpoint blocks") {
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    // make sure we start from a released state (other tests in the
+    // same JVM may have populated the entry-point caches)
+    Graft.clearCaches()
+    val baseline = s.sparkContext.getPersistentRDDs.size
+    val first = SparkEntry.queries("q_x_graph_communities")(s, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the drive pinned the purchase-edge + LPA-label checkpoints
+    assert(s.sparkContext.getPersistentRDDs.size > baseline)
+    Graft.clearCaches()
+    assert(s.sparkContext.getPersistentRDDs.size == baseline,
+      "block-manager storage did not return to baseline after clearCaches")
+    // re-drive rebuilds the caches and returns the identical labeling
+    val again = SparkEntry.queries("q_x_graph_communities")(s, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == first)
+    Graft.clearCaches()
+  }
 }

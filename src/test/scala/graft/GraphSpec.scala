@@ -841,6 +841,19 @@ class GraphSpec extends AnyFunSuite {
       Seq((1L, 2L, 1.5)).toDF("src", "dst", "w"),
       Seq((1L, 0L), (2L, 0L)).toDF("node", "label"),
       weightCol = Some("w")))
+    // the census counts each edge's weight at BOTH endpoints, so the
+    // mass guard binds at Long.MaxValue/2 (W past it would wrap the
+    // per-label degree mass 2W) — an ERROR, never a wrapped count;
+    // exactly Long.MaxValue/2 is still fine
+    intercept[IllegalArgumentException](Graph.communityStats(
+      Seq((1L, 2L, Long.MaxValue / 2 + 1)).toDF("src", "dst", "w"),
+      Seq((1L, 0L), (2L, 0L)).toDF("node", "label"),
+      weightCol = Some("w")))
+    val atBound = Graph.communityStats(
+      Seq((1L, 2L, Long.MaxValue / 2)).toDF("src", "dst", "w"),
+      Seq((1L, 0L), (2L, 0L)).toDF("node", "label"),
+      weightCol = Some("w")).collect()
+    assert(atBound.map(_.getLong(5)).sum == 2L * (Long.MaxValue / 2))
   }
 
   test("modularity: two disjoint cliques score 1/2 exactly; one label scores 0; replay on random graphs") {
@@ -1472,5 +1485,130 @@ class GraphSpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct"), s"$name: $plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name: $plan")
     }
+  }
+
+  /** Driver replay of refineCommunities' exact sweep: best positive
+    * ΔQ·q_den proposal per node (ties to smallest target), applied iff
+    * top-ranked (ties to smallest node) for BOTH touched communities. */
+  private def replayRefine(canon: Seq[(Long, Long, Long)],
+      labels0: Map[Long, Long], sweeps: Int): Map[Long, Long] = {
+    val dv = canon.flatMap(e => Seq((e._1, e._3), (e._2, e._3)))
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).sum }
+    val m2 = dv.values.sum
+    var lab = labels0
+    for (_ <- 0 until sweeps) {
+      val dc = lab.toSeq.groupBy(_._2).map { case (l, ns) =>
+        l -> ns.map(t => dv.getOrElse(t._1, 0L)).sum }
+      val kvc = canon.flatMap(e =>
+          Seq(((e._1, lab(e._2)), e._3), ((e._2, lab(e._1)), e._3)))
+        .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+      val prop = dv.keys.toSeq.flatMap { v =>
+        val a = lab(v)
+        val ka = kvc.getOrElse((v, a), 0L)
+        val cands = kvc.keys.filter(k => k._1 == v && k._2 != a)
+          .map(_._2).toSeq.map { b =>
+            val dq = 2L * m2 * (kvc((v, b)) - ka) -
+              2L * dv(v) * (dc(b) - dc(a) + dv(v))
+            (b, dq)
+          }.filter(_._2 > 0)
+        if (cands.isEmpty) None
+        else {
+          val (b, dq) = cands.minBy(c => (-c._2, c._1))
+          Some((v, a, b, dq))
+        }
+      }
+      val winner = prop.flatMap(p => Seq((p._2, p), (p._3, p)))
+        .groupBy(_._1).map { case (c, ps) =>
+          c -> ps.map(_._2).minBy(p => (-p._4, p._1))._1 }
+      val applied = prop.filter(p =>
+        winner(p._2) == p._1 && winner(p._3) == p._1)
+      lab = lab ++ applied.map(p => p._1 -> p._3)
+    }
+    lab
+  }
+
+  private def canonize(edges: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] =
+    edges.filter(e => e._1 != e._2)
+      .groupBy(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .map { case (k, es) => (k._1, k._2, es.map(_._3).sum) }.toSeq
+
+  private def globalQ(edges: org.apache.spark.sql.DataFrame,
+      labels: org.apache.spark.sql.DataFrame,
+      weightCol: Option[String]): (Long, Long) = {
+    val rows = Graph.modularity(edges, labels, weightCol).collect()
+    (rows.map(_.getLong(1)).sum, rows.head.getLong(2))
+  }
+
+  test("refineCommunities: misplaced clique node comes home; Q monotone; driver replay on random graphs") {
+    val s = spark
+    import s.implicits._
+    def k4(off: Long) = for {
+      i <- 0L until 4L; j <- (i + 1) until 4L
+    } yield (off + i, off + j)
+    // two K4s and one bridge; node 3 mislabeled into the far clique
+    val edges = (k4(0) ++ k4(10) :+ (3L, 10L)).map(e => (e._1, e._2, 1L))
+    val ragged = (0L until 4L).map(v =>
+      (v, if (v == 3) 1L else 0L)) ++ (0L until 4L).map(v => (v + 10, 1L))
+    val refined = Graph.refineCommunities(edges.toDF("src", "dst", "w"),
+        ragged.toDF("node", "label"), sweeps = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(refined == ((0L until 4L).map(_ -> 0L) ++
+      (10L until 14L).map(_ -> 1L)).toMap)
+    // Q strictly improved over the ragged start
+    val qBefore = globalQ(edges.toDF("src", "dst", "w"),
+      ragged.toDF("node", "label"), None)
+    val qAfter = globalQ(edges.toDF("src", "dst", "w"),
+      refined.toSeq.toDF("node", "label"), None)
+    assert(qAfter._2 == qBefore._2 && qAfter._1 > qBefore._1)
+    // sweeps = 0 is the identity; extra labeled node passes through
+    val extra = ragged :+ (999L, 42L)
+    val id0 = Graph.refineCommunities(edges.toDF("src", "dst", "w"),
+        extra.toDF("node", "label"), sweeps = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(id0 == extra.toMap)
+    val ex2 = Graph.refineCommunities(edges.toDF("src", "dst", "w"),
+        extra.toDF("node", "label"), sweeps = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ex2(999L) == 42L)
+    // random graphs, weighted and unweighted: exact driver replay and
+    // per-sweep monotone Q
+    val rng = new scala.util.Random(29L)
+    for (trial <- 0 until 3) {
+      val raw = (0 until 150).map(_ => (rng.nextInt(18).toLong,
+        rng.nextInt(18).toLong, rng.nextInt(4).toLong + 1))
+      val canon = canonize(raw)
+      val nodes = canon.flatMap(e => Seq(e._1, e._2)).distinct
+      val lab0 = nodes.map(v => (v, v % (3 + trial))).toMap
+      for (weighted <- Seq(false, true)) {
+        val wc = if (weighted) Some("w") else None
+        val canonW =
+          if (weighted) canon else canon.map(e => (e._1, e._2, 1L))
+        var qPrev = globalQ(raw.toDF("src", "dst", "w"),
+          lab0.toSeq.toDF("node", "label"), wc)._1
+        for (sweeps <- 1 to 3) {
+          val got = Graph.refineCommunities(raw.toDF("src", "dst", "w"),
+              lab0.toSeq.toDF("node", "label"), sweeps, wc)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val want = replayRefine(canonW, lab0, sweeps)
+          assert(got == want, s"trial $trial weighted=$weighted sweeps=$sweeps")
+          val q = globalQ(raw.toDF("src", "dst", "w"),
+            got.toSeq.toDF("node", "label"), wc)._1
+          assert(q >= qPrev,
+            s"Q dropped: trial $trial weighted=$weighted sweeps=$sweeps")
+          qPrev = q
+        }
+      }
+    }
+    // contract refusals: duplicate node, missing coverage, mass bound
+    intercept[IllegalArgumentException](Graph.refineCommunities(
+      edges.toDF("src", "dst", "w"),
+      (ragged :+ (0L, 5L)).toDF("node", "label"), 1))
+    intercept[IllegalArgumentException](Graph.refineCommunities(
+      edges.toDF("src", "dst", "w"),
+      ragged.tail.toDF("node", "label"), 1))
+    intercept[IllegalArgumentException](Graph.refineCommunities(
+      Seq((1L, 2L, 1518500249L)).toDF("src", "dst", "w"),
+      Seq((1L, 0L), (2L, 0L)).toDF("node", "label"), 1,
+      weightCol = Some("w")))
   }
 }
