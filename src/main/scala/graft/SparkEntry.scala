@@ -2479,6 +2479,17 @@ object SparkEntry {
           purchaseLabels(s, dir), sweeps = 2)
         .orderBy(col("node"))
     }),
+    "q_x_graph_refine_weighted" -> ((s, dir) => {
+      // the same conflict-free local-move pass scored on the WEIGHTED
+      // purchase graph (edge mass = purchase quantity, the
+      // modularity_weighted census): the unweighted LPA labeling
+      // polished by weighted exact-integer gains — k_vc and d_v become
+      // weight sums, the winner rules unchanged; the oracle swaps
+      // sum(w) into the refine unroll's mass CTEs
+      Graph.refineCommunities(purchaseEdges(s, dir),
+          purchaseLabels(s, dir), sweeps = 2, weightCol = Some("w"))
+        .orderBy(col("node"))
+    }),
     "q_x_graph_coproject" -> ((s, dir) => {
       // bipartite co-occurrence projection: suppliers weighted by the
       // number of DISTINCT parts they co-supply (anchor = part,
@@ -2551,6 +2562,18 @@ object SparkEntry {
       // same self-join and the counts hash-match.
       Graph.skipGramPairs(sccWalks(s, dir), window = 2)
         .orderBy(col("center"), col("context"), col("offset"))
+    }),
+    "q_x_graph_walk_pmi" -> ((s, dir) => {
+      // exact-integer PMI statistics over the walk co-occurrences —
+      // the matrix SGNS implicitly factorizes (Levy/Goldberg 2014):
+      // per (center, context) pair, the multiplicity, both marginals,
+      // the total, and the PMI ratio's exact integer numerator
+      // n_wc·N and denominator n_w·n_c (ln left to the caller, the
+      // BM25 idiom) — pure counts, so the oracle chains the walk-pairs
+      // unroll into three aggregations and hash-matches bit for bit
+      NodeEmbedding.pmiStats(
+          Graph.skipGramPairs(sccWalks(s, dir), window = 2))
+        .orderBy(col("center"), col("context"))
     }),
     "q_x_graph_embed_negatives" -> ((s, dir) => {
       // the SGNS trainer's DETERMINISTIC negative-sample table over
@@ -4378,6 +4401,133 @@ object SparkEntry {
          |${refSweep("l3", 1)},
          |${refSweep("r1", 2)}
          |SELECT node, label FROM r2 ORDER BY node""".stripMargin
+    },
+    "q_x_graph_refine_weighted" -> {
+      // the refine unroll with WEIGHTED masses: the LPA labels stay
+      // count-voted (unweighted), dvv/kvc/dc become sum(w) over the
+      // canonical weighted edges — the exact swap the Scala weightCol
+      // branch makes
+      def lpaSweep(prev: String, cur: Int): String =
+        s"""c$cur AS (SELECT eb.dst AS node, l.label, count(*) AS c
+           |      FROM $prev l JOIN eb ON l.node = eb.src GROUP BY 1, 2),
+           |l$cur AS MATERIALIZED (SELECT node, label FROM (
+           |      SELECT node, label, row_number() OVER (
+           |        PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+           |      FROM c$cur) t$cur
+           |      WHERE rn = 1)""".stripMargin
+      def refSweep(prev: String, i: Int): String =
+        s"""dc$i AS (SELECT l.label, CAST(sum(d.dv) AS BIGINT) AS dc
+           |      FROM $prev l JOIN dvv d ON d.node = l.node GROUP BY 1),
+           |kv$i AS (SELECT ebw.src AS node, l.label AS cl,
+           |        CAST(sum(ebw.w) AS BIGINT) AS k
+           |      FROM ebw JOIN $prev l ON ebw.dst = l.node GROUP BY 1, 2),
+           |own$i AS (SELECT l.node, l.label AS a, d.dv,
+           |        COALESCE(k.k, 0) AS ka
+           |      FROM $prev l JOIN dvv d ON d.node = l.node
+           |      LEFT JOIN kv$i k ON k.node = l.node AND k.cl = l.label),
+           |cand$i AS (SELECT o.node, o.a, k.cl AS b,
+           |        2 * t.m2 * (k.k - o.ka)
+           |          - 2 * o.dv * (db.dc - da.dc + o.dv) AS dq
+           |      FROM kv$i k JOIN own$i o ON o.node = k.node
+           |      JOIN dc$i db ON db.label = k.cl
+           |      JOIN dc$i da ON da.label = o.a
+           |      CROSS JOIN tot t WHERE k.cl <> o.a),
+           |prop$i AS (SELECT node, a, b, dq FROM (
+           |      SELECT node, a, b, dq, row_number() OVER (
+           |        PARTITION BY node ORDER BY dq DESC, b ASC) AS rn
+           |      FROM cand$i WHERE dq > 0) p$i WHERE rn = 1),
+           |win$i AS (SELECT c, node FROM (
+           |      SELECT c, node, row_number() OVER (
+           |        PARTITION BY c ORDER BY dq DESC, node ASC) AS rn
+           |      FROM (SELECT a AS c, node, dq FROM prop$i
+           |            UNION ALL SELECT b, node, dq FROM prop$i) u$i) w$i
+           |      WHERE rn = 1),
+           |app$i AS (SELECT p.node, p.b FROM prop$i p
+           |      JOIN win$i wa$i ON wa$i.c = p.a AND wa$i.node = p.node
+           |      JOIN win$i wb$i ON wb$i.c = p.b AND wb$i.node = p.node),
+           |r$i AS MATERIALIZED (SELECT l.node,
+           |        COALESCE(ap.b, l.label) AS label
+           |      FROM $prev l LEFT JOIN app$i ap ON ap.node = l.node)"""
+          .stripMargin
+      s"""WITH raw AS (SELECT o_custkey * 2 AS a, l_partkey * 2 + 1 AS b,
+         |               CAST(l_quantity AS BIGINT) AS w
+         |             FROM orders JOIN lineitem
+         |             ON o_orderkey = l_orderkey AND o_orderkey <= 6000000),
+         |ew AS (SELECT least(a, b) AS u, greatest(a, b) AS v,
+         |        CAST(sum(w) AS BIGINT) AS w
+         |      FROM raw WHERE a <> b GROUP BY 1, 2),
+         |eb AS MATERIALIZED (SELECT u AS src, v AS dst FROM ew
+         |      UNION ALL SELECT v, u FROM ew),
+         |ebw AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM ew
+         |      UNION ALL SELECT v, u, w FROM ew),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM eb),
+         |${lpaSweep("l0", 1)},
+         |${lpaSweep("l1", 2)},
+         |${lpaSweep("l2", 3)},
+         |dvv AS MATERIALIZED (SELECT src AS node,
+         |        CAST(sum(w) AS BIGINT) AS dv FROM ebw GROUP BY 1),
+         |tot AS (SELECT CAST(sum(dv) AS BIGINT) AS m2 FROM dvv),
+         |${refSweep("l3", 1)},
+         |${refSweep("r1", 2)}
+         |SELECT node, label FROM r2 ORDER BY node""".stripMargin
+    },
+    "q_x_graph_walk_pmi" -> {
+      // the walk-pairs unroll chained into the pair/marginal/total
+      // aggregations and the exact PMI integers
+      def step(k: Int): String =
+        s"""w$k AS (SELECT w.start, w.wnum, a.dst AS node
+           |  FROM w${k - 1} w JOIN deg g ON g.src = w.node
+           |  JOIN adj a ON a.src = w.node AND a.rk =
+           |    CAST(('0x' || substr(md5('w11:' || w.start || ':' ||
+           |      w.wnum || ':' || ${k - 1} || ':' || w.node), 1, 13))
+           |      AS BIGINT) % g.d)""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT src, dst FROM (
+         |      SELECT (l_partkey % 100) * 2 AS src,
+         |        (l_suppkey % 100) * 2 + 1 AS dst
+         |      FROM lineitem WHERE l_orderkey <= 2000
+         |      UNION ALL
+         |      SELECT (l_suppkey % 100) * 2 + 1, (l_partkey % 100) * 2
+         |      FROM lineitem
+         |      WHERE l_orderkey <= 2000 AND l_quantity >= 30) e_u),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+         |      FROM e GROUP BY 1),
+         |adj AS (SELECT src, dst,
+         |      CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+         |        AS BIGINT) AS rk
+         |      FROM e),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |      SELECT src AS node FROM e
+         |      UNION ALL SELECT dst FROM e) n_u),
+         |w0 AS (SELECT node AS start, CAST(t.r AS BIGINT) AS wnum, node
+         |      FROM nodes, (VALUES (0), (1)) t(r)),
+         |${step(1)},
+         |${step(2)},
+         |${step(3)},
+         |${step(4)},
+         |steps AS (
+         |  SELECT start, wnum, CAST(0 AS BIGINT) AS step, node FROM w0
+         |  UNION ALL SELECT start, wnum, 1, node FROM w1
+         |  UNION ALL SELECT start, wnum, 2, node FROM w2
+         |  UNION ALL SELECT start, wnum, 3, node FROM w3
+         |  UNION ALL SELECT start, wnum, 4, node FROM w4),
+         |p AS (SELECT l.node AS center, r.node AS context,
+         |    CAST(count(*) AS BIGINT) AS n_wc
+         |  FROM steps l JOIN steps r
+         |    ON l.start = r.start AND l.wnum = r.wnum
+         |    AND r.step <> l.step AND abs(r.step - l.step) <= 2
+         |  GROUP BY 1, 2),
+         |nw AS (SELECT center, CAST(sum(n_wc) AS BIGINT) AS n_w
+         |  FROM p GROUP BY 1),
+         |nc AS (SELECT context, CAST(sum(n_wc) AS BIGINT) AS n_c
+         |  FROM p GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_wc) AS BIGINT) AS n FROM p)
+         |SELECT p.center, p.context, p.n_wc, nw.n_w, nc.n_c,
+         |  t.n AS n_total,
+         |  CAST(p.n_wc * t.n AS BIGINT) AS pmi_num,
+         |  CAST(nw.n_w * nc.n_c AS BIGINT) AS pmi_den
+         |FROM p JOIN nw USING (center) JOIN nc USING (context)
+         |CROSS JOIN tot t
+         |ORDER BY 1, 2""".stripMargin
     },
     "q_x_graph_coproject" ->
       """WITH e AS (SELECT DISTINCT l_partkey % 100 AS src,

@@ -101,6 +101,50 @@ object NodeEmbedding {
         col("j"), col("node").as("negative"))
   }
 
+  /** CO-OCCURRENCE / PMI STATISTICS as EXACT INTEGERS — the matrix
+    * SGNS implicitly factorizes (Levy/Goldberg, "Neural word embedding
+    * as implicit matrix factorization", NIPS 2014: SGNS's optimum is
+    * the shifted PMI matrix `PMI(w,c) − log k`). Per (center, context)
+    * pair of a [[Graph.skipGramPairs]] table, summed over offsets:
+    *
+    *   n_wc  — pair multiplicity          n_w, n_c — marginals
+    *   n_total = Σ n_wc                   PMI = ln(n_wc·N / (n_w·n_c))
+    *
+    * reported as the integers plus the ratio's exact numerator
+    * `pmi_num = n_wc·n_total` and denominator `pmi_den = n_w·n_c` — the
+    * ln() left to the caller, so the cross-engine gate is exact (the
+    * repo's BM25 idiom). `max(0, PMI − ln k)` over these integers is
+    * SPPMI, the standard spectral-embedding input. Overflow is an
+    * ERROR up front: both products are bounded by n_total², so the
+    * guard binds n_total at floor(√Long.MaxValue) ≈ 3.04e9 pair
+    * occurrences.
+    *
+    * Scale shape: one pair aggregation, two marginal aggregations, two
+    * equi-joins back — no iteration, no windows; the total is a
+    * one-number driver read. */
+  def pmiStats(pairs: DataFrame): DataFrame = {
+    val p = pairCols(
+      if (pairs.columns.contains("offset")) pairs
+      else pairs.withColumn("offset", lit(0L)))
+      .groupBy(col("center"), col("context"))
+      .agg(sum(col("cnt")).as("n_wc"))
+    val totDec = p.agg(sum(col("n_wc").cast("decimal(38,0)")))
+      .head().getDecimal(0)
+    require(totDec != null, "empty pair table")
+    require(totDec.compareTo(
+        java.math.BigDecimal.valueOf(3037000499L)) <= 0, // floor(sqrt(Long.Max))
+      "total pair count exceeds the exact-long PMI bound " +
+        "floor(sqrt(Long.MaxValue)) — shard the corpus")
+    val n = totDec.longValueExact()
+    val nw = p.groupBy(col("center")).agg(sum(col("n_wc")).as("n_w"))
+    val nc = p.groupBy(col("context")).agg(sum(col("n_wc")).as("n_c"))
+    p.join(nw, Seq("center")).join(nc, Seq("context"))
+      .select(col("center"), col("context"), col("n_wc"),
+        col("n_w"), col("n_c"), lit(n).as("n_total"),
+        (col("n_wc") * n).as("pmi_num"),
+        (col("n_w") * col("n_c")).as("pmi_den"))
+  }
+
   /** Train SGNS vectors over an aggregated skip-gram pair table
     * (`center, context, cnt` — [[Graph.skipGramPairs]] output; offset
     * is part of the negative-draw key when present, else keyed 0).

@@ -150,6 +150,39 @@ class NodeEmbeddingSpec extends AnyFunSuite {
       s"intra2=${meanIntra(c2)} inter=$inter")
   }
 
+  test("pmiStats equals the driver count replay; marginal laws hold; empty refuses") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(53L)
+    val pairs = (0 until 80).map { _ =>
+      (rng.nextInt(6).toLong, rng.nextInt(6).toLong + 10,
+        rng.nextInt(3).toLong - 1, rng.nextInt(5).toLong + 1)
+    }
+    val got = NodeEmbedding.pmiStats(
+        pairs.toDF("center", "context", "offset", "cnt"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))).toMap
+    val nwc = pairs.groupBy(p => (p._1, p._2))
+      .map { case (k, ps) => k -> ps.map(_._4).sum }
+    val n = nwc.values.sum
+    val nw = nwc.toSeq.groupBy(_._1._1)
+      .map { case (w, xs) => w -> xs.map(_._2).sum }
+    val nc = nwc.toSeq.groupBy(_._1._2)
+      .map { case (c, xs) => c -> xs.map(_._2).sum }
+    val want = nwc.map { case ((w, c), m) =>
+      (w, c) -> (m, nw(w), nc(c), n, m * n, nw(w) * nc(c)) }
+    assert(got == want)
+    // the marginal laws: Σ n_wc = N along both axes
+    assert(nw.values.sum == n && nc.values.sum == n)
+    // PMI sign sanity: pmi_num > pmi_den ⟺ positive association
+    assert(got.values.forall(t => t._5 > 0 && t._6 > 0))
+    intercept[IllegalArgumentException](NodeEmbedding.pmiStats(
+      Seq.empty[(Long, Long, Long, Long)]
+        .toDF("center", "context", "offset", "cnt")))
+  }
+
   test("contract refusals: vocab cap, dim/epoch/lr bounds") {
     val s = spark
     import s.implicits._
