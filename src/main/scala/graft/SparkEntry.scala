@@ -2485,9 +2485,11 @@ object SparkEntry {
       // modularity_weighted census): the unweighted LPA labeling
       // polished by weighted exact-integer gains — k_vc and d_v become
       // weight sums, the winner rules unchanged; the oracle swaps
-      // sum(w) into the refine unroll's mass CTEs
+      // sum(w) into the refine unroll's mass CTEs. ONE sweep: this
+      // gate exercises the weighted branch (the multi-sweep story is
+      // q_x_graph_refine's), and a sweep costs ~3.5 s at sf0.1
       Graph.refineCommunities(purchaseEdges(s, dir),
-          purchaseLabels(s, dir), sweeps = 2, weightCol = Some("w"))
+          purchaseLabels(s, dir), sweeps = 1, weightCol = Some("w"))
         .orderBy(col("node"))
     }),
     "q_x_graph_coproject" -> ((s, dir) => {
@@ -4467,9 +4469,8 @@ object SparkEntry {
          |dvv AS MATERIALIZED (SELECT src AS node,
          |        CAST(sum(w) AS BIGINT) AS dv FROM ebw GROUP BY 1),
          |tot AS (SELECT CAST(sum(dv) AS BIGINT) AS m2 FROM dvv),
-         |${refSweep("l3", 1)},
-         |${refSweep("r1", 2)}
-         |SELECT node, label FROM r2 ORDER BY node""".stripMargin
+         |${refSweep("l3", 1)}
+         |SELECT node, label FROM r1 ORDER BY node""".stripMargin
     },
     "q_x_graph_walk_pmi" -> {
       // the walk-pairs unroll chained into the pair/marginal/total
