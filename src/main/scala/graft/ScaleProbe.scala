@@ -605,6 +605,39 @@ object ScaleProbe {
       require(r.getLong(0) == c, s"got ${r.getLong(0)} of $c labels")
       r.getLong(0)
     }
+    timed("graph_refine") {
+      // conflict-free modularity refinement on n/10 DISJOINT
+      // 10-cliques: every EVEN clique's last member starts mislabeled
+      // into the next clique. Each misfit's proposal (gain
+      // 18M + 162 > 0 exactly) touches {own base, next base} — pairs
+      // DISJOINT across even cliques, so ALL ~n/20 moves apply in
+      // sweep one (the winner rule's parallel case; the chain case is
+      // spec-pinned); no other node sees a positive gain (8-vs-1
+      // in-clique mass). Closed form after sweeps=2:
+      // label(v) = v − v mod 10, exactly, and sweep 2 is a fixpoint.
+      require(n >= 100 && n % 10 == 0, s"refine probe needs 10|n, got $n")
+      val par = spark.sparkContext.defaultParallelism
+      val ids = spark.range(0, n, 1, par)
+      val cliques = ids.where(pmod(col("id"), lit(10L)) < 9)
+        .select(col("id").as("_i"),
+          explode(sequence((pmod(col("id"), lit(10L)) + 1).cast("long"),
+            lit(9L))).as("_o"))
+        .select(col("_i").as("src"),
+          (col("_i") - pmod(col("_i"), lit(10L)) + col("_o")).as("dst"))
+      val base = col("id") - pmod(col("id"), lit(10L))
+      val labels = ids.select(col("id").as("node"),
+        when(pmod(expr("id DIV 10"), lit(2L)) === 0 &&
+            pmod(col("id"), lit(10L)) === 9 && base + 10 < n,
+          base + 10).otherwise(base).as("label"))
+      val got = graft.operators.Graph.refineCommunities(
+        cliques, labels, sweeps = 2)
+      val r = got.agg(count(lit(1)),
+        count(when(col("label") =!=
+          col("node") - pmod(col("node"), lit(10L)), 1))).head
+      require(r.getLong(1) == 0, s"${r.getLong(1)} labels off the closed form")
+      require(r.getLong(0) == n, s"got ${r.getLong(0)} of $n nodes")
+      r.getLong(0)
+    }
     timed("graph_coproject") {
       // bipartite projection with a SLIDING-WINDOW closed form: anchor
       // a links products {a .. a+9}, so pair (i, j) with 0 < j−i ≤ 9

@@ -604,6 +604,17 @@ object Graph {
     * sweep): it is the polish pass for a ragged LPA labeling, not a
     * from-scratch detector.
     *
+    * Worst case, documented like the SCC condensation chain: a CHAIN
+    * of proposals — move a→b while another node proposes b→c, c→d, … —
+    * shares a community between every adjacent pair, so the winner
+    * rule applies exactly ONE move per chain per sweep (the smallest
+    * node end; spec-pinned). Monotonicity and determinism hold
+    * regardless; convergence on an adversarial chain costs one sweep
+    * per link, bounded by the sweep budget. DISJOINT proposal pairs —
+    * the common case after LPA, where misfits sit in unrelated
+    * communities — all apply in the same sweep (the 1M/10M probe's
+    * closed form applies n/20 moves in sweep one).
+    *
     * `labels` contract as in [[communityStats]] (exactly one label per
     * node of the edge set — extra labeled nodes pass through
     * untouched); weighted form via `weightCol` with the
@@ -614,11 +625,13 @@ object Graph {
     * gain formula's cross terms need.
     *
     * Output `(node, label)` — the refined labeling. Scale shape per
-    * sweep: two label equi-joins onto the canonicalized edge list, one
-    * (node, community) aggregation, three tiny argmin aggregations
-    * over the proposal set, and a label-update left join — checkpoint
-    * rotation, no windows over data-sized frames, no driver reads in
-    * the loop. */
+    * sweep: ONE edge-scale pass (the label join + (node, community)
+    * aggregation building k_vc, checkpointed for its three consumers;
+    * d_c rides it — Σ_v k_vc IS the community degree mass, no second
+    * edge scan), then node-scale joins and three tiny argmin
+    * aggregations over the proposal set, and a label-update left
+    * join — checkpoint rotation, no windows over data-sized frames,
+    * no driver reads in the loop. */
   def refineCommunities(edges: DataFrame, labels: DataFrame, sweeps: Int,
       weightCol: Option[String] = None): DataFrame = {
     require(sweeps >= 0 && sweeps <= 50,
@@ -669,15 +682,19 @@ object Graph {
       "labels are missing nodes of the edge set — label the whole graph")
     var lab = lab0.transform(checkpointed)
     for (_ <- 0 until sweeps) {
-      // community degree mass d_c under the CURRENT labeling
-      val dc = lab.join(dv, Seq("node"))
-        .groupBy(col("label")).agg(sum(col("_dv")).as("_dc"))
-      // k_vc: v's edge mass into each neighbor community
-      val kvc = eb
+      // k_vc: v's edge mass into each neighbor community — the sweep's
+      // one edge-scale pass, CHECKPOINTED because three consumers read
+      // it (d_c, k_va, candidates); (node, community) rows ≤ edges
+      val kvc = checkpointed(eb
         .join(lab.select(col("node").as("dst"), col("label").as("_cl")),
           "dst")
         .groupBy(col("src").as("node"), col("_cl"))
-        .agg(sum(col("_w")).as("_k"))
+        .agg(sum(col("_w")).as("_k")))
+      // community degree mass rides kvc, no second edge pass:
+      // Σ_v k_vc = Σ over eb edges with dst ∈ c of w = Σ_{u∈c} d_u = d_c
+      // (eb carries both directions, so per-node in-mass = degree mass)
+      val dc = kvc.groupBy(col("_cl").as("label"))
+        .agg(sum(col("_k")).as("_dc"))
       // v's own community, own-mass k_va (0 when no intra edge), d_v
       val ka = kvc
         .join(lab.select(col("node"), col("label").as("_la")), Seq("node"))
@@ -730,6 +747,7 @@ object Graph {
           coalesce(col("_b"), col("label")).as("label"))
         .transform(checkpointed)
       unpersistCheckpoint(prev)
+      unpersistCheckpoint(kvc)
     }
     unpersistCheckpoint(und)
     unpersistCheckpoint(eb)

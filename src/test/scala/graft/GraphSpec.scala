@@ -1599,6 +1599,25 @@ class GraphSpec extends AnyFunSuite {
         }
       }
     }
+    // proposal-CHAIN worst case (documented): three K4s, the last
+    // member of clique 0 labeled into clique 1 and of clique 1 into
+    // clique 2 — proposal p0 (label 1 → 0) and p1 (label 2 → 1) SHARE
+    // community 1, so exactly one applies per sweep, smallest node
+    // first; two sweeps finish the chain
+    val chainEdges = (k4(0) ++ k4(10) ++ k4(20)).map(e => (e._1, e._2, 1L))
+    val chainLab = (0L until 4L).map(v => (v, if (v == 3) 1L else 0L)) ++
+      (10L until 14L).map(v => (v, if (v == 13) 2L else 1L)) ++
+      (20L until 24L).map(v => (v, 2L))
+    val after1 = Graph.refineCommunities(chainEdges.toDF("src", "dst", "w"),
+        chainLab.toDF("node", "label"), sweeps = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after1(3L) == 0L && after1(13L) == 2L,
+      s"sweep 1 should apply only the smallest-node end of the chain: $after1")
+    val after2 = Graph.refineCommunities(chainEdges.toDF("src", "dst", "w"),
+        chainLab.toDF("node", "label"), sweeps = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after2(3L) == 0L && after2(13L) == 1L,
+      s"sweep 2 should finish the chain: $after2")
     // contract refusals: duplicate node, missing coverage, mass bound
     intercept[IllegalArgumentException](Graph.refineCommunities(
       edges.toDF("src", "dst", "w"),
