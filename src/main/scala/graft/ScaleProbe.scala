@@ -638,6 +638,67 @@ object ScaleProbe {
       require(r.getLong(0) == n, s"got ${r.getLong(0)} of $n nodes")
       r.getLong(0)
     }
+    timed("graph_embed_pmi") {
+      // exact-integer PMI over an INDEPENDENT joint distribution:
+      // center = id mod 1000, context = 1000 + (id div 1000) mod 1000,
+      // so every (w, c) pair occurs exactly n/1e6 times — marginals
+      // n/1000 each, and the PMI ratio is EXACTLY 1 for every one of
+      // the 1M pairs (pmi_num == pmi_den: independence is the closed
+      // form). Three aggregations + two joins at n pair rows.
+      require(n % 1000000 == 0, s"pmi probe needs 1e6|n, got $n")
+      val par = spark.sparkContext.defaultParallelism
+      val pairs = spark.range(0, n, 1, par * 4)
+        .select(pmod(col("id"), lit(1000L)).as("center"),
+          (pmod(expr("id DIV 1000"), lit(1000L)) + 1000L).as("context"),
+          lit(1L).as("offset"), lit(1L).as("cnt"))
+      val k = n / 1000000L
+      val got = graft.operators.NodeEmbedding.pmiStats(pairs)
+      val r = got.agg(count(lit(1)),
+        count(when(col("n_wc") =!= k || col("n_w") =!= k * 1000 ||
+          col("n_c") =!= k * 1000 || col("n_total") =!= n ||
+          col("pmi_num") =!= col("pmi_den"), 1))).head
+      require(r.getLong(1) == 0,
+        s"${r.getLong(1)} PMI rows off the independence closed form")
+      require(r.getLong(0) == 1000000L,
+        s"got ${r.getLong(0)} of 1e6 pairs")
+      r.getLong(0)
+    }
+    timed("graph_embed_train") {
+      // the SGNS trainer at corpus-sized example counts with a bounded
+      // vocab (the operator's designed shape): n NEAR-DISTINCT pair
+      // rows — offset = id mod 97 keeps rows from collapsing into
+      // multiplicities — over a 256-node vocab in two PLANTED blocks
+      // (pairs only ever intra-block). Two full-batch epochs, then the
+      // planted structure is the oracle: mean intra-block cosine must
+      // beat mean inter-block cosine (driver-side over 256² pairs).
+      // Measures the md5 negative draws + the treeAggregate gradient
+      // at n rows; vocab stays the only driver state.
+      val par = spark.sparkContext.defaultParallelism
+      val block = pmod(expr("id DIV 16384"), lit(2L)) * 128L
+      val pairs = spark.range(0, n, 1, par * 4)
+        .select((block + pmod(col("id"), lit(128L))).as("center"),
+          (block + pmod(expr("id DIV 128"), lit(128L))).as("context"),
+          pmod(col("id"), lit(97L)).as("offset"), lit(1L).as("cnt"))
+      val emb = graft.operators.NodeEmbedding.train(pairs,
+          dim = 8, epochs = 2, lr = 0.1, negatives = 2, seed = "sp")
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[Double](1).toArray).toMap
+      require(emb.size == 256, s"vocab ${emb.size} != 256")
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        val d = a.zip(b).map(t => t._1 * t._2).sum
+        d / (math.sqrt(a.map(x => x * x).sum) *
+          math.sqrt(b.map(x => x * x).sum))
+      }
+      val b0 = (0L until 128L).toSeq
+      val b1 = (128L until 256L).toSeq
+      def intra(c: Seq[Long]) = (for { a <- c; b <- c if a < b }
+        yield cos(emb(a), emb(b))).sum / (c.size * (c.size - 1) / 2)
+      val inter = (for { a <- b0; b <- b1 }
+        yield cos(emb(a), emb(b))).sum / (b0.size * b1.size)
+      require(intra(b0) > inter && intra(b1) > inter,
+        f"block structure not learned: ${intra(b0)}%.4f/${intra(b1)}%.4f vs $inter%.4f")
+      emb.size.toLong
+    }
     timed("graph_coproject") {
       // bipartite projection with a SLIDING-WINDOW closed form: anchor
       // a links products {a .. a+9}, so pair (i, j) with 0 < j−i ≤ 9
