@@ -99,19 +99,25 @@ object Bench {
         java.nio.file.Paths.get("bench_last.json"),
         (line + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }
+      val minByName = mins.toMap
+      // budget the FULLY ASSEMBLED line, not one map: round 12 capped
+      // the median map at 1200 chars and then printed a same-size min
+      // map on the same line, blowing the ~2000-char driver tail a
+      // fourth round running ("parsed": null) — so assemble the whole
+      // candidate line and admit queries only while it stays < 1800
+      def shortLine(sel: Seq[(String, Double)]): String =
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+          s""""stat":"median-of-$repeat","total_min":${fmt(totalMin)},""" +
+          s"""$loadJson,"n_queries":${results.size},""" +
+          s""""queries":${qjson(sel)},""" +
+          s""""queries_min":${qjson(sel.map { case (k, _) => k -> minByName(k) })},""" +
+          s""""queries_omitted":${results.size - sel.size},""" +
+          s""""queries_full":"bench_last.json","sf":"$sfDir"}"""
       val slowest = results.sortBy(-_._2)
         .foldLeft(Seq.empty[(String, Double)]) { (acc, kv) =>
-          // keep the summary line safely under the 2000-char tail
-          if (qjson(acc :+ kv).length < 1200) acc :+ kv else acc
+          if (shortLine(acc :+ kv).length < 1800) acc :+ kv else acc
         }
-      val minByName = mins.toMap
-      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-        s""""stat":"median-of-$repeat","total_min":${fmt(totalMin)},""" +
-        s"""$loadJson,"n_queries":${results.size},""" +
-        s""""queries":${qjson(slowest)},""" +
-        s""""queries_min":${qjson(slowest.map { case (k, _) => k -> minByName(k) })},""" +
-        s""""queries_omitted":${results.size - slowest.size},""" +
-        s""""queries_full":"bench_last.json","sf":"$sfDir"}""")
+      println(shortLine(slowest))
     }
     spark.stop()
   }

@@ -2492,6 +2492,20 @@ object SparkEntry {
           purchaseLabels(s, dir), sweeps = 1, weightCol = Some("w"))
         .orderBy(col("node"))
     }),
+    "q_x_graph_louvain" -> ((s, dir) => {
+      // MULTI-LEVEL Louvain (Blondel 2008): level 1 = the refine
+      // sweeps of q_x_graph_refine; then the labeling CONDENSES —
+      // communities become supernodes, inter-community mass coarse
+      // edges, internal mass supernode self-mass (2·sw of degree) —
+      // and level 2 refines the condensed graph from singleton
+      // supernode seeds, merging whole communities where single-node
+      // moves cannot. The oracle unrolls BOTH levels plus the
+      // condensation and the label map-back in SQL — pure integer
+      // argmins end to end, bit-exact across engines.
+      Graph.louvain(purchaseEdges(s, dir), purchaseLabels(s, dir),
+          sweepsPerLevel = 2, levels = 2)
+        .orderBy(col("node"))
+    }),
     "q_x_graph_coproject" -> ((s, dir) => {
       // bipartite co-occurrence projection: suppliers weighted by the
       // number of DISTINCT parts they co-supply (anchor = part,
@@ -4471,6 +4485,127 @@ object SparkEntry {
          |tot AS (SELECT CAST(sum(dv) AS BIGINT) AS m2 FROM dvv),
          |${refSweep("l3", 1)}
          |SELECT node, label FROM r1 ORDER BY node""".stripMargin
+    },
+    "q_x_graph_louvain" -> {
+      // the refine unroll (LPA ×3 + 2 refine sweeps) chained into the
+      // Louvain CONDENSATION — communities → supernodes, inter mass →
+      // coarse edges, internal mass → self-mass (2·sw of degree via
+      // dvv2) — then 2 coarse sweeps of the same gain/argmax/winner
+      // arithmetic from singleton supernode seeds, and the map-back
+      def lpaSweep(prev: String, cur: Int): String =
+        s"""c$cur AS (SELECT eb.dst AS node, l.label, count(*) AS c
+           |      FROM $prev l JOIN eb ON l.node = eb.src GROUP BY 1, 2),
+           |l$cur AS MATERIALIZED (SELECT node, label FROM (
+           |      SELECT node, label, row_number() OVER (
+           |        PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+           |      FROM c$cur) t$cur
+           |      WHERE rn = 1)""".stripMargin
+      def refSweep(prev: String, i: Int): String =
+        s"""dc$i AS (SELECT l.label, CAST(sum(d.dv) AS BIGINT) AS dc
+           |      FROM $prev l JOIN dvv d ON d.node = l.node GROUP BY 1),
+           |kv$i AS (SELECT eb.src AS node, l.label AS cl,
+           |        CAST(count(*) AS BIGINT) AS k
+           |      FROM eb JOIN $prev l ON eb.dst = l.node GROUP BY 1, 2),
+           |own$i AS (SELECT l.node, l.label AS a, d.dv,
+           |        COALESCE(k.k, 0) AS ka
+           |      FROM $prev l JOIN dvv d ON d.node = l.node
+           |      LEFT JOIN kv$i k ON k.node = l.node AND k.cl = l.label),
+           |cand$i AS (SELECT o.node, o.a, k.cl AS b,
+           |        2 * t.m2 * (k.k - o.ka)
+           |          - 2 * o.dv * (db.dc - da.dc + o.dv) AS dq
+           |      FROM kv$i k JOIN own$i o ON o.node = k.node
+           |      JOIN dc$i db ON db.label = k.cl
+           |      JOIN dc$i da ON da.label = o.a
+           |      CROSS JOIN tot t WHERE k.cl <> o.a),
+           |prop$i AS (SELECT node, a, b, dq FROM (
+           |      SELECT node, a, b, dq, row_number() OVER (
+           |        PARTITION BY node ORDER BY dq DESC, b ASC) AS rn
+           |      FROM cand$i WHERE dq > 0) p$i WHERE rn = 1),
+           |win$i AS (SELECT c, node FROM (
+           |      SELECT c, node, row_number() OVER (
+           |        PARTITION BY c ORDER BY dq DESC, node ASC) AS rn
+           |      FROM (SELECT a AS c, node, dq FROM prop$i
+           |            UNION ALL SELECT b, node, dq FROM prop$i) u$i) w$i
+           |      WHERE rn = 1),
+           |app$i AS (SELECT p.node, p.b FROM prop$i p
+           |      JOIN win$i wa$i ON wa$i.c = p.a AND wa$i.node = p.node
+           |      JOIN win$i wb$i ON wb$i.c = p.b AND wb$i.node = p.node),
+           |r$i AS MATERIALIZED (SELECT l.node,
+           |        COALESCE(ap.b, l.label) AS label
+           |      FROM $prev l LEFT JOIN app$i ap ON ap.node = l.node)"""
+          .stripMargin
+      def coarseSweep(prev: String, i: Int): String =
+        s"""cdc$i AS (SELECT l.label, CAST(sum(d.dv) AS BIGINT) AS dc
+           |      FROM $prev l JOIN dvv2 d ON d.node = l.node GROUP BY 1),
+           |ckv$i AS (SELECT ceb.src AS node, l.label AS cl,
+           |        CAST(sum(ceb.w) AS BIGINT) AS k
+           |      FROM ceb JOIN $prev l ON ceb.dst = l.node GROUP BY 1, 2),
+           |cown$i AS (SELECT l.node, l.label AS a, d.dv,
+           |        COALESCE(k.k, 0) AS ka
+           |      FROM $prev l JOIN dvv2 d ON d.node = l.node
+           |      LEFT JOIN ckv$i k ON k.node = l.node AND k.cl = l.label),
+           |ccand$i AS (SELECT o.node, o.a, k.cl AS b,
+           |        2 * t.m2 * (k.k - o.ka)
+           |          - 2 * o.dv * (db.dc - da.dc + o.dv) AS dq
+           |      FROM ckv$i k JOIN cown$i o ON o.node = k.node
+           |      JOIN cdc$i db ON db.label = k.cl
+           |      JOIN cdc$i da ON da.label = o.a
+           |      CROSS JOIN tot2 t WHERE k.cl <> o.a),
+           |cprop$i AS (SELECT node, a, b, dq FROM (
+           |      SELECT node, a, b, dq, row_number() OVER (
+           |        PARTITION BY node ORDER BY dq DESC, b ASC) AS rn
+           |      FROM ccand$i WHERE dq > 0) cp$i WHERE rn = 1),
+           |cwin$i AS (SELECT c, node FROM (
+           |      SELECT c, node, row_number() OVER (
+           |        PARTITION BY c ORDER BY dq DESC, node ASC) AS rn
+           |      FROM (SELECT a AS c, node, dq FROM cprop$i
+           |            UNION ALL SELECT b, node, dq FROM cprop$i) cu$i) cw$i
+           |      WHERE rn = 1),
+           |capp$i AS (SELECT p.node, p.b FROM cprop$i p
+           |      JOIN cwin$i va$i ON va$i.c = p.a AND va$i.node = p.node
+           |      JOIN cwin$i vb$i ON vb$i.c = p.b AND vb$i.node = p.node),
+           |cr$i AS MATERIALIZED (SELECT l.node,
+           |        COALESCE(ap.b, l.label) AS label
+           |      FROM $prev l LEFT JOIN capp$i ap ON ap.node = l.node)"""
+          .stripMargin
+      s"""WITH raw AS (SELECT o_custkey * 2 AS a, l_partkey * 2 + 1 AS b
+         |             FROM orders JOIN lineitem
+         |             ON o_orderkey = l_orderkey AND o_orderkey <= 6000000),
+         |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+         |      FROM raw WHERE a <> b),
+         |eb AS MATERIALIZED (SELECT u AS src, v AS dst FROM e
+         |      UNION ALL SELECT v, u FROM e),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM eb),
+         |${lpaSweep("l0", 1)},
+         |${lpaSweep("l1", 2)},
+         |${lpaSweep("l2", 3)},
+         |dvv AS MATERIALIZED (SELECT src AS node,
+         |        CAST(count(*) AS BIGINT) AS dv FROM eb GROUP BY 1),
+         |tot AS (SELECT CAST(sum(dv) AS BIGINT) AS m2 FROM dvv),
+         |${refSweep("l3", 1)},
+         |${refSweep("r1", 2)},
+         |cond AS (SELECT lu.label AS a, lv.label AS b,
+         |        CAST(count(*) AS BIGINT) AS w
+         |      FROM e JOIN r2 lu ON lu.node = e.u
+         |      JOIN r2 lv ON lv.node = e.v GROUP BY 1, 2),
+         |ce AS (SELECT least(a, b) AS u, greatest(a, b) AS v,
+         |        CAST(sum(w) AS BIGINT) AS w
+         |      FROM cond WHERE a <> b GROUP BY 1, 2),
+         |ceb AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM ce
+         |      UNION ALL SELECT v, u, w FROM ce),
+         |cself AS (SELECT a AS node, CAST(sum(w) AS BIGINT) AS sw
+         |      FROM cond WHERE a = b GROUP BY 1),
+         |cdeg AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS dv
+         |      FROM ceb GROUP BY 1),
+         |dvv2 AS MATERIALIZED (SELECT COALESCE(d.node, s.node) AS node,
+         |        COALESCE(d.dv, 0) + 2 * COALESCE(s.sw, 0) AS dv
+         |      FROM cdeg d FULL OUTER JOIN cself s ON s.node = d.node),
+         |tot2 AS (SELECT CAST(sum(dv) AS BIGINT) AS m2 FROM dvv2),
+         |cl0 AS (SELECT DISTINCT label AS node, label FROM r2),
+         |${coarseSweep("cl0", 1)},
+         |${coarseSweep("cr1", 2)}
+         |SELECT r.node, c.label FROM r2 r
+         |JOIN cr2 c ON c.node = r.label ORDER BY r.node""".stripMargin
     },
     "q_x_graph_walk_pmi" -> {
       // the walk-pairs unroll chained into the pair/marginal/total

@@ -619,7 +619,10 @@ object Graph {
     * node of the edge set — extra labeled nodes pass through
     * untouched); weighted form via `weightCol` with the
     * [[labelPropagation]] canonicalization (parallel/reverse weights
-    * sum). Overflow is an ERROR up front: every ΔQ term is bounded by
+    * sum). Self-loops canonicalize away (the kCore/[[communityStats]]
+    * family rule); the Louvain condensation's supernode self-mass
+    * enters through [[louvain]]'s internal variant instead.
+    * Overflow is an ERROR up front: every ΔQ term is bounded by
     * 4M², so the guard binds M at floor(√(Long.MaxValue/4)) ≈ 1.5e9 —
     * tighter than [[modularity]]'s 2M bound by exactly the factor the
     * gain formula's cross terms need.
@@ -633,7 +636,19 @@ object Graph {
     * join — checkpoint rotation, no windows over data-sized frames,
     * no driver reads in the loop. */
   def refineCommunities(edges: DataFrame, labels: DataFrame, sweeps: Int,
-      weightCol: Option[String] = None): DataFrame = {
+      weightCol: Option[String] = None): DataFrame =
+    refineImpl(edges, None, labels, sweeps, weightCol)
+
+  /** [[refineCommunities]] generalized with an optional supernode
+    * SELF-MASS table `(node, _sw)` — the [[louvain]] condensation's
+    * internal community mass. A self-mass row adds 2·_sw to its node's
+    * degree d_v and to the total M (the standard A_vv convention)
+    * while never producing a move candidate: the mass travels with its
+    * node, cancelling out of k_vb − k_va exactly. Private — the public
+    * operator keeps the family's self-loop-free canonical contract. */
+  private def refineImpl(edges: DataFrame, selfMass: Option[DataFrame],
+      labels: DataFrame, sweeps: Int,
+      weightCol: Option[String]): DataFrame = {
     require(sweeps >= 0 && sweeps <= 50,
       s"sweeps must be in [0, 50], got $sweeps")
     val lab0 = labels.select(col("node"), col("label"))
@@ -645,36 +660,52 @@ object Graph {
     require(labChk.getLong(2) == 0, "labels must be non-null")
     weightCol.foreach(c => validateWeights(edges, c, None))
     val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
-    val und = edges.select(
+    val undRaw = edges.select(
         least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"),
         w.as("_w"))
       .where(col("u") =!= col("v") &&
         col("u").isNotNull && col("v").isNotNull)
+    // decimal-crossing mass check on the PRE-aggregation edge frame
+    // (the communityStats ordering): with weights validated positive,
+    // bounding the RAW sum (+ any supernode self-mass) here bounds
+    // every downstream long groupBy sum (parallel-edge collapse,
+    // per-node degrees, k_vc, d_c) — a near-Long.MaxValue weight can
+    // no longer wrap through a long aggregation BEFORE the guard runs.
+    // Degree mass counts each edge at both endpoints and self-mass
+    // twice, so the bound is on 2·(Σ_raw w + Σ _sw).
+    val rawDec = undRaw
+      .agg(sum(col("_w").cast("decimal(38,0)"))).head().getDecimal(0)
+    val selfDec = selfMass
+      .map(_.agg(sum(col("_sw").cast("decimal(38,0)"))).head().getDecimal(0))
+      .filter(_ != null)
+      .getOrElse(java.math.BigDecimal.ZERO)
+    if (rawDec == null) return lab0 // no edges: no candidate moves exist
+    require(rawDec.add(selfDec)
+        .multiply(java.math.BigDecimal.valueOf(2L)).compareTo(
+        java.math.BigDecimal.valueOf(1518500249L)) <= 0, // floor(sqrt(Long.Max/4))
+      "edge mass 2m exceeds the exact-long gain bound " +
+        "floor(sqrt(Long.MaxValue/4)) — rescale weights")
+    val und = undRaw
       .groupBy(col("u"), col("v"))
       .agg((if (weightCol.isEmpty) lit(1L) else sum(col("_w"))).as("_w"))
       .transform(checkpointed)
     val eb = und.select(col("u").as("src"), col("v").as("dst"), col("_w"))
       .union(und.select(col("v").as("src"), col("u").as("dst"), col("_w")))
       .transform(checkpointed)
-    // fixed per-node degree mass and the total M = 2m (2W weighted) —
-    // one decimal-crossing read makes overflow an ERROR up front
-    val dv = eb.groupBy(col("src").as("node"))
+    // fixed per-node degree mass (+ 2·self-mass when condensed) and
+    // the total M = 2m (2W weighted) — long sums are safe post-guard
+    val dvBase = eb.groupBy(col("src").as("node"))
       .agg(sum(col("_w")).as("_dv"))
+    val dv = selfMass.fold(dvBase) { sm =>
+        dvBase.join(sm.select(col("node"), col("_sw")),
+            Seq("node"), "full_outer")
+          .select(col("node"),
+            (coalesce(col("_dv"), lit(0L)) +
+              lit(2L) * coalesce(col("_sw"), lit(0L))).as("_dv"))
+      }
       .transform(checkpointed)
-    val mRow = dv.agg(sum(col("_dv").cast("decimal(38,0)")).as("_m"),
-      count(lit(1)).as("_n")).head()
-    val mDec = mRow.getDecimal(0)
-    if (mDec == null) { // empty edge set: nothing to refine
-      unpersistCheckpoint(und); unpersistCheckpoint(eb)
-      unpersistCheckpoint(dv)
-      return lab0
-    }
-    require(mDec.compareTo(
-        java.math.BigDecimal.valueOf(1518500249L)) <= 0, // floor(sqrt(Long.Max/4))
-      "edge mass 2m exceeds the exact-long gain bound " +
-        "floor(sqrt(Long.MaxValue/4)) — rescale weights")
-    val m2 = mDec.longValueExact()
+    val m2 = dv.agg(sum(col("_dv")).as("_m")).head().getLong(0)
     // coverage: every edge endpoint must be labeled (the
     // communityStats contract — a partial labeling is a bug upstream)
     val missing = dv.join(lab0, Seq("node"), "left_anti").limit(1).count()
@@ -690,11 +721,19 @@ object Graph {
           "dst")
         .groupBy(col("src").as("node"), col("_cl"))
         .agg(sum(col("_w")).as("_k")))
-      // community degree mass rides kvc, no second edge pass:
-      // Σ_v k_vc = Σ over eb edges with dst ∈ c of w = Σ_{u∈c} d_u = d_c
-      // (eb carries both directions, so per-node in-mass = degree mass)
-      val dc = kvc.groupBy(col("_cl").as("label"))
-        .agg(sum(col("_k")).as("_dc"))
+      // community degree mass. Self-loop-free (the public operator):
+      // it rides kvc, no second edge pass — Σ_v k_vc = Σ over eb edges
+      // with dst ∈ c of w = Σ_{u∈c} d_u = d_c (eb carries both
+      // directions, so per-node in-mass = degree mass). With condensed
+      // self-mass, k_vc no longer carries it (a self-loop is nobody's
+      // neighbor edge), so d_c must sum dv over members — a NODE-scale
+      // join + aggregation, still no second edge pass.
+      val dc = selfMass match {
+        case None => kvc.groupBy(col("_cl").as("label"))
+          .agg(sum(col("_k")).as("_dc"))
+        case Some(_) => lab.join(dv, Seq("node"))
+          .groupBy(col("label")).agg(sum(col("_dv")).as("_dc"))
+      }
       // v's own community, own-mass k_va (0 when no intra edge), d_v
       val ka = kvc
         .join(lab.select(col("node"), col("label").as("_la")), Seq("node"))
@@ -753,6 +792,96 @@ object Graph {
     unpersistCheckpoint(eb)
     unpersistCheckpoint(dv)
     lab
+  }
+
+  /** MULTI-LEVEL LOUVAIN — the full Blondel et al. (J. Stat. Mech.
+    * 2008) coarsening recursion over [[refineCommunities]]: each level
+    * runs the provably-monotone local-move sweeps, then CONDENSES the
+    * labeling — communities become supernodes, inter-community mass
+    * becomes coarse edge weight, internal mass becomes supernode
+    * SELF-mass (2·mass of degree via the A_vv convention) — and
+    * refines the condensed graph from singleton supernode labels.
+    * Because a condensed-graph move is EXACTLY a group move on the
+    * original graph (masses are preserved: a supernode's degree is its
+    * community's degree mass, the condensed total M is the original
+    * M), every level's exact-integer gains equal the original-graph
+    * gains of the corresponding group relabeling — so the ORIGINAL
+    * graph's [[modularity]] is monotone across levels exactly as it is
+    * across sweeps (the law the spec asserts per level). This is what
+    * one-level local moves cannot do: merge whole communities (the
+    * resolution-limit regime — e.g. a ring of small cliques — merges
+    * only at level ≥ 2).
+    *
+    * Deterministic end to end (levels run the [[refineCommunities]]
+    * integer argmins; condensation is pure aggregation), exact-integer
+    * arithmetic throughout, engine-portable — the SQL oracle unrolls
+    * level 1's sweeps, the condensation, level 2's self-mass sweeps,
+    * and the label map-back. FIXED budgets, both an ERROR past their
+    * bounds: `levels` in [1, 10] (real hierarchies flatten in 3-5),
+    * `sweepsPerLevel` in [0, 50].
+    *
+    * `edges`/`labels`/`weightCol` contracts as [[refineCommunities]]
+    * (labels seed level 1 — LPA output or singletons; self-loops
+    * canonicalize away; extra labeled nodes pass through). Output
+    * `(node, label)` over the ORIGINAL nodes — labels are level-`levels`
+    * community ids (drawn from the label space, each a member node's
+    * seed label).
+    *
+    * Scale shape per level: the [[refineCommunities]] sweeps (one
+    * edge-scale pass per sweep) plus ONE condensation pass over the
+    * canonical edge list (two label joins + two aggregations) and a
+    * node-scale composition join — and each level's graph is no larger
+    * than the last (supernodes = communities), so level cost strictly
+    * shrinks; checkpoint rotation on the mapping keeps lineage flat. */
+  def louvain(edges: DataFrame, labels: DataFrame, sweepsPerLevel: Int,
+      levels: Int, weightCol: Option[String] = None): DataFrame = {
+    require(levels >= 1 && levels <= 10,
+      s"levels must be in [1, 10], got $levels")
+    var mapping = checkpointed(
+      refineCommunities(edges, labels, sweepsPerLevel, weightCol))
+    if (levels == 1) return mapping
+    // canonical weighted edge list of the ORIGINAL graph, built once —
+    // unweighted collapses parallels to mass 1 (the refine rule), so
+    // condensed masses match what level 1's sweeps scored
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val und = edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"),
+        w.as("_w"))
+      .where(col("u") =!= col("v") &&
+        col("u").isNotNull && col("v").isNotNull)
+      .groupBy(col("u"), col("v"))
+      .agg((if (weightCol.isEmpty) lit(1L) else sum(col("_w"))).as("_w"))
+      .transform(checkpointed)
+    for (_ <- 2 to levels) {
+      // condense by the current mapping: ONE pass over the canonical
+      // edges — inter-community mass → coarse edges, internal mass →
+      // supernode self-mass
+      val tagged = und
+        .join(mapping.select(col("node").as("u"), col("label").as("_lu")),
+          Seq("u"))
+        .join(mapping.select(col("node").as("v"), col("label").as("_lv")),
+          Seq("v"))
+      val coarseEdges = tagged.where(col("_lu") =!= col("_lv"))
+        .select(col("_lu").as("src"), col("_lv").as("dst"),
+          col("_w").as("w"))
+      val selfMass = tagged.where(col("_lu") === col("_lv"))
+        .groupBy(col("_lu").as("node"))
+        .agg(sum(col("_w")).as("_sw"))
+      // singleton supernode seed: every community is its own label
+      val coarseLabels = mapping.select(col("label").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+      val refined = refineImpl(coarseEdges, Some(selfMass), coarseLabels,
+        sweepsPerLevel, Some("w"))
+      val prev = mapping
+      mapping = checkpointed(mapping
+        .join(refined.select(col("node").as("label"),
+          col("label").as("_l2")), Seq("label"))
+        .select(col("node"), col("_l2").as("label")))
+      unpersistCheckpoint(prev)
+    }
+    unpersistCheckpoint(und)
+    mapping
   }
 
   /** The k-CORE of an undirected graph — the (unique) maximal subgraph

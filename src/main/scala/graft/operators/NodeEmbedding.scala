@@ -55,10 +55,24 @@ object NodeEmbedding {
   private def hex52(key: Column): Column =
     conv(substring(md5(key), 1, 13), 16, 10).cast("long")
 
-  private def pairCols(pairs: DataFrame): DataFrame =
+  /** Project the pair-table columns, VALIDATING `cnt` first (the
+    * [[Graph]] validateWeights idiom, one aggregated action): a null,
+    * fractional, or non-positive multiplicity is an ERROR — a zero or
+    * negative cnt would flip the gradient direction silently in
+    * [[train]] and wreck [[pmiStats]]' marginals, and a fractional one
+    * would truncate through the long cast. */
+  private def pairCols(pairs: DataFrame): DataFrame = {
+    val raw = col("cnt")
+    val bad = pairs.agg(count(when(
+      raw.isNull || raw =!= raw.cast("long") || raw.cast("long") < 1,
+      1))).head().getLong(0)
+    require(bad == 0,
+      s"pair table has $bad null/fractional/non-positive cnt rows — " +
+        "multiplicities must be positive integers")
     pairs.select(col("center"), col("context"),
       col("offset").cast("long").as("offset"),
       col("cnt").cast("long").as("cnt"))
+  }
 
   /** Dense 0-based vocabulary ranks over the pair table's node set
     * (center ∪ context), ordered by node id — `(node, rank)`. */
@@ -77,6 +91,13 @@ object NodeEmbedding {
     * `(center, context, offset, cnt, j, negative)`; exactly the noise
     * examples [[train]] consumes, exposed as its own operator so the
     * sampling is SQL-gate-checkable bit for bit.
+    *
+    * A draw may land on the pair's own context (or center) node — no
+    * rejection, BY DESIGN: word2vec's reference implementation accepts
+    * the same collisions, the bias is O(k/V) and vanishes for any real
+    * vocabulary, and rejection would make the draw count data-dependent
+    * and the table no longer exactly replayable row for row.
+    * Multiplicities must be positive integers (ERROR otherwise).
     *
     * Scale shape: one single-partition window to rank the vocab (V
     * rows — bounded by the node set, the one-time index-build class),
@@ -123,12 +144,15 @@ object NodeEmbedding {
     * equi-joins back — no iteration, no windows; the total is a
     * one-number driver read. */
   def pmiStats(pairs: DataFrame): DataFrame = {
-    val p = pairCols(
+    val p0 = pairCols(
       if (pairs.columns.contains("offset")) pairs
       else pairs.withColumn("offset", lit(0L)))
-      .groupBy(col("center"), col("context"))
-      .agg(sum(col("cnt")).as("n_wc"))
-    val totDec = p.agg(sum(col("n_wc").cast("decimal(38,0)")))
+    // decimal-crossing total on the PRE-aggregation frame (the
+    // communityStats ordering): cnt is validated >= 1 by pairCols, so
+    // bounding the raw decimal sum here bounds every downstream long
+    // sum (n_wc, n_w, n_c) — a near-Long.MaxValue cnt can no longer
+    // wrap through the long aggregation BEFORE the guard runs
+    val totDec = p0.agg(sum(col("cnt").cast("decimal(38,0)")))
       .head().getDecimal(0)
     require(totDec != null, "empty pair table")
     require(totDec.compareTo(
@@ -136,6 +160,8 @@ object NodeEmbedding {
       "total pair count exceeds the exact-long PMI bound " +
         "floor(sqrt(Long.MaxValue)) — shard the corpus")
     val n = totDec.longValueExact()
+    val p = p0.groupBy(col("center"), col("context"))
+      .agg(sum(col("cnt")).as("n_wc"))
     val nw = p.groupBy(col("center")).agg(sum(col("n_wc")).as("n_w"))
     val nc = p.groupBy(col("context")).agg(sum(col("n_wc")).as("n_c"))
     p.join(nw, Seq("center")).join(nc, Seq("context"))

@@ -1491,9 +1491,12 @@ class GraphSpec extends AnyFunSuite {
     * ΔQ·q_den proposal per node (ties to smallest target), applied iff
     * top-ranked (ties to smallest node) for BOTH touched communities. */
   private def replayRefine(canon: Seq[(Long, Long, Long)],
-      labels0: Map[Long, Long], sweeps: Int): Map[Long, Long] = {
-    val dv = canon.flatMap(e => Seq((e._1, e._3), (e._2, e._3)))
+      labels0: Map[Long, Long], sweeps: Int,
+      selfW: Map[Long, Long] = Map.empty): Map[Long, Long] = {
+    val dvE = canon.flatMap(e => Seq((e._1, e._3), (e._2, e._3)))
       .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).sum }
+    val dv = (dvE.keySet ++ selfW.keySet).map(n =>
+      n -> (dvE.getOrElse(n, 0L) + 2L * selfW.getOrElse(n, 0L))).toMap
     val m2 = dv.values.sum
     var lab = labels0
     for (_ <- 0 until sweeps) {
@@ -1531,6 +1534,26 @@ class GraphSpec extends AnyFunSuite {
     edges.filter(e => e._1 != e._2)
       .groupBy(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
       .map { case (k, es) => (k._1, k._2, es.map(_._3).sum) }.toSeq
+
+  /** Driver replay of the multi-level Louvain recursion: refine, then
+    * condense the CANONICAL original edges by the current mapping
+    * (inter-community mass → coarse edges, internal mass → supernode
+    * self-mass), refine the coarse graph from singleton supernode
+    * labels, compose — exactly [[Graph.louvain]]'s loop. */
+  private def replayLouvain(canon: Seq[(Long, Long, Long)],
+      labels0: Map[Long, Long], sweeps: Int, levels: Int): Map[Long, Long] = {
+    var mapping = replayRefine(canon, labels0, sweeps)
+    for (_ <- 2 to levels) {
+      val coarse = canon.map(e => (mapping(e._1), mapping(e._2), e._3))
+      val ce = canonize(coarse)
+      val sw = coarse.filter(e => e._1 == e._2)
+        .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._3).sum }
+      val seed = mapping.values.toSeq.distinct.map(l => l -> l).toMap
+      val refined = replayRefine(ce, seed, sweeps, sw)
+      mapping = mapping.map { case (n, l) => n -> refined(l) }
+    }
+    mapping
+  }
 
   private def globalQ(edges: org.apache.spark.sql.DataFrame,
       labels: org.apache.spark.sql.DataFrame,
@@ -1629,5 +1652,92 @@ class GraphSpec extends AnyFunSuite {
       Seq((1L, 2L, 1518500249L)).toDF("src", "dst", "w"),
       Seq((1L, 0L), (2L, 0L)).toDF("node", "label"), 1,
       weightCol = Some("w")))
+  }
+
+  test("louvain: ring of triangles merges only at level 2 (resolution limit); Q monotone per level") {
+    val s = spark
+    import s.implicits._
+    // 30 triangles {3t, 3t+1, 3t+2} in a ring (3t+2 links to 3(t+1)):
+    // from the per-triangle labeling, NO single-node move has positive
+    // gain (k_vb=1 < k_va=2 for link nodes), so level 1 is the
+    // identity — but merging ADJACENT triangles raises Q (the Fortunato
+    // & Barthélemy resolution-limit regime), which only the condensed
+    // level can see: supernode gains 2M(1-0) - 2·8·8 = 352 > 0.
+    val tri = 30
+    val edges = (0 until tri).flatMap { t =>
+      val b = 3L * t
+      Seq((b, b + 1, 1L), (b, b + 2, 1L), (b + 1, b + 2, 1L),
+        (b + 2, (3L * (t + 1)) % (3L * tri), 1L))
+    }
+    val byTriangle = (0 until tri).flatMap { t =>
+      (0 until 3).map(i => (3L * t + i, 3L * t)) }
+    val edf = edges.toDF("src", "dst", "w")
+    val ldf = byTriangle.toDF("node", "label")
+    val lvl1 = Graph.louvain(edf, ldf, sweepsPerLevel = 2, levels = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lvl1 == byTriangle.toMap, "level 1 must be the identity here")
+    // levels=1 IS refineCommunities
+    val ref = Graph.refineCommunities(edf, ldf, sweeps = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ref == lvl1)
+    val lvl2 = Graph.louvain(edf, ldf, sweepsPerLevel = 2, levels = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val q1 = globalQ(edf, lvl1.toSeq.toDF("node", "label"), None)
+    val q2 = globalQ(edf, lvl2.toSeq.toDF("node", "label"), None)
+    assert(q2._2 == q1._2 && q2._1 > q1._1,
+      s"level 2 must strictly raise Q: ${q1._1} -> ${q2._1}")
+    assert(lvl2.values.toSet.size < tri, "level 2 must merge communities")
+    // merged communities are UNIONS of adjacent triangles (every
+    // triangle stays whole inside its level-2 community)
+    (0 until tri).foreach { t =>
+      val ls = (0 until 3).map(i => lvl2(3L * t + i)).toSet
+      assert(ls.size == 1, s"triangle $t split across labels: $ls")
+    }
+    // driver replay of the full recursion, levels up to 3
+    val canon = canonize(edges)
+    for (lv <- 1 to 3) {
+      val got = Graph.louvain(edf, ldf, sweepsPerLevel = 2, levels = lv)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == replayLouvain(canon, byTriangle.toMap, 2, lv),
+        s"levels=$lv")
+    }
+    // budget refusals
+    intercept[IllegalArgumentException](
+      Graph.louvain(edf, ldf, sweepsPerLevel = 1, levels = 0))
+    intercept[IllegalArgumentException](
+      Graph.louvain(edf, ldf, sweepsPerLevel = 1, levels = 11))
+  }
+
+  test("louvain: driver replay and per-level Q monotonicity on random graphs") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(41L)
+    for (trial <- 0 until 2) {
+      val raw = (0 until 140).map(_ => (rng.nextInt(16).toLong,
+        rng.nextInt(16).toLong, rng.nextInt(4).toLong + 1))
+      val canon = canonize(raw)
+      val nodes = canon.flatMap(e => Seq(e._1, e._2)).distinct
+      // singleton seed — the classic Louvain start
+      val lab0 = nodes.map(v => (v, v)).toMap
+      for (weighted <- Seq(false, true)) {
+        val wc = if (weighted) Some("w") else None
+        val canonW =
+          if (weighted) canon else canon.map(e => (e._1, e._2, 1L))
+        var qPrev = Long.MinValue
+        for (lv <- 1 to 3) {
+          val got = Graph.louvain(raw.toDF("src", "dst", "w"),
+              lab0.toSeq.toDF("node", "label"), sweepsPerLevel = 2,
+              levels = lv, weightCol = wc)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val want = replayLouvain(canonW, lab0, 2, lv)
+          assert(got == want, s"trial $trial weighted=$weighted levels=$lv")
+          val q = globalQ(raw.toDF("src", "dst", "w"),
+            got.toSeq.toDF("node", "label"), wc)._1
+          assert(q >= qPrev,
+            s"Q dropped across levels: trial $trial weighted=$weighted lv=$lv")
+          qPrev = q
+        }
+      }
+    }
   }
 }
