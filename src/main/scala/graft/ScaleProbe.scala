@@ -119,12 +119,36 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1000000").toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // the shuffle-volume lever for the disk-bound monolithic tier:
+    // SPARK_GRAFT_IO_CODEC=zstd swaps the shuffle/spill block codec
+    // (default lz4) so the 20M+ cliff can be measured with and without
+    // higher-ratio compression — a conf-only knob, recorded in the
+    // probe output below via the measured shuffle-write byte counters
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_IO_CODEC")
+      .foreach(c => builder.config("spark.io.compression.codec", c))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // measured shuffle volume: stage-completion listener accumulating
+    // shuffle bytes WRITTEN and disk spill — the numbers behind the
+    // disk-bound finding (counters are listener-async, so per-probe
+    // deltas are approximate at probe boundaries; good to ~one stage)
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = s.stageInfo.taskMetrics
+          if (m != null) {
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            spillBytes.addAndGet(m.diskBytesSpilled)
+          }
+        }
+      })
     // materialize the synthetic corpus ONCE, as shuffle files: real
     // pipelines read stored parquet, where a consumer re-scan is an IO
     // read — here it would REGENERATE 50 xxhash tokens per doc per
@@ -145,9 +169,13 @@ object ScaleProbe {
       .map(_.split(",").map(_.trim).toSet)
     def timed(name: String)(f: => Long): Unit =
       if (only.forall(_.contains(name))) {
+        val (sh0, sp0) = (shuffleBytes.get(), spillBytes.get())
         val t0 = System.nanoTime()
         val rows = f
-        println(f"""{"probe":"$name","n":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.1f,"rows":$rows}""")
+        val sec = (System.nanoTime() - t0) / 1e9
+        val (shGb, spGb) = ((shuffleBytes.get() - sh0) / 1e9,
+          (spillBytes.get() - sp0) / 1e9)
+        println(f"""{"probe":"$name","n":$n,"sec":$sec%.1f,"rows":$rows,"shuffle_gb":$shGb%.2f,"spill_gb":$spGb%.2f}""")
       }
     timed("corpus_scan")(docs.count())
     timed("curate")(graft.operators.TextAnalysis.curate(docs, lang = "und").count())
@@ -638,6 +666,39 @@ object ScaleProbe {
       require(r.getLong(0) == n, s"got ${r.getLong(0)} of $n nodes")
       r.getLong(0)
     }
+    timed("graph_louvain") {
+      // the multi-level coarsening's closed form at scale: n/3
+      // DISJOINT triangles in LINKED PAIRS (node 6t bridges to 6t+3),
+      // seeded per-triangle. Level 1 is provably frozen — every
+      // bridge node's only move has gain 2M(1−2) − 2·3·3 < 0 — but
+      // level 2's condensed supernodes see gain 2M − 98 > 0, and the
+      // pairs are DISJOINT so the winner rule applies ALL n/6 merges
+      // in the first coarse sweep: the SMALLER supernode (6t) wins
+      // both touched communities and moves INTO its partner's label,
+      // so every pair lands on the odd triangle's label; sweep two is
+      // a fixpoint. Closed form: label(v) = 6·(v div 6) + 3, exactly.
+      require(n >= 12 && n % 6 == 0, s"louvain probe needs 6|n, got $n")
+      val par = spark.sparkContext.defaultParallelism
+      val ids = spark.range(0, n, 1, par)
+      val edges = ids.where(pmod(col("id"), lit(3L)) === 0)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+        .union(ids.where(pmod(col("id"), lit(3L)) === 0)
+          .select(col("id"), col("id") + 2))
+        .union(ids.where(pmod(col("id"), lit(3L)) === 1)
+          .select(col("id"), col("id") + 1))
+        .union(ids.where(pmod(col("id"), lit(6L)) === 0)
+          .select(col("id"), col("id") + 3))
+      val labels = ids.select(col("id").as("node"),
+        (col("id") - pmod(col("id"), lit(3L))).as("label"))
+      val got = graft.operators.Graph.louvain(
+        edges, labels, sweepsPerLevel = 2, levels = 2)
+      val r = got.agg(count(lit(1)),
+        count(when(col("label") =!=
+          col("node") - pmod(col("node"), lit(6L)) + 3, 1))).head
+      require(r.getLong(1) == 0, s"${r.getLong(1)} labels off the closed form")
+      require(r.getLong(0) == n, s"got ${r.getLong(0)} of $n nodes")
+      r.getLong(0)
+    }
     timed("graph_embed_pmi") {
       // exact-integer PMI over an INDEPENDENT joint distribution:
       // center = id mod 1000, context = 1000 + (id div 1000) mod 1000,
@@ -680,7 +741,7 @@ object ScaleProbe {
           (block + pmod(expr("id DIV 128"), lit(128L))).as("context"),
           pmod(col("id"), lit(97L)).as("offset"), lit(1L).as("cnt"))
       val emb = graft.operators.NodeEmbedding.train(pairs,
-          dim = 8, epochs = 2, lr = 0.1, negatives = 2, seed = "sp")
+          dim = 8, epochs = 2, lr = 2.0, negatives = 2, seed = "sp")
         .collect().map(r => r.getLong(0) ->
           r.getSeq[Double](1).toArray).toMap
       require(emb.size == 256, s"vocab ${emb.size} != 256")

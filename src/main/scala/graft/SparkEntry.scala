@@ -151,6 +151,39 @@ object SparkEntry {
       d
     })
 
+  /** walks → skip-gram pairs → SGNS train → embedding STORE (write
+    * even nodes + append odd — the lifecycle exercised in-gate, like
+    * [[ivfIdxFixture]]) → IVF inverted file over the stored vectors:
+    * the full embedding pipeline persisted end to end. Returns
+    * (store dir, index dir). */
+  private val embPipeDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  private def embPipelineFixture(s: SparkSession,
+      dir: String): (String, String) =
+    embPipeDirs.getOrElseUpdate(dir, {
+      val emb = NodeEmbedding.train(
+        Graph.skipGramPairs(sccWalks(s, dir), window = 2),
+        dim = 8, epochs = 20, lr = 2.0, seed = "sgns12")
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-emb-store").toString
+      NodeEmbedding.writeEmbeddings(emb.where(col("node") % 2 === 0), store)
+      NodeEmbedding.appendToEmbeddings(emb.where(col("node") % 2 === 1),
+        store)
+      val ivf = java.nio.file.Files
+        .createTempDirectory("graft-emb-ivf").toString
+      Similarity.writeIvfIndex(storedEmbAsFloat(s, store), ivf,
+        dim = 8, nlist = 4)
+      (store, ivf)
+    })
+
+  /** A stored `(node, emb array<double>)` table in the `(vec_id,
+    * embedding array<float>)` shape the ANN family consumes. */
+  private def storedEmbAsFloat(s: SparkSession, store: String): DataFrame =
+    NodeEmbedding.readEmbeddings(s, store)
+      .select(col("node").as("vec_id"),
+        expr("transform(emb, x -> CAST(x AS float))").as("embedding"))
+
   private val ivfSemFixtureDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
   private val ivfQuantFixtureDirs =
@@ -323,6 +356,7 @@ object SparkEntry {
         stringIdxFixtureDirs, ivfIdxFixtureDirs, ivfSemFixtureDirs,
         ivfQuantFixtureDirs, pqIdxFixtureDirs, zorderFixtureDirs,
         bpeDictFixtureDirs).foreach(_.clear())
+    embPipeDirs.clear()
     ixFixtureDirs.clear()
     qualityModels.clear()
     bpeModels.clear()
@@ -2605,6 +2639,21 @@ object SparkEntry {
           Graph.skipGramPairs(sccWalks(s, dir), window = 2),
           k = 2, seed = "neg12")
         .orderBy(col("center"), col("context"), col("offset"), col("j"))
+    }),
+    "q_x_graph_embed_pipeline" -> ((s, dir) => {
+      // the embedding pipeline COMPOSED end to end and persisted at
+      // every seam: walks → skip-gram pairs → deterministic SGNS
+      // training → the trained-vector store (write + append lifecycle)
+      // → a persisted IVF inverted file over the stored vectors → ANN
+      // top-k of every node against the index. Approximate/float by
+      // nature (cosine ranks over trained doubles), so rows-only like
+      // the rest of the ANN family; the planted-structure invariant
+      // (intra-clique neighbors win) and store bit-stability are
+      // spec-proven in NodeEmbeddingSpec/StoreLifecycleSpec.
+      val (store, ivf) = embPipelineFixture(s, dir)
+      Similarity.ivfTopKOverIndex(storedEmbAsFloat(s, store), ivf,
+          k = 3, nprobe = 2)
+        .orderBy(col("qid"), col("rank"))
     }),
     "q_x_graph_hits" -> ((s, dir) => {
       // HITS hubs-and-authorities in the exact unnormalized form (the

@@ -407,21 +407,29 @@ object CentroidOps {
     val kk = math.min(k, m.length)
     val scores = new Array[Double](kk)
     val idx = new Array[Int](kk)
-    java.util.Arrays.fill(scores, Double.NegativeInfinity)
+    // only INSERTED slots return: the previous -inf-sentinel form
+    // returned its zero-initialized idx array whenever no score ranked
+    // (a non-finite vector scores NaN against every row — NaN
+    // comparisons are all false) — emitting centroid 0 repeated k
+    // times, i.e. DUPLICATE probe cells, instead of no cells
+    var filled = 0
     var i = 0
     while (i < m.length) {
       val s = dotRow(v, m(i), vFloat)
-      var p = kk
-      while (p > 0 && (scores(p - 1) < s || (scores(p - 1) == s && idx(p - 1) < i)))
-        p -= 1
-      if (p < kk) {
-        var q = kk - 1
-        while (q > p) { scores(q) = scores(q - 1); idx(q) = idx(q - 1); q -= 1 }
-        scores(p) = s; idx(p) = i
+      if (!s.isNaN) {
+        var p = filled
+        while (p > 0 && (scores(p - 1) < s || (scores(p - 1) == s && idx(p - 1) < i)))
+          p -= 1
+        if (p < kk) {
+          var q = math.min(filled, kk - 1)
+          while (q > p) { scores(q) = scores(q - 1); idx(q) = idx(q - 1); q -= 1 }
+          scores(p) = s; idx(p) = i
+          if (filled < kk) filled += 1
+        }
       }
       i += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(idx)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(idx.take(filled))
   }
 
   /** Sign-bit bucket: bit i set iff dot(v, m(i)) >= 0. */

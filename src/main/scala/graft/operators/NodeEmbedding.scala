@@ -175,14 +175,26 @@ object NodeEmbedding {
     * (`center, context, cnt` — [[Graph.skipGramPairs]] output; offset
     * is part of the negative-draw key when present, else keyed 0).
     * Returns `(node, emb)` — the center ("input") vectors, one
-    * `array<double>` of length `dim` per vocab node. */
+    * `array<double>` of length `dim` per vocab node.
+    *
+    * The batch gradient is the MEAN over the table's example mass
+    * (Σ cnt), not the sum — so `lr` is CORPUS-SIZE-FREE: the same
+    * learning rate behaves identically at 10³ and 10¹⁰ pairs, where a
+    * summed gradient would force the caller to shrink lr with the
+    * corpus and silently diverge otherwise (the trap this operator hit
+    * in round 13's pipeline audit: sum-gradients at lr 0.02 blew the
+    * weights past 1e37 on a 15-node graph). Divergence is an ERROR,
+    * never a silent NaN: every epoch validates the aggregated gradient
+    * finite before applying it. */
   def train(pairs: DataFrame, dim: Int, epochs: Int,
-      lr: Double = 0.05, negatives: Int = 5, seed: String = "sgns",
+      lr: Double = 1.0, negatives: Int = 5, seed: String = "sgns",
       maxVocab: Int = 65536): DataFrame = {
     require(dim >= 2 && dim <= 256, s"dim must be in [2, 256], got $dim")
     require(epochs >= 0 && epochs <= 200,
       s"epochs must be in [0, 200], got $epochs")
-    require(lr > 0 && lr <= 1.0, s"lr must be in (0, 1], got $lr")
+    // mean-normalized gradients support classic-GD learning rates
+    // above 1; divergence past the bound is the per-epoch finite check
+    require(lr > 0 && lr <= 100.0, s"lr must be in (0, 100], got $lr")
     require(negatives >= 1 && negatives <= 100,
       s"negatives must be in [1, 100], got $negatives")
     require(!seed.contains(":"), "seed must not contain ':'")
@@ -192,6 +204,13 @@ object NodeEmbedding {
       if (pairs.columns.contains("offset")) pairs
       else pairs.withColumn("offset", lit(0L)))
     val vocab = vocabRanks(p)
+    // total example mass (decimal-crossing read, the pmiStats
+    // ordering): the gradient normalizer below, and a one-number guard
+    // that the long world never wraps
+    val massDec = p.agg(sum(col("cnt").cast("decimal(38,0)")))
+      .head().getDecimal(0)
+    require(massDec != null, "empty pair table")
+    val nMass = massDec.doubleValue()
     // the vocabulary is the one driver-materialized artifact (the Bpe
     // dictionary class of bounded collect) — guarded, never implicit
     val nodes = vocab.orderBy(col("rank")).select(col("node"))
@@ -277,10 +296,19 @@ object NodeEmbedding {
           a
         })
       bw.destroy(); bc.destroy()
+      // divergence is an ERROR up front — a non-finite gradient would
+      // otherwise poison every consumer downstream (float casts
+      // overflow, cosine goes NaN, NaN ranks FIRST in a desc sort)
+      var gi = 0
+      while (gi < grad.length) {
+        require(!grad(gi).isNaN && !grad(gi).isInfinity,
+          "training diverged (non-finite gradient) — lower lr")
+        gi += 1
+      }
       val nw = Array.tabulate(v, dim)((r, d) =>
-        w(r)(d) + lr * grad(r * dim + d))
+        w(r)(d) + lr * grad(r * dim + d) / nMass)
       val nc = Array.tabulate(v, dim)((r, d) =>
-        c(r)(d) + lr * grad((v + r) * dim + d))
+        c(r)(d) + lr * grad((v + r) * dim + d) / nMass)
       w = nw; c = nc
     }
     examples.queryExecution.analyzed match {
@@ -291,5 +319,122 @@ object NodeEmbedding {
     import spark.implicits._
     nodes.zip(w).toSeq.map { case (n, vec) => (n, vec.toSeq) }
       .toDF("node", "emb")
+  }
+
+  // ---- Trained-vector store ----------------------------------------
+  // Trained embeddings are a derived artifact a pipeline reuses across
+  // many consumers (ANN indexing, SemDeDup, link scoring) — so they get
+  // the same store lifecycle as the other persisted stores
+  // (Dedup.writeMinhashIndex, Similarity.writeIvfIndex; the reference's
+  // append-a-sorted-batch LSM discipline, src/io/tablet_writer.cc:
+  // 107-230): parquet rows `(node, emb)` plus a properties sidecar
+  // recording the dim the table BAKES IN. Crash discipline: data first,
+  // sidecar last; append/compact take the sidecar DOWN and restore it
+  // after the commit, so a torn write leaves a loudly-refusing
+  // directory, never a valid-looking store missing rows.
+
+  private val EmbPropsFile = "_graft_emb.properties"
+
+  private def writeEmbProps(spark: org.apache.spark.sql.SparkSession,
+      dir: String, dim: Int): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val path = new org.apache.hadoop.fs.Path(dir, EmbPropsFile)
+    val tmp = new org.apache.hadoop.fs.Path(dir, EmbPropsFile + ".tmp")
+    val fs = path.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write(s"dim=$dim\n".getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(path, false)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"failed to move $tmp to $path")
+  }
+
+  /** The store's recorded dim; refuses when the sidecar is absent — a
+    * bare parquet directory (or one whose append died mid-commit) is
+    * NOT an embedding store. */
+  private def readEmbProps(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int = {
+    val path = new org.apache.hadoop.fs.Path(dir, EmbPropsFile)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(path),
+      s"no embedding store sidecar at $path — build with writeEmbeddings")
+    val props = new java.util.Properties()
+    val in = fs.open(path)
+    try props.load(in) finally in.close()
+    props.getProperty("dim").toInt
+  }
+
+  /** One aggregated action validating a `(node, emb)` frame against the
+    * store contract: unique non-null node ids, every vector exactly
+    * `dim` wide — an ERROR, never a silently-truncated lookup. */
+  private def validateEmb(emb: DataFrame, dim: Int): Unit = {
+    val r = emb.agg(count(lit(1)), count_distinct(col("node")),
+      count(when(col("node").isNull || col("emb").isNull ||
+        size(col("emb")) =!= dim, 1)),
+      count(when(exists(col("emb"), x =>
+        isnan(x) || x === Double.PositiveInfinity ||
+          x === Double.NegativeInfinity), 1))).head()
+    require(r.getLong(0) == r.getLong(1),
+      "embedding table has duplicate node ids — one vector per node")
+    require(r.getLong(2) == 0,
+      s"embedding table has null/mis-sized vectors (store dim=$dim)")
+    // non-finite vectors refuse at the store seam: a NaN/Inf component
+    // overflows float casts downstream and NaN similarity ranks FIRST
+    // in a descending sort — corruption, not a ranking
+    require(r.getLong(3) == 0,
+      "embedding table has non-finite vector components")
+  }
+
+  /** Build and persist an embedding store under `dir` from a
+    * `(node, emb)` frame ([[train]] output): parquet first, then the
+    * dim sidecar — a reader never sees a sidecar without its data. */
+  def writeEmbeddings(emb: DataFrame, dir: String): Unit = {
+    val spark = emb.sparkSession
+    val probe = emb.select(size(col("emb"))).limit(1).collect()
+    require(probe.nonEmpty, "empty embedding table")
+    val dim = probe(0).getInt(0)
+    validateEmb(emb, dim)
+    emb.select(col("node"), col("emb")).write.mode("overwrite").parquet(dir)
+    writeEmbProps(spark, dir, dim)
+  }
+
+  /** Append a batch of new vectors to a stored table — the batch is
+    * dim-checked against the sidecar and the sidecar cycles down/up
+    * around the commit (the [[Similarity.appendToIvfIndex]] crash
+    * discipline). Caller contract: `newEmb` node ids are disjoint from
+    * the store's (the minhash/IVF append rule). */
+  def appendToEmbeddings(newEmb: DataFrame, dir: String): Unit = {
+    val spark = newEmb.sparkSession
+    val dim = readEmbProps(spark, dir)
+    validateEmb(newEmb, dim)
+    val props = new org.apache.hadoop.fs.Path(dir, EmbPropsFile)
+    props.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(props, false)
+    newEmb.select(col("node"), col("emb"))
+      .write.mode("append").parquet(dir)
+    writeEmbProps(spark, dir, dim)
+  }
+
+  /** Compact the store, optionally erasing nodes exactly (the rows are
+    * gone, not masked): folds appended segments into one layout via the
+    * shared `_`-prefixed staging rewrite. Vectors are untouched —
+    * append/compact cycles stay bit-stable. */
+  def compactEmbeddings(dir: String,
+      dropNodes: Option[DataFrame] = None): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val dim = readEmbProps(spark, dir)
+    val props = new org.apache.hadoop.fs.Path(dir, EmbPropsFile)
+    props.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(props, false)
+    IndexFiles.rewriteRoot(spark, dir, IndexFiles.minus(dropNodes, "node"))
+    writeEmbProps(spark, dir, dim)
+  }
+
+  /** Open a stored embedding table `(node, emb)`; refuses a
+    * sidecar-less directory. */
+  def readEmbeddings(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    readEmbProps(spark, dir)
+    spark.read.parquet(dir)
   }
 }

@@ -488,6 +488,10 @@ object Similarity {
     val pairs = c.join(broadcast(q), Seq("cluster"))
       .where(col("vec_id") =!= col("qid"))
       .withColumn("sim", dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
+      // a non-finite vector (Inf components pass the norm>0 gate)
+      // scores NaN — and NaN sorts FIRST in a descending sort, so it
+      // would outrank every real neighbor; drop it from the ranking
+      .where(!isnan(col("sim")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     pairs.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

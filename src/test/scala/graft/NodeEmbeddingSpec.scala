@@ -56,8 +56,10 @@ class NodeEmbeddingSpec extends AnyFunSuite {
           }
         }
       }
-      w = Array.tabulate(v, dim)((r, d) => w(r)(d) + lr * gw(r)(d))
-      c = Array.tabulate(v, dim)((r, d) => c(r)(d) + lr * gc(r)(d))
+      // mean over the example mass, the operator's normalization
+      val n = pairs.map(_._4.toDouble).sum
+      w = Array.tabulate(v, dim)((r, d) => w(r)(d) + lr * gw(r)(d) / n)
+      c = Array.tabulate(v, dim)((r, d) => c(r)(d) + lr * gc(r)(d) / n)
     }
     vocab.zip(w).toMap
   }
@@ -129,8 +131,16 @@ class NodeEmbeddingSpec extends AnyFunSuite {
     val walks = Graph.randomWalks(edges.toDF("src", "dst"),
       walkLength = 6, walksPerNode = 8, seed = "pc", directed = false)
     val pairs = Graph.skipGramPairs(walks, window = 2)
-    val emb = collectEmb(NodeEmbedding.train(pairs,
-      dim = 8, epochs = 40, lr = 0.15, negatives = 4, seed = "pc"))
+    val trained = NodeEmbedding.train(pairs,
+      dim = 8, epochs = 40, lr = 2.0, negatives = 4, seed = "pc")
+    val emb = collectEmb(trained)
+    // weights stay BOUNDED — the round-13 audit found the previous
+    // sum-gradient recurrence diverging past 1e37 while this test's
+    // mean-cosine assertion passed on degenerate parallel vectors
+    // (intra = inter = 1.0000); the margin assertion below would have
+    // caught that
+    assert(emb.values.forall(_.forall(x => math.abs(x) < 10.0)),
+      "trained weights diverged")
     def cos(a: Array[Double], b: Array[Double]): Double = {
       val dot = a.zip(b).map(t => t._1 * t._2).sum
       val na = math.sqrt(a.map(x => x * x).sum)
@@ -144,9 +154,11 @@ class NodeEmbeddingSpec extends AnyFunSuite {
     } yield cos(emb(a), emb(b))).sum / (c.size * (c.size - 1) / 2)
     val inter = (for { a <- c1; b <- c2 }
       yield cos(emb(a), emb(b))).sum / (c1.size * c2.size)
-    assert(meanIntra(c1) > inter,
+    // a real MARGIN, not just >: degenerate diverged vectors read
+    // intra ≈ inter ≈ 1.0 and pass a bare inequality on float noise
+    assert(meanIntra(c1) > inter + 0.3,
       s"intra1=${meanIntra(c1)} inter=$inter")
-    assert(meanIntra(c2) > inter,
+    assert(meanIntra(c2) > inter + 0.3,
       s"intra2=${meanIntra(c2)} inter=$inter")
   }
 
@@ -198,5 +210,76 @@ class NodeEmbeddingSpec extends AnyFunSuite {
       NodeEmbedding.train(pairs, dim = 4, epochs = 1, lr = 0.0))
     intercept[IllegalArgumentException](
       NodeEmbedding.train(pairs, dim = 4, epochs = 1, seed = "x:y"))
+    // non-positive / fractional multiplicities are an ERROR, never a
+    // silently flipped gradient (cnt scales the objective)
+    intercept[IllegalArgumentException](NodeEmbedding.train(
+      Seq((1L, 2L, 1L, 0L)).toDF("center", "context", "offset", "cnt"),
+      dim = 4, epochs = 1))
+    intercept[IllegalArgumentException](NodeEmbedding.negativeSamples(
+      Seq((1L, 2L, 1L, -3L)).toDF("center", "context", "offset", "cnt"),
+      k = 2, seed = "x"))
+    intercept[IllegalArgumentException](NodeEmbedding.pmiStats(
+      Seq((1L, 2L, 1L, 1.5)).toDF("center", "context", "offset", "cnt")))
+  }
+
+  test("embedding store + ANN pipeline: bit-exact round trip; intra-clique neighbors end to end; torn commit refuses") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    def k5(off: Long) = for {
+      i <- 0L until 5L; j <- (i + 1) until 5L
+    } yield (off + i, off + j)
+    val edges = (k5(0) ++ k5(10)) :+ (0L, 10L)
+    val walks = Graph.randomWalks(edges.toDF("src", "dst"),
+      walkLength = 6, walksPerNode = 8, seed = "pc", directed = false)
+    val emb = NodeEmbedding.train(Graph.skipGramPairs(walks, window = 2),
+      dim = 8, epochs = 40, lr = 2.0, negatives = 4, seed = "pc")
+    // store lifecycle: write one half, append the other — the stored
+    // table must equal the trained frame BIT-exactly
+    val dir = java.nio.file.Files.createTempDirectory("emb-store").toString
+    NodeEmbedding.writeEmbeddings(emb.where(col("node") < 10), dir)
+    NodeEmbedding.appendToEmbeddings(emb.where(col("node") >= 10), dir)
+    val back = NodeEmbedding.readEmbeddings(s, dir)
+    assert(back.exceptAll(emb).isEmpty && emb.exceptAll(back).isEmpty,
+      "stored vectors drifted from the trained frame")
+    // the composed ANN path: stored vectors → persisted IVF inverted
+    // file → full-probe top-k; every neighbor stays intra-clique
+    val vecs = back.select(col("node").as("vec_id"),
+      expr("transform(emb, x -> CAST(x AS float))").as("embedding"))
+    val ivf = java.nio.file.Files.createTempDirectory("emb-ivf").toString
+    Similarity.writeIvfIndex(vecs, ivf, dim = 8, nlist = 2)
+    val top = Similarity.ivfTopKOverIndex(vecs, ivf, k = 3, nprobe = 2)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(top.length == 30, s"expected 10 nodes x k=3, got ${top.length}")
+    // the planted structure survives the WHOLE persisted pipeline:
+    // every node's top-3 ANN neighbors are strictly intra-clique
+    top.foreach { case (q, nb) =>
+      assert((q < 10) == (nb < 10), s"cross-clique neighbor: $q -> $nb") }
+    // compact with erase: erased rows are GONE; survivors bit-stable
+    NodeEmbedding.compactEmbeddings(dir,
+      dropNodes = Some(Seq(0L, 10L).toDF("node")))
+    val compacted = NodeEmbedding.readEmbeddings(s, dir)
+    val survivors = emb.where(col("node") =!= 0L && col("node") =!= 10L)
+    assert(compacted.exceptAll(survivors).isEmpty &&
+      survivors.exceptAll(compacted).isEmpty)
+    // torn commit: a sidecar-less directory loudly refuses
+    val props = new org.apache.hadoop.fs.Path(dir, "_graft_emb.properties")
+    props.getFileSystem(s.sessionState.newHadoopConf())
+      .delete(props, false)
+    intercept[IllegalArgumentException](NodeEmbedding.readEmbeddings(s, dir))
+    intercept[IllegalArgumentException](
+      NodeEmbedding.appendToEmbeddings(emb, dir))
+    // contract refusals: dim mismatch, duplicate nodes, empty write
+    NodeEmbedding.writeEmbeddings(emb, dir)
+    intercept[IllegalArgumentException](NodeEmbedding.appendToEmbeddings(
+      Seq((99L, Seq(1.0, 2.0))).toDF("node", "emb"), dir))
+    intercept[IllegalArgumentException](NodeEmbedding.writeEmbeddings(
+      emb.union(emb),
+      java.nio.file.Files.createTempDirectory("emb-dup").toString))
+    intercept[IllegalArgumentException](NodeEmbedding.writeEmbeddings(
+      emb.where(lit(false)),
+      java.nio.file.Files.createTempDirectory("emb-empty").toString))
   }
 }

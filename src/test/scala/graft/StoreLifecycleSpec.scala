@@ -378,4 +378,48 @@ class StoreLifecycleSpec extends AnyFunSuite {
       assert(storedCells == reassigned, "cells drifted across lifecycle")
     }
   }
+
+  test("embedding store: random append/compact/erase sequences track the vector model") {
+    import graft.operators.NodeEmbedding
+    val tbl = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id").as("node"),
+        expr("transform(embedding, x -> CAST(x AS double))").as("emb"))
+    def vb(i: Int): DataFrame = tbl.where(pmod(col("node"), lit(4)) === i)
+    def vids(i: Int): Set[Long] = vb(i).select("node")
+      .collect().map(_.getLong(0)).toSet
+    val rng = new scala.util.Random(23)
+    val dir = tmp("fuzz-emb")
+    NodeEmbedding.writeEmbeddings(vb(0), dir)
+    val present = scala.collection.mutable.Set.empty[Long]
+    present ++= vids(0)
+    var unused = (1 until 4).toList
+    (0 until 6).foreach { step =>
+      rng.nextInt(3) match {
+        case 0 if unused.nonEmpty =>
+          val b = unused.head; unused = unused.tail
+          NodeEmbedding.appendToEmbeddings(vb(b), dir)
+          present ++= vids(b)
+        case 1 if present.nonEmpty =>
+          val drop = present.filter(_ => rng.nextBoolean()).toSet
+          import spark.implicits._
+          NodeEmbedding.compactEmbeddings(dir,
+            dropNodes = Some(drop.toSeq.toDF("node")))
+          present --= drop
+        case _ =>
+          NodeEmbedding.compactEmbeddings(dir)
+      }
+      val stored = spark.read.parquet(dir).select("node")
+        .collect().map(_.getLong(0)).toSet
+      assert(stored == present.toSet, s"step $step embedding ids")
+    }
+    // surviving vectors are BIT-identical to the source rows —
+    // append/compact never touch stored bytes
+    if (present.nonEmpty) {
+      val back = NodeEmbedding.readEmbeddings(spark, dir)
+      val want = tbl.where(col("node").isin(present.toSeq: _*))
+      assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty,
+        "vectors drifted across lifecycle")
+    }
+  }
 }
