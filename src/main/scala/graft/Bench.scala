@@ -25,7 +25,8 @@ object Bench {
       "q_x_zorder_scan", "q_x_quality_classifier",
       "q_x_text_index_match", "q_x_curation_incremental",
       "q_x_bpe_tokenize", "q_x_fuse_hybrid",
-      "q_x_corpus_report_store", "q_x_dedup_simhash_match").foreach { name =>
+      "q_x_corpus_report_store", "q_x_dedup_simhash_match",
+      "q_x_graph_embed_pipeline").foreach { name =>
       val q = SparkEntry.queries(name)
       try q(spark, sfDir).count() catch { case _: Throwable => () }
     }
