@@ -666,30 +666,37 @@ object Graph {
         w.as("_w"))
       .where(col("u") =!= col("v") &&
         col("u").isNotNull && col("v").isNotNull)
-    // decimal-crossing mass check on the PRE-aggregation edge frame
-    // (the communityStats ordering): with weights validated positive,
-    // bounding the RAW sum (+ any supernode self-mass) here bounds
-    // every downstream long groupBy sum (parallel-edge collapse,
-    // per-node degrees, k_vc, d_c) — a near-Long.MaxValue weight can
-    // no longer wrap through a long aggregation BEFORE the guard runs.
-    // Degree mass counts each edge at both endpoints and self-mass
-    // twice, so the bound is on 2·(Σ_raw w + Σ _sw).
-    val rawDec = undRaw
+    val und = undRaw
+      .groupBy(col("u"), col("v"))
+      .agg((if (weightCol.isEmpty) lit(1L) else sum(col("_w"))).as("_w"))
+      .transform(checkpointed)
+    // decimal-crossing mass check BEFORE any long aggregation can wrap
+    // (the communityStats ordering). WEIGHTED: on the PRE-aggregation
+    // frame — with weights validated positive, bounding the raw sum
+    // bounds every downstream long groupBy sum, and parallel weights
+    // SUM during collapse, so the raw total IS the collapsed total
+    // (exact, not conservative). UNWEIGHTED: on the COLLAPSED frame —
+    // parallels collapse to mass 1 (a raw-row bound would falsely
+    // refuse a duplicate-heavy edge list), and the collapse itself
+    // cannot wrap (it aggregates the literal 1, never a sum). Degree
+    // mass counts each edge at both endpoints and self-mass twice, so
+    // the bound is on 2·(Σ w + Σ _sw).
+    val massFrame = if (weightCol.isEmpty) und else undRaw
+    val rawDec = massFrame
       .agg(sum(col("_w").cast("decimal(38,0)"))).head().getDecimal(0)
     val selfDec = selfMass
       .map(_.agg(sum(col("_sw").cast("decimal(38,0)"))).head().getDecimal(0))
       .filter(_ != null)
       .getOrElse(java.math.BigDecimal.ZERO)
-    if (rawDec == null) return lab0 // no edges: no candidate moves exist
+    if (rawDec == null) { // no edges: no candidate moves exist
+      unpersistCheckpoint(und)
+      return lab0
+    }
     require(rawDec.add(selfDec)
         .multiply(java.math.BigDecimal.valueOf(2L)).compareTo(
         java.math.BigDecimal.valueOf(1518500249L)) <= 0, // floor(sqrt(Long.Max/4))
       "edge mass 2m exceeds the exact-long gain bound " +
         "floor(sqrt(Long.MaxValue/4)) — rescale weights")
-    val und = undRaw
-      .groupBy(col("u"), col("v"))
-      .agg((if (weightCol.isEmpty) lit(1L) else sum(col("_w"))).as("_w"))
-      .transform(checkpointed)
     val eb = und.select(col("u").as("src"), col("v").as("dst"), col("_w"))
       .union(und.select(col("v").as("src"), col("u").as("dst"), col("_w")))
       .transform(checkpointed)
@@ -837,8 +844,9 @@ object Graph {
       levels: Int, weightCol: Option[String] = None): DataFrame = {
     require(levels >= 1 && levels <= 10,
       s"levels must be in [1, 10], got $levels")
-    var mapping = checkpointed(
-      refineCommunities(edges, labels, sweepsPerLevel, weightCol))
+    // refineCommunities already returns its labeling checkpointed — a
+    // second wrap would leave an unreleased twin in the block manager
+    var mapping = refineCommunities(edges, labels, sweepsPerLevel, weightCol)
     if (levels == 1) return mapping
     // canonical weighted edge list of the ORIGINAL graph, built once —
     // unweighted collapses parallels to mass 1 (the refine rule), so
@@ -879,6 +887,7 @@ object Graph {
           col("label").as("_l2")), Seq("label"))
         .select(col("node"), col("_l2").as("label")))
       unpersistCheckpoint(prev)
+      unpersistCheckpoint(refined) // the level's coarse labeling rotates out too
     }
     unpersistCheckpoint(und)
     mapping

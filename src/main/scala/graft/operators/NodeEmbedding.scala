@@ -55,23 +55,33 @@ object NodeEmbedding {
   private def hex52(key: Column): Column =
     conv(substring(md5(key), 1, 13), 16, 10).cast("long")
 
-  /** Project the pair-table columns, VALIDATING `cnt` first (the
-    * [[Graph]] validateWeights idiom, one aggregated action): a null,
-    * fractional, or non-positive multiplicity is an ERROR — a zero or
-    * negative cnt would flip the gradient direction silently in
-    * [[train]] and wreck [[pmiStats]]' marginals, and a fractional one
-    * would truncate through the long cast. */
-  private def pairCols(pairs: DataFrame): DataFrame = {
-    val raw = col("cnt")
-    val bad = pairs.agg(count(when(
-      raw.isNull || raw =!= raw.cast("long") || raw.cast("long") < 1,
-      1))).head().getLong(0)
-    require(bad == 0,
-      s"pair table has $bad null/fractional/non-positive cnt rows — " +
-        "multiplicities must be positive integers")
+  /** Project the pair-table columns; validation is [[validatedTotal]]
+    * so the contract check and the decimal mass read share ONE action
+    * (the pair input is typically an un-checkpointed self-join — every
+    * extra action replays the walk-pair extraction). */
+  private def pairCols(pairs: DataFrame): DataFrame =
     pairs.select(col("center"), col("context"),
       col("offset").cast("long").as("offset"),
       col("cnt").cast("long").as("cnt"))
+
+  /** ONE aggregated action over the raw pair table: VALIDATE `cnt`
+    * (the [[Graph]] validateWeights idiom — a null, fractional, or
+    * non-positive multiplicity is an ERROR: a zero or negative cnt
+    * would flip the gradient direction silently in [[train]] and wreck
+    * [[pmiStats]]' marginals, a fractional one would truncate through
+    * the long cast) and return the decimal-crossing total example mass
+    * (the pre-aggregation overflow ordering — guarded BEFORE any long
+    * sum can wrap). Null only for an empty table. */
+  private def validatedTotal(pairs: DataFrame): java.math.BigDecimal = {
+    val raw = col("cnt")
+    val r = pairs.agg(
+      count(when(raw.isNull || raw =!= raw.cast("long") ||
+        raw.cast("long") < 1, 1)),
+      sum(raw.cast("decimal(38,0)"))).head()
+    require(r.getLong(0) == 0,
+      s"pair table has ${r.getLong(0)} null/fractional/non-positive " +
+        "cnt rows — multiplicities must be positive integers")
+    r.getDecimal(1)
   }
 
   /** Dense 0-based vocabulary ranks over the pair table's node set
@@ -106,6 +116,7 @@ object NodeEmbedding {
       seed: String): DataFrame = {
     require(k >= 1 && k <= 100, s"k must be in [1, 100], got $k")
     require(!seed.contains(":"), "seed must not contain ':'")
+    require(validatedTotal(pairs) != null, "empty pair table")
     val p = pairCols(pairs)
     val vocab = vocabRanks(p)
     val v = vocab.count()
@@ -144,16 +155,17 @@ object NodeEmbedding {
     * equi-joins back — no iteration, no windows; the total is a
     * one-number driver read. */
   def pmiStats(pairs: DataFrame): DataFrame = {
-    val p0 = pairCols(
+    val withOff =
       if (pairs.columns.contains("offset")) pairs
-      else pairs.withColumn("offset", lit(0L)))
+      else pairs.withColumn("offset", lit(0L))
     // decimal-crossing total on the PRE-aggregation frame (the
-    // communityStats ordering): cnt is validated >= 1 by pairCols, so
-    // bounding the raw decimal sum here bounds every downstream long
-    // sum (n_wc, n_w, n_c) — a near-Long.MaxValue cnt can no longer
-    // wrap through the long aggregation BEFORE the guard runs
-    val totDec = p0.agg(sum(col("cnt").cast("decimal(38,0)")))
-      .head().getDecimal(0)
+    // communityStats ordering), fused with the cnt contract check in
+    // validatedTotal's single action: bounding the raw decimal sum
+    // here bounds every downstream long sum (n_wc, n_w, n_c) — a
+    // near-Long.MaxValue cnt can no longer wrap through the long
+    // aggregation BEFORE the guard runs
+    val totDec = validatedTotal(withOff)
+    val p0 = pairCols(withOff)
     require(totDec != null, "empty pair table")
     require(totDec.compareTo(
         java.math.BigDecimal.valueOf(3037000499L)) <= 0, // floor(sqrt(Long.Max))
@@ -200,17 +212,17 @@ object NodeEmbedding {
     require(!seed.contains(":"), "seed must not contain ':'")
     require(maxVocab >= 1, s"maxVocab must be positive, got $maxVocab")
     val spark = pairs.sparkSession
-    val p = pairCols(
+    val withOff =
       if (pairs.columns.contains("offset")) pairs
-      else pairs.withColumn("offset", lit(0L)))
-    val vocab = vocabRanks(p)
-    // total example mass (decimal-crossing read, the pmiStats
-    // ordering): the gradient normalizer below, and a one-number guard
-    // that the long world never wraps
-    val massDec = p.agg(sum(col("cnt").cast("decimal(38,0)")))
-      .head().getDecimal(0)
+      else pairs.withColumn("offset", lit(0L))
+    // total example mass — the gradient normalizer below — read in the
+    // SAME single action that validates the cnt contract (the pmiStats
+    // pre-aggregation overflow ordering)
+    val massDec = validatedTotal(withOff)
     require(massDec != null, "empty pair table")
     val nMass = massDec.doubleValue()
+    val p = pairCols(withOff)
+    val vocab = vocabRanks(p)
     // the vocabulary is the one driver-materialized artifact (the Bpe
     // dictionary class of bounded collect) — guarded, never implicit
     val nodes = vocab.orderBy(col("rank")).select(col("node"))
@@ -309,6 +321,13 @@ object NodeEmbedding {
         w(r)(d) + lr * grad(r * dim + d) / nMass)
       val nc = Array.tabulate(v, dim)((r, d) =>
         c(r)(d) + lr * grad((v + r) * dim + d) / nMass)
+      // ... and the APPLIED weights: a finite-but-huge last-epoch
+      // gradient could overflow the update itself, returning Inf
+      // vectors with no later epoch to catch them
+      def finite(m: Array[Array[Double]]): Boolean =
+        m.forall(_.forall(x => !x.isNaN && !x.isInfinity))
+      require(finite(nw) && finite(nc),
+        "training diverged (non-finite weights) — lower lr")
       w = nw; c = nc
     }
     examples.queryExecution.analyzed match {

@@ -38,6 +38,9 @@ object Similarity {
       .withColumn("cnorm", norm(col("cv"))).where(col("cnorm") > 0)
     val pairs = c.join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("sim", dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
+      // Inf-component vectors pass the norm>0 gate and score NaN — and
+      // NaN sorts FIRST under desc, outranking every real neighbor
+      .where(!isnan(col("sim")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     pairs.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -784,6 +787,9 @@ object Similarity {
       .where(col("vec_id") =!= col("qid"))
       .withColumn("sim",
         pq_adc(col("lut"), col("codes")) / (col("qnorm") * col("rnorm")))
+      // Inf-component queries can still ADC to NaN — same guard as the
+      // float cosine paths
+      .where(!isnan(col("sim")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     pairs.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -816,6 +822,8 @@ object Similarity {
       .join(q.select(col("qid"), col("qv"), col("qnorm")), "qid")
       .join(c, "vec_id")
       .withColumn("sim", dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
+      // same NaN-ranks-first guard as bruteForceTopK/ivfScore
+      .where(!isnan(col("sim")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     pairs.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
