@@ -230,6 +230,42 @@ class PipelineOpsSpec extends AnyFunSuite {
       .where(col("vec_id") === 99999L).count() == 0L)
   }
 
+  test("non-finite corpus vectors never rank: every float scoring path drops NaN sims") {
+    // an Inf-component vector PASSES the norm > 0 gate (norm = Inf) and
+    // scores NaN against every query — and NaN sorts FIRST under a
+    // descending sort, so an unguarded path would hand it rank 1 for
+    // every query (the round-13 review finding; ivfScore/bruteForce/
+    // lsh/PQ all carry the isnan drop now)
+    import spark.implicits._
+    val queries = emb.where(col("vec_id") < 10)
+    val inf = Array.fill(64)(Float.PositiveInfinity)
+    val poisoned = emb.select(col("vec_id"), col("embedding"))
+      .union(Seq((88888L, inf)).toDF("vec_id", "embedding"))
+    val clean = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val guarded = Similarity.bruteForceTopK(queries, poisoned, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // the poisoned vector not only never surfaces — the rankings are
+    // IDENTICAL to the finite-only corpus
+    assert(guarded == clean, "Inf vector perturbed brute-force rankings")
+    assert(Similarity.lshTopK(queries, poisoned, k = 5, dim = 64)
+      .where(col("vec_id") === 88888L).count() == 0L)
+    assert(Similarity.ivfTopK(queries, poisoned, k = 5, dim = 64,
+        nlist = 16, nprobe = 16)
+      .where(col("vec_id") === 88888L).count() == 0L)
+    // an all-NaN vector scores NaN against every CENTROID too: the
+    // probe-cell expression must return NO cells (the zero-initialized
+    // sentinel array used to emit centroid 0 repeated nprobe times —
+    // duplicate probe cells and duplicate (qid, vec_id) ranks)
+    val nanQ = Seq((77777L, Array.fill(64)(Float.NaN)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(emb, dim = 64, nlist = 16)
+    val cells = nanQ.select(
+      Similarity.probeClusters(col("embedding"), cents, 4).as("cells"))
+      .head().getSeq[Int](0)
+    assert(cells.isEmpty, s"NaN vector probed cells: $cells")
+  }
+
   test("IVF index persists: reopen loads centroids with zero Spark jobs") {
     val dir = java.nio.file.Files.createTempDirectory("ivf-idx").toString
     val queries = emb.where(col("vec_id") < 10)
