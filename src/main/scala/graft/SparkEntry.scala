@@ -2540,6 +2540,20 @@ object SparkEntry {
           sweepsPerLevel = 2, levels = 2)
         .orderBy(col("node"))
     }),
+    "q_x_graph_louvain_weighted" -> ((s, dir) => {
+      // the WEIGHTED multi-level path: level 1 refines the LPA labels
+      // by weighted exact-integer gains (the q_x_graph_refine_weighted
+      // masses — edge mass = purchase quantity), the condensation sums
+      // WEIGHT into coarse edges and supernode self-mass, and level 2
+      // refines the condensed weighted graph from singleton seeds. ONE
+      // sweep per level (the weighted-branch rule from refine_weighted
+      // — multi-sweep coverage is q_x_graph_louvain's); the oracle
+      // chains the weighted refine unroll into the condensation and
+      // one coarse sweep, bit-exact.
+      Graph.louvain(purchaseEdges(s, dir), purchaseLabels(s, dir),
+          sweepsPerLevel = 1, levels = 2, weightCol = Some("w"))
+        .orderBy(col("node"))
+    }),
     "q_x_graph_coproject" -> ((s, dir) => {
       // bipartite co-occurrence projection: suppliers weighted by the
       // number of DISTINCT parts they co-supply (anchor = part,
@@ -4655,6 +4669,129 @@ object SparkEntry {
          |${coarseSweep("cr1", 2)}
          |SELECT r.node, c.label FROM r2 r
          |JOIN cr2 c ON c.node = r.label ORDER BY r.node""".stripMargin
+    },
+    "q_x_graph_louvain_weighted" -> {
+      // the WEIGHTED refine unroll (LPA count-voted, masses = sum(w)
+      // over the canonical weighted edges — q_x_graph_refine_weighted's
+      // swap) chained into the weighted condensation (coarse edge mass
+      // and supernode self-mass SUM WEIGHT, not count) and one coarse
+      // sweep of the same gain/argmax/winner arithmetic, then map-back
+      def lpaSweep(prev: String, cur: Int): String =
+        s"""c$cur AS (SELECT eb.dst AS node, l.label, count(*) AS c
+           |      FROM $prev l JOIN eb ON l.node = eb.src GROUP BY 1, 2),
+           |l$cur AS MATERIALIZED (SELECT node, label FROM (
+           |      SELECT node, label, row_number() OVER (
+           |        PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+           |      FROM c$cur) t$cur
+           |      WHERE rn = 1)""".stripMargin
+      def refSweep(prev: String, i: Int): String =
+        s"""dc$i AS (SELECT l.label, CAST(sum(d.dv) AS BIGINT) AS dc
+           |      FROM $prev l JOIN dvv d ON d.node = l.node GROUP BY 1),
+           |kv$i AS (SELECT ebw.src AS node, l.label AS cl,
+           |        CAST(sum(ebw.w) AS BIGINT) AS k
+           |      FROM ebw JOIN $prev l ON ebw.dst = l.node GROUP BY 1, 2),
+           |own$i AS (SELECT l.node, l.label AS a, d.dv,
+           |        COALESCE(k.k, 0) AS ka
+           |      FROM $prev l JOIN dvv d ON d.node = l.node
+           |      LEFT JOIN kv$i k ON k.node = l.node AND k.cl = l.label),
+           |cand$i AS (SELECT o.node, o.a, k.cl AS b,
+           |        2 * t.m2 * (k.k - o.ka)
+           |          - 2 * o.dv * (db.dc - da.dc + o.dv) AS dq
+           |      FROM kv$i k JOIN own$i o ON o.node = k.node
+           |      JOIN dc$i db ON db.label = k.cl
+           |      JOIN dc$i da ON da.label = o.a
+           |      CROSS JOIN tot t WHERE k.cl <> o.a),
+           |prop$i AS (SELECT node, a, b, dq FROM (
+           |      SELECT node, a, b, dq, row_number() OVER (
+           |        PARTITION BY node ORDER BY dq DESC, b ASC) AS rn
+           |      FROM cand$i WHERE dq > 0) p$i WHERE rn = 1),
+           |win$i AS (SELECT c, node FROM (
+           |      SELECT c, node, row_number() OVER (
+           |        PARTITION BY c ORDER BY dq DESC, node ASC) AS rn
+           |      FROM (SELECT a AS c, node, dq FROM prop$i
+           |            UNION ALL SELECT b, node, dq FROM prop$i) u$i) w$i
+           |      WHERE rn = 1),
+           |app$i AS (SELECT p.node, p.b FROM prop$i p
+           |      JOIN win$i wa$i ON wa$i.c = p.a AND wa$i.node = p.node
+           |      JOIN win$i wb$i ON wb$i.c = p.b AND wb$i.node = p.node),
+           |r$i AS MATERIALIZED (SELECT l.node,
+           |        COALESCE(ap.b, l.label) AS label
+           |      FROM $prev l LEFT JOIN app$i ap ON ap.node = l.node)"""
+          .stripMargin
+      def coarseSweep(prev: String, i: Int): String =
+        s"""cdc$i AS (SELECT l.label, CAST(sum(d.dv) AS BIGINT) AS dc
+           |      FROM $prev l JOIN dvv2 d ON d.node = l.node GROUP BY 1),
+           |ckv$i AS (SELECT ceb.src AS node, l.label AS cl,
+           |        CAST(sum(ceb.w) AS BIGINT) AS k
+           |      FROM ceb JOIN $prev l ON ceb.dst = l.node GROUP BY 1, 2),
+           |cown$i AS (SELECT l.node, l.label AS a, d.dv,
+           |        COALESCE(k.k, 0) AS ka
+           |      FROM $prev l JOIN dvv2 d ON d.node = l.node
+           |      LEFT JOIN ckv$i k ON k.node = l.node AND k.cl = l.label),
+           |ccand$i AS (SELECT o.node, o.a, k.cl AS b,
+           |        2 * t.m2 * (k.k - o.ka)
+           |          - 2 * o.dv * (db.dc - da.dc + o.dv) AS dq
+           |      FROM ckv$i k JOIN cown$i o ON o.node = k.node
+           |      JOIN cdc$i db ON db.label = k.cl
+           |      JOIN cdc$i da ON da.label = o.a
+           |      CROSS JOIN tot2 t WHERE k.cl <> o.a),
+           |cprop$i AS (SELECT node, a, b, dq FROM (
+           |      SELECT node, a, b, dq, row_number() OVER (
+           |        PARTITION BY node ORDER BY dq DESC, b ASC) AS rn
+           |      FROM ccand$i WHERE dq > 0) cp$i WHERE rn = 1),
+           |cwin$i AS (SELECT c, node FROM (
+           |      SELECT c, node, row_number() OVER (
+           |        PARTITION BY c ORDER BY dq DESC, node ASC) AS rn
+           |      FROM (SELECT a AS c, node, dq FROM cprop$i
+           |            UNION ALL SELECT b, node, dq FROM cprop$i) cu$i) cw$i
+           |      WHERE rn = 1),
+           |capp$i AS (SELECT p.node, p.b FROM cprop$i p
+           |      JOIN cwin$i va$i ON va$i.c = p.a AND va$i.node = p.node
+           |      JOIN cwin$i vb$i ON vb$i.c = p.b AND vb$i.node = p.node),
+           |cr$i AS MATERIALIZED (SELECT l.node,
+           |        COALESCE(ap.b, l.label) AS label
+           |      FROM $prev l LEFT JOIN capp$i ap ON ap.node = l.node)"""
+          .stripMargin
+      s"""WITH raw AS (SELECT o_custkey * 2 AS a, l_partkey * 2 + 1 AS b,
+         |               CAST(l_quantity AS BIGINT) AS w
+         |             FROM orders JOIN lineitem
+         |             ON o_orderkey = l_orderkey AND o_orderkey <= 6000000),
+         |ew AS (SELECT least(a, b) AS u, greatest(a, b) AS v,
+         |        CAST(sum(w) AS BIGINT) AS w
+         |      FROM raw WHERE a <> b GROUP BY 1, 2),
+         |eb AS MATERIALIZED (SELECT u AS src, v AS dst FROM ew
+         |      UNION ALL SELECT v, u FROM ew),
+         |ebw AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM ew
+         |      UNION ALL SELECT v, u, w FROM ew),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM eb),
+         |${lpaSweep("l0", 1)},
+         |${lpaSweep("l1", 2)},
+         |${lpaSweep("l2", 3)},
+         |dvv AS MATERIALIZED (SELECT src AS node,
+         |        CAST(sum(w) AS BIGINT) AS dv FROM ebw GROUP BY 1),
+         |tot AS (SELECT CAST(sum(dv) AS BIGINT) AS m2 FROM dvv),
+         |${refSweep("l3", 1)},
+         |cond AS (SELECT lu.label AS a, lv.label AS b,
+         |        CAST(sum(ew.w) AS BIGINT) AS w
+         |      FROM ew JOIN r1 lu ON lu.node = ew.u
+         |      JOIN r1 lv ON lv.node = ew.v GROUP BY 1, 2),
+         |ce AS (SELECT least(a, b) AS u, greatest(a, b) AS v,
+         |        CAST(sum(w) AS BIGINT) AS w
+         |      FROM cond WHERE a <> b GROUP BY 1, 2),
+         |ceb AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM ce
+         |      UNION ALL SELECT v, u, w FROM ce),
+         |cself AS (SELECT a AS node, CAST(sum(w) AS BIGINT) AS sw
+         |      FROM cond WHERE a = b GROUP BY 1),
+         |cdeg AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS dv
+         |      FROM ceb GROUP BY 1),
+         |dvv2 AS MATERIALIZED (SELECT COALESCE(d.node, s.node) AS node,
+         |        COALESCE(d.dv, 0) + 2 * COALESCE(s.sw, 0) AS dv
+         |      FROM cdeg d FULL OUTER JOIN cself s ON s.node = d.node),
+         |tot2 AS (SELECT CAST(sum(dv) AS BIGINT) AS m2 FROM dvv2),
+         |cl0 AS (SELECT DISTINCT label AS node, label FROM r1),
+         |${coarseSweep("cl0", 1)}
+         |SELECT r.node, c.label FROM r1 r
+         |JOIN cr1 c ON c.node = r.label ORDER BY r.node""".stripMargin
     },
     "q_x_graph_walk_pmi" -> {
       // the walk-pairs unroll chained into the pair/marginal/total

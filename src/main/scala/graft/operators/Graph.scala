@@ -839,7 +839,17 @@ object Graph {
     * canonical edge list (two label joins + two aggregations) and a
     * node-scale composition join — and each level's graph is no larger
     * than the last (supernodes = communities), so level cost strictly
-    * shrinks; checkpoint rotation on the mapping keeps lineage flat. */
+    * shrinks; checkpoint rotation on the mapping keeps lineage flat.
+    * SMALL-COARSE fast path: real hierarchies condense to a few dozen
+    * supernodes by level 2, where a coarse sweep's cost is pure fixed
+    * overhead (32-task map stages and multi-block checkpoints over a
+    * near-empty frame). Past the supernode-count threshold the coarse
+    * frames `repartition(1)` — the condensation itself stays parallel
+    * (the shuffle happens AFTER the edge-scale tag join), every coarse
+    * stage becomes single-task, and the sweep arithmetic is untouched
+    * (same plan, one partition), so the unroll oracle still matches
+    * bit for bit. Above the threshold the distributed path runs as-is
+    * — correctness shape first. */
   def louvain(edges: DataFrame, labels: DataFrame, sweepsPerLevel: Int,
       levels: Int, weightCol: Option[String] = None): DataFrame = {
     require(levels >= 1 && levels <= 10,
@@ -879,8 +889,14 @@ object Graph {
       // singleton supernode seed: every community is its own label
       val coarseLabels = mapping.select(col("label").as("node")).distinct()
         .select(col("node"), col("node").as("label"))
-      val refined = refineImpl(coarseEdges, Some(selfMass), coarseLabels,
-        sweepsPerLevel, Some("w"))
+      // small-coarse fast path (see scaladoc): one partial-agg count
+      // decides; 2048 supernodes bound the worst-case coarse edge list
+      // at ~2M rows — comfortably one partition
+      val nSuper = mapping.agg(count_distinct(col("label"))).head().getLong(0)
+      def shrink(df: DataFrame): DataFrame =
+        if (nSuper <= 2048L) df.repartition(1) else df
+      val refined = refineImpl(shrink(coarseEdges), Some(shrink(selfMass)),
+        shrink(coarseLabels), sweepsPerLevel, Some("w"))
       val prev = mapping
       mapping = checkpointed(mapping
         .join(refined.select(col("node").as("label"),

@@ -420,12 +420,22 @@ object NodeEmbedding {
   /** Append a batch of new vectors to a stored table — the batch is
     * dim-checked against the sidecar and the sidecar cycles down/up
     * around the commit (the [[Similarity.appendToIvfIndex]] crash
-    * discipline). Caller contract: `newEmb` node ids are disjoint from
-    * the store's (the minhash/IVF append rule). */
+    * discipline). Node-id disjointness with the stored table is
+    * CHECKED, not assumed: a duplicate id would silently yield two
+    * vectors per node that only a later full rewrite's validateEmb
+    * would catch — so the overlap refuses here at the seam, like the
+    * other store violations. The check is one left-semi count against
+    * the stored table's pruned `node` column, before the sidecar drops. */
   def appendToEmbeddings(newEmb: DataFrame, dir: String): Unit = {
     val spark = newEmb.sparkSession
     val dim = readEmbProps(spark, dir)
     validateEmb(newEmb, dim)
+    val overlap = newEmb.select(col("node"))
+      .join(spark.read.parquet(dir).select(col("node")), Seq("node"),
+        "left_semi").limit(1).count()
+    require(overlap == 0,
+      s"append batch shares node ids with the store at $dir — " +
+        "appended ids must be disjoint (compact with dropNodes to replace)")
     val props = new org.apache.hadoop.fs.Path(dir, EmbPropsFile)
     props.getFileSystem(spark.sessionState.newHadoopConf())
       .delete(props, false)

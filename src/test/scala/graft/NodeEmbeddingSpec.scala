@@ -138,9 +138,10 @@ class NodeEmbeddingSpec extends AnyFunSuite {
     // sum-gradient recurrence diverging past 1e37 while this test's
     // mean-cosine assertion passed on degenerate parallel vectors
     // (intra = inter = 1.0000); the margin assertion below would have
-    // caught that
-    assert(emb.values.forall(_.forall(x => math.abs(x) < 10.0)),
-      "trained weights diverged")
+    // caught that. Both predicates live in SpecInvariants so the
+    // mutation audit proves they reject the degenerate outputs.
+    SpecInvariants.boundedWeights(
+      emb.values.flatMap(_.map(math.abs)).max)
     def cos(a: Array[Double], b: Array[Double]): Double = {
       val dot = a.zip(b).map(t => t._1 * t._2).sum
       val na = math.sqrt(a.map(x => x * x).sum)
@@ -156,10 +157,8 @@ class NodeEmbeddingSpec extends AnyFunSuite {
       yield cos(emb(a), emb(b))).sum / (c1.size * c2.size)
     // a real MARGIN, not just >: degenerate diverged vectors read
     // intra ≈ inter ≈ 1.0 and pass a bare inequality on float noise
-    assert(meanIntra(c1) > inter + 0.3,
-      s"intra1=${meanIntra(c1)} inter=$inter")
-    assert(meanIntra(c2) > inter + 0.3,
-      s"intra2=${meanIntra(c2)} inter=$inter")
+    SpecInvariants.embeddingMargin(meanIntra(c1), inter)
+    SpecInvariants.embeddingMargin(meanIntra(c2), inter)
   }
 
   test("pmiStats equals the driver count replay; marginal laws hold; empty refuses") {
