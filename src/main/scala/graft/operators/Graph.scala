@@ -636,8 +636,11 @@ object Graph {
     * join — checkpoint rotation, no windows over data-sized frames,
     * no driver reads in the loop. */
   def refineCommunities(edges: DataFrame, labels: DataFrame, sweeps: Int,
-      weightCol: Option[String] = None): DataFrame =
-    refineImpl(edges, None, labels, sweeps, weightCol)
+      weightCol: Option[String] = None): DataFrame = {
+    val (lab, und) = refineImpl(edges, None, labels, sweeps, weightCol)
+    unpersistCheckpoint(und)
+    lab
+  }
 
   /** [[refineCommunities]] generalized with an optional supernode
     * SELF-MASS table `(node, _sw)` — the [[louvain]] condensation's
@@ -645,10 +648,14 @@ object Graph {
     * degree d_v and to the total M (the standard A_vv convention)
     * while never producing a move candidate: the mass travels with its
     * node, cancelling out of k_vb − k_va exactly. Private — the public
-    * operator keeps the family's self-loop-free canonical contract. */
+    * operator keeps the family's self-loop-free canonical contract.
+    * Returns (labels, canonical weighted edge list) — the second
+    * element is the CHECKPOINTED `(u, v, _w)` frame the sweeps scored
+    * ([[louvain]] condenses over it instead of re-aggregating the raw
+    * edges); every caller owns its release. */
   private def refineImpl(edges: DataFrame, selfMass: Option[DataFrame],
       labels: DataFrame, sweeps: Int,
-      weightCol: Option[String]): DataFrame = {
+      weightCol: Option[String]): (DataFrame, DataFrame) = {
     require(sweeps >= 0 && sweeps <= 50,
       s"sweeps must be in [0, 50], got $sweeps")
     val lab0 = labels.select(col("node"), col("label"))
@@ -689,8 +696,7 @@ object Graph {
       .filter(_ != null)
       .getOrElse(java.math.BigDecimal.ZERO)
     if (rawDec == null) { // no edges: no candidate moves exist
-      unpersistCheckpoint(und)
-      return lab0
+      return (lab0, und)
     }
     require(rawDec.add(selfDec)
         .multiply(java.math.BigDecimal.valueOf(2L)).compareTo(
@@ -795,10 +801,9 @@ object Graph {
       unpersistCheckpoint(prev)
       unpersistCheckpoint(kvc)
     }
-    unpersistCheckpoint(und)
     unpersistCheckpoint(eb)
     unpersistCheckpoint(dv)
-    lab
+    (lab, und)
   }
 
   /** MULTI-LEVEL LOUVAIN — the full Blondel et al. (J. Stat. Mech.
@@ -841,62 +846,81 @@ object Graph {
     * than the last (supernodes = communities), so level cost strictly
     * shrinks; checkpoint rotation on the mapping keeps lineage flat.
     * SMALL-COARSE fast path: real hierarchies condense to a few dozen
-    * supernodes by level 2, where a coarse sweep's cost is pure fixed
-    * overhead (32-task map stages and multi-block checkpoints over a
-    * near-empty frame). Past the supernode-count threshold the coarse
-    * frames `repartition(1)` — the condensation itself stays parallel
-    * (the shuffle happens AFTER the edge-scale tag join), every coarse
-    * stage becomes single-task, and the sweep arithmetic is untouched
-    * (same plan, one partition), so the unroll oracle still matches
-    * bit for bit. Above the threshold the distributed path runs as-is
-    * — correctness shape first. */
+    * supernodes by level 2, where a distributed coarse sweep's cost is
+    * pure fixed overhead — ~15 driver actions (checkpoints, guard
+    * handshakes) of a few hundred ms each against a near-empty frame,
+    * measured flat under `repartition(1)` because per-JOB latency, not
+    * task count, dominates. Below the supernode threshold the coarse
+    * sweeps therefore run DRIVER-LOCALLY ([[refineLocal]]) on the
+    * collected condensed graph — the identical exact-integer argmin
+    * arithmetic, bounded by threshold² rows — while the condensation
+    * itself stays one parallel edge-scale aggregation. Three gates pin
+    * the two paths' agreement: GraphSpec's random-graph replay
+    * equalities, the q_x_graph_louvain / _weighted DuckDB unrolls
+    * (hash-exact), and the 10M probe whose 3.3M-supernode coarse level
+    * keeps the distributed branch exercised. */
   def louvain(edges: DataFrame, labels: DataFrame, sweepsPerLevel: Int,
       levels: Int, weightCol: Option[String] = None): DataFrame = {
     require(levels >= 1 && levels <= 10,
       s"levels must be in [1, 10], got $levels")
-    // refineCommunities already returns its labeling checkpointed — a
-    // second wrap would leave an unreleased twin in the block manager
-    var mapping = refineCommunities(edges, labels, sweepsPerLevel, weightCol)
-    if (levels == 1) return mapping
-    // canonical weighted edge list of the ORIGINAL graph, built once —
-    // unweighted collapses parallels to mass 1 (the refine rule), so
-    // condensed masses match what level 1's sweeps scored
-    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
-    val und = edges.select(
-        least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"),
-        w.as("_w"))
-      .where(col("u") =!= col("v") &&
-        col("u").isNotNull && col("v").isNotNull)
-      .groupBy(col("u"), col("v"))
-      .agg((if (weightCol.isEmpty) lit(1L) else sum(col("_w"))).as("_w"))
-      .transform(checkpointed)
+    // level 1 returns BOTH its labeling and the canonical weighted
+    // edge list its sweeps scored (u, v, _w) — condensation reuses it
+    // instead of re-aggregating the raw edges (unweighted collapses
+    // parallels to mass 1, so condensed masses match what the sweeps
+    // scored by construction)
+    val (mapping0, und) = refineImpl(edges, None, labels, sweepsPerLevel,
+      weightCol)
+    var mapping = mapping0
+    if (levels == 1) { unpersistCheckpoint(und); return mapping }
+    val spark = edges.sparkSession
     for (_ <- 2 to levels) {
-      // condense by the current mapping: ONE pass over the canonical
-      // edges — inter-community mass → coarse edges, internal mass →
-      // supernode self-mass
-      val tagged = und
+      // condense by the current mapping in ONE canonical aggregation
+      // over the checkpointed edge list: a = b rows are supernode
+      // self-mass, a < b rows the coarse edges
+      val cond = und
         .join(mapping.select(col("node").as("u"), col("label").as("_lu")),
           Seq("u"))
         .join(mapping.select(col("node").as("v"), col("label").as("_lv")),
           Seq("v"))
-      val coarseEdges = tagged.where(col("_lu") =!= col("_lv"))
-        .select(col("_lu").as("src"), col("_lv").as("dst"),
-          col("_w").as("w"))
-      val selfMass = tagged.where(col("_lu") === col("_lv"))
-        .groupBy(col("_lu").as("node"))
-        .agg(sum(col("_w")).as("_sw"))
-      // singleton supernode seed: every community is its own label
-      val coarseLabels = mapping.select(col("label").as("node")).distinct()
-        .select(col("node"), col("node").as("label"))
-      // small-coarse fast path (see scaladoc): one partial-agg count
-      // decides; 2048 supernodes bound the worst-case coarse edge list
-      // at ~2M rows — comfortably one partition
-      val nSuper = mapping.agg(count_distinct(col("label"))).head().getLong(0)
-      def shrink(df: DataFrame): DataFrame =
-        if (nSuper <= 2048L) df.repartition(1) else df
-      val refined = refineImpl(shrink(coarseEdges), Some(shrink(selfMass)),
-        shrink(coarseLabels), sweepsPerLevel, Some("w"))
+        .groupBy(least(col("_lu"), col("_lv")).as("a"),
+          greatest(col("_lu"), col("_lv")).as("b"))
+        .agg(sum(col("_w")).as("w"))
+      // one job decides the path AND fetches the supernode ids: the
+      // distinct labels, capped one past the threshold
+      val labArr = mapping.select(col("label")).distinct()
+        .limit(DriverCoarseMax + 1).collect().map(_.getLong(0))
+      val refined: DataFrame = if (labArr.length <= DriverCoarseMax) {
+        // driver-local coarse level: collect the condensed graph
+        // (≤ threshold² canonical rows) and run the sweeps in-process.
+        // Level 1's mass guard bounds every coarse level (condensation
+        // preserves M), weights are sums of validated positives, and
+        // singleton seeds cover every endpoint by construction — the
+        // distributed path's requires hold here by proof, not checks.
+        val rows = cond.collect()
+        val (self, ce) = rows.partition(r => r.getLong(0) == r.getLong(1))
+        val refinedMap = refineLocal(
+          ce.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq,
+          self.map(r => (r.getLong(0), r.getLong(2))).toMap,
+          labArr.toSeq, sweepsPerLevel)
+        import spark.implicits._
+        broadcast(refinedMap.toSeq.toDF("node", "label"))
+      } else {
+        // coarse-scale, consumed twice (edges + self-mass) — checkpoint
+        // so the edge-scale condensation join runs once
+        val condC = checkpointed(cond)
+        val coarseEdges = condC.where(col("a") =!= col("b"))
+          .select(col("a").as("src"), col("b").as("dst"), col("w"))
+        val selfMass = condC.where(col("a") === col("b"))
+          .select(col("a").as("node"), col("w").as("_sw"))
+        // singleton supernode seed: every community is its own label
+        val coarseLabels = mapping.select(col("label").as("node")).distinct()
+          .select(col("node"), col("node").as("label"))
+        val (r, coarseUnd) = refineImpl(coarseEdges, Some(selfMass),
+          coarseLabels, sweepsPerLevel, Some("w"))
+        unpersistCheckpoint(coarseUnd)
+        unpersistCheckpoint(condC)
+        r
+      }
       val prev = mapping
       mapping = checkpointed(mapping
         .join(refined.select(col("node").as("label"),
@@ -907,6 +931,63 @@ object Graph {
     }
     unpersistCheckpoint(und)
     mapping
+  }
+
+  /** Supernode-count bound for [[louvain]]'s driver-local coarse
+    * levels: 1024 caps the collected condensed graph at ~525k
+    * canonical rows (~15 MB) worst case; real hierarchies sit around
+    * a few dozen supernodes by level 2. */
+  private val DriverCoarseMax = 1024
+
+  /** Driver-local replay of [[refineImpl]]'s sweep — EXACTLY the same
+    * exact-integer arithmetic: per sweep, each node's best positive
+    * ΔQ·q_den proposal to a neighbor community (ties to the smallest
+    * target label), applied iff it is the top-ranked proposal (max
+    * gain, ties to the smallest node) for BOTH communities it touches.
+    * `canon` is the canonical condensed edge list (a < b, weights
+    * summed), `selfW` supernode self-mass (2·_sw of degree, the A_vv
+    * convention), `nodes` every supernode id (isolated included) —
+    * each seeded as its own singleton label. All reductions are
+    * key-grouped sums and fully tie-broken argmins, so map iteration
+    * order cannot leak into the result. */
+  private def refineLocal(canon: Seq[(Long, Long, Long)],
+      selfW: Map[Long, Long], nodes: Seq[Long],
+      sweeps: Int): Map[Long, Long] = {
+    val dvE = canon.flatMap(e => Seq((e._1, e._3), (e._2, e._3)))
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).sum }
+    val dv = nodes.map(n =>
+      n -> (dvE.getOrElse(n, 0L) + 2L * selfW.getOrElse(n, 0L))).toMap
+    val m2 = dv.values.sum
+    var lab = nodes.map(n => n -> n).toMap
+    for (_ <- 0 until sweeps) {
+      val dc = lab.toSeq.groupBy(_._2).map { case (l, ns) =>
+        l -> ns.map(t => dv.getOrElse(t._1, 0L)).sum }
+      val kvc = canon.flatMap(e =>
+          Seq(((e._1, lab(e._2)), e._3), ((e._2, lab(e._1)), e._3)))
+        .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+      val prop = nodes.flatMap { v =>
+        val a = lab(v)
+        val ka = kvc.getOrElse((v, a), 0L)
+        val cands = kvc.keys.filter(k => k._1 == v && k._2 != a)
+          .map(_._2).toSeq.map { b =>
+            val dq = 2L * m2 * (kvc((v, b)) - ka) -
+              2L * dv(v) * (dc(b) - dc(a) + dv(v))
+            (b, dq)
+          }.filter(_._2 > 0)
+        if (cands.isEmpty) None
+        else {
+          val (b, dq) = cands.minBy(c => (-c._2, c._1))
+          Some((v, a, b, dq))
+        }
+      }
+      val winner = prop.flatMap(p => Seq((p._2, p), (p._3, p)))
+        .groupBy(_._1).map { case (c, ps) =>
+          c -> ps.map(_._2).minBy(p => (-p._4, p._1))._1 }
+      val applied = prop.filter(p =>
+        winner(p._2) == p._1 && winner(p._3) == p._1)
+      lab = lab ++ applied.map(p => p._1 -> p._3)
+    }
+    lab
   }
 
   /** The k-CORE of an undirected graph — the (unique) maximal subgraph
