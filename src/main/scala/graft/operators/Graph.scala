@@ -860,7 +860,20 @@ object Graph {
     * (hash-exact), and the 10M probe whose 3.3M-supernode coarse level
     * keeps the distributed branch exercised. */
   def louvain(edges: DataFrame, labels: DataFrame, sweepsPerLevel: Int,
-      levels: Int, weightCol: Option[String] = None): DataFrame = {
+      levels: Int, weightCol: Option[String] = None): DataFrame =
+    louvainImpl(edges, labels, sweepsPerLevel, levels, weightCol,
+      DriverCoarseMax)
+
+  /** [[louvain]] with an explicit driver-local supernode threshold —
+    * package-private so the spec can pin EITHER coarse branch on the
+    * same small fixture: `driverMax = 0` forces every coarse level
+    * through the distributed [[refineImpl]] (the driver-local path is
+    * arithmetic shared with the test replay, so only the distributed
+    * branch gives the replay equality an independent implementation
+    * to bite on), the default exercises the driver-local path. */
+  private[graft] def louvainImpl(edges: DataFrame, labels: DataFrame,
+      sweepsPerLevel: Int, levels: Int, weightCol: Option[String],
+      driverMax: Int): DataFrame = {
     require(levels >= 1 && levels <= 10,
       s"levels must be in [1, 10], got $levels")
     // level 1 returns BOTH its labeling and the canonical weighted
@@ -885,11 +898,16 @@ object Graph {
         .groupBy(least(col("_lu"), col("_lv")).as("a"),
           greatest(col("_lu"), col("_lv")).as("b"))
         .agg(sum(col("_w")).as("w"))
-      // one job decides the path AND fetches the supernode ids: the
-      // distinct labels, capped one past the threshold
-      val labArr = mapping.select(col("label")).distinct()
-        .limit(DriverCoarseMax + 1).collect().map(_.getLong(0))
-      val refined: DataFrame = if (labArr.length <= DriverCoarseMax) {
+      // ONE distinct materialization per level serves both the path
+      // decision (capped collect) and the distributed branch's
+      // singleton seeds — re-running the distinct for coarseLabels
+      // would pay a second full aggregation exactly on the
+      // multi-million-supernode levels (review finding, round 14)
+      val distinctLabs = checkpointed(
+        mapping.select(col("label").as("node")).distinct())
+      val labArr = distinctLabs.limit(driverMax + 1).collect()
+        .map(_.getLong(0))
+      val refined: DataFrame = if (labArr.length <= driverMax) {
         // driver-local coarse level: collect the condensed graph
         // (≤ threshold² canonical rows) and run the sweeps in-process.
         // Level 1's mass guard bounds every coarse level (condensation
@@ -913,7 +931,7 @@ object Graph {
         val selfMass = condC.where(col("a") === col("b"))
           .select(col("a").as("node"), col("w").as("_sw"))
         // singleton supernode seed: every community is its own label
-        val coarseLabels = mapping.select(col("label").as("node")).distinct()
+        val coarseLabels = distinctLabs
           .select(col("node"), col("node").as("label"))
         val (r, coarseUnd) = refineImpl(coarseEdges, Some(selfMass),
           coarseLabels, sweepsPerLevel, Some("w"))
@@ -928,6 +946,7 @@ object Graph {
         .select(col("node"), col("_l2").as("label")))
       unpersistCheckpoint(prev)
       unpersistCheckpoint(refined) // the level's coarse labeling rotates out too
+      unpersistCheckpoint(distinctLabs)
     }
     unpersistCheckpoint(und)
     mapping
@@ -962,18 +981,23 @@ object Graph {
     for (_ <- 0 until sweeps) {
       val dc = lab.toSeq.groupBy(_._2).map { case (l, ns) =>
         l -> ns.map(t => dv.getOrElse(t._1, 0L)).sum }
-      val kvc = canon.flatMap(e =>
-          Seq(((e._1, lab(e._2)), e._3), ((e._2, lab(e._1)), e._3)))
-        .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+      // kvc grouped BY NODE up front — a flat (node, community) map
+      // scanned once per node per sweep would be O(nodes · |kvc|),
+      // minutes of driver CPU at the 1024-supernode cap × 50 sweeps
+      // (review finding, round 14)
+      val kvc: Map[Long, Map[Long, Long]] = canon.flatMap(e =>
+          Seq((e._1, lab(e._2), e._3), (e._2, lab(e._1), e._3)))
+        .groupBy(_._1).map { case (v, xs) =>
+          v -> xs.groupBy(_._2).map { case (c, ys) =>
+            c -> ys.map(_._3).sum } }
       val prop = nodes.flatMap { v =>
         val a = lab(v)
-        val ka = kvc.getOrElse((v, a), 0L)
-        val cands = kvc.keys.filter(k => k._1 == v && k._2 != a)
-          .map(_._2).toSeq.map { b =>
-            val dq = 2L * m2 * (kvc((v, b)) - ka) -
-              2L * dv(v) * (dc(b) - dc(a) + dv(v))
-            (b, dq)
-          }.filter(_._2 > 0)
+        val kv = kvc.getOrElse(v, Map.empty[Long, Long])
+        val ka = kv.getOrElse(a, 0L)
+        val cands = kv.iterator.filter(_._1 != a).map { case (b, k) =>
+            (b, 2L * m2 * (k - ka) -
+              2L * dv(v) * (dc(b) - dc(a) + dv(v)))
+          }.filter(_._2 > 0).toSeq
         if (cands.isEmpty) None
         else {
           val (b, dq) = cands.minBy(c => (-c._2, c._1))

@@ -1731,6 +1731,20 @@ class GraphSpec extends AnyFunSuite {
             .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
           val want = replayLouvain(canonW, lab0, 2, lv)
           assert(got == want, s"trial $trial weighted=$weighted levels=$lv")
+          // the DISTRIBUTED coarse branch, forced via driverMax = 0:
+          // the default path's coarse sweeps share their arithmetic
+          // with this replay (refineLocal IS the replay), so only the
+          // distributed branch gives the equality an independent
+          // implementation to bite on — without this, a bug copied
+          // into both would pass (review finding, round 14)
+          if (lv >= 2) {
+            val dist = Graph.louvainImpl(raw.toDF("src", "dst", "w"),
+                lab0.toSeq.toDF("node", "label"), sweepsPerLevel = 2,
+                levels = lv, weightCol = wc, driverMax = 0)
+              .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+            assert(dist == want,
+              s"distributed coarse branch: trial $trial weighted=$weighted lv=$lv")
+          }
           val q = globalQ(raw.toDF("src", "dst", "w"),
             got.toSeq.toDF("node", "label"), wc)._1
           assert(q >= qPrev,
