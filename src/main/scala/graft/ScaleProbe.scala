@@ -1256,6 +1256,15 @@ object ScaleProbe {
       // a tenth of the corpus, snapped to a multiple of 10 like the
       // minhash increment, so the last planted target fits in [0, m)
       val b = (m / 100) * 10
+      // corpus-scaled coarse quantizer: 256 cells hold ~1.28M vectors
+      // under the 10k cap (the round-14 requireCapFeasible guard —
+      // a 10M-vector pass at nlist=256 put ~78k rows in EVERY cell
+      // and silently returned zero pairs before the guard existed);
+      // past that, size cells to ~2500 average. The real envelope is
+      // then the flat assignment's O(N·nlist·dim) — embarrassingly
+      // parallel across executors on a cluster, nlist·N-bounded on
+      // one box. Documented battery tiers (m ≤ 1M) keep nlist=256.
+      val nlist = if (m <= 1280000L) 256 else (m / 2500L).toInt
       val par = spark.sparkContext.defaultParallelism
       val emb = embeddings(spark, m).repartition(par)
       val inc = embBatch(spark, m, b).repartition(par)
@@ -1264,7 +1273,7 @@ object ScaleProbe {
       val ixDir = java.nio.file.Files
         .createTempDirectory("graft-probe-ivfix").toString
       timed("ivf_index_build") {
-        Similarity.writeIvfIndex(emb, ixDir, dim = 64, nlist = 256,
+        Similarity.writeIvfIndex(emb, ixDir, dim = 64, nlist = nlist,
           iters = 2)
         spark.read.parquet(ixDir).count()
       }
@@ -1299,7 +1308,7 @@ object ScaleProbe {
         .createTempDirectory("graft-probe-pqix").toString
       timed("pq_index_build") {
         Similarity.writePqIndex(emb, pqDir, dim = 64, m = 8, ksub = 256,
-          nlist = 256, iters = 2)
+          nlist = nlist, iters = 2)
         spark.read.parquet(pqDir).count()
       }
       timed("pq_twin_match") {
@@ -1392,7 +1401,8 @@ object ScaleProbe {
           .repartition(spark.sparkContext.defaultParallelism)
         val ivDir = java.nio.file.Files
           .createTempDirectory("graft-probe-hybivf").toString
-        Similarity.writeIvfIndex(emb, ivDir, dim = 64, nlist = 256,
+        Similarity.writeIvfIndex(emb, ivDir, dim = 64,
+          nlist = if (m <= 1280000L) 256 else (m / 2500L).toInt,
           iters = 2)
         val queries = docs
           .where(pmod(col("doc_id"), lit(100)) === 50 && col("doc_id") < m)

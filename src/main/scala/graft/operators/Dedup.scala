@@ -160,6 +160,28 @@ object Dedup {
         .where(col("_bsize") <= maxSize).drop("_bsize")
     }
 
+  /** ERROR when even a perfectly BALANCED assignment cannot fit under
+    * the per-bucket cap: `rows` bucketed rows over at most `buckets`
+    * buckets average above `cap`, and [[capBuckets]] drops every
+    * bucket above the cap — so the downstream result empties (nearly)
+    * totally and SILENTLY, reading as "no duplicates" when the real
+    * story is "the quantizer cannot hold this corpus". Found live in
+    * round 14: a 10M-vector SemDeDup pass at the default nlist=256
+    * put ~78k rows in every cell (cap 10k) and returned ZERO pairs.
+    * The average-over-cap test is a certain misparameterization — a
+    * balanced layout already busts the cap, skew only concentrates
+    * the drop — and it costs one count, which is the house price for
+    * refusing loudly instead of corrupting quietly. Partial,
+    * skew-driven drops (one mega-bucket of boilerplate) remain the
+    * documented cap semantics and do NOT fire this. */
+  private def requireCapFeasible(rows: Long, buckets: Long, cap: Int,
+      what: String, fix: String): Unit =
+    require(rows <= cap.toLong * buckets,
+      s"$what: $rows bucketed rows over at most $buckets buckets is " +
+        s"~${rows / math.max(buckets, 1L)} per bucket, above the " +
+        s"per-bucket cap $cap — capBuckets would drop (nearly) every " +
+        s"bucket and the result silently empties; $fix")
+
   /** LSH band buckets: signature split into `bands` bands of `rowsPerBand`
     * hashes; docs sharing any (band, bucket) become candidate pairs.
     * `maxBucketSize` bounds the quadratic blowup of degenerate buckets
@@ -467,6 +489,10 @@ object Dedup {
   def embeddingNearDuplicatesLsh(emb: DataFrame, threshold: Double, dim: Int,
       planes: Int = 8, tables: Int = 8,
       maxBucketSize: Int = 10000): DataFrame = {
+    requireCapFeasible(emb.count(), 1L << planes, maxBucketSize,
+      "embeddingNearDuplicatesLsh",
+      "raise planes so 2^planes >= ~10 * N / maxBucketSize " +
+        "(or raise maxBucketSize)")
     val bucketed = capBuckets(
       Similarity
         .withBuckets(emb.select(col("vec_id"), col("embedding")),
@@ -533,6 +559,9 @@ object Dedup {
   def semanticNearDuplicates(emb: DataFrame, threshold: Double, dim: Int,
       nlist: Int = 256, nprobe: Int = 2, iters: Int = 3,
       maxCellSize: Int = 10000, indexDir: Option[String] = None): DataFrame = {
+    requireCapFeasible(emb.count() * nprobe, nlist, maxCellSize,
+      "semanticNearDuplicates",
+      "raise nlist to ~2 * N * nprobe / maxCellSize (or raise maxCellSize)")
     val centroids = indexDir
       .map(Similarity.loadOrTrainCentroids(emb, dim, nlist, iters, _))
       .getOrElse(Similarity.trainCentroids(emb, dim, nlist, iters))
@@ -589,6 +618,13 @@ object Dedup {
         "with EXACT cosine — build the index without quantize for this " +
         "consumer")
     val (idx, centroids) = (ix.vectors, ix.centroids)
+    requireCapFeasible(idx.count(), centroids.length, maxCellSize,
+      "semanticMatchesAgainstIndex (stored corpus side)",
+      "rebuild the index with nlist ~2 * N / maxCellSize, or raise " +
+        "maxCellSize")
+    requireCapFeasible(newEmb.count() * nprobe, centroids.length,
+      maxCellSize, "semanticMatchesAgainstIndex (batch side)",
+      "shrink the batch, raise maxCellSize, or rebuild with more cells")
     val batchCelled = capBuckets(
       newEmb.select(col("vec_id"),
         explode(Similarity.probeClusters(col("embedding"), centroids,

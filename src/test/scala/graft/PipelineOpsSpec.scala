@@ -66,6 +66,19 @@ class PipelineOpsSpec extends AnyFunSuite {
       dim = 8, maxBucketSize = Int.MaxValue).count()
     assert(uncappedVecs >= 99L * 50 && cappedVecs < uncappedVecs / 10,
       s"capped $cappedVecs vs uncapped $uncappedVecs")
+    // TOTAL-collapse refusal (round 14): when even a perfectly
+    // balanced assignment busts the cap, the operator must ERROR —
+    // a 10M-vector SemDeDup pass at the default nlist silently
+    // returned ZERO pairs before this guard. Partial skew-driven
+    // drops (the mega-bucket above) stay legal.
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDuplicatesLsh(vecs, threshold = 0.99, dim = 8,
+        planes = 2, maxBucketSize = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.semanticNearDuplicates(vecs, threshold = 0.99, dim = 8,
+        nlist = 2, maxCellSize = 3)
+    }
   }
 
   test("hamming near-dup equals brute-force all-pairs exactly (several distance bounds)") {
@@ -634,6 +647,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     val planted = (0 until 10).map(i => (100000L + i, i.toLong)).toSet
     assert(planted.subsetOf(got), s"missing ${planted -- got}")
     assert(!got.exists(_._1 == 200000L), "zero vector must never match")
+    // total-collapse refusal on the index path: a cap the stored
+    // corpus cannot average under must ERROR, not silently match
+    // nothing (round-14 guard)
+    intercept[IllegalArgumentException] {
+      Dedup.semanticMatchesAgainstIndex(batch, dir, threshold = 0.99,
+        nprobe = 2, maxCellSize = 1)
+    }
     // exact cross-side ground truth: every emitted pair is real, and a
     // full probe (nprobe = nlist) recovers the complete set
     def xnorm(df: DataFrame, id: String, v: String) =
