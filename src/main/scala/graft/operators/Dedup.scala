@@ -696,7 +696,25 @@ object Dedup {
     * Input: pairs (id_a, id_b). Output: (node, group_id) for every node
     * that appears in some pair, group_id = min id of its component.
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame =
+    connectedComponentsImpl(pairs, maxRounds, 1000000L)
+
+  /** [[connectedComponents]] with an explicit driver-local threshold —
+    * the Graph-family spec hook (`driverMax = 0` forces the
+    * distributed star rounds). Below the threshold the canonical pair
+    * list collects (≤ ~16 MB) and a union-find labels each node with
+    * its component minimum DIRECTLY — the same unique fixpoint the
+    * star rounds converge to, without paying fixed per-round driver
+    * latency (a checkpoint + a fingerprint action per round) on a
+    * single-task problem. Near-dup pair lists are typically orders of
+    * magnitude smaller than the corpus, so this is the common batch
+    * shape; corpus-scale pair lists (the 10M probe tier) stay on the
+    * distributed rounds. The maxRounds budget guards the DISTRIBUTED
+    * iteration's convergence; the local path computes the fixpoint
+    * closed-form, so no budget applies. Long node ids only — other id
+    * types stay distributed (the type-agnostic path). */
+  private[graft] def connectedComponentsImpl(pairs: DataFrame,
+      maxRounds: Int, driverMax: Long): DataFrame = {
     // canonical orientation: u > v, no self-loops, no multi-edges
     var edges = pairs
       .select(col("id_a").as("a"), col("id_b").as("b"))
@@ -748,6 +766,36 @@ object Dedup {
       }
 
     var fp = fingerprint(edges)
+    if (fp._1 > 0 && fp._1 <= driverMax &&
+        edges.schema.forall(_.dataType ==
+          org.apache.spark.sql.types.LongType)) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val arr = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      unpersistEdges(edges)
+      // union-find with path compression, then label every node with
+      // its component's minimum id — the star rounds' exact fixpoint
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val n = parent(c); parent.update(c, r); c = n
+        }
+        r
+      }
+      // union by MIN root: a root only ever re-parents to a smaller
+      // root, and every node starts as its own root — so each
+      // component's final root IS its minimum id
+      arr.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent.update(math.max(ru, rv), math.min(ru, rv))
+      }
+      val nodes = arr.iterator.flatMap(t => Iterator(t._1, t._2)).toArray
+      return nodes.distinct.map(n => (n, find(n))).toSeq
+        .toDF("node", "group_id")
+    }
     var round = 0
     var converged = edges.isEmpty
     while (!converged && round < maxRounds) {

@@ -115,7 +115,15 @@ object Graph {
         * weights — at the price of up to `W_u - 1` fixed-point units
         * of dropped mass per node per sweep. Weights <= 0 or null are
         * an error, not a silent drop. */
-      weightCol: Option[String] = None): DataFrame = {
+      weightCol: Option[String] = None): DataFrame =
+    pageRankImpl(edges, iterations, dampNum, dampDen, weightCol,
+      DriverPeelMax)
+
+  /** [[pageRankFixedPoint]] with an explicit driver-local threshold —
+    * the [[kCoreImpl]] spec hook. */
+  private[graft] def pageRankImpl(edges: DataFrame, iterations: Int,
+      dampNum: Int, dampDen: Int, weightCol: Option[String],
+      driverMax: Long): DataFrame = {
     require(iterations >= 0 && iterations <= 50,
       s"iterations must be in [0, 50], got $iterations")
     require(dampNum > 0 && dampDen > 0 && dampNum < dampDen,
@@ -143,6 +151,46 @@ object Graph {
       col("_outd").cast("long").as("out")).transform(checkpointed)
     val n = nodes.count()
     require(n > 0, "pageRank over an empty edge set")
+    if (n <= driverMax && allLong(nodes, "node") &&
+        e.count() <= driverMax) {
+      // DRIVER-LOCAL SWEEPS (the [[kCoreImpl]] discipline) — the exact
+      // fixed-point long recurrence replayed in-process: ranks are
+      // non-negative and floor division of non-negative longs IS Java
+      // long division, so every term matches the distributed ldiv
+      // bit for bit. The node-count guard short-circuits before the
+      // edge count, so corpus-scale graphs never pay the extra scan;
+      // the out-weight overflow guard above already certified every
+      // local long sum.
+      val spark = edges.sparkSession
+      import spark.implicits._
+      import scala.collection.mutable
+      val eArr = e.select(col("src").cast("long"), col("dst").cast("long"),
+          col("_w"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val nodeArr = nodes.collect().map(_.getLong(0))
+      unpersistCheckpoint(nodes)
+      unpersistCheckpoint(outDeg) // superseded: outW re-sums eArr locally
+      val outW = mutable.HashMap.empty[Long, Long]
+      eArr.foreach(t => outW.update(t._1, outW.getOrElse(t._1, 0L) + t._3))
+      val baseL = Scale / dampDen * (dampDen - dampNum) / n
+      val rank = mutable.HashMap.empty[Long, Long]
+      nodeArr.foreach(v => rank.update(v, Scale / n))
+      for (_ <- 0 until iterations) {
+        var dang = 0L
+        nodeArr.foreach(v => if (!outW.contains(v)) dang += rank(v))
+        val cMap = mutable.HashMap.empty[Long, Long]
+        outW.foreach { case (v, o) => cMap.update(v, rank(v) / o) }
+        val contrib = mutable.HashMap.empty[Long, Long]
+        eArr.foreach { case (s, d, wv) =>
+          contrib.update(d, contrib.getOrElse(d, 0L) + cMap(s) * wv) }
+        val dangShare = dang / n
+        nodeArr.foreach { v =>
+          rank.update(v, baseL +
+            dampNum * (contrib.getOrElse(v, 0L) + dangShare) / dampDen)
+        }
+      }
+      return rank.toSeq.toDF("node", "rank")
+    }
     // exact long floor division (non-negative operands): subtract the
     // remainder, then the double division is of an exact multiple —
     // quotients here are <= SCALE, far inside double's mantissa
@@ -229,7 +277,16 @@ object Graph {
         * term — keep seed weights small integers. Duplicate seed rows
         * SUM their weights; uniform (None) is exactly the weight-1
         * case. */
-      seedWeightCol: Option[String] = None): DataFrame = {
+      seedWeightCol: Option[String] = None): DataFrame =
+    personalizedPageRankImpl(edges, seeds, iterations, dampNum, dampDen,
+      weightCol, seedWeightCol, DriverPeelMax)
+
+  /** [[personalizedPageRank]] with an explicit driver-local threshold —
+    * the [[kCoreImpl]] spec hook. */
+  private[graft] def personalizedPageRankImpl(edges: DataFrame,
+      seeds: DataFrame, iterations: Int, dampNum: Int, dampDen: Int,
+      weightCol: Option[String], seedWeightCol: Option[String],
+      driverMax: Long): DataFrame = {
     require(iterations >= 0 && iterations <= 50,
       s"iterations must be in [0, 50], got $iterations")
     require(dampNum > 0 && dampDen > 0 && dampNum < dampDen,
@@ -286,12 +343,54 @@ object Graph {
       "a node's total out-weight exceeds Long.MaxValue — rescale weights")
     val outDeg = outDegDec.select(col("node"),
       col("_outd").cast("long").as("out")).transform(checkpointed)
-    def ldiv(a: Column, b: Column): Column =
-      ((a - pmod(a, b)) / b).cast("long")
     // per-seed teleport = w_s · (T div W); uniform seeds (w_s = 1,
     // W = |S|) reduce every term to the classic T div |S| exactly
     val teleUnit = Scale / dampDen * (dampDen - dampNum) / bigW
     val rankUnit = Scale / bigW
+    if (nodes.count() <= driverMax && allLong(nodes, "node") &&
+        e.count() <= driverMax) {
+      // DRIVER-LOCAL SWEEPS — the [[pageRankImpl]] replay with the
+      // seed-directed teleport/dangling terms; every contract check
+      // above (seed weights, overflow decimals) already ran, and all
+      // values are non-negative longs so local division matches ldiv.
+      val spark = edges.sparkSession
+      import spark.implicits._
+      import scala.collection.mutable
+      val eArr = e.select(col("src").cast("long"), col("dst").cast("long"),
+          col("_w"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val nodeArr = nodes.collect().map { r =>
+        (r.getLong(0), r.getBoolean(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2))
+      }
+      unpersistCheckpoint(nodes)
+      unpersistCheckpoint(outDeg)
+      unpersistCheckpoint(s)
+      val outW = mutable.HashMap.empty[Long, Long]
+      eArr.foreach(t => outW.update(t._1, outW.getOrElse(t._1, 0L) + t._3))
+      val rank = mutable.HashMap.empty[Long, Long]
+      nodeArr.foreach { case (v, seed, sw) =>
+        rank.update(v, if (seed) sw * rankUnit else 0L) }
+      for (_ <- 0 until iterations) {
+        var dang = 0L
+        nodeArr.foreach { case (v, _, _) =>
+          if (!outW.contains(v)) dang += rank(v) }
+        val cMap = mutable.HashMap.empty[Long, Long]
+        outW.foreach { case (v, o) => cMap.update(v, rank(v) / o) }
+        val contrib = mutable.HashMap.empty[Long, Long]
+        eArr.foreach { case (sv, d, wv) =>
+          contrib.update(d, contrib.getOrElse(d, 0L) + cMap(sv) * wv) }
+        val dangUnit = dang / bigW
+        nodeArr.foreach { case (v, seed, sw) =>
+          rank.update(v, (if (seed) sw * teleUnit else 0L) +
+            dampNum * (contrib.getOrElse(v, 0L) +
+              (if (seed) sw * dangUnit else 0L)) / dampDen)
+        }
+      }
+      return rank.toSeq.toDF("node", "rank")
+    }
+    def ldiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
     var ranks = nodes
       .select(col("node"), col("_seed"),
         when(col("_seed"), col("_sw") * lit(rankUnit))
@@ -370,7 +469,14 @@ object Graph {
         * canonicalization; weights on the two directions of the same
         * undirected pair also sum. Null/non-positive/fractional
         * weights are an error, not a silent drop. */
-      weightCol: Option[String] = None): DataFrame = {
+      weightCol: Option[String] = None): DataFrame =
+    labelPropagationImpl(edges, sweeps, weightCol, DriverPeelMax)
+
+  /** [[labelPropagation]] with an explicit driver-local threshold —
+    * the [[kCoreImpl]] spec hook (`driverMax = 0` forces the
+    * distributed sweeps). */
+  private[graft] def labelPropagationImpl(edges: DataFrame, sweeps: Int,
+      weightCol: Option[String], driverMax: Long): DataFrame = {
     require(sweeps >= 0 && sweeps <= 50,
       s"sweeps must be in [0, 50], got $sweeps")
     weightCol.foreach(c => validateWeights(edges, c, None))
@@ -398,6 +504,43 @@ object Graph {
     val eb = und.select(col("u").as("src"), col("v").as("dst"), col("_w"))
       .union(und.select(col("v").as("src"), col("u").as("dst"), col("_w")))
       .transform(checkpointed)
+    if (eb.count() / 2L <= driverMax && allLong(eb, "src", "dst")) {
+      // DRIVER-LOCAL SWEEPS (the [[kCoreImpl]] discipline) — the same
+      // synchronous vote/argmax recurrence on the collected directed
+      // edge list; a fixed-sweep contract has no convergence budget to
+      // carry. The count is one action on the fresh checkpoint.
+      val spark = edges.sparkSession
+      import spark.implicits._
+      import scala.collection.mutable
+      val arr = eb.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      unpersistCheckpoint(eb)
+      val lab = mutable.HashMap.empty[Long, Long]
+      arr.foreach(e => lab.update(e._1, e._1))
+      for (_ <- 0 until sweeps) {
+        // votes: neighbor labels weighted by edge mass, per dst node
+        val votes = mutable.HashMap
+          .empty[Long, mutable.HashMap[Long, Long]]
+        arr.foreach { case (src, dst, w) =>
+          val m = votes.getOrElseUpdate(dst, mutable.HashMap.empty)
+          val l = lab(src)
+          m.update(l, m.getOrElse(l, 0L) + w)
+        }
+        // argmax with min-label ties — the (-count, label) min rule
+        votes.foreach { case (n, vs) =>
+          var bestL = 0L
+          var bestC = 0L
+          var any = false
+          vs.foreach { case (l, c) =>
+            if (!any || c > bestC || (c == bestC && l < bestL)) {
+              any = true; bestL = l; bestC = c
+            }
+          }
+          lab.update(n, bestL)
+        }
+      }
+      return lab.toSeq.toDF("node", "label")
+    }
     // every endpoint appears as src in eb (both directions), so the
     // src projection IS the node set
     var labels = eb.select(col("src").as("node")).distinct()
@@ -636,8 +779,17 @@ object Graph {
     * join — checkpoint rotation, no windows over data-sized frames,
     * no driver reads in the loop. */
   def refineCommunities(edges: DataFrame, labels: DataFrame, sweeps: Int,
-      weightCol: Option[String] = None): DataFrame = {
-    val (lab, und) = refineImpl(edges, None, labels, sweeps, weightCol)
+      weightCol: Option[String] = None): DataFrame =
+    refineCommunitiesImpl(edges, labels, sweeps, weightCol, DriverPeelMax)
+
+  /** [[refineCommunities]] with an explicit driver-local threshold —
+    * the [[kCoreImpl]] spec hook (`driverMax = 0` forces the
+    * distributed sweeps). */
+  private[graft] def refineCommunitiesImpl(edges: DataFrame,
+      labels: DataFrame, sweeps: Int, weightCol: Option[String],
+      driverMax: Long): DataFrame = {
+    val (lab, und) = refineImpl(edges, None, labels, sweeps, weightCol,
+      driverMax)
     unpersistCheckpoint(und)
     lab
   }
@@ -655,7 +807,7 @@ object Graph {
     * edges); every caller owns its release. */
   private def refineImpl(edges: DataFrame, selfMass: Option[DataFrame],
       labels: DataFrame, sweeps: Int,
-      weightCol: Option[String]): (DataFrame, DataFrame) = {
+      weightCol: Option[String], driverMax: Long): (DataFrame, DataFrame) = {
     require(sweeps >= 0 && sweeps <= 50,
       s"sweeps must be in [0, 50], got $sweeps")
     val lab0 = labels.select(col("node"), col("label"))
@@ -703,6 +855,33 @@ object Graph {
         java.math.BigDecimal.valueOf(1518500249L)) <= 0, // floor(sqrt(Long.Max/4))
       "edge mass 2m exceeds the exact-long gain bound " +
         "floor(sqrt(Long.MaxValue/4)) — rescale weights")
+    if (und.count() <= driverMax && allLong(und, "u", "v") &&
+        allLong(lab0, "node", "label")) {
+      // DRIVER-LOCAL SWEEPS (the [[kCoreImpl]] discipline): a
+      // sub-threshold canonical edge list runs [[refineLocal]] — the
+      // arithmetic the louvain coarse levels already share — instead
+      // of paying ~8 driver actions of fixed latency per sweep. Every
+      // contract check above (label uniqueness/nullability, weight
+      // validation, the exact-long mass guard) already ran; coverage
+      // is checked here, with the distributed branch's exact error.
+      // The und count is one action on an already-checkpointed frame.
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val canon = und.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val selfW = selfMass.map(_.select(col("node").cast("long"),
+          col("_sw").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap)
+        .getOrElse(Map.empty[Long, Long])
+      val labels0 = lab0.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val labSet = new scala.collection.mutable.HashSet[Long]
+      labels0.foreach(t => labSet += t._1)
+      require(canon.forall(e => labSet(e._1) && labSet(e._2)) &&
+          selfW.keysIterator.forall(labSet),
+        "labels are missing nodes of the edge set — label the whole graph")
+      val out = refineLocal(canon.toSeq, selfW, labels0.toSeq, sweeps)
+      return (out.toSeq.toDF("node", "label"), und)
+    }
     val eb = und.select(col("u").as("src"), col("v").as("dst"), col("_w"))
       .union(und.select(col("v").as("src"), col("u").as("dst"), col("_w")))
       .transform(checkpointed)
@@ -881,8 +1060,13 @@ object Graph {
     // instead of re-aggregating the raw edges (unweighted collapses
     // parallels to mass 1, so condensed masses match what the sweeps
     // scored by construction)
+    // driverMax = 0 (the spec's forced-distributed mode) also forces
+    // level 1's sweeps distributed — the replay equalities then pin
+    // the distributed arithmetic against refineLocal's, not refineLocal
+    // against itself
+    val refineMax = if (driverMax == 0) 0L else DriverPeelMax
     val (mapping0, und) = refineImpl(edges, None, labels, sweepsPerLevel,
-      weightCol)
+      weightCol, refineMax)
     var mapping = mapping0
     if (levels == 1) { unpersistCheckpoint(und); return mapping }
     val spark = edges.sparkSession
@@ -919,7 +1103,7 @@ object Graph {
         val refinedMap = refineLocal(
           ce.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq,
           self.map(r => (r.getLong(0), r.getLong(2))).toMap,
-          labArr.toSeq, sweepsPerLevel)
+          labArr.map(n => (n, n)).toSeq, sweepsPerLevel)
         import spark.implicits._
         broadcast(refinedMap.toSeq.toDF("node", "label"))
       } else {
@@ -934,7 +1118,7 @@ object Graph {
         val coarseLabels = distinctLabs
           .select(col("node"), col("node").as("label"))
         val (r, coarseUnd) = refineImpl(coarseEdges, Some(selfMass),
-          coarseLabels, sweepsPerLevel, Some("w"))
+          coarseLabels, sweepsPerLevel, Some("w"), refineMax)
         unpersistCheckpoint(coarseUnd)
         unpersistCheckpoint(condC)
         r
@@ -963,55 +1147,83 @@ object Graph {
     * ΔQ·q_den proposal to a neighbor community (ties to the smallest
     * target label), applied iff it is the top-ranked proposal (max
     * gain, ties to the smallest node) for BOTH communities it touches.
-    * `canon` is the canonical condensed edge list (a < b, weights
+    * `canon` is the canonical weighted edge list (u < v, weights
     * summed), `selfW` supernode self-mass (2·_sw of degree, the A_vv
-    * convention), `nodes` every supernode id (isolated included) —
-    * each seeded as its own singleton label. All reductions are
+    * convention), `labels0` one (node, label) row per node — isolated
+    * labeled nodes included; [[louvainImpl]]'s coarse levels seed
+    * singletons, [[refineImpl]]'s level-1 branch passes the caller's
+    * labeling. Caller contract: every canon endpoint appears in
+    * `labels0` (the coverage require upstream). All reductions are
     * key-grouped sums and fully tie-broken argmins, so map iteration
-    * order cannot leak into the result. */
+    * order cannot leak into the result; accumulation is mutable-map
+    * because the [[DriverPeelMax]] tier admits ~1e6-edge graphs. */
   private def refineLocal(canon: Seq[(Long, Long, Long)],
-      selfW: Map[Long, Long], nodes: Seq[Long],
+      selfW: Map[Long, Long], labels0: Seq[(Long, Long)],
       sweeps: Int): Map[Long, Long] = {
-    val dvE = canon.flatMap(e => Seq((e._1, e._3), (e._2, e._3)))
-      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).sum }
-    val dv = nodes.map(n =>
-      n -> (dvE.getOrElse(n, 0L) + 2L * selfW.getOrElse(n, 0L))).toMap
-    val m2 = dv.values.sum
-    var lab = nodes.map(n => n -> n).toMap
-    for (_ <- 0 until sweeps) {
-      val dc = lab.toSeq.groupBy(_._2).map { case (l, ns) =>
-        l -> ns.map(t => dv.getOrElse(t._1, 0L)).sum }
-      // kvc grouped BY NODE up front — a flat (node, community) map
-      // scanned once per node per sweep would be O(nodes · |kvc|),
-      // minutes of driver CPU at the 1024-supernode cap × 50 sweeps
-      // (review finding, round 14)
-      val kvc: Map[Long, Map[Long, Long]] = canon.flatMap(e =>
-          Seq((e._1, lab(e._2), e._3), (e._2, lab(e._1), e._3)))
-        .groupBy(_._1).map { case (v, xs) =>
-          v -> xs.groupBy(_._2).map { case (c, ys) =>
-            c -> ys.map(_._3).sum } }
-      val prop = nodes.flatMap { v =>
-        val a = lab(v)
-        val kv = kvc.getOrElse(v, Map.empty[Long, Long])
-        val ka = kv.getOrElse(a, 0L)
-        val cands = kv.iterator.filter(_._1 != a).map { case (b, k) =>
-            (b, 2L * m2 * (k - ka) -
-              2L * dv(v) * (dc(b) - dc(a) + dv(v)))
-          }.filter(_._2 > 0).toSeq
-        if (cands.isEmpty) None
-        else {
-          val (b, dq) = cands.minBy(c => (-c._2, c._1))
-          Some((v, a, b, dq))
-        }
-      }
-      val winner = prop.flatMap(p => Seq((p._2, p), (p._3, p)))
-        .groupBy(_._1).map { case (c, ps) =>
-          c -> ps.map(_._2).minBy(p => (-p._4, p._1))._1 }
-      val applied = prop.filter(p =>
-        winner(p._2) == p._1 && winner(p._3) == p._1)
-      lab = lab ++ applied.map(p => p._1 -> p._3)
+    import scala.collection.mutable
+    val dv = mutable.HashMap.empty[Long, Long]
+    labels0.foreach { case (n, _) =>
+      dv.update(n, 2L * selfW.getOrElse(n, 0L)) }
+    canon.foreach { e =>
+      dv.update(e._1, dv(e._1) + e._3)
+      dv.update(e._2, dv(e._2) + e._3)
     }
-    lab
+    val m2 = dv.valuesIterator.sum
+    val lab = mutable.HashMap.empty[Long, Long]
+    labels0.foreach { case (n, l) => lab.update(n, l) }
+    for (_ <- 0 until sweeps) {
+      val dc = mutable.HashMap.empty[Long, Long]
+      lab.foreach { case (n, l) =>
+        dc.update(l, dc.getOrElse(l, 0L) + dv(n)) }
+      // kvc grouped BY NODE up front — a flat (node, community) map
+      // scanned once per node per sweep would be O(nodes · |kvc|)
+      // (review finding, round 14)
+      val kvc = mutable.HashMap
+        .empty[Long, mutable.HashMap[Long, Long]]
+      def addK(v: Long, c: Long, w: Long): Unit = {
+        val m = kvc.getOrElseUpdate(v, mutable.HashMap.empty)
+        m.update(c, m.getOrElse(c, 0L) + w)
+      }
+      canon.foreach { e =>
+        addK(e._1, lab(e._2), e._3)
+        addK(e._2, lab(e._1), e._3)
+      }
+      // best positive proposal per node: max gain, ties to the
+      // smallest target community
+      val prop = mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      kvc.foreach { case (v, kv) =>
+        val a = lab(v)
+        val ka = kv.getOrElse(a, 0L)
+        var bestB = 0L
+        var bestDq = 0L
+        var any = false
+        kv.foreach { case (b, k) =>
+          if (b != a) {
+            val dq = 2L * m2 * (k - ka) -
+              2L * dv(v) * (dc(b) - dc(a) + dv(v))
+            if (dq > 0 && (!any || dq > bestDq ||
+                (dq == bestDq && b < bestB))) {
+              any = true; bestB = b; bestDq = dq
+            }
+          }
+        }
+        if (any) prop += ((v, a, bestB, bestDq))
+      }
+      // two-sided winner rule: top proposal (max gain, ties to the
+      // smallest node) for both touched communities
+      val winner = mutable.HashMap.empty[Long, (Long, Long)]
+      def offer(c: Long, node: Long, dq: Long): Unit =
+        winner.get(c) match {
+          case Some((bd, bn)) if bd > dq || (bd == dq && bn < node) => ()
+          case _ => winner.update(c, (dq, node))
+        }
+      prop.foreach { p => offer(p._2, p._1, p._4); offer(p._3, p._1, p._4) }
+      prop.foreach { p =>
+        if (winner(p._2)._2 == p._1 && winner(p._3)._2 == p._1)
+          lab.update(p._1, p._3)
+      }
+    }
+    lab.toMap
   }
 
   /** The k-CORE of an undirected graph — the (unique) maximal subgraph
@@ -1039,7 +1251,15 @@ object Graph {
     * exceeded); each round strictly shrinks the edge set, and the
     * edge-count handshake per round is a one-number driver read.
     */
-  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame =
+    kCoreImpl(edges, k, maxRounds, DriverPeelMax)
+
+  /** [[kCore]] with an explicit driver-local threshold — package-
+    * private so the spec can pin BOTH branches on one fixture
+    * (`driverMax = 0` forces every round through the distributed
+    * peel; the default exercises the local finish). */
+  private[graft] def kCoreImpl(edges: DataFrame, k: Int, maxRounds: Int,
+      driverMax: Long): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 1 && maxRounds <= 500,
       s"maxRounds must be in [1, 500], got $maxRounds")
@@ -1053,7 +1273,11 @@ object Graph {
     var prevEdges = e.count()
     var converged = prevEdges == 0L
     var rounds = 0
-    while (!converged && rounds < maxRounds) {
+    // only long-id graphs may hand off to the driver-local finish —
+    // others run the distributed peel to its own fixpoint
+    val localEligible = allLong(e, "u", "v")
+    while (!converged && rounds < maxRounds &&
+        (prevEdges > driverMax || !localEligible)) {
       val deg = e.select(col("u").as("node"))
         .union(e.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("_deg"))
@@ -1072,12 +1296,72 @@ object Graph {
       prevEdges = nextEdges
       rounds += 1
     }
+    if (!converged && prevEdges <= driverMax && localEligible) {
+      // DRIVER-LOCAL FINISH (the louvain small-coarse discipline): the
+      // surviving edge set fits the bounded collect, and a distributed
+      // round on it is pure fixed per-job overhead — ~4 driver actions
+      // of a few hundred ms each per round, with the k-core tail
+      // typically a long cascade of tiny rounds. Identical arithmetic,
+      // the SAME round budget (the maxRounds error contract carries),
+      // and the k-core is a unique fixpoint, so the branches agree by
+      // construction — spec-pinned on random graphs (driverMax = 0 vs
+      // default) and the probe tiers keep the distributed branch
+      // exercised above the threshold.
+      val spark = edges.sparkSession
+      import spark.implicits._
+      var cur = e.select(col("u").cast("long"), col("v").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      unpersistCheckpoint(e)
+      var localDone = false
+      while (!localDone && rounds < maxRounds) {
+        val deg = peelDegrees(cur)
+        val next = cur.filter(t => deg(t._1) >= k && deg(t._2) >= k)
+        localDone = next.length == cur.length || next.isEmpty
+        cur = next
+        rounds += 1
+      }
+      require(localDone, s"k-core did not converge in $maxRounds rounds")
+      return peelDegrees(cur).toSeq.toDF("node", "degree")
+    }
     require(converged, s"k-core did not converge in $maxRounds rounds")
     // the final checkpoint stays alive — the returned frame reads it
     // (unpersisting here would truncate the lineage under the caller)
     e.select(col("u").as("node"))
       .union(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
+  }
+
+  /** Canonical-row bound for the iterative peel/relax family's
+    * driver-local finish ([[kCore]]/[[sCore]]/[[coreness]]/
+    * [[shortestPaths]]): 1e6 canonical rows collect to ~16-24 MB.
+    * Sized so the documented probe tiers (1M+ nodes, >1e6 edges) keep
+    * every distributed branch exercised while a sub-million-edge
+    * survivor set — a single-task problem — stops paying fixed
+    * per-round driver latency. Same budget class as
+    * [[DriverCoarseMax]]'s ~525k collected rows. */
+  private val DriverPeelMax = 1000000L
+
+  /** The driver-local branches collect node ids as longs and rebuild
+    * the result with long columns — so they only take graphs whose
+    * node columns already ARE longs (the family's id contract and
+    * every gate/probe fixture). Any other id type (ints, strings,
+    * decimals) stays on the type-agnostic distributed path, keeping
+    * the output schema branch-independent. */
+  private def allLong(df: DataFrame, names: String*): Boolean =
+    names.forall(n => df.schema(n).dataType ==
+      org.apache.spark.sql.types.LongType)
+
+  /** Degree map of a collected canonical edge list — the driver-local
+    * twin of the peel loops' degree aggregation (mutable accumulation:
+    * the threshold admits ~1e6 edges × up to maxRounds passes). */
+  private def peelDegrees(
+      edges: Array[(Long, Long)]): scala.collection.mutable.HashMap[Long, Long] = {
+    val m = scala.collection.mutable.HashMap.empty[Long, Long]
+    edges.foreach { e =>
+      m.update(e._1, m.getOrElse(e._1, 0L) + 1L)
+      m.update(e._2, m.getOrElse(e._2, 0L) + 1L)
+    }
+    m
   }
 
   /** WEIGHTED k-core — the s-CORE (Eidsaa/Almaas, "s-core network
@@ -1100,7 +1384,13 @@ object Graph {
     * semi-joins, checkpoint rotation, a one-number edge-count
     * handshake; each round strictly shrinks the edge set. */
   def sCore(edges: DataFrame, s: Long, weightCol: String,
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50): DataFrame =
+    sCoreImpl(edges, s, weightCol, maxRounds, DriverPeelMax)
+
+  /** [[sCore]] with an explicit driver-local threshold — the
+    * [[kCoreImpl]] spec hook. */
+  private[graft] def sCoreImpl(edges: DataFrame, s: Long, weightCol: String,
+      maxRounds: Int, driverMax: Long): DataFrame = {
     require(s >= 1, s"s must be >= 1, got $s")
     require(maxRounds >= 1 && maxRounds <= 500,
       s"maxRounds must be in [1, 500], got $maxRounds")
@@ -1122,7 +1412,9 @@ object Graph {
     var prevEdges = e.count()
     var converged = prevEdges == 0L
     var rounds = 0
-    while (!converged && rounds < maxRounds) {
+    val localEligible = allLong(e, "u", "v")
+    while (!converged && rounds < maxRounds &&
+        (prevEdges > driverMax || !localEligible)) {
       val strength = e.select(col("u").as("node"), col("_w"))
         .union(e.select(col("v").as("node"), col("_w")))
         .groupBy("node").agg(sum(col("_w")).as("_s"))
@@ -1139,10 +1431,43 @@ object Graph {
       prevEdges = nextEdges
       rounds += 1
     }
+    if (!converged && prevEdges <= driverMax && localEligible) {
+      // driver-local finish — the [[kCoreImpl]] discipline with
+      // strengths in place of degrees; the s-core fixpoint is unique,
+      // the round budget carries, weights were validated up front
+      val spark = edges.sparkSession
+      import spark.implicits._
+      var cur = e.select(col("u").cast("long"), col("v").cast("long"),
+          col("_w"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      unpersistCheckpoint(e)
+      var localDone = false
+      while (!localDone && rounds < maxRounds) {
+        val st = peelStrengths(cur)
+        val next = cur.filter(t => st(t._1) >= s && st(t._2) >= s)
+        localDone = next.length == cur.length || next.isEmpty
+        cur = next
+        rounds += 1
+      }
+      require(localDone, s"s-core did not converge in $maxRounds rounds")
+      return peelStrengths(cur).toSeq.toDF("node", "strength")
+    }
     require(converged, s"s-core did not converge in $maxRounds rounds")
     e.select(col("u").as("node"), col("_w"))
       .union(e.select(col("v").as("node"), col("_w")))
       .groupBy("node").agg(sum(col("_w")).as("strength"))
+  }
+
+  /** Strength map of a collected canonical weighted edge list — the
+    * [[sCore]] loop's aggregation, driver-local. */
+  private def peelStrengths(
+      edges: Array[(Long, Long, Long)]): scala.collection.mutable.HashMap[Long, Long] = {
+    val m = scala.collection.mutable.HashMap.empty[Long, Long]
+    edges.foreach { e =>
+      m.update(e._1, m.getOrElse(e._1, 0L) + e._3)
+      m.update(e._2, m.getOrElse(e._2, 0L) + e._3)
+    }
+    m
   }
 
   /** LOCAL CLUSTERING COEFFICIENTS as EXACT RATIONALS — per node, the
@@ -1213,7 +1538,18 @@ object Graph {
     * `maxRounds` bounds the loop with an error, not a silent partial
     * result.
     */
-  def coreness(edges: DataFrame, maxRounds: Int = 200): DataFrame = {
+  def coreness(edges: DataFrame, maxRounds: Int = 200): DataFrame =
+    corenessImpl(edges, maxRounds, DriverPeelMax)
+
+  /** [[coreness]] with an explicit driver-local threshold — the
+    * [[kCoreImpl]] spec hook. The trigger is the INITIAL canonical
+    * edge count: the peel only shrinks the edge set, so one up-front
+    * bound admits the whole decomposition (coreness walks MANY more
+    * rounds than a single k-core — every distinct core level plus
+    * cascade depth — so fixed per-round driver latency compounds
+    * hardest here). */
+  private[graft] def corenessImpl(edges: DataFrame, maxRounds: Int,
+      driverMax: Long): DataFrame = {
     require(maxRounds >= 1 && maxRounds <= 2000,
       s"maxRounds must be in [1, 2000], got $maxRounds")
     var e = edges.select(
@@ -1227,6 +1563,38 @@ object Graph {
       .union(e.select(col("v").as("node"))).distinct()
       .transform(checkpointed)
     var nAlive = alive.count()
+    if (nAlive > 0 && allLong(e, "u", "v") && e.count() <= driverMax) {
+      // driver-local decomposition — the identical threshold-jump
+      // arithmetic on the collected canonical edge list (alive set ≤
+      // 2·edges by construction); the same round budget and error
+      val spark = edges.sparkSession
+      import spark.implicits._
+      var eL = e.select(col("u").cast("long"), col("v").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      var aliveL = alive.select(col("node").cast("long"))
+        .collect().map(_.getLong(0))
+      unpersistCheckpoint(e)
+      unpersistCheckpoint(alive)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var k = 1L
+      var rounds = 0
+      while (aliveL.nonEmpty && rounds < maxRounds) {
+        val deg = peelDegrees(eL)
+        val degAll = aliveL.map(n => (n, deg.getOrElse(n, 0L)))
+        val minDeg = degAll.iterator.map(_._2).min
+        val t = math.max(k, minDeg + 1)
+        degAll.foreach { case (n, d) => if (d < t) out += ((n, t - 1)) }
+        val kept = scala.collection.mutable.HashSet.empty[Long]
+        degAll.foreach { case (n, d) => if (d >= t) kept += n }
+        eL = eL.filter(p => kept(p._1) && kept(p._2))
+        aliveL = degAll.collect { case (n, d) if d >= t => n }
+        k = t
+        rounds += 1
+      }
+      require(aliveL.isEmpty,
+        s"coreness did not finish peeling in $maxRounds rounds")
+      return out.toSeq.toDF("node", "coreness")
+    }
     // labels accumulate as materialized per-round slices; the final
     // union is a plain read of bounded-many checkpoints (maxRounds),
     // never an iterated lineage
@@ -1341,7 +1709,19 @@ object Graph {
     */
   def shortestPaths(edges: DataFrame, sources: DataFrame,
       weightCol: Option[String] = None, directed: Boolean = true,
-      maxRounds: Int = 50, withPredecessors: Boolean = false): DataFrame = {
+      maxRounds: Int = 50, withPredecessors: Boolean = false): DataFrame =
+    ssspImpl(edges, sources, weightCol, directed, maxRounds,
+      withPredecessors, DriverPeelMax)
+
+  /** [[shortestPaths]] with an explicit driver-local threshold — the
+    * [[kCoreImpl]] spec hook. The trigger counts CANONICAL (pre-
+    * direction-expansion) rows against the bound, measured on the
+    * already-checkpointed edge list so the distributed path pays no
+    * extra scan. */
+  private[graft] def ssspImpl(edges: DataFrame, sources: DataFrame,
+      weightCol: Option[String], directed: Boolean,
+      maxRounds: Int, withPredecessors: Boolean,
+      driverMax: Long): DataFrame = {
     require(maxRounds >= 1 && maxRounds <= 500,
       s"maxRounds must be in [1, 500], got $maxRounds")
     val caller = edges.sparkSession
@@ -1371,6 +1751,71 @@ object Graph {
       .rebind(eRaw.repartition(col("src")), isolated)
       .transform(onIsolated)
     val srcCol = sources.columns.head
+    if (allLong(e, "src", "dst") && allLong(sources, srcCol) &&
+        e.count() / (if (directed) 1L else 2L) <= driverMax) {
+      // DRIVER-LOCAL RELAXATION — the [[kCoreImpl]] discipline: the
+      // same frontier Bellman-Ford recurrence (a unique integer
+      // fixpoint), the same round budget and convergence error, the
+      // same smallest-tight-in-edge pred rule, on the collected edge
+      // list (≤ 2·driverMax rows undirected). A sub-million-edge graph
+      // pays ~3 driver actions of fixed latency per distributed round
+      // for work one thread finishes in milliseconds — and this branch
+      // skips the isolated-session loop entirely. Spec-pinned against
+      // the distributed branch (driverMax = 0) on random graphs.
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val srcArr = sources.select(col(srcCol).cast("long").as("node"))
+        .where(col("node").isNotNull).distinct()
+        .collect().map(_.getLong(0))
+      require(srcArr.nonEmpty, "shortestPaths over an empty source set")
+      val eArr = e.select(col("src").cast("long"), col("dst").cast("long"),
+          col("_w"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      unpersistCheckpoint(e)
+      val adj = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+      eArr.foreach { t =>
+        adj.getOrElseUpdate(t._1,
+          scala.collection.mutable.ArrayBuffer.empty) += ((t._2, t._3))
+      }
+      val dist = scala.collection.mutable.HashMap.empty[Long, Long]
+      srcArr.foreach(s => dist.update(s, 0L))
+      var frontier = srcArr
+      var rounds = 0
+      var converged = false
+      while (!converged && rounds < maxRounds) {
+        val cand = scala.collection.mutable.HashMap.empty[Long, Long]
+        frontier.foreach { u =>
+          val du = dist(u)
+          adj.get(u).foreach(_.foreach { case (v, w) =>
+            val nd = du + w
+            if (cand.get(v).forall(nd < _)) cand.update(v, nd)
+          })
+        }
+        val improved = cand.iterator
+          .filter { case (v, nd) => dist.get(v).forall(nd < _) }.toArray
+        if (improved.isEmpty) converged = true
+        else {
+          improved.foreach { case (v, nd) => dist.update(v, nd) }
+          frontier = improved.map(_._1)
+          rounds += 1
+        }
+      }
+      require(converged,
+        s"shortestPaths did not converge in $maxRounds rounds")
+      return if (!withPredecessors) dist.toSeq.toDF("node", "dist")
+      else {
+        val pred = scala.collection.mutable.HashMap.empty[Long, Long]
+        eArr.foreach { case (u, v, w) =>
+          dist.get(u).foreach { du =>
+            if (dist.get(v).contains(du + w) &&
+                pred.get(v).forall(u < _)) pred.update(v, u)
+          }
+        }
+        dist.toSeq.map { case (v, d) => (v, d, pred.get(v)) }
+          .toDF("node", "dist", "pred")
+      }
+    }
     var dist = org.apache.spark.sql.graft.CheckpointStats
       .rebind(
         sources.select(col(srcCol).as("node"))
@@ -1995,13 +2440,56 @@ object Graph {
     * Scale shape per sweep: two equi-joins and two hash aggregations,
     * localCheckpoint rotation — the PageRank shape without the
     * dangling bookkeeping. */
-  def hits(edges: DataFrame, iterations: Int): DataFrame = {
+  def hits(edges: DataFrame, iterations: Int): DataFrame =
+    hitsImpl(edges, iterations, DriverPeelMax)
+
+  /** [[hits]] with an explicit driver-local threshold — the
+    * [[kCoreImpl]] spec hook. */
+  private[graft] def hitsImpl(edges: DataFrame, iterations: Int,
+      driverMax: Long): DataFrame = {
     require(iterations >= 1 && iterations <= 20,
       s"iterations must be in [1, 20], got $iterations")
     val e = edges.select(col("src"), col("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .transform(checkpointed)
+    if (e.count() <= driverMax && allLong(e, "src", "dst")) {
+      // DRIVER-LOCAL SWEEPS — the same integer mutual recursion;
+      // overflow maps to the SAME error through exact arithmetic
+      // (the distributed branch's decimal max-check admits a value iff
+      // every per-node sum fits a long, which is exactly when the
+      // exact ops don't throw — sums of non-negatives have no
+      // intermediate-overflow-then-recover case).
+      val spark = edges.sparkSession
+      import spark.implicits._
+      import scala.collection.mutable
+      val eArr = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      unpersistCheckpoint(e)
+      val nodeArr = eArr.iterator.flatMap(t => Iterator(t._1, t._2))
+        .toArray.distinct
+      val hub = mutable.HashMap.empty[Long, Long]
+      val auth = mutable.HashMap.empty[Long, Long]
+      nodeArr.foreach { v => hub.update(v, 1L); auth.update(v, 1L) }
+      def exactSums(pairs: Iterator[(Long, Long)], what: String)
+          : mutable.HashMap[Long, Long] = {
+        val m = mutable.HashMap.empty[Long, Long]
+        try pairs.foreach { case (k, v) =>
+          m.update(k, Math.addExact(m.getOrElse(k, 0L), v)) }
+        catch { case _: ArithmeticException => require(false,
+          s"HITS $what counts exceed Long range — fewer iterations") }
+        m
+      }
+      for (_ <- 0 until iterations) {
+        val a = exactSums(
+          eArr.iterator.map(t => (t._2, hub(t._1))), "authority")
+        nodeArr.foreach(v => auth.update(v, a.getOrElse(v, 0L)))
+        val h = exactSums(
+          eArr.iterator.map(t => (t._1, auth(t._2))), "hub")
+        nodeArr.foreach(v => hub.update(v, h.getOrElse(v, 0L)))
+      }
+      return nodeArr.map(v => (v, hub(v), auth(v))).toSeq
+        .toDF("node", "hub", "authority")
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .transform(checkpointed)

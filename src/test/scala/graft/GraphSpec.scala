@@ -748,8 +748,12 @@ class GraphSpec extends AnyFunSuite {
       for (callerVal <- Seq("true", "false")) {
         spark.conf.set(key, callerVal)
         val edges = (0L until 30L).map(i => (i, i + 1, 1L + (i % 3)))
-        val out = Graph.shortestPaths(edges.toDF("src", "dst", "w"),
-          Seq(0L).toDF("node"), weightCol = Some("w"))
+        // driverMax = 0: the conf-isolation claim is about the
+        // DISTRIBUTED loop — the driver-local branch never opens the
+        // isolated session, so it cannot carry this test
+        val out = Graph.ssspImpl(edges.toDF("src", "dst", "w"),
+          Seq(0L).toDF("node"), weightCol = Some("w"), directed = true,
+          maxRounds = 50, withPredecessors = false, driverMax = 0L)
         assert(spark.conf.get(key) == callerVal,
           s"caller conf mutated from $callerVal")
         assert(out.sparkSession eq spark, "result must re-bind to the caller")
@@ -758,6 +762,119 @@ class GraphSpec extends AnyFunSuite {
         assert(got == dijkstra(edges, Set(0L), directed = true))
       }
     } finally spark.conf.set(key, prev)
+  }
+
+  test("peel/relax family: driver-local finish equals the forced-distributed branch") {
+    // the round-14 fast path: below DriverPeelMax the peel/relax loops
+    // collect the (bounded) survivor set and finish driver-locally
+    // with identical arithmetic. Every spec fixture is below the
+    // threshold, so the default path pins the LOCAL branch — this test
+    // gives the DISTRIBUTED branch (driverMax = 0) an independent run
+    // on the same fixtures and asserts exact equality, the same
+    // two-branch discipline as louvainImpl. Error contracts (maxRounds)
+    // must fire on BOTH branches.
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(53L)
+    for (round <- 0 until 2) {
+      val edges = (0 until 140).map(_ =>
+        (rng.nextInt(24).toLong, rng.nextInt(24).toLong,
+          1L + rng.nextInt(7)))
+      val e2 = edges.map(t => (t._1, t._2)).toDF("src", "dst")
+      val e3 = edges.toDF("src", "dst", "w")
+      def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+        df.collect().map(_.toSeq).toSet
+      assert(rows(Graph.kCoreImpl(e2, 2, 50, 0L)) ==
+        rows(Graph.kCore(e2, 2)), s"kCore round $round")
+      assert(rows(Graph.sCoreImpl(e3, 5L, "w", 50, 0L)) ==
+        rows(Graph.sCore(e3, 5L, "w")), s"sCore round $round")
+      assert(rows(Graph.corenessImpl(e2, 200, 0L)) ==
+        rows(Graph.coreness(e2)), s"coreness round $round")
+      for (directed <- Seq(true, false)) {
+        assert(rows(Graph.ssspImpl(e3, Seq(0L, 7L).toDF("node"),
+            Some("w"), directed, 50, withPredecessors = true, 0L)) ==
+          rows(Graph.shortestPaths(e3, Seq(0L, 7L).toDF("node"),
+            Some("w"), directed, withPredecessors = true)),
+          s"sssp round $round directed=$directed")
+      }
+      assert(rows(Graph.ssspImpl(e2, Seq(3L).toDF("node"),
+          None, true, 50, withPredecessors = false, 0L)) ==
+        rows(Graph.shortestPaths(e2, Seq(3L).toDF("node"))),
+        s"bfs round $round")
+    }
+    // the sweep family: labelPropagation and refineCommunities local
+    // branches against their forced-distributed twins (their driver
+    // REPLAY tests elsewhere in this suite now pin the local branch —
+    // this equality gives the distributed sweeps an independent run)
+    for (round <- 0 until 2) {
+      val edges = (0 until 130).map(_ =>
+        (rng.nextInt(22).toLong, rng.nextInt(22).toLong,
+          1L + rng.nextInt(5)))
+        .filter(t => t._1 != t._2)
+      val e3 = edges.toDF("src", "dst", "w")
+      def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+        df.collect().map(_.toSeq).toSet
+      assert(rows(Graph.labelPropagationImpl(e3, 3, Some("w"), 0L)) ==
+        rows(Graph.labelPropagation(e3, 3, Some("w"))),
+        s"lpa round $round")
+      assert(rows(Graph.labelPropagationImpl(e3, 2, None, 0L)) ==
+        rows(Graph.labelPropagation(e3, 2)), s"lpa-unweighted $round")
+      val seed = Graph.labelPropagation(e3, 2)
+      assert(rows(Graph.refineCommunitiesImpl(e3, seed, 2, Some("w"), 0L)) ==
+        rows(Graph.refineCommunities(e3, seed, 2, Some("w"))),
+        s"refine round $round")
+      assert(rows(Graph.refineCommunitiesImpl(e3, seed, 2, None, 0L)) ==
+        rows(Graph.refineCommunities(e3, seed, 2)),
+        s"refine-unweighted $round")
+    }
+    // the link-analysis family: pageRank / personalizedPageRank / hits
+    // local replays against their forced-distributed twins
+    for (round <- 0 until 2) {
+      val edges = (0 until 150).map(_ =>
+        (rng.nextInt(26).toLong, rng.nextInt(26).toLong,
+          1L + rng.nextInt(4)))
+      val e3 = edges.toDF("src", "dst", "w")
+      val e2 = edges.map(t => (t._1, t._2)).toDF("src", "dst")
+      def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+        df.collect().map(_.toSeq).toSet
+      assert(rows(Graph.pageRankImpl(e3, 4, 17, 20, Some("w"), 0L)) ==
+        rows(Graph.pageRankFixedPoint(e3, 4, weightCol = Some("w"))),
+        s"pagerank round $round")
+      assert(rows(Graph.pageRankImpl(e2, 3, 17, 20, None, 0L)) ==
+        rows(Graph.pageRankFixedPoint(e2, 3)), s"pagerank-unw $round")
+      val seeds = Seq(0L, 5L, 11L).toDF("node")
+      assert(rows(Graph.personalizedPageRankImpl(e3, seeds, 4, 17, 20,
+          Some("w"), None, 0L)) ==
+        rows(Graph.personalizedPageRank(e3, seeds, 4,
+          weightCol = Some("w"))), s"ppr round $round")
+      val sw = Seq((0L, 3L), (5L, 1L)).toDF("node", "sw")
+      assert(rows(Graph.personalizedPageRankImpl(e2, sw, 3, 17, 20,
+          None, Some("sw"), 0L)) ==
+        rows(Graph.personalizedPageRank(e2, sw, 3,
+          seedWeightCol = Some("sw"))), s"ppr-seedw round $round")
+      assert(rows(Graph.hitsImpl(e2, 4, 0L)) == rows(Graph.hits(e2, 4)),
+        s"hits round $round")
+    }
+    // the maxRounds ERROR fires on the forced-distributed branch too
+    // (the default-path intercepts elsewhere in this suite now pin the
+    // local budget — same counter, same message)
+    val path = (1L to 12L).sliding(2).map(p => (p.head, p.last)).toSeq
+    intercept[IllegalArgumentException](
+      Graph.kCoreImpl(path.toDF("src", "dst"), 2, 2, 0L))
+    intercept[IllegalArgumentException](
+      Graph.ssspImpl(path.toDF("src", "dst"), Seq(1L).toDF("node"),
+        None, true, 2, withPredecessors = false, 0L))
+    intercept[IllegalArgumentException](
+      Graph.corenessImpl(path.toDF("src", "dst"), 2, 0L))
+    // non-long node ids stay on the type-agnostic distributed path:
+    // an IntegerType graph must still answer correctly (and must NOT
+    // silently flip the output schema to longs)
+    val intEdges = Seq((1, 2), (2, 3), (1, 3), (3, 4)).toDF("src", "dst")
+    val intCore = Graph.kCore(intEdges, 2)
+    assert(intCore.schema("node").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(intCore.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap ==
+      Map(1 -> 2L, 2 -> 2L, 3 -> 2L))
   }
 
   test("shortestPaths withPredecessors: smallest tight in-edge, sources null, chain walks home") {

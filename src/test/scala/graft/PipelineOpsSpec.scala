@@ -769,6 +769,13 @@ class PipelineOpsSpec extends AnyFunSuite {
       val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(got == expected, s"seed $seed")
+      // BOTH branches: the default run above exercises the driver-local
+      // union-find (spec scale sits below the threshold); force the
+      // distributed star rounds and require the same fixpoint
+      val distGot = Dedup.connectedComponentsImpl(
+          edges.toDF("id_a", "id_b"), maxRounds = 50, driverMax = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(distGot == expected, s"distributed branch seed $seed")
     }
   }
 
