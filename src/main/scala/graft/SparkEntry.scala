@@ -267,7 +267,14 @@ object SparkEntry {
 
   private def purchaseLabels(s: SparkSession, dir: String): DataFrame =
     purchaseLabelCache.getOrElseUpdate((s, dir),
-      Graph.labelPropagation(purchaseEdges(s, dir), sweeps = 3))
+      // checkpoint the shared fixture EXPLICITLY: labelPropagation's
+      // driver-local branch returns a LocalRelation, and the ~8
+      // consumers re-plan + re-broadcast it per ACTION — measured
+      // +0.8s on warm modularity_weighted vs the checkpointed shape
+      // the distributed branch used to return (round 14)
+      org.apache.spark.sql.graft.CheckpointStats.withMeasuredStats(
+        Graph.labelPropagation(purchaseEdges(s, dir), sweeps = 3)
+          .localCheckpoint(true)))
 
   /** Per-process cache of the CONVERGED weighted sssp run WITH
     * predecessors on the purchase graph (nation-0 sources) — the
