@@ -258,8 +258,7 @@ object SparkEntry {
 
   /** Per-process cache of the 3-sweep unweighted LPA labeling of the
     * purchase graph — shared by the communities / census / modularity
-    * gates (labelPropagation already returns a checkpointed frame, so
-    * caching it is free; one LPA run per (session, sfDir) instead of
+    * gates (one LPA run per (session, sfDir) instead of
     * one per gate — the purchaseEdgeCache trade applied one level up,
     * VERDICT r10 #7's bench-creep lever). */
   private val purchaseLabelCache =

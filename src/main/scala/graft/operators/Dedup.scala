@@ -697,7 +697,7 @@ object Dedup {
     * that appears in some pair, group_id = min id of its component.
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame =
-    connectedComponentsImpl(pairs, maxRounds, 1000000L)
+    connectedComponentsImpl(pairs, maxRounds, Graph.DriverPeelMax)
 
   /** [[connectedComponents]] with an explicit driver-local threshold —
     * the Graph-family spec hook (`driverMax = 0` forces the

@@ -159,8 +159,11 @@ object Graph {
       // long division, so every term matches the distributed ldiv
       // bit for bit. The node-count guard short-circuits before the
       // edge count, so corpus-scale graphs never pay the extra scan;
-      // the out-weight overflow guard above already certified every
-      // local long sum.
+      // a graph in the mid band (few nodes, >1e6 parallel edges) pays
+      // ONE extra shuffle-free count pass to decide it stays
+      // distributed — small next to the per-iteration edge re-scans
+      // the distributed loop already does. The out-weight overflow
+      // guard above already certified every local long sum.
       val spark = edges.sparkSession
       import spark.implicits._
       import scala.collection.mutable
@@ -855,8 +858,11 @@ object Graph {
         java.math.BigDecimal.valueOf(1518500249L)) <= 0, // floor(sqrt(Long.Max/4))
       "edge mass 2m exceeds the exact-long gain bound " +
         "floor(sqrt(Long.MaxValue/4)) — rescale weights")
-    if (und.count() <= driverMax && allLong(und, "u", "v") &&
-        allLong(lab0, "node", "label")) {
+    if (und.count() <= driverMax && labChk.getLong(0) <= driverMax &&
+        allLong(und, "u", "v") && allLong(lab0, "node", "label")) {
+      // both collects are bounded: the canonical edges by the count
+      // above, the labels by labChk's row count (a whole-corpus
+      // labeling over a small edge subgraph must stay distributed)
       // DRIVER-LOCAL SWEEPS (the [[kCoreImpl]] discipline): a
       // sub-threshold canonical edge list runs [[refineLocal]] — the
       // arithmetic the louvain coarse levels already share — instead
@@ -1339,7 +1345,7 @@ object Graph {
     * survivor set — a single-task problem — stops paying fixed
     * per-round driver latency. Same budget class as
     * [[DriverCoarseMax]]'s ~525k collected rows. */
-  private val DriverPeelMax = 1000000L
+  private[graft] val DriverPeelMax = 1000000L
 
   /** The driver-local branches collect node ids as longs and rebuild
     * the result with long columns — so they only take graphs whose
@@ -1752,7 +1758,11 @@ object Graph {
       .transform(onIsolated)
     val srcCol = sources.columns.head
     if (allLong(e, "src", "dst") && allLong(sources, srcCol) &&
-        e.count() / (if (directed) 1L else 2L) <= driverMax) {
+        e.count() / (if (directed) 1L else 2L) <= driverMax &&
+        sources.count() <= driverMax) {
+      // the sources collect is bounded too (counted only after the
+      // edge trigger passes, so corpus-scale graphs never pay it) —
+      // a tens-of-millions-row seed set must stay distributed
       // DRIVER-LOCAL RELAXATION — the [[kCoreImpl]] discipline: the
       // same frontier Bellman-Ford recurrence (a unique integer
       // fixpoint), the same round budget and convergence error, the
