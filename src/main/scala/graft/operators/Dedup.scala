@@ -695,6 +695,14 @@ object Dedup {
     *
     * Input: pairs (id_a, id_b). Output: (node, group_id) for every node
     * that appears in some pair, group_id = min id of its component.
+    *
+    * `maxRounds` bounds the DISTRIBUTED star iteration (an error past
+    * it, never a silent partial grouping). Below the driver-local
+    * threshold the fixpoint is computed directly by union-find — a
+    * closed form that cannot fail to converge — so the budget is
+    * vacuous there: a tiny maxRounds that would error at corpus scale
+    * succeeds on a small pair list. The divergence is error-direction
+    * only; the grouping itself is identical on both branches.
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame =
     connectedComponentsImpl(pairs, maxRounds, Graph.DriverPeelMax)

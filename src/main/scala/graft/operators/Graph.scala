@@ -350,7 +350,7 @@ object Graph {
     // W = |S|) reduce every term to the classic T div |S| exactly
     val teleUnit = Scale / dampDen * (dampDen - dampNum) / bigW
     val rankUnit = Scale / bigW
-    if (nodes.count() <= driverMax && allLong(nodes, "node") &&
+    if (allLong(nodes, "node") && nodes.count() <= driverMax &&
         e.count() <= driverMax) {
       // DRIVER-LOCAL SWEEPS — the [[pageRankImpl]] replay with the
       // seed-directed teleport/dangling terms; every contract check
@@ -507,7 +507,7 @@ object Graph {
     val eb = und.select(col("u").as("src"), col("v").as("dst"), col("_w"))
       .union(und.select(col("v").as("src"), col("u").as("dst"), col("_w")))
       .transform(checkpointed)
-    if (eb.count() / 2L <= driverMax && allLong(eb, "src", "dst")) {
+    if (allLong(eb, "src", "dst") && eb.count() / 2L <= driverMax) {
       // DRIVER-LOCAL SWEEPS (the [[kCoreImpl]] discipline) — the same
       // synchronous vote/argmax recurrence on the collected directed
       // edge list; a fixed-sweep contract has no convergence budget to
@@ -515,20 +515,25 @@ object Graph {
       val spark = edges.sparkSession
       import spark.implicits._
       import scala.collection.mutable
-      val arr = eb.collect()
+      // collect only the CANONICAL half (src < dst is exactly und —
+      // least/greatest canonicalization) and mirror each edge
+      // in-process: half the transfer and boxing of the full eb at
+      // the threshold (review finding, round 14)
+      val arr = eb.where(col("src") < col("dst")).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       unpersistCheckpoint(eb)
       val lab = mutable.HashMap.empty[Long, Long]
-      arr.foreach(e => lab.update(e._1, e._1))
+      arr.foreach { e => lab.update(e._1, e._1); lab.update(e._2, e._2) }
       for (_ <- 0 until sweeps) {
         // votes: neighbor labels weighted by edge mass, per dst node
         val votes = mutable.HashMap
           .empty[Long, mutable.HashMap[Long, Long]]
-        arr.foreach { case (src, dst, w) =>
+        def addVote(src: Long, dst: Long, w: Long): Unit = {
           val m = votes.getOrElseUpdate(dst, mutable.HashMap.empty)
           val l = lab(src)
           m.update(l, m.getOrElse(l, 0L) + w)
         }
+        arr.foreach { case (u, v, w) => addVote(u, v, w); addVote(v, u, w) }
         // argmax with min-label ties — the (-count, label) min rule
         votes.foreach { case (n, vs) =>
           var bestL = 0L
@@ -1772,6 +1777,11 @@ object Graph {
       // for work one thread finishes in milliseconds — and this branch
       // skips the isolated-session loop entirely. Spec-pinned against
       // the distributed branch (driverMax = 0) on random graphs.
+      // DELIBERATE trade: the branch tests AFTER the repartitioned
+      // checkpoint, so the local path pays one small exchange it then
+      // discards (~100 ms at the threshold) — the alternative, a
+      // pre-checkpoint count, would add a full raw-edge scan to every
+      // CORPUS-scale call, the path this engine optimizes for.
       val spark = edges.sparkSession
       import spark.implicits._
       val srcArr = sources.select(col(srcCol).cast("long").as("node"))
@@ -2463,7 +2473,7 @@ object Graph {
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .transform(checkpointed)
-    if (e.count() <= driverMax && allLong(e, "src", "dst")) {
+    if (allLong(e, "src", "dst") && e.count() <= driverMax) {
       // DRIVER-LOCAL SWEEPS — the same integer mutual recursion;
       // overflow maps to the SAME error through exact arithmetic
       // (the distributed branch's decimal max-check admits a value iff

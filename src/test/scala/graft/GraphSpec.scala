@@ -764,6 +764,12 @@ class GraphSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  /** Multiset row compare for the two-branch equality tests — a Set
+    * would hide a duplicate-row divergence (e.g. a lost distinct in
+    * one branch's rebuild). */
+  private def rows(df: org.apache.spark.sql.DataFrame): Map[Seq[Any], Int] =
+    df.collect().map(_.toSeq).groupBy(identity).map { case (k, v) => (k, v.length) }
+
   test("peel/relax family: driver-local finish equals the forced-distributed branch") {
     // the round-14 fast path: below DriverPeelMax the peel/relax loops
     // collect the (bounded) survivor set and finish driver-locally
@@ -782,8 +788,6 @@ class GraphSpec extends AnyFunSuite {
           1L + rng.nextInt(7)))
       val e2 = edges.map(t => (t._1, t._2)).toDF("src", "dst")
       val e3 = edges.toDF("src", "dst", "w")
-      def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
-        df.collect().map(_.toSeq).toSet
       assert(rows(Graph.kCoreImpl(e2, 2, 50, 0L)) ==
         rows(Graph.kCore(e2, 2)), s"kCore round $round")
       assert(rows(Graph.sCoreImpl(e3, 5L, "w", 50, 0L)) ==
@@ -812,8 +816,6 @@ class GraphSpec extends AnyFunSuite {
           1L + rng.nextInt(5)))
         .filter(t => t._1 != t._2)
       val e3 = edges.toDF("src", "dst", "w")
-      def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
-        df.collect().map(_.toSeq).toSet
       assert(rows(Graph.labelPropagationImpl(e3, 3, Some("w"), 0L)) ==
         rows(Graph.labelPropagation(e3, 3, Some("w"))),
         s"lpa round $round")
@@ -835,8 +837,6 @@ class GraphSpec extends AnyFunSuite {
           1L + rng.nextInt(4)))
       val e3 = edges.toDF("src", "dst", "w")
       val e2 = edges.map(t => (t._1, t._2)).toDF("src", "dst")
-      def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
-        df.collect().map(_.toSeq).toSet
       assert(rows(Graph.pageRankImpl(e3, 4, 17, 20, Some("w"), 0L)) ==
         rows(Graph.pageRankFixedPoint(e3, 4, weightCol = Some("w"))),
         s"pagerank round $round")
