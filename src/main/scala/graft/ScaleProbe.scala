@@ -1229,8 +1229,13 @@ object ScaleProbe {
       val m = math.max(n / 10, 1000L)
       val emb = embeddings(spark, m)
         .repartition(spark.sparkContext.defaultParallelism)
+      // ZERO-ARGUMENT nlist: the corpus-derived default
+      // (Similarity.derivedNlist — 256 up to 640k vectors at nprobe 2,
+      // 4096 at the 10M tier) is what this probe certifies; the
+      // round-14 silent-empty shape (10M vectors into a fixed 256
+      // cells) is un-constructible at defaults
       val pairs = graft.operators.Dedup.semanticNearDuplicates(emb,
-        threshold = 0.9, dim = 64, nlist = 256, nprobe = 2, iters = 2)
+        threshold = 0.9, dim = 64, iters = 2)
       val r = pairs.agg(count(lit(1)),
         count(when(col("id_b") =!= col("id_a") + 1 ||
           pmod(col("id_b"), lit(100)) =!= 1, 1))).head
@@ -1256,15 +1261,15 @@ object ScaleProbe {
       // a tenth of the corpus, snapped to a multiple of 10 like the
       // minhash increment, so the last planted target fits in [0, m)
       val b = (m / 100) * 10
-      // corpus-scaled coarse quantizer: 256 cells hold ~1.28M vectors
-      // under the 10k cap (the round-14 requireCapFeasible guard —
-      // a 10M-vector pass at nlist=256 put ~78k rows in EVERY cell
-      // and silently returned zero pairs before the guard existed);
-      // past that, size cells to ~2500 average. The real envelope is
+      // corpus-scaled coarse quantizer via the ZERO-ARGUMENT default
+      // (round 15): writeIvfIndex derives nlist = ceilPow2(2·N/10k)
+      // clamped to [16, 2^18] — 256 at the 1M tier, 2048 at 10M — the
+      // formula the round-14 requireCapFeasible guard prescribed after
+      // a 10M-vector pass at fixed nlist=256 put ~78k rows in EVERY
+      // cell and silently returned zero pairs. The real envelope is
       // then the flat assignment's O(N·nlist·dim) — embarrassingly
       // parallel across executors on a cluster, nlist·N-bounded on
-      // one box. Documented battery tiers (m ≤ 1M) keep nlist=256.
-      val nlist = if (m <= 1280000L) 256 else (m / 2500L).toInt
+      // one box.
       val par = spark.sparkContext.defaultParallelism
       val emb = embeddings(spark, m).repartition(par)
       val inc = embBatch(spark, m, b).repartition(par)
@@ -1273,8 +1278,7 @@ object ScaleProbe {
       val ixDir = java.nio.file.Files
         .createTempDirectory("graft-probe-ivfix").toString
       timed("ivf_index_build") {
-        Similarity.writeIvfIndex(emb, ixDir, dim = 64, nlist = nlist,
-          iters = 2)
+        Similarity.writeIvfIndex(emb, ixDir, dim = 64, iters = 2)
         spark.read.parquet(ixDir).count()
       }
       timed("ivf_index_append") {
@@ -1308,7 +1312,7 @@ object ScaleProbe {
         .createTempDirectory("graft-probe-pqix").toString
       timed("pq_index_build") {
         Similarity.writePqIndex(emb, pqDir, dim = 64, m = 8, ksub = 256,
-          nlist = nlist, iters = 2)
+          iters = 2)
         spark.read.parquet(pqDir).count()
       }
       timed("pq_twin_match") {
@@ -1401,9 +1405,7 @@ object ScaleProbe {
           .repartition(spark.sparkContext.defaultParallelism)
         val ivDir = java.nio.file.Files
           .createTempDirectory("graft-probe-hybivf").toString
-        Similarity.writeIvfIndex(emb, ivDir, dim = 64,
-          nlist = if (m <= 1280000L) 256 else (m / 2500L).toInt,
-          iters = 2)
+        Similarity.writeIvfIndex(emb, ivDir, dim = 64, iters = 2)
         val queries = docs
           .where(pmod(col("doc_id"), lit(100)) === 50 && col("doc_id") < m)
           .orderBy(col("doc_id")).limit(20)

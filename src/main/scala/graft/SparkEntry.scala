@@ -284,15 +284,26 @@ object SparkEntry {
           .localCheckpoint(true)))
 
   private def purchaseLabels(s: SparkSession, dir: String): DataFrame =
-    purchaseLabelCache.getOrElseUpdate((s, dir),
-      // checkpoint the shared fixture EXPLICITLY: labelPropagation's
-      // driver-local branch returns a LocalRelation, and the ~8
-      // consumers re-plan + re-broadcast it per ACTION — measured
-      // +0.8s on warm modularity_weighted vs the checkpointed shape
-      // the distributed branch used to return (round 14)
-      org.apache.spark.sql.graft.CheckpointStats.withMeasuredStats(
-        Graph.labelPropagation(purchaseEdges(s, dir), sweeps = 3)
-          .localCheckpoint(true)))
+    purchaseLabelCache.getOrElseUpdate((s, dir), {
+      // checkpoint the shared fixture EXPLICITLY — but only when the
+      // driver-local branch returned a LocalRelation (the ~8 consumers
+      // re-plan + re-broadcast a LocalRelation per ACTION — measured
+      // +0.8s on warm modularity_weighted, round 14). The DISTRIBUTED
+      // branch already returns a measured localCheckpoint; wrapping it
+      // in a second one would strand the inner checkpoint's blocks
+      // (clearProcessCaches frees only the plan's LogicalRDDs — the
+      // outer — leaking executor storage per (session, sfDir) above
+      // DriverPeelMax; ADVICE round 14)
+      val lpa = Graph.labelPropagation(purchaseEdges(s, dir), sweeps = 3)
+      val isLocal = lpa.queryExecution.optimizedPlan.find(
+        _.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+        .isDefined
+      if (isLocal)
+        org.apache.spark.sql.graft.CheckpointStats.withMeasuredStats(
+          lpa.localCheckpoint(true))
+      else lpa
+    })
 
   /** Per-process cache of the CONVERGED weighted sssp run WITH
     * predecessors on the purchase graph (nation-0 sources) — the

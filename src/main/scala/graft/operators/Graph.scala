@@ -1071,11 +1071,16 @@ object Graph {
     // instead of re-aggregating the raw edges (unweighted collapses
     // parallels to mass 1, so condensed masses match what the sweeps
     // scored by construction)
-    // driverMax = 0 (the spec's forced-distributed mode) also forces
-    // level 1's sweeps distributed — the replay equalities then pin
-    // the distributed arithmetic against refineLocal's, not refineLocal
-    // against itself
-    val refineMax = if (driverMax == 0) 0L else DriverPeelMax
+    // the spec hook's threshold THREADS THROUGH to the sweep level
+    // (ADVICE round 14: a custom non-zero driverMax was silently
+    // replaced by DriverPeelMax): the DEFAULT supernode bound maps to
+    // the family's standard peel bound, any custom value — 0 (forced
+    // distributed; the replay equalities then pin the distributed
+    // arithmetic against refineLocal's, not refineLocal against
+    // itself) or an intermediate probe threshold — is used for BOTH
+    // the coarse-level collect and refineImpl's edge-count gate
+    val refineMax =
+      if (driverMax == DriverCoarseMax) DriverPeelMax else driverMax.toLong
     val (mapping0, und) = refineImpl(edges, None, labels, sweepsPerLevel,
       weightCol, refineMax)
     var mapping = mapping0
@@ -1344,11 +1349,17 @@ object Graph {
 
   /** Canonical-row bound for the iterative peel/relax family's
     * driver-local finish ([[kCore]]/[[sCore]]/[[coreness]]/
-    * [[shortestPaths]]): 1e6 canonical rows collect to ~16-24 MB.
-    * Sized so the documented probe tiers (1M+ nodes, >1e6 edges) keep
-    * every distributed branch exercised while a sub-million-edge
-    * survivor set — a single-task problem — stops paying fixed
-    * per-round driver latency. Same budget class as
+    * [[shortestPaths]]): 1e6 canonical rows are ~16-24 MB as
+    * SERIALIZED task results, but the in-process working set is
+    * boxed — `Array[(Long, Long, Long)]` is unspecialized `Tuple3`
+    * (three boxed Longs, ~90 B/row) plus the replay's boxed HashMaps —
+    * so the realistic peak driver cost AT the threshold is
+    * ~100-300 MB transiently, i.e. a few percent of the default 8 GiB
+    * driver heap (the budget this constant is sized against; shrink it
+    * for slimmer drivers). Sized so the documented probe tiers
+    * (1M+ nodes, >1e6 edges) keep every distributed branch exercised
+    * while a sub-million-edge survivor set — a single-task problem —
+    * stops paying fixed per-round driver latency. Same budget class as
     * [[DriverCoarseMax]]'s ~525k collected rows. */
   private[graft] val DriverPeelMax = 1000000L
 

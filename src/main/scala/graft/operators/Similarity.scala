@@ -109,6 +109,50 @@ object Similarity {
       .drop("_tb")
   }
 
+  /** Ceiling on a DERIVED cell count: 2^18 centroids × 64 dims is
+    * ~134 MB of driver-resident doubles during training — the 8 GiB
+    * default-heap budget class. At the per-cell cap 10k this admits a
+    * ~1.3e9-vector corpus at nprobe = 2; past that, raise the cap (or
+    * pass nlist explicitly). */
+  private[graft] val MaxDerivedNlist = 1 << 18
+
+  /** Corpus-scaled coarse-quantizer size — the exact formula the
+    * cap-feasibility guard's error message prescribes
+    * (`nlist ≈ 2·rows/cap`): enough cells that a BALANCED assignment
+    * sits at HALF the per-cell cap, rounded up to a power of two and
+    * clamped to `[minList, MaxDerivedNlist]`. `rows` is the total
+    * bucketed-row count (vectors × nprobe for multi-probe callers), so
+    * a zero-argument run is feasible BY CONSTRUCTION at any corpus the
+    * clamp admits — the round-14 silent-empty shape (10M vectors into
+    * 256 cells, every cell over cap) derives 4096 cells instead. The
+    * min clamps reproduce the historical fixed defaults on small
+    * corpora (256 for the SemDeDup passes, 16 for the IVF indexes), so
+    * existing gates are bit-unchanged. */
+  private[graft] def derivedNlist(rows: Long, cap: Int, minList: Int): Int = {
+    require(minList > 0 && (minList & (minList - 1)) == 0,
+      s"minList must be a power of two, got $minList")
+    val want = 2L * rows / math.max(cap, 1)
+    var p = minList.toLong
+    while (p < want && p < MaxDerivedNlist) p <<= 1
+    p.toInt
+  }
+
+  /** Corpus-scaled hyperplane count for the LSH bucketers: the sizing
+    * rule [[graft.operators.Dedup.embeddingNearDuplicatesLsh]]
+    * documents (`2^planes >= ~10·N/cap` keeps the EXPECTED bucket
+    * population at a tenth of the cap), clamped to [8, 24] — 8
+    * reproduces the historical default on small corpora; 24 (16.7M
+    * buckets) admits ~1.6e10 vectors at cap 10k. More planes cost
+    * recall (the published 1-(1-(1-θ/π)^planes)^tables curve) — the
+    * derived value buys FEASIBILITY first; raise `tables` to buy the
+    * recall back. */
+  private[graft] def derivedPlanes(rows: Long, cap: Int): Int = {
+    val want = 10L * rows / math.max(cap, 1)
+    var planes = 8
+    while ((1L << planes) < want && planes < 24) planes += 1
+    planes
+  }
+
   /** Train `nlist` coarse centroids with `iters` Lloyd iterations of
     * spherical k-means (cosine assignment, mean update). Centroids live
     * on the driver between iterations — nlist × dim doubles, a few KB —
@@ -322,8 +366,16 @@ object Similarity {
     * streaming twin) refuse a quantized index rather than silently
     * demote their ">= threshold is exact" contract. */
   def writeIvfIndex(corpus: DataFrame, dir: String, dim: Int,
-      nlist: Int = 16, iters: Int = 3, quantize: Boolean = false): Unit = {
+      nlist: Int = 0, iters: Int = 3, quantize: Boolean = false): Unit = {
     val spark = corpus.sparkSession
+    // nlist = 0 (the default) derives the cell count from the corpus
+    // ([[derivedNlist]], min clamp 16 — the historical fixed default —
+    // against the downstream consumers' 10k per-cell cap), so a
+    // zero-argument index build stays feasible for
+    // semanticMatchesAgainstIndex / ivfTopKOverIndex at any corpus the
+    // clamp admits; explicit nlist keeps exact previous behavior
+    val list = if (nlist == 0) derivedNlist(corpus.count(), DefaultCellCap, 16)
+      else nlist
     // loadOrTrainCentroids semantics (dim refusal, nlist retrain), but
     // with every WRITE deferred past the parquet overwrite below, which
     // deletes the target directory wholesale
@@ -332,14 +384,19 @@ object Similarity {
         throw new IllegalArgumentException(
           s"stored IVF index at $dir has dim ${c.head.length}, " +
             s"requested $dim — delete the index or fix the request")
-      case Some(c) if c.length == nlist => c
-      case _ => trainCentroids(corpus, dim, nlist, iters)
+      case Some(c) if c.length == list => c
+      case _ => trainCentroids(corpus, dim, list, iters)
     }
     indexRows(assignedCorpus(corpus, centroids), quantize)
       .write.mode("overwrite").parquet(dir)
     writeCentroids(spark, dir, centroids)
-    writeIvfProps(spark, dir, dim, nlist, quantize)
+    writeIvfProps(spark, dir, dim, list, quantize)
   }
+
+  /** The per-cell population cap the index consumers default to
+    * ([[graft.operators.Dedup.semanticMatchesAgainstIndex]]'s
+    * `maxCellSize`) — the denominator of every derived cell count. */
+  private[graft] val DefaultCellCap = 10000
 
   /** Incrementally grow a stored IVF index: assign ONLY the new batch —
     * with the index's own stored quantizer — and append. The
@@ -460,11 +517,17 @@ object Similarity {
     * reopened table skips retraining).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
-      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
+      nlist: Int = 0, nprobe: Int = 4, iters: Int = 3,
       indexDir: Option[String] = None): DataFrame = {
+    // nlist = 0 derives from the corpus ([[derivedNlist]], min clamp
+    // 16 — the historical default): cells then hold ~cap/2 vectors on
+    // average, so per-query scored candidates stay ~nprobe·cap/2
+    // regardless of corpus size instead of growing linearly with it
+    val list = if (nlist == 0)
+      derivedNlist(corpus.count() * nprobe, DefaultCellCap, 16) else nlist
     val centroids = indexDir
-      .map(loadOrTrainCentroids(corpus, dim, nlist, iters, _))
-      .getOrElse(trainCentroids(corpus, dim, nlist, iters))
+      .map(loadOrTrainCentroids(corpus, dim, list, iters, _))
+      .getOrElse(trainCentroids(corpus, dim, list, iters))
     ivfScore(assignedCorpus(corpus, centroids), queries, centroids, k, nprobe)
   }
 
@@ -660,16 +723,19 @@ object Similarity {
     * codebooks, props sidecar LAST — a reader never sees a sidecar
     * without its data. */
   def writePqIndex(corpus: DataFrame, dir: String, dim: Int, m: Int = 8,
-      ksub: Int = 256, nlist: Int = 16, iters: Int = 3): Unit = {
+      ksub: Int = 256, nlist: Int = 0, iters: Int = 3): Unit = {
     val spark = corpus.sparkSession
     require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    // nlist = 0 derives like [[writeIvfIndex]] (min clamp 16)
+    val list = if (nlist == 0) derivedNlist(corpus.count(), DefaultCellCap, 16)
+      else nlist
     val centroids = readCentroids(spark, dir) match {
       case Some(c) if c.exists(_.length != dim) =>
         throw new IllegalArgumentException(
           s"stored index at $dir has dim ${c.head.length}, requested " +
             s"$dim — delete the index or fix the request")
-      case Some(c) if c.length == nlist => c
-      case _ => trainCentroids(corpus, dim, nlist, iters)
+      case Some(c) if c.length == list => c
+      case _ => trainCentroids(corpus, dim, list, iters)
     }
     // stored codebooks are reusable only at the same geometry
     val cb = readPqCodebooks(spark, dir) match {
@@ -680,7 +746,7 @@ object Similarity {
     pqIndexRows(corpus, centroids, cb).write.mode("overwrite").parquet(dir)
     writeCentroids(spark, dir, centroids)
     writePqCodebooks(spark, dir, cb)
-    writePqProps(spark, dir, dim, cb.length, cb(0).length, nlist)
+    writePqProps(spark, dir, dim, cb.length, cb(0).length, list)
   }
 
   /** Incrementally grow a stored PQ index: encode ONLY the new batch

@@ -728,6 +728,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(run(None) == first && first.nonEmpty)
   }
 
+  test("corpus-derived ANN defaults: formula, clamps, zero-arg equivalence") {
+    // the derivation is the cap-feasibility guard's own prescription
+    // (nlist ~ 2*rows/cap, power of two), so zero-argument runs are
+    // feasible BY CONSTRUCTION at any admitted corpus (round 15)
+    assert(Similarity.derivedNlist(500L * 2, 10000, 256) == 256)
+    assert(Similarity.derivedNlist(10000000L * 2, 10000, 256) == 4096,
+      "the round-14 silent-empty shape must derive 4096 cells")
+    assert(Similarity.derivedNlist(40000L, 10000, 16) == 16)
+    assert(Similarity.derivedNlist(100000L, 10000, 16) == 32)
+    assert(Similarity.derivedNlist(Long.MaxValue / 4, 10000, 16) ==
+      Similarity.MaxDerivedNlist)
+    // derived value is always feasible under the guard's inequality
+    for (rows <- Seq(1L, 999L, 123456L, 20000000L, 1000000000L))
+      assert(rows * 2 <= 10000L *
+        Similarity.derivedNlist(rows * 2, 10000, 256),
+        s"derived nlist infeasible at rows=$rows")
+    assert(Similarity.derivedPlanes(1000L, 10000) == 8)
+    assert(Similarity.derivedPlanes(10000000L, 10000) == 14)
+    assert(Similarity.derivedPlanes(Long.MaxValue / 16, 10000) == 24)
+    // zero-argument runs reproduce the historical fixed defaults
+    // bit-for-bit at gate scale (min clamps == the old constants)
+    val e = emb.select(col("vec_id"), col("embedding"))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(Dedup.semanticNearDuplicates(e, 0.4, dim = 64,
+        iters = 2)) ==
+      pairSet(Dedup.semanticNearDuplicates(e, 0.4, dim = 64, nlist = 256,
+        iters = 2)))
+    assert(pairSet(Dedup.embeddingNearDuplicatesLsh(e, 0.4, dim = 64,
+        tables = 16)) ==
+      pairSet(Dedup.embeddingNearDuplicatesLsh(e, 0.4, dim = 64,
+        planes = 8, tables = 16)))
+    // an EXPLICIT infeasible nlist still refuses loudly (unchanged)...
+    val ex = intercept[IllegalArgumentException](
+      Dedup.semanticNearDuplicates(e, 0.4, dim = 64, nlist = 16,
+        nprobe = 2, maxCellSize = 10))
+    assert(ex.getMessage.contains("capBuckets would drop"))
+    // ...while the DERIVED default makes the same corpus feasible
+    assert(Dedup.semanticNearDuplicates(e, 0.95, dim = 64, nprobe = 2,
+      iters = 1, maxCellSize = 10).collect() != null)
+  }
+
   test("connected components match union-find on a random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
@@ -777,6 +819,30 @@ class PipelineOpsSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(distGot == expected, s"distributed branch seed $seed")
     }
+  }
+
+  test("connected components: maxRounds budget carries across the driver-local branch") {
+    import spark.implicits._
+    // a 12-node path needs several star rounds; the budget must bind
+    // IDENTICALLY on both branches (round 15: previously the local
+    // union-find ignored maxRounds entirely, so a pipeline could pass
+    // in tests and fail at corpus scale)
+    val path = (1L to 12L).sliding(2).map(p => (p.head, p.last)).toSeq
+      .toDF("id_a", "id_b")
+    def minBudget(driverMax: Long): Int =
+      (1 to 50).find { b =>
+        try {
+          Dedup.connectedComponentsImpl(path, b, driverMax).collect(); true
+        } catch { case _: IllegalArgumentException => false }
+      }.get
+    val local = minBudget(Graph.DriverPeelMax)
+    val dist = minBudget(0L)
+    assert(local > 1, "fixture must need more than one star round")
+    assert(local == dist, s"budget diverges: local $local vs distributed $dist")
+    // the refusal is the documented contract, never a partial grouping
+    val ex = intercept[IllegalArgumentException](
+      Dedup.connectedComponents(path, maxRounds = 1).collect())
+    assert(ex.getMessage.contains("did not converge"))
   }
 
   test("duplicate groups: transitive collapse, singletons keep their own id") {
