@@ -51,16 +51,21 @@ object ScaleProbe {
     * literally identical to the target's. */
   def newBatch(spark: SparkSession, n: Long, m: Long, len: Int = 50,
       vocab: Int = 1000, delta: Int = 2): DataFrame = {
-    require(m < 2 || ((m - 2) / 10) * 100 + 50 < n,
-      s"batch m=$m plants a target past corpus n=$n")
+    require(m < 2 || n >= 100,
+      s"batch m=$m needs a corpus with at least one target id, n=$n")
     val base = spark.range(n, n + m, 1,
       spark.sparkContext.defaultParallelism * 4)
       .select(col("id").as("doc_id"))
     val j = col("doc_id") - n
     // Spark's `/` on longs is DOUBLE division — keep src a LONG or
-    // xxhash64(src, i) hashes a double and never matches the corpus
+    // xxhash64(src, i) hashes a double and never matches the corpus.
+    // Targets WRAP over the corpus's n/100 planted ids (identity while
+    // m <= n/10, the historical tiers), so a batch LARGER than a tenth
+    // of the corpus — the round-15 second envelope point — still
+    // plants exactly m/10 cross-side pairs, with targets reused
     val src = when(pmod(j, lit(10)) === 1,
-      floor((j - 1) / 10).cast("long") * 100 + 50).otherwise(col("doc_id"))
+      pmod(floor((j - 1) / 10).cast("long"),
+        lit(math.max(n / 100, 1L))) * 100 + 50).otherwise(col("doc_id"))
     base.withColumn("text",
       concat_ws(" ", transform(sequence(lit(0), lit(len - 1)), i =>
         concat(lit("w"),
@@ -1050,7 +1055,8 @@ object ScaleProbe {
         val r = pairs.agg(count(lit(1)),
           count(when(pmod(col("id_a") - n, lit(10)) =!= 1 ||
             col("id_b") =!=
-              floor((col("id_a") - n - 1) / 10).cast("long") * 100 + 50,
+              pmod(floor((col("id_a") - n - 1) / 10).cast("long"),
+                lit(math.max(n / 100, 1L))) * 100 + 50,
             1))).head
         val (found, wrong) = (r.getLong(0), r.getLong(1))
         require(wrong == 0, s"$wrong non-planted incremental pairs surfaced")
@@ -1099,7 +1105,13 @@ object ScaleProbe {
         stored
       }
       timed("ring_absorb_match") {
-        val m = (n / 100) * 10
+        // default: a tenth of the corpus; SPARK_GRAFT_RING_BATCH_N
+        // overrides (snapped down to a multiple of 10) — the round-15
+        // second envelope point matches a 10M batch against the 50M
+        // ring to turn the one-slice-plus-one-batch disk claim from a
+        // dot into a line
+        val m = sys.env.get("SPARK_GRAFT_RING_BATCH_N")
+          .map(_.toLong / 10 * 10).getOrElse((n / 100) * 10)
         val batch = newBatch(spark, n, m)
           .repartition(spark.sparkContext.defaultParallelism)
         val pairs = Dedup.matchAgainstMinhashIndex(batch, docs, ringDir,
@@ -1107,7 +1119,8 @@ object ScaleProbe {
         val r = pairs.agg(count(lit(1)),
           count(when(pmod(col("id_a") - n, lit(10)) =!= 1 ||
             col("id_b") =!=
-              floor((col("id_a") - n - 1) / 10).cast("long") * 100 + 50,
+              pmod(floor((col("id_a") - n - 1) / 10).cast("long"),
+                lit(math.max(n / 100, 1L))) * 100 + 50,
             1))).head
         val (found, wrong) = (r.getLong(0), r.getLong(1))
         require(wrong == 0, s"$wrong non-planted ring pairs surfaced")
