@@ -501,40 +501,47 @@ object Dedup {
         "(or raise maxBucketSize)")
     val bucketed = capBuckets(
       Similarity
-        .withBuckets(emb.select(col("vec_id"), col("embedding")),
+        .withBuckets(emb.select(col("vec_id"), col("embedding"))
+            .withColumn("nrm", Similarity.norm(col("embedding"))),
           "embedding", dim, pl, tables)
-        .select(col("table"), col("bucket"), col("vec_id")),
+        .select(col("table"), col("bucket"), col("vec_id"),
+          col("embedding"), col("nrm")),
       Seq("table", "bucket"), maxBucketSize)
-    val cands = bucketed.select(col("table"), col("bucket"), col("vec_id").as("id_a"))
-      .join(bucketed.select(col("table"), col("bucket"), col("vec_id").as("id_b")),
-        Seq("table", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-    verifyCosinePairs(emb, cands, threshold)
+    verifiedSameKeyPairs(bucketed, Seq("table", "bucket"), threshold)
   }
 
-  /** Exact-cosine verification of candidate id pairs: joins each side's
-    * embedding + precomputed norm back in, keeps pairs >= `threshold`.
-    * Candidates arrive WITH their multiplicity (a pair sharing k
-    * buckets/cells appears k times): deduping before the verify would
-    * shuffle the whole candidate set to save re-running a cheap
-    * codegen'd dot product — distinct only the (rare) survivors.
-    * Zero-norm vectors never verify: their cosine is 0/0 = NaN, which
-    * Spark sorts ABOVE every number, so an unguarded NaN >= threshold
-    * would emit a zero vector as a near-dup of every bucket-mate.
+  /** Same-key candidate pairs VERIFIED INLINE: self-join the
+    * (key..., vec_id, embedding, nrm) frame on its bucketing key and
+    * keep `id_a < id_b` pairs whose exact cosine clears `threshold`.
+    * Each side's vector and norm RIDE THE BUCKET ROWS through the one
+    * join exchange, so the (quadratic-in-cell-size) candidate stream
+    * is a codegen'd FILTER that never materializes and never
+    * re-shuffles — the round-15 scale fix: verifying by joining
+    * embeddings back onto the candidate id pairs re-exchanged the
+    * candidates BY ID, and a 10M-vector SemDeDup pass (~4096 cells of
+    * ~4900, ~5e10 candidates) wrote ~800 GB of shuffle and died on
+    * disk, while the bucket rows themselves are only N·nprobe ~260 B
+    * rows. Candidates keep their multiplicity (a pair sharing k
+    * buckets streams k times — re-running a cheap codegen'd dot beats
+    * exchanging the pair set to dedup it); only the (rare) survivors
+    * are distinct'd. Zero-norm vectors never verify: their cosine is
+    * 0/0 = NaN and NaN compares ABOVE every number, so the norms are
+    * gated explicitly (they still occupy their bucket's cap slots,
+    * exactly as before).
     */
-  private def verifyCosinePairs(emb: DataFrame, cands: DataFrame,
+  private def verifiedSameKeyPairs(bucketed: DataFrame, keys: Seq[String],
       threshold: Double): DataFrame = {
-    val n = emb.select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", Similarity.norm(col("embedding")))
-      .where(col("nrm") > 0)
-    cands
-      .join(n.select(col("vec_id").as("id_a"), col("embedding").as("va"),
-        col("nrm").as("na")), "id_a")
-      .join(n.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-        col("nrm").as("nb")), "id_b")
-      .where(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))
-        >= threshold)
+    val a = bucketed.select(keys.map(col) ++ Seq(
+      col("vec_id").as("id_a"), col("embedding").as("va"),
+      col("nrm").as("na")): _*)
+    val b = bucketed.select(keys.map(col) ++ Seq(
+      col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col("nrm").as("nb")): _*)
+    a.join(b, keys)
+      .where(col("id_a") < col("id_b") &&
+        col("na") > 0 && col("nb") > 0 &&
+        Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))
+          >= threshold)
       .select("id_a", "id_b").distinct()
   }
 
@@ -582,15 +589,12 @@ object Dedup {
       .map(Similarity.loadOrTrainCentroids(emb, dim, list, iters, _))
       .getOrElse(Similarity.trainCentroids(emb, dim, list, iters))
     val celled = capBuckets(
-      emb.select(col("vec_id"),
-        explode(Similarity.probeClusters(col("embedding"), centroids, nprobe))
-          .as("cell")),
+      emb.select(col("vec_id"), col("embedding"),
+          Similarity.norm(col("embedding")).as("nrm"),
+          explode(Similarity.probeClusters(col("embedding"), centroids,
+            nprobe)).as("cell")),
       Seq("cell"), maxCellSize)
-    val cands = celled.select(col("cell"), col("vec_id").as("id_a"))
-      .join(celled.select(col("cell"), col("vec_id").as("id_b")), Seq("cell"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-    verifyCosinePairs(emb, cands, threshold)
+    verifiedSameKeyPairs(celled, Seq("cell"), threshold)
   }
 
   /** Semantic dedup assignment: [[semanticNearDuplicates]] pairs
@@ -641,27 +645,30 @@ object Dedup {
     requireCapFeasible(newEmb.count() * nprobe, centroids.length,
       maxCellSize, "semanticMatchesAgainstIndex (batch side)",
       "shrink the batch, raise maxCellSize, or rebuild with more cells")
+    // cross-side exact-cosine verify INLINE on the cell join (the
+    // round-15 verifiedSameKeyPairs discipline): each side's vector
+    // and norm ride its cell rows — batch norms compute once
+    // pre-explode, corpus vectors/norms come STRAIGHT off the stored
+    // index rows — so the cross-side candidate stream is a codegen'd
+    // filter that never re-shuffles by id. Zero-norm vectors never
+    // verify (NaN guard), but still occupy their cell's cap slots,
+    // exactly as before.
     val batchCelled = capBuckets(
-      newEmb.select(col("vec_id"),
+      newEmb.select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"),
         explode(Similarity.probeClusters(col("embedding"), centroids,
           nprobe)).as("cell")),
       Seq("cell"), maxCellSize)
     val corpusCelled = capBuckets(
-      idx.select(col("vec_id"), col("cell")), Seq("cell"), maxCellSize)
-    val cands = batchCelled.select(col("cell"), col("vec_id").as("id_a"))
-      .join(corpusCelled.select(col("cell"), col("vec_id").as("id_b")),
-        Seq("cell"))
-      .select("id_a", "id_b")
-    // cross-side exact-cosine verify: batch norms compute once, corpus
-    // norms ride the index; zero-norm vectors never verify (NaN guard,
-    // same as verifyCosinePairs)
-    val a = newEmb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-      .withColumn("na", Similarity.norm(col("va"))).where(col("na") > 0)
-    val b = idx.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-      col("nrm").as("nb")).where(col("nb") > 0)
-    cands.join(a, "id_a").join(b, "id_b")
-      .where(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))
-        >= threshold)
+      idx.select(col("vec_id"), col("embedding"), col("nrm"), col("cell")),
+      Seq("cell"), maxCellSize)
+    batchCelled.select(col("cell"), col("vec_id").as("id_a"),
+        col("embedding").as("va"), col("nrm").as("na"))
+      .join(corpusCelled.select(col("cell"), col("vec_id").as("id_b"),
+        col("embedding").as("vb"), col("nrm").as("nb")), Seq("cell"))
+      .where(col("na") > 0 && col("nb") > 0 &&
+        Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))
+          >= threshold)
       .select("id_a", "id_b").distinct()
   }
 
@@ -726,7 +733,10 @@ object Dedup {
   /** [[connectedComponents]] with an explicit driver-local threshold —
     * the Graph-family spec hook (`driverMax = 0` forces the
     * distributed star rounds). Below the threshold the canonical pair
-    * list collects (≤ ~16 MB) and a union-find labels each node with
+    * list collects (~16 MB serialized; boxed tuples + the replay's and
+    * union-find's hash sets peak at a few hundred MB transiently AT
+    * the threshold — the [[Graph.DriverPeelMax]] budget class) and a
+    * union-find labels each node with
     * its component minimum DIRECTLY — the same unique fixpoint the
     * star rounds converge to, without paying fixed per-round driver
     * latency (a checkpoint + a fingerprint action per round) on a
