@@ -30,7 +30,14 @@ object Similarity {
   /** Exact cosine top-k of `corpus` vectors for each `queries` vector.
     * Output: (qid, rank, vec_id) — ranks are deterministic via
     * (sim desc, vec_id) ordering.
-    */
+    *
+    * The query batch is BROADCAST — load-bearing, not an optimization:
+    * the only distributed form of the `qid != vec_id` theta join is a
+    * nested-loop pass of the corpus against an executor-resident query
+    * set. That caps the batch at the broadcast budget (~millions of
+    * vectors); a corpus-shaped query set belongs on the IVF/LSH paths,
+    * whose cell equi-joins go distributed past
+    * [[BroadcastQueryBytes]]. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .withColumn("qnorm", norm(col("qv"))).where(col("qnorm") > 0)
@@ -398,6 +405,33 @@ object Similarity {
     * `maxCellSize`) — the denominator of every derived cell count. */
   private[graft] val DefaultCellCap = 10000
 
+  /** Driver-materialized size cap for the EXPLICIT query-side
+    * broadcast in the ANN scoring joins. Past this the hint is
+    * dropped and the cell equi-join plans distributed (both sides
+    * exchange by `cluster` like any other join) — 256 MB clears the
+    * budgets a broadcast must pass (`spark.driver.maxResultSize` 1g
+    * collects the frame first; executors then each hold a copy) with
+    * margin, while keeping every test / gate / 1M-probe batch on the
+    * cheap broadcast path. Found LIVE at the 10M tier (round 15):
+    * pq_twin_match's 100k-query batch carries a 16 KB LUT per row,
+    * exploded ×nprobe — an unconditional `broadcast(q)` tried to ship
+    * ~13 GB through driver task results and died on maxResultSize
+    * before scoring a single pair. A query batch is corpus-shaped in
+    * incremental pipelines, so the hint must be load-dependent, same
+    * as every other scale decision in this file. */
+  private[graft] val BroadcastQueryBytes = 256L * 1024 * 1024
+
+  /** `q` hinted for broadcast only when `rows × bytesPerRow` — the
+    * caller's own estimate of the EXPLODED query frame it is about to
+    * join (norms/ids/overhead included loosely; order of magnitude is
+    * what matters) — fits [[BroadcastQueryBytes]]. The one extra
+    * action (`rows` is a `count()` of the query batch) is a scan of
+    * the small side, the same price the cap-feasibility guards
+    * already pay on the match paths. */
+  private def broadcastIfSmall(q: DataFrame, rows: Long,
+      bytesPerRow: Long): DataFrame =
+    if (rows * bytesPerRow <= BroadcastQueryBytes) broadcast(q) else q
+
   /** Incrementally grow a stored IVF index: assign ONLY the new batch —
     * with the index's own stored quantizer — and append. The
     * accumulated corpus is never re-assigned; this is the embedding
@@ -491,10 +525,14 @@ object Similarity {
         .withColumn("cluster",
           explode(probeClusters(col("qv"), ix.centroids, nprobe)))
         .select(col("qid"), col("qq"), col("qqnorm"), col("cluster"))
+      // int8 query rows: the quantized vector is one byte per
+      // dimension (the 4× density the scaladoc above trades on)
+      val qRows = queries.count() * nprobe
       val pairs = ix.vectors
         .select(col("vec_id"), col("qvec"), col("qnorm").as("cqnorm"),
           col("cell").as("cluster"))
-        .join(broadcast(q), Seq("cluster"))
+        .join(broadcastIfSmall(q, qRows, ix.centroids(0).length + 64L),
+          Seq("cluster"))
         .where(col("vec_id") =!= col("qid"))
         .withColumn("sim", vec_dot_i8(col("qq"), col("qvec")).cast("double") /
           (col("qqnorm") * col("cqnorm")))
@@ -551,7 +589,11 @@ object Similarity {
       .withColumn("qnorm", norm(col("qv")))
       .where(col("qnorm") > 0)
       .withColumn("cluster", explode(probeClusters(col("qv"), centroids, nprobe)))
-    val pairs = c.join(broadcast(q), Seq("cluster"))
+    // the exploded frame carries the float vector on every probe row
+    val qRows = queries.count() * nprobe
+    val pairs = c.join(
+        broadcastIfSmall(q, qRows, 4L * centroids(0).length + 64),
+        Seq("cluster"))
       .where(col("vec_id") =!= col("qid"))
       .withColumn("sim", dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
       // a non-finite vector (Inf components pass the norm>0 gate)
@@ -845,11 +887,17 @@ object Similarity {
       .select(col("qid"), col("lut"), col("qnorm"), col("cluster"))
     // rnorm > 0: a degenerate all-zero reconstruction would make the
     // cosine NaN, which sorts above every real sim under desc
+    // the heaviest query payload of the family: the ADC LUT is
+    // m × ksub doubles PER ROW (16 KB at the 8×256 default), and the
+    // explode duplicates it nprobe times — the shape that produced
+    // the round-15 maxResultSize failure at a 100k-query batch
+    val qRows = queries.count() * nprobe
     val pairs = ixRows
       .select(col("vec_id"), col("codes"), col("rnorm"),
         col("cell").as("cluster"))
       .where(col("rnorm") > 0)
-      .join(broadcast(q), Seq("cluster"))
+      .join(broadcastIfSmall(q, qRows,
+          8L * cb.length * cb(0).length + 64), Seq("cluster"))
       .where(col("vec_id") =!= col("qid"))
       .withColumn("sim",
         pq_adc(col("lut"), col("codes")) / (col("qnorm") * col("rnorm")))

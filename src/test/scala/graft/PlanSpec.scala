@@ -345,6 +345,48 @@ class PlanSpec extends AnyFunSuite {
     assert(!topk.contains("CartesianProduct"), topk)
   }
 
+  test("ANN query broadcast is load-dependent: small batch broadcasts, corpus-shaped batch exchanges") {
+    // round 15: pq_twin_match's 100k-query batch (16 KB LUT per row,
+    // exploded ×nprobe) died on spark.driver.maxResultSize through an
+    // unconditional broadcast(q). The hint must track the batch's
+    // materialized size. Auto-broadcast is disabled so the ONLY
+    // BroadcastExchange a plan can contain is the operator's explicit
+    // hint — the same discipline as ResourceContractSpec.
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val ivfDir = Files.createTempDirectory("plan-bcast-ivf").toString
+    val pqDir = Files.createTempDirectory("plan-bcast-pq").toString
+    graft.operators.Similarity.writeIvfIndex(emb, ivfDir, dim = 64, nlist = 16)
+    graft.operators.Similarity.writePqIndex(emb, pqDir, dim = 64, m = 8,
+      ksub = 16, iters = 1)
+    // a corpus-shaped synthetic batch: 900k rows × nprobe 2 blows the
+    // 256 MB budget on every path (float rows estimate ~320 B, pq LUT
+    // rows ~1 KB at ksub 16); count() is instant
+    val bigQ = spark.range(900000).select(col("id").as("vec_id"),
+      expr("transform(sequence(1, 64), i -> cast(pmod(id * i, 97) as float) / 97.0f)")
+        .as("embedding"))
+    val smallQ = emb.where(col("vec_id") < 10)
+    val k = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(k)
+    spark.conf.set(k, "-1")
+    try {
+      for ((name, fn) <- Seq[(String, org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame)](
+        "ivf" -> (q => graft.operators.Similarity
+          .ivfTopKOverIndex(q, ivfDir, k = 3, nprobe = 2)),
+        "pq" -> (q => graft.operators.Similarity
+          .pqTopKOverIndex(q, pqDir, k = 3, nprobe = 2)))) {
+        val small = planOf(fn(smallQ))
+        assert(small.contains("BroadcastExchange"),
+          s"$name: small batch lost its broadcast hint:\n$small")
+        val big = planOf(fn(bigQ))
+        assert(!big.contains("BroadcastExchange"),
+          s"$name: corpus-shaped batch still broadcasts:\n$big")
+        assert(big.contains("SortMergeJoin") || big.contains("ShuffledHashJoin"),
+          s"$name: corpus-shaped batch lost the cell equi-join:\n$big")
+      }
+    } finally spark.conf.set(k, prev)
+  }
+
   test("hamming near-dup: band equi-join, no cartesian, single fingerprint scan pair") {
     import spark.implicits._
     val fps = spark.range(1000)
