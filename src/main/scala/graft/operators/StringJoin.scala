@@ -240,9 +240,15 @@ object StringJoin {
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
     requireThreshold(tNum, tDen)
     val r = rows.select(col("doc_id"), col("s")).where(col("s").isNotNull)
-    val sizes = r.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
     val df = r.groupBy("s").agg(count(lit(1)).as("_df"))
-    val capped = prefixRows(r, df, sizes, tNum, tDen, maxBucketSize)
+    val capped = prefixRows(r, df, tNum, tDen, maxBucketSize)
+    // sizes RIDE: `sz` computes inside prefixRows' per-doc window and
+    // the candidate distinct carries both sides' (they are functions
+    // of the ids, so the dedup is still by pair) — a separate
+    // `sizes = r.groupBy(doc_id)` frame would be re-derived from the
+    // raw element rows once per consumer (the round-15 plan audit
+    // found 16 shingle-explosion subtrees in this ONE query, zero
+    // reused; three were sizes aggregations)
     val cands = capped.select(col("s"), col("doc_id").as("id_a"), col("sz").as("_za"))
       .join(capped.select(col("s"), col("doc_id").as("id_b"), col("sz").as("_zb")),
         "s")
@@ -251,14 +257,12 @@ object StringJoin {
       // (long products — see ceilMul's overflow note)
       .where(least(col("_za"), col("_zb")).cast("long") * tDen >=
         greatest(col("_za"), col("_zb")).cast("long") * tNum)
-      .select("id_a", "id_b").distinct()
-    val inter = cands
+      .select("id_a", "id_b", "_za", "_zb").distinct()
+    val inter = cands.select("id_a", "id_b")
       .join(r.select(col("doc_id").as("id_a"), col("s")), "id_a")
       .join(r.select(col("doc_id").as("id_b"), col("s")), Seq("id_b", "s"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("_inter"))
     cands.join(inter, Seq("id_a", "id_b"), "left")
-      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("_za")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("_zb")), "id_b")
       .select(col("id_a"), col("id_b"),
         coalesce(col("_inter"), lit(0L)).as("inter_cnt"),
         (col("_za").cast("long") + col("_zb") - coalesce(col("_inter"), lit(0L)))
@@ -270,17 +274,21 @@ object StringJoin {
     * ratio, cross-side, and containment joins): elements ordered by
     * ascending document frequency (ties by value), ranks kept up to
     * `sz - ceil(t·sz) + 1`, degenerate element buckets capped. `df`
-    * and `sizes` are caller-supplied so a cross-side caller can feed
-    * the COMBINED frequency table and each side's own sizes. Output
-    * `(s, doc_id, sz)`. */
-  private def prefixRows(r: DataFrame, df: DataFrame, sizes: DataFrame,
+    * is caller-supplied so a cross-side caller can feed the COMBINED
+    * frequency table; `sz` counts over the SAME per-doc window the
+    * rank sort already pays for (an inner join with the full `df`
+    * drops no element rows, so the partition count IS the set size) —
+    * a separate sizes aggregation would re-derive the element rows
+    * from source once more per reference. Output `(s, doc_id, sz)`. */
+  private def prefixRows(r: DataFrame, df: DataFrame,
       tNum: Int, tDen: Int, maxBucketSize: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("_df").asc, col("s").asc)
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     Dedup.capBuckets(
       r.join(df, "s")
         .withColumn("_rn", row_number().over(w))
-        .join(sizes, "doc_id")
+        .withColumn("sz", count(lit(1)).over(wDoc).cast("int"))
         .where(col("_rn") <= col("sz") - ceilMul(col("sz"), tNum, tDen) + 1)
         .select(col("s"), col("doc_id"), col("sz")),
       Seq("s"), maxBucketSize)
@@ -350,10 +358,14 @@ object StringJoin {
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
     requireThreshold(tNum, tDen)
     val r = rows.select(col("doc_id"), col("s")).where(col("s").isNotNull)
-    val sizes = r.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
     val df = r.groupBy("s").agg(count(lit(1)).as("_df"))
-    val prefix = prefixRows(r, df, sizes, tNum, tDen, maxBucketSize)
-    val full = Dedup.capBuckets(r.join(sizes, "doc_id"), Seq("s"), maxBucketSize)
+    val prefix = prefixRows(r, df, tNum, tDen, maxBucketSize)
+    // the full (containing) side's size counts over a per-doc window
+    // too — same one-pass discipline as prefixRows, no sizes join
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val full = Dedup.capBuckets(
+      r.withColumn("sz", count(lit(1)).over(wDoc).cast("int")),
+      Seq("s"), maxBucketSize)
     val cands = prefix
       .select(col("s"), col("doc_id").as("id_a"), col("sz").as("_za"))
       .join(full.select(col("s"), col("doc_id").as("id_b"), col("sz").as("_zb")),
@@ -362,13 +374,12 @@ object StringJoin {
       // the containing side can't be smaller than the required overlap:
       // inter <= |b|, so tDen·|b| >= tNum·|a| or the pair can't qualify
       .where(col("_zb").cast("long") * tDen >= col("_za").cast("long") * tNum)
-      .select("id_a", "id_b").distinct()
-    val inter = cands
+      .select("id_a", "id_b", "_za").distinct()
+    val inter = cands.select("id_a", "id_b")
       .join(r.select(col("doc_id").as("id_a"), col("s")), "id_a")
       .join(r.select(col("doc_id").as("id_b"), col("s")), Seq("id_b", "s"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("_inter"))
     cands.join(inter, Seq("id_a", "id_b"), "left")
-      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("_za")), "id_a")
       .select(col("id_a"), col("id_b"),
         coalesce(col("_inter"), lit(0L)).as("inter_cnt"),
         col("_za").cast("long").as("a_sz"))
@@ -395,27 +406,22 @@ object StringJoin {
       .select(col("s"),
         (coalesce(col("_dfn"), lit(0L)) + coalesce(col("_dfc"), lit(0L)))
           .as("_df"))
-    // ONE size aggregation definition per side, shared by the prefix
-    // bound and the final union arithmetic (the values are identical;
-    // whether the planner can physically reuse the subtree depends on
-    // the exchange types its consumers demand — a plan probe showed
-    // hash vs broadcast here, so no ReusedExchange is promised)
-    val szn = rn.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
-    val szc = rc.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
-    val cands = prefixRows(rn, df, szn, tNum, tDen, maxBucketSize)
+    // each side's size counts inside its own prefixRows window and
+    // RIDES the candidate distinct (sz is a function of the id) — the
+    // previous per-side sizes aggregations were re-derived from the
+    // raw element rows once per reference (round-15 plan audit)
+    val cands = prefixRows(rn, df, tNum, tDen, maxBucketSize)
       .select(col("s"), col("doc_id").as("id_a"), col("sz").as("_za"))
-      .join(prefixRows(rc, df, szc, tNum, tDen, maxBucketSize)
+      .join(prefixRows(rc, df, tNum, tDen, maxBucketSize)
         .select(col("s"), col("doc_id").as("id_b"), col("sz").as("_zb")), "s")
       .where(least(col("_za"), col("_zb")).cast("long") * tDen >=
         greatest(col("_za"), col("_zb")).cast("long") * tNum)
-      .select("id_a", "id_b").distinct()
-    val inter = cands
+      .select("id_a", "id_b", "_za", "_zb").distinct()
+    val inter = cands.select("id_a", "id_b")
       .join(rn.select(col("doc_id").as("id_a"), col("s")), "id_a")
       .join(rc.select(col("doc_id").as("id_b"), col("s")), Seq("id_b", "s"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("_inter"))
     cands.join(inter, Seq("id_a", "id_b"), "left")
-      .join(szn.select(col("doc_id").as("id_a"), col("sz").as("_za")), "id_a")
-      .join(szc.select(col("doc_id").as("id_b"), col("sz").as("_zb")), "id_b")
       .select(col("id_a"), col("id_b"),
         coalesce(col("_inter"), lit(0L)).as("inter_cnt"),
         (col("_za").cast("long") + col("_zb") - coalesce(col("_inter"), lit(0L)))
