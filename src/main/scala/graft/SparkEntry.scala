@@ -2175,7 +2175,7 @@ object SparkEntry {
       // PER-STRATUM outlier clamp (the per-source data-card clip):
       // every l_returnflag group clipped at its OWN exact p01/p99
       // cents elements — both bounds of all strata found in the same
-      // 8 radix passes, applied through one broadcast join. Bounds
+      // ≤5 radix passes, applied through one broadcast join. Bounds
       // are actual elements at rank max(1, ceil(q·n_g)), so the clamp
       // replays in SQL; cents ≤ ~1e7 sit exactly in the double image.
       val li = t(s, dir, "lineitem")

@@ -47,10 +47,7 @@ object Stats {
       .select(value.cast("double").as("_v"))
       .where(col("_v").isNotNull && !isnan(col("_v")))
       .select(double_sortable_bits(col("_v")).as("_img"))
-    val n = imgs.count()
-    require(n > 0, "exactQuantiles over an empty (or all-null) column")
-    kthImages(imgs,
-      qs.map(q => math.max(1L, math.ceil(q * n).toLong)))
+    kthImagesQ(imgs, qs, "exactQuantiles")
       .map(Codecs.sortableBitsToDouble)
   }
 
@@ -62,22 +59,19 @@ object Stats {
       s"quantiles must lie in [0, 1]: $qs")
     val imgs = df.select(value.cast("long").as("_img"))
       .where(col("_img").isNotNull)
-    val n = imgs.count()
-    require(n > 0, "exactQuantilesLong over an empty (or all-null) column")
-    kthImages(imgs,
-      qs.map(q => math.max(1L, math.ceil(q * n).toLong)))
+    kthImagesQ(imgs, qs, "exactQuantilesLong")
   }
 
   /** Per-stratum exact quantile — the per-source data-card median/p99.
     * Same radix selection, run for ALL strata simultaneously: each
-    * round is ONE histogram aggregation over (stratum, next 8 bits)
-    * and the driver advances every stratum's prefix in the same walk,
-    * so the whole frame costs 8 aggregation passes regardless of how
-    * many strata there are or how skewed they come. 8-bit rounds keep
-    * the per-round collect at |strata| × 256 rows (strata are
-    * domains/languages — the bounded-census shape `temperatureQuotas`
-    * already documents). Output: `(stratum, value)` per stratum, the
-    * exact element at rank max(1, ceil(q·n_stratum)).
+    * round is ONE histogram aggregation over (stratum, next 8-16
+    * bits) and the driver advances every stratum's prefix in the same
+    * walk, so the whole frame costs ≤ 5 aggregation passes for the
+    * few-strata data-card shape (adaptively more, up to the byte-round
+    * 8, only when thousands of live (stratum, q) states would blow the
+    * bounded-census driver handshake — see
+    * [[stratumQuantileImages]]). Output: `(stratum, value)` per
+    * stratum, the exact element at rank max(1, ceil(q·n_stratum)).
     */
   def exactQuantilesBy(df: DataFrame, stratum: Column, value: Column,
       q: Double): DataFrame = {
@@ -93,10 +87,10 @@ object Stats {
   /** Per-stratum WINSORIZE — every stratum clipped at its OWN exact
     * [loQ, hiQ] elements, the per-source data-card clamp ("clip each
     * source at its own p01/p99 before mixing"): bounds come from the
-    * same 8-pass multi-stratum radix selection as [[exactQuantilesBy]]
+    * same multi-stratum radix selection as [[exactQuantilesBy]]
     * — BOTH quantiles of EVERY stratum advance through one shared
-    * histogram per round, so the whole frame still costs 8 aggregation
-    * passes — and apply through one broadcast join (|strata| rows).
+    * histogram per round, ≤ 5 aggregation passes for the few-strata
+    * shape — and apply through one broadcast join (|strata| rows).
     * Adds `as` = `min(max(value, lo_stratum), hi_stratum)` as a
     * double. NULL values stay NULL and NaNs stay NaN ([[winsorize]]'s
     * contract); rows with a NULL stratum, or in a stratum with no
@@ -135,33 +129,47 @@ object Stats {
   /** The multi-rank kernel behind [[exactQuantilesBy]]/[[winsorizeBy]]:
     * for every stratum, the exact image element at rank
     * max(1, ceil(q·n_stratum)) for EACH q — all strata and all ranks
-    * advancing through the SAME 8 byte-radix rounds. Per round: one
-    * histogram aggregation over (stratum, found-prefix, next 8 bits),
-    * collected at ≤ |strata| · |qs| · 256 rows (the bounded-census
-    * driver handshake), and the driver walks every (stratum, q)
-    * state's bucket list from the shared collect. */
+    * advancing through the SAME radix rounds.
+    *
+    * Round sizing (round 15 — the previous shape paid 1 count scan +
+    * 8 byte-rounds = 9 full passes over the input):
+    *  - round 1 is a fixed 8-bit histogram over (stratum, top signed
+    *    byte); its per-stratum SUM is n_stratum, so the dedicated
+    *    count scan is gone (the ranks seed from the same collect);
+    *  - later rounds consume an ADAPTIVE 8-16 bits each: the driver
+    *    knows the live (stratum, prefix) pair count exactly, so each
+    *    round takes the widest slice that keeps the worst-case
+    *    handshake under ~2M rows (`pairs · 2^w ≤ 2^21`, floored at 8
+    *    bits — the historical |strata|·|qs|·256 bound). Few strata
+    *    (the data-card shape: sources/languages × 1-2 quantiles) pin
+    *    all 64 bits in 1 + ⌈56/16⌉ = 5 scans instead of 9; a
+    *    many-thousand-strata census degrades gracefully back toward
+    *    byte rounds rather than blowing the driver handshake.
+    * Every round is one histogram aggregation over (stratum,
+    * found-prefix, next w bits); the driver walks every (stratum, q)
+    * state's bucket list from the shared collect. The selected
+    * elements are identical at any round width — only the navigation
+    * granularity changes. */
   private def stratumQuantileImages(imgs: DataFrame,
       qs: Seq[Double]): Map[String, Seq[Long]] = {
     require(qs.nonEmpty, "need at least one quantile")
     val spark = imgs.sparkSession
     import spark.implicits._
-    val counts = imgs.groupBy(col("_s")).agg(count(lit(1)).as("_n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // per stratum, per q: (prefix so far, remaining rank within it)
-    var state: Map[String, Seq[(Long, Long)]] = counts.map { case (s, n) =>
-      s -> qs.map(q => (0L, math.max(1L, math.ceil(q * n).toLong)))
-    }
+    // per stratum, per q: (prefix so far, remaining rank within it) —
+    // seeded from round 1's histogram sums
+    var state: Map[String, Seq[(Long, Long)]] = null
     def walk(buckets: Seq[(Long, Long)], prefix: Long, kk: Long,
-        first: Boolean, s: String): (Long, Long) = {
+        first: Boolean, w: Int, s: String): (Long, Long) = {
       var k = kk
       var p = prefix
       var found = false
+      val mask = (1L << w) - 1
       buckets.foreach { case (b, c) =>
         if (!found) {
           if (k <= c) {
             // first round keeps the SIGNED bucket unmasked so negative
             // prefixes compare correctly downstream
-            p = if (first) b else (p << 8) | (b & 0xffL)
+            p = if (first) b else (p << w) | (b & mask)
             found = true
           } else k -= c
         }
@@ -169,45 +177,57 @@ object Stats {
       require(found, s"stratum $s walked past its histogram")
       (p, k)
     }
-    (7 to 0 by -1).foreach { round =>
-      val shift = round * 8
-      if (round == 7) {
-        // no prefixes yet: one histogram over (stratum, top signed byte),
-        // every (stratum, q) walks its stratum's shared bucket list
-        val hist = imgs
-          .groupBy(col("_s"), shiftright(col("_img"), 56).as("_b"))
-          .agg(count(lit(1)).as("_c"))
-          .collect()
-          .groupBy(_.getString(0))
-          .map { case (s, rows) =>
-            s -> rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
-          }
-        state = state.map { case (s, sts) =>
-          s -> sts.map { case (p, k) => walk(hist(s), p, k, first = true, s) }
+    // round 1: 8 bits, no prefixes yet — one histogram over (stratum,
+    // top signed byte); n_stratum is its sum, every (stratum, q) then
+    // walks its stratum's shared bucket list
+    val first = imgs
+      .groupBy(col("_s"), shiftright(col("_img"), 56).as("_b"))
+      .agg(count(lit(1)).as("_c"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (s, rows) =>
+        s -> rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      }
+    state = first.map { case (s, buckets) =>
+      val n = buckets.iterator.map(_._2).sum
+      s -> qs.map { q =>
+        val k = math.max(1L, math.ceil(q * n).toLong)
+        walk(buckets, 0L, k, first = true, w = 8, s)
+      }
+    }
+    if (state.isEmpty) return Map.empty
+    var bitsLeft = 56
+    while (bitsLeft > 0) {
+      // different qs hold different prefixes now: scope rows to the
+      // live (stratum, prefix) pairs (each row matches at most one —
+      // its own shifted image) and histogram per pair
+      val pairs = state.toSeq
+        .flatMap { case (s, sts) => sts.map { case (p, _) => (s, p) } }
+        .distinct
+      val budget = 1L << 21
+      var w = 8
+      while (w < 16 && w < bitsLeft &&
+        pairs.size.toLong << (w + 1) <= budget) w += 1
+      w = math.min(w, bitsLeft)
+      val shift = bitsLeft - w
+      val pf = pairs.toDF("_s", "_pf")
+      val hist = imgs.join(broadcast(pf), Seq("_s"))
+        .where(shiftright(col("_img"), bitsLeft) === col("_pf"))
+        .groupBy(col("_s"), col("_pf"),
+          shiftright(col("_img"), shift)
+            .bitwiseAND(lit((1L << w) - 1)).as("_b"))
+        .agg(count(lit(1)).as("_c"))
+        .collect()
+        .groupBy(r => (r.getString(0), r.getLong(1)))
+        .map { case (k, rows) =>
+          k -> rows.map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1)
         }
-      } else {
-        // different qs hold different prefixes now: scope rows to the
-        // live (stratum, prefix) pairs (each row matches at most one —
-        // its own shifted image) and histogram per pair
-        val pf = state.toSeq
-          .flatMap { case (s, sts) => sts.map { case (p, _) => (s, p) } }
-          .distinct.toDF("_s", "_pf")
-        val hist = imgs.join(broadcast(pf), Seq("_s"))
-          .where(shiftright(col("_img"), shift + 8) === col("_pf"))
-          .groupBy(col("_s"), col("_pf"),
-            shiftright(col("_img"), shift).bitwiseAND(lit(0xffL)).as("_b"))
-          .agg(count(lit(1)).as("_c"))
-          .collect()
-          .groupBy(r => (r.getString(0), r.getLong(1)))
-          .map { case (k, rows) =>
-            k -> rows.map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1)
-          }
-        state = state.map { case (s, sts) =>
-          s -> sts.map { case (p, k) =>
-            walk(hist((s, p)), p, k, first = false, s)
-          }
+      state = state.map { case (s, sts) =>
+        s -> sts.map { case (p, k) =>
+          walk(hist((s, p)), p, k, first = false, w, s)
         }
       }
+      bitsLeft -= w
     }
     state.map { case (s, sts) => s -> sts.map(_._1) }
   }
@@ -467,19 +487,23 @@ object Stats {
       d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
   }
 
-  /** k-th smallest images (1-based ranks) by 16-bit radix rounds — ALL
-    * ranks advance through the SAME four scans: each round filters to
-    * the union of the live prefixes (broadcast), histograms (prefix,
-    * next 16 bits) once, and the driver walks every rank's bucket list
-    * from the shared collect. Cost is 4 passes total for any number of
-    * quantiles. The first round's buckets are the signed top 16 bits
-    * (ordered); later rounds append 16 unsigned bits under the found
-    * prefix. */
-  private def kthImages(imgs: DataFrame, ks: Seq[Long]): Seq[Long] = {
+  /** Quantile images by 16-bit radix rounds — ALL quantiles advance
+    * through the SAME FOUR scans: each round filters to the union of
+    * the live prefixes (broadcast), histograms (prefix, next 16 bits)
+    * once, and the driver walks every rank's bucket list from the
+    * shared collect. The total row count — needed to turn quantiles
+    * into 1-based ranks max(1, ceil(q·n)) — is the SUM of the first
+    * round's histogram, so no separate count scan runs (round 15: the
+    * dedicated `imgs.count()` was a fifth full pass over the input).
+    * The first round's buckets are the signed top 16 bits (ordered);
+    * later rounds append 16 unsigned bits under the found prefix. */
+  private def kthImagesQ(imgs: DataFrame, qs: Seq[Double],
+      opName: String): Seq[Long] = {
     val spark = imgs.sparkSession
     import spark.implicits._
-    // per rank: (prefix so far, remaining rank within it)
-    var state = ks.map(k => (0L, k))
+    // per rank: (prefix so far, remaining rank within it) — seeded
+    // from the first round's histogram sum
+    var state: Seq[(Long, Long)] = null
     Seq(48, 32, 16, 0).foreach { shift =>
       val scoped =
         if (shift == 48) imgs.select(lit(0L).as("_pf"), col("_img"))
@@ -492,12 +516,18 @@ object Stats {
       val bucket =
         if (shift == 48) shiftright(col("_img"), 48)
         else shiftright(col("_img"), shift).bitwiseAND(lit(0xffffL))
-      val hist = scoped.groupBy(col("_pf"), bucket.as("_b"))
+      val rows = scoped.groupBy(col("_pf"), bucket.as("_b"))
         .agg(count(lit(1)).as("_c"))
         .collect()
+      if (shift == 48) {
+        val n = rows.iterator.map(_.getLong(2)).sum
+        require(n > 0, s"$opName over an empty (or all-null) column")
+        state = qs.map(q => (0L, math.max(1L, math.ceil(q * n).toLong)))
+      }
+      val hist = rows
         .groupBy(_.getLong(0))
-        .map { case (pf, rows) =>
-          pf -> rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+        .map { case (pf, rs) =>
+          pf -> rs.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
         }
       state = state.map { case (prefix, kk) =>
         val key = if (shift == 48) 0L else prefix

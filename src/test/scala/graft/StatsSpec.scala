@@ -85,6 +85,34 @@ class StatsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("empty"))
   }
 
+  test("adaptive radix widths: many strata x extreme quantiles still select " +
+      "the exact per-stratum elements (round-15 5-scan kernel)") {
+    import spark.implicits._
+    // 80 strata x 2 quantiles = 160 live states: past the 2^21/2^16
+    // full-width budget boundary class the round-15 kernel sizes its
+    // rounds from, so this pins the walk across MIXED round widths;
+    // q=0.0/1.0 pin the rank clamp (max(1, ceil(q*n))) at both ends.
+    val rng = new scala.util.Random(63)
+    val rows = (0 until 80).flatMap { s =>
+      Seq.tabulate(30 + s)(_ => (s"s$s", rng.nextGaussian() * 1e6))
+    }
+    val df = rows.toDF("s", "x")
+    val got = Stats.winsorizeBy(df, col("s"), col("x"), 0.0, 1.0, "c")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    // lo = element at rank max(1, ceil(0*n)) = min; hi = max: clipping
+    // at [min, max] must be the identity on every row
+    assert(got.forall { case (_, x, c) => c == x })
+    // and a mid quantile matches the driver sort per stratum
+    val mid = Stats.exactQuantilesBy(df, col("s"), col("x"), q = 0.37)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val expect = rows.groupBy(_._1).map { case (s, vs) =>
+      val sorted = vs.map(_._2).toArray
+      java.util.Arrays.sort(sorted)
+      s -> sorted(rank(0.37, sorted.length) - 1)
+    }
+    assert(mid == expect)
+  }
+
   test("regularize: dense per-key grid, empty buckets zero-filled, matches a driver model") {
     import spark.implicits._
     val step = 10L
