@@ -147,53 +147,84 @@ object Graph {
       .where(col("_outd") > lit(Long.MaxValue)).limit(1).count()
     require(overW == 0,
       "a node's total out-weight exceeds Long.MaxValue — rescale weights")
-    val outDeg = outDegDec.select(col("node"),
-      col("_outd").cast("long").as("out")).transform(checkpointed)
     val n = nodes.count()
     require(n > 0, "pageRank over an empty edge set")
-    if (n <= driverMax && allLong(nodes, "node") &&
-        e.count() <= driverMax) {
-      // DRIVER-LOCAL SWEEPS (the [[kCoreImpl]] discipline) — the exact
-      // fixed-point long recurrence replayed in-process: ranks are
-      // non-negative and floor division of non-negative longs IS Java
-      // long division, so every term matches the distributed ldiv
-      // bit for bit. The node-count guard short-circuits before the
-      // edge count, so corpus-scale graphs never pay the extra scan;
-      // a graph in the mid band (few nodes, >1e6 parallel edges) pays
-      // ONE extra shuffle-free count pass to decide it stays
-      // distributed — small next to the per-iteration edge re-scans
-      // the distributed loop already does. The out-weight overflow
-      // guard above already certified every local long sum.
+    val eCapped =
+      if (n <= driverMax && allLong(nodes, "node"))
+        // DRIVER-LOCAL candidacy (the [[kCoreImpl]] discipline). The
+        // node-count guard short-circuits first, so corpus-scale
+        // graphs never pay this; the edge bound is then decided by a
+        // CAPPED collect (limit driverMax+1) instead of a count scan
+        // plus a second full collect — one raw-edge pass saved per
+        // local run, and a mid-band graph (few nodes, >1e6 parallel
+        // edges) reads at most driverMax+1 rows before staying
+        // distributed (round 15; previously it paid a full count).
+        e.select(col("src").cast("long"), col("dst").cast("long"),
+          col("_w")).limit(driverMax.toInt + 1).collect()
+      else null
+    if (eCapped != null && eCapped.length <= driverMax) {
+      // DRIVER-LOCAL SWEEPS — the exact fixed-point long recurrence
+      // replayed in-process: ranks are non-negative and floor division
+      // of non-negative longs IS Java long division, so every term
+      // matches the distributed ldiv bit for bit. The out-weight
+      // overflow guard above already certified every local long sum.
+      // primitive-array replay (LocalGraph, round 15 — boxed HashMap
+      // contributions priced seconds per gate at the sf0.1 edge count)
       val spark = edges.sparkSession
       import spark.implicits._
-      import scala.collection.mutable
-      val eArr = e.select(col("src").cast("long"), col("dst").cast("long"),
-          col("_w"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val eRows = eCapped
       val nodeArr = nodes.collect().map(_.getLong(0))
       unpersistCheckpoint(nodes)
-      unpersistCheckpoint(outDeg) // superseded: outW re-sums eArr locally
-      val outW = mutable.HashMap.empty[Long, Long]
-      eArr.foreach(t => outW.update(t._1, outW.getOrElse(t._1, 0L) + t._3))
+      val ix = LocalGraph.indexOf(nodeArr)
+      val nn = ix.size
+      val m = eRows.length
+      val esi = new Array[Int](m)
+      val edi = new Array[Int](m)
+      val ewt = new Array[Long](m)
+      val outW = new Array[Long](nn)
+      val hasOut = new Array[Boolean](nn)
+      var i = 0
+      while (i < m) {
+        val r = eRows(i)
+        val si = ix.of(r.getLong(0)); val di = ix.of(r.getLong(1))
+        esi(i) = si; edi(i) = di; ewt(i) = r.getLong(2)
+        outW(si) += ewt(i); hasOut(si) = true
+        i += 1
+      }
       val baseL = Scale / dampDen * (dampDen - dampNum) / n
-      val rank = mutable.HashMap.empty[Long, Long]
-      nodeArr.foreach(v => rank.update(v, Scale / n))
+      val rank = new Array[Long](nn)
+      java.util.Arrays.fill(rank, Scale / n)
+      val cArr = new Array[Long](nn)
+      val contrib = new Array[Long](nn)
       for (_ <- 0 until iterations) {
         var dang = 0L
-        nodeArr.foreach(v => if (!outW.contains(v)) dang += rank(v))
-        val cMap = mutable.HashMap.empty[Long, Long]
-        outW.foreach { case (v, o) => cMap.update(v, rank(v) / o) }
-        val contrib = mutable.HashMap.empty[Long, Long]
-        eArr.foreach { case (s, d, wv) =>
-          contrib.update(d, contrib.getOrElse(d, 0L) + cMap(s) * wv) }
+        var v = 0
+        while (v < nn) {
+          if (!hasOut(v)) dang += rank(v)
+          else cArr(v) = rank(v) / outW(v)
+          v += 1
+        }
+        java.util.Arrays.fill(contrib, 0L)
+        i = 0
+        while (i < m) {
+          contrib(edi(i)) += cArr(esi(i)) * ewt(i)
+          i += 1
+        }
         val dangShare = dang / n
-        nodeArr.foreach { v =>
-          rank.update(v, baseL +
-            dampNum * (contrib.getOrElse(v, 0L) + dangShare) / dampDen)
+        v = 0
+        while (v < nn) {
+          rank(v) = baseL + dampNum * (contrib(v) + dangShare) / dampDen
+          v += 1
         }
       }
-      return rank.toSeq.toDF("node", "rank")
+      return (0 until nn).map(v => (ix.ids(v), rank(v)))
+        .toDF("node", "rank")
     }
+    // the distributed loop's out-weight lookup table — built only on
+    // this branch (the local replay re-sums its own array; round 15
+    // deferred this edge-scale groupBy + checkpoint out of local runs)
+    val outDeg = outDegDec.select(col("node"),
+      col("_outd").cast("long").as("out")).transform(checkpointed)
     // exact long floor division (non-negative operands): subtract the
     // remainder, then the double division is of an exact multiple —
     // quotients here are <= SCALE, far inside double's mantissa
@@ -344,54 +375,91 @@ object Graph {
       .where(col("_outd") > lit(Long.MaxValue)).limit(1).count()
     require(overW == 0,
       "a node's total out-weight exceeds Long.MaxValue — rescale weights")
-    val outDeg = outDegDec.select(col("node"),
-      col("_outd").cast("long").as("out")).transform(checkpointed)
     // per-seed teleport = w_s · (T div W); uniform seeds (w_s = 1,
     // W = |S|) reduce every term to the classic T div |S| exactly
     val teleUnit = Scale / dampDen * (dampDen - dampNum) / bigW
     val rankUnit = Scale / bigW
-    if (allLong(nodes, "node") && nodes.count() <= driverMax &&
-        e.count() <= driverMax) {
+    val eCapped =
+      if (allLong(nodes, "node") && nodes.count() <= driverMax)
+        // capped collect decides the edge bound — the [[pageRankImpl]]
+        // round-15 shape (no count scan + second collect)
+        e.select(col("src").cast("long"), col("dst").cast("long"),
+          col("_w")).limit(driverMax.toInt + 1).collect()
+      else null
+    if (eCapped != null && eCapped.length <= driverMax) {
       // DRIVER-LOCAL SWEEPS — the [[pageRankImpl]] replay with the
       // seed-directed teleport/dangling terms; every contract check
       // above (seed weights, overflow decimals) already ran, and all
       // values are non-negative longs so local division matches ldiv.
+      // primitive-array replay (LocalGraph, round 15 — the
+      // [[pageRankImpl]] layout with seed-directed teleport/dangling)
       val spark = edges.sparkSession
       import spark.implicits._
-      import scala.collection.mutable
-      val eArr = e.select(col("src").cast("long"), col("dst").cast("long"),
-          col("_w"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      val nodeArr = nodes.collect().map { r =>
-        (r.getLong(0), r.getBoolean(1),
-          if (r.isNullAt(2)) 0L else r.getLong(2))
-      }
+      val eRows = eCapped
+      val nodeRows = nodes.collect()
       unpersistCheckpoint(nodes)
-      unpersistCheckpoint(outDeg)
       unpersistCheckpoint(s)
-      val outW = mutable.HashMap.empty[Long, Long]
-      eArr.foreach(t => outW.update(t._1, outW.getOrElse(t._1, 0L) + t._3))
-      val rank = mutable.HashMap.empty[Long, Long]
-      nodeArr.foreach { case (v, seed, sw) =>
-        rank.update(v, if (seed) sw * rankUnit else 0L) }
+      val ix = LocalGraph.indexOf(nodeRows.map(_.getLong(0)))
+      val nn = ix.size
+      val seedW = new Array[Long](nn)
+      val isSeed = new Array[Boolean](nn)
+      nodeRows.foreach { r =>
+        val v = ix.of(r.getLong(0))
+        isSeed(v) = r.getBoolean(1)
+        seedW(v) = if (r.isNullAt(2)) 0L else r.getLong(2)
+      }
+      val m = eRows.length
+      val esi = new Array[Int](m)
+      val edi = new Array[Int](m)
+      val ewt = new Array[Long](m)
+      val outW = new Array[Long](nn)
+      val hasOut = new Array[Boolean](nn)
+      var i = 0
+      while (i < m) {
+        val r = eRows(i)
+        val si = ix.of(r.getLong(0)); val di = ix.of(r.getLong(1))
+        esi(i) = si; edi(i) = di; ewt(i) = r.getLong(2)
+        outW(si) += ewt(i); hasOut(si) = true
+        i += 1
+      }
+      val rank = new Array[Long](nn)
+      var v0 = 0
+      while (v0 < nn) {
+        rank(v0) = if (isSeed(v0)) seedW(v0) * rankUnit else 0L
+        v0 += 1
+      }
+      val cArr = new Array[Long](nn)
+      val contrib = new Array[Long](nn)
       for (_ <- 0 until iterations) {
         var dang = 0L
-        nodeArr.foreach { case (v, _, _) =>
-          if (!outW.contains(v)) dang += rank(v) }
-        val cMap = mutable.HashMap.empty[Long, Long]
-        outW.foreach { case (v, o) => cMap.update(v, rank(v) / o) }
-        val contrib = mutable.HashMap.empty[Long, Long]
-        eArr.foreach { case (sv, d, wv) =>
-          contrib.update(d, contrib.getOrElse(d, 0L) + cMap(sv) * wv) }
+        var v = 0
+        while (v < nn) {
+          if (!hasOut(v)) dang += rank(v)
+          else cArr(v) = rank(v) / outW(v)
+          v += 1
+        }
+        java.util.Arrays.fill(contrib, 0L)
+        i = 0
+        while (i < m) {
+          contrib(edi(i)) += cArr(esi(i)) * ewt(i)
+          i += 1
+        }
         val dangUnit = dang / bigW
-        nodeArr.foreach { case (v, seed, sw) =>
-          rank.update(v, (if (seed) sw * teleUnit else 0L) +
-            dampNum * (contrib.getOrElse(v, 0L) +
-              (if (seed) sw * dangUnit else 0L)) / dampDen)
+        v = 0
+        while (v < nn) {
+          rank(v) = (if (isSeed(v)) seedW(v) * teleUnit else 0L) +
+            dampNum * (contrib(v) +
+              (if (isSeed(v)) seedW(v) * dangUnit else 0L)) / dampDen
+          v += 1
         }
       }
-      return rank.toSeq.toDF("node", "rank")
+      return (0 until nn).map(v => (ix.ids(v), rank(v)))
+        .toDF("node", "rank")
     }
+    // distributed-only out-weight table (round 15: deferred out of
+    // local runs, the [[pageRankImpl]] shape)
+    val outDeg = outDegDec.select(col("node"),
+      col("_outd").cast("long").as("out")).transform(checkpointed)
     def ldiv(a: Column, b: Column): Column =
       ((a - pmod(a, b)) / b).cast("long")
     var ranks = nodes
@@ -514,40 +582,78 @@ object Graph {
       // carry. The count is one action on the fresh checkpoint.
       val spark = edges.sparkSession
       import spark.implicits._
-      import scala.collection.mutable
       // collect only the CANONICAL half (src < dst is exactly und —
       // least/greatest canonicalization) and mirror each edge
       // in-process: half the transfer and boxing of the full eb at
-      // the threshold (review finding, round 14)
-      val arr = eb.where(col("src") < col("dst")).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // the threshold (review finding, round 14). The sweeps run on
+      // primitive CSR arrays (LocalGraph — round 15: the boxed
+      // HashMap votes cost 3.4-4.4 s for three sweeps at the sf0.1
+      // edge count, dominating the whole gate); dense indices are
+      // order-isomorphic to ids, so the min-label tie rule compares
+      // identically and the labeling is bit-identical.
+      val rows = eb.where(col("src") < col("dst")).collect()
       unpersistCheckpoint(eb)
-      val lab = mutable.HashMap.empty[Long, Long]
-      arr.foreach { e => lab.update(e._1, e._1); lab.update(e._2, e._2) }
-      for (_ <- 0 until sweeps) {
-        // votes: neighbor labels weighted by edge mass, per dst node
-        val votes = mutable.HashMap
-          .empty[Long, mutable.HashMap[Long, Long]]
-        def addVote(src: Long, dst: Long, w: Long): Unit = {
-          val m = votes.getOrElseUpdate(dst, mutable.HashMap.empty)
-          val l = lab(src)
-          m.update(l, m.getOrElse(l, 0L) + w)
-        }
-        arr.foreach { case (u, v, w) => addVote(u, v, w); addVote(v, u, w) }
-        // argmax with min-label ties — the (-count, label) min rule
-        votes.foreach { case (n, vs) =>
-          var bestL = 0L
+      val m = rows.length
+      val us = new Array[Long](m)
+      val vs = new Array[Long](m)
+      val ws = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        val r = rows(i)
+        us(i) = r.getLong(0); vs(i) = r.getLong(1); ws(i) = r.getLong(2)
+        i += 1
+      }
+      val ix = LocalGraph.indexOf(us ++ vs)
+      val n = ix.size
+      val srcs = new Array[Int](2 * m)
+      val dsts = new Array[Int](2 * m)
+      val ew = new Array[Long](2 * m)
+      i = 0
+      while (i < m) {
+        val ui = ix.of(us(i)); val vi = ix.of(vs(i))
+        srcs(i) = ui; dsts(i) = vi; ew(i) = ws(i)
+        srcs(m + i) = vi; dsts(m + i) = ui; ew(m + i) = ws(i)
+        i += 1
+      }
+      val csr = LocalGraph.buildCsr(n, srcs, dsts, ew)
+      val lab = new Array[Int](n)
+      i = 0; while (i < n) { lab(i) = i; i += 1 }
+      var maxDeg = 1
+      i = 0
+      while (i < n) {
+        val d = csr.off(i + 1) - csr.off(i)
+        if (d > maxDeg) maxDeg = d
+        i += 1
+      }
+      val votes = new LocalGraph.StampedMap(maxDeg)
+      val next = new Array[Int](n)
+      var sw = 0
+      while (sw < sweeps) {
+        // synchronous vote/argmax: every node's votes read the OLD
+        // labels (written into `next`, copied after the full pass)
+        var v = 0
+        while (v < n) {
+          votes.clear()
+          var p = csr.off(v)
+          val pEnd = csr.off(v + 1)
+          while (p < pEnd) { votes.add(lab(csr.nbr(p)).toLong, csr.w(p)); p += 1 }
+          // argmax with min-label ties — the (-count, label) min rule
+          var bestL = lab(v)
           var bestC = 0L
           var any = false
-          vs.foreach { case (l, c) =>
+          votes.foreachEntry { (l, c) =>
             if (!any || c > bestC || (c == bestC && l < bestL)) {
-              any = true; bestL = l; bestC = c
+              any = true; bestL = l.toInt; bestC = c
             }
           }
-          lab.update(n, bestL)
+          next(v) = bestL
+          v += 1
         }
+        System.arraycopy(next, 0, lab, 0, n)
+        sw += 1
       }
-      return lab.toSeq.toDF("node", "label")
+      return (0 until n).map(v => (ix.ids(v), ix.ids(lab(v))))
+        .toDF("node", "label")
     }
     // every endpoint appears as src in eb (both directions), so the
     // src projection IS the node set
@@ -1176,70 +1282,121 @@ object Graph {
   private def refineLocal(canon: Seq[(Long, Long, Long)],
       selfW: Map[Long, Long], labels0: Seq[(Long, Long)],
       sweeps: Int): Map[Long, Long] = {
-    import scala.collection.mutable
-    val dv = mutable.HashMap.empty[Long, Long]
-    labels0.foreach { case (n, _) =>
-      dv.update(n, 2L * selfW.getOrElse(n, 0L)) }
+    // primitive CSR + dense-index sweeps (LocalGraph, round 15 — the
+    // boxed nested-HashMap form priced seconds per sweep at the sf0.1
+    // edge count). Node and label indices are sorted, so index order
+    // is value order and every tie rule (smallest target community,
+    // smallest node) compares identically; the exact-integer gain
+    // arithmetic is untouched.
+    val nNodes = labels0.length
+    val nodeIds = new Array[Long](nNodes)
+    val labIds0 = new Array[Long](nNodes)
+    var i = 0
+    labels0.foreach { case (nd, l) =>
+      nodeIds(i) = nd; labIds0(i) = l; i += 1 }
+    val ix = LocalGraph.indexOf(nodeIds)
+    val lix = LocalGraph.indexOf(labIds0)
+    val n = ix.size
+    val nLab = lix.size
+    // dv: degree mass (+ 2·self-mass); CSR over mirrored canon edges
+    val dv = new Array[Long](n)
+    selfW.foreach { case (nd, sw) => dv(ix.of(nd)) = 2L * sw }
+    val m = canon.length
+    val srcs = new Array[Int](2 * m)
+    val dsts = new Array[Int](2 * m)
+    val ew = new Array[Long](2 * m)
+    i = 0
     canon.foreach { e =>
-      dv.update(e._1, dv(e._1) + e._3)
-      dv.update(e._2, dv(e._2) + e._3)
+      val ui = ix.of(e._1); val vi = ix.of(e._2)
+      srcs(i) = ui; dsts(i) = vi; ew(i) = e._3
+      srcs(m + i) = vi; dsts(m + i) = ui; ew(m + i) = e._3
+      dv(ui) += e._3; dv(vi) += e._3
+      i += 1
     }
-    val m2 = dv.valuesIterator.sum
-    val lab = mutable.HashMap.empty[Long, Long]
-    labels0.foreach { case (n, l) => lab.update(n, l) }
+    val csr = LocalGraph.buildCsr(n, srcs, dsts, ew)
+    var m2 = 0L
+    i = 0; while (i < n) { m2 += dv(i); i += 1 }
+    val lab = new Array[Int](n)
+    labels0.foreach { case (nd, l) => lab(ix.of(nd)) = lix.of(l) }
+    var maxDeg = 1
+    i = 0
+    while (i < n) {
+      val d = csr.off(i + 1) - csr.off(i)
+      if (d > maxDeg) maxDeg = d
+      i += 1
+    }
+    val kv = new LocalGraph.StampedMap(maxDeg)
+    val dc = new Array[Long](nLab)
+    // per-sweep proposals (node, a, b, dq) and per-community winners
+    val propN = new Array[Int](n)
+    val propA = new Array[Int](n)
+    val propB = new Array[Int](n)
+    val propQ = new Array[Long](n)
+    val winQ = new Array[Long](nLab)
+    val winN = new Array[Int](nLab)
     for (_ <- 0 until sweeps) {
-      val dc = mutable.HashMap.empty[Long, Long]
-      lab.foreach { case (n, l) =>
-        dc.update(l, dc.getOrElse(l, 0L) + dv(n)) }
-      // kvc grouped BY NODE up front — a flat (node, community) map
-      // scanned once per node per sweep would be O(nodes · |kvc|)
-      // (review finding, round 14)
-      val kvc = mutable.HashMap
-        .empty[Long, mutable.HashMap[Long, Long]]
-      def addK(v: Long, c: Long, w: Long): Unit = {
-        val m = kvc.getOrElseUpdate(v, mutable.HashMap.empty)
-        m.update(c, m.getOrElse(c, 0L) + w)
-      }
-      canon.foreach { e =>
-        addK(e._1, lab(e._2), e._3)
-        addK(e._2, lab(e._1), e._3)
-      }
+      java.util.Arrays.fill(dc, 0L)
+      i = 0; while (i < n) { dc(lab(i)) += dv(i); i += 1 }
       // best positive proposal per node: max gain, ties to the
-      // smallest target community
-      val prop = mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
-      kvc.foreach { case (v, kv) =>
-        val a = lab(v)
-        val ka = kv.getOrElse(a, 0L)
-        var bestB = 0L
-        var bestDq = 0L
-        var any = false
-        kv.foreach { case (b, k) =>
-          if (b != a) {
-            val dq = 2L * m2 * (k - ka) -
-              2L * dv(v) * (dc(b) - dc(a) + dv(v))
-            if (dq > 0 && (!any || dq > bestDq ||
-                (dq == bestDq && b < bestB))) {
-              any = true; bestB = b; bestDq = dq
+      // smallest target community (per-node k_vc grouped in the
+      // stamped scratch map — one CSR slice pass per node)
+      var nProp = 0
+      var v = 0
+      while (v < n) {
+        var p = csr.off(v)
+        val pEnd = csr.off(v + 1)
+        if (p < pEnd) {
+          kv.clear()
+          while (p < pEnd) { kv.add(lab(csr.nbr(p)).toLong, csr.w(p)); p += 1 }
+          val a = lab(v)
+          val ka = kv.get(a.toLong, 0L)
+          var bestB = 0
+          var bestDq = 0L
+          var any = false
+          kv.foreachEntry { (bL, k) =>
+            val b = bL.toInt
+            if (b != a) {
+              val dq = 2L * m2 * (k - ka) -
+                2L * dv(v) * (dc(b) - dc(a) + dv(v))
+              if (dq > 0 && (!any || dq > bestDq ||
+                  (dq == bestDq && b < bestB))) {
+                any = true; bestB = b; bestDq = dq
+              }
             }
           }
+          if (any) {
+            propN(nProp) = v; propA(nProp) = a
+            propB(nProp) = bestB; propQ(nProp) = bestDq
+            nProp += 1
+          }
         }
-        if (any) prop += ((v, a, bestB, bestDq))
+        v += 1
       }
       // two-sided winner rule: top proposal (max gain, ties to the
       // smallest node) for both touched communities
-      val winner = mutable.HashMap.empty[Long, (Long, Long)]
-      def offer(c: Long, node: Long, dq: Long): Unit =
-        winner.get(c) match {
-          case Some((bd, bn)) if bd > dq || (bd == dq && bn < node) => ()
-          case _ => winner.update(c, (dq, node))
+      java.util.Arrays.fill(winN, -1)
+      def offer(c: Int, node: Int, dq: Long): Unit =
+        if (winN(c) < 0 || dq > winQ(c) ||
+            (dq == winQ(c) && node < winN(c))) {
+          winQ(c) = dq; winN(c) = node
         }
-      prop.foreach { p => offer(p._2, p._1, p._4); offer(p._3, p._1, p._4) }
-      prop.foreach { p =>
-        if (winner(p._2)._2 == p._1 && winner(p._3)._2 == p._1)
-          lab.update(p._1, p._3)
+      i = 0
+      while (i < nProp) {
+        offer(propA(i), propN(i), propQ(i))
+        offer(propB(i), propN(i), propQ(i))
+        i += 1
+      }
+      i = 0
+      while (i < nProp) {
+        if (winN(propA(i)) == propN(i) && winN(propB(i)) == propN(i))
+          lab(propN(i)) = propB(i)
+        i += 1
       }
     }
-    lab.toMap
+    val out = Map.newBuilder[Long, Long]
+    i = 0
+    while (i < n) { out += ix.ids(i) -> lix.ids(lab(i)); i += 1 }
+    out.result()
   }
 
   /** The k-CORE of an undirected graph — the (unique) maximal subgraph
@@ -1325,19 +1482,27 @@ object Graph {
       // exercised above the threshold.
       val spark = edges.sparkSession
       import spark.implicits._
-      var cur = e.select(col("u").cast("long"), col("v").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val rows = e.select(col("u").cast("long"), col("v").cast("long"))
+        .collect()
       unpersistCheckpoint(e)
-      var localDone = false
-      while (!localDone && rounds < maxRounds) {
-        val deg = peelDegrees(cur)
-        val next = cur.filter(t => deg(t._1) >= k && deg(t._2) >= k)
-        localDone = next.length == cur.length || next.isEmpty
-        cur = next
-        rounds += 1
-      }
+      val m = rows.length
+      val us = new Array[Long](m); val vs = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        us(i) = rows(i).getLong(0); vs(i) = rows(i).getLong(1); i += 1 }
+      val ix = LocalGraph.indexOf(us ++ vs)
+      val ua = new Array[Int](m); val va = new Array[Int](m)
+      val ew = new Array[Long](m)
+      i = 0
+      while (i < m) {
+        ua(i) = ix.of(us(i)); va(i) = ix.of(vs(i)); ew(i) = 1L; i += 1 }
+      val (_, mass, newRounds, localDone) =
+        peelLocal(ix.size, ua, va, ew, k.toLong, rounds, maxRounds)
+      rounds = newRounds
       require(localDone, s"k-core did not converge in $maxRounds rounds")
-      return peelDegrees(cur).toSeq.toDF("node", "degree")
+      return (0 until ix.size).collect {
+        case v if mass(v) > 0 => (ix.ids(v), mass(v))
+      }.toDF("node", "degree")
     }
     require(converged, s"k-core did not converge in $maxRounds rounds")
     // the final checkpoint stays alive — the returned frame reads it
@@ -1373,17 +1538,45 @@ object Graph {
     names.forall(n => df.schema(n).dataType ==
       org.apache.spark.sql.types.LongType)
 
-  /** Degree map of a collected canonical edge list — the driver-local
-    * twin of the peel loops' degree aggregation (mutable accumulation:
-    * the threshold admits ~1e6 edges × up to maxRounds passes). */
-  private def peelDegrees(
-      edges: Array[(Long, Long)]): scala.collection.mutable.HashMap[Long, Long] = {
-    val m = scala.collection.mutable.HashMap.empty[Long, Long]
-    edges.foreach { e =>
-      m.update(e._1, m.getOrElse(e._1, 0L) + 1L)
-      m.update(e._2, m.getOrElse(e._2, 0L) + 1L)
+  /** Driver-local peel to the fixpoint on int-indexed primitive arrays
+    * (LocalGraph, round 15 — the boxed per-round HashMap degree maps
+    * priced seconds per gate): per round, aggregate each node's
+    * incident mass (`ew` all-ones = degree, weights = strength),
+    * compact the edge arrays in place to survivors with mass >=
+    * `threshold` at BOTH endpoints, stop when nothing peeled (or
+    * everything did) — the identical recurrence as the distributed
+    * rounds and the previous boxed loop. Returns (surviving edge
+    * count, per-node mass over survivors, rounds consumed, converged).
+    */
+  private def peelLocal(n: Int, ua: Array[Int], va: Array[Int],
+      ew: Array[Long], threshold: Long, rounds0: Int,
+      maxRounds: Int): (Int, Array[Long], Int, Boolean) = {
+    var mCur = ua.length
+    var rounds = rounds0
+    val mass = new Array[Long](n)
+    var localDone = false
+    while (!localDone && rounds < maxRounds) {
+      java.util.Arrays.fill(mass, 0L)
+      var i = 0
+      while (i < mCur) {
+        mass(ua(i)) += ew(i); mass(va(i)) += ew(i); i += 1
+      }
+      var k = 0
+      i = 0
+      while (i < mCur) {
+        if (mass(ua(i)) >= threshold && mass(va(i)) >= threshold) {
+          ua(k) = ua(i); va(k) = va(i); ew(k) = ew(i); k += 1
+        }
+        i += 1
+      }
+      localDone = k == mCur || k == 0
+      mCur = k
+      rounds += 1
     }
-    m
+    java.util.Arrays.fill(mass, 0L)
+    var i = 0
+    while (i < mCur) { mass(ua(i)) += ew(i); mass(va(i)) += ew(i); i += 1 }
+    (mCur, mass, rounds, localDone)
   }
 
   /** WEIGHTED k-core — the s-CORE (Eidsaa/Almaas, "s-core network
@@ -1459,37 +1652,33 @@ object Graph {
       // the round budget carries, weights were validated up front
       val spark = edges.sparkSession
       import spark.implicits._
-      var cur = e.select(col("u").cast("long"), col("v").cast("long"),
-          col("_w"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val rows = e.select(col("u").cast("long"), col("v").cast("long"),
+        col("_w")).collect()
       unpersistCheckpoint(e)
-      var localDone = false
-      while (!localDone && rounds < maxRounds) {
-        val st = peelStrengths(cur)
-        val next = cur.filter(t => st(t._1) >= s && st(t._2) >= s)
-        localDone = next.length == cur.length || next.isEmpty
-        cur = next
-        rounds += 1
+      val m = rows.length
+      val us = new Array[Long](m); val vs = new Array[Long](m)
+      val ew = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        us(i) = rows(i).getLong(0); vs(i) = rows(i).getLong(1)
+        ew(i) = rows(i).getLong(2); i += 1
       }
+      val ix = LocalGraph.indexOf(us ++ vs)
+      val ua = new Array[Int](m); val va = new Array[Int](m)
+      i = 0
+      while (i < m) { ua(i) = ix.of(us(i)); va(i) = ix.of(vs(i)); i += 1 }
+      val (_, mass, newRounds, localDone) =
+        peelLocal(ix.size, ua, va, ew, s, rounds, maxRounds)
+      rounds = newRounds
       require(localDone, s"s-core did not converge in $maxRounds rounds")
-      return peelStrengths(cur).toSeq.toDF("node", "strength")
+      return (0 until ix.size).collect {
+        case v if mass(v) > 0 => (ix.ids(v), mass(v))
+      }.toDF("node", "strength")
     }
     require(converged, s"s-core did not converge in $maxRounds rounds")
     e.select(col("u").as("node"), col("_w"))
       .union(e.select(col("v").as("node"), col("_w")))
       .groupBy("node").agg(sum(col("_w")).as("strength"))
-  }
-
-  /** Strength map of a collected canonical weighted edge list — the
-    * [[sCore]] loop's aggregation, driver-local. */
-  private def peelStrengths(
-      edges: Array[(Long, Long, Long)]): scala.collection.mutable.HashMap[Long, Long] = {
-    val m = scala.collection.mutable.HashMap.empty[Long, Long]
-    edges.foreach { e =>
-      m.update(e._1, m.getOrElse(e._1, 0L) + e._3)
-      m.update(e._2, m.getOrElse(e._2, 0L) + e._3)
-    }
-    m
   }
 
   /** LOCAL CLUSTERING COEFFICIENTS as EXACT RATIONALS — per node, the
@@ -1589,33 +1778,70 @@ object Graph {
       // driver-local decomposition — the identical threshold-jump
       // arithmetic on the collected canonical edge list (alive set ≤
       // 2·edges by construction); the same round budget and error
+      // primitive-array decomposition (LocalGraph, round 15): the same
+      // threshold-jump recurrence on int indices — per round one
+      // degree pass, one min over alive, one in-place edge compaction
       val spark = edges.sparkSession
       import spark.implicits._
-      var eL = e.select(col("u").cast("long"), col("v").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      var aliveL = alive.select(col("node").cast("long"))
-        .collect().map(_.getLong(0))
+      val rows = e.select(col("u").cast("long"), col("v").cast("long"))
+        .collect()
       unpersistCheckpoint(e)
-      unpersistCheckpoint(alive)
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      unpersistCheckpoint(alive) // alive == distinct endpoints of e
+      val m = rows.length
+      val us = new Array[Long](m); val vs = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        us(i) = rows(i).getLong(0); vs(i) = rows(i).getLong(1); i += 1 }
+      val ix = LocalGraph.indexOf(us ++ vs)
+      val n = ix.size
+      val ua = new Array[Int](m); val va = new Array[Int](m)
+      i = 0
+      while (i < m) { ua(i) = ix.of(us(i)); va(i) = ix.of(vs(i)); i += 1 }
+      val aliveFlag = new Array[Boolean](n)
+      java.util.Arrays.fill(aliveFlag, true)
+      var numAlive = n
+      var mCur = m
+      val deg = new Array[Long](n)
+      val outN = new Array[Long](n)
+      val outC = new Array[Long](n)
+      var nOut = 0
       var k = 1L
       var rounds = 0
-      while (aliveL.nonEmpty && rounds < maxRounds) {
-        val deg = peelDegrees(eL)
-        val degAll = aliveL.map(n => (n, deg.getOrElse(n, 0L)))
-        val minDeg = degAll.iterator.map(_._2).min
+      while (numAlive > 0 && rounds < maxRounds) {
+        java.util.Arrays.fill(deg, 0L)
+        i = 0
+        while (i < mCur) { deg(ua(i)) += 1L; deg(va(i)) += 1L; i += 1 }
+        var minDeg = Long.MaxValue
+        var v = 0
+        while (v < n) {
+          if (aliveFlag(v) && deg(v) < minDeg) minDeg = deg(v)
+          v += 1
+        }
         val t = math.max(k, minDeg + 1)
-        degAll.foreach { case (n, d) => if (d < t) out += ((n, t - 1)) }
-        val kept = scala.collection.mutable.HashSet.empty[Long]
-        degAll.foreach { case (n, d) => if (d >= t) kept += n }
-        eL = eL.filter(p => kept(p._1) && kept(p._2))
-        aliveL = degAll.collect { case (n, d) if d >= t => n }
+        v = 0
+        while (v < n) {
+          if (aliveFlag(v) && deg(v) < t) {
+            outN(nOut) = ix.ids(v); outC(nOut) = t - 1; nOut += 1
+            aliveFlag(v) = false; numAlive -= 1
+          }
+          v += 1
+        }
+        var kk = 0
+        i = 0
+        while (i < mCur) {
+          if (deg(ua(i)) >= t && deg(va(i)) >= t) {
+            ua(kk) = ua(i); va(kk) = va(i); kk += 1
+          }
+          i += 1
+        }
+        mCur = kk
         k = t
         rounds += 1
       }
-      require(aliveL.isEmpty,
+      require(numAlive == 0,
         s"coreness did not finish peeling in $maxRounds rounds")
-      return out.toSeq.toDF("node", "coreness")
+      return (0 until nOut).map(j => (outN(j), outC(j)))
+        .toDF("node", "coreness")
     }
     // labels accumulate as materialized per-round slices; the final
     // union is a plain read of bounded-many checkpoints (maxRounds),
@@ -1793,58 +2019,108 @@ object Graph {
       // discards (~100 ms at the threshold) — the alternative, a
       // pre-checkpoint count, would add a full raw-edge scan to every
       // CORPUS-scale call, the path this engine optimizes for.
+      // primitive CSR relaxation (LocalGraph, round 15): the same
+      // frontier Bellman-Ford recurrence on int indices + long arrays
       val spark = edges.sparkSession
       import spark.implicits._
       val srcArr = sources.select(col(srcCol).cast("long").as("node"))
         .where(col("node").isNotNull).distinct()
         .collect().map(_.getLong(0))
       require(srcArr.nonEmpty, "shortestPaths over an empty source set")
-      val eArr = e.select(col("src").cast("long"), col("dst").cast("long"),
-          col("_w"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val eRows = e.select(col("src").cast("long"), col("dst").cast("long"),
+        col("_w")).collect()
       unpersistCheckpoint(e)
-      val adj = scala.collection.mutable.HashMap
-        .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Long)]]
-      eArr.foreach { t =>
-        adj.getOrElseUpdate(t._1,
-          scala.collection.mutable.ArrayBuffer.empty) += ((t._2, t._3))
+      val m = eRows.length
+      val us = new Array[Long](m); val vsL = new Array[Long](m)
+      val wArr = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        us(i) = eRows(i).getLong(0); vsL(i) = eRows(i).getLong(1)
+        wArr(i) = eRows(i).getLong(2); i += 1
       }
-      val dist = scala.collection.mutable.HashMap.empty[Long, Long]
-      srcArr.foreach(s => dist.update(s, 0L))
-      var frontier = srcArr
+      // index over endpoints AND sources (a source outside the edge
+      // set still reports dist 0, exactly as the distributed merge)
+      val ix = LocalGraph.indexOf(us ++ vsL ++ srcArr)
+      val n = ix.size
+      val esi = new Array[Int](m); val edi = new Array[Int](m)
+      i = 0
+      while (i < m) { esi(i) = ix.of(us(i)); edi(i) = ix.of(vsL(i)); i += 1 }
+      val csr = LocalGraph.buildCsr(n, esi, edi, wArr)
+      val NoDist = Long.MaxValue
+      val dist = new Array[Long](n)
+      java.util.Arrays.fill(dist, NoDist)
+      var frontier = new Array[Int](n)
+      var fSize = 0
+      srcArr.foreach { s =>
+        val si = ix.of(s)
+        if (dist(si) != 0L) { dist(si) = 0L; frontier(fSize) = si; fSize += 1 }
+      }
+      // candidate improvements, generation-stamped so no O(n) clear
+      val cand = new Array[Long](n)
+      val candGen = new Array[Int](n)
+      val touched = new Array[Int](n)
+      var gen = 0
+      var nextFrontier = new Array[Int](n)
       var rounds = 0
       var converged = false
       while (!converged && rounds < maxRounds) {
-        val cand = scala.collection.mutable.HashMap.empty[Long, Long]
-        frontier.foreach { u =>
+        gen += 1
+        var nTouched = 0
+        var fi = 0
+        while (fi < fSize) {
+          val u = frontier(fi)
           val du = dist(u)
-          adj.get(u).foreach(_.foreach { case (v, w) =>
-            val nd = du + w
-            if (cand.get(v).forall(nd < _)) cand.update(v, nd)
-          })
+          var p = csr.off(u)
+          val pEnd = csr.off(u + 1)
+          while (p < pEnd) {
+            val v = csr.nbr(p)
+            val nd = du + csr.w(p)
+            if (candGen(v) != gen) {
+              candGen(v) = gen; cand(v) = nd
+              touched(nTouched) = v; nTouched += 1
+            } else if (nd < cand(v)) cand(v) = nd
+            p += 1
+          }
+          fi += 1
         }
-        val improved = cand.iterator
-          .filter { case (v, nd) => dist.get(v).forall(nd < _) }.toArray
-        if (improved.isEmpty) converged = true
+        var nImproved = 0
+        var t = 0
+        while (t < nTouched) {
+          val v = touched(t)
+          if (cand(v) < dist(v)) {
+            dist(v) = cand(v)
+            nextFrontier(nImproved) = v; nImproved += 1
+          }
+          t += 1
+        }
+        if (nImproved == 0) converged = true
         else {
-          improved.foreach { case (v, nd) => dist.update(v, nd) }
-          frontier = improved.map(_._1)
+          val tmp = frontier; frontier = nextFrontier; nextFrontier = tmp
+          fSize = nImproved
           rounds += 1
         }
       }
       require(converged,
         s"shortestPaths did not converge in $maxRounds rounds")
-      return if (!withPredecessors) dist.toSeq.toDF("node", "dist")
+      return if (!withPredecessors)
+        (0 until n).collect { case v if dist(v) != NoDist =>
+          (ix.ids(v), dist(v)) }.toDF("node", "dist")
       else {
-        val pred = scala.collection.mutable.HashMap.empty[Long, Long]
-        eArr.foreach { case (u, v, w) =>
-          dist.get(u).foreach { du =>
-            if (dist.get(v).contains(du + w) &&
-                pred.get(v).forall(u < _)) pred.update(v, u)
+        // smallest tight in-edge over the converged distances
+        val pred = new Array[Long](n)
+        val hasPred = new Array[Boolean](n)
+        i = 0
+        while (i < m) {
+          val u = esi(i); val v = edi(i)
+          if (dist(u) != NoDist && dist(v) == dist(u) + wArr(i) &&
+              (!hasPred(v) || ix.ids(u) < pred(v))) {
+            pred(v) = ix.ids(u); hasPred(v) = true
           }
+          i += 1
         }
-        dist.toSeq.map { case (v, d) => (v, d, pred.get(v)) }
-          .toDF("node", "dist", "pred")
+        (0 until n).collect { case v if dist(v) != NoDist =>
+          (ix.ids(v), dist(v), if (hasPred(v)) Some(pred(v)) else None)
+        }.toDF("node", "dist", "pred")
       }
     }
     var dist = org.apache.spark.sql.graft.CheckpointStats
@@ -2491,34 +2767,45 @@ object Graph {
       // every per-node sum fits a long, which is exactly when the
       // exact ops don't throw — sums of non-negatives have no
       // intermediate-overflow-then-recover case).
+      // primitive-array mutual recursion (LocalGraph, round 15)
       val spark = edges.sparkSession
       import spark.implicits._
-      import scala.collection.mutable
-      val eArr = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val rows = e.collect()
       unpersistCheckpoint(e)
-      val nodeArr = eArr.iterator.flatMap(t => Iterator(t._1, t._2))
-        .toArray.distinct
-      val hub = mutable.HashMap.empty[Long, Long]
-      val auth = mutable.HashMap.empty[Long, Long]
-      nodeArr.foreach { v => hub.update(v, 1L); auth.update(v, 1L) }
-      def exactSums(pairs: Iterator[(Long, Long)], what: String)
-          : mutable.HashMap[Long, Long] = {
-        val m = mutable.HashMap.empty[Long, Long]
-        try pairs.foreach { case (k, v) =>
-          m.update(k, Math.addExact(m.getOrElse(k, 0L), v)) }
-        catch { case _: ArithmeticException => require(false,
+      val m = rows.length
+      val us = new Array[Long](m); val vsL = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        us(i) = rows(i).getLong(0); vsL(i) = rows(i).getLong(1); i += 1 }
+      val ix = LocalGraph.indexOf(us ++ vsL)
+      val n = ix.size
+      val esi = new Array[Int](m); val edi = new Array[Int](m)
+      i = 0
+      while (i < m) { esi(i) = ix.of(us(i)); edi(i) = ix.of(vsL(i)); i += 1 }
+      val hub = new Array[Long](n)
+      val auth = new Array[Long](n)
+      java.util.Arrays.fill(hub, 1L)
+      java.util.Arrays.fill(auth, 1L)
+      val acc = new Array[Long](n)
+      def exactSums(fromHub: Boolean, what: String): Unit = {
+        java.util.Arrays.fill(acc, 0L)
+        try {
+          var j = 0
+          while (j < m) {
+            if (fromHub) acc(edi(j)) = Math.addExact(acc(edi(j)), hub(esi(j)))
+            else acc(esi(j)) = Math.addExact(acc(esi(j)), auth(edi(j)))
+            j += 1
+          }
+        } catch { case _: ArithmeticException => require(false,
           s"HITS $what counts exceed Long range — fewer iterations") }
-        m
       }
       for (_ <- 0 until iterations) {
-        val a = exactSums(
-          eArr.iterator.map(t => (t._2, hub(t._1))), "authority")
-        nodeArr.foreach(v => auth.update(v, a.getOrElse(v, 0L)))
-        val h = exactSums(
-          eArr.iterator.map(t => (t._1, auth(t._2))), "hub")
-        nodeArr.foreach(v => hub.update(v, h.getOrElse(v, 0L)))
+        exactSums(fromHub = true, "authority")
+        System.arraycopy(acc, 0, auth, 0, n)
+        exactSums(fromHub = false, "hub")
+        System.arraycopy(acc, 0, hub, 0, n)
       }
-      return nodeArr.map(v => (v, hub(v), auth(v))).toSeq
+      return (0 until n).map(v => (ix.ids(v), hub(v), auth(v)))
         .toDF("node", "hub", "authority")
     }
     val nodes = e.select(col("src").as("node"))
