@@ -1385,10 +1385,18 @@ object SparkEntry {
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .withColumn("_late",
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-      lines.groupBy(col("l_orderkey"))
-        .agg(countDistinct(col("l_suppkey")).as("_n_supp"),
-          countDistinct(when(col("_late"), col("l_suppkey"))).as("_n_late"),
-          min(when(col("_late"), col("l_suppkey"))).as("_the_late"))
+      // both countDistincts are over l_suppkey, so a two-level
+      // aggregate replaces the multi-distinct Expand (which doubled
+      // every row through the first exchange): level 1 collapses to
+      // one row per (order, supplier) with map-side partials — the
+      // narrower frame the distinct counts are plain counts over
+      // (round 15; same integers by construction, oracle-gated)
+      lines.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("_late")).as("_any_late"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("_n_supp"),
+          count(when(col("_any_late"), 1)).as("_n_late"),
+          min(when(col("_any_late"), col("l_suppkey"))).as("_the_late"))
         .where(col("_n_supp") > 1 && col("_n_late") === 1)
         .join(broadcast(t(s, dir, "supplier")),
           col("_the_late") === col("s_suppkey"))
