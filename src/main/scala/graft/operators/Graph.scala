@@ -36,13 +36,28 @@ object Graph {
     * Each is an ERROR, never a silent drop. */
   private def validateWeights(edges: DataFrame, c: String,
       maxRounds: Option[Int]): Unit = {
+    validateWeightsTotal(edges, c, maxRounds); ()
+  }
+
+  /** [[validateWeights]] that ALSO returns the decimal(38,0) total of
+    * the NON-SELF-LOOP weights (null when there are none) from the
+    * same aggregation — the canonical mass every weighted undirected
+    * operator bounds next, fused so callers skip a second full
+    * raw-edge scan (round 15). The validation row set is unchanged
+    * (all non-null-endpoint rows, self-loops included); only the
+    * returned total excludes self-loops, exactly the `undRaw` frame
+    * the callers previously re-aggregated. */
+  private def validateWeightsTotal(edges: DataFrame, c: String,
+      maxRounds: Option[Int]): java.math.BigDecimal = {
     val raw = col(c)
     val stats = edges
       .where(col("src").isNotNull && col("dst").isNotNull)
       .agg(
         count(when(raw.isNotNull && raw =!= raw.cast("long"), 1)).as("_frac"),
         count(when(raw.isNull || raw.cast("long") <= 0, 1)).as("_bad"),
-        max(raw.cast("long")).as("_max"))
+        max(raw.cast("long")).as("_max"),
+        sum(when(col("src") =!= col("dst"),
+          raw.cast("long").cast("decimal(38,0)"))).as("_tot"))
       .head()
     require(stats.getLong(0) == 0, s"weight column $c has non-integer " +
       "entries — the exact integer recurrence needs integer weights")
@@ -55,6 +70,7 @@ object Graph {
       require(wMax <= Long.MaxValue / (mr + 1L),
         s"max edge weight $wMax too large for $mr rounds — rescale")
     }
+    if (stats.isNullAt(3)) null else stats.getDecimal(3)
   }
 
   /** Eager localCheckpoint with REPAIRED statistics. A raw
@@ -550,7 +566,16 @@ object Graph {
       weightCol: Option[String], driverMax: Long): DataFrame = {
     require(sweeps >= 0 && sweeps <= 50,
       s"sweeps must be in [0, 50], got $sweeps")
-    weightCol.foreach(c => validateWeights(edges, c, None))
+    // weights are positive, so every vote sum is bounded by the TOTAL
+    // weight mass — one decimal-crossing check makes overflow an
+    // ERROR, never a wrapped vote (the pageRank out-weight idiom);
+    // the total rides the validation aggregation (one raw scan, r15)
+    weightCol.foreach { c =>
+      val tot = validateWeightsTotal(edges, c, None)
+      require(tot == null ||
+        tot.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) <= 0,
+        "total edge weight exceeds Long.MaxValue — rescale weights")
+    }
     val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     val undRaw = edges.select(
         least(col("src"), col("dst")).as("u"),
@@ -558,16 +583,6 @@ object Graph {
         w.as("_w"))
       .where(col("u") =!= col("v") &&
         col("u").isNotNull && col("v").isNotNull)
-    // weights are positive, so every vote sum is bounded by the TOTAL
-    // weight mass — one decimal-crossing check makes overflow an
-    // ERROR, never a wrapped vote (the pageRank out-weight idiom)
-    weightCol.foreach { _ =>
-      val tot = undRaw
-        .agg(sum(col("_w").cast("decimal(38,0)"))).head().getDecimal(0)
-      require(tot == null ||
-        tot.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) <= 0,
-        "total edge weight exceeds Long.MaxValue — rescale weights")
-    }
     val und = undRaw
       .groupBy(col("u"), col("v"))
       .agg((if (weightCol.isEmpty) lit(1L)
@@ -716,7 +731,19 @@ object Graph {
     require(labChk.getLong(0) == labChk.getLong(1),
       "labels must carry exactly one row per node — duplicates found")
     require(labChk.getLong(2) == 0, "labels must be non-null")
-    weightCol.foreach(c => validateWeights(edges, c, None))
+    weightCol.foreach { c =>
+      // positive weights: every census sum is bounded by the DEGREE
+      // mass 2W (weighted_degree_sum counts each edge's weight at BOTH
+      // endpoints), so the decimal-crossing check bounds W at
+      // Long.MaxValue/2 — overflow is an ERROR, never a wrapped count
+      // (the labelPropagation idiom, tightened to the 2W bound); the
+      // total rides the validation aggregation (one raw scan, r15)
+      val tot = validateWeightsTotal(edges, c, None)
+      require(tot == null ||
+        tot.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue / 2)) <= 0,
+        "total edge weight exceeds Long.MaxValue/2 — the per-label " +
+          "degree mass counts each edge twice; rescale weights")
+    }
     val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     val undRaw = edges.select(
         least(col("src"), col("dst")).as("u"),
@@ -724,19 +751,6 @@ object Graph {
         w.as("_w"))
       .where(col("u") =!= col("v") &&
         col("u").isNotNull && col("v").isNotNull)
-    weightCol.foreach { _ =>
-      // positive weights: every census sum is bounded by the DEGREE
-      // mass 2W (weighted_degree_sum counts each edge's weight at BOTH
-      // endpoints), so the decimal-crossing check bounds W at
-      // Long.MaxValue/2 — overflow is an ERROR, never a wrapped count
-      // (the labelPropagation idiom, tightened to the 2W bound)
-      val tot = undRaw
-        .agg(sum(col("_w").cast("decimal(38,0)"))).head().getDecimal(0)
-      require(tot == null ||
-        tot.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue / 2)) <= 0,
-        "total edge weight exceeds Long.MaxValue/2 — the per-label " +
-          "degree mass counts each edge twice; rescale weights")
-    }
     val und = undRaw.groupBy(col("u"), col("v"))
       .agg((if (weightCol.isEmpty) lit(1L) else sum(col("_w"))).as("_w"))
     val tagged = und
@@ -931,7 +945,20 @@ object Graph {
     require(labChk.getLong(0) == labChk.getLong(1),
       "labels must carry exactly one row per node — duplicates found")
     require(labChk.getLong(2) == 0, "labels must be non-null")
-    weightCol.foreach(c => validateWeights(edges, c, None))
+    // decimal-crossing mass check BEFORE any long aggregation can wrap
+    // (the communityStats ordering). WEIGHTED: on the PRE-aggregation
+    // frame — with weights validated positive, bounding the raw sum
+    // bounds every downstream long groupBy sum, and parallel weights
+    // SUM during collapse, so the raw total IS the collapsed total
+    // (exact, not conservative); the total rides the validation
+    // aggregation, one raw-edge scan instead of two (round 15).
+    // UNWEIGHTED: on the COLLAPSED frame — parallels collapse to mass
+    // 1 (a raw-row bound would falsely refuse a duplicate-heavy edge
+    // list), and the collapse itself cannot wrap (it aggregates the
+    // literal 1, never a sum). Degree mass counts each edge at both
+    // endpoints and self-mass twice, so the bound is on
+    // 2·(Σ w + Σ _sw).
+    val wTot = weightCol.map(c => validateWeightsTotal(edges, c, None))
     val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     val undRaw = edges.select(
         least(col("src"), col("dst")).as("u"),
@@ -943,20 +970,8 @@ object Graph {
       .groupBy(col("u"), col("v"))
       .agg((if (weightCol.isEmpty) lit(1L) else sum(col("_w"))).as("_w"))
       .transform(checkpointed)
-    // decimal-crossing mass check BEFORE any long aggregation can wrap
-    // (the communityStats ordering). WEIGHTED: on the PRE-aggregation
-    // frame — with weights validated positive, bounding the raw sum
-    // bounds every downstream long groupBy sum, and parallel weights
-    // SUM during collapse, so the raw total IS the collapsed total
-    // (exact, not conservative). UNWEIGHTED: on the COLLAPSED frame —
-    // parallels collapse to mass 1 (a raw-row bound would falsely
-    // refuse a duplicate-heavy edge list), and the collapse itself
-    // cannot wrap (it aggregates the literal 1, never a sum). Degree
-    // mass counts each edge at both endpoints and self-mass twice, so
-    // the bound is on 2·(Σ w + Σ _sw).
-    val massFrame = if (weightCol.isEmpty) und else undRaw
-    val rawDec = massFrame
-      .agg(sum(col("_w").cast("decimal(38,0)"))).head().getDecimal(0)
+    val rawDec = wTot.getOrElse(
+      und.agg(sum(col("_w").cast("decimal(38,0)"))).head().getDecimal(0))
     val selfDec = selfMass
       .map(_.agg(sum(col("_sw").cast("decimal(38,0)"))).head().getDecimal(0))
       .filter(_ != null)
@@ -1609,18 +1624,17 @@ object Graph {
     require(s >= 1, s"s must be >= 1, got $s")
     require(maxRounds >= 1 && maxRounds <= 500,
       s"maxRounds must be in [1, 500], got $maxRounds")
-    validateWeights(edges, weightCol, None)
+    // the mass total rides the validation aggregation (one raw scan, r15)
+    val tot = validateWeightsTotal(edges, weightCol, None)
+    require(tot == null ||
+      tot.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) <= 0,
+      "total edge weight exceeds Long.MaxValue — rescale weights")
     val undRaw = edges.select(
         least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"),
         col(weightCol).cast("long").as("_w"))
       .where(col("u") =!= col("v") &&
         col("u").isNotNull && col("v").isNotNull)
-    val tot = undRaw
-      .agg(sum(col("_w").cast("decimal(38,0)"))).head().getDecimal(0)
-    require(tot == null ||
-      tot.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) <= 0,
-      "total edge weight exceeds Long.MaxValue — rescale weights")
     var e = undRaw.groupBy(col("u"), col("v"))
       .agg(sum(col("_w")).as("_w"))
       .transform(checkpointed)
