@@ -34,9 +34,17 @@ object Bench {
     // landed in run 1 of whichever gate the map iterated first, and a
     // between-round reordering of untouched queries read as a per-query
     // regression (fixture-scheduling aliasing, rounds 13-14).
+    // The warm pass is STAMPED into the JSON line (fixture_warm_sec,
+    // round-16 judge #8): fixture-sharing gates time only their
+    // post-fixture computation in the warmed medians, so the artifact
+    // must carry the one-time construction cost separately — warmed
+    // medians and end-to-end cost stay distinguishable from the line
+    // alone. Additions-only: no existing field changes meaning.
+    val warmT0 = System.nanoTime()
     selected.foreach { case (_, q) =>
       try q(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    val warmSec = (System.nanoTime() - warmT0) / 1e9
     // Load-robustness (judge-adjudicated round 11: a sustained external
     // load window poisoned all three back-to-back repeats of four
     // queries, inflating the round artifact 439s over a real 166s).
@@ -77,6 +85,7 @@ object Bench {
     val loadJson = s""""load_avg":{"start":${fmt(loadStart)},"end":${fmt(loadEnd)}}"""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""stat":"median-of-$repeat","total_min":${fmt(totalMin)},""" +
+      s""""fixture_warm_sec":${fmt(warmSec)},""" +
       s"""$loadJson,"n_queries":${results.size},""" +
       s""""queries":${qjson(results)},"queries_min":${qjson(mins)},""" +
       s""""sf":"$sfDir"}"""
@@ -101,6 +110,7 @@ object Bench {
       def shortLine(sel: Seq[(String, Double)]): String =
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
           s""""stat":"median-of-$repeat","total_min":${fmt(totalMin)},""" +
+          s""""fixture_warm_sec":${fmt(warmSec)},""" +
           s"""$loadJson,"n_queries":${results.size},""" +
           s""""queries":${qjson(sel)},""" +
           s""""queries_min":${qjson(sel.map { case (k, _) => k -> minByName(k) })},""" +

@@ -1390,7 +1390,10 @@ object SparkEntry {
       // every row through the first exchange): level 1 collapses to
       // one row per (order, supplier) with map-side partials — the
       // narrower frame the distinct counts are plain counts over
-      // (round 15; same integers by construction, oracle-gated)
+      // (round 15; oracle-gated). Equivalence ASSUMES l_suppkey is
+      // never NULL (TPC-H guarantees it): countDistinct ignored NULLs,
+      // while groupBy would count a NULL-suppkey group — on a corpus
+      // without the NOT NULL guarantee, add isNotNull first (ADVICE r15)
       lines.groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(max(col("_late")).as("_any_late"))
         .groupBy(col("l_orderkey"))

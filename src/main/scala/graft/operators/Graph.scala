@@ -176,7 +176,10 @@ object Graph {
         // edges) reads at most driverMax+1 rows before staying
         // distributed (round 15; previously it paid a full count).
         e.select(col("src").cast("long"), col("dst").cast("long"),
-          col("_w")).limit(driverMax.toInt + 1).collect()
+          col("_w"))
+          // clamp before toInt: a driverMax near Long.MaxValue through
+          // the spec hook must saturate, not wrap to a negative limit
+          .limit(math.min(driverMax, Int.MaxValue - 2L).toInt + 1).collect()
       else null
     if (eCapped != null && eCapped.length <= driverMax) {
       // DRIVER-LOCAL SWEEPS — the exact fixed-point long recurrence
@@ -400,7 +403,10 @@ object Graph {
         // capped collect decides the edge bound — the [[pageRankImpl]]
         // round-15 shape (no count scan + second collect)
         e.select(col("src").cast("long"), col("dst").cast("long"),
-          col("_w")).limit(driverMax.toInt + 1).collect()
+          col("_w"))
+          // clamp before toInt: a driverMax near Long.MaxValue through
+          // the spec hook must saturate, not wrap to a negative limit
+          .limit(math.min(driverMax, Int.MaxValue - 2L).toInt + 1).collect()
       else null
     if (eCapped != null && eCapped.length <= driverMax) {
       // DRIVER-LOCAL SWEEPS — the [[pageRankImpl]] replay with the
@@ -751,13 +757,25 @@ object Graph {
         w.as("_w"))
       .where(col("u") =!= col("v") &&
         col("u").isNotNull && col("v").isNotNull)
+    // ONE materialization of the LABEL-TAGGED canonical edge list
+    // serves the missing-label handshake, the internal-edge census and
+    // the degree census (round 16): previously each consumer re-ran
+    // the raw-edge scan + (u, v) aggregation + label joins — the plan
+    // held two independent `und` subtrees and the handshake a third —
+    // so the operator paid the edge-scale shuffle ~3x per call (guide
+    // §2.4: share the exchange; §5: localCheckpoint to cut the
+    // duplicated lineage). Tagging BEFORE the checkpoint also lets the
+    // degree census read each endpoint's label straight off the row —
+    // the old per-endpoint explode+join with `lab` is gone. The blocks
+    // are released before returning — the returned census is its own
+    // (label-scale) checkpoint, so nothing edge-scale outlives the call.
     val und = undRaw.groupBy(col("u"), col("v"))
       .agg((if (weightCol.isEmpty) lit(1L) else sum(col("_w"))).as("_w"))
-    val tagged = und
+    val tagged = checkpointed(und
       .join(lab.select(col("node").as("u"), col("label").as("_lu")),
         Seq("u"), "left")
       .join(lab.select(col("node").as("v"), col("label").as("_lv")),
-        Seq("v"), "left")
+        Seq("v"), "left"))
     val missing = tagged
       .where(col("_lu").isNull || col("_lv").isNull).limit(1).count()
     require(missing == 0,
@@ -768,12 +786,11 @@ object Graph {
       .groupBy(col("_lu").as("label"))
       .agg(count(lit(1)).as("internal_edges"),
         sum(col("_w")).as("internal_weight"))
-    val degMass = und
+    val degMass = tagged
       .select(explode(array(
-        struct(col("u").as("node"), col("_w")),
-        struct(col("v").as("node"), col("_w")))).as("_e"))
-      .select(col("_e.node").as("node"), col("_e._w").as("_w"))
-      .join(lab, Seq("node"))
+        struct(col("_lu").as("label"), col("_w")),
+        struct(col("_lv").as("label"), col("_w")))).as("_e"))
+      .select(col("_e.label").as("label"), col("_e._w").as("_w"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("degree_sum"),
         sum(col("_w")).as("weighted_degree_sum"))
@@ -787,7 +804,12 @@ object Graph {
       coalesce(col("internal_weight"), lit(0L)).as("internal_weight"),
       coalesce(col("weighted_degree_sum"), lit(0L))
         .as("weighted_degree_sum"))
-    base.select((if (weightCol.isEmpty) plain else plain ++ weighted): _*)
+    // label-scale: materialize the census so the edge-scale blocks can
+    // release NOW instead of riding the returned lineage to session end
+    val census = checkpointed(base.select(
+      (if (weightCol.isEmpty) plain else plain ++ weighted): _*))
+    unpersistCheckpoint(tagged)
+    census
   }
 
   /** NEWMAN–GIRVAN MODULARITY as EXACT RATIONALS — the community-
@@ -817,10 +839,10 @@ object Graph {
     * onto it — no extra edge scan. */
   def modularity(edges: DataFrame, labels: DataFrame,
       weightCol: Option[String] = None): DataFrame = {
-    // one row per label: tiny — checkpoint so the total handshake and
-    // the output selection pay the census's edge joins ONCE (the
-    // result keeps the blocks alive, the labelPropagation return idiom)
-    val census = checkpointed(communityStats(edges, labels, weightCol))
+    // [[communityStats]] returns its own label-scale checkpoint (round
+    // 16 census seam), so the total handshake and the output selection
+    // already pay the edge joins once — no second checkpoint here
+    val census = communityStats(edges, labels, weightCol)
     val (mc, dc) =
       if (weightCol.isEmpty) (col("internal_edges"), col("degree_sum"))
       else (col("internal_weight"), col("weighted_degree_sum"))
@@ -916,7 +938,7 @@ object Graph {
   private[graft] def refineCommunitiesImpl(edges: DataFrame,
       labels: DataFrame, sweeps: Int, weightCol: Option[String],
       driverMax: Long): DataFrame = {
-    val (lab, und) = refineImpl(edges, None, labels, sweeps, weightCol,
+    val (lab, und, _) = refineImpl(edges, None, labels, sweeps, weightCol,
       driverMax)
     unpersistCheckpoint(und)
     lab
@@ -929,13 +951,18 @@ object Graph {
     * while never producing a move candidate: the mass travels with its
     * node, cancelling out of k_vb − k_va exactly. Private — the public
     * operator keeps the family's self-loop-free canonical contract.
-    * Returns (labels, canonical weighted edge list) — the second
-    * element is the CHECKPOINTED `(u, v, _w)` frame the sweeps scored
-    * ([[louvain]] condenses over it instead of re-aggregating the raw
-    * edges); every caller owns its release. */
+    * Returns (labels, canonical weighted edge list, local data) — the
+    * second element is the CHECKPOINTED `(u, v, _w)` frame the sweeps
+    * scored ([[louvain]] condenses over it instead of re-aggregating
+    * the raw edges); every caller owns its release. The third is
+    * `Some((canonical edges, final labeling))` exactly when the sweeps
+    * ran DRIVER-LOCALLY — [[louvainImpl]] then condenses the hierarchy
+    * in-process instead of re-launching Spark jobs per coarse level
+    * (round 16). */
   private def refineImpl(edges: DataFrame, selfMass: Option[DataFrame],
       labels: DataFrame, sweeps: Int,
-      weightCol: Option[String], driverMax: Long): (DataFrame, DataFrame) = {
+      weightCol: Option[String], driverMax: Long): (DataFrame, DataFrame,
+      Option[(Array[(Long, Long, Long)], Map[Long, Long])]) = {
     require(sweeps >= 0 && sweeps <= 50,
       s"sweeps must be in [0, 50], got $sweeps")
     val lab0 = labels.select(col("node"), col("label"))
@@ -970,6 +997,59 @@ object Graph {
       .groupBy(col("u"), col("v"))
       .agg((if (weightCol.isEmpty) lit(1L) else sum(col("_w"))).as("_w"))
       .transform(checkpointed)
+    if (labChk.getLong(0) <= driverMax &&
+        allLong(und, "u", "v") && allLong(lab0, "node", "label")) {
+      // DRIVER-LOCAL SWEEPS (the [[kCoreImpl]] discipline): a
+      // sub-threshold canonical edge list runs [[refineLocal]] — the
+      // arithmetic the louvain coarse levels already share — instead
+      // of paying ~8 driver actions of fixed latency per sweep. Both
+      // collects are bounded: the labels by labChk's row count (a
+      // whole-corpus labeling over a small edge subgraph must stay
+      // distributed), the canonical edges by the CAPPED
+      // `limit(driverMax + 1)` collect that also DECIDES the branch
+      // (round 16: previously a count action plus a second full
+      // collect — one checkpoint-scan action saved per local run, the
+      // LPA/pageRank idiom). The mass guard and the no-edge early-out
+      // move inside each branch: the local one computes its totals
+      // from the collected rows (the weighted total already rode the
+      // validation scan; the unweighted collapsed total IS the row
+      // count — every parallel group has mass exactly 1), saving the
+      // agg action, with the identical require text and ordering
+      // (mass guard before coverage).
+      val cap = math.min(driverMax, Int.MaxValue - 2L).toInt + 1
+      val undArr = und.limit(cap).collect()
+      if (undArr.length <= driverMax) {
+        val spark = edges.sparkSession
+        import spark.implicits._
+        val canon = undArr.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val selfW = selfMass.map(_.select(col("node").cast("long"),
+            col("_sw").cast("long")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap)
+          .getOrElse(Map.empty[Long, Long])
+        val rawDecL = wTot match {
+          case Some(t) => if (t == null) java.math.BigDecimal.ZERO else t
+          case None => java.math.BigDecimal.valueOf(canon.length.toLong)
+        }
+        var selfDecL = java.math.BigDecimal.ZERO
+        selfW.valuesIterator.foreach(v =>
+          selfDecL = selfDecL.add(java.math.BigDecimal.valueOf(v)))
+        require(rawDecL.add(selfDecL)
+            .multiply(java.math.BigDecimal.valueOf(2L)).compareTo(
+            java.math.BigDecimal.valueOf(1518500249L)) <= 0, // floor(sqrt(Long.Max/4))
+          "edge mass 2m exceeds the exact-long gain bound " +
+            "floor(sqrt(Long.MaxValue/4)) — rescale weights")
+        val labels0 = lab0.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val labSet = new scala.collection.mutable.HashSet[Long]
+        labels0.foreach(t => labSet += t._1)
+        require(canon.forall(e => labSet(e._1) && labSet(e._2)) &&
+            selfW.keysIterator.forall(labSet),
+          "labels are missing nodes of the edge set — label the whole graph")
+        val out = refineLocal(canon.toSeq, selfW, labels0.toSeq, sweeps)
+        return (out.toSeq.toDF("node", "label"), und, Some((canon, out)))
+      }
+      // else: the canonical edge set exceeds the bound — fall through
+      // to the distributed sweeps (the capped rows are discarded)
+    }
     val rawDec = wTot.getOrElse(
       und.agg(sum(col("_w").cast("decimal(38,0)"))).head().getDecimal(0))
     val selfDec = selfMass
@@ -977,43 +1057,13 @@ object Graph {
       .filter(_ != null)
       .getOrElse(java.math.BigDecimal.ZERO)
     if (rawDec == null) { // no edges: no candidate moves exist
-      return (lab0, und)
+      return (lab0, und, None)
     }
     require(rawDec.add(selfDec)
         .multiply(java.math.BigDecimal.valueOf(2L)).compareTo(
         java.math.BigDecimal.valueOf(1518500249L)) <= 0, // floor(sqrt(Long.Max/4))
       "edge mass 2m exceeds the exact-long gain bound " +
         "floor(sqrt(Long.MaxValue/4)) — rescale weights")
-    if (und.count() <= driverMax && labChk.getLong(0) <= driverMax &&
-        allLong(und, "u", "v") && allLong(lab0, "node", "label")) {
-      // both collects are bounded: the canonical edges by the count
-      // above, the labels by labChk's row count (a whole-corpus
-      // labeling over a small edge subgraph must stay distributed)
-      // DRIVER-LOCAL SWEEPS (the [[kCoreImpl]] discipline): a
-      // sub-threshold canonical edge list runs [[refineLocal]] — the
-      // arithmetic the louvain coarse levels already share — instead
-      // of paying ~8 driver actions of fixed latency per sweep. Every
-      // contract check above (label uniqueness/nullability, weight
-      // validation, the exact-long mass guard) already ran; coverage
-      // is checked here, with the distributed branch's exact error.
-      // The und count is one action on an already-checkpointed frame.
-      val spark = edges.sparkSession
-      import spark.implicits._
-      val canon = und.collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      val selfW = selfMass.map(_.select(col("node").cast("long"),
-          col("_sw").cast("long")).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toMap)
-        .getOrElse(Map.empty[Long, Long])
-      val labels0 = lab0.collect().map(r => (r.getLong(0), r.getLong(1)))
-      val labSet = new scala.collection.mutable.HashSet[Long]
-      labels0.foreach(t => labSet += t._1)
-      require(canon.forall(e => labSet(e._1) && labSet(e._2)) &&
-          selfW.keysIterator.forall(labSet),
-        "labels are missing nodes of the edge set — label the whole graph")
-      val out = refineLocal(canon.toSeq, selfW, labels0.toSeq, sweeps)
-      return (out.toSeq.toDF("node", "label"), und)
-    }
     val eb = und.select(col("u").as("src"), col("v").as("dst"), col("_w"))
       .union(und.select(col("v").as("src"), col("u").as("dst"), col("_w")))
       .transform(checkpointed)
@@ -1114,7 +1164,7 @@ object Graph {
     }
     unpersistCheckpoint(eb)
     unpersistCheckpoint(dv)
-    (lab, und)
+    (lab, und, None)
   }
 
   /** MULTI-LEVEL LOUVAIN — the full Blondel et al. (J. Stat. Mech.
@@ -1202,8 +1252,53 @@ object Graph {
     // the coarse-level collect and refineImpl's edge-count gate
     val refineMax =
       if (driverMax == DriverCoarseMax) DriverPeelMax else driverMax.toLong
-    val (mapping0, und) = refineImpl(edges, None, labels, sweepsPerLevel,
-      weightCol, refineMax)
+    val (mapping0, und, local1) = refineImpl(edges, None, labels,
+      sweepsPerLevel, weightCol, refineMax)
+    local1 match {
+      case Some((canon, labMap0)) if levels >= 2 =>
+        // ROUND 16: when level 1 ran driver-locally, the WHOLE
+        // hierarchy stays in-process — the canonical edge list
+        // (≤ refineMax rows) and the labeling are already on the
+        // driver, so each coarse level is one hash-map condensation
+        // plus [[refineLocal]] with ZERO Spark actions, where the
+        // distributed levels paid ~4 driver actions of fixed latency
+        // each (distinct checkpoint, capped collect, edge-scale
+        // condensation collect, map-back checkpoint). The arithmetic
+        // is the SAME refineLocal the old driver-local coarse branch
+        // ran; the condensation is the same exact integer sum the
+        // distributed aggregation computes (order-independent —
+        // key-grouped sums, and refineLocal sorts its index). The old
+        // branch also bounded the COLLECT of the condensed graph at
+        // DriverCoarseMax supernodes; in-process there is no collect —
+        // every coarse level is no larger than the level-1 graph that
+        // already fit the driver. GraphSpec's replay equalities
+        // (driverMax = 0 forces the distributed levels) pin the
+        // branches against each other.
+        unpersistCheckpoint(und)
+        val sparkL = edges.sparkSession
+        import sparkL.implicits._
+        var labMap: Map[Long, Long] = labMap0
+        for (_ <- 2 to levels) {
+          val coarse = new scala.collection.mutable.HashMap[(Long, Long), Long]
+          canon.foreach { case (u, v, cw) =>
+            val lu = labMap(u); val lv = labMap(v)
+            val k = if (lu <= lv) (lu, lv) else (lv, lu)
+            coarse(k) = coarse.getOrElse(k, 0L) + cw
+          }
+          val selfW = Map.newBuilder[Long, Long]
+          val ce = Seq.newBuilder[(Long, Long, Long)]
+          coarse.foreach { case ((a, b), cw) =>
+            if (a == b) selfW += (a -> cw) else ce += ((a, b, cw))
+          }
+          // singleton supernode seed: every community is its own label
+          val seeds = labMap.valuesIterator.toSet.toSeq.map((n: Long) => (n, n))
+          val refined = refineLocal(ce.result(), selfW.result(), seeds,
+            sweepsPerLevel)
+          labMap = labMap.map { case (n, l) => n -> refined(l) }
+        }
+        return labMap.toSeq.toDF("node", "label")
+      case _ => ()
+    }
     var mapping = mapping0
     if (levels == 1) { unpersistCheckpoint(und); return mapping }
     val spark = edges.sparkSession
@@ -1254,7 +1349,7 @@ object Graph {
         // singleton supernode seed: every community is its own label
         val coarseLabels = distinctLabs
           .select(col("node"), col("node").as("label"))
-        val (r, coarseUnd) = refineImpl(coarseEdges, Some(selfMass),
+        val (r, coarseUnd, _) = refineImpl(coarseEdges, Some(selfMass),
           coarseLabels, sweepsPerLevel, Some("w"), refineMax)
         unpersistCheckpoint(coarseUnd)
         unpersistCheckpoint(condC)
@@ -1986,71 +2081,50 @@ object Graph {
       driverMax: Long): DataFrame = {
     require(maxRounds >= 1 && maxRounds <= 500,
       s"maxRounds must be in [1, 500], got $maxRounds")
-    val caller = edges.sparkSession
-    val isolated = caller.newSession()
-    isolated.conf.set("spark.sql.adaptive.enabled", "false")
-    // newSession starts from the CONTEXT conf — carry over the one
-    // runtime setting that shapes every loop exchange
-    isolated.conf.set("spark.sql.shuffle.partitions",
-      caller.conf.get("spark.sql.shuffle.partitions"))
-    def onIsolated(df: DataFrame): DataFrame =
-      org.apache.spark.sql.graft.CheckpointStats
-        .withMeasuredStats(df.localCheckpoint(true), isolated)
     weightCol.foreach(c => validateWeights(edges, c, Some(maxRounds)))
     val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     val fwd = edges.select(col("src"), col("dst"), w.as("_w"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-    val eRaw = if (directed) fwd else fwd.union(
-      fwd.select(col("dst").as("src"), col("src").as("dst"), col("_w")))
-    // partition the (static) edge list on the join key ONCE: every
-    // round's frontier-relax join then reuses this layout and shuffles
-    // only the frontier — without it each round re-exchanges the FULL
-    // edge list, the dominant cost once the frontier shrinks. The
-    // repartition must PLAN under the isolated (AQE-off) session too:
-    // an AdaptiveSparkPlan checkpoint reports UnknownPartitioning and
-    // the reuse never arms.
-    val e = org.apache.spark.sql.graft.CheckpointStats
-      .rebind(eRaw.repartition(col("src")), isolated)
-      .transform(onIsolated)
     val srcCol = sources.columns.head
-    if (allLong(e, "src", "dst") && allLong(sources, srcCol) &&
-        e.count() / (if (directed) 1L else 2L) <= driverMax &&
-        sources.count() <= driverMax) {
-      // the sources collect is bounded too (counted only after the
-      // edge trigger passes, so corpus-scale graphs never pay it) —
-      // a tens-of-millions-row seed set must stay distributed
+    if (allLong(fwd, "src", "dst") && allLong(sources, srcCol)) {
       // DRIVER-LOCAL RELAXATION — the [[kCoreImpl]] discipline: the
       // same frontier Bellman-Ford recurrence (a unique integer
       // fixpoint), the same round budget and convergence error, the
-      // same smallest-tight-in-edge pred rule, on the collected edge
-      // list (≤ 2·driverMax rows undirected). A sub-million-edge graph
-      // pays ~3 driver actions of fixed latency per distributed round
-      // for work one thread finishes in milliseconds — and this branch
-      // skips the isolated-session loop entirely. Spec-pinned against
-      // the distributed branch (driverMax = 0) on random graphs.
-      // DELIBERATE trade: the branch tests AFTER the repartitioned
-      // checkpoint, so the local path pays one small exchange it then
-      // discards (~100 ms at the threshold) — the alternative, a
-      // pre-checkpoint count, would add a full raw-edge scan to every
-      // CORPUS-scale call, the path this engine optimizes for.
-      // primitive CSR relaxation (LocalGraph, round 15): the same
-      // frontier Bellman-Ford recurrence on int indices + long arrays
+      // same smallest-tight-in-edge pred rule. ROUND 16: the branch
+      // decides BEFORE the repartitioned checkpoint, with the capped
+      // `limit(driverMax + 1)` collect the LPA/pageRank paths got in
+      // round 15 — previously the local path paid the full-edge
+      // repartition exchange + checkpoint + two count scans only to
+      // discard them (the documented trade), and a corpus-scale call
+      // paid nothing extra either way (a capped limit short-circuits;
+      // it never scans the full edge set). The direction expansion is
+      // mirrored IN-PROCESS, so undirected graphs also collect half
+      // the rows the old branch did. Sources gate on their DISTINCT
+      // count now (the relaxation only ever saw distinct seeds), also
+      // capped. Spec-pinned against the distributed branch
+      // (driverMax = 0) on random graphs.
       val spark = edges.sparkSession
       import spark.implicits._
-      val srcArr = sources.select(col(srcCol).cast("long").as("node"))
-        .where(col("node").isNotNull).distinct()
-        .collect().map(_.getLong(0))
+      val cap = math.min(driverMax, Int.MaxValue - 2L).toInt + 1
+      val fwdRows = fwd.limit(cap).collect()
+      if (fwdRows.length <= driverMax) {
+        val srcArr = sources.select(col(srcCol).as("node"))
+          .where(col("node").isNotNull).distinct()
+          .limit(cap).collect().map(_.getLong(0))
+        if (srcArr.length <= driverMax) {
       require(srcArr.nonEmpty, "shortestPaths over an empty source set")
-      val eRows = e.select(col("src").cast("long"), col("dst").cast("long"),
-        col("_w")).collect()
-      unpersistCheckpoint(e)
-      val m = eRows.length
+      val m0 = fwdRows.length
+      val m = if (directed) m0 else 2 * m0
       val us = new Array[Long](m); val vsL = new Array[Long](m)
       val wArr = new Array[Long](m)
       var i = 0
-      while (i < m) {
-        us(i) = eRows(i).getLong(0); vsL(i) = eRows(i).getLong(1)
-        wArr(i) = eRows(i).getLong(2); i += 1
+      while (i < m0) {
+        us(i) = fwdRows(i).getLong(0); vsL(i) = fwdRows(i).getLong(1)
+        wArr(i) = fwdRows(i).getLong(2)
+        if (!directed) {
+          us(m0 + i) = vsL(i); vsL(m0 + i) = us(i); wArr(m0 + i) = wArr(i)
+        }
+        i += 1
       }
       // index over endpoints AND sources (a source outside the edge
       // set still reports dist 0, exactly as the distributed merge)
@@ -2136,7 +2210,34 @@ object Graph {
           (ix.ids(v), dist(v), if (hasPred(v)) Some(pred(v)) else None)
         }.toDF("node", "dist", "pred")
       }
+        }
+        // else: the distinct seed set exceeds the driver bound — fall
+        // through to the distributed loop (the collected edge rows are
+        // discarded; a seed set this large dwarfs them anyway)
+      }
     }
+    val caller = edges.sparkSession
+    val isolated = caller.newSession()
+    isolated.conf.set("spark.sql.adaptive.enabled", "false")
+    // newSession starts from the CONTEXT conf — carry over the one
+    // runtime setting that shapes every loop exchange
+    isolated.conf.set("spark.sql.shuffle.partitions",
+      caller.conf.get("spark.sql.shuffle.partitions"))
+    def onIsolated(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.CheckpointStats
+        .withMeasuredStats(df.localCheckpoint(true), isolated)
+    val eRaw = if (directed) fwd else fwd.union(
+      fwd.select(col("dst").as("src"), col("src").as("dst"), col("_w")))
+    // partition the (static) edge list on the join key ONCE: every
+    // round's frontier-relax join then reuses this layout and shuffles
+    // only the frontier — without it each round re-exchanges the FULL
+    // edge list, the dominant cost once the frontier shrinks. The
+    // repartition must PLAN under the isolated (AQE-off) session too:
+    // an AdaptiveSparkPlan checkpoint reports UnknownPartitioning and
+    // the reuse never arms.
+    val e = org.apache.spark.sql.graft.CheckpointStats
+      .rebind(eRaw.repartition(col("src")), isolated)
+      .transform(onIsolated)
     var dist = org.apache.spark.sql.graft.CheckpointStats
       .rebind(
         sources.select(col(srcCol).as("node"))

@@ -100,7 +100,10 @@ private[graft] object LocalGraph {
     private val stamp = new Array[Int](cap)
     private val touched = new Array[Int](cap)
     private var nTouched = 0
-    private var gen = 0
+    // starts at 1: the zeroed stamp array must read as "no live slot"
+    // for a map used before its first clear() (gen 0 would make every
+    // slot apparently live with key 0 — ADVICE r15)
+    private var gen = 1
 
     def clear(): Unit = { gen += 1; nTouched = 0 }
 
