@@ -149,32 +149,20 @@ object Graph {
     val e = edges.select(col("src"), col("dst"), w.as("_w"))
       .where(col("src").isNotNull && col("dst").isNotNull)
     weightCol.foreach(c => validateWeights(edges, c, None))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .transform(checkpointed)
-    // the per-node out-weight total is summed as decimal(38,0) so a
-    // pathological weight set (~2^62 per edge) overflows into an ERROR
-    // below, never into ldiv-corrupted ranks — the repo's exactness
-    // bounds are explicit everywhere else (cf. StringJoin
-    // MaxThresholdPart) and this one was silent
-    val outDegDec = e.groupBy(col("src").as("node"))
-      .agg(sum(col("_w").cast("decimal(38,0)")).as("_outd"))
-    val overW = outDegDec
-      .where(col("_outd") > lit(Long.MaxValue)).limit(1).count()
-    require(overW == 0,
-      "a node's total out-weight exceeds Long.MaxValue — rescale weights")
-    val n = nodes.count()
-    require(n > 0, "pageRank over an empty edge set")
     val eCapped =
-      if (n <= driverMax && allLong(nodes, "node"))
-        // DRIVER-LOCAL candidacy (the [[kCoreImpl]] discipline). The
-        // node-count guard short-circuits first, so corpus-scale
-        // graphs never pay this; the edge bound is then decided by a
-        // CAPPED collect (limit driverMax+1) instead of a count scan
-        // plus a second full collect — one raw-edge pass saved per
-        // local run, and a mid-band graph (few nodes, >1e6 parallel
-        // edges) reads at most driverMax+1 rows before staying
-        // distributed (round 15; previously it paid a full count).
+      if (allLong(e, "src", "dst"))
+        // DRIVER-LOCAL candidacy (the [[kCoreImpl]] discipline),
+        // decided by the CAPPED edge collect ALONE (round 16): the
+        // node set, the per-node out-weights AND the out-weight
+        // overflow guard all derive from the collected rows
+        // in-process, so a local run no longer pays the distributed
+        // node-distinct checkpoint + count, the out-weight groupBy, or
+        // a second collect (~4 edge-scale actions). Corpus-scale
+        // graphs read at most driverMax+1 rows before staying
+        // distributed — a capped limit short-circuits, never a full
+        // scan. The node bound loosens from n ≤ driverMax to the edge
+        // bound's implied n ≤ 2·driverMax — the same driver-memory
+        // class, and the spec's branch equalities pin the results.
         e.select(col("src").cast("long"), col("dst").cast("long"),
           col("_w"))
           // clamp before toInt: a driverMax near Long.MaxValue through
@@ -185,28 +173,39 @@ object Graph {
       // DRIVER-LOCAL SWEEPS — the exact fixed-point long recurrence
       // replayed in-process: ranks are non-negative and floor division
       // of non-negative longs IS Java long division, so every term
-      // matches the distributed ldiv bit for bit. The out-weight
-      // overflow guard above already certified every local long sum.
+      // matches the distributed ldiv bit for bit.
       // primitive-array replay (LocalGraph, round 15 — boxed HashMap
       // contributions priced seconds per gate at the sf0.1 edge count)
       val spark = edges.sparkSession
       import spark.implicits._
       val eRows = eCapped
-      val nodeArr = nodes.collect().map(_.getLong(0))
-      unpersistCheckpoint(nodes)
-      val ix = LocalGraph.indexOf(nodeArr)
-      val nn = ix.size
       val m = eRows.length
+      val usArr = new Array[Long](m)
+      val dsArr = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        usArr(i) = eRows(i).getLong(0); dsArr(i) = eRows(i).getLong(1)
+        i += 1
+      }
+      val ix = LocalGraph.indexOf(usArr ++ dsArr)
+      val nn = ix.size
+      val n = nn.toLong
+      require(n > 0, "pageRank over an empty edge set")
       val esi = new Array[Int](m)
       val edi = new Array[Int](m)
       val ewt = new Array[Long](m)
       val outW = new Array[Long](nn)
       val hasOut = new Array[Boolean](nn)
-      var i = 0
+      i = 0
       while (i < m) {
         val r = eRows(i)
         val si = ix.of(r.getLong(0)); val di = ix.of(r.getLong(1))
         esi(i) = si; edi(i) = di; ewt(i) = r.getLong(2)
+        // the distributed guard's decimal crossing, replayed exactly:
+        // weights are validated positive, so a pre-add bound check IS
+        // the overflow test, with the identical error
+        require(outW(si) <= Long.MaxValue - ewt(i),
+          "a node's total out-weight exceeds Long.MaxValue — rescale weights")
         outW(si) += ewt(i); hasOut(si) = true
         i += 1
       }
@@ -239,6 +238,22 @@ object Graph {
       return (0 until nn).map(v => (ix.ids(v), rank(v)))
         .toDF("node", "rank")
     }
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .transform(checkpointed)
+    // the per-node out-weight total is summed as decimal(38,0) so a
+    // pathological weight set (~2^62 per edge) overflows into an ERROR
+    // below, never into ldiv-corrupted ranks — the repo's exactness
+    // bounds are explicit everywhere else (cf. StringJoin
+    // MaxThresholdPart) and this one was silent
+    val outDegDec = e.groupBy(col("src").as("node"))
+      .agg(sum(col("_w").cast("decimal(38,0)")).as("_outd"))
+    val overW = outDegDec
+      .where(col("_outd") > lit(Long.MaxValue)).limit(1).count()
+    require(overW == 0,
+      "a node's total out-weight exceeds Long.MaxValue — rescale weights")
+    val n = nodes.count()
+    require(n > 0, "pageRank over an empty edge set")
     // the distributed loop's out-weight lookup table — built only on
     // this branch (the local replay re-sums its own array; round 15
     // deferred this edge-scale groupBy + checkpoint out of local runs)
@@ -353,94 +368,108 @@ object Graph {
     val sRaw = seeds.select(col(seedCol).as("node"),
         seedWeightCol.map(col).getOrElse(lit(1L)).as("_swraw"))
       .where(col("node").isNotNull)
-    seedWeightCol.foreach { c =>
-      val st = sRaw.agg(
+    // seed-weight validation flags RIDE the per-seed aggregation (one
+    // seed-scale job instead of two, round 16), and the aggregation is
+    // CHECKPOINTED once — every later handshake (flags, per-seed bound,
+    // count, total) reads the materialized frame, and the driver-local
+    // branch reads them all from ONE capped collect. Duplicates sum;
+    // the per-seed and total sums cross decimal(38,0) so pathological
+    // weights ERROR instead of corrupting the division.
+    val sDec = checkpointed(sRaw.groupBy("node")
+      .agg(sum(col("_swraw").cast("long").cast("decimal(38,0)")).as("_swd"),
         count(when(col("_swraw").isNotNull &&
-          col("_swraw") =!= col("_swraw").cast("long"), 1)),
+          col("_swraw") =!= col("_swraw").cast("long"), 1)).as("_frac"),
         count(when(col("_swraw").isNull ||
-          col("_swraw").cast("long") <= 0, 1))).head()
-      require(st.getLong(0) == 0, s"seed weight column $c has non-integer " +
-        "entries — the fixed-point recurrence needs integer weights")
-      require(st.getLong(1) == 0,
-        s"seed weight column $c has null/non-positive entries")
-    }
-    // duplicates sum; the per-seed and total sums cross decimal(38,0)
-    // so pathological weights ERROR instead of corrupting the division
-    val sDec = sRaw.groupBy("node")
-      .agg(sum(col("_swraw").cast("long").cast("decimal(38,0)")).as("_swd"))
-    val overS = sDec.where(col("_swd") > lit(Long.MaxValue)).limit(1).count()
-    require(overS == 0,
-      "a seed's total weight exceeds Long.MaxValue — rescale seed weights")
-    val s = sDec.select(col("node"), col("_swd").cast("long").as("_sw"))
-      .transform(checkpointed)
-    val nS = s.count()
-    require(nS > 0, "personalizedPageRank needs a non-empty seed set")
-    // W = total seed weight; uniform seeds make W = |S| and every
-    // weighted term below reduces to the published uniform recurrence
-    val totW = s.agg(sum(col("_sw").cast("decimal(38,0)"))).head()
-      .getDecimal(0)
-    require(totW.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) <= 0,
-      "total seed weight exceeds Long.MaxValue — rescale seed weights")
-    val bigW = totW.longValueExact()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .union(s.select(col("node"))).distinct()
-      .join(s, Seq("node"), "left")
-      .select(col("node"), col("_sw").isNotNull.as("_seed"), col("_sw"))
-      .transform(checkpointed)
-    val outDegDec = e.groupBy(col("src").as("node"))
-      .agg(sum(col("_w").cast("decimal(38,0)")).as("_outd"))
-    val overW = outDegDec
-      .where(col("_outd") > lit(Long.MaxValue)).limit(1).count()
-    require(overW == 0,
-      "a node's total out-weight exceeds Long.MaxValue — rescale weights")
-    // per-seed teleport = w_s · (T div W); uniform seeds (w_s = 1,
-    // W = |S|) reduce every term to the classic T div |S| exactly
-    val teleUnit = Scale / dampDen * (dampDen - dampNum) / bigW
-    val rankUnit = Scale / bigW
-    val eCapped =
-      if (allLong(nodes, "node") && nodes.count() <= driverMax)
-        // capped collect decides the edge bound — the [[pageRankImpl]]
-        // round-15 shape (no count scan + second collect)
-        e.select(col("src").cast("long"), col("dst").cast("long"),
-          col("_w"))
-          // clamp before toInt: a driverMax near Long.MaxValue through
-          // the spec hook must saturate, not wrap to a negative limit
-          .limit(math.min(driverMax, Int.MaxValue - 2L).toInt + 1).collect()
-      else null
-    if (eCapped != null && eCapped.length <= driverMax) {
+          col("_swraw").cast("long") <= 0, 1)).as("_bad")))
+    val maxLDec = java.math.BigDecimal.valueOf(Long.MaxValue)
+    def requireSeedFlags(frac: Long, bad: Long): Unit =
+      seedWeightCol.foreach { c =>
+        require(frac == 0, s"seed weight column $c has non-integer " +
+          "entries — the fixed-point recurrence needs integer weights")
+        require(bad == 0,
+          s"seed weight column $c has null/non-positive entries")
+      }
+    val cap = math.min(driverMax, Int.MaxValue - 2L).toInt + 1
+    if (allLong(e, "src", "dst") && allLong(sRaw, "node")) {
+      // DRIVER-LOCAL candidacy (round 16, the [[pageRankImpl]] shape):
+      // two capped collects — the checkpointed seed aggregation and
+      // the raw edge rows — decide the branch AND carry everything the
+      // kernel needs (flags, per-seed/total bounds, node set, seed
+      // weights, out-weights with the overflow guard), so a local run
+      // no longer pays the seed handshakes, the node-distinct
+      // checkpoint + count + collect, or the out-weight groupBy
+      // (~7 actions). Corpus-scale seed/edge sets read at most
+      // driverMax+1 rows each before staying distributed.
+      val sArr = sDec.limit(cap).collect()
+      if (sArr.length <= driverMax) {
+        var frac = 0L; var bad = 0L
+        var totW = java.math.BigDecimal.ZERO
+        sArr.foreach { r =>
+          frac += r.getLong(2); bad += r.getLong(3)
+        }
+        requireSeedFlags(frac, bad)
+        sArr.foreach { r =>
+          val d = r.getDecimal(1)
+          require(d.compareTo(maxLDec) <= 0,
+            "a seed's total weight exceeds Long.MaxValue — rescale seed weights")
+          totW = totW.add(d)
+        }
+        require(sArr.nonEmpty,
+          "personalizedPageRank needs a non-empty seed set")
+        require(totW.compareTo(maxLDec) <= 0,
+          "total seed weight exceeds Long.MaxValue — rescale seed weights")
+        val bigW = totW.longValueExact()
+        val teleUnit = Scale / dampDen * (dampDen - dampNum) / bigW
+        val rankUnit = Scale / bigW
+        val eCapped = e.select(col("src").cast("long"),
+          col("dst").cast("long"), col("_w")).limit(cap).collect()
+        if (eCapped.length <= driverMax) {
       // DRIVER-LOCAL SWEEPS — the [[pageRankImpl]] replay with the
       // seed-directed teleport/dangling terms; every contract check
-      // above (seed weights, overflow decimals) already ran, and all
-      // values are non-negative longs so local division matches ldiv.
+      // above (seed weights, overflow decimals) ran on the collected
+      // rows with identical errors, and all values are non-negative
+      // longs so local division matches ldiv.
       // primitive-array replay (LocalGraph, round 15 — the
       // [[pageRankImpl]] layout with seed-directed teleport/dangling)
       val spark = edges.sparkSession
       import spark.implicits._
+      unpersistCheckpoint(sDec)
       val eRows = eCapped
-      val nodeRows = nodes.collect()
-      unpersistCheckpoint(nodes)
-      unpersistCheckpoint(s)
-      val ix = LocalGraph.indexOf(nodeRows.map(_.getLong(0)))
+      val m = eRows.length
+      val endp = new Array[Long](2 * m + sArr.length)
+      var i = 0
+      while (i < m) {
+        endp(i) = eRows(i).getLong(0)
+        endp(m + i) = eRows(i).getLong(1)
+        i += 1
+      }
+      i = 0
+      while (i < sArr.length) {
+        endp(2 * m + i) = sArr(i).getLong(0); i += 1
+      }
+      val ix = LocalGraph.indexOf(endp)
       val nn = ix.size
       val seedW = new Array[Long](nn)
       val isSeed = new Array[Boolean](nn)
-      nodeRows.foreach { r =>
+      sArr.foreach { r =>
         val v = ix.of(r.getLong(0))
-        isSeed(v) = r.getBoolean(1)
-        seedW(v) = if (r.isNullAt(2)) 0L else r.getLong(2)
+        isSeed(v) = true
+        seedW(v) = r.getDecimal(1).longValueExact()
       }
-      val m = eRows.length
       val esi = new Array[Int](m)
       val edi = new Array[Int](m)
       val ewt = new Array[Long](m)
       val outW = new Array[Long](nn)
       val hasOut = new Array[Boolean](nn)
-      var i = 0
+      i = 0
       while (i < m) {
         val r = eRows(i)
         val si = ix.of(r.getLong(0)); val di = ix.of(r.getLong(1))
         esi(i) = si; edi(i) = di; ewt(i) = r.getLong(2)
+        // the distributed guard's decimal crossing, replayed exactly
+        // (weights validated positive — pre-add bound check)
+        require(outW(si) <= Long.MaxValue - ewt(i),
+          "a node's total out-weight exceeds Long.MaxValue — rescale weights")
         outW(si) += ewt(i); hasOut(si) = true
         i += 1
       }
@@ -477,7 +506,44 @@ object Graph {
       }
       return (0 until nn).map(v => (ix.ids(v), rank(v)))
         .toDF("node", "rank")
+        }
+        // else: edges exceed the bound — distributed (rows discarded)
+      }
+      // else: seeds exceed the bound — distributed (rows discarded)
     }
+    // DISTRIBUTED prelude: every handshake reads the checkpointed seed
+    // aggregation (cheap single-pass scans of materialized blocks)
+    val flagChk = sDec.agg(sum(col("_frac")), sum(col("_bad"))).head()
+    requireSeedFlags(flagChk.getLong(0), flagChk.getLong(1))
+    val overS = sDec.where(col("_swd") > lit(Long.MaxValue)).limit(1).count()
+    require(overS == 0,
+      "a seed's total weight exceeds Long.MaxValue — rescale seed weights")
+    val s = sDec.select(col("node"), col("_swd").cast("long").as("_sw"))
+    val nS = s.count()
+    require(nS > 0, "personalizedPageRank needs a non-empty seed set")
+    // W = total seed weight; uniform seeds make W = |S| and every
+    // weighted term below reduces to the published uniform recurrence
+    val totW = s.agg(sum(col("_sw").cast("decimal(38,0)"))).head()
+      .getDecimal(0)
+    require(totW.compareTo(maxLDec) <= 0,
+      "total seed weight exceeds Long.MaxValue — rescale seed weights")
+    val bigW = totW.longValueExact()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .union(s.select(col("node"))).distinct()
+      .join(s, Seq("node"), "left")
+      .select(col("node"), col("_sw").isNotNull.as("_seed"), col("_sw"))
+      .transform(checkpointed)
+    val outDegDec = e.groupBy(col("src").as("node"))
+      .agg(sum(col("_w").cast("decimal(38,0)")).as("_outd"))
+    val overW = outDegDec
+      .where(col("_outd") > lit(Long.MaxValue)).limit(1).count()
+    require(overW == 0,
+      "a node's total out-weight exceeds Long.MaxValue — rescale weights")
+    // per-seed teleport = w_s · (T div W); uniform seeds (w_s = 1,
+    // W = |S|) reduce every term to the classic T div |S| exactly
+    val teleUnit = Scale / dampDen * (dampDen - dampNum) / bigW
+    val rankUnit = Scale / bigW
     // distributed-only out-weight table (round 15: deferred out of
     // local runs, the [[pageRankImpl]] shape)
     val outDeg = outDegDec.select(col("node"),
@@ -514,7 +580,7 @@ object Graph {
     }
     unpersistCheckpoint(nodes)
     unpersistCheckpoint(outDeg)
-    unpersistCheckpoint(s)
+    unpersistCheckpoint(sDec)
     ranks.select(col("node"), col("rank"))
   }
 
@@ -593,27 +659,31 @@ object Graph {
       .groupBy(col("u"), col("v"))
       .agg((if (weightCol.isEmpty) lit(1L)
         else sum(col("_w"))).as("_w"))
-    val eb = und.select(col("u").as("src"), col("v").as("dst"), col("_w"))
-      .union(und.select(col("v").as("src"), col("u").as("dst"), col("_w")))
-      .transform(checkpointed)
-    if (allLong(eb, "src", "dst") && eb.count() / 2L <= driverMax) {
+    // the CANONICAL aggregation is checkpointed on its own (round 16):
+    // the driver-local branch is decided by a capped collect of it —
+    // no count action, no materialization of the 2x-row mirrored
+    // union, half the collected bytes — and the distributed branch
+    // builds the mirrored list by scanning the materialized blocks
+    // instead of re-running the aggregation
+    val undC = checkpointed(und)
+    val capL = math.min(driverMax, Int.MaxValue - 2L).toInt + 1
+    val undArr =
+      if (allLong(undC, "u", "v")) undC.limit(capL).collect() else null
+    if (undArr != null && undArr.length <= driverMax) {
       // DRIVER-LOCAL SWEEPS (the [[kCoreImpl]] discipline) — the same
-      // synchronous vote/argmax recurrence on the collected directed
+      // synchronous vote/argmax recurrence on the collected canonical
       // edge list; a fixed-sweep contract has no convergence budget to
-      // carry. The count is one action on the fresh checkpoint.
+      // carry. Each edge is mirrored IN-PROCESS (the round-14 half-
+      // transfer idiom). The sweeps run on primitive CSR arrays
+      // (LocalGraph — round 15: the boxed HashMap votes cost 3.4-4.4 s
+      // for three sweeps at the sf0.1 edge count, dominating the whole
+      // gate); dense indices are order-isomorphic to ids, so the
+      // min-label tie rule compares identically and the labeling is
+      // bit-identical.
       val spark = edges.sparkSession
       import spark.implicits._
-      // collect only the CANONICAL half (src < dst is exactly und —
-      // least/greatest canonicalization) and mirror each edge
-      // in-process: half the transfer and boxing of the full eb at
-      // the threshold (review finding, round 14). The sweeps run on
-      // primitive CSR arrays (LocalGraph — round 15: the boxed
-      // HashMap votes cost 3.4-4.4 s for three sweeps at the sf0.1
-      // edge count, dominating the whole gate); dense indices are
-      // order-isomorphic to ids, so the min-label tie rule compares
-      // identically and the labeling is bit-identical.
-      val rows = eb.where(col("src") < col("dst")).collect()
-      unpersistCheckpoint(eb)
+      val rows = undArr
+      unpersistCheckpoint(undC)
       val m = rows.length
       val us = new Array[Long](m)
       val vs = new Array[Long](m)
@@ -676,6 +746,10 @@ object Graph {
       return (0 until n).map(v => (ix.ids(v), ix.ids(lab(v))))
         .toDF("node", "label")
     }
+    val eb = undC.select(col("u").as("src"), col("v").as("dst"), col("_w"))
+      .union(undC.select(col("v").as("src"), col("u").as("dst"), col("_w")))
+      .transform(checkpointed)
+    unpersistCheckpoint(undC)
     // every endpoint appears as src in eb (both directions), so the
     // src projection IS the node set
     var labels = eb.select(col("src").as("node")).distinct()
