@@ -2754,8 +2754,16 @@ object SparkEntry {
         .where(col("l_orderkey") <= 2000)
         .select((col("l_partkey") % 100).as("src"),
           (col("l_suppkey") % 100).as("dst"))
-      val proj = Graph.bipartiteProjection(edges, maxAnchorDegree = 55)
-        .select(col("a").as("src"), col("b").as("dst"), col("w"))
+      // the projection is materialized ONCE inside the timed query
+      // (round 16): weighted LPA's prelude scans its input twice
+      // (weight validation + canonical aggregation), and each lazy
+      // scan re-ran the whole anchor-grouped pair generation — NOT a
+      // cross-run cache; recomputed from parquet on every invocation
+      val proj = org.apache.spark.sql.graft.CheckpointStats
+        .withMeasuredStats(
+          Graph.bipartiteProjection(edges, maxAnchorDegree = 55)
+            .select(col("a").as("src"), col("b").as("dst"), col("w"))
+            .localCheckpoint(true))
       Graph.labelPropagation(proj, sweeps = 2, weightCol = Some("w"))
         .orderBy(col("node"))
     }),

@@ -808,72 +808,7 @@ object Dedup {
       import spark.implicits._
       val arr = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
       unpersistEdges(edges)
-      // the maxRounds budget CARRIES across the branch (ADVICE round
-      // 14: a budget vacuous below the threshold let the same pipeline
-      // pass in tests and fail at corpus scale): replay the star
-      // rounds in-process on the collected canonical set — the
-      // identical set-valued recurrence, so the round count is the
-      // distributed loop's by determinism — and refuse with the SAME
-      // error when the budget binds. O(rounds x m) hash ops at
-      // <= driverMax rows, still far under one distributed round's
-      // fixed latency. The replay's fixpoint doubles as an always-on
-      // cross-implementation check against the union-find below.
-      import scala.collection.mutable
-      var cur = mutable.HashSet.empty[(Long, Long)]
-      arr.foreach(cur += _)
-      var simRounds = 0
-      var simConverged = false
-      while (!simConverged && simRounds < maxRounds) {
-        // large-star over the canonical orientation (u > v): sym rows
-        // with second > first are exactly the canonical edges, so the
-        // round emits (u, minClosed(v)) per canonical edge
-        val minC = mutable.HashMap.empty[Long, Long]
-        def closeMin(a: Long, b: Long): Unit =
-          minC.update(a, math.min(minC.getOrElse(a, a), b))
-        cur.foreach { case (u, v) => closeMin(u, v); closeMin(v, u) }
-        val ls = mutable.HashSet.empty[(Long, Long)]
-        cur.foreach { case (u, v) => if (u != minC(v)) ls += ((u, minC(v))) }
-        // small-star: neighbors (and u itself) re-attach to u's min
-        val minS = mutable.HashMap.empty[Long, Long]
-        ls.foreach { case (u, v) =>
-          minS.update(u, math.min(minS.getOrElse(u, v), v)) }
-        val ss = mutable.HashSet.empty[(Long, Long)]
-        ls.foreach { case (u, v) => if (v != minS(u)) ss += ((v, minS(u))) }
-        minS.foreach { case (u, m) => if (u != m) ss += ((u, m)) }
-        simConverged = ss == cur
-        cur = ss
-        simRounds += 1
-      }
-      require(simConverged,
-        s"connectedComponents did not converge in $maxRounds rounds; " +
-          "raise maxRounds")
-      // union-find with path compression, then label every node with
-      // its component's minimum id — the star rounds' exact fixpoint,
-      // computed INDEPENDENTLY of the replay above
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) {
-          val n = parent(c); parent.update(c, r); c = n
-        }
-        r
-      }
-      // union by MIN root: a root only ever re-parents to a smaller
-      // root, and every node starts as its own root — so each
-      // component's final root IS its minimum id
-      arr.foreach { case (u, v) =>
-        val (ru, rv) = (find(u), find(v))
-        if (ru != rv) parent.update(math.max(ru, rv), math.min(ru, rv))
-      }
-      val nodes = arr.iterator.flatMap(t => Iterator(t._1, t._2)).toArray
-      // two independent fixpoint computations must agree: at the star
-      // fixpoint every non-root node has exactly the edge (node, root)
-      assert(cur.forall { case (u, v) => find(u) == v && find(v) == v },
-        "star-round fixpoint disagrees with union-find labeling")
-      return nodes.distinct.map(n => (n, find(n))).toSeq
-        .toDF("node", "group_id")
+      return ccLocal(arr, maxRounds).toSeq.toDF("node", "group_id")
     }
     var round = 0
     var converged = edges.isEmpty
@@ -895,6 +830,79 @@ object Dedup {
     edges.select(col("u").as("node"), col("v").as("group_id"))
       .union(edges.select(col("v").as("node"), col("v").as("group_id")))
       .groupBy("node").agg(min(col("group_id")).as("group_id"))
+  }
+
+  /** Driver-local connected components over a CANONICAL pair list
+    * (u > v, no self-loops, no duplicates): the star-round replay that
+    * CARRIES the distributed loop's `maxRounds` budget (ADVICE round
+    * 14 — a budget vacuous below the threshold let the same pipeline
+    * pass in tests and fail at corpus scale; the replay's round count
+    * is the distributed loop's by determinism, and it refuses with the
+    * SAME error when the budget binds), plus an INDEPENDENT union-find
+    * labeling cross-checked against the replay's fixpoint. Extracted
+    * from [[connectedComponentsImpl]] (round 16) so
+    * [[Graph.bowtieRegions]]'s driver-local branch shares the exact
+    * budget/labeling semantics. Returns node → component minimum id,
+    * one entry per endpoint. O(rounds x m) hash ops. */
+  private[graft] def ccLocal(arr: Array[(Long, Long)],
+      maxRounds: Int): scala.collection.Map[Long, Long] = {
+    import scala.collection.mutable
+    var cur = mutable.HashSet.empty[(Long, Long)]
+    arr.foreach(cur += _)
+    var simRounds = 0
+    var simConverged = false
+    while (!simConverged && simRounds < maxRounds) {
+      // large-star over the canonical orientation (u > v): sym rows
+      // with second > first are exactly the canonical edges, so the
+      // round emits (u, minClosed(v)) per canonical edge
+      val minC = mutable.HashMap.empty[Long, Long]
+      def closeMin(a: Long, b: Long): Unit =
+        minC.update(a, math.min(minC.getOrElse(a, a), b))
+      cur.foreach { case (u, v) => closeMin(u, v); closeMin(v, u) }
+      val ls = mutable.HashSet.empty[(Long, Long)]
+      cur.foreach { case (u, v) => if (u != minC(v)) ls += ((u, minC(v))) }
+      // small-star: neighbors (and u itself) re-attach to u's min
+      val minS = mutable.HashMap.empty[Long, Long]
+      ls.foreach { case (u, v) =>
+        minS.update(u, math.min(minS.getOrElse(u, v), v)) }
+      val ss = mutable.HashSet.empty[(Long, Long)]
+      ls.foreach { case (u, v) => if (v != minS(u)) ss += ((v, minS(u))) }
+      minS.foreach { case (u, m) => if (u != m) ss += ((u, m)) }
+      simConverged = ss == cur
+      cur = ss
+      simRounds += 1
+    }
+    require(simConverged,
+      s"connectedComponents did not converge in $maxRounds rounds; " +
+        "raise maxRounds")
+    // union-find with path compression, then label every node with
+    // its component's minimum id — the star rounds' exact fixpoint,
+    // computed INDEPENDENTLY of the replay above
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent(c); parent.update(c, r); c = n
+      }
+      r
+    }
+    // union by MIN root: a root only ever re-parents to a smaller
+    // root, and every node starts as its own root — so each
+    // component's final root IS its minimum id
+    arr.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent.update(math.max(ru, rv), math.min(ru, rv))
+    }
+    val nodes = arr.iterator.flatMap(t => Iterator(t._1, t._2)).toArray
+    // two independent fixpoint computations must agree: at the star
+    // fixpoint every non-root node has exactly the edge (node, root)
+    assert(cur.forall { case (u, v) => find(u) == v && find(v) == v },
+      "star-round fixpoint disagrees with union-find labeling")
+    val out = Map.newBuilder[Long, Long]
+    nodes.distinct.foreach(n => out += n -> find(n))
+    out.result()
   }
 
   /** Per-document duplicate-group assignment: near-dup pairs collapse

@@ -1627,12 +1627,42 @@ object Graph {
         col("u").isNotNull && col("v").isNotNull)
       .distinct()
       .transform(checkpointed)
-    var prevEdges = e.count()
-    var converged = prevEdges == 0L
     var rounds = 0
     // only long-id graphs may hand off to the driver-local finish —
     // others run the distributed peel to its own fixpoint
     val localEligible = allLong(e, "u", "v")
+    if (localEligible) {
+      // sub-threshold graphs go straight to the driver-local peel off
+      // ONE capped collect — no count action first (round 16, the
+      // capped-decider idiom); above the bound the capped rows are
+      // discarded and the distributed rounds run as before
+      val arr0 = e
+        .limit(math.min(driverMax, Int.MaxValue - 2L).toInt + 1).collect()
+      if (arr0.length <= driverMax) {
+        val spark = edges.sparkSession
+        import spark.implicits._
+        unpersistCheckpoint(e)
+        val m = arr0.length
+        val us = new Array[Long](m); val vs = new Array[Long](m)
+        var i = 0
+        while (i < m) {
+          us(i) = arr0(i).getLong(0); vs(i) = arr0(i).getLong(1); i += 1 }
+        val ix = LocalGraph.indexOf(us ++ vs)
+        val ua = new Array[Int](m); val va = new Array[Int](m)
+        val ew = new Array[Long](m)
+        i = 0
+        while (i < m) {
+          ua(i) = ix.of(us(i)); va(i) = ix.of(vs(i)); ew(i) = 1L; i += 1 }
+        val (_, mass, _, localDone) =
+          peelLocal(ix.size, ua, va, ew, k.toLong, 0, maxRounds)
+        require(localDone, s"k-core did not converge in $maxRounds rounds")
+        return (0 until ix.size).collect {
+          case v if mass(v) > 0 => (ix.ids(v), mass(v))
+        }.toDF("node", "degree")
+      }
+    }
+    var prevEdges = e.count()
+    var converged = prevEdges == 0L
     while (!converged && rounds < maxRounds &&
         (prevEdges > driverMax || !localEligible)) {
       val deg = e.select(col("u").as("node"))
@@ -1807,10 +1837,39 @@ object Graph {
     var e = undRaw.groupBy(col("u"), col("v"))
       .agg(sum(col("_w")).as("_w"))
       .transform(checkpointed)
-    var prevEdges = e.count()
-    var converged = prevEdges == 0L
     var rounds = 0
     val localEligible = allLong(e, "u", "v")
+    if (localEligible) {
+      // capped-decider fast path (round 16, the [[kCoreImpl]] shape):
+      // one capped collect replaces the count action and the second
+      // full collect for sub-threshold graphs
+      val arr0 = e
+        .limit(math.min(driverMax, Int.MaxValue - 2L).toInt + 1).collect()
+      if (arr0.length <= driverMax) {
+        val spark = edges.sparkSession
+        import spark.implicits._
+        unpersistCheckpoint(e)
+        val m = arr0.length
+        val us = new Array[Long](m); val vs = new Array[Long](m)
+        val ew = new Array[Long](m)
+        var i = 0
+        while (i < m) {
+          us(i) = arr0(i).getLong(0); vs(i) = arr0(i).getLong(1)
+          ew(i) = arr0(i).getLong(2); i += 1 }
+        val ix = LocalGraph.indexOf(us ++ vs)
+        val ua = new Array[Int](m); val va = new Array[Int](m)
+        i = 0
+        while (i < m) { ua(i) = ix.of(us(i)); va(i) = ix.of(vs(i)); i += 1 }
+        val (_, mass, _, localDone) =
+          peelLocal(ix.size, ua, va, ew, s, 0, maxRounds)
+        require(localDone, s"s-core did not converge in $maxRounds rounds")
+        return (0 until ix.size).collect {
+          case v if mass(v) > 0 => (ix.ids(v), mass(v))
+        }.toDF("node", "strength")
+      }
+    }
+    var prevEdges = e.count()
+    var converged = prevEdges == 0L
     while (!converged && rounds < maxRounds &&
         (prevEdges > driverMax || !localEligible)) {
       val strength = e.select(col("u").as("node"), col("_w"))
@@ -1953,23 +2012,22 @@ object Graph {
         col("u").isNotNull && col("v").isNotNull)
       .distinct()
       .transform(checkpointed)
-    var alive = e.select(col("u").as("node"))
-      .union(e.select(col("v").as("node"))).distinct()
-      .transform(checkpointed)
-    var nAlive = alive.count()
-    if (nAlive > 0 && allLong(e, "u", "v") && e.count() <= driverMax) {
+    if (allLong(e, "u", "v")) {
       // driver-local decomposition — the identical threshold-jump
       // arithmetic on the collected canonical edge list (alive set ≤
-      // 2·edges by construction); the same round budget and error
+      // 2·edges by construction); the same round budget and error.
+      // ROUND 16: the branch decides off ONE capped collect, before
+      // the distributed path's alive-set checkpoint + two counts ever
+      // run (they were pure prelude cost for a sub-threshold graph).
       // primitive-array decomposition (LocalGraph, round 15): the same
       // threshold-jump recurrence on int indices — per round one
       // degree pass, one min over alive, one in-place edge compaction
+      val rows = e
+        .limit(math.min(driverMax, Int.MaxValue - 2L).toInt + 1).collect()
+      if (rows.length <= driverMax) {
       val spark = edges.sparkSession
       import spark.implicits._
-      val rows = e.select(col("u").cast("long"), col("v").cast("long"))
-        .collect()
       unpersistCheckpoint(e)
-      unpersistCheckpoint(alive) // alive == distinct endpoints of e
       val m = rows.length
       val us = new Array[Long](m); val vs = new Array[Long](m)
       var i = 0
@@ -2025,7 +2083,14 @@ object Graph {
         s"coreness did not finish peeling in $maxRounds rounds")
       return (0 until nOut).map(j => (outN(j), outC(j)))
         .toDF("node", "coreness")
+      }
+      // else: above the bound — the capped rows are discarded and the
+      // distributed threshold-jump rounds run as before
     }
+    var alive = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node"))).distinct()
+      .transform(checkpointed)
+    var nAlive = alive.count()
     // labels accumulate as materialized per-round slices; the final
     // union is a plain read of bounded-many checkpoints (maxRounds),
     // never an iterated lineage
@@ -2783,7 +2848,14 @@ object Graph {
     * passes (≈ 4 × diameter) — exceeded is an error. Output
     * `(node, region)`. */
   def bowtieRegions(edges: DataFrame, scc: DataFrame,
-      maxRounds: Int = 100): DataFrame = {
+      maxRounds: Int = 100): DataFrame =
+    bowtieImpl(edges, scc, maxRounds, DriverPeelMax)
+
+  /** [[bowtieRegions]] with an explicit driver-local threshold — the
+    * [[kCoreImpl]] spec hook (`driverMax = 0` forces the distributed
+    * BFS/CC composition). */
+  private[graft] def bowtieImpl(edges: DataFrame, scc: DataFrame,
+      maxRounds: Int, driverMax: Long): DataFrame = {
     require(maxRounds >= 1 && maxRounds <= 10000,
       s"maxRounds must be in [1, 10000], got $maxRounds")
     val base = edges.select(col("src"), col("dst"))
@@ -2791,6 +2863,179 @@ object Graph {
     val e = base.where(col("src") =!= col("dst"))
       .distinct()
       .transform(checkpointed)
+    val labL = scc.select(col("node"), col("scc_id"))
+    if (allLong(e, "src", "dst") && allLong(labL, "node", "scc_id")) {
+      // DRIVER-LOCAL COMPOSITION (round 16, the [[kCoreImpl]]
+      // discipline): the distributed form is ~50 driver actions of
+      // fixed latency (four frontier BFS loops with a checkpoint + a
+      // count per level, a star-round CC, five flag frames) against a
+      // graph that — below the bound — one thread classifies in
+      // milliseconds. Three capped collects (self-loop-free digraph,
+      // self-loop nodes, the FULL scc labeling) decide the branch; the
+      // BFS levels, the round budget and its error, the CC star-round
+      // replay WITH ITS OWN budget ([[Dedup.ccLocal]] — extracted from
+      // connectedComponentsImpl so both branches share exact budget/
+      // labeling semantics), every contract require (same messages),
+      // and the region precedence chain are replayed exactly. Regions
+      // are functions of reachability sets — unique fixpoints — so the
+      // branches agree by construction; a GraphSpec equality pins them
+      // on random digraphs (driverMax = 0 vs default).
+      val cap = math.min(driverMax, Int.MaxValue - 2L).toInt + 1
+      val eArr = e.limit(cap).collect()
+      lazy val selfArr = base.where(col("src") === col("dst"))
+        .select(col("src")).distinct().limit(cap).collect()
+      lazy val labArr = labL.limit(cap).collect()
+      if (eArr.length <= driverMax && selfArr.length <= driverMax &&
+          labArr.length <= driverMax) {
+        val spark = edges.sparkSession
+        import spark.implicits._
+        unpersistCheckpoint(e)
+        val m = eArr.length
+        val us = new Array[Long](m); val vs = new Array[Long](m)
+        var i = 0
+        while (i < m) {
+          us(i) = eArr(i).getLong(0); vs(i) = eArr(i).getLong(1); i += 1 }
+        val ix = LocalGraph.indexOf(
+          us ++ vs ++ selfArr.map(_.getLong(0)))
+        val n = ix.size
+        require(n > 0, "bowtie over an empty edge set")
+        // the scc contract, replayed with the distributed errors
+        val seen = new scala.collection.mutable.HashSet[Long]
+        var dup = false; var nullLab = false
+        val sccOf = new Array[Long](n)
+        val hasLab = new Array[Boolean](n)
+        labArr.foreach { r =>
+          val nd = r.getLong(0)
+          if (!seen.add(nd)) dup = true
+          if (r.isNullAt(1)) nullLab = true
+          else {
+            val j = java.util.Arrays.binarySearch(ix.ids, nd)
+            if (j >= 0) { sccOf(j) = r.getLong(1); hasLab(j) = true }
+          }
+        }
+        require(!dup,
+          "scc must carry exactly one row per node — duplicates found")
+        require(!nullLab, "scc_id must be non-null")
+        var covered = true
+        i = 0
+        while (i < n) { if (!hasLab(i)) covered = false; i += 1 }
+        require(covered, "scc labeling is missing nodes of the edge set")
+        // the largest SCC, ties to the smallest id — over GRAPH nodes
+        val sccCount = new scala.collection.mutable.HashMap[Long, Long]
+        i = 0
+        while (i < n) {
+          sccCount(sccOf(i)) = sccCount.getOrElse(sccOf(i), 0L) + 1L
+          i += 1
+        }
+        var coreId = 0L; var coreC = -1L
+        sccCount.foreach { case (id, c) =>
+          if (c > coreC || (c == coreC && id < coreId)) {
+            coreId = id; coreC = c
+          }
+        }
+        val isCore = new Array[Boolean](n)
+        i = 0
+        while (i < n) { isCore(i) = sccOf(i) == coreId; i += 1 }
+        // CSRs both ways for the four BFS reaches
+        val esi = new Array[Int](m); val edi = new Array[Int](m)
+        val ones = new Array[Long](m)
+        i = 0
+        while (i < m) {
+          esi(i) = ix.of(us(i)); edi(i) = ix.of(vs(i)); ones(i) = 1L
+          i += 1
+        }
+        val fwdCsr = LocalGraph.buildCsr(n, esi, edi, ones)
+        val bwdCsr = LocalGraph.buildCsr(n, edi, esi, ones)
+        var rounds = 0
+        // frontier BFS: seeds ∪ reachable; level counting and the
+        // budget error replicate the distributed tick() exactly (one
+        // round per frontier expansion, including the final empty one)
+        def reach(seed: Array[Boolean],
+            csr: LocalGraph.Csr): Array[Boolean] = {
+          val member = seed.clone()
+          var frontier = new Array[Int](n)
+          var next = new Array[Int](n)
+          var fc = 0
+          var v = 0
+          while (v < n) { if (member(v)) { frontier(fc) = v; fc += 1 }; v += 1 }
+          while (fc > 0) {
+            rounds += 1
+            require(rounds <= maxRounds,
+              s"bowtie BFS did not converge within $maxRounds driver rounds")
+            var nAdded = 0
+            var fi = 0
+            while (fi < fc) {
+              val u = frontier(fi)
+              var p = csr.off(u)
+              val pEnd = csr.off(u + 1)
+              while (p < pEnd) {
+                val t = csr.nbr(p)
+                if (!member(t)) {
+                  member(t) = true; next(nAdded) = t; nAdded += 1
+                }
+                p += 1
+              }
+              fi += 1
+            }
+            val tmp = frontier; frontier = next; next = tmp
+            fc = nAdded
+          }
+          member
+        }
+        val fwdCore = reach(isCore, fwdCsr)
+        val bwdCore = reach(isCore, bwdCsr)
+        val inN = new Array[Boolean](n); val outN = new Array[Boolean](n)
+        i = 0
+        while (i < n) {
+          outN(i) = fwdCore(i) && !isCore(i)
+          inN(i) = bwdCore(i) && !isCore(i)
+          i += 1
+        }
+        val fwdIn = reach(inN, fwdCsr)
+        val bwdOut = reach(outN, bwdCsr)
+        // weak components over e's canonical orientation (u > v) —
+        // the SAME star-round budget + union-find as the distributed
+        // Dedup.connectedComponents call (default maxRounds = 50)
+        val canonSet = new scala.collection.mutable.HashSet[(Long, Long)]
+        i = 0
+        while (i < m) {
+          canonSet += ((math.max(us(i), vs(i)), math.min(us(i), vs(i))))
+          i += 1
+        }
+        val cc = Dedup.ccLocal(canonSet.toArray, 50)
+        var coreWcc = Long.MaxValue
+        var coreMin = Long.MaxValue
+        i = 0
+        while (i < n) {
+          if (isCore(i)) {
+            val id = ix.ids(i)
+            cc.get(id).foreach(g => if (g < coreWcc) coreWcc = g)
+            if (id < coreMin) coreMin = id
+          }
+          i += 1
+        }
+        // a core with no surviving edge (singleton in a self-loop-only
+        // graph) weak-groups as itself
+        if (coreWcc == Long.MaxValue) coreWcc = coreMin
+        val out = new Array[(Long, String)](n)
+        i = 0
+        while (i < n) {
+          val id = ix.ids(i)
+          val grp = cc.getOrElse(id, id)
+          out(i) = (id,
+            if (isCore(i)) "core"
+            else if (inN(i)) "in"
+            else if (outN(i)) "out"
+            else if (grp != coreWcc) "disconnected"
+            else if (fwdIn(i) && bwdOut(i)) "tube"
+            else if (fwdIn(i) || bwdOut(i)) "tendril"
+            else "other")
+          i += 1
+        }
+        return out.toSeq.toDF("node", "region")
+      }
+      // else: some dimension exceeds the bound — distributed
+    }
     val nodes = base.select(col("src").as("node"))
       .union(base.select(col("dst").as("node"))).distinct()
       .transform(checkpointed)

@@ -855,6 +855,20 @@ class GraphSpec extends AnyFunSuite {
       assert(rows(Graph.hitsImpl(e2, 4, 0L)) == rows(Graph.hits(e2, 4)),
         s"hits round $round")
     }
+    // bowtie: the driver-local composition against the forced-
+    // distributed BFS/CC chain (round 16) — regions are functions of
+    // reachability fixpoints, so the branches must agree exactly;
+    // random digraphs keep several regions inhabited, and the appended
+    // self-loop-only node exercises the nodes-beyond-e dimension
+    for (round <- 0 until 2) {
+      val raw = (0 until 120).map(_ =>
+        (rng.nextInt(30).toLong, rng.nextInt(30).toLong)) ++
+        Seq((40L, 40L))
+      val d = raw.toDF("src", "dst")
+      val sccL = Graph.stronglyConnectedComponents(d, maxRounds = 200)
+      assert(rows(Graph.bowtieImpl(d, sccL, 200, 0L)) ==
+        rows(Graph.bowtieRegions(d, sccL, 200)), s"bowtie round $round")
+    }
     // the maxRounds ERROR fires on the forced-distributed branch too
     // (the default-path intercepts elsewhere in this suite now pin the
     // local budget — same counter, same message)
