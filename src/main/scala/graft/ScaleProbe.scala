@@ -199,6 +199,27 @@ object ScaleProbe {
     }
     timed("dedup_groups")(graft.operators.Dedup.duplicateGroups(docs,
       graft.operators.Dedup.minhashNearDuplicates(docs, 0.8)).count())
+    timed("dedup_cc_pairs_local") {
+      // the driver-local CC star-round replay AT the DriverPeelMax
+      // boundary (round-16 verdict item: is the boxed hash-set replay
+      // hot at ~1M collected pairs?): 1000 chains x 1000 nodes =
+      // ~999k canonical pairs — just under the bound, so the local
+      // branch (star replay + union-find cross-check) takes it.
+      // Closed form: every node labels with its chain's minimum id.
+      val ccN = math.min(n, 1000000L)
+      val par = spark.sparkContext.defaultParallelism
+      val chain = spark.range(0, ccN, 1, par)
+        .where(pmod(col("id") + 1, lit(1000)) =!= 0)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      val got = graft.operators.Dedup.connectedComponents(chain)
+      val r = got.agg(count(lit(1)), count(when(
+        col("group_id") =!= col("node") - pmod(col("node"), lit(1000)),
+        1))).head
+      require(r.getLong(1) == 0,
+        s"${r.getLong(1)} nodes off the chain-minimum closed form")
+      require(r.getLong(0) == ccN, s"got ${r.getLong(0)} of $ccN nodes")
+      r.getLong(0)
+    }
     timed("hamming_neardup") {
       // the Manku banding at its web-dedup operating point (64-bit
       // fps, distance <= 3 -> 4 bands of 16 bits): 1% of fingerprints

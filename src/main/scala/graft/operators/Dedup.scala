@@ -846,29 +846,99 @@ object Dedup {
     * one entry per endpoint. O(rounds x m) hash ops. */
   private[graft] def ccLocal(arr: Array[(Long, Long)],
       maxRounds: Int): scala.collection.Map[Long, Long] = {
-    import scala.collection.mutable
-    var cur = mutable.HashSet.empty[(Long, Long)]
-    arr.foreach(cur += _)
+    // PRIMITIVE replay (round 16: the boxed HashSet form priced 57 s
+    // at the 1M-pair DriverPeelMax boundary — dedup_cc_pairs_local
+    // probe): node ids remap onto dense int indices (LocalGraph —
+    // index order == id order, so every min compares identically), a
+    // pair packs into one long (hi = first index, lo = second), and
+    // each round's set semantics (dedup + set equality) run as
+    // sort-unique over primitive long arrays. The recurrence, the
+    // round count, and both error/assert contracts are unchanged.
+    val m0 = arr.length
+    val endp = new Array[Long](2 * m0)
+    var i = 0
+    while (i < m0) {
+      endp(i) = arr(i)._1; endp(m0 + i) = arr(i)._2; i += 1
+    }
+    val ix = LocalGraph.indexOf(endp)
+    val n = ix.size
+    def pack(a: Int, b: Int): Long = (a.toLong << 32) | (b.toLong & 0xffffffffL)
+    def hi(p: Long): Int = (p >>> 32).toInt
+    def lo(p: Long): Int = (p & 0xffffffffL).toInt
+    def sortUnique(a: Array[Long], len: Int): Array[Long] = {
+      java.util.Arrays.sort(a, 0, len)
+      var w = 0
+      var j = 0
+      while (j < len) {
+        if (w == 0 || a(w - 1) != a(j)) { a(w) = a(j); w += 1 }
+        j += 1
+      }
+      java.util.Arrays.copyOf(a, w)
+    }
+    var cur = {
+      val c = new Array[Long](m0)
+      i = 0
+      while (i < m0) {
+        c(i) = pack(ix.of(arr(i)._1), ix.of(arr(i)._2)); i += 1
+      }
+      sortUnique(c, m0)
+    }
+    // per-round min maps as index-addressed arrays; NoMin = identity
+    val minArr = new Array[Int](n)
     var simRounds = 0
     var simConverged = false
     while (!simConverged && simRounds < maxRounds) {
       // large-star over the canonical orientation (u > v): sym rows
       // with second > first are exactly the canonical edges, so the
-      // round emits (u, minClosed(v)) per canonical edge
-      val minC = mutable.HashMap.empty[Long, Long]
-      def closeMin(a: Long, b: Long): Unit =
-        minC.update(a, math.min(minC.getOrElse(a, a), b))
-      cur.foreach { case (u, v) => closeMin(u, v); closeMin(v, u) }
-      val ls = mutable.HashSet.empty[(Long, Long)]
-      cur.foreach { case (u, v) => if (u != minC(v)) ls += ((u, minC(v))) }
+      // round emits (u, minClosed(v)) per canonical edge. Index order
+      // is id order, so min-by-index IS min-by-id.
+      i = 0; while (i < n) { minArr(i) = i; i += 1 }
+      var j = 0
+      while (j < cur.length) {
+        val u = hi(cur(j)); val v = lo(cur(j))
+        if (v < minArr(u)) minArr(u) = v
+        if (u < minArr(v)) minArr(v) = u
+        j += 1
+      }
+      val ls = {
+        val buf = new Array[Long](cur.length)
+        var w = 0
+        j = 0
+        while (j < cur.length) {
+          val u = hi(cur(j)); val v = lo(cur(j))
+          if (u != minArr(v)) { buf(w) = pack(u, minArr(v)); w += 1 }
+          j += 1
+        }
+        sortUnique(buf, w)
+      }
       // small-star: neighbors (and u itself) re-attach to u's min
-      val minS = mutable.HashMap.empty[Long, Long]
-      ls.foreach { case (u, v) =>
-        minS.update(u, math.min(minS.getOrElse(u, v), v)) }
-      val ss = mutable.HashSet.empty[(Long, Long)]
-      ls.foreach { case (u, v) => if (v != minS(u)) ss += ((v, minS(u))) }
-      minS.foreach { case (u, m) => if (u != m) ss += ((u, m)) }
-      simConverged = ss == cur
+      // (NoTouch sentinel: a u absent from ls contributes nothing)
+      i = 0; while (i < n) { minArr(i) = -1; i += 1 }
+      j = 0
+      while (j < ls.length) {
+        val u = hi(ls(j)); val v = lo(ls(j))
+        if (minArr(u) < 0 || v < minArr(u)) minArr(u) = v
+        j += 1
+      }
+      val ss = {
+        val buf = new Array[Long](2 * ls.length)
+        var w = 0
+        j = 0
+        while (j < ls.length) {
+          val u = hi(ls(j)); val v = lo(ls(j))
+          if (v != minArr(u)) { buf(w) = pack(v, minArr(u)); w += 1 }
+          j += 1
+        }
+        var u = 0
+        while (u < n) {
+          if (minArr(u) >= 0 && minArr(u) != u) {
+            buf(w) = pack(u, minArr(u)); w += 1
+          }
+          u += 1
+        }
+        sortUnique(buf, w)
+      }
+      simConverged = java.util.Arrays.equals(ss, cur)
       cur = ss
       simRounds += 1
     }
@@ -878,30 +948,38 @@ object Dedup {
     // union-find with path compression, then label every node with
     // its component's minimum id — the star rounds' exact fixpoint,
     // computed INDEPENDENTLY of the replay above
-    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-    def find(x: Long): Long = {
+    val parent = new Array[Int](n)
+    i = 0; while (i < n) { parent(i) = i; i += 1 }
+    def find(x: Int): Int = {
       var r = x
-      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      while (parent(r) != r) r = parent(r)
       var c = x
-      while (parent.getOrElse(c, c) != c) {
-        val n = parent(c); parent.update(c, r); c = n
-      }
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
       r
     }
     // union by MIN root: a root only ever re-parents to a smaller
     // root, and every node starts as its own root — so each
-    // component's final root IS its minimum id
-    arr.foreach { case (u, v) =>
-      val (ru, rv) = (find(u), find(v))
-      if (ru != rv) parent.update(math.max(ru, rv), math.min(ru, rv))
+    // component's final root IS its minimum id (index order == id
+    // order, so the min index IS the min id)
+    i = 0
+    while (i < m0) {
+      val ru = find(ix.of(arr(i)._1)); val rv = find(ix.of(arr(i)._2))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      i += 1
     }
-    val nodes = arr.iterator.flatMap(t => Iterator(t._1, t._2)).toArray
     // two independent fixpoint computations must agree: at the star
     // fixpoint every non-root node has exactly the edge (node, root)
-    assert(cur.forall { case (u, v) => find(u) == v && find(v) == v },
-      "star-round fixpoint disagrees with union-find labeling")
+    var agree = true
+    var j = 0
+    while (j < cur.length) {
+      val u = hi(cur(j)); val v = lo(cur(j))
+      if (find(u) != v || find(v) != v) agree = false
+      j += 1
+    }
+    assert(agree, "star-round fixpoint disagrees with union-find labeling")
     val out = Map.newBuilder[Long, Long]
-    nodes.distinct.foreach(n => out += n -> find(n))
+    i = 0
+    while (i < n) { out += ix.ids(i) -> ix.ids(find(i)); i += 1 }
     out.result()
   }
 
