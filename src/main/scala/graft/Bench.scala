@@ -58,6 +58,20 @@ object Bench {
     //     corrupted drive is then detectable from the artifact alone
     //     (median >> min with high load; the min column stays stable).
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    // CPU STEAL (9th field of /proc/stat's cpu line, jiffies): this
+    // box is a guest, and a hypervisor co-tenant stealing cycles
+    // mid-drive inflates every wall-clock sample while load_avg stays
+    // modest (measured 2026-08-18: 214 stolen CPU-seconds across one
+    // 3-minute drive while `ps` showed nothing running). Recording the
+    // delta makes a contaminated drive detectable from the artifact
+    // alone — the load_avg defense extended to external load.
+    def stealJiffies(): Long =
+      try {
+        val line = java.nio.file.Files
+          .readAllLines(java.nio.file.Paths.get("/proc/stat")).get(0)
+        line.trim.split("\\s+").drop(1).lift(7).map(_.toLong).getOrElse(-1L)
+      } catch { case _: Throwable => -1L }
+    val stealStart = stealJiffies()
     val loadStart = osBean.getSystemLoadAverage
     val names = selected.keys.toIndexedSeq
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
@@ -71,6 +85,8 @@ object Bench {
       }
     }
     val loadEnd = osBean.getSystemLoadAverage
+    val stealEnd = stealJiffies()
+    val stealJson = s""""steal_jiffies":{"start":$stealStart,"end":$stealEnd}"""
     val results = names.map { name =>
       val ts = samples(name).sorted
       name -> ts(ts.length / 2) // median (== the run for repeat=1)
@@ -82,7 +98,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalMin = mins.map(_._2).sum
-    val loadJson = s""""load_avg":{"start":${fmt(loadStart)},"end":${fmt(loadEnd)}}"""
+    val loadJson = s""""load_avg":{"start":${fmt(loadStart)},"end":${fmt(loadEnd)}},""" +
+      stealJson
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""stat":"median-of-$repeat","total_min":${fmt(totalMin)},""" +
       s""""fixture_warm_sec":${fmt(warmSec)},""" +
